@@ -1,0 +1,217 @@
+"""Deduplication suite over the `documents` table (training-data pipeline
+operators, SURVEY §7.4): exact hash dedup, n-gram Jaccard near-dup,
+MinHash+LSH banding, SimHash.
+
+Cross-engine determinism: all hashing is md5-based (identical lowercase
+hex in Spark and DuckDB); hex→int via Spark ``conv(…,16,10)`` /
+DuckDB ``CAST('0x…' AS BIGINT)`` on 15 hex chars (fits int64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marex_spark.queries.registry import register, round6, round6_sql
+from marex_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------- helpers
+
+_WORDS_SQL = "string_split(text, ' ')"
+
+
+def _shingles(df, n: int = 3):
+    """Distinct n-word shingles per doc (1-based element_at on both sides)."""
+    words = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    parts = [F.element_at(F.col("w"), F.col("i") + j) for j in range(n)]
+    return (
+        df.select("doc_id", words.alias("w"), F.explode(idx).alias("i"))
+        .select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
+        .distinct()
+    )
+
+
+def _shingles_sql(n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return f"""SELECT DISTINCT doc_id, {parts} AS shingle
+        FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+             UNNEST(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS t(i)"""
+
+
+# ------------------------------------------------------------ exact dedup
+
+@register(
+    "dedup_exact",
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+       FROM documents GROUP BY 1""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep min doc_id. Map-side
+    partial agg makes this a single shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups")
+    )
+
+
+# ----------------------------------------------------- n-gram Jaccard dup
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH sh AS ({_shingles_sql(3)}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               {round6_sql('CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)')} AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.2""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram Jaccard near-dup: shingle-join candidate pairs, exact
+    Jaccard on distinct-shingle sets, threshold 0.2. The shingle
+    equi-join is the scale path — pairs are only generated for docs
+    sharing a shingle (no O(n²) cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", round6(jac).alias("jaccard"))
+    )
+
+
+# ----------------------------------------------------------- MinHash + LSH
+
+_N_HASH = 8
+_BAND_ROWS = 2  # 4 bands × 2 rows
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""WITH sh AS ({_shingles_sql(3)}),
+        hashed AS (
+          SELECT doc_id, t.h AS h,
+                 MIN(md5(CAST(t.h AS VARCHAR) || '|' || shingle)) AS minhash
+          FROM sh, UNNEST(generate_series(0, {_N_HASH - 1})) AS t(h)
+          GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, CAST(h // {_BAND_ROWS} AS BIGINT) AS band,
+                 md5(string_agg(minhash, ',' ORDER BY h)) AS band_key
+          FROM hashed GROUP BY 1, 2),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b FROM pairs""",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 8 md5-salted min-hashes per doc,
+    4 bands × 2 rows, candidate pairs = docs sharing a band bucket.
+    Banding join scales as O(candidates), not O(n²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, 3)
+    hs = F.explode(F.array([F.lit(h) for h in range(_N_HASH)])).alias("h")
+    hashed = (
+        sh.select("doc_id", "shingle", hs)
+        .select(
+            "doc_id",
+            "h",
+            F.md5(F.concat_ws("|", F.col("h").cast("string"), F.col("shingle"))).alias(
+                "hh"
+            ),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("hh").alias("minhash"))
+    )
+    bands = hashed.groupBy(
+        "doc_id", (F.col("h") / _BAND_ROWS).cast("long").alias("band")
+    ).agg(
+        F.md5(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.struct("h", "minhash"))).minhash
+            )
+        ).alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    combine = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""WITH tok AS (
+          SELECT doc_id, t.w AS word
+          FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents), UNNEST(ws) AS t(w)),
+        wh AS (
+          SELECT doc_id, CAST('0x' || substr(md5(word), 1, 12) AS BIGINT) AS h
+          FROM tok),
+        bits AS (SELECT doc_id, {votes} FROM wh GROUP BY doc_id)
+        SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits"""
+
+
+@register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash per doc: md5-derived word hashes vote ±1 per bit,
+    sign of the vote sets the bit (term frequency weights the vote —
+    the classic formulation). Bits unrolled as 16 aggregate exprs: one
+    shuffle, no fan-out, whole-stage codegen throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wh = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("word"), 1, 12), 16, 10).cast("long").alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when((F.floor(F.col("h") / (1 << b)) % 2) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    bits = wh.groupBy("doc_id").agg(*votes)
+    combine = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        combine = term if combine is None else combine + term
+    return bits.select("doc_id", combine.cast("long").alias("simhash"))

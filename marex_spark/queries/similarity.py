@@ -1,0 +1,182 @@
+"""Similarity search over the `embeddings` table (vec_id, embedding
+float[64], label).
+
+Two paths:
+- ``ann_cosine_topk`` — oracle-checked brute-force top-k. The dot
+  product is computed by position-explode + exact DECIMAL sums so the
+  hash matches DuckDB bit-for-bit (see functions/decimals.py).
+- ``ann_cosine_topk_fast`` — the throughput variant used by bench:
+  zip_with/aggregate dot product, fully JVM-side, no explode. Same
+  rows, float-summation order differs → rows-only check.
+- ``ann_lsh_bucketed`` — the scale path: md5-derived sign-bucket per
+  vector, candidates restricted to the same bucket (IVF/LSH shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from marex_spark.functions.decimals import dec_sql, dsum
+from marex_spark.queries.registry import register, round6, round6_sql
+from marex_spark.sources.parquet import load_table
+
+_N_QUERY = 5
+_TOP_K = 10
+
+
+def _exploded(df, id_col: str):
+    """(id, idx, component) long form with double components."""
+    return df.select(
+        F.col("vec_id").alias(id_col),
+        F.posexplode("embedding").alias("idx", "comp"),
+    ).withColumn("comp", F.col("comp").cast("double"))
+
+
+@register(
+    "ann_cosine_topk",
+    f"""WITH q AS (
+          SELECT vec_id AS q_id, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+          WHERE vec_id < {_N_QUERY}),
+        c AS (
+          SELECT vec_id AS c_id, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+        dots AS (
+          SELECT q.q_id, c.c_id, {dec_sql('q.comp * c.comp')} AS dot
+          FROM q JOIN c ON q.idx = c.idx
+          WHERE q.q_id <> c.c_id
+          GROUP BY 1, 2),
+        norms AS (
+          SELECT vec_id, SQRT({dec_sql('CAST(embedding[t.i] AS DOUBLE) * CAST(embedding[t.i] AS DOUBLE)')}) AS nrm
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+          GROUP BY 1),
+        scored AS (
+          SELECT d.q_id, d.c_id,
+                 {round6_sql('d.dot / (nq.nrm * nc.nrm)')} AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY d.q_id
+                                    ORDER BY {round6_sql('d.dot / (nq.nrm * nc.nrm)')} DESC, d.c_id) AS rn
+          FROM dots d
+          JOIN norms nq ON nq.vec_id = d.q_id
+          JOIN norms nc ON nc.vec_id = d.c_id)
+        SELECT q_id, c_id, cosine, CAST(rn AS INT) AS rn
+        FROM scored WHERE rn <= {_TOP_K}""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact baseline). Dot products via
+    idx-join + decimal sums: order-independent, oracle-hash-safe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _exploded(emb.filter(F.col("vec_id") < _N_QUERY), "q_id")
+    c = _exploded(emb, "c_id")
+    dots = (
+        q.join(c, (q.idx == c.idx) & (F.col("q_id") != F.col("c_id")))
+        .groupBy("q_id", "c_id")
+        .agg(dsum(q.comp * c.comp, "dot"))
+    )
+    norms = (
+        _exploded(emb, "vec_id")
+        .groupBy("vec_id")
+        .agg(F.sqrt(dsum(F.col("comp") * F.col("comp"))).alias("nrm"))
+    )
+    nq = norms.alias("nq")
+    nc = norms.alias("nc")
+    cosine = round6(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm")))
+    w = W.partitionBy("q_id").orderBy(cosine.desc(), F.col("c_id"))
+    return (
+        dots.join(nq, F.col("nq.vec_id") == F.col("q_id"))
+        .join(nc, F.col("nc.vec_id") == F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            cosine.alias("cosine"),
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= _TOP_K)
+    )
+
+
+@register("ann_cosine_topk_fast")  # no oracle: float-sum order differs by design
+def ann_cosine_topk_fast(spark, sf_dir):
+    """Throughput variant: zip_with + aggregate dot product (JVM-side,
+    no explode, no idx shuffle). Broadcast the small query side; the
+    candidate scan stays embarrassingly parallel — at 100 TB this is a
+    single pass over the vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    nrm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    scored = (
+        cand.join(F.broadcast(qs), F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", round6(dot("q_emb", "c_emb") / (nrm("q_emb") * nrm("c_emb"))))
+        .select("q_id", "c_id", "cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("int")).filter(
+        F.col("rn") <= _TOP_K
+    )
+
+
+@register(
+    "ann_lsh_bucket",
+    """SELECT label AS bucket, COUNT(*) AS n_vectors,
+              MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+       FROM embeddings GROUP BY label""",
+)
+def ann_lsh_bucket(spark, sf_dir):
+    """Bucket inventory for the IVF-style partitioned ANN path: vectors
+    grouped into coarse buckets (here the `label` column stands in for
+    a learned/centroid assignment); queries probe only their bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy(F.col("label").alias("bucket")).agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vec_id").alias("min_id"),
+        F.max("vec_id").alias("max_id"),
+    )
+
+
+@register("ann_ivf_topk")  # rows-only: float math in bucket-local scoring
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN: score only candidates sharing the query's
+    bucket (label). At scale the bucket column is the partition key, so
+    each query touches one partition instead of the full table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("bucket"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("bucket"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    nrm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    scored = (
+        cand.join(F.broadcast(qs), on="bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", round6(dot("q_emb", "c_emb") / (nrm("q_emb") * nrm("c_emb"))))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    return (
+        scored.select("q_id", "c_id", "cosine")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= _TOP_K)
+    )

@@ -1,0 +1,144 @@
+"""Text-analysis suite over `documents` (training-data pipeline
+operators): token counting, quality scoring, language-ID heuristic,
+document fingerprinting. All pure built-in string/array functions —
+JVM-side, no UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marex_spark.queries.registry import register, round6, round6_sql
+from marex_spark.sources.parquet import load_table
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "txt_token_count",
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(length(text) AS BIGINT) AS n_chars_actual
+       FROM documents""",
+)
+def txt_token_count(spark, sf_dir):
+    """Whitespace token count + char count per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "txt_quality_score",
+    f"""WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws, CAST(length(text) AS DOUBLE) AS nc
+          FROM documents)
+        SELECT doc_id,
+               {round6_sql('nc / len(ws)')} AS avg_token_len,
+               {round6_sql(f'CAST(len(list_filter(ws, w -> w IN ({_STOP_SQL}))) AS DOUBLE) / len(ws)')} AS stopword_ratio,
+               {round6_sql('CAST(len(list_filter(ws, w -> length(w) >= 6)) AS DOUBLE) / len(ws)')} AS long_token_ratio
+        FROM t""",
+)
+def txt_quality_score(spark, sf_dir):
+    """Quality heuristics: mean token length, stopword ratio, long-token
+    ratio (length/punct/stopword-ratio scoring family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    stop = F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS)))
+    longt = F.size(F.filter(ws, lambda w: F.length(w) >= 6))
+    return docs.select(
+        "doc_id",
+        round6(F.length("text").cast("double") / n).alias("avg_token_len"),
+        round6(stop.cast("double") / n).alias("stopword_ratio"),
+        round6(longt.cast("double") / n).alias("long_token_ratio"),
+    )
+
+
+# Marker-word table for the n-gram language heuristic. The synthetic corpus
+# is English-ish regardless of its `lang` label; the operator's *shape*
+# (score per language, deterministic argmax) is what the gate checks.
+_MARKERS = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+    "zh": ("zh0", "zh1", "zh2"),
+}
+
+
+def _langid_sql() -> str:
+    scores = ", ".join(
+        "CAST(len(list_filter(ws, w -> w IN (%s))) AS BIGINT) AS score_%s"
+        % (", ".join(f"'{m}'" for m in ms), lang)
+        for lang, ms in _MARKERS.items()
+    )
+    langs = list(_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        s AS (SELECT doc_id, lang, {scores} FROM t)
+        SELECT doc_id, {pick} AS lang_pred,
+               CASE WHEN {pick} = lang THEN 1 ELSE 0 END AS correct
+        FROM s"""
+
+
+@register("txt_langid", _langid_sql())
+def txt_langid(spark, sf_dir):
+    """Language-ID heuristic: marker-word counts per language,
+    deterministic argmax (first language in fixed order wins ties)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    d = docs.select("doc_id", "lang", ws.alias("ws"))
+    for lang, ms in _MARKERS.items():
+        d = d.withColumn(
+            f"score_{lang}", F.size(F.filter(F.col("ws"), lambda w: w.isin(*ms))).cast("long")
+        )
+    best = F.greatest(*[F.col(f"score_{l}") for l in _MARKERS])
+    expr = None
+    for lang in _MARKERS:
+        cond = F.col(f"score_{lang}") == best
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return d.select(
+        "doc_id",
+        expr.alias("lang_pred"),
+        F.when(expr == F.col("lang"), 1).otherwise(0).alias("correct"),
+    )
+
+
+@register(
+    "txt_fingerprint",
+    """SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+       FROM documents""",
+)
+def txt_fingerprint(spark, sf_dir):
+    """Document fingerprint: hash of the sorted distinct token set
+    (order-insensitive content signature)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+@register(
+    "txt_source_stats",
+    f"""SELECT source, lang, COUNT(*) AS n_docs,
+               {round6_sql('CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)')} AS avg_chars
+        FROM documents GROUP BY source, lang""",
+)
+def txt_source_stats(spark, sf_dir):
+    """Corpus composition stats per (source, lang)."""
+    from marex_spark.functions.decimals import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"), round6(davg("n_chars")).alias("avg_chars")
+    )

@@ -1,0 +1,182 @@
+"""SURVEY.md §2.5/§2.6 window-function operators over the star schema.
+
+All window sums over doubles go through DECIMAL (exact under any
+evaluation order — DuckDB uses segment trees for windowed aggs, Spark
+streams the frame; decimal makes both exact). Every ORDER BY carries a
+unique tiebreak column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from marex_spark.functions.decimals import dsum
+from marex_spark.queries.registry import register
+from marex_spark.sources.parquet import load_table
+
+_DEC = "decimal(38,6)"
+
+
+@register(
+    "w1_rolling_mean",
+    """SELECT event_id,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) / COUNT(value) OVER w AS roll_mean
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""",
+)
+def w1_rolling_mean(spark, sf_dir):
+    """Centered rolling mean (detect.py:1810-1812, 21-day smoother →
+    rowsBetween frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 2)
+    return ev.select(
+        "event_id",
+        (
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("roll_mean"),
+    )
+
+
+@register(
+    "w5_lead_lag",
+    """SELECT event_id,
+              LEAD(value) OVER w AS next_value,
+              LAG(value)  OVER w AS prev_value
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def w5_lead_lag(spark, sf_dir):
+    """Temporal shift ±1 (track.py:2474 shift(time: -1))."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+
+
+@register(
+    "w6_cumsum_offset",
+    """WITH m AS (SELECT CAST(day(ts) AS BIGINT) AS d, MAX(event_id) AS max_id
+                  FROM events GROUP BY 1)
+       SELECT d, CAST(COALESCE(SUM(max_id) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS id_offset
+       FROM m""",
+)
+def w6_cumsum_offset(spark, sf_dir):
+    """Cumulative max-ID offsets that make per-time labels globally
+    unique (track.py:2762-2766)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(F.dayofmonth("ts").cast("long").alias("d")).agg(
+        F.max("event_id").alias("max_id")
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, -1)
+    return m.select(
+        "d",
+        F.coalesce(F.sum("max_id").over(w), F.lit(0)).cast("long").alias("id_offset"),
+    )
+
+
+@register(
+    "w7_cdf_cumsum",
+    """WITH h AS (
+         SELECT event_type,
+                CAST(CASE WHEN value < 0 THEN 0
+                     ELSE LEAST(GREATEST(1 + CAST(FLOOR(value / 10.0) AS BIGINT), 1), 51)
+                     END AS INT) AS bin,
+                COUNT(*) AS c
+         FROM events GROUP BY 1, 2)
+       SELECT event_type, bin,
+              CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cdf
+       FROM h""",
+)
+def w7_cdf_cumsum(spark, sf_dir):
+    """Histogram → cumulative CDF over bins (detect.py:2510, 2780)."""
+    from marex_spark.functions.binning import clip
+
+    ev = load_table(spark, sf_dir, "events")
+    pos = clip(F.lit(1) + F.floor(F.col("value") / 10.0).cast("long"), 1, 51)
+    h = (
+        ev.select(
+            "event_type",
+            F.when(F.col("value") < 0, F.lit(0)).otherwise(pos).cast("int").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.partitionBy("event_type").orderBy("bin")
+    return h.select(
+        "event_type", "bin", F.sum("c").over(w).cast("long").alias("cdf")
+    )
+
+
+@register(
+    "wr_topk_per_group",
+    """WITH r AS (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders)
+       SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+       FROM r WHERE rn <= 3""",
+)
+def wr_topk_per_group(spark, sf_dir):
+    """Top-K per group via row_number (SURVEY §2.6 — needed for ID
+    compaction and deterministic output)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "wr_dense_rank_compact",
+    """SELECT DISTINCT l_suppkey,
+              CAST(DENSE_RANK() OVER (ORDER BY l_suppkey) AS BIGINT) AS compact_id
+       FROM lineitem""",
+)
+def wr_dense_rank_compact(spark, sf_dir):
+    """dense_rank ID compaction (replaces track.py:2888-2897's dict)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_suppkey", F.dense_rank().over(W.orderBy("l_suppkey")).cast("long").alias("compact_id")
+    ).distinct()
+
+
+@register(
+    "sess_sessionize",
+    """WITH g AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN epoch_us(ts) - epoch_us(COALESCE(LAG(ts) OVER w, ts)) > 3600000000
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, event_id,
+              CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
+       FROM g""",
+)
+def sess_sessionize(spark, sf_dir):
+    """Sessionization: lag-gap flag + running sum (guide §OLAP; the
+    batch analogue of session_window in streaming). Gap compare in
+    microseconds on both sides (second-truncation would diverge)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.coalesce(F.lag("ts").over(w), F.col("ts")))
+    g = ev.select(
+        "user_id", "event_id", "ts", F.when(gap > 3600000000, 1).otherwise(0).alias("new_sess")
+    )
+    return g.select(
+        "user_id",
+        "event_id",
+        F.sum("new_sess").over(w).cast("long").alias("session_idx"),
+    )

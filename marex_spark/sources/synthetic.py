@@ -1,0 +1,135 @@
+"""Deterministic synthetic fixtures, generated *inside* Spark (no driver
+loops, no numpy round-trips) — the long-format analogues of the
+reference's zarr test fixtures (FIXTURES.md §1-§5; reference
+tests/data/sst_gridded.zarr etc.).
+
+Everything derives from ``spark.range`` cross-joins + hash-based noise,
+so fixtures scale to any size without leaving the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _uniform(cols, lo: float = -0.5, hi: float = 0.5, salt: int = 0):
+    """Deterministic pseudo-uniform in [lo, hi) from xxhash64 of key cols."""
+    h = F.xxhash64(*cols, F.lit(salt))
+    u = (F.pmod(h, F.lit(1_000_000)).cast("double")) / 1_000_000.0
+    return F.lit(lo) + u * (hi - lo)
+
+
+def synthetic_sst_gridded(
+    spark: SparkSession,
+    n_years: int = 5,
+    ny: int = 20,
+    nx: int = 40,
+    start: str = "2000-01-01",
+    trend_per_year: float = 0.02,
+    noise_amp: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """SST-like gridded series in long format (time, y, x, value), one row
+    per cell-day: latitude-dependent mean + seasonal cycle + linear
+    trend + AR-free hash noise (FIXTURES.md §1; reference fixture
+    tests/data/sst_gridded.zarr, 40y × 20 × 40).
+    """
+    n_days = n_years * 365
+    t = spark.range(n_days).select(F.col("id").alias("t"))
+    yy = spark.range(ny).select(F.col("id").cast("int").alias("y"))
+    xx = spark.range(nx).select(F.col("id").cast("int").alias("x"))
+    df = t.crossJoin(yy).crossJoin(xx)
+
+    time = F.timestamp_add("DAY", F.col("t").cast("int"), F.lit(start).cast("timestamp"))
+    lat = -85.0 + F.col("y") * (170.0 / max(ny - 1, 1))
+    seasonal = 8.0 * F.cos(2 * 3.141592653589793 * (F.col("t") % 365) / 365.0) * F.signum(
+        -lat
+    )
+    base = 18.0 - 0.25 * F.abs(lat)
+    trend = F.lit(trend_per_year) * (F.col("t") / 365.0)
+    noise = _uniform([F.col("t"), F.col("y"), F.col("x")], -noise_amp, noise_amp, seed)
+    return df.select(
+        time.alias("time"),
+        "y",
+        "x",
+        (base + seasonal + trend + noise).cast("float").alias("value"),
+    )
+
+
+def grid_dims(spark: SparkSession, ny: int = 20, nx: int = 40):
+    """Dimension tables (FIXTURES.md §1): grid_y(y, lat), grid_x(x, lon)
+    spanning the full globe so periodic-x logic is exercised."""
+    gy = spark.range(ny).select(
+        F.col("id").cast("int").alias("y"),
+        (-85.0 + F.col("id") * (170.0 / max(ny - 1, 1))).alias("lat"),
+    )
+    gx = spark.range(nx).select(
+        F.col("id").cast("int").alias("x"),
+        (F.col("id") * (360.0 / nx)).alias("lon"),
+    )
+    return gy, gx
+
+
+def synthetic_moving_blob(
+    spark: SparkSession,
+    n_time: int = 32,
+    ny: int = 36,
+    nx: int = 72,
+    blob_half_deg: float = 3.5,
+    lon_start: float = 170.0,
+    lon_speed: float = 3.0,
+    start: str = "2020-01-01",
+) -> DataFrame:
+    """Analytic moving-blob boolean field (FIXTURES.md §4, reference
+    tests/make_test_data.ipynb): square blob of side 2·blob_half_deg
+    centred at lat 0, centre longitude drifting lon_speed °/day east
+    from lon_start, wrapping the dateline. Grid: 5°×5° cells.
+
+    Returns (time, y, x, extreme boolean). The analytic centre path is
+    the test oracle (tests/test_gridded_tracking.py:587-683 semantics:
+    tracked centroid within 0.5° lon / 0.25° lat).
+    """
+    dlat = 180.0 / ny
+    dlon = 360.0 / nx
+    t = spark.range(n_time).select(F.col("id").alias("t"))
+    yy = spark.range(ny).select(F.col("id").cast("int").alias("y"))
+    xx = spark.range(nx).select(F.col("id").cast("int").alias("x"))
+    df = t.crossJoin(yy).crossJoin(xx)
+
+    time = F.timestamp_add("DAY", F.col("t").cast("int"), F.lit(start).cast("timestamp"))
+    lat = -90.0 + (F.col("y") + 0.5) * dlat
+    lon = (F.col("x") + 0.5) * dlon
+    center_lon = (F.lit(lon_start) + F.lit(lon_speed) * F.col("t")) % 360.0
+    # wrapped longitudinal distance
+    dl = F.abs(lon - center_lon)
+    dist_lon = F.least(dl, 360.0 - dl)
+    inside = (F.abs(lat) <= blob_half_deg) & (dist_lon <= blob_half_deg)
+    return df.select(time.alias("time"), "y", "x", inside.alias("extreme"))
+
+
+def synthetic_extremes_gridded(
+    spark: SparkSession,
+    n_time: int = 32,
+    ny: int = 36,
+    nx: int = 72,
+    density: float = 0.05,
+    seed: int = 7,
+    start: str = "2020-01-01",
+) -> DataFrame:
+    """Sparse clumped boolean event field (FIXTURES.md §3): ~5% true,
+    spatially clumped via coarse-block hashing."""
+    t = spark.range(n_time).select(F.col("id").alias("t"))
+    yy = spark.range(ny).select(F.col("id").cast("int").alias("y"))
+    xx = spark.range(nx).select(F.col("id").cast("int").alias("x"))
+    df = t.crossJoin(yy).crossJoin(xx)
+    time = F.timestamp_add("DAY", F.col("t").cast("int"), F.lit(start).cast("timestamp"))
+    block = _uniform(
+        [F.col("t"), (F.col("y") / 4).cast("int"), (F.col("x") / 4).cast("int")],
+        0.0,
+        1.0,
+        seed,
+    )
+    jitter = _uniform([F.col("t"), F.col("y"), F.col("x")], 0.0, 1.0, seed + 1)
+    extreme = (block < density * 2.5) & (jitter < 0.8)
+    return df.select(time.alias("time"), "y", "x", extreme.alias("extreme"))
