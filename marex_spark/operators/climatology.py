@@ -1,0 +1,252 @@
+"""Anomaly engine — Spark-native re-expression of marEx
+``compute_normalised_anomaly`` (reference detect.py:891-1116).
+
+Input convention: long-format DataFrame with columns
+``(time timestamp, <cell keys...>, value double)`` where cell keys are
+``y, x`` (gridded) or ``cell`` (unstructured). All operators are pure
+DataFrame transformations — Catalyst handles pushdown/pruning; the only
+driver-side math is the tiny harmonic design-matrix pseudo-inverse
+(detect.py:2161-2220 does the same with numpy).
+
+Scale notes: climatology tables are (366 × cells) — broadcast when the
+grid is small, shuffle-hash join on (doy, cell) otherwise; the join key
+includes the cell so AQE can split skew.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from marex_spark.functions.temporal import decimal_year, epoch_day
+
+DEFAULT_KEYS = ("y", "x")
+
+
+def add_time_keys(df: DataFrame, time_col: str = "time") -> DataFrame:
+    """Attach (year, doy) derivation columns (detect.py:1605-1606)."""
+    return df.withColumn("year", F.year(time_col)).withColumn(
+        "doy", F.dayofyear(time_col)
+    )
+
+
+def smooth_rolling_mean(
+    df: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    smooth_days: int = 21,
+    time_col: str = "time",
+    value_col: str = "value",
+    out_col: str = "value",
+) -> DataFrame:
+    """Centered rolling-mean smoother (detect.py:1810-1812, W1).
+
+    rangeBetween on epoch-day so calendar gaps don't shift the window.
+    """
+    half = smooth_days // 2
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(epoch_day(time_col))
+        .rangeBetween(-half, half)
+    )
+    return df.withColumn(out_col, F.avg(value_col).over(w))
+
+
+def fixed_climatology(
+    df: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    value_col: str = "value",
+) -> DataFrame:
+    """Day-of-year mean climatology over the whole record
+    (detect.py:2365-2373, A1). Returns (doy, *keys, clim)."""
+    return (
+        add_time_keys(df)
+        .groupBy("doy", *keys)
+        .agg(F.avg(value_col).alias("clim"))
+    )
+
+
+def anomaly_fixed_baseline(
+    df: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    value_col: str = "value",
+    clim: DataFrame | None = None,
+) -> DataFrame:
+    """Anomaly vs fixed doy climatology (detect.py:2334-2440):
+    anomaly = value − clim(doy, cell). Join on (doy, *keys) — J2 shape."""
+    d = add_time_keys(df)
+    clim = clim if clim is not None else fixed_climatology(df, keys, value_col)
+    return d.join(clim, ["doy", *keys]).withColumn(
+        "anomaly", (F.col(value_col) - F.col("clim")).cast("double")
+    )
+
+
+def shifting_climatology(
+    df: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    window_year_baseline: int = 5,
+    smooth_days: int = 21,
+    value_col: str = "value",
+) -> DataFrame:
+    """Shifting-baseline climatology (detect.py:1617-1669, A2): each
+    (year, doy, cell) sample contributes to target years
+    ``year+1 .. year+window``; group-mean per (target_year, doy, cell).
+
+    Fan-out is via sequence+explode — the contribution table is
+    generated inline, no driver loop (the reference builds a Python
+    long-form index loop at detect.py:1622-1645; Spark expresses it
+    declaratively so the optimizer parallelises the amplification).
+    """
+    sm = smooth_rolling_mean(df, keys, smooth_days, value_col=value_col)
+    d = add_time_keys(sm)
+    fan = d.select(
+        *keys,
+        "doy",
+        F.col(value_col).alias("v"),
+        F.explode(
+            F.sequence(F.col("year") + 1, F.col("year") + window_year_baseline)
+        ).alias("target_year"),
+    )
+    return fan.groupBy("target_year", "doy", *keys).agg(F.avg("v").alias("clim"))
+
+
+def anomaly_shifting_baseline(
+    df: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    window_year_baseline: int = 5,
+    smooth_days: int = 21,
+    value_col: str = "value",
+) -> DataFrame:
+    """Anomaly vs shifting baseline (detect.py:1839-1844). Rows in the
+    first ``window_year_baseline`` years have no climatology and are
+    dropped (detect.py:614-641's trim)."""
+    clim = shifting_climatology(df, keys, window_year_baseline, smooth_days, value_col)
+    d = add_time_keys(df).withColumnRenamed("year", "target_year")
+    # Trim the first `window_year_baseline` years — their climatology is
+    # built from a partial window (detect.py:614-641). Broadcast 1-row agg.
+    min_year = df.select(F.min(F.year("time")).alias("y0"))
+    d = d.crossJoin(F.broadcast(min_year)).filter(
+        F.col("target_year") >= F.col("y0") + window_year_baseline
+    ).drop("y0")
+    return d.join(clim, ["target_year", "doy", *keys]).withColumn(
+        "anomaly", (F.col(value_col) - F.col("clim")).cast("double")
+    )
+
+
+def _design_matrix(times_decimal: list[float], n_harmonics: int = 2):
+    """Tiny (T × k) harmonic+trend design matrix and its pseudo-inverse,
+    computed on the driver with numpy (detect.py:2143-2220; k ≤ 6 so
+    this is microseconds regardless of data scale)."""
+    import numpy as np
+
+    t = np.asarray(times_decimal, dtype=np.float64)
+    cols = [np.ones_like(t), t - t.mean()]
+    for h in range(1, n_harmonics + 1):
+        cols.append(np.sin(2 * math.pi * h * t))
+        cols.append(np.cos(2 * math.pi * h * t))
+    X = np.stack(cols, axis=1)  # (T, k)
+    pinv = np.linalg.pinv(X)  # (k, T)
+    return X, pinv
+
+
+def anomaly_detrend_harmonic(
+    df: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    n_harmonics: int = 2,
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Harmonic + linear detrend (detect.py:2143-2220, F3).
+
+    coef_k(cell) = Σ_t pinv[k,t]·value(t,cell) — a weighted aggregation
+    after broadcast-joining the per-time weight table; the fitted value
+    is the design-row dot coef, removed per row. Everything except the
+    (T × k) pinv stays distributed.
+    """
+    times = [
+        r[0]
+        for r in df.select(time_col).distinct().orderBy(time_col).collect()
+    ]
+    dec = (
+        df.sparkSession.createDataFrame(
+            [(t,) for t in times], schema=f"{time_col} timestamp"
+        )
+        .withColumn("dyear", decimal_year(time_col))
+        .collect()
+    )
+    dyears = [r["dyear"] for r in dec]
+    X, pinv = _design_matrix(dyears, n_harmonics)
+    k = X.shape[1]
+
+    weights = df.sparkSession.createDataFrame(
+        [
+            (times[i], [float(pinv[j, i]) for j in range(k)], [float(X[i, j]) for j in range(k)])
+            for i in range(len(times))
+        ],
+        schema=f"{time_col} timestamp, w array<double>, xrow array<double>",
+    )
+    d = df.join(F.broadcast(weights), time_col)
+    coefs = d.groupBy(*keys).agg(
+        *[
+            F.sum(F.col("w")[j] * F.col(value_col)).alias(f"c{j}")
+            for j in range(k)
+        ]
+    )
+    fitted = None
+    for j in range(k):
+        term = F.col("xrow")[j] * F.col(f"c{j}")
+        fitted = term if fitted is None else fitted + term
+    return (
+        d.join(coefs, list(keys))
+        .withColumn("anomaly", (F.col(value_col) - fitted).cast("double"))
+        .drop("w", "xrow", *[f"c{j}" for j in range(k)])
+    )
+
+
+def anomaly_detrend_fixed_baseline(
+    df: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """detrend_fixed_baseline (detect.py:2443-2460): remove the linear
+    trend (no harmonics), then subtract the doy climatology of the
+    detrended series."""
+    det = anomaly_detrend_harmonic(
+        df, keys, n_harmonics=0, time_col=time_col, value_col=value_col
+    ).select(time_col, *keys, F.col("anomaly").alias("detrended"))
+    return anomaly_fixed_baseline(det, keys, value_col="detrended").withColumnRenamed(
+        "clim", "doy_clim"
+    )
+
+
+def normalise_by_doy_std(
+    anom: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    std_smooth_days: int = 30,
+) -> DataFrame:
+    """STD-normalised anomaly (detect.py:2232-2283, A3+W3+J4): per-doy
+    std, circularly smoothed over ``std_smooth_days``, divided out."""
+    d = anom if "doy" in anom.columns else add_time_keys(anom)
+    std = d.groupBy("doy", *keys).agg(
+        F.stddev_pop("anomaly").alias("v"), F.count("*").alias("c")
+    )
+    # circular smoothing: fan out ±half window with doy wrap, re-average
+    half = std_smooth_days // 2
+    offs = F.array([F.lit(o) for o in range(-half, half + 1)])
+    fan = std.select(*keys, "v", "c", "doy", F.explode(offs).alias("off"))
+    center = ((F.col("doy") - 1 + F.col("off") + 366) % 366 + 1).alias("doy_c")
+    smoothed = fan.groupBy(center, *keys).agg(F.avg("v").alias("std_doy"))
+    return (
+        d.join(
+            smoothed.withColumnRenamed("doy_c", "doy"),
+            ["doy", *keys],
+        )
+        .withColumn(
+            "anomaly_norm",
+            F.when(F.col("std_doy") > 0, F.col("anomaly") / F.col("std_doy")).otherwise(
+                F.col("anomaly")
+            ),
+        )
+    )

@@ -1,0 +1,138 @@
+"""Event-graph connected components + ID remap (SURVEY M7 + J8).
+
+The overlap-pair graph is orders of magnitude smaller than the cell
+data (pairs ≪ cells; the reference solves it on the driver with
+scipy.sparse at track.py:2876-2883). Same strategy here: collect the
+pair list, union-find in numpy, broadcast the remap table back — plus
+a pure-DataFrame large-star/small-star fallback for graphs too big to
+collect.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _union_find(pairs: np.ndarray) -> dict[int, int]:
+    """Classic union-find with path compression over int64 id pairs."""
+    parent: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        root = a
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(a, a) != a:
+            parent[a], a = root, parent[a]
+        return root
+
+    for u, v in pairs:
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {a: find(a) for a in list(parent)}
+
+
+def connected_components_driver(
+    pairs: DataFrame, all_ids: DataFrame, id_col: str = "obj_id"
+) -> DataFrame:
+    """(obj_id → event_id) mapping: union-find on the collected pair
+    list; singletons map to themselves; event IDs compacted to 1..K by
+    dense_rank over the root (deterministic, M7+ID-compaction)."""
+    spark = pairs.sparkSession
+    arr = np.array(
+        [(r[0], r[1]) for r in pairs.select("id_t", "id_next").collect()],
+        dtype=np.int64,
+    ).reshape(-1, 2)
+    mapping = _union_find(arr)
+    if mapping:
+        map_df = spark.createDataFrame(
+            [(int(k), int(v)) for k, v in mapping.items()],
+            schema=f"{id_col} long, root long",
+        )
+    else:
+        map_df = spark.createDataFrame([], schema=f"{id_col} long, root long")
+    full = (
+        all_ids.select(id_col)
+        .distinct()
+        .join(F.broadcast(map_df), id_col, "left")
+        .withColumn("root", F.coalesce(F.col("root"), F.col(id_col)))
+    )
+    w = Window.orderBy("root")
+    return full.select(
+        id_col, F.dense_rank().over(w).cast("long").alias("event_id")
+    )
+
+
+def connected_components_distributed(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "obj_id",
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Pure-DataFrame alternative (min-label propagation with pointer
+    jumping) for when the pair graph itself is too large to collect —
+    the scale path for 100 TB runs. Each round: hook every node to the
+    min label in its neighbourhood, then one jump round (label ←
+    label[label] via self-join)."""
+    edges = (
+        pairs.select(F.col("id_t").alias("u"), F.col("id_next").alias("v"))
+        .union(pairs.select(F.col("id_next").alias("u"), F.col("id_t").alias("v")))
+        .distinct()
+    )
+    labels = all_ids.select(F.col(id_col).alias("u")).distinct().withColumn(
+        "lbl", F.col("u")
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        hooked = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+        )
+        # pointer jump: lbl ← lbl's lbl
+        jumped = (
+            hooked.alias("a")
+            .join(
+                hooked.select(F.col("u").alias("lbl"), F.col("lbl").alias("lbl2")).alias(
+                    "b"
+                ),
+                "lbl",
+                "left",
+            )
+            .select(F.col("u"), F.coalesce(F.col("lbl2"), F.col("lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    w = Window.orderBy("lbl")
+    return labels.select(
+        F.col("u").alias(id_col), F.dense_rank().over(w).cast("long").alias("event_id")
+    )
+
+
+def remap_ids(
+    labels: DataFrame, mapping: DataFrame, id_col: str = "obj_id"
+) -> DataFrame:
+    """J8: broadcast-join the (obj_id → event_id) table onto the cell
+    field (track.py:2894-2926)."""
+    return labels.join(F.broadcast(mapping), id_col)

@@ -1,0 +1,124 @@
+"""Detect orchestrator — the Spark ``preprocess_data`` (reference
+detect.py:287-841): raw long-format series → anomaly → percentile
+threshold → boolean extreme field.
+
+Method dispatch mirrors detect.py:1079-1099 (anomaly) and
+detect.py:1119-1203 (extremes); parameter defaults follow the
+reference's (q=0.95, precision=0.01, max_anomaly=5.0, window 11 days,
+21-day smoother, 5-year shifting window).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marex_spark.operators.climatology import (
+    DEFAULT_KEYS,
+    anomaly_detrend_fixed_baseline,
+    anomaly_detrend_harmonic,
+    anomaly_fixed_baseline,
+    anomaly_shifting_baseline,
+)
+from marex_spark.operators.threshold import (
+    global_threshold_exact,
+    global_threshold_hist,
+    hobday_threshold_exact,
+    hobday_threshold_hist,
+    identify_extremes,
+)
+
+ANOMALY_METHODS = (
+    "fixed_baseline",
+    "shifting_baseline",
+    "detrend_harmonic",
+    "detrend_fixed_baseline",
+)
+EXTREME_METHODS = ("global_extreme", "hobday_extreme")
+
+
+@dataclass
+class DetectResult:
+    extremes: DataFrame  # (time, keys..., value, anomaly, threshold, extreme)
+    thresholds: DataFrame
+    params: dict
+
+
+def preprocess_data(
+    df: DataFrame,
+    method_anomaly: str = "fixed_baseline",
+    method_extreme: str = "global_extreme",
+    method_percentile: str = "exact",
+    threshold_percentile: float = 0.95,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    window_year_baseline: int = 5,
+    smooth_days: int = 21,
+    n_harmonics: int = 2,
+    window_days_hobday: int = 11,
+    precision: float = 0.01,
+    max_anomaly: float = 5.0,
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DetectResult:
+    """Raw series → boolean extremes. Drops null/NaN values first
+    (P2 validity predicate, detect.py:222)."""
+    if method_anomaly not in ANOMALY_METHODS:
+        raise ValueError(f"method_anomaly must be one of {ANOMALY_METHODS}")
+    if method_extreme not in EXTREME_METHODS:
+        raise ValueError(f"method_extreme must be one of {EXTREME_METHODS}")
+
+    clean = df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col))
+
+    if method_anomaly == "fixed_baseline":
+        anom = anomaly_fixed_baseline(clean, keys, value_col)
+    elif method_anomaly == "shifting_baseline":
+        anom = anomaly_shifting_baseline(
+            clean, keys, window_year_baseline, smooth_days, value_col
+        )
+    elif method_anomaly == "detrend_harmonic":
+        anom = anomaly_detrend_harmonic(
+            clean, keys, n_harmonics, time_col=time_col, value_col=value_col
+        )
+    else:
+        anom = anomaly_detrend_fixed_baseline(
+            clean, keys, time_col=time_col, value_col=value_col
+        )
+
+    exact = method_percentile == "exact"
+    if method_extreme == "global_extreme":
+        thr = (
+            global_threshold_exact(anom, keys, threshold_percentile)
+            if exact
+            else global_threshold_hist(
+                anom, keys, threshold_percentile, precision, max_anomaly
+            )
+        )
+    else:
+        thr = (
+            hobday_threshold_exact(
+                anom, keys, threshold_percentile, window_days_hobday
+            )
+            if exact
+            else hobday_threshold_hist(
+                anom,
+                keys,
+                threshold_percentile,
+                window_days_hobday,
+                precision,
+                max_anomaly,
+            )
+        )
+
+    extremes = identify_extremes(anom, thr, keys)
+    return DetectResult(
+        extremes=extremes,
+        thresholds=thr,
+        params={
+            "method_anomaly": method_anomaly,
+            "method_extreme": method_extreme,
+            "method_percentile": method_percentile,
+            "threshold_percentile": threshold_percentile,
+        },
+    )

@@ -1,0 +1,211 @@
+"""Per-timestep connected-component labelling (SURVEY M4/M6) and global
+ID assignment (W6).
+
+Reference: marEx labels each 2-D slice with dask_image/scipy
+(track.py:2007-2046) and offsets IDs per time (track.py:2762-2766).
+scipy isn't in this image, so the per-slice kernel is a pure-numpy
+union-find (hooking + pointer-doubling on the sparse edge list) inside
+``applyInPandas`` over ``groupBy(time)`` — the same
+chunk-function-chunk contract as the reference's ``xr.apply_ufunc``.
+
+Scale: one group = one time slice (a 0.25° global slice ≈ 1M cells ≈
+a few MB in Arrow) — repartition by time first so slices never split.
+The label-propagation alternative (pure DataFrame, M5) lives in
+components.py for the cross-time case.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cc_edges(n: int, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Connected components over an undirected edge list: vectorized
+    min-hooking + pointer doubling. Returns root label (min member
+    index) per node; O(E·log V) total work, no Python per-node loop."""
+    labels = np.arange(n, dtype=np.int64)
+    if len(u) == 0:
+        return labels
+    while True:
+        m = np.minimum(labels[u], labels[v])
+        before = labels.copy()
+        np.minimum.at(labels, u, m)
+        np.minimum.at(labels, v, m)
+        # pointer doubling: label ← label[label] until stable this round
+        for _ in range(4):
+            labels = labels[labels]
+        if np.array_equal(labels, before):
+            break
+    return labels
+
+
+def label_slice(
+    ys: np.ndarray,
+    xs: np.ndarray,
+    nx: int,
+    connectivity: int = 8,
+    wrap_x: bool = True,
+) -> np.ndarray:
+    """Label the True cells of one 2-D slice, sparse form.
+
+    IDs are 1..k, ordered by each component's minimum flat index
+    (deterministic — SURVEY §7.3 ID-determinism requirement).
+    Longitude wrap (track.py:2026-2030 wrap_axes) is an extra set of
+    seam edges, not a relabel pass.
+    """
+    n = len(ys)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    BIG = nx + 2  # avoid key collisions while allowing x+1 == nx (wrap)
+    key = ys.astype(np.int64) * BIG + xs.astype(np.int64)
+    order = np.argsort(key)
+    skey = key[order]
+    lookup_key = skey
+    offsets = [(0, 1), (1, 0)]
+    if connectivity == 8:
+        offsets += [(1, 1), (1, -1)]
+    us, vs = [], []
+    for dy, dx in offsets:
+        ny2 = ys + dy
+        if wrap_x:
+            nx2 = (xs + dx) % nx
+        else:
+            nx2 = xs + dx
+            valid_x = (nx2 >= 0) & (nx2 < nx)
+        nkey = ny2.astype(np.int64) * BIG + nx2.astype(np.int64)
+        pos = np.searchsorted(lookup_key, nkey)
+        pos_c = np.clip(pos, 0, n - 1)
+        hit = lookup_key[pos_c] == nkey
+        if not wrap_x:
+            hit &= valid_x
+        src = np.nonzero(hit)[0]
+        dst = order[pos_c[hit]]
+        us.append(src)
+        vs.append(dst)
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    roots = _cc_edges(n, u, v)
+    # compact to 1..k ordered by each component's min (y,x) flat key —
+    # input-row order must not leak into IDs (SURVEY §7.3 determinism)
+    uniq, inv = np.unique(roots, return_inverse=True)
+    comp_min_key = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(comp_min_key, inv, key)
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[np.argsort(comp_min_key)] = np.arange(len(uniq))
+    return (rank[inv] + 1).astype(np.int32)
+
+
+def label_components(
+    extremes: DataFrame,
+    nx: int,
+    time_col: str = "time",
+    connectivity: int = 8,
+    wrap_x: bool = True,
+    extreme_col: str = "extreme",
+) -> DataFrame:
+    """Boolean field → per-time labelled objects, globally unique IDs.
+
+    Returns (time, y, x, obj_id) for True cells only. Per-time local
+    labels come from the grouped-UDF kernel; global uniqueness via the
+    W6 cumulative-max-offset window (track.py:2762-2766) — IDs stay
+    dense and deterministic.
+    """
+    pts = extremes.filter(F.col(extreme_col)).select(time_col, "y", "x")
+
+    def _label(pdf: pd.DataFrame) -> pd.DataFrame:
+        ys = pdf["y"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        ids = label_slice(ys, xs, nx=nx, connectivity=connectivity, wrap_x=wrap_x)
+        return pd.DataFrame(
+            {time_col: pdf[time_col], "y": ys, "x": xs, "local_id": ids}
+        )
+
+    schema = f"{time_col} timestamp, y int, x int, local_id int"
+    labelled = (
+        pts.repartition(time_col)
+        .groupBy(time_col)
+        .applyInPandas(_label, schema=schema)
+    )
+
+    per_time_max = labelled.groupBy(time_col).agg(F.max("local_id").alias("max_id"))
+    w = Window.orderBy(time_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_time_max.select(
+        time_col, F.coalesce(F.sum("max_id").over(w), F.lit(0)).alias("id_offset")
+    )
+    return labelled.join(F.broadcast(offsets), time_col).select(
+        time_col,
+        "y",
+        "x",
+        (F.col("local_id") + F.col("id_offset")).cast("long").alias("obj_id"),
+    )
+
+
+def label_components_unstructured(
+    extremes: DataFrame,
+    edges: DataFrame,
+    time_col: str = "time",
+    extreme_col: str = "extreme",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """M6: per-time labelling on an unstructured mesh via pure-DataFrame
+    label propagation over the (cell, nbr) edge table — no UDF, works
+    at any mesh size.
+
+    Each cell starts labelled with its own cell id; rounds of
+    ``min(label) over self ∪ neighbours`` (restricted to active cells)
+    until fixpoint, checked via a cheap aggregate. Converges in
+    O(component diameter) rounds; each round is one broadcast-join +
+    one aggregation.
+    """
+    active = extremes.filter(F.col(extreme_col)).select(time_col, "cell")
+    labels = active.withColumn("lbl", F.col("cell").cast("long"))
+    sym = edges.union(
+        edges.select(F.col("nbr").alias("cell"), F.col("cell").alias("nbr"))
+    ).distinct()
+
+    for _ in range(max_rounds):
+        # propagate: each active cell takes min(own, neighbours' labels)
+        nbr_lbl = (
+            labels.join(sym, "cell")
+            .select(time_col, F.col("nbr").alias("cell"), "lbl")
+            .join(active, [time_col, "cell"], "left_semi")
+        )
+        new_labels = (
+            labels.select(time_col, "cell", "lbl")
+            .union(nbr_lbl)
+            .groupBy(time_col, "cell")
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(
+                labels.alias("o"),
+                [time_col, "cell"],
+            )
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    w = Window.partitionBy(time_col).orderBy("lbl")
+    per_time = labels.select(
+        time_col, "cell", F.dense_rank().over(w).cast("int").alias("local_id")
+    )
+    per_time_max = per_time.groupBy(time_col).agg(F.max("local_id").alias("max_id"))
+    wt = Window.orderBy(time_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_time_max.select(
+        time_col, F.coalesce(F.sum("max_id").over(wt), F.lit(0)).alias("id_offset")
+    )
+    return per_time.join(F.broadcast(offsets), time_col).select(
+        time_col,
+        "cell",
+        (F.col("local_id") + F.col("id_offset")).cast("long").alias("obj_id"),
+    )

@@ -1,0 +1,76 @@
+"""Per-event statistics (SURVEY A8-A13 + A10 spherical centroid).
+
+Reference: regionprops + recompute passes (track.py:2332-2377,
+3109-3317). All pure aggregations — one shuffle keyed (time, event_id),
+map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marex_spark.functions.geometry import cartesian_to_latlon, latlon_to_cartesian
+
+
+def attach_geo(
+    events: DataFrame,
+    grid_y: DataFrame,
+    grid_x: DataFrame,
+    area_col: str | None = None,
+) -> DataFrame:
+    """Broadcast-join the coordinate dimension tables (lat per y, lon
+    per x); area defaults to cos(lat) (proportional true cell area on a
+    regular grid)."""
+    d = events.join(F.broadcast(grid_y), "y").join(F.broadcast(grid_x), "x")
+    if area_col is None:
+        d = d.withColumn("area", F.cos(F.radians("lat")))
+    else:
+        d = d.withColumn("area", F.col(area_col))
+    return d
+
+
+def event_timestep_stats(geo: DataFrame, time_col: str = "time") -> DataFrame:
+    """Per (time, event): cell count, area, spherical centroid
+    (A9 + A10). The Cartesian-vector mean handles the periodic
+    longitude seam with no special casing (track.py:2088-2097's wrap
+    logic becomes unnecessary — SURVEY M11)."""
+    cx, cy, cz = latlon_to_cartesian(F.col("lat"), F.col("lon"))
+    agg = geo.groupBy(time_col, "event_id").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("area").alias("area"),
+        F.sum(F.col("area") * cx).alias("sx"),
+        F.sum(F.col("area") * cy).alias("sy"),
+        F.sum(F.col("area") * cz).alias("sz"),
+    )
+    lat_c, lon_c = cartesian_to_latlon(F.col("sx"), F.col("sy"), F.col("sz"))
+    return agg.select(
+        time_col,
+        "event_id",
+        "n_cells",
+        "area",
+        lat_c.alias("centroid_lat"),
+        ((lon_c + 360.0) % 360.0).alias("centroid_lon"),
+    )
+
+
+def event_lifetime_stats(ts_stats: DataFrame, time_col: str = "time") -> DataFrame:
+    """Per event: presence span + aggregate stats (A13 + A14 shape:
+    time_start/time_end track.py:3109-3117)."""
+    return ts_stats.groupBy("event_id").agg(
+        F.min(time_col).alias("time_start"),
+        F.max(time_col).alias("time_end"),
+        F.count("*").alias("n_timesteps"),
+        F.max("area").alias("max_area"),
+        F.avg("area").alias("mean_area"),
+        F.sum("n_cells").alias("total_cell_days"),
+    )
+
+
+def area_history(
+    extremes: DataFrame, time_col: str = "time", extreme_col: str = "extreme"
+) -> DataFrame:
+    """A8: total extreme area per timestep (track.py:1499-1518)."""
+    return extremes.groupBy(time_col).agg(
+        F.sum(F.when(F.col(extreme_col), 1).otherwise(0)).alias("n_extreme_cells")
+    )

@@ -1,0 +1,87 @@
+"""Tracker orchestration (reference ``tracker(...).run()``,
+track.py:323-491/1162-1232).
+
+v1 implements the no-merge path end-to-end (SURVEY §7.1 milestone):
+label per timestep → temporal overlap graph → event components →
+remap → stats. Merge/split resolution (M9/M10) follows as the
+sequential driver loop documented in SURVEY §7.3.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marex_spark.operators.components import (
+    connected_components_driver,
+    remap_ids,
+)
+from marex_spark.operators.label import label_components
+from marex_spark.operators.overlap import (
+    filter_overlap_fraction,
+    object_areas,
+    overlap_pairs,
+)
+from marex_spark.operators.stats import (
+    attach_geo,
+    event_lifetime_stats,
+    event_timestep_stats,
+)
+
+
+@dataclass
+class TrackResult:
+    """Labelled events + property tables (the Spark form of the
+    reference's output Dataset, track.py:210-221)."""
+
+    events: DataFrame  # (time, y, x, obj_id, event_id)
+    timestep_stats: DataFrame | None = None
+    lifetime_stats: DataFrame | None = None
+    extras: dict = field(default_factory=dict)
+
+
+def track_events(
+    extremes: DataFrame,
+    nx: int,
+    grid_y: DataFrame | None = None,
+    grid_x: DataFrame | None = None,
+    overlap_threshold: float = 0.0,
+    connectivity: int = 8,
+    wrap_x: bool = True,
+    time_col: str = "time",
+    extreme_col: str = "extreme",
+    compute_stats: bool = True,
+) -> TrackResult:
+    """Boolean extreme field → globally labelled events with stats.
+
+    overlap_threshold=0 reproduces the reference's no-merge 3-D
+    connectivity (M5 via J5+M7: any overlap links two objects); >0
+    applies the overlap/min-area fraction gate (track.py:2506-2552)
+    before linking.
+    """
+    labels = label_components(
+        extremes,
+        nx=nx,
+        time_col=time_col,
+        connectivity=connectivity,
+        wrap_x=wrap_x,
+        extreme_col=extreme_col,
+    )
+    labels = labels.localCheckpoint()  # break lineage before the self-join
+
+    pairs = overlap_pairs(labels, keys=("y", "x"), time_col=time_col)
+    if overlap_threshold > 0:
+        areas = object_areas(labels, time_col=time_col)
+        pairs = filter_overlap_fraction(pairs, areas, overlap_threshold)
+
+    mapping = connected_components_driver(pairs, labels)
+    events = remap_ids(labels, mapping)
+
+    ts_stats = life = None
+    if compute_stats and grid_y is not None and grid_x is not None:
+        geo = attach_geo(events, grid_y, grid_x)
+        ts_stats = event_timestep_stats(geo, time_col=time_col)
+        life = event_lifetime_stats(ts_stats, time_col=time_col)
+    return TrackResult(events=events, timestep_stats=ts_stats, lifetime_stats=life)

@@ -1,0 +1,134 @@
+"""Statistical-parity tests for the detect pipeline (SURVEY §5 layer 2:
+frequency ≈ tail mass within binomial tolerance — the reference's own
+philosophy, tests/conftest.py:168-232)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from marex_spark.operators.detect import preprocess_data
+from marex_spark.sources.synthetic import synthetic_sst_gridded
+
+
+@pytest.fixture(scope="module")
+def sst(spark):
+    # 3 years × 10 × 20 grid = ~219k rows; cached for all method combos
+    df = synthetic_sst_gridded(spark, n_years=3, ny=10, nx=20).cache()
+    df.count()
+    return df
+
+
+def _discrete_tail(q, n_samples):
+    """Expected exceedance of a type-7 (linear-interp) percentile computed
+    from n samples, evaluated on those same samples: order stats strictly
+    above position (n-1)q+1 all satisfy v >= threshold."""
+    return (n_samples - math.floor((n_samples - 1) * q + 1)) / n_samples
+
+
+def _assert_freq(extremes, q, tol_sigma=4.0, n_samples=None):
+    agg = extremes.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("extreme").cast("int")).alias("k"),
+    ).collect()[0]
+    p = _discrete_tail(q, n_samples) if n_samples else 1.0 - q
+    freq = agg.k / agg.n
+    sigma = math.sqrt(p * (1 - p) / agg.n)
+    assert abs(freq - p) < tol_sigma * sigma + 0.01, (freq, p, agg.n)
+
+
+@pytest.mark.parametrize("percentile_method", ["exact", "histogram"])
+def test_fixed_global_frequency(sst, percentile_method):
+    res = preprocess_data(
+        sst,
+        method_anomaly="fixed_baseline",
+        method_extreme="global_extreme",
+        method_percentile=percentile_method,
+        threshold_percentile=0.9,
+    )
+    _assert_freq(res.extremes, 0.9)
+
+
+@pytest.mark.parametrize("percentile_method", ["exact", "histogram"])
+def test_fixed_hobday_frequency(sst, percentile_method):
+    res = preprocess_data(
+        sst,
+        method_anomaly="fixed_baseline",
+        method_extreme="hobday_extreme",
+        method_percentile=percentile_method,
+        threshold_percentile=0.9,
+    )
+    # hobday thresholds come from 3 years × 11-day window = 33 samples;
+    # the discrete tail of a 33-sample type-7 percentile is 4/33, not 0.1
+    n = 3 * 11 if percentile_method == "exact" else None
+    _assert_freq(res.extremes, 0.9, n_samples=n)
+
+
+def test_detrend_harmonic_frequency(sst):
+    res = preprocess_data(
+        sst,
+        method_anomaly="detrend_harmonic",
+        method_extreme="global_extreme",
+        threshold_percentile=0.9,
+    )
+    _assert_freq(res.extremes, 0.9)
+
+
+def test_shifting_baseline_trims_first_years(spark):
+    df = synthetic_sst_gridded(spark, n_years=4, ny=4, nx=6)
+    res = preprocess_data(
+        df,
+        method_anomaly="shifting_baseline",
+        method_extreme="global_extreme",
+        threshold_percentile=0.9,
+        window_year_baseline=2,
+    )
+    years = sorted(
+        r[0] for r in res.extremes.select(F.year("time")).distinct().collect()
+    )
+    # first `window_year_baseline` years have no climatology → dropped
+    assert years[0] == 2002
+    _assert_freq(res.extremes, 0.9)
+
+
+def test_hobday_threshold_has_doy_key(sst):
+    res = preprocess_data(
+        sst, method_extreme="hobday_extreme", threshold_percentile=0.9
+    )
+    assert "doy" in res.thresholds.columns
+    n_doy = res.thresholds.select("doy").distinct().count()
+    assert 360 <= n_doy <= 366
+
+
+def test_global_threshold_spatial_key_only(sst):
+    res = preprocess_data(
+        sst, method_extreme="global_extreme", threshold_percentile=0.9
+    )
+    assert set(res.thresholds.columns) == {"y", "x", "threshold"}
+
+
+def test_histogram_vs_exact_threshold_close(sst):
+    """Approx-vs-exact threshold error small (BASELINE.md: ~0.005 at
+    precision=0.01)."""
+    exact = preprocess_data(
+        sst, method_percentile="exact", threshold_percentile=0.9
+    ).thresholds
+    hist = preprocess_data(
+        sst, method_percentile="histogram", threshold_percentile=0.9
+    ).thresholds
+    joined = exact.withColumnRenamed("threshold", "t_exact").join(
+        hist.withColumnRenamed("threshold", "t_hist"), ["y", "x"]
+    )
+    stats = joined.agg(
+        F.max(F.abs(F.col("t_exact") - F.col("t_hist"))).alias("max_err")
+    ).collect()[0]
+    assert stats.max_err < 0.05, stats.max_err
+
+
+def test_invalid_method_raises(sst):
+    with pytest.raises(ValueError):
+        preprocess_data(sst, method_anomaly="nope")
+    with pytest.raises(ValueError):
+        preprocess_data(sst, method_extreme="nope")
