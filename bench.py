@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1}
+
+Execution is forced through the no-op sink (full pipeline runs JVM-side,
+no driver collect overhead). The headline set covers the heavy paths:
+scan+agg (tpch_q1), the overlap self-join (j5), the shifting-baseline
+fan-out (a2), histogram quantile (a5), dedup LSH, ANN top-k, a window
+sweep (w1), plus the flagship detect→track slice on a synthetic grid.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q5_local_supplier",
+    "j5_temporal_selfjoin",
+    "a2_shifting_climatology",
+    "a5_histogram_quantile",
+    "a7_doy_window_percentile",
+    "w1_rolling_mean",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "ann_cosine_topk_fast",
+    "txt_quality_score",
+    "sess_sessionize",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else 0.0
+
+
+def _force(df) -> int:
+    """Execute the full plan JVM-side; count() is cheap relative to the
+    pipelines and matches what the driver's verify does."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    from marex_spark.session import get_spark
+    from marex_spark.queries import QUERIES
+
+    spark = get_spark(app_name="marex-bench", cores=int(CPUS))
+    sf = _sf_from_dir(SF_DIR)
+
+    # Warm the JVM + parquet footers outside the timed region.
+    from marex_spark.sources.parquet import load_table
+
+    load_table(spark, SF_DIR, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Flagship detect→track on a synthetic gridded series scaled with sf:
+    # sf0.1 → 3 years of daily 40×80 (~3.5M cell-days).
+    from marex_spark.pipeline import detect_track_bench
+
+    t0 = time.perf_counter()
+    n = detect_track_bench(spark, sf)
+    timings["detect_track"] = round(time.perf_counter() - t0, 3)
+    _ = n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
