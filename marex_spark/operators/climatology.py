@@ -53,6 +53,17 @@ def smooth_rolling_mean(
     return df.withColumn(out_col, F.avg(value_col).over(w))
 
 
+def partition_by_cells(
+    df: DataFrame, keys: tuple[str, ...] = DEFAULT_KEYS
+) -> DataFrame:
+    """THE detect-engine shuffle: hash-partition by cell key so every
+    downstream stage (climatology window, smoothing window, threshold
+    agg, compare join) is partition-local. One shuffle for the whole
+    detect pipeline — the property that makes it survive a 100× scale-up
+    (cells × full time series per partition; uniform grid → no skew)."""
+    return df.repartition(*[F.col(k) for k in keys])
+
+
 def fixed_climatology(
     df: DataFrame,
     keys: tuple[str, ...] = DEFAULT_KEYS,
@@ -74,10 +85,19 @@ def anomaly_fixed_baseline(
     clim: DataFrame | None = None,
 ) -> DataFrame:
     """Anomaly vs fixed doy climatology (detect.py:2334-2440):
-    anomaly = value − clim(doy, cell). Join on (doy, *keys) — J2 shape."""
+    anomaly = value − clim(doy, cell).
+
+    Expressed as a full-frame window over (cell, doy) rather than the
+    agg+self-join the reference's flox call implies: with the input
+    partitioned by cell (partition_by_cells) this is join-free and
+    shuffle-free — the J1/J2 alignment collapses into the window."""
     d = add_time_keys(df)
-    clim = clim if clim is not None else fixed_climatology(df, keys, value_col)
-    return d.join(clim, ["doy", *keys]).withColumn(
+    if clim is not None:  # caller supplied an external climatology table
+        return d.join(clim, ["doy", *keys]).withColumn(
+            "anomaly", (F.col(value_col) - F.col("clim")).cast("double")
+        )
+    w = Window.partitionBy(*keys, "doy")
+    return d.withColumn("clim", F.avg(value_col).over(w)).withColumn(
         "anomaly", (F.col(value_col) - F.col("clim")).cast("double")
     )
 
@@ -120,17 +140,30 @@ def anomaly_shifting_baseline(
 ) -> DataFrame:
     """Anomaly vs shifting baseline (detect.py:1839-1844). Rows in the
     first ``window_year_baseline`` years have no climatology and are
-    dropped (detect.py:614-641's trim)."""
-    clim = shifting_climatology(df, keys, window_year_baseline, smooth_days, value_col)
-    d = add_time_keys(df).withColumnRenamed("year", "target_year")
-    # Trim the first `window_year_baseline` years — their climatology is
-    # built from a partial window (detect.py:614-641). Broadcast 1-row agg.
-    min_year = df.select(F.min(F.year("time")).alias("y0"))
-    d = d.crossJoin(F.broadcast(min_year)).filter(
-        F.col("target_year") >= F.col("y0") + window_year_baseline
-    ).drop("y0")
-    return d.join(clim, ["target_year", "doy", *keys]).withColumn(
-        "anomaly", (F.col(value_col) - F.col("clim")).cast("double")
+    dropped (detect.py:614-641's trim).
+
+    The "each year contributes to the next N target years" fan-out
+    (detect.py:1622-1645) is a year-range window in disguise: for each
+    row, clim = mean of the smoothed series at the same (cell, doy)
+    over the previous N years. rangeBetween(-N, -1) on year expresses
+    it with zero data amplification and zero joins — with cell
+    partitioning the whole method is one shuffle.
+    """
+    sm = smooth_rolling_mean(df, keys, smooth_days, value_col=value_col, out_col="_sm")
+    d = add_time_keys(sm)
+    w = (
+        Window.partitionBy(*keys, "doy")
+        .orderBy("year")
+        .rangeBetween(-window_year_baseline, -1)
+    )
+    wmin = Window.partitionBy(*keys)
+    d = d.withColumn("clim", F.avg("_sm").over(w)).withColumn(
+        "_y0", F.min("year").over(wmin)
+    )
+    return (
+        d.filter(F.col("year") >= F.col("_y0") + window_year_baseline)
+        .withColumn("anomaly", (F.col(value_col) - F.col("clim")).cast("double"))
+        .drop("_sm", "_y0")
     )
 
 

@@ -42,19 +42,19 @@ def connected_components_driver(
     """(obj_id → event_id) mapping: union-find on the collected pair
     list; singletons map to themselves; event IDs compacted to 1..K by
     dense_rank over the root (deterministic, M7+ID-compaction)."""
+    import pandas as pd
+
     spark = pairs.sparkSession
-    arr = np.array(
-        [(r[0], r[1]) for r in pairs.select("id_t", "id_next").collect()],
-        dtype=np.int64,
-    ).reshape(-1, 2)
+    pdf = pairs.select("id_t", "id_next").toPandas()  # Arrow transfer
+    arr = pdf.to_numpy(dtype=np.int64).reshape(-1, 2)
     mapping = _union_find(arr)
-    if mapping:
-        map_df = spark.createDataFrame(
-            [(int(k), int(v)) for k, v in mapping.items()],
-            schema=f"{id_col} long, root long",
-        )
-    else:
-        map_df = spark.createDataFrame([], schema=f"{id_col} long, root long")
+    map_pdf = pd.DataFrame(
+        {
+            id_col: np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping)),
+            "root": np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping)),
+        }
+    )
+    map_df = spark.createDataFrame(map_pdf, schema=f"{id_col} long, root long")
     full = (
         all_ids.select(id_col)
         .distinct()

@@ -15,12 +15,15 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from marex_spark.operators.climatology import (
     DEFAULT_KEYS,
     anomaly_detrend_fixed_baseline,
     anomaly_detrend_harmonic,
     anomaly_fixed_baseline,
     anomaly_shifting_baseline,
+    partition_by_cells,
 )
 from marex_spark.operators.threshold import (
     global_threshold_exact,
@@ -61,15 +64,27 @@ def preprocess_data(
     max_anomaly: float = 5.0,
     time_col: str = "time",
     value_col: str = "value",
+    checkpoint: bool = False,
 ) -> DetectResult:
     """Raw series → boolean extremes. Drops null/NaN values first
-    (P2 validity predicate, detect.py:222)."""
+    (P2 validity predicate, detect.py:222).
+
+    Physical strategy: ONE shuffle for the whole pipeline. The input is
+    hash-partitioned by cell up front; every later stage — climatology
+    window, smoothing window, threshold aggregation, compare join — is
+    partition-local (window frames / aggs whose keys contain the cell
+    key, joins co-partitioned on it). Where the anomaly sub-plan feeds
+    both the threshold and the compare, Catalyst's ReusedExchange
+    dedupes the shuffle; ``checkpoint=True`` materialises it instead
+    (the reference's post-anomaly zarr checkpoint, detect.py:646-648).
+    """
     if method_anomaly not in ANOMALY_METHODS:
         raise ValueError(f"method_anomaly must be one of {ANOMALY_METHODS}")
     if method_extreme not in EXTREME_METHODS:
         raise ValueError(f"method_extreme must be one of {EXTREME_METHODS}")
 
     clean = df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col))
+    clean = partition_by_cells(clean, keys)
 
     if method_anomaly == "fixed_baseline":
         anom = anomaly_fixed_baseline(clean, keys, value_col)
@@ -86,14 +101,31 @@ def preprocess_data(
             clean, keys, time_col=time_col, value_col=value_col
         )
 
+    if checkpoint:
+        anom = anom.localCheckpoint()
+
     exact = method_percentile == "exact"
+    if method_extreme == "global_extreme" and exact:
+        # Fully fused: the per-cell quantile is a full-frame window over
+        # the cell partition — zero joins, zero extra shuffles.
+        w = Window.partitionBy(*keys)
+        extremes = anom.withColumn(
+            "threshold", F.percentile("anomaly", F.lit(threshold_percentile)).over(w)
+        ).withColumn("extreme", F.col("anomaly") >= F.col("threshold"))
+        thr = extremes.select(*keys, "threshold").dropDuplicates(list(keys))
+        return DetectResult(
+            extremes=extremes,
+            thresholds=thr,
+            params={
+                "method_anomaly": method_anomaly,
+                "method_extreme": method_extreme,
+                "method_percentile": method_percentile,
+                "threshold_percentile": threshold_percentile,
+            },
+        )
     if method_extreme == "global_extreme":
-        thr = (
-            global_threshold_exact(anom, keys, threshold_percentile)
-            if exact
-            else global_threshold_hist(
-                anom, keys, threshold_percentile, precision, max_anomaly
-            )
+        thr = global_threshold_hist(
+            anom, keys, threshold_percentile, precision, max_anomaly
         )
     else:
         thr = (

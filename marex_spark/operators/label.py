@@ -125,12 +125,19 @@ def label_components(
             {time_col: pdf[time_col], "y": ys, "x": xs, "local_id": ids}
         )
 
+    # Explicit partition count: an AQE-coalesced shuffle would funnel all
+    # time groups into one task and serialise the Python kernel; pinning
+    # numPartitions keeps one-slice-per-group parallelism, and the groupBy
+    # below reuses this hash distribution (no second shuffle).
+    parallelism = pts.sparkSession.sparkContext.defaultParallelism
     schema = f"{time_col} timestamp, y int, x int, local_id int"
     labelled = (
-        pts.repartition(time_col)
+        pts.repartition(parallelism, time_col)
         .groupBy(time_col)
         .applyInPandas(_label, schema=schema)
     )
+    # Materialise once: both the offset table and the final join read it.
+    labelled = labelled.localCheckpoint()
 
     per_time_max = labelled.groupBy(time_col).agg(F.max("local_id").alias("max_id"))
     w = Window.orderBy(time_col).rowsBetween(Window.unboundedPreceding, -1)

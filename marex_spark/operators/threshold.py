@@ -29,26 +29,47 @@ def _interpolate_threshold(cdf_df: DataFrame, group_cols: list[str], q: float, p
     """Pick the bin where the CDF crosses q·n and linearly interpolate
     inside it by counts (detect.py:2509-2559). Negative-bin crossings
     clamp to 0 (the reference clamps thresholds to ≥ the lower bin
-    bound, detect.py:2708-2732)."""
-    wb = Window.partitionBy(*group_cols).orderBy("bin")
-    wall = Window.partitionBy(*group_cols).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    bound, detect.py:2708-2732).
+
+    One shuffle total: the per-group histogram is collected into a
+    sorted array (bounded: ≤ max_anomaly/precision + 2 bins per group)
+    and the CDF crossing is found with a codegen'd array fold — no
+    window functions, no second shuffle.
+    """
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("cum"), F.lit(-1).alias("bin"), zero.alias("c"), zero.alias("cdf")
     )
-    d = cdf_df.withColumn("cdf", F.sum("c").over(wb)).withColumn(
-        "n", F.sum("c").over(wall)
+
+    grouped = cdf_df.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct("bin", "c"))).alias("hist"),
+        F.sum("c").alias("n"),
     )
     target = F.lit(q) * F.col("n")
-    sel = (
-        d.filter(F.col("cdf") >= target)
-        .withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") == 1)
-    )
-    bin_left = (F.col("bin") - 1).cast("double") * precision
-    frac = (target - (F.col("cdf") - F.col("c"))) / F.col("c")
-    thr = F.when(F.col("bin") == 0, F.lit(0.0)).otherwise(
+
+    def step(acc, x):
+        cum = acc["cum"] + x["c"]
+        hit = F.struct(
+            cum.alias("cum"),
+            x["bin"].alias("bin"),
+            x["c"].cast("long").alias("c"),
+            cum.alias("cdf"),
+        )
+        miss = F.struct(
+            cum.alias("cum"), F.lit(-1).alias("bin"), zero.alias("c"), zero.alias("cdf")
+        )
+        return F.when(acc["bin"] >= 0, acc).otherwise(
+            F.when(cum >= target, hit).otherwise(miss)
+        )
+
+    d = grouped.withColumn("sel", F.aggregate("hist", init, step))
+    bin_ = F.col("sel.bin")
+    bin_left = (bin_ - 1).cast("double") * precision
+    frac = (target - (F.col("sel.cdf") - F.col("sel.c"))) / F.col("sel.c")
+    thr = F.when(bin_ == 0, F.lit(0.0)).otherwise(
         bin_left + F.lit(precision) * clip(frac, 0.0, 1.0)
     )
-    return sel.select(*group_cols, thr.alias("threshold"))
+    return d.select(*group_cols, thr.alias("threshold"))
 
 
 def global_threshold_exact(
@@ -155,12 +176,19 @@ def identify_extremes(
     anom: DataFrame,
     thresholds: DataFrame,
     keys: tuple[str, ...] = DEFAULT_KEYS,
-    broadcast_thresholds: bool = False,
+    broadcast_thresholds: bool | None = None,
 ) -> DataFrame:
     """Boolean extreme field: anomaly ≥ threshold (detect.py:2004/2915,
     P4+J2/J3). Join keys are whatever the threshold table carries
-    (global: cells; hobday: doy+cells)."""
+    (global: cells; hobday: doy+cells).
+
+    Broadcast policy (SURVEY §4.2): the global table is one row per cell
+    — always broadcast; the hobday table is 366× larger, so leave the
+    strategy to AQE unless the caller forces it.
+    """
     join_keys = [c for c in thresholds.columns if c != "threshold"]
+    if broadcast_thresholds is None:
+        broadcast_thresholds = "doy" not in join_keys
     d = anom if "doy" not in join_keys or "doy" in anom.columns else add_time_keys(anom)
     thr = F.broadcast(thresholds) if broadcast_thresholds else thresholds
     return d.join(thr, join_keys).withColumn(

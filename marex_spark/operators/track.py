@@ -69,8 +69,8 @@ def track_events(
         wrap_x=wrap_x,
         extreme_col=extreme_col,
     )
-    labels = labels.localCheckpoint()  # break lineage before the self-join
-
+    # label_components already checkpoints its output, so the self-join
+    # below reads materialised rows rather than re-running the UDF.
     pairs = overlap_pairs(labels, keys=("y", "x"), time_col=time_col)
     if overlap_threshold > 0:
         areas = object_areas(labels, time_col=time_col)
