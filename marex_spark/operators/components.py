@@ -37,11 +37,18 @@ def _union_find(pairs: np.ndarray) -> dict[int, int]:
 
 
 def connected_components_driver(
-    pairs: DataFrame, all_ids: DataFrame, id_col: str = "obj_id"
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "obj_id",
+    compact: bool = True,
 ) -> DataFrame:
     """(obj_id → event_id) mapping: union-find on the collected pair
     list; singletons map to themselves; event IDs compacted to 1..K by
-    dense_rank over the root (deterministic, M7+ID-compaction)."""
+    dense_rank over the root (deterministic, M7+ID-compaction).
+
+    ``compact=False`` keeps event_id = component root (the minimum
+    member id) — the scale-safe form (no global-order window) and the
+    one the DuckDB recursive-CTE oracle reproduces."""
     import pandas as pd
 
     spark = pairs.sparkSession
@@ -61,6 +68,8 @@ def connected_components_driver(
         .join(F.broadcast(map_df), id_col, "left")
         .withColumn("root", F.coalesce(F.col("root"), F.col(id_col)))
     )
+    if not compact:
+        return full.select(id_col, F.col("root").alias("event_id"))
     w = Window.orderBy("root")
     return full.select(
         id_col, F.dense_rank().over(w).cast("long").alias("event_id")

@@ -130,7 +130,8 @@ def label_components(
     # numPartitions keeps one-slice-per-group parallelism, and the groupBy
     # below reuses this hash distribution (no second shuffle).
     parallelism = pts.sparkSession.sparkContext.defaultParallelism
-    schema = f"{time_col} timestamp, y int, x int, local_id int"
+    time_type = pts.schema[time_col].dataType.simpleString()
+    schema = f"{time_col} {time_type}, y int, x int, local_id int"
     labelled = (
         pts.repartition(parallelism, time_col)
         .groupBy(time_col)

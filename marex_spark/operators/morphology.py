@@ -1,0 +1,268 @@
+"""Morphological preprocessing (SURVEY M1/M2/M3 + A11/P6 filtering) —
+Spark-native re-expression of the reference's ``fill_holes`` /
+``fill_time_gaps`` / ``filter_small_objects`` (track.py:1520-1906).
+
+The reference runs C-backed ``binary_closing``/``binary_opening`` per
+chunk (track.py:1630-1634). In long format, both primitives are
+relational: **dilation** of the True set by a structuring element is an
+offset-explode + distinct; **erosion** keeps cells whose whole SE
+neighbourhood is True (a join + count). No UDF, no per-slice memory
+limit, and the plans are plain shuffles Catalyst can schedule at any
+scale. Longitude wraps (track.py:1617-1625 pad mode="wrap"); rows off
+the y edge are treated as present (edge padding) so coastal/polar cells
+are not eroded away — the reference's shore-protection rule
+(track.py:1566-1577).
+
+Unstructured (M2): dilation = R rounds of frontier-join over the
+(cell, nbr) edge table — the relational form of the reference's sparse
+boolean matrix power (track.py:5422-5468); erosion is its dual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from marex_spark.functions.temporal import epoch_day
+
+
+def disk_offsets(radius: int) -> list[tuple[int, int]]:
+    """Disk structuring element: all (dy, dx) with dy²+dx² ≤ R²
+    (the reference's ``disk(R)`` SE, track.py:1627)."""
+    r2 = radius * radius
+    return [
+        (dy, dx)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+        if dy * dy + dx * dx <= r2
+    ]
+
+
+def _offsets_df(df: DataFrame, offsets: list[tuple[int, int]]):
+    return F.explode(
+        F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx")) for dy, dx in offsets])
+    )
+
+
+def binary_dilate(
+    cells: DataFrame,
+    radius: int,
+    ny: int,
+    nx: int,
+    wrap_x: bool = True,
+    time_col: str = "time",
+) -> DataFrame:
+    """Dilate the True-cell set by a disk SE: every cell within the SE
+    of a True cell becomes True. (time, y, x) in → (time, y, x) out."""
+    fan = cells.select(time_col, "y", "x", _offsets_df(cells, disk_offsets(radius)).alias("o"))
+    yy = F.col("y") + F.col("o.dy")
+    xx = (
+        F.pmod(F.col("x") + F.col("o.dx"), F.lit(nx))
+        if wrap_x
+        else F.col("x") + F.col("o.dx")
+    )
+    out = fan.select(
+        time_col, yy.cast("int").alias("y"), xx.cast("int").alias("x")
+    ).filter((F.col("y") >= 0) & (F.col("y") < ny))
+    if not wrap_x:
+        out = out.filter((F.col("x") >= 0) & (F.col("x") < nx))
+    return out.dropDuplicates([time_col, "y", "x"])
+
+
+def binary_erode(
+    cells: DataFrame,
+    radius: int,
+    ny: int,
+    nx: int,
+    wrap_x: bool = True,
+    time_col: str = "time",
+) -> DataFrame:
+    """Erode the True-cell set: keep cells whose entire disk SE
+    neighbourhood is True. Off-grid y neighbours count as True (edge
+    padding — the shore-protection rule, track.py:1566-1577).
+
+    Relational form: scatter each True cell to the SE positions it
+    supports, then keep positions whose support count equals the number
+    of in-bounds SE cells."""
+    offsets = disk_offsets(radius)
+    fan = cells.select(time_col, "y", "x", _offsets_df(cells, offsets).alias("o"))
+    yy = F.col("y") + F.col("o.dy")
+    xx = (
+        F.pmod(F.col("x") + F.col("o.dx"), F.lit(nx))
+        if wrap_x
+        else F.col("x") + F.col("o.dx")
+    )
+    support = fan.select(
+        time_col, yy.cast("int").alias("y"), xx.cast("int").alias("x")
+    ).filter((F.col("y") >= 0) & (F.col("y") < ny))
+    if not wrap_x:
+        support = support.filter((F.col("x") >= 0) & (F.col("x") < nx))
+    counts = support.groupBy(time_col, "y", "x").agg(F.count("*").alias("supp"))
+
+    # required support at (y, x): SE cells that land in-bounds
+    need_y = None
+    for dy, dx in offsets:
+        ok_y = (F.col("y") + F.lit(dy) >= 0) & (F.col("y") + F.lit(dy) < ny)
+        ok = ok_y if wrap_x else ok_y & (F.col("x") + F.lit(dx) >= 0) & (
+            F.col("x") + F.lit(dx) < nx
+        )
+        term = F.when(ok, 1).otherwise(0)
+        need_y = term if need_y is None else need_y + term
+    return (
+        counts.join(cells.select(time_col, "y", "x"), [time_col, "y", "x"], "left_semi")
+        .filter(F.col("supp") >= need_y)
+        .select(time_col, "y", "x")
+    )
+
+
+def fill_holes(
+    extremes: DataFrame,
+    radius: int,
+    ny: int,
+    nx: int,
+    wrap_x: bool = True,
+    time_col: str = "time",
+    extreme_col: str = "extreme",
+) -> DataFrame:
+    """M1 (track.py:1520-1673): binary closing (fill holes ≤ R) then
+    opening (remove specks ≤ R). Input/output: boolean long field; the
+    output carries the same (time, y, x, extreme) schema, dense over the
+    input's cell set."""
+    true_cells = extremes.filter(F.col(extreme_col)).select(time_col, "y", "x")
+    closed = binary_erode(
+        binary_dilate(true_cells, radius, ny, nx, wrap_x, time_col),
+        radius, ny, nx, wrap_x, time_col,
+    )
+    opened = binary_dilate(
+        binary_erode(closed, radius, ny, nx, wrap_x, time_col),
+        radius, ny, nx, wrap_x, time_col,
+    )
+    marked = opened.withColumn("_t", F.lit(True))
+    return (
+        extremes.drop(extreme_col)
+        .join(marked, [time_col, "y", "x"], "left")
+        .withColumn(extreme_col, F.coalesce(F.col("_t"), F.lit(False)))
+        .drop("_t")
+    )
+
+
+def fill_time_gaps(
+    extremes: DataFrame,
+    t_fill: int,
+    time_col: str = "time",
+    extreme_col: str = "extreme",
+    keys: tuple[str, ...] = ("y", "x"),
+) -> DataFrame:
+    """M3 temporal closing (track.py:1675-1726): per cell, False gaps of
+    ≤ ``t_fill`` days between two True samples become True. Pure window
+    over epoch-day — no UDF, one shuffle by cell."""
+    day = epoch_day(time_col)
+    w_prev = Window.partitionBy(*keys).orderBy(day).rowsBetween(Window.unboundedPreceding, -1)
+    w_next = Window.partitionBy(*keys).orderBy(day).rowsBetween(1, Window.unboundedFollowing)
+    true_day = F.when(F.col(extreme_col), day)
+    d = extremes.withColumn("_prev", F.last(true_day, ignorenulls=True).over(w_prev)).withColumn(
+        "_next", F.first(true_day, ignorenulls=True).over(w_next)
+    )
+    gap_ok = (
+        F.col("_prev").isNotNull()
+        & F.col("_next").isNotNull()
+        & ((F.col("_next") - F.col("_prev") - 1) <= t_fill)
+    )
+    return d.withColumn(
+        extreme_col, F.col(extreme_col) | gap_ok
+    ).drop("_prev", "_next")
+
+
+def dilate_unstructured(
+    cells: DataFrame,
+    edges: DataFrame,
+    radius: int,
+    time_col: str = "time",
+) -> DataFrame:
+    """M2 dilation on a mesh: R rounds of frontier-join over the
+    symmetric (cell, nbr) edge table (sparse_bool_power,
+    track.py:5422-5468). Each round one broadcast/shuffle join +
+    distinct."""
+    sym = edges.union(
+        edges.select(F.col("nbr").alias("cell"), F.col("cell").alias("nbr"))
+    ).distinct()
+    out = cells.select(time_col, "cell")
+    for _ in range(radius):
+        grown = out.join(sym, "cell").select(time_col, F.col("nbr").alias("cell"))
+        out = out.union(grown).dropDuplicates([time_col, "cell"])
+    return out
+
+
+def erode_unstructured(
+    cells: DataFrame,
+    edges: DataFrame,
+    radius: int,
+    time_col: str = "time",
+) -> DataFrame:
+    """M2 erosion = ¬dilate(¬x) (track.py:1596-1606). On the sparse True
+    set: a cell survives iff no missing cell lies within R hops — i.e.
+    it is NOT in the dilation of the complement. Computed without
+    materialising the complement: drop cells whose R-hop neighbourhood
+    has any missing member, iteratively (cells adjacent to a missing
+    neighbour are removed each round)."""
+    sym = edges.union(
+        edges.select(F.col("nbr").alias("cell"), F.col("cell").alias("nbr"))
+    ).distinct()
+    deg = sym.groupBy("cell").agg(F.count("*").alias("deg"))
+    out = cells.select(time_col, "cell")
+    for _ in range(radius):
+        # neighbours present per cell; survives iff all neighbours present
+        nbr_present = (
+            out.join(sym, "cell")
+            .select(time_col, F.col("nbr").alias("cell"))
+            .groupBy(time_col, "cell")
+            .agg(F.count("*").alias("have"))
+        )
+        out = (
+            out.join(nbr_present, [time_col, "cell"], "left")
+            .join(F.broadcast(deg), "cell", "left")
+            .filter(F.coalesce(F.col("have"), F.lit(0)) >= F.coalesce(F.col("deg"), F.lit(0)))
+            .select(time_col, "cell")
+        )
+    return out
+
+
+def filter_small_objects(
+    extremes: DataFrame,
+    nx: int,
+    area_quartile: float = 0.5,
+    time_col: str = "time",
+    extreme_col: str = "extreme",
+    wrap_x: bool = True,
+    grid_area: DataFrame | None = None,
+) -> DataFrame:
+    """Small-object filter (track.py:1755-1906): label per time (M4),
+    object areas (A9), percentile threshold over object areas (A11),
+    semi-join keep (P6). Returns the boolean field with small objects
+    switched off."""
+    from marex_spark.operators.label import label_components
+    from marex_spark.operators.overlap import object_areas
+
+    labels = label_components(
+        extremes, nx=nx, time_col=time_col, extreme_col=extreme_col, wrap_x=wrap_x
+    )
+    if grid_area is not None:
+        labels_a = labels.join(F.broadcast(grid_area), ["y", "x"])
+        areas = object_areas(labels_a, time_col=time_col, area_col="area")
+    else:
+        areas = object_areas(labels, time_col=time_col)
+    thr = areas.agg(
+        F.percentile("area", F.lit(area_quartile)).alias("thr")
+    )
+    keep = (
+        areas.crossJoin(F.broadcast(thr))
+        .filter(F.col("area") >= F.col("thr"))
+        .select("obj_id")
+    )
+    kept_cells = labels.join(keep, "obj_id", "left_semi").withColumn("_k", F.lit(True))
+    return (
+        extremes.drop(extreme_col)
+        .join(kept_cells.select(time_col, "y", "x", "_k"), [time_col, "y", "x"], "left")
+        .withColumn(extreme_col, F.coalesce(F.col("_k"), F.lit(False)))
+        .drop("_k")
+    )

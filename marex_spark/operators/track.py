@@ -31,6 +31,44 @@ from marex_spark.operators.stats import (
 )
 
 
+def preprocess_extremes(
+    extremes: DataFrame,
+    ny: int,
+    nx: int,
+    r_fill: int = 8,
+    t_fill: int = 2,
+    area_quartile: float = 0.5,
+    wrap_x: bool = True,
+    time_col: str = "time",
+    extreme_col: str = "extreme",
+) -> DataFrame:
+    """The tracker's run_preprocess (track.py:1234-1368): morphological
+    hole-filling (M1), temporal gap-filling (M3), then the small-object
+    percentile filter (A11+P6). Output: cleaned boolean field with the
+    input schema."""
+    from marex_spark.operators.morphology import (
+        fill_holes,
+        fill_time_gaps,
+        filter_small_objects,
+    )
+
+    d = extremes
+    if r_fill > 0:
+        d = fill_holes(d, r_fill, ny, nx, wrap_x, time_col, extreme_col)
+    if t_fill > 0:
+        d = fill_time_gaps(d, t_fill, time_col, extreme_col)
+        # re-fill spatial holes opened by the temporal closing with R/2
+        # (track.py:1717-1726)
+        if r_fill > 1:
+            d = fill_holes(d, r_fill // 2, ny, nx, wrap_x, time_col, extreme_col)
+    if area_quartile > 0:
+        d = d.localCheckpoint()
+        d = filter_small_objects(
+            d, nx, area_quartile, time_col, extreme_col, wrap_x
+        )
+    return d
+
+
 @dataclass
 class TrackResult:
     """Labelled events + property tables (the Spark form of the

@@ -1,5 +1,371 @@
-"""Tracking/labelling queries (SURVEY §2.9) — filled in once
-marex_spark.operators.{label,overlap,components,track} land. These are
-the non-SQL-expressible operators (connected components, iterative
-fixpoints): they register without an oracle and are verified by the
-engine's own test suite instead."""
+"""Tracking/labelling/morphology queries (SURVEY §2.9) over the driver's
+star schema, with DuckDB oracles wherever the operator is
+SQL-expressible — including exact recursive-CTE oracles for connected
+components and per-slice labelling, so the non-relational core gets the
+same hash-match gate as the relational operators.
+
+Derived fixtures (deterministic, shared between Spark and SQL sides):
+- boolean grid: (d = date(ts), y = user_id % 12, x = event_id % 24)
+  from ``events`` rows with value > 40 — 12×24 grid, longitude wrap.
+- mesh graph: supplier↔part-bucket edges from ``lineitem``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marex_spark.queries.registry import register
+from marex_spark.sources.parquet import load_table
+
+NYG, NXG = 12, 24
+BIG = NXG + 2  # flat key stride used by label_slice (label.py)
+
+
+def _bool_grid(spark, sf_dir, thr: float = 40.0):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value") > thr)
+        .select(
+            F.col("ts").cast("date").alias("d"),
+            (F.col("user_id") % NYG).cast("int").alias("y"),
+            (F.col("event_id") % NXG).cast("int").alias("x"),
+        )
+        .distinct()
+    )
+
+
+_BOOL_GRID_SQL = f"""SELECT DISTINCT CAST(ts AS DATE) AS d,
+       CAST(user_id % {NYG} AS INT) AS y,
+       CAST(event_id % {NXG} AS INT) AS x
+  FROM events WHERE value > 40"""
+
+
+# ---------------------------------------------------------- M1 morphology
+
+_OFFSETS_R1 = "(VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dy, dx)"
+
+_M1_SQL = f"""WITH base AS ({_BOOL_GRID_SQL}),
+dil AS (
+  SELECT DISTINCT d, y + o.dy AS y, (x + o.dx + {NXG}) % {NXG} AS x
+  FROM base, {_OFFSETS_R1}
+  WHERE y + o.dy BETWEEN 0 AND {NYG - 1}),
+scatter AS (
+  SELECT d, y + o.dy AS y, (x + o.dx + {NXG}) % {NXG} AS x
+  FROM dil, {_OFFSETS_R1}
+  WHERE y + o.dy BETWEEN 0 AND {NYG - 1}),
+counts AS (SELECT d, y, x, COUNT(*) AS c FROM scatter GROUP BY d, y, x)
+SELECT d, CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x
+FROM counts
+WHERE c >= 5 - (CASE WHEN y = 0 THEN 1 ELSE 0 END)
+          - (CASE WHEN y = {NYG - 1} THEN 1 ELSE 0 END)"""
+
+
+@register("trk_m1_morph_close", _M1_SQL)
+def trk_m1_morph_close(spark, sf_dir):
+    """Binary closing (dilate→erode, disk R=1, x-wrap) as pure
+    relational offset-explode morphology (track.py:1520-1673 M1).
+    Oracle replays the same scatter/count algebra in SQL."""
+    from marex_spark.operators.morphology import binary_dilate, binary_erode
+
+    base = _bool_grid(spark, sf_dir)
+    closed = binary_erode(
+        binary_dilate(base, 1, NYG, NXG, wrap_x=True, time_col="d"),
+        1, NYG, NXG, wrap_x=True, time_col="d",
+    )
+    return closed.select(
+        "d", F.col("y").cast("long").alias("y"), F.col("x").cast("long").alias("x")
+    )
+
+
+# ------------------------------------------------------ M3 temporal closing
+
+_M3_SQL = """WITH tru AS (
+  SELECT DISTINCT CAST(event_id % 50 AS BIGINT) AS cell, CAST(day(ts) AS BIGINT) AS d
+  FROM events WHERE value > 70),
+dom AS (
+  SELECT c.cell, g.d
+  FROM (SELECT DISTINCT cell FROM tru) c, (SELECT UNNEST(generate_series(1, 28)) AS d) g),
+marked AS (
+  SELECT dom.cell, dom.d, (tru.cell IS NOT NULL) AS extreme
+  FROM dom LEFT JOIN tru ON dom.cell = tru.cell AND dom.d = tru.d),
+win AS (
+  SELECT cell, d, extreme,
+         MAX(CASE WHEN extreme THEN d END) OVER
+           (PARTITION BY cell ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+         MIN(CASE WHEN extreme THEN d END) OVER
+           (PARTITION BY cell ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+  FROM marked)
+SELECT cell, d FROM win
+WHERE extreme OR (prev IS NOT NULL AND nxt IS NOT NULL AND nxt - prev - 1 <= 3)"""
+
+
+@register("trk_m3_time_gap_fill", _M3_SQL)
+def trk_m3_time_gap_fill(spark, sf_dir):
+    """Temporal closing (track.py:1675-1726 M3): per-cell False gaps of
+    ≤ 3 steps between Trues become True. Pure-window both sides."""
+    from marex_spark.operators.morphology import fill_time_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    tru = (
+        ev.filter(F.col("value") > 70)
+        .select(
+            (F.col("event_id") % 50).cast("long").alias("cell"),
+            F.dayofmonth("ts").cast("long").alias("d"),
+        )
+        .distinct()
+    )
+    cells = tru.select("cell").distinct()
+    days = spark.range(1, 29).select(F.col("id").alias("d"))
+    dom = cells.crossJoin(days)
+    marked = (
+        dom.join(tru.withColumn("_t", F.lit(True)), ["cell", "d"], "left")
+        .withColumn("extreme", F.col("_t").isNotNull())
+        .drop("_t")
+        .withColumn(
+            "time",
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("d").cast("int") - 1)
+            .cast("timestamp"),
+        )
+    )
+    filled = fill_time_gaps(marked, 3, time_col="time", keys=("cell",))
+    return filled.filter("extreme").select("cell", "d")
+
+
+# --------------------------------------- M7 event-graph connected components
+
+_M7_EDGES_SQL = """SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS u,
+       CAST(1000 + l_partkey % 200 AS BIGINT) AS v
+  FROM lineitem"""
+
+_M7_SQL = f"""WITH RECURSIVE e0 AS ({_M7_EDGES_SQL}),
+sym AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+nodes AS (SELECT DISTINCT u FROM sym),
+walk(u, lbl) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT s.u, w.lbl FROM sym s JOIN walk w ON s.v = w.u)
+SELECT u AS node, CAST(MIN(lbl) AS BIGINT) AS event_id
+FROM walk GROUP BY u"""
+
+
+@register("trk_m7_connected_components", _M7_SQL)
+def trk_m7_connected_components(spark, sf_dir):
+    """M7 (track.py:2836-2897): connected components over the
+    supplier↔part-bucket graph; event_id = component minimum (the
+    union-find root). Oracle: recursive-CTE min-label propagation."""
+    from marex_spark.operators.components import connected_components_driver
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("id_t"),
+        (F.lit(1000) + F.col("l_partkey") % 200).cast("long").alias("id_next"),
+    ).distinct()
+    nodes = (
+        edges.select(F.col("id_t").alias("node"))
+        .union(edges.select(F.col("id_next").alias("node")))
+        .distinct()
+    )
+    return connected_components_driver(edges, nodes, id_col="node", compact=False)
+
+
+# --------------------------------------------- M4+W6 per-slice labelling
+
+_M4_SQL = f"""WITH RECURSIVE base AS ({_BOOL_GRID_SQL}),
+nodes AS (SELECT d, y, x, y * {BIG} + x AS id FROM base),
+edges AS (
+  SELECT a.d AS d, a.id AS u, b.id AS v
+  FROM nodes a JOIN nodes b
+    ON a.d = b.d
+   AND abs(a.y - b.y) <= 1
+   AND least(abs(a.x - b.x), {NXG} - abs(a.x - b.x)) <= 1
+   AND (a.y != b.y OR a.x != b.x)),
+walk(d, u, lbl) AS (
+  SELECT d, id, id FROM nodes
+  UNION
+  SELECT e.d, e.u, w.lbl FROM edges e JOIN walk w ON e.d = w.d AND e.v = w.u),
+comp AS (SELECT d, u, MIN(lbl) AS root FROM walk GROUP BY d, u),
+locals AS (
+  SELECT d, u, DENSE_RANK() OVER (PARTITION BY d ORDER BY root) AS local_id
+  FROM comp),
+offs AS (
+  SELECT d, MAX(local_id) AS mx FROM locals GROUP BY d),
+offs2 AS (
+  SELECT d, COALESCE(SUM(mx) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM offs)
+SELECT l.d AS d, CAST(l.u // {BIG} AS BIGINT) AS y, CAST(l.u % {BIG} AS BIGINT) AS x,
+       CAST(l.local_id + o.off AS BIGINT) AS obj_id
+FROM locals l JOIN offs2 o ON l.d = o.d"""
+
+
+@register("trk_m4_label_components", _M4_SQL)
+def trk_m4_label_components(spark, sf_dir):
+    """M4 per-timestep 8-connected labelling with x-wrap + W6 global ID
+    offsets (track.py:2007-2046, 2762-2766). The grouped-UDF kernel is
+    hash-matched against a recursive-CTE min-label oracle that replays
+    the same component ordering (min flat key → dense local id →
+    cumulative per-time offset)."""
+    from marex_spark.operators.label import label_components
+
+    base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
+    labels = label_components(base, nx=NXG, time_col="d", connectivity=8, wrap_x=True)
+    return labels.select(
+        "d",
+        F.col("y").cast("long").alias("y"),
+        F.col("x").cast("long").alias("x"),
+        F.col("obj_id").cast("long").alias("obj_id"),
+    )
+
+
+# --------------------------------------- J5+M8 overlap pairs with threshold
+
+_M8_SQL = f"""WITH RECURSIVE base AS ({_BOOL_GRID_SQL}),
+nodes AS (SELECT d, y, x, y * {BIG} + x AS id FROM base),
+edges AS (
+  SELECT a.d AS d, a.id AS u, b.id AS v
+  FROM nodes a JOIN nodes b
+    ON a.d = b.d
+   AND abs(a.y - b.y) <= 1
+   AND least(abs(a.x - b.x), {NXG} - abs(a.x - b.x)) <= 1
+   AND (a.y != b.y OR a.x != b.x)),
+walk(d, u, lbl) AS (
+  SELECT d, id, id FROM nodes
+  UNION
+  SELECT e.d, e.u, w.lbl FROM edges e JOIN walk w ON e.d = w.d AND e.v = w.u),
+comp AS (SELECT d, u, MIN(lbl) AS root FROM walk GROUP BY d, u),
+locals AS (
+  SELECT d, u, DENSE_RANK() OVER (PARTITION BY d ORDER BY root) AS local_id
+  FROM comp),
+offs AS (SELECT d, MAX(local_id) AS mx FROM locals GROUP BY d),
+offs2 AS (
+  SELECT d, COALESCE(SUM(mx) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM offs),
+labels AS (
+  SELECT l.d, l.u // {BIG} AS y, l.u % {BIG} AS x, l.local_id + o.off AS obj_id
+  FROM locals l JOIN offs2 o ON l.d = o.d),
+trank AS (
+  SELECT d, DENSE_RANK() OVER (ORDER BY d) AS t FROM (SELECT DISTINCT d FROM labels)),
+lab_t AS (SELECT labels.*, trank.t FROM labels JOIN trank USING (d)),
+pairs AS (
+  SELECT a.obj_id AS id_t, b.obj_id AS id_next, COUNT(*) AS overlap_cells
+  FROM lab_t a JOIN lab_t b ON b.t = a.t + 1 AND a.y = b.y AND a.x = b.x
+  GROUP BY 1, 2),
+areas AS (SELECT obj_id, COUNT(*) AS area FROM labels GROUP BY obj_id)
+SELECT p.id_t, p.id_next, CAST(p.overlap_cells AS BIGINT) AS overlap_cells
+FROM pairs p
+JOIN areas a1 ON p.id_t = a1.obj_id
+JOIN areas a2 ON p.id_next = a2.obj_id
+WHERE p.overlap_cells >= 0.3 * least(a1.area, a2.area)"""
+
+
+@register("trk_m8_overlap_threshold", _M8_SQL)
+def trk_m8_overlap_threshold(spark, sf_dir):
+    """J5 temporal overlap self-join + M8 overlap/min-area fraction gate
+    (track.py:2474-2552) on the labelled grid; hash-matched end-to-end
+    against the SQL replay of labelling + join + filter."""
+    from marex_spark.operators.label import label_components
+    from marex_spark.operators.overlap import (
+        filter_overlap_fraction,
+        object_areas,
+        overlap_pairs,
+    )
+
+    base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
+    labels = label_components(base, nx=NXG, time_col="d")
+    pairs = overlap_pairs(labels, keys=("y", "x"), time_col="d")
+    areas = object_areas(labels, time_col="d")
+    kept = filter_overlap_fraction(pairs, areas, 0.3)
+    return kept.select(
+        "id_t", "id_next", F.col("overlap_area").cast("long").alias("overlap_cells")
+    )
+
+
+# ------------------------------------------- M2 unstructured dilation (BFS)
+
+_M2_SQL = """WITH RECURSIVE e0 AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS cell, CAST(1000 + l_partkey % 80 AS BIGINT) AS nbr
+  FROM lineitem),
+sym AS (SELECT cell, nbr FROM e0 UNION SELECT nbr, cell FROM e0),
+base AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS cell FROM lineitem WHERE l_quantity >= 48),
+reach(cell, depth) AS (
+  SELECT cell, 0 FROM base
+  UNION
+  SELECT s.nbr, r.depth + 1 FROM reach r JOIN sym s ON s.cell = r.cell WHERE r.depth < 2)
+SELECT DISTINCT cell FROM reach"""
+
+
+@register("trk_m2_dilate_unstructured", _M2_SQL)
+def trk_m2_dilate_unstructured(spark, sf_dir):
+    """M2 mesh dilation (sparse_bool_power, track.py:5422-5468): 2 BFS
+    rounds over the supplier↔part-bucket edge table. Oracle: bounded
+    recursive CTE."""
+    from marex_spark.operators.morphology import dilate_unstructured
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("cell"),
+        (F.lit(1000) + F.col("l_partkey") % 80).cast("long").alias("nbr"),
+    ).distinct()
+    base = (
+        li.filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_suppkey").cast("long").alias("cell"))
+        .distinct()
+        .withColumn("t", F.lit(1))
+    )
+    out = dilate_unstructured(base, edges, radius=2, time_col="t")
+    return out.select("cell").distinct()
+
+
+# ------------------------------------------------- M5/M12 no-merge tracking
+
+@register("trk_m5_track_nomerge")
+def trk_m5_track_nomerge(spark, sf_dir):
+    """Full no-merge tracking slice (M4→J5→M7→A9/A13) on the derived
+    boolean grid: per-event lifetime stats. Deterministic (dense event
+    ids over union-find roots) but not SQL-expressible end-to-end —
+    rows-only check; the stages are individually oracle-checked by
+    trk_m4/trk_m7/trk_m8."""
+    from marex_spark.operators.track import track_events
+
+    base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
+    res = track_events(
+        base, nx=NXG, time_col="d", compute_stats=False
+    )
+    life = (
+        res.events.groupBy("event_id")
+        .agg(
+            F.min("d").alias("time_start"),
+            F.max("d").alias("time_end"),
+            F.countDistinct("d").cast("long").alias("n_timesteps"),
+            F.count("*").cast("long").alias("total_cells"),
+        )
+    )
+    return life.orderBy("event_id")
+
+
+# ----------------------------------------- M6 unstructured labelling
+
+@register("trk_m6_label_unstructured")
+def trk_m6_label_unstructured(spark, sf_dir):
+    """M6 (track.py:1947-2005): per-time labelling on the mesh via pure
+    DataFrame min-label propagation over the edge table. Rows-only
+    (iterative fixpoint); the structured counterpart is oracle-matched
+    in trk_m4."""
+    from marex_spark.operators.label import label_components_unstructured
+
+    ev = load_table(spark, sf_dir, "events")
+    active = (
+        ev.filter(F.col("value") > 60)
+        .select(
+            F.col("ts").cast("date").alias("d"),
+            (F.col("event_id") % 120).cast("long").alias("cell"),
+        )
+        .distinct()
+        .withColumn("extreme", F.lit(True))
+    )
+    # ring mesh: cell i ↔ i+1 mod 120
+    cells = spark.range(120).select(F.col("id").cast("long").alias("cell"))
+    edges = cells.select("cell", ((F.col("cell") + 1) % 120).alias("nbr"))
+    labels = label_components_unstructured(active, edges, time_col="d")
+    return labels.select(
+        "d", "cell", F.col("obj_id").cast("long").alias("obj_id")
+    )
