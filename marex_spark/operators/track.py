@@ -91,6 +91,7 @@ def track_events(
     time_col: str = "time",
     extreme_col: str = "extreme",
     compute_stats: bool = True,
+    allow_merging: bool = False,
 ) -> TrackResult:
     """Boolean extreme field → globally labelled events with stats.
 
@@ -98,6 +99,12 @@ def track_events(
     connectivity (M5 via J5+M7: any overlap links two objects); >0
     applies the overlap/min-area fraction gate (track.py:2506-2552)
     before linking.
+
+    allow_merging=True runs the reference's split/merge resolution
+    (track.py:3337-3802): multi-parent children are partitioned among
+    parents by nearest parent centroid, merges are recorded in the
+    ledger (``extras["merge_ledger"]``), and partition-boundary
+    fragments are re-consolidated (M10) before event linking.
     """
     labels = label_components(
         extremes,
@@ -109,6 +116,20 @@ def track_events(
     )
     # label_components already checkpoints its output, so the self-join
     # below reads materialised rows rather than re-running the UDF.
+    extras: dict = {}
+    if allow_merging:
+        from marex_spark.operators.merge import split_merge_events
+
+        labels, ledger = split_merge_events(
+            labels,
+            nx=nx,
+            overlap_threshold=overlap_threshold,
+            wrap_x=wrap_x,
+            time_col=time_col,
+        )
+        labels = labels.localCheckpoint()
+        extras["merge_ledger"] = ledger
+
     pairs = overlap_pairs(labels, keys=("y", "x"), time_col=time_col)
     if overlap_threshold > 0:
         areas = object_areas(labels, time_col=time_col)
@@ -122,4 +143,6 @@ def track_events(
         geo = attach_geo(events, grid_y, grid_x)
         ts_stats = event_timestep_stats(geo, time_col=time_col)
         life = event_lifetime_stats(ts_stats, time_col=time_col)
-    return TrackResult(events=events, timestep_stats=ts_stats, lifetime_stats=life)
+    return TrackResult(
+        events=events, timestep_stats=ts_stats, lifetime_stats=life, extras=extras
+    )

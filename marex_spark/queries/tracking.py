@@ -342,6 +342,55 @@ def trk_m5_track_nomerge(spark, sf_dir):
     return life.orderBy("event_id")
 
 
+# --------------------------------------- M9/M10 split-merge tracking
+
+@register("trk_m9_split_merge")
+def trk_m9_split_merge(spark, sf_dir):
+    """Full split/merge tracking (M8-M10 + J9 ledger) on the derived
+    boolean grid: per-event lifetime stats with identities preserved
+    through merges (track.py:3337-3802). Rows-only (sequential
+    fixpoint); the constituent stages are oracle-checked by
+    trk_m4/trk_m7/trk_m8."""
+    from marex_spark.operators.track import track_events
+
+    base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
+    res = track_events(
+        base, nx=NXG, time_col="d", overlap_threshold=0.5,
+        compute_stats=False, allow_merging=True,
+    )
+    life = res.events.groupBy("event_id").agg(
+        F.min("d").alias("time_start"),
+        F.max("d").alias("time_end"),
+        F.countDistinct("d").cast("long").alias("n_timesteps"),
+        F.count("*").cast("long").alias("total_cells"),
+    )
+    return life.orderBy("event_id")
+
+
+@register("trk_j9_merge_ledger")
+def trk_j9_merge_ledger(spark, sf_dir):
+    """J9: merge-ledger scatter — explode the per-merge parent arrays to
+    (time, merge_id, parent_id) rows (track.py:3031-3106). Rows-only
+    (ledger derives from the sequential merge loop)."""
+    from marex_spark.operators.track import track_events
+
+    base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
+    res = track_events(
+        base, nx=NXG, time_col="d", overlap_threshold=0.5,
+        compute_stats=False, allow_merging=True,
+    )
+    ledger = res.extras["merge_ledger"]
+    return (
+        ledger.select(
+            "merge_id",
+            "d",
+            F.explode("parent_ids").alias("parent_id"),
+            F.size("child_ids").cast("long").alias("n_children"),
+        )
+        .orderBy("merge_id", "parent_id")
+    )
+
+
 # ----------------------------------------- M6 unstructured labelling
 
 @register("trk_m6_label_unstructured")

@@ -1,0 +1,97 @@
+"""Split/merge tracking tests (SURVEY M8-M10 + J9): analytic two-blob
+merge — with merging enabled each original blob keeps its identity and
+the collision is recorded in the ledger; without, the collision welds
+the events together (reference tests/test_gridded_tracking.py merge
+scenarios)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from marex_spark.operators.track import track_events
+
+NY, NX = 30, 80
+HALF = 5
+T0 = datetime.datetime(2021, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def two_blob_field(spark):
+    """Blob A drifts east from x=20, blob B west from x=60 (2 px/day,
+    11×11 squares at y=15); they collide around t=8."""
+    rows = []
+    for t in range(10):
+        ax, bx = 20 + 2 * t, 60 - 2 * t
+        for y in range(NY):
+            for x in range(NX):
+                v = (abs(y - 15) <= HALF) and (abs(x - ax) <= HALF or abs(x - bx) <= HALF)
+                rows.append((T0 + datetime.timedelta(days=t), y, x, v))
+    return spark.createDataFrame(rows, "time timestamp, y int, x int, extreme boolean")
+
+
+def test_merging_preserves_identities(spark, two_blob_field):
+    res = track_events(
+        two_blob_field, nx=NX, overlap_threshold=0.5,
+        compute_stats=False, allow_merging=True,
+    )
+    n_events = res.events.select("event_id").distinct().count()
+    assert n_events == 2
+
+
+def test_no_merging_welds_events(spark, two_blob_field):
+    res = track_events(
+        two_blob_field, nx=NX, overlap_threshold=0.5,
+        compute_stats=False, allow_merging=False,
+    )
+    assert res.events.select("event_id").distinct().count() == 1
+
+
+def test_merge_ledger_records_collision(spark, two_blob_field):
+    res = track_events(
+        two_blob_field, nx=NX, overlap_threshold=0.5,
+        compute_stats=False, allow_merging=True,
+    )
+    ledger = res.extras["merge_ledger"].collect()
+    assert len(ledger) >= 1
+    first = min(ledger, key=lambda r: r.time)
+    assert (first.time - T0).days == 8
+    assert len(first.parent_ids) == 2
+    assert len(first.child_ids) == 2
+    assert first.merge_id == 1
+
+
+def test_partition_conserves_cells(spark, two_blob_field):
+    """Partitioning relabels cells but never creates or destroys them."""
+    res = track_events(
+        two_blob_field, nx=NX, overlap_threshold=0.5,
+        compute_stats=False, allow_merging=True,
+    )
+    n_cells_out = res.events.count()
+    n_cells_in = two_blob_field.filter("extreme").count()
+    assert n_cells_out == n_cells_in
+    dup = (
+        res.events.groupBy("time", "y", "x").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+
+def test_pieces_follow_parents_before_collision(spark, two_blob_field):
+    """Until the collision the two events match the analytic blob paths."""
+    gy = spark.range(NY).select(F.col("id").cast("int").alias("y"), F.col("id").cast("double").alias("lat"))
+    gx = spark.range(NX).select(F.col("id").cast("int").alias("x"), F.col("id").cast("double").alias("lon"))
+    res = track_events(
+        two_blob_field, nx=NX, overlap_threshold=0.5,
+        grid_y=gy, grid_x=gx, allow_merging=True,
+    )
+    rows = res.timestep_stats.collect()
+    for r in rows:
+        t = (r.time - T0).days
+        if t >= 8:
+            continue
+        lon = r.centroid_lon % 360.0
+        assert any(
+            abs(lon - expect) < 1.5 for expect in (20 + 2 * t, 60 - 2 * t)
+        ), (t, lon)
