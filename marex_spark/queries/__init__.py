@@ -16,3 +16,4 @@ import marex_spark.queries.dedup  # noqa: F401,E402
 import marex_spark.queries.text  # noqa: F401,E402
 import marex_spark.queries.similarity  # noqa: F401,E402
 import marex_spark.queries.tracking  # noqa: F401,E402
+import marex_spark.queries.multimodal  # noqa: F401,E402

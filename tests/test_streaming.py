@@ -1,0 +1,84 @@
+"""Structured-Streaming tests (SURVEY §2.10): batch-trained state scores
+a file stream; watermarked window aggregation matches the batch answer
+on the same data (stream-batch equivalence — the invariant Structured
+Streaming guarantees for append-mode aggregations)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from marex_spark.operators.climatology import anomaly_fixed_baseline
+from marex_spark.operators.detect import preprocess_data
+from marex_spark.sources.synthetic import synthetic_sst_gridded
+from marex_spark.streaming.detect import score_stream, streaming_area_history
+
+
+@pytest.fixture(scope="module")
+def stream_env(spark):
+    tmp = tempfile.mkdtemp(prefix="marex_stream_")
+    series = synthetic_sst_gridded(spark, n_years=1, ny=6, nx=12)
+    det = preprocess_data(series, method_percentile="exact")
+    clim = det.extremes.select("doy", "y", "x", "clim").dropDuplicates(["doy", "y", "x"])
+    thr = det.thresholds
+    # the "future" stream: same generator, next year
+    stream_batch = synthetic_sst_gridded(
+        spark, n_years=1, ny=6, nx=12, start="2001-01-01"
+    )
+    src = f"{tmp}/src"
+    stream_batch.write.mode("overwrite").parquet(src)
+    yield spark, tmp, src, clim, thr, stream_batch
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_scoring_matches_batch(stream_env):
+    spark, tmp, src, clim, thr, stream_batch = stream_env
+    schema = stream_batch.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    scored = score_stream(stream, clim, thr)
+    assert scored.isStreaming
+
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("scored_rows")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt1")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, SUM(CASE WHEN extreme THEN 1 ELSE 0 END) AS e FROM scored_rows"
+    ).first()
+    batch_scored = score_stream(stream_batch, clim, thr)
+    want = batch_scored.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("extreme"), 1).otherwise(0)).alias("e"),
+    ).first()
+    assert got.n == want.n and got.e == want.e
+    assert got.e > 0
+
+
+def test_streaming_window_aggregation(stream_env):
+    spark, tmp, src, clim, thr, stream_batch = stream_env
+    stream = spark.readStream.schema(stream_batch.schema).parquet(src)
+    agg = streaming_area_history(score_stream(stream, clim, thr), window="7 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("area_hist")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp}/ckpt2")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM area_hist ORDER BY window_start").collect()
+    assert len(rows) >= 50  # ~52 weeks
+    assert all(r.n_cells > 0 for r in rows)
+    # windows tile the year: 7-day spans, no overlap
+    for a, b in zip(rows, rows[1:]):
+        assert (b.window_start - a.window_start).days == 7
