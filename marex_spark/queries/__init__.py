@@ -17,3 +17,4 @@ import marex_spark.queries.text  # noqa: F401,E402
 import marex_spark.queries.similarity  # noqa: F401,E402
 import marex_spark.queries.tracking  # noqa: F401,E402
 import marex_spark.queries.multimodal  # noqa: F401,E402
+import marex_spark.queries.detect_extra  # noqa: F401,E402

@@ -1,0 +1,165 @@
+"""Coverage queries for the remaining SURVEY §2 operator IDs: P1 mask
+filter, J4 std-normalise, W3 circular std smoothing, F3 linear detrend
+(closed-form OLS oracle vs the engine's design-matrix fit), M11
+circular centroid."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marex_spark.functions.decimals import davg, davg_sql, dec_sql, dsum
+from marex_spark.queries.registry import register, round6, round6_sql
+from marex_spark.sources.parquet import load_table
+
+
+@register(
+    "p1_mask_filter",
+    """WITH mask AS (
+         SELECT CAST(s_suppkey AS BIGINT) AS k, s_acctbal > 0 AS valid FROM supplier)
+       SELECT CAST(l.l_suppkey AS BIGINT) AS l_suppkey, COUNT(*) AS n
+       FROM lineitem l JOIN mask m ON CAST(l.l_suppkey AS BIGINT) = m.k
+       WHERE m.valid GROUP BY 1""",
+)
+def p1_mask_filter(spark, sf_dir):
+    """P1 (track.py:1671/1985): zero out invalid cells via a broadcast
+    validity-mask join + filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    mask = sup.select(
+        F.col("s_suppkey").cast("long").alias("k"),
+        (F.col("s_acctbal") > 0).alias("valid"),
+    )
+    return (
+        li.withColumn("k", F.col("l_suppkey").cast("long"))
+        .join(F.broadcast(mask), "k")
+        .filter("valid")
+        .groupBy(F.col("k").alias("l_suppkey"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "j4_std_normalise",
+    f"""WITH stats AS (
+          SELECT CAST(dayofyear(l_shipdate) AS BIGINT) AS doy,
+                 stddev_pop(l_quantity) AS sd, {davg_sql('l_quantity')} AS mu
+          FROM lineitem GROUP BY 1)
+        SELECT l.l_orderkey, l.l_linenumber,
+               {round6_sql('(l.l_quantity - s.mu) / s.sd')} AS z
+        FROM lineitem l JOIN stats s ON CAST(dayofyear(l.l_shipdate) AS BIGINT) = s.doy
+        WHERE s.sd > 0""",
+)
+def j4_std_normalise(spark, sf_dir):
+    """J4 (detect.py:2277-2278): divide anomalies by the per-doy std
+    (A3 + align join)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "doy", F.dayofyear("l_shipdate").cast("long")
+    )
+    stats = li.groupBy("doy").agg(
+        F.stddev_pop("l_quantity").alias("sd"), davg("l_quantity", "mu")
+    )
+    return (
+        li.join(F.broadcast(stats), "doy")
+        .filter(F.col("sd") > 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            round6((F.col("l_quantity") - F.col("mu")) / F.col("sd")).alias("z"),
+        )
+    )
+
+
+@register(
+    "w3_circular_std_smooth",
+    f"""WITH sd AS (
+          SELECT CAST(dayofyear(l_shipdate) AS BIGINT) AS doy, stddev_pop(l_quantity) AS v
+          FROM lineitem GROUP BY 1)
+        SELECT CAST(((sd.doy - 1 + t.off + 366) % 366) + 1 AS BIGINT) AS doy,
+               {round6_sql('avg(v)')} AS std_smooth
+        FROM sd, UNNEST(generate_series(-15, 15)) AS t(off)
+        GROUP BY 1""",
+)
+def w3_circular_std_smooth(spark, sf_dir):
+    """W3 (detect.py:2271-2272): per-doy std smoothed over a ±15-day
+    circular window (wrap-pad + rolling mean in long form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sd = li.groupBy(F.dayofyear("l_shipdate").cast("long").alias("doy")).agg(
+        F.stddev_pop("l_quantity").alias("v")
+    )
+    fan = sd.select(
+        "doy", "v", F.explode(F.sequence(F.lit(-15), F.lit(15))).alias("off")
+    )
+    center = ((F.col("doy") - 1 + F.col("off") + 366) % 366 + 1).cast("long")
+    return fan.groupBy(center.alias("doy")).agg(
+        round6(F.avg("v")).alias("std_smooth")
+    )
+
+
+@register(
+    "f3_linear_detrend",
+    f"""WITH d AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+                 year(l_shipdate) + (dayofyear(l_shipdate) - 1) /
+                   (CASE WHEN year(l_shipdate) % 4 = 0
+                          AND (year(l_shipdate) % 100 != 0 OR year(l_shipdate) % 400 = 0)
+                         THEN 366.0 ELSE 365.0 END) AS t
+          FROM lineitem),
+        fit AS (
+          SELECT l_suppkey,
+                 {dec_sql('l_quantity')} / COUNT(*) AS my,
+                 {dec_sql('t')} / COUNT(*) AS mt,
+                 regr_slope(l_quantity, t) AS b
+          FROM d GROUP BY 1)
+        SELECT d.l_orderkey, d.l_linenumber,
+               {round6_sql('d.l_quantity - (f.my + f.b * (d.t - f.mt))')} AS detrended
+        FROM d JOIN fit f ON d.l_suppkey = f.l_suppkey""",
+)
+def f3_linear_detrend(spark, sf_dir):
+    """F3 (detect.py:2143-2220, n_harmonics=0 case): remove the
+    per-entity linear trend over decimal time. The engine fits via the
+    driver-side design-matrix pseudo-inverse; the oracle uses the
+    closed-form OLS (regr_slope) — both are the least-squares solution,
+    equal to well past 6 decimals."""
+    from marex_spark.functions.temporal import decimal_year
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity",
+        decimal_year("l_shipdate").alias("t"),
+    )
+    fit = d.groupBy("l_suppkey").agg(
+        (dsum("l_quantity") / F.count("*")).alias("my"),
+        (dsum("t") / F.count("*")).alias("mt"),
+        F.regr_slope("l_quantity", "t").alias("b"),
+    )
+    detr = F.col("l_quantity") - (
+        F.col("my") + F.col("b") * (F.col("t") - F.col("mt"))
+    )
+    return d.join(fit, "l_suppkey").select(
+        "l_orderkey", "l_linenumber", round6(detr).alias("detrended")
+    )
+
+
+@register(
+    "m11_circular_centroid",
+    f"""WITH pts AS (
+          SELECT event_type,
+                 2 * pi() * (CAST(event_id % 36 AS BIGINT)) / 36.0 AS ang
+          FROM events)
+        SELECT event_type,
+               {round6_sql('((atan2(avg(sin(ang)), avg(cos(ang))) * 36.0 / (2 * pi())) + 36.0) % 36.0')} AS cx
+        FROM pts GROUP BY 1""",
+)
+def m11_circular_centroid(spark, sf_dir):
+    """M11 (track.py:2050-2107): periodic-boundary pixel centroid via
+    the circular mean — atan2 of mean sin/cos — instead of the
+    reference's shift-by-Nx special-casing."""
+    ev = load_table(spark, sf_dir, "events")
+    ang = 2 * 3.141592653589793 * (F.col("event_id") % 36) / 36.0
+    d = ev.select("event_type", ang.alias("ang"))
+    cx = (F.atan2(F.avg(F.sin("ang")), F.avg(F.cos("ang"))) * 36.0 / (
+        2 * 3.141592653589793
+    ))
+    return d.groupBy("event_type").agg(
+        round6((cx + 36.0) % 36.0).alias("cx")
+    )

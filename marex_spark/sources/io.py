@@ -1,0 +1,88 @@
+"""Sinks and ingestion (SURVEY §2.1 S2-S5).
+
+The reference checkpoints to zarr to cut the dask graph
+(helper.py:642-777) and region-writes time slices back into a store
+(track.py:4323-4328); the Spark-native forms are a parquet round-trip
+and dynamic partition overwrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def checkpoint_parquet(df: DataFrame, path: str) -> DataFrame:
+    """S3 (helper.py:642-777 ``checkpoint_to_zarr``): materialise to
+    parquet and re-read — breaks lineage, frees shuffle state, and the
+    re-read scan gets column pruning/predicate pushdown for downstream
+    stages. The durable alternative to ``localCheckpoint`` (survives
+    executor loss on a real cluster)."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def write_region(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "time_bucket",
+) -> None:
+    """S4 (track.py:4323-4328 zarr region write): overwrite only the
+    partitions present in ``df`` (dynamic partition overwrite), leaving
+    the rest of the store untouched — the idempotent re-run primitive
+    for per-time-bucket outputs."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def write_stats_json(stats: dict, path: str) -> None:
+    """S5 (track.py:1264-1277 npz stats sink): tiny scalar sidecar."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(stats, f, sort_keys=True)
+
+
+def read_stats_json(path: str) -> dict:
+    """S5 load (track.py:1353-1366)."""
+    with open(path) as f:
+        return json.load(f)
+
+
+def ingest_netcdf(
+    spark: SparkSession,
+    nc_path: str,
+    var: str,
+    time_dim: str = "time",
+    y_dim: str = "lat",
+    x_dim: str = "lon",
+) -> DataFrame:
+    """S2 (detect.py:409 ``xr.open_dataset``): NetCDF → long-format
+    DataFrame ingestion. Requires xarray+netCDF4 (not in this image);
+    gated behind an import so the engine degrades gracefully — on a
+    real deployment this runs once as an ingestion job and everything
+    downstream reads parquet."""
+    try:
+        import xarray as xr  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "NetCDF ingestion needs xarray+netCDF4; convert to parquet "
+            "offline or install the codecs"
+        ) from e
+    ds = xr.open_dataset(nc_path)  # pragma: no cover
+    pdf = ds[var].to_dataframe().reset_index()  # pragma: no cover
+    return spark.createDataFrame(  # pragma: no cover
+        pdf.rename(columns={time_dim: "time", y_dim: "y", x_dim: "x", var: "value"})
+    )
+
+
+def add_time_bucket(df: DataFrame, time_col: str = "time", fmt: str = "yyyy-MM") -> DataFrame:
+    """Month-bucket partition key for S4-style layouts (SURVEY §7.0:
+    parquet partitioned by time bucket)."""
+    return df.withColumn("time_bucket", F.date_format(time_col, fmt))

@@ -1,0 +1,59 @@
+"""Sink tests (SURVEY S3/S4/S5): checkpoint round-trip, dynamic region
+overwrite leaves untouched partitions intact, stats sidecar."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from marex_spark.sources.io import (
+    add_time_bucket,
+    checkpoint_parquet,
+    read_stats_json,
+    write_region,
+    write_stats_json,
+)
+
+
+@pytest.fixture()
+def tmp():
+    d = tempfile.mkdtemp(prefix="marex_io_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_checkpoint_roundtrip(spark, tmp):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    back = checkpoint_parquet(df, f"{tmp}/ckpt")
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).first()[0] == 9900
+
+
+def test_region_overwrite_preserves_other_partitions(spark, tmp):
+    path = f"{tmp}/store"
+    full = spark.createDataFrame(
+        [("2024-01", 1), ("2024-02", 2), ("2024-03", 3)], "time_bucket string, v int"
+    )
+    write_region(full, path)
+    # rewrite only Feb with a new value
+    patch = spark.createDataFrame([("2024-02", 20)], "time_bucket string, v int")
+    write_region(patch, path)
+    got = {
+        r.time_bucket: r.v for r in spark.read.parquet(path).collect()
+    }
+    assert got == {"2024-01": 1, "2024-02": 20, "2024-03": 3}
+
+
+def test_time_bucket_derivation(spark):
+    df = spark.createDataFrame(
+        [("2024-03-15 12:00:00",)], "t string"
+    ).select(F.col("t").cast("timestamp").alias("time"))
+    assert add_time_bucket(df).first().time_bucket == "2024-03"
+
+
+def test_stats_sidecar(tmp):
+    write_stats_json({"area_total": 42.5, "n_events": 7}, f"{tmp}/stats.json")
+    assert read_stats_json(f"{tmp}/stats.json") == {"area_total": 42.5, "n_events": 7}
