@@ -81,6 +81,71 @@ def _wrapped_dist2(
     return dy * dy + dx * dx
 
 
+def _centroid_sphere(lats: np.ndarray, lons: np.ndarray) -> tuple[float, float]:
+    """Spherical centroid via mean Cartesian unit vector (A10,
+    track.py:2195-2230) — dateline-safe by construction."""
+    la, lo = np.radians(lats), np.radians(lons)
+    x = np.cos(la) * np.cos(lo)
+    y = np.cos(la) * np.sin(lo)
+    z = np.sin(la)
+    mx, my, mz = x.mean(), y.mean(), z.mean()
+    return (
+        float(np.degrees(np.arctan2(mz, np.hypot(mx, my)))),
+        float(np.degrees(np.arctan2(my, mx))),
+    )
+
+
+def _haversine2(
+    lats: np.ndarray, lons: np.ndarray, clat: float, clon: float
+) -> np.ndarray:
+    """Haversine distance (track.py:5406-5411), squared-comparable
+    (monotone), to parent centroid."""
+    la1, lo1 = np.radians(lats), np.radians(lons)
+    la2, lo2 = np.radians(clat), np.radians(clon)
+    a = (
+        np.sin((la2 - la1) / 2) ** 2
+        + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2
+    )
+    return a  # asin/scale are monotone — argmin unchanged
+
+
+def _min_dist_to_members(
+    c1: np.ndarray,
+    c2: np.ndarray,
+    m1: np.ndarray,
+    m2: np.ndarray,
+    grid: bool,
+    nx: int,
+    wrap_x: bool,
+    chunk: int = 4096,
+) -> np.ndarray:
+    """Distance from each child cell to the NEAREST member cell of one
+    parent (the nn-partitioning metric, partition_nn_grid
+    track.py:4973-5113 / partition_nn_unstructured 5117-5242).
+    Vectorised pairwise blocks — no KD-tree dependency."""
+    out = np.full(len(c1), np.inf)
+    for s in range(0, len(m1), chunk):
+        p1 = m1[s : s + chunk]
+        p2 = m2[s : s + chunk]
+        if grid:
+            dy = c1[:, None] - p1[None, :]
+            dx = np.abs(c2[:, None] - p2[None, :])
+            if wrap_x:
+                dx = np.minimum(dx, nx - dx)
+            d = dy * dy + dx * dx
+        else:
+            la1 = np.radians(c1)[:, None]
+            lo1 = np.radians(c2)[:, None]
+            la2 = np.radians(p1)[None, :]
+            lo2 = np.radians(p2)[None, :]
+            d = (
+                np.sin((la2 - la1) / 2) ** 2
+                + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2
+            )
+        out = np.minimum(out, d.min(axis=1))
+    return out
+
+
 @dataclass
 class MergeLedger:
     times: list
@@ -91,41 +156,69 @@ class MergeLedger:
 
 def split_merge_serial(
     cells: pd.DataFrame,
-    nx: int,
+    nx: int = 0,
     overlap_threshold: float = 0.5,
     wrap_x: bool = True,
     max_iter_per_step: int = 10,
     time_col: str = "time",
+    geometry: str = "grid",
+    nn_partitioning: bool = False,
 ) -> tuple[pd.DataFrame, MergeLedger]:
     """Sequential merge/split resolution over sparse labelled cells.
 
-    Input columns: (time_col, y, x, obj_id) — obj ids unique across
-    time, monotonically increasing with time (label_components output).
-    Returns (relabelled cells, merge ledger). Semantics follow the
-    reference serial loop: per timestep, consolidate t-1 against t-2
-    (M10), then partition multi-parent children among parents by
-    nearest parent centroid, recording each merge (M9 + ledger),
+    geometry="grid": input (time_col, y, x, obj_id); pixel centroids
+    with periodic x, wrapped-Euclidean partitioning (structured mode,
+    track.py:4827-4884). geometry="sphere": input (time_col, cell,
+    lat, lon, obj_id); spherical centroids + haversine partitioning
+    (unstructured mode, track.py:5357-5419).
+
+    Obj ids are unique across time, monotonically increasing
+    (label_components output). Returns (relabelled cells, ledger).
+    Semantics follow the reference serial loop: per timestep,
+    consolidate t-1 against t-2 (M10), then partition multi-parent
+    children among parents by nearest parent centroid (M9 + ledger),
     iterating within the timestep until no merging children remain.
     """
+    grid = geometry == "grid"
     # sparse per-time slices (single groupby pass, not per-time scans)
     slices: dict[int, dict] = {}
     times = []
     for ti, (t, g) in enumerate(cells.groupby(time_col, sort=True)):
         times.append(t)
-        ys = g["y"].to_numpy(np.int64)
-        xs = g["x"].to_numpy(np.int64)
-        key = ys * nx + xs
-        order = np.argsort(key)
-        slices[ti] = {
-            "key": key[order],
-            "y": ys[order],
-            "x": xs[order],
-            "id": g["obj_id"].to_numpy(np.int64)[order],
-        }
+        if grid:
+            ys = g["y"].to_numpy(np.int64)
+            xs = g["x"].to_numpy(np.int64)
+            key = ys * nx + xs
+            order = np.argsort(key)
+            slices[ti] = {
+                "key": key[order],
+                "c1": ys[order],
+                "c2": xs[order],
+                "id": g["obj_id"].to_numpy(np.int64)[order],
+            }
+        else:
+            key = g["cell"].to_numpy(np.int64)
+            order = np.argsort(key)
+            slices[ti] = {
+                "key": key[order],
+                "c1": g["lat"].to_numpy(np.float64)[order],
+                "c2": g["lon"].to_numpy(np.float64)[order],
+                "id": g["obj_id"].to_numpy(np.int64)[order],
+            }
 
-    # initial props: area + centroid per object (A9/A10 pixel form)
+    # initial props: area + centroid per object (A9/A10)
     areas: dict[int, int] = {}
     cents: dict[int, tuple[float, float]] = {}
+
+    def _centroid_of(c1: np.ndarray, c2: np.ndarray) -> tuple[float, float]:
+        if grid:
+            return _centroid(c1, c2, nx, wrap_x)
+        return _centroid_sphere(c1, c2)
+
+    def _dist_to(c1: np.ndarray, c2: np.ndarray, cent: tuple[float, float]) -> np.ndarray:
+        if grid:
+            return _wrapped_dist2(c1, c2, cent[0], cent[1], nx, wrap_x)
+        return _haversine2(c1, c2, cent[0], cent[1])
 
     def _recompute_props(sl: dict, only_ids=None) -> None:
         ids = sl["id"]
@@ -138,7 +231,7 @@ def split_merge_serial(
                 cents.pop(int(oid), None)
                 continue
             areas[int(oid)] = n
-            cents[int(oid)] = _centroid(sl["y"][m], sl["x"][m], nx, wrap_x)
+            cents[int(oid)] = _centroid_of(sl["c1"][m], sl["c2"][m])
 
     for ti in range(len(times)):
         _recompute_props(slices[ti])
@@ -199,18 +292,46 @@ def split_merge_serial(
                 ledger.parent_ids.append(parent_ids.copy())
                 ledger.areas.append(grp[:, 2].astype(np.int64).copy())
 
-                # centroid partitioning (track.py:5357-5419 semantics):
-                # each child cell → nearest parent centroid's child id
                 mask = sl["id"] == child
-                ys, xs = sl["y"][mask], sl["x"][mask]
-                d2 = np.stack(
-                    [
-                        _wrapped_dist2(ys, xs, *cents[int(p)], nx, wrap_x)
-                        for p in parent_ids
-                    ],
+                c1m, c2m = sl["c1"][mask], sl["c2"][mask]
+                cent_d = np.stack(
+                    [_dist_to(c1m, c2m, cents[int(p)]) for p in parent_ids],
                     axis=1,
                 )
-                sl["id"][mask] = child_ids[np.argmin(d2, axis=1)]
+                if nn_partitioning:
+                    # nn mode (track.py:4973-5242): nearest parent
+                    # *member cell*, capped at max_distance; cells
+                    # beyond the cap from every parent fall back to the
+                    # nearest centroid (track.py:5224-5238)
+                    prev_ids = sl_prev["id"]
+                    nn_d = np.stack(
+                        [
+                            _min_dist_to_members(
+                                c1m,
+                                c2m,
+                                sl_prev["c1"][prev_ids == p],
+                                sl_prev["c2"][prev_ids == p],
+                                grid,
+                                nx,
+                                wrap_x,
+                            )
+                            for p in parent_ids
+                        ],
+                        axis=1,
+                    )
+                    if grid:
+                        max_area = max(areas.get(int(p), 1) for p in parent_ids)
+                        cap = float(max(np.sqrt(max_area) * 3.0, 40.0)) ** 2
+                    else:
+                        cap = np.inf
+                    best = np.argmin(nn_d, axis=1)
+                    unreached = nn_d[np.arange(len(best)), best] > cap
+                    best[unreached] = np.argmin(cent_d[unreached], axis=1)
+                else:
+                    # centroid partitioning (track.py:5357-5419): each
+                    # child cell → nearest parent centroid's child id
+                    best = np.argmin(cent_d, axis=1)
+                sl["id"][mask] = child_ids[best]
                 _recompute_props(sl, child_ids)
 
             pairs = _apply_threshold(_slice_overlaps(sl_prev, sl), areas, overlap_threshold)
@@ -220,20 +341,27 @@ def split_merge_serial(
     if len(times) >= 2:
         _consolidate(len(times) - 2, len(times) - 1)
 
-    out = pd.concat(
-        [
-            pd.DataFrame(
-                {
-                    time_col: times[ti],
-                    "y": slices[ti]["y"],
-                    "x": slices[ti]["x"],
-                    "obj_id": slices[ti]["id"],
-                }
+    def _frame(ti: int) -> pd.DataFrame:
+        sl = slices[ti]
+        if grid:
+            return pd.DataFrame(
+                {time_col: times[ti], "y": sl["c1"], "x": sl["c2"], "obj_id": sl["id"]}
             )
-            for ti in range(len(times))
-        ],
-        ignore_index=True,
-    ) if len(times) else cells.iloc[0:0]
+        return pd.DataFrame(
+            {
+                time_col: times[ti],
+                "cell": sl["key"],
+                "lat": sl["c1"],
+                "lon": sl["c2"],
+                "obj_id": sl["id"],
+            }
+        )
+
+    out = (
+        pd.concat([_frame(ti) for ti in range(len(times))], ignore_index=True)
+        if len(times)
+        else cells.iloc[0:0]
+    )
     return out, ledger
 
 
@@ -246,6 +374,7 @@ def split_merge_events(
     overlap_threshold: float = 0.5,
     wrap_x: bool = True,
     time_col: str = "time",
+    nn_partitioning: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed-in / distributed-out wrapper around the sequential
     resolution kernel: collect the sparse labelled cells (Arrow), run
@@ -256,7 +385,12 @@ def split_merge_events(
     spark = labels.sparkSession
     pdf = labels.select(time_col, "y", "x", "obj_id").toPandas()
     out, ledger = split_merge_serial(
-        pdf, nx=nx, overlap_threshold=overlap_threshold, wrap_x=wrap_x, time_col=time_col
+        pdf,
+        nx=nx,
+        overlap_threshold=overlap_threshold,
+        wrap_x=wrap_x,
+        time_col=time_col,
+        nn_partitioning=nn_partitioning,
     )
     time_type = labels.schema[time_col].dataType.simpleString()
     out_df = spark.createDataFrame(
@@ -279,3 +413,53 @@ def split_merge_events(
         ),
     )
     return out_df, ledger_df
+
+
+def _ledger_df(spark, ledger: MergeLedger, time_col: str, time_type: str) -> DataFrame:
+    pdf = pd.DataFrame(
+        {
+            "merge_id": np.arange(1, len(ledger.times) + 1, dtype=np.int64),
+            time_col: ledger.times,
+            "parent_ids": [list(map(int, a)) for a in ledger.parent_ids],
+            "child_ids": [list(map(int, a)) for a in ledger.child_ids],
+            "overlap_areas": [list(map(int, a)) for a in ledger.areas],
+        }
+    )
+    return spark.createDataFrame(
+        pdf,
+        schema=(
+            f"merge_id long, {time_col} {time_type}, parent_ids array<long>, "
+            "child_ids array<long>, overlap_areas array<long>"
+        ),
+    )
+
+
+def split_merge_events_unstructured(
+    labels: DataFrame,
+    cell_geo: DataFrame,
+    overlap_threshold: float = 0.5,
+    time_col: str = "time",
+    nn_partitioning: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Unstructured-mesh form of :func:`split_merge_events`
+    (track.py:3804+ semantics, serial tier): spherical centroids +
+    haversine partitioning. ``cell_geo``: (cell, lat, lon)."""
+    spark = labels.sparkSession
+    pdf = (
+        labels.select(time_col, "cell", "obj_id")
+        .join(F.broadcast(cell_geo.select("cell", "lat", "lon")), "cell")
+        .toPandas()
+    )
+    out, ledger = split_merge_serial(
+        pdf,
+        overlap_threshold=overlap_threshold,
+        time_col=time_col,
+        geometry="sphere",
+        nn_partitioning=nn_partitioning,
+    )
+    time_type = labels.schema[time_col].dataType.simpleString()
+    out_df = spark.createDataFrame(
+        out[[time_col, "cell", "obj_id"]],
+        schema=f"{time_col} {time_type}, cell long, obj_id long",
+    )
+    return out_df, _ledger_df(spark, ledger, time_col, time_type)

@@ -92,6 +92,7 @@ def track_events(
     extreme_col: str = "extreme",
     compute_stats: bool = True,
     allow_merging: bool = False,
+    nn_partitioning: bool = False,
 ) -> TrackResult:
     """Boolean extreme field → globally labelled events with stats.
 
@@ -126,6 +127,7 @@ def track_events(
             overlap_threshold=overlap_threshold,
             wrap_x=wrap_x,
             time_col=time_col,
+            nn_partitioning=nn_partitioning,
         )
         labels = labels.localCheckpoint()
         extras["merge_ledger"] = ledger
@@ -141,6 +143,66 @@ def track_events(
     ts_stats = life = None
     if compute_stats and grid_y is not None and grid_x is not None:
         geo = attach_geo(events, grid_y, grid_x)
+        ts_stats = event_timestep_stats(geo, time_col=time_col)
+        life = event_lifetime_stats(ts_stats, time_col=time_col)
+    return TrackResult(
+        events=events, timestep_stats=ts_stats, lifetime_stats=life, extras=extras
+    )
+
+
+def track_events_unstructured(
+    extremes: DataFrame,
+    edges: DataFrame,
+    cell_geo: DataFrame | None = None,
+    overlap_threshold: float = 0.0,
+    time_col: str = "time",
+    extreme_col: str = "extreme",
+    compute_stats: bool = True,
+    allow_merging: bool = False,
+    nn_partitioning: bool = False,
+) -> TrackResult:
+    """Unstructured-mesh tracking (reference unstructured path,
+    track.py:1023-1117 setup + M6/M2 kernels): boolean (time, cell)
+    field + (cell, nbr) edge table → labelled events.
+
+    ``cell_geo``: (cell, lat, lon[, area]) dimension table — needed for
+    stats and for merge partitioning (haversine to parent centroids).
+    """
+    from marex_spark.operators.label import label_components_unstructured
+
+    labels = label_components_unstructured(
+        extremes, edges, time_col=time_col, extreme_col=extreme_col
+    ).localCheckpoint()
+
+    extras: dict = {}
+    if allow_merging:
+        if cell_geo is None:
+            raise ValueError("allow_merging needs cell_geo (cell, lat, lon)")
+        from marex_spark.operators.merge import split_merge_events_unstructured
+
+        labels, ledger = split_merge_events_unstructured(
+            labels,
+            cell_geo,
+            overlap_threshold=overlap_threshold,
+            time_col=time_col,
+            nn_partitioning=nn_partitioning,
+        )
+        labels = labels.localCheckpoint()
+        extras["merge_ledger"] = ledger
+
+    pairs = overlap_pairs(labels, keys=("cell",), time_col=time_col)
+    if overlap_threshold > 0:
+        areas = object_areas(labels, time_col=time_col)
+        pairs = filter_overlap_fraction(pairs, areas, overlap_threshold)
+
+    mapping = connected_components_driver(pairs, labels)
+    events = remap_ids(labels, mapping)
+
+    ts_stats = life = None
+    if compute_stats and cell_geo is not None:
+        geo = events.join(F.broadcast(cell_geo), "cell")
+        if "area" not in geo.columns:
+            geo = geo.withColumn("area", F.lit(1.0))
         ts_stats = event_timestep_stats(geo, time_col=time_col)
         life = event_lifetime_stats(ts_stats, time_col=time_col)
     return TrackResult(

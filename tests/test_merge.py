@@ -63,6 +63,17 @@ def test_merge_ledger_records_collision(spark, two_blob_field):
     assert first.merge_id == 1
 
 
+def test_nn_partitioning_mode(spark, two_blob_field):
+    """NN mode (nearest parent cell, track.py:4973-5113) must also keep
+    both identities through the collision and conserve cells."""
+    res = track_events(
+        two_blob_field, nx=NX, overlap_threshold=0.5,
+        compute_stats=False, allow_merging=True, nn_partitioning=True,
+    )
+    assert res.events.select("event_id").distinct().count() == 2
+    assert res.events.count() == two_blob_field.filter("extreme").count()
+
+
 def test_partition_conserves_cells(spark, two_blob_field):
     """Partitioning relabels cells but never creates or destroys them."""
     res = track_events(

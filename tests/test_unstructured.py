@@ -1,0 +1,82 @@
+"""Unstructured-mesh pipeline tests (SURVEY M2/M6 + unstructured
+tracking): ring mesh, two drifting blobs — label propagation, event
+linking, merge partitioning with haversine centroids."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from marex_spark.operators.track import track_events_unstructured
+
+N_CELL = 100
+HALF = 4
+T0 = datetime.datetime(2022, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def ring(spark):
+    cells = spark.range(N_CELL).select(F.col("id").cast("long").alias("cell"))
+    edges = cells.select("cell", ((F.col("cell") + 1) % N_CELL).alias("nbr"))
+    geo = cells.select(
+        "cell",
+        F.lit(0.0).alias("lat"),
+        (F.col("cell") * (360.0 / N_CELL)).alias("lon"),
+    )
+    return edges, geo
+
+
+@pytest.fixture(scope="module")
+def two_blob_mesh(spark):
+    """Blob A centred at cell 10+2t, blob B at 60-2t; collide ~t=10."""
+    rows = []
+    for t in range(13):
+        ca, cb = 10 + 2 * t, 60 - 2 * t
+        for c in range(N_CELL):
+            da = min(abs(c - ca), N_CELL - abs(c - ca))
+            db = min(abs(c - cb), N_CELL - abs(c - cb))
+            if da <= HALF or db <= HALF:
+                rows.append((T0 + datetime.timedelta(days=t), c, True))
+    return spark.createDataFrame(rows, "time timestamp, cell long, extreme boolean")
+
+
+def test_unstructured_no_merge_welds(spark, ring, two_blob_mesh):
+    edges, geo = ring
+    res = track_events_unstructured(
+        two_blob_mesh, edges, geo, overlap_threshold=0.5, compute_stats=False
+    )
+    assert res.events.select("event_id").distinct().count() == 1
+
+
+def test_unstructured_merging_preserves_identities(spark, ring, two_blob_mesh):
+    edges, geo = ring
+    res = track_events_unstructured(
+        two_blob_mesh, edges, geo, overlap_threshold=0.5,
+        compute_stats=False, allow_merging=True,
+    )
+    assert res.events.select("event_id").distinct().count() == 2
+    ledger = res.extras["merge_ledger"].collect()
+    assert len(ledger) >= 1
+    assert len(ledger[0].parent_ids) == 2
+
+
+def test_unstructured_centroids_follow_path(spark, ring, two_blob_mesh):
+    edges, geo = ring
+    res = track_events_unstructured(
+        two_blob_mesh, edges, geo, overlap_threshold=0.5, allow_merging=True
+    )
+    rows = res.timestep_stats.collect()
+    deg_per_cell = 360.0 / N_CELL
+    for r in rows:
+        t = (r.time - T0).days
+        if t >= 9:
+            continue
+        lon = r.centroid_lon % 360.0
+        expect = [(10 + 2 * t) * deg_per_cell, (60 - 2 * t) * deg_per_cell]
+        dl = min(
+            min(abs(lon - e), 360.0 - abs(lon - e)) for e in expect
+        )
+        assert dl < 2.0, (t, lon, expect)
+        assert abs(r.centroid_lat) < 1e-6
