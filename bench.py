@@ -62,26 +62,57 @@ def main() -> None:
     spark = get_spark(app_name="marex-bench", cores=int(CPUS))
     sf = _sf_from_dir(SF_DIR)
 
-    # Warm the JVM + parquet footers outside the timed region.
+    # Warm the JVM, parquet footers, and Python UDF workers outside the
+    # timed region.
     from marex_spark.sources.parquet import load_table
 
     load_table(spark, SF_DIR, "lineitem").count()
+    _force(
+        spark.range(1000)
+        .selectExpr("id", "id % 7 AS g")
+        .groupBy("g")
+        .applyInPandas(lambda p: p, "id long, g bigint")
+    )
+    # warm the full detect→track code path (JIT, codegen, UDF workers,
+    # broadcast machinery) on a toy grid so timed runs are steady-state
+    from marex_spark.pipeline import detect_track_bench
+
+    detect_track_bench(spark, 0.001)
+
+    def timed(fn) -> float:
+        """Min of 2 runs — the box hosts other tenants and transient
+        co-load otherwise lands on whichever query it overlaps."""
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed(lambda: _force(fn(spark, SF_DIR)))
 
     # Flagship detect→track on a synthetic gridded series scaled with sf:
     # sf0.1 → 3 years of daily 40×80 (~3.5M cell-days).
-    from marex_spark.pipeline import detect_track_bench
+    timings["detect_track"] = timed(
+        lambda: (detect_track_bench(spark, sf), spark.catalog.clearCache())
+    )
 
-    t0 = time.perf_counter()
-    n = detect_track_bench(spark, sf)
-    timings["detect_track"] = round(time.perf_counter() - t0, 3)
-    _ = n
+    # the reference's heaviest published config (BASELINE.md row 3):
+    # shifting-baseline climatology + hobday per-doy threshold
+    timings["detect_track_shifting_hobday"] = timed(
+        lambda: (
+            detect_track_bench(
+                spark,
+                sf,
+                method_anomaly="shifting_baseline",
+                method_extreme="hobday_extreme",
+            ),
+            spark.catalog.clearCache(),
+        )
+    )
 
     total = round(sum(timings.values()), 3)
     print(

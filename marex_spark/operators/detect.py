@@ -105,6 +105,14 @@ def preprocess_data(
         anom = anom.localCheckpoint()
 
     exact = method_percentile == "exact"
+    if not (method_extreme == "global_extreme" and exact) and not checkpoint:
+        # the anomaly feeds both the threshold agg and the compare join;
+        # persist (lazy, partitioning-preserving) beats recompute and
+        # beats an eager checkpoint — AQE's exchange reuse alone doesn't
+        # dedupe the window re-evaluation above the shared shuffle
+        from pyspark.storagelevel import StorageLevel
+
+        anom = anom.persist(StorageLevel.MEMORY_AND_DISK)
     if method_extreme == "global_extreme" and exact:
         # Fully fused: the per-cell quantile is a full-frame window over
         # the cell partition — zero joins, zero extra shuffles.

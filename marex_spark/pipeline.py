@@ -76,7 +76,13 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.lifetime_stats.orderBy("event_id")
 
 
-def detect_track_bench(spark: SparkSession, sf: float) -> int:
+def detect_track_bench(
+    spark: SparkSession,
+    sf: float,
+    method_anomaly: str = "fixed_baseline",
+    method_extreme: str = "global_extreme",
+    method_percentile: str = "histogram",
+) -> int:
     """Bench-scale detect→track on the synthetic SST grid. Size scales
     with sf: sf0.1 → 3 years × 40×80 (~3.5M cell-days)."""
     from marex_spark.sources.synthetic import synthetic_sst_gridded
@@ -86,9 +92,9 @@ def detect_track_bench(spark: SparkSession, sf: float) -> int:
     series = synthetic_sst_gridded(spark, n_years=n_years, ny=ny, nx=nx)
     det = preprocess_data(
         series,
-        method_anomaly="fixed_baseline",
-        method_extreme="global_extreme",
-        method_percentile="histogram",
+        method_anomaly=method_anomaly,
+        method_extreme=method_extreme,
+        method_percentile=method_percentile,
         threshold_percentile=0.95,
     )
     res = track_events(det.extremes, nx=nx, compute_stats=False)
