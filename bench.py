@@ -100,6 +100,14 @@ def main() -> None:
         lambda: (detect_track_bench(spark, sf), spark.catalog.clearCache())
     )
 
+    # blocked (dense numpy per latitude band) fast path — same
+    # semantics, chunk-kernel physical strategy (detect_blocked.py)
+    from marex_spark.operators.detect_blocked import detect_track_blocked
+
+    timings["detect_track_blocked"] = timed(
+        lambda: (detect_track_blocked(spark, sf), spark.catalog.clearCache())
+    )
+
     # the reference's heaviest published config (BASELINE.md row 3):
     # shifting-baseline climatology + hobday per-doy threshold
     timings["detect_track_shifting_hobday"] = timed(

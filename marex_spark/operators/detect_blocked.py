@@ -1,0 +1,146 @@
+"""Blocked (dense-array) detect fast path.
+
+The relational detect (operators/detect.py) is the semantic reference —
+every stage oracle-checked, fully declarative. For dense regular grids
+its long-format rows pay per-row engine overhead that the reference's
+per-chunk numpy kernels (detect.py:2365-2373, 2887-2915 vectorised over
+dask chunks) never see. This module is the same chunk model expressed
+Spark-natively: hash-partition by latitude band (one shuffle — the same
+layout the relational path uses), then run the entire
+climatology→anomaly→threshold→compare chain as ONE vectorised numpy
+kernel per band inside ``applyInPandas``. Arrow moves each band's
+(time × nx) block in a single batch; output is only the sparse extreme
+cells, which is exactly what tracking consumes.
+
+Semantics match ``preprocess_data`` (fixed_baseline anomaly; exact or
+count-interpolated-histogram global threshold) — asserted cell-for-cell
+against the relational path in tests/test_detect_blocked.py.
+
+Scale: a 0.25° global decade is 720 bands × (3650 × 1440) floats
+≈ 21 MB per band — hundreds of independent 20 MB kernels across the
+cluster, the same arithmetic the reference runs per dask chunk.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _detect_band(
+    m: np.ndarray,
+    doy_idx: np.ndarray,
+    q: float,
+    exact: bool,
+    precision: float,
+    max_anomaly: float,
+) -> np.ndarray:
+    """Dense kernel for one latitude band: (T × NX) values → boolean
+    extremes. Mirrors detect.py:2365-2373 (doy group-mean climatology),
+    2887-2899 (exact quantile) / 2737-2865 (histogram count
+    interpolation, clamped at the negative bin like detect.py:2708-2732).
+    """
+    T, NX = m.shape
+    n_doy = int(doy_idx.max()) + 1
+    sums = np.zeros((n_doy, NX))
+    counts = np.zeros(n_doy)
+    np.add.at(sums, doy_idx, m)
+    np.add.at(counts, doy_idx, 1)
+    counts[counts == 0] = 1
+    clim = sums / counts[:, None]
+    anom = m - clim[doy_idx]
+
+    if exact:
+        thr = np.percentile(anom, q * 100.0, axis=0)
+    else:
+        n_pos = int(round(max_anomaly / precision))
+        bins = np.clip(1 + np.floor(anom / precision).astype(np.int64), 1, n_pos + 1)
+        bins[anom < 0] = 0
+        flat = bins * NX + np.arange(NX)[None, :]
+        hist = np.bincount(flat.ravel(), minlength=(n_pos + 2) * NX).reshape(
+            n_pos + 2, NX
+        )
+        cdf = hist.cumsum(axis=0)
+        target = q * T
+        sel = (cdf >= target).argmax(axis=0)
+        c = hist[sel, np.arange(NX)]
+        prev = cdf[sel, np.arange(NX)] - c
+        frac = np.clip((target - prev) / np.maximum(c, 1), 0.0, 1.0)
+        thr = (sel - 1) * precision + precision * frac
+        thr[sel == 0] = 0.0
+    return anom >= thr[None, :]
+
+
+def detect_extremes_blocked(
+    series: DataFrame,
+    threshold_percentile: float = 0.95,
+    method_percentile: str = "exact",
+    precision: float = 0.01,
+    max_anomaly: float = 5.0,
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """fixed_baseline + global_extreme over the long format, blocked by
+    latitude band. Returns ONLY the extreme cells (time, y, x) — sparse,
+    ready for label_components(extreme field dense not required).
+    """
+    exact = method_percentile == "exact"
+    spark = series.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+
+    def _run(groups: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in groups:
+            times = pdf[time_col].to_numpy()
+            xs = pdf["x"].to_numpy(np.int64)
+            vals = pdf[value_col].to_numpy(np.float64)
+            # hash-based factorize: no O(n log n) sort of the long block
+            t_idx, ut = pd.factorize(times, sort=False)
+            ux, x_idx = np.unique(xs, return_inverse=True)  # nx values, cheap
+            m = np.full((len(ut), len(ux)), np.nan)
+            m[t_idx, x_idx] = vals
+            doy = (
+                pd.DatetimeIndex(ut).dayofyear.to_numpy() - 1
+            )
+            ext = _detect_band(
+                m, doy, threshold_percentile, exact, precision, max_anomaly
+            )
+            tt, xx = np.nonzero(ext)
+            yield pd.DataFrame(
+                {
+                    time_col: ut[tt],
+                    "y": pdf["y"].iloc[0],
+                    "x": ux[xx].astype(np.int32),
+                }
+            )
+
+    time_type = series.schema[time_col].dataType.simpleString()
+    out_schema = f"{time_col} {time_type}, y int, x int"
+    return (
+        series.repartition(parallelism, "y")
+        .groupBy("y")
+        .applyInPandas(lambda pdf: next(_run(iter([pdf]))), schema=out_schema)
+    )
+
+
+def detect_track_blocked(
+    spark,
+    sf: float,
+    method_percentile: str = "histogram",
+) -> int:
+    """Bench harness: blocked detect feeding the standard tracking
+    stages (same sizes as pipeline.detect_track_bench)."""
+    from marex_spark.operators.track import track_events
+    from marex_spark.sources.synthetic import synthetic_sst_gridded
+
+    n_years = max(2, int(round(30 * sf)))
+    ny, nx = (40, 80) if sf >= 0.05 else (20, 40)
+    series = synthetic_sst_gridded(spark, n_years=n_years, ny=ny, nx=nx)
+    cells = detect_extremes_blocked(series, method_percentile=method_percentile)
+    ext = cells.withColumn("extreme", F.lit(True))
+    res = track_events(ext, nx=nx, compute_stats=False)
+    res.events.write.mode("overwrite").format("noop").save()
+    return 0

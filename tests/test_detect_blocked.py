@@ -1,0 +1,49 @@
+"""Blocked-vs-relational detect equivalence: the dense numpy fast path
+must produce the same extreme set as the oracle-checked relational
+path (both implement detect.py:2365-2373 + 2887-2915 semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from marex_spark.operators.detect import preprocess_data
+from marex_spark.operators.detect_blocked import detect_extremes_blocked
+from marex_spark.sources.synthetic import synthetic_sst_gridded
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    return synthetic_sst_gridded(spark, n_years=2, ny=10, nx=20)
+
+
+@pytest.mark.parametrize("mp", ["exact", "histogram"])
+def test_blocked_matches_relational(spark, series, mp):
+    rel = preprocess_data(
+        series, method_percentile=mp, threshold_percentile=0.95
+    )
+    rel_cells = {
+        (r.time, r.y, r.x)
+        for r in rel.extremes.filter("extreme").select("time", "y", "x").collect()
+    }
+    blk_cells = {
+        (r.time, r.y, r.x)
+        for r in detect_extremes_blocked(
+            series, method_percentile=mp, threshold_percentile=0.95
+        ).collect()
+    }
+    # identical up to float-summation-order ties exactly at the
+    # threshold: allow a vanishing symmetric difference
+    diff = rel_cells ^ blk_cells
+    assert len(diff) <= max(2, len(rel_cells) // 1000), (
+        len(rel_cells), len(blk_cells), len(diff),
+    )
+
+
+def test_blocked_frequency(spark, series):
+    """Statistical gate (reference tests/conftest.py:168-232): extreme
+    frequency ≈ (100-p)% within tolerance."""
+    n_total = series.count()
+    n_ext = detect_extremes_blocked(series, method_percentile="exact").count()
+    frac = n_ext / n_total
+    assert 0.03 <= frac <= 0.07, frac
