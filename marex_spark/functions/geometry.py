@@ -47,3 +47,28 @@ def cell_area_from_resolution(lat: Column, dlat_deg: float, dlon_deg: float) -> 
         * F.abs(F.sin(F.radians(lat + F.lit(half))) - F.sin(F.radians(lat - F.lit(half))))
         * F.lit(float(__import__("math").radians(dlon_deg)))
     )
+
+
+def unify_coordinates(df, lat_col: str = "lat", lon_col: str = "lon"):
+    """Coordinate unification (reference track.py:919-976): auto-detect
+    radians vs degrees from the value range (|lat| ≤ π and |lon| ≤ 2π
+    ⇒ radians, track.py:947-971) and convert to degrees; normalise
+    longitude to [0, 360). Returns (df, was_radians)."""
+    from pyspark.sql import functions as F
+
+    r = df.agg(
+        F.max(F.abs(F.col(lat_col))).alias("la"),
+        F.max(F.abs(F.col(lon_col))).alias("lo"),
+    ).first()
+    was_radians = (
+        r.la is not None
+        and r.la <= 3.15
+        and r.lo is not None
+        and r.lo <= 6.3
+    )
+    if was_radians:
+        df = df.withColumn(lat_col, F.degrees(lat_col)).withColumn(
+            lon_col, F.degrees(lon_col)
+        )
+    df = df.withColumn(lon_col, F.pmod(F.col(lon_col), F.lit(360.0)))
+    return df, was_radians

@@ -33,6 +33,38 @@ from marex_spark.operators.threshold import (
     identify_extremes,
 )
 
+def audit_series(
+    df: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    value_col: str = "value",
+    max_invalid_fraction: float = 0.05,
+) -> dict:
+    """P3 validation scan (detect.py:205-279): count invalid samples per
+    location; raise with a report when any cell exceeds the tolerated
+    invalid fraction. One aggregation job, driver-side assert — the
+    same contract as the reference's NaN audit."""
+    invalid = F.sum(
+        F.when(F.col(value_col).isNull() | F.isnan(value_col), 1).otherwise(0)
+    )
+    per_cell = df.groupBy(*keys).agg(
+        invalid.alias("n_invalid"), F.count("*").alias("n_total")
+    )
+    bad = per_cell.filter(
+        F.col("n_invalid") > max_invalid_fraction * F.col("n_total")
+    )
+    worst = bad.orderBy(F.desc("n_invalid")).limit(5).collect()
+    summary = per_cell.agg(
+        F.sum("n_invalid").alias("invalid"), F.sum("n_total").alias("total")
+    ).first()
+    if worst:
+        raise ValueError(
+            f"series audit failed: {len(worst)}+ cells exceed "
+            f"{max_invalid_fraction:.0%} invalid; worst: "
+            + ", ".join(f"{tuple(r[k] for k in keys)}={r.n_invalid}/{r.n_total}" for r in worst)
+        )
+    return {"invalid": summary.invalid, "total": summary.total}
+
+
 ANOMALY_METHODS = (
     "fixed_baseline",
     "shifting_baseline",

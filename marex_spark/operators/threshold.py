@@ -127,6 +127,8 @@ def hobday_threshold_hist(
     precision: float = 0.01,
     max_anomaly: float = 5.0,
     spatial_window: int = 0,
+    nx: int | None = None,
+    ny: int | None = None,
 ) -> DataFrame:
     """Histogram hobday threshold (detect.py:2562-2734, A4+W2+W4):
     2-D (doy × bin) histogram per cell, circular doy-window pooling,
@@ -152,18 +154,25 @@ def hobday_threshold_hist(
     pooled = fan.groupBy(center, *keys, "bin").agg(F.sum("c").alias("c"))
 
     if spatial_window and {"y", "x"} <= set(keys):
-        nx_row = pooled.agg(F.max("x")).collect()[0][0] + 1
+        # nx/ny must be supplied by the caller — an agg+collect here
+        # would put an eager job inside plan construction (the
+        # anti-pattern SURVEY §3.1 flags in the reference)
+        if nx is None or ny is None:
+            raise ValueError("spatial_window pooling needs nx and ny")
         s = spatial_window // 2
         soffs = F.array([F.lit(o) for o in range(-s, s + 1)])
         fan2 = (
             pooled.withColumn("dy", F.explode(soffs))
             .withColumn("dx", F.explode(soffs))
         )
+        # x wraps (detect.py:2652-2668 lon wrap-pad); y clamps at the
+        # poles — off-grid target rows are dropped
         pooled = (
-            fan2.groupBy(
+            fan2.filter((F.col("y") + F.col("dy")).between(0, ny - 1))
+            .groupBy(
                 "doy",
                 (F.col("y") + F.col("dy")).alias("y"),
-                ((F.col("x") + F.col("dx") + nx_row) % nx_row).alias("x"),
+                ((F.col("x") + F.col("dx") + nx) % nx).alias("x"),
                 "bin",
             )
             .agg(F.sum("c").alias("c"))
