@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from marex_spark.functions.decimals import dec_sql
 from marex_spark.queries.registry import register, round6, round6_sql
 from marex_spark.sources.parquet import load_table
 
@@ -215,3 +216,64 @@ def dedup_simhash(spark, sf_dir):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         combine = term if combine is None else combine + term
     return bits.select("doc_id", combine.cast("long").alias("simhash"))
+
+
+# ------------------------------------------- embedding-cosine near-dup
+
+_EMB_THRESHOLD = 0.25  # synthetic embeddings are near-orthogonal; real corpora use ~0.9
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""WITH e AS (
+          SELECT vec_id, label, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+        dots AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, {dec_sql('a.comp * b.comp')} AS dot
+          FROM e a JOIN e b ON a.idx = b.idx AND a.label = b.label AND a.vec_id < b.vec_id
+          GROUP BY 1, 2),
+        norms AS (
+          SELECT vec_id, SQRT({dec_sql('comp * comp')}) AS nrm FROM e GROUP BY 1)
+        SELECT d.id_a, d.id_b, {round6_sql('d.dot / (na.nrm * nb.nrm)')} AS cosine
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.id_a
+        JOIN norms nb ON nb.vec_id = d.id_b
+        WHERE d.dot / (na.nrm * nb.nrm) >= {_EMB_THRESHOLD}""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: candidates blocked by the
+    coarse cluster key (label — the IVF-bucket shape: at scale the
+    block key comes from a coarse quantiser, so pair generation is
+    O(n²/buckets) not O(n²)); exact cosine via order-independent
+    decimal sums."""
+    from marex_spark.functions.decimals import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("idx", "comp")
+    ).withColumn("comp", F.col("comp").cast("double"))
+    a, b = e.alias("a"), e.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .agg(dsum(F.col("a.comp") * F.col("b.comp"), "dot"))
+    )
+    norms = e.groupBy("vec_id").agg(
+        F.sqrt(dsum(F.col("comp") * F.col("comp"))).alias("nrm")
+    )
+    na = norms.select(F.col("vec_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(cos >= _EMB_THRESHOLD)
+        .select("id_a", "id_b", round6(cos).alias("cosine"))
+    )
