@@ -12,3 +12,6 @@ from marex_spark.streaming.detect import (  # noqa: F401
     score_stream,
     streaming_area_history,
 )
+from marex_spark.streaming.track import (  # noqa: F401
+    streaming_extreme_episodes,
+)

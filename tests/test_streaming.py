@@ -82,3 +82,47 @@ def test_streaming_window_aggregation(stream_env):
     # windows tile the year: 7-day spans, no overlap
     for a, b in zip(rows, rows[1:]):
         assert (b.window_start - a.window_start).days == 7
+
+
+def test_stateful_episode_tracking(spark):
+    """applyInPandasWithState: per-cell extreme runs become episodes;
+    a gap > gap_days closes the previous episode when the next extreme
+    arrives."""
+    import datetime
+    from marex_spark.streaming.track import streaming_extreme_episodes
+
+    tmp = tempfile.mkdtemp(prefix="marex_state_")
+    try:
+        t0 = datetime.datetime(2024, 1, 1)
+        # cell (1,1): days 0-3, then gap, days 10-11, then day 20 (opens 3rd)
+        rows = [
+            (t0 + datetime.timedelta(days=d), 1, 1)
+            for d in (0, 1, 2, 3, 10, 11, 20)
+        ] + [(t0 + datetime.timedelta(days=d), 2, 5) for d in (0, 5)]
+        df = spark.createDataFrame(rows, "time timestamp, y int, x int")
+        src = f"{tmp}/src"
+        df.write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        episodes = streaming_extreme_episodes(stream, gap_days=2)
+        q = (
+            episodes.writeStream.format("memory")
+            .queryName("episodes")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            ((r.y, r.x), r.episode_start.day, r.episode_end.day, r.n_days)
+            for r in spark.sql("SELECT * FROM episodes").collect()
+        }
+        # closed episodes only: (1,1) days1-4 (4 days) and days 11-12 (2);
+        # the day-20 episode and cell (2,5)'s second run stay open in state
+        assert ((1, 1), 1, 4, 4) in got
+        assert ((1, 1), 11, 12, 2) in got
+        assert ((2, 5), 1, 1, 1) in got
+        assert len(got) == 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
