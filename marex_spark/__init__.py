@@ -22,3 +22,24 @@ Layout
 __version__ = "0.1.0"
 
 from marex_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API: the user-facing surface of the reference —
+    ``preprocess_data`` (detect) and ``track_events`` (track) plus the
+    engine's main entry points — without importing the whole operator
+    tree at package import."""
+    from importlib import import_module
+
+    api = {
+        "preprocess_data": "marex_spark.operators.detect",
+        "audit_series": "marex_spark.operators.detect",
+        "detect_extremes_blocked": "marex_spark.operators.detect_blocked",
+        "preprocess_extremes": "marex_spark.operators.track",
+        "track_events": "marex_spark.operators.track",
+        "track_events_unstructured": "marex_spark.operators.track",
+        "unify_coordinates": "marex_spark.functions.geometry",
+    }
+    if name in api:
+        return getattr(import_module(api[name]), name)
+    raise AttributeError(f"module 'marex_spark' has no attribute {name!r}")

@@ -163,3 +163,21 @@ def m11_circular_centroid(spark, sf_dir):
     return d.groupBy("event_type").agg(
         round6((cx + 36.0) % 36.0).alias("cx")
     )
+
+
+@register(
+    "viz_clim_robust",
+    f"""SELECT event_type,
+               {round6_sql('quantile_cont(value, 0.02)')} AS vmin,
+               {round6_sql('quantile_cont(value, 0.98)')} AS vmax
+        FROM events GROUP BY 1""",
+)
+def viz_clim_robust(spark, sf_dir):
+    """clim_robust percentile colour limits (reference plotX
+    base.py:559-571) — the one piece of the visualisation accessor that
+    is a data query; rendering itself collects to the client."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        round6(F.percentile("value", F.lit(0.02))).alias("vmin"),
+        round6(F.percentile("value", F.lit(0.98))).alias("vmax"),
+    )
