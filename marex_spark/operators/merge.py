@@ -154,6 +154,188 @@ class MergeLedger:
     areas: list
 
 
+class _Resolver:
+    """Carry-state for the sequential resolution loop: the props dicts,
+    ledger and id counter — everything except the slices themselves —
+    so processing can stream over bounded time chunks exactly like the
+    reference's chunk loop (track.py:3377-3420): a chunk only ever
+    needs its own slices plus the previous chunk's last two."""
+
+    def __init__(
+        self,
+        nx: int,
+        wrap_x: bool,
+        overlap_threshold: float,
+        max_iter_per_step: int,
+        grid: bool,
+        nn_partitioning: bool,
+    ):
+        self.nx = nx
+        self.wrap_x = wrap_x
+        self.overlap_threshold = overlap_threshold
+        self.max_iter_per_step = max_iter_per_step
+        self.grid = grid
+        self.nn_partitioning = nn_partitioning
+        self.areas: dict[int, int] = {}
+        self.cents: dict[int, tuple[float, float]] = {}
+        self.ledger = MergeLedger([], [], [], [])
+        self.next_new_id = 1
+
+    def build_slices(self, cells: pd.DataFrame, time_col: str):
+        """Sparse per-time slices via one groupby pass."""
+        slices: dict[int, dict] = {}
+        times: list = []
+        for ti, (t, g) in enumerate(cells.groupby(time_col, sort=True)):
+            times.append(t)
+            if self.grid:
+                ys = g["y"].to_numpy(np.int64)
+                xs = g["x"].to_numpy(np.int64)
+                key = ys * self.nx + xs
+                order = np.argsort(key)
+                slices[ti] = {
+                    "key": key[order],
+                    "c1": ys[order],
+                    "c2": xs[order],
+                    "id": g["obj_id"].to_numpy(np.int64)[order],
+                }
+            else:
+                key = g["cell"].to_numpy(np.int64)
+                order = np.argsort(key)
+                slices[ti] = {
+                    "key": key[order],
+                    "c1": g["lat"].to_numpy(np.float64)[order],
+                    "c2": g["lon"].to_numpy(np.float64)[order],
+                    "id": g["obj_id"].to_numpy(np.int64)[order],
+                }
+        return slices, times
+
+    def _centroid_of(self, c1, c2):
+        if self.grid:
+            return _centroid(c1, c2, self.nx, self.wrap_x)
+        return _centroid_sphere(c1, c2)
+
+    def _dist_to(self, c1, c2, cent):
+        if self.grid:
+            return _wrapped_dist2(c1, c2, cent[0], cent[1], self.nx, self.wrap_x)
+        return _haversine2(c1, c2, cent[0], cent[1])
+
+    def register_slice(self, sl: dict, only_ids=None) -> None:
+        """(Re)compute area + centroid props (A9/A10) for a slice."""
+        ids = sl["id"]
+        targets = np.unique(ids) if only_ids is None else np.asarray(list(only_ids))
+        for oid in targets:
+            m = ids == oid
+            n = int(m.sum())
+            if n == 0:
+                self.areas.pop(int(oid), None)
+                self.cents.pop(int(oid), None)
+                continue
+            self.areas[int(oid)] = n
+            self.cents[int(oid)] = self._centroid_of(sl["c1"][m], sl["c2"][m])
+
+    def consolidate(self, sl_prev2: dict, sl_prev: dict) -> None:
+        """M10 (track.py:2554-2656): children at t-1 of one t-2 parent
+        are renamed to the first child."""
+        back = _apply_threshold(
+            _slice_overlaps(sl_prev2, sl_prev), self.areas, self.overlap_threshold
+        )
+        if len(back) == 0:
+            return
+        parents, counts = np.unique(back[:, 0], return_counts=True)
+        for p in parents[counts > 1]:
+            kids = back[back[:, 0] == p, 1].astype(np.int64)
+            first = int(kids[0])
+            if first not in self.areas:
+                continue
+            changed = False
+            for k in kids[1:]:
+                k = int(k)
+                if k not in self.areas:
+                    continue
+                sl_prev["id"][sl_prev["id"] == k] = first
+                self.areas.pop(k, None)
+                self.cents.pop(k, None)
+                changed = True
+            if changed:
+                self.register_slice(sl_prev, [first])
+
+    def transition(self, sl_prev: dict, sl: dict, time_value) -> None:
+        """One t-1 → t step: detect multi-parent children, partition
+        them among parents, record merges; iterate to fixpoint."""
+        pairs = _apply_threshold(
+            _slice_overlaps(sl_prev, sl), self.areas, self.overlap_threshold
+        )
+        for _ in range(self.max_iter_per_step):
+            kids, counts = (
+                np.unique(pairs[:, 1], return_counts=True)
+                if len(pairs)
+                else (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+            )
+            merging = kids[counts > 1]
+            if len(merging) == 0:
+                break
+            for child in merging:
+                grp = pairs[pairs[:, 1] == child]
+                parent_ids = grp[:, 0].astype(np.int64)
+                n_par = len(parent_ids)
+                new_ids = np.arange(
+                    self.next_new_id, self.next_new_id + n_par - 1, dtype=np.int64
+                )
+                self.next_new_id += n_par - 1
+                child_ids = np.concatenate(([int(child)], new_ids))
+
+                self.ledger.times.append(time_value)
+                self.ledger.child_ids.append(child_ids.copy())
+                self.ledger.parent_ids.append(parent_ids.copy())
+                self.ledger.areas.append(grp[:, 2].astype(np.int64).copy())
+
+                mask = sl["id"] == child
+                c1m, c2m = sl["c1"][mask], sl["c2"][mask]
+                cent_d = np.stack(
+                    [self._dist_to(c1m, c2m, self.cents[int(p)]) for p in parent_ids],
+                    axis=1,
+                )
+                if self.nn_partitioning:
+                    # nn mode (track.py:4973-5242): nearest parent
+                    # *member cell*, capped at max_distance; cells
+                    # beyond the cap from every parent fall back to the
+                    # nearest centroid (track.py:5224-5238)
+                    prev_ids = sl_prev["id"]
+                    nn_d = np.stack(
+                        [
+                            _min_dist_to_members(
+                                c1m,
+                                c2m,
+                                sl_prev["c1"][prev_ids == p],
+                                sl_prev["c2"][prev_ids == p],
+                                self.grid,
+                                self.nx,
+                                self.wrap_x,
+                            )
+                            for p in parent_ids
+                        ],
+                        axis=1,
+                    )
+                    if self.grid:
+                        max_area = max(self.areas.get(int(p), 1) for p in parent_ids)
+                        cap = float(max(np.sqrt(max_area) * 3.0, 40.0)) ** 2
+                    else:
+                        cap = np.inf
+                    best = np.argmin(nn_d, axis=1)
+                    unreached = nn_d[np.arange(len(best)), best] > cap
+                    best[unreached] = np.argmin(cent_d[unreached], axis=1)
+                else:
+                    # centroid partitioning (track.py:5357-5419): each
+                    # child cell → nearest parent centroid's child id
+                    best = np.argmin(cent_d, axis=1)
+                sl["id"][mask] = child_ids[best]
+                self.register_slice(sl, child_ids)
+
+            pairs = _apply_threshold(
+                _slice_overlaps(sl_prev, sl), self.areas, self.overlap_threshold
+            )
+
+
 def split_merge_serial(
     cells: pd.DataFrame,
     nx: int = 0,
@@ -179,167 +361,30 @@ def split_merge_serial(
     children among parents by nearest parent centroid (M9 + ledger),
     iterating within the timestep until no merging children remain.
     """
-    grid = geometry == "grid"
-    # sparse per-time slices (single groupby pass, not per-time scans)
-    slices: dict[int, dict] = {}
-    times = []
-    for ti, (t, g) in enumerate(cells.groupby(time_col, sort=True)):
-        times.append(t)
-        if grid:
-            ys = g["y"].to_numpy(np.int64)
-            xs = g["x"].to_numpy(np.int64)
-            key = ys * nx + xs
-            order = np.argsort(key)
-            slices[ti] = {
-                "key": key[order],
-                "c1": ys[order],
-                "c2": xs[order],
-                "id": g["obj_id"].to_numpy(np.int64)[order],
-            }
-        else:
-            key = g["cell"].to_numpy(np.int64)
-            order = np.argsort(key)
-            slices[ti] = {
-                "key": key[order],
-                "c1": g["lat"].to_numpy(np.float64)[order],
-                "c2": g["lon"].to_numpy(np.float64)[order],
-                "id": g["obj_id"].to_numpy(np.int64)[order],
-            }
-
-    # initial props: area + centroid per object (A9/A10)
-    areas: dict[int, int] = {}
-    cents: dict[int, tuple[float, float]] = {}
-
-    def _centroid_of(c1: np.ndarray, c2: np.ndarray) -> tuple[float, float]:
-        if grid:
-            return _centroid(c1, c2, nx, wrap_x)
-        return _centroid_sphere(c1, c2)
-
-    def _dist_to(c1: np.ndarray, c2: np.ndarray, cent: tuple[float, float]) -> np.ndarray:
-        if grid:
-            return _wrapped_dist2(c1, c2, cent[0], cent[1], nx, wrap_x)
-        return _haversine2(c1, c2, cent[0], cent[1])
-
-    def _recompute_props(sl: dict, only_ids=None) -> None:
-        ids = sl["id"]
-        targets = np.unique(ids) if only_ids is None else np.asarray(list(only_ids))
-        for oid in targets:
-            m = ids == oid
-            n = int(m.sum())
-            if n == 0:
-                areas.pop(int(oid), None)
-                cents.pop(int(oid), None)
-                continue
-            areas[int(oid)] = n
-            cents[int(oid)] = _centroid_of(sl["c1"][m], sl["c2"][m])
-
+    resolver = _Resolver(
+        nx=nx,
+        wrap_x=wrap_x,
+        overlap_threshold=overlap_threshold,
+        max_iter_per_step=max_iter_per_step,
+        grid=geometry == "grid",
+        nn_partitioning=nn_partitioning,
+    )
+    grid = resolver.grid
+    slices, times = resolver.build_slices(cells, time_col)
     for ti in range(len(times)):
-        _recompute_props(slices[ti])
-
-    next_new_id = int(cells["obj_id"].max()) + 1 if len(cells) else 1
-    ledger = MergeLedger([], [], [], [])
-
-    def _consolidate(t_prev2: int, t_prev: int) -> None:
-        """M10: children at t_prev of one t_prev2 parent → first child."""
-        back = _apply_threshold(
-            _slice_overlaps(slices[t_prev2], slices[t_prev]), areas, overlap_threshold
-        )
-        if len(back) == 0:
-            return
-        parents, counts = np.unique(back[:, 0], return_counts=True)
-        for p in parents[counts > 1]:
-            kids = back[back[:, 0] == p, 1].astype(np.int64)
-            first = int(kids[0])
-            if first not in areas:
-                continue
-            changed = False
-            sl = slices[t_prev]
-            for k in kids[1:]:
-                k = int(k)
-                if k not in areas:
-                    continue
-                sl["id"][sl["id"] == k] = first
-                areas.pop(k, None)
-                cents.pop(k, None)
-                changed = True
-            if changed:
-                _recompute_props(sl, [first])
+        resolver.register_slice(slices[ti])
+    resolver.next_new_id = int(cells["obj_id"].max()) + 1 if len(cells) else 1
 
     for ti in range(1, len(times)):
         if ti >= 2:
-            _consolidate(ti - 2, ti - 1)
-        sl_prev, sl = slices[ti - 1], slices[ti]
-        pairs = _apply_threshold(_slice_overlaps(sl_prev, sl), areas, overlap_threshold)
-
-        for _ in range(max_iter_per_step):
-            kids, counts = np.unique(pairs[:, 1], return_counts=True) if len(pairs) else (
-                np.empty(0, dtype=np.int64),
-                np.empty(0, dtype=np.int64),
-            )
-            merging = kids[counts > 1]
-            if len(merging) == 0:
-                break
-            for child in merging:
-                grp = pairs[pairs[:, 1] == child]
-                parent_ids = grp[:, 0].astype(np.int64)
-                n_par = len(parent_ids)
-                new_ids = np.arange(next_new_id, next_new_id + n_par - 1, dtype=np.int64)
-                next_new_id += n_par - 1
-                child_ids = np.concatenate(([int(child)], new_ids))
-
-                ledger.times.append(times[ti])
-                ledger.child_ids.append(child_ids.copy())
-                ledger.parent_ids.append(parent_ids.copy())
-                ledger.areas.append(grp[:, 2].astype(np.int64).copy())
-
-                mask = sl["id"] == child
-                c1m, c2m = sl["c1"][mask], sl["c2"][mask]
-                cent_d = np.stack(
-                    [_dist_to(c1m, c2m, cents[int(p)]) for p in parent_ids],
-                    axis=1,
-                )
-                if nn_partitioning:
-                    # nn mode (track.py:4973-5242): nearest parent
-                    # *member cell*, capped at max_distance; cells
-                    # beyond the cap from every parent fall back to the
-                    # nearest centroid (track.py:5224-5238)
-                    prev_ids = sl_prev["id"]
-                    nn_d = np.stack(
-                        [
-                            _min_dist_to_members(
-                                c1m,
-                                c2m,
-                                sl_prev["c1"][prev_ids == p],
-                                sl_prev["c2"][prev_ids == p],
-                                grid,
-                                nx,
-                                wrap_x,
-                            )
-                            for p in parent_ids
-                        ],
-                        axis=1,
-                    )
-                    if grid:
-                        max_area = max(areas.get(int(p), 1) for p in parent_ids)
-                        cap = float(max(np.sqrt(max_area) * 3.0, 40.0)) ** 2
-                    else:
-                        cap = np.inf
-                    best = np.argmin(nn_d, axis=1)
-                    unreached = nn_d[np.arange(len(best)), best] > cap
-                    best[unreached] = np.argmin(cent_d[unreached], axis=1)
-                else:
-                    # centroid partitioning (track.py:5357-5419): each
-                    # child cell → nearest parent centroid's child id
-                    best = np.argmin(cent_d, axis=1)
-                sl["id"][mask] = child_ids[best]
-                _recompute_props(sl, child_ids)
-
-            pairs = _apply_threshold(_slice_overlaps(sl_prev, sl), areas, overlap_threshold)
+            resolver.consolidate(slices[ti - 2], slices[ti - 1])
+        resolver.transition(slices[ti - 1], slices[ti], times[ti])
 
     # final consolidation of the last timestep (end-of-chunk rule,
     # track.py:3602-3615)
     if len(times) >= 2:
-        _consolidate(len(times) - 2, len(times) - 1)
+        resolver.consolidate(slices[len(times) - 2], slices[len(times) - 1])
+    ledger = resolver.ledger
 
     def _frame(ti: int) -> pd.DataFrame:
         sl = slices[ti]
@@ -432,6 +477,103 @@ def _ledger_df(spark, ledger: MergeLedger, time_col: str, time_type: str) -> Dat
             "child_ids array<long>, overlap_areas array<long>"
         ),
     )
+
+
+def split_merge_events_chunked(
+    labels: DataFrame,
+    nx: int,
+    chunk_steps: int = 64,
+    overlap_threshold: float = 0.5,
+    wrap_x: bool = True,
+    time_col: str = "time",
+    nn_partitioning: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Memory-bounded variant of :func:`split_merge_events` — the
+    reference's chunk loop (track.py:3377-3420): pull ``chunk_steps``
+    timesteps of sparse cells at a time (time-range filter pushed down
+    to the materialised labels), resolve them against the carry (the
+    previous chunk's last two post-resolution slices + the props
+    dicts), emit the chunk, advance. Driver memory is O(chunk) instead
+    of O(series); output and ledger are identical to the one-shot
+    serial kernel (asserted in tests/test_merge.py)."""
+    spark = labels.sparkSession
+    times = [
+        r[0]
+        for r in labels.select(time_col).distinct().orderBy(time_col).collect()
+    ]
+    time_type = labels.schema[time_col].dataType.simpleString()
+    resolver = _Resolver(
+        nx=nx,
+        wrap_x=wrap_x,
+        overlap_threshold=overlap_threshold,
+        max_iter_per_step=10,
+        grid=True,
+        nn_partitioning=nn_partitioning,
+    )
+    resolver.next_new_id = (
+        labels.agg(F.max("obj_id")).first()[0] or 0
+    ) + 1
+
+    out_frames: list[DataFrame] = []
+    carry: list[tuple] = []  # [(time, slice)] — last two resolved slices
+
+    for start in range(0, len(times), chunk_steps):
+        chunk_times = times[start : start + chunk_steps]
+        pdf = (
+            labels.filter(
+                (F.col(time_col) >= chunk_times[0])
+                & (F.col(time_col) <= chunk_times[-1])
+            )
+            .select(time_col, "y", "x", "obj_id")
+            .toPandas()
+        )
+        slices, stimes = resolver.build_slices(pdf, time_col)
+        for ti in range(len(stimes)):
+            resolver.register_slice(slices[ti])
+
+        seq = carry + [(stimes[i], slices[i]) for i in range(len(stimes))]
+        first_new = len(carry)
+        for i in range(max(first_new, 1), len(seq)):
+            # consolidation needs t-1 mutable; at a chunk's first
+            # transition t-1 is the (already-emitted) carry — the
+            # reference skips it there too (relative_t > 0 guard,
+            # track.py:3396) because the end-of-chunk pass below
+            # already consolidated it
+            if i >= 2 and i - 1 >= first_new:
+                resolver.consolidate(seq[i - 2][1], seq[i - 1][1])
+            resolver.transition(seq[i - 1][1], seq[i][1], seq[i][0])
+        if len(seq) >= 2:
+            resolver.consolidate(seq[-2][1], seq[-1][1])
+
+        chunk_pdf = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        time_col: stimes[i],
+                        "y": slices[i]["c1"],
+                        "x": slices[i]["c2"],
+                        "obj_id": slices[i]["id"],
+                    }
+                )
+                for i in range(len(stimes))
+            ],
+            ignore_index=True,
+        )
+        out_frames.append(
+            spark.createDataFrame(
+                chunk_pdf, schema=f"{time_col} {time_type}, y long, x long, obj_id long"
+            )
+        )
+        carry = [(stimes[i], slices[i]) for i in range(len(stimes))][-2:]
+
+    from functools import reduce
+
+    out_df = (
+        reduce(DataFrame.unionByName, out_frames)
+        if out_frames
+        else labels.limit(0).select(time_col, "y", "x", "obj_id")
+    )
+    return out_df, _ledger_df(spark, resolver.ledger, time_col, time_type)
 
 
 def split_merge_events_unstructured(

@@ -106,3 +106,25 @@ def test_pieces_follow_parents_before_collision(spark, two_blob_field):
         assert any(
             abs(lon - expect) < 1.5 for expect in (20 + 2 * t, 60 - 2 * t)
         ), (t, lon)
+
+
+def test_chunked_matches_oneshot(spark, two_blob_field):
+    """The memory-bounded chunk loop must reproduce the one-shot serial
+    kernel exactly — labels, event count, and ledger."""
+    from marex_spark.operators.label import label_components
+    from marex_spark.operators.merge import (
+        split_merge_events,
+        split_merge_events_chunked,
+    )
+
+    labels = label_components(two_blob_field, nx=NX)
+    one, ledger_one = split_merge_events(labels, nx=NX, overlap_threshold=0.5)
+    chk, ledger_chk = split_merge_events_chunked(
+        labels, nx=NX, chunk_steps=3, overlap_threshold=0.5
+    )
+    a = {(r.time, r.y, r.x, r.obj_id) for r in one.collect()}
+    b = {(r.time, r.y, r.x, r.obj_id) for r in chk.collect()}
+    assert a == b
+    la = [(r.time, tuple(r.parent_ids), tuple(r.child_ids)) for r in ledger_one.collect()]
+    lb = [(r.time, tuple(r.parent_ids), tuple(r.child_ids)) for r in ledger_chk.collect()]
+    assert la == lb
