@@ -93,6 +93,7 @@ def track_events(
     compute_stats: bool = True,
     allow_merging: bool = False,
     nn_partitioning: bool = False,
+    merge_chunk_steps: int | None = None,
 ) -> TrackResult:
     """Boolean extreme field → globally labelled events with stats.
 
@@ -119,16 +120,30 @@ def track_events(
     # below reads materialised rows rather than re-running the UDF.
     extras: dict = {}
     if allow_merging:
-        from marex_spark.operators.merge import split_merge_events
-
-        labels, ledger = split_merge_events(
-            labels,
-            nx=nx,
-            overlap_threshold=overlap_threshold,
-            wrap_x=wrap_x,
-            time_col=time_col,
-            nn_partitioning=nn_partitioning,
+        from marex_spark.operators.merge import (
+            split_merge_events,
+            split_merge_events_chunked,
         )
+
+        if merge_chunk_steps:
+            labels, ledger = split_merge_events_chunked(
+                labels,
+                nx=nx,
+                chunk_steps=merge_chunk_steps,
+                overlap_threshold=overlap_threshold,
+                wrap_x=wrap_x,
+                time_col=time_col,
+                nn_partitioning=nn_partitioning,
+            )
+        else:
+            labels, ledger = split_merge_events(
+                labels,
+                nx=nx,
+                overlap_threshold=overlap_threshold,
+                wrap_x=wrap_x,
+                time_col=time_col,
+                nn_partitioning=nn_partitioning,
+            )
         labels = labels.localCheckpoint()
         extras["merge_ledger"] = ledger
 
