@@ -28,6 +28,12 @@ STAR_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver's events.parquet carries TIMESTAMP(NANOS), which Spark
+    # rejects outright unless nanosAsLong is set.  The conf is runtime-
+    # settable and idempotent, and the harness hands us a *foreign*
+    # SparkSession that our own builder (session.py) never touched — so it
+    # must be set here, at the read site, not only at session construction.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS); with
     # spark.sql.legacy.parquet.nanosAsLong it arrives as int64 nanos.

@@ -42,9 +42,18 @@ def main():
     name_filter = sys.argv[2:]
 
     import __spark_entry__ as entry_mod
-    from marex_spark.session import get_spark
 
-    spark = get_spark("oracle_check")
+    # Deliberately a PLAIN session — the driver harness constructs its own
+    # unconfigured SparkSession, so verifying against get_spark() would hide
+    # any dependence on marex_spark.session's configs (the round-1 nanos bug).
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("oracle_check_plain")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
