@@ -56,28 +56,62 @@ def _force(df) -> int:
 
 
 def main() -> None:
+    """Every step is individually guarded: one failing query (or a failing
+    warmup) costs one entry in the JSON, never the whole bench signal.
+    Round 1 lost its entire BENCH file to a single uncaught exception —
+    the final JSON line is now printed unconditionally in a finally."""
+    sf = _sf_from_dir(SF_DIR)
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    holder: dict = {}
+
+    def note(msg: str) -> None:
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    try:
+        _run_bench(sf, timings, errors, note, holder)
+    except Exception as e:  # session bootstrap or other fatal path
+        errors["__fatal__"] = f"{type(e).__name__}: {e}"
+    finally:
+        total = round(sum(timings.values()), 3)
+        out = {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
+        if errors:
+            out["errors"] = errors
+        print(json.dumps(out), flush=True)
+        # Graceful JVM shutdown AFTER the JSON line is out: an abrupt
+        # python exit leaves the JVM mid-flight on the accumulator socket
+        # and the resulting Broken-pipe storm is what drowned round 1's
+        # bench capture.
+        try:
+            if "spark" in holder:
+                # shutdown still races the pandas-UDF worker daemons
+                # (benign "Python worker exited unexpectedly" storms);
+                # mute the logger so the storm can't pollute captures.
+                holder["spark"].sparkContext.setLogLevel("OFF")
+                holder["spark"].stop()
+        except Exception:
+            pass
+
+
+def _run_bench(sf, timings, errors, note, holder) -> None:
     from marex_spark.session import get_spark
     from marex_spark.queries import QUERIES
 
-    spark = get_spark(app_name="marex-bench", cores=int(CPUS))
-    sf = _sf_from_dir(SF_DIR)
+    spark = holder["spark"] = get_spark(app_name="marex-bench", cores=int(CPUS))
 
-    # Warm the JVM, parquet footers, and Python UDF workers outside the
-    # timed region.
-    from marex_spark.sources.parquet import load_table
-
-    load_table(spark, SF_DIR, "lineitem").count()
-    _force(
-        spark.range(1000)
-        .selectExpr("id", "id % 7 AS g")
-        .groupBy("g")
-        .applyInPandas(lambda p: p, "id long, g bigint")
-    )
-    # warm the full detect→track code path (JIT, codegen, UDF workers,
-    # broadcast machinery) on a toy grid so timed runs are steady-state
-    from marex_spark.pipeline import detect_track_bench
-
-    detect_track_bench(spark, 0.001)
+    def guarded(name, fn) -> None:
+        try:
+            timings[name] = timed(fn)
+            note(f"{name}: {timings[name]}s")
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"
+            note(f"{name}: ERROR {type(e).__name__}")
 
     def timed(fn) -> float:
         """Min of 2 runs — the box hosts other tenants and transient
@@ -89,28 +123,53 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
-    timings: dict[str, float] = {}
+    # Warm the JVM, parquet footers, and Python UDF workers outside the
+    # timed region.  Warmup failure must not sink the bench.
+    try:
+        from marex_spark.sources.parquet import load_table
+
+        load_table(spark, SF_DIR, "lineitem").count()
+        _force(
+            spark.range(1000)
+            .selectExpr("id", "id % 7 AS g")
+            .groupBy("g")
+            .applyInPandas(lambda p: p, "id long, g bigint")
+        )
+        # warm the full detect→track code path (JIT, codegen, UDF workers,
+        # broadcast machinery) on a toy grid so timed runs are steady-state
+        from marex_spark.pipeline import detect_track_bench
+
+        detect_track_bench(spark, 0.001)
+    except Exception as e:
+        errors["__warmup__"] = f"{type(e).__name__}: {e}"
+        note(f"warmup: ERROR {type(e).__name__}")
+
     for name in HEADLINE:
         fn = QUERIES[name]
-        timings[name] = timed(lambda: _force(fn(spark, SF_DIR)))
+        guarded(name, lambda fn=fn: _force(fn(spark, SF_DIR)))
 
     # Flagship detect→track on a synthetic gridded series scaled with sf:
     # sf0.1 → 3 years of daily 40×80 (~3.5M cell-days).
-    timings["detect_track"] = timed(
-        lambda: (detect_track_bench(spark, sf), spark.catalog.clearCache())
+    from marex_spark.pipeline import detect_track_bench
+
+    guarded(
+        "detect_track",
+        lambda: (detect_track_bench(spark, sf), spark.catalog.clearCache()),
     )
 
     # blocked (dense numpy per latitude band) fast path — same
     # semantics, chunk-kernel physical strategy (detect_blocked.py)
     from marex_spark.operators.detect_blocked import detect_track_blocked
 
-    timings["detect_track_blocked"] = timed(
-        lambda: (detect_track_blocked(spark, sf), spark.catalog.clearCache())
+    guarded(
+        "detect_track_blocked",
+        lambda: (detect_track_blocked(spark, sf), spark.catalog.clearCache()),
     )
 
     # the reference's heaviest published config (BASELINE.md row 3):
     # shifting-baseline climatology + hobday per-doy threshold
-    timings["detect_track_shifting_hobday"] = timed(
+    guarded(
+        "detect_track_shifting_hobday",
         lambda: (
             detect_track_bench(
                 spark,
@@ -119,20 +178,7 @@ def main() -> None:
                 method_extreme="hobday_extreme",
             ),
             spark.catalog.clearCache(),
-        )
-    )
-
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+        ),
     )
 
 
