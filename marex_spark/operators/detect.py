@@ -79,6 +79,15 @@ class DetectResult:
     extremes: DataFrame  # (time, keys..., value, anomaly, threshold, extreme)
     thresholds: DataFrame
     params: dict
+    # the internally persisted anomaly frame, if any — callers should
+    # ``unpersist()`` once extremes are materialised, else repeated
+    # preprocess_data calls in one session accumulate cached blocks
+    persisted: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self.persisted is not None:
+            self.persisted.unpersist()
+            self.persisted = None
 
 
 def preprocess_data(
@@ -137,6 +146,7 @@ def preprocess_data(
         anom = anom.localCheckpoint()
 
     exact = method_percentile == "exact"
+    persisted = None
     if not (method_extreme == "global_extreme" and exact) and not checkpoint:
         # the anomaly feeds both the threshold agg and the compare join;
         # persist (lazy, partitioning-preserving) beats recompute and
@@ -144,7 +154,7 @@ def preprocess_data(
         # dedupe the window re-evaluation above the shared shuffle
         from pyspark.storagelevel import StorageLevel
 
-        anom = anom.persist(StorageLevel.MEMORY_AND_DISK)
+        anom = persisted = anom.persist(StorageLevel.MEMORY_AND_DISK)
     if method_extreme == "global_extreme" and exact:
         # Fully fused: the per-cell quantile is a full-frame window over
         # the cell partition — zero joins, zero extra shuffles.
@@ -193,4 +203,5 @@ def preprocess_data(
             "method_percentile": method_percentile,
             "threshold_percentile": threshold_percentile,
         },
+        persisted=persisted,
     )

@@ -46,33 +46,42 @@ def _detect_band(
     """
     T, NX = m.shape
     n_doy = int(doy_idx.max()) + 1
+    # NaN-aware throughout: a (time, x) gap in the band must behave like
+    # the relational path (null rows dropped; climatology = mean of the
+    # AVAILABLE samples; missing samples are never extreme) instead of
+    # silently NaN-poisoning the whole column's climatology + threshold.
+    valid = ~np.isnan(m)
     sums = np.zeros((n_doy, NX))
-    counts = np.zeros(n_doy)
-    np.add.at(sums, doy_idx, m)
-    np.add.at(counts, doy_idx, 1)
-    counts[counts == 0] = 1
-    clim = sums / counts[:, None]
-    anom = m - clim[doy_idx]
+    counts = np.zeros((n_doy, NX))
+    np.add.at(sums, doy_idx, np.where(valid, m, 0.0))
+    np.add.at(counts, doy_idx, valid.astype(np.float64))
+    clim = sums / np.maximum(counts, 1.0)
+    anom = m - clim[doy_idx]  # NaN at the gaps, finite elsewhere
 
     if exact:
-        thr = np.percentile(anom, q * 100.0, axis=0)
+        if valid.all():
+            thr = np.percentile(anom, q * 100.0, axis=0)
+        else:
+            thr = np.nanpercentile(anom, q * 100.0, axis=0)
     else:
         n_pos = int(round(max_anomaly / precision))
-        bins = np.clip(1 + np.floor(anom / precision).astype(np.int64), 1, n_pos + 1)
-        bins[anom < 0] = 0
-        flat = bins * NX + np.arange(NX)[None, :]
+        safe = np.where(valid, anom, 0.0)
+        bins = np.clip(1 + np.floor(safe / precision).astype(np.int64), 1, n_pos + 1)
+        bins[safe < 0] = 0
+        flat = (bins * NX + np.arange(NX)[None, :])[valid]
         hist = np.bincount(flat.ravel(), minlength=(n_pos + 2) * NX).reshape(
             n_pos + 2, NX
         )
         cdf = hist.cumsum(axis=0)
-        target = q * T
-        sel = (cdf >= target).argmax(axis=0)
+        target = q * valid.sum(axis=0)  # per-column valid count
+        sel = (cdf >= target[None, :]).argmax(axis=0)
         c = hist[sel, np.arange(NX)]
         prev = cdf[sel, np.arange(NX)] - c
         frac = np.clip((target - prev) / np.maximum(c, 1), 0.0, 1.0)
         thr = (sel - 1) * precision + precision * frac
         thr[sel == 0] = 0.0
-    return anom >= thr[None, :]
+    with np.errstate(invalid="ignore"):
+        return np.where(valid, anom >= thr[None, :], False)
 
 
 def detect_extremes_blocked(

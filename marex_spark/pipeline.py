@@ -99,4 +99,5 @@ def detect_track_bench(
     )
     res = track_events(det.extremes, nx=nx, compute_stats=False)
     res.events.write.mode("overwrite").format("noop").save()
+    det.unpersist()
     return 0

@@ -40,6 +40,32 @@ def test_blocked_matches_relational(spark, series, mp):
     )
 
 
+@pytest.mark.parametrize("mp", ["exact", "histogram"])
+def test_blocked_matches_relational_gappy(spark, series, mp):
+    """Gaps (ice/QC masking) must match the relational drop-null
+    semantics — climatology from available samples only, missing
+    samples never extreme — not NaN-poison the band (ADVICE r01)."""
+    gappy = series.filter(
+        (F.pmod(F.xxhash64("time", "y", "x"), F.lit(13)) != 0)
+    )
+    rel = preprocess_data(gappy, method_percentile=mp, threshold_percentile=0.95)
+    rel_cells = {
+        (r.time, r.y, r.x)
+        for r in rel.extremes.filter("extreme").select("time", "y", "x").collect()
+    }
+    blk_cells = {
+        (r.time, r.y, r.x)
+        for r in detect_extremes_blocked(
+            gappy, method_percentile=mp, threshold_percentile=0.95
+        ).collect()
+    }
+    assert rel_cells, "degenerate fixture: no extremes at all"
+    diff = rel_cells ^ blk_cells
+    assert len(diff) <= max(2, len(rel_cells) // 1000), (
+        len(rel_cells), len(blk_cells), len(diff),
+    )
+
+
 def test_blocked_frequency(spark, series):
     """Statistical gate (reference tests/conftest.py:168-232): extreme
     frequency ≈ (100-p)% within tolerance."""
