@@ -262,13 +262,13 @@ def normalise_by_doy_std(
     """STD-normalised anomaly (detect.py:2232-2283, A3+W3+J4): per-doy
     std, circularly smoothed over ``std_smooth_days``, divided out."""
     d = anom if "doy" in anom.columns else add_time_keys(anom)
-    std = d.groupBy("doy", *keys).agg(
-        F.stddev_pop("anomaly").alias("v"), F.count("*").alias("c")
-    )
+    std = d.groupBy("doy", *keys).agg(F.stddev_pop("anomaly").alias("v"))
     # circular smoothing: fan out ±half window with doy wrap, re-average
+    # (unweighted mean of per-doy stds — the reference's rolling-mean
+    # smoother, detect.py:2232-2283, is likewise unweighted)
     half = std_smooth_days // 2
     offs = F.array([F.lit(o) for o in range(-half, half + 1)])
-    fan = std.select(*keys, "v", "c", "doy", F.explode(offs).alias("off"))
+    fan = std.select(*keys, "v", "doy", F.explode(offs).alias("off"))
     center = ((F.col("doy") - 1 + F.col("off") + 366) % 366 + 1).alias("doy_c")
     smoothed = fan.groupBy(center, *keys).agg(F.avg("v").alias("std_doy"))
     return (

@@ -420,6 +420,7 @@ def split_merge_events(
     wrap_x: bool = True,
     time_col: str = "time",
     nn_partitioning: bool = False,
+    max_iter_per_step: int = 10,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed-in / distributed-out wrapper around the sequential
     resolution kernel: collect the sparse labelled cells (Arrow), run
@@ -436,6 +437,7 @@ def split_merge_events(
         wrap_x=wrap_x,
         time_col=time_col,
         nn_partitioning=nn_partitioning,
+        max_iter_per_step=max_iter_per_step,
     )
     time_type = labels.schema[time_col].dataType.simpleString()
     out_df = spark.createDataFrame(
@@ -487,6 +489,8 @@ def split_merge_events_chunked(
     wrap_x: bool = True,
     time_col: str = "time",
     nn_partitioning: bool = False,
+    max_iter_per_step: int = 10,
+    labels_materialized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Memory-bounded variant of :func:`split_merge_events` — the
     reference's chunk loop (track.py:3377-3420): pull ``chunk_steps``
@@ -495,8 +499,17 @@ def split_merge_events_chunked(
     previous chunk's last two post-resolution slices + the props
     dicts), emit the chunk, advance. Driver memory is O(chunk) instead
     of O(series); output and ledger are identical to the one-shot
-    serial kernel (asserted in tests/test_merge.py)."""
+    serial kernel (asserted in tests/test_merge.py).
+
+    The per-chunk time-range filter re-executes the ``labels`` plan once
+    per chunk, so the plan is localCheckpoint'ed here unless the caller
+    declares it already materialised (``labels_materialized=True``,
+    e.g. track_events passes label_components' checkpointed output) —
+    otherwise a direct caller with a raw labelling plan would silently
+    recompute the whole labelling per chunk."""
     spark = labels.sparkSession
+    if not labels_materialized:
+        labels = labels.localCheckpoint()
     times = [
         r[0]
         for r in labels.select(time_col).distinct().orderBy(time_col).collect()
@@ -506,7 +519,7 @@ def split_merge_events_chunked(
         nx=nx,
         wrap_x=wrap_x,
         overlap_threshold=overlap_threshold,
-        max_iter_per_step=10,
+        max_iter_per_step=max_iter_per_step,
         grid=True,
         nn_partitioning=nn_partitioning,
     )

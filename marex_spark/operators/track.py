@@ -93,7 +93,7 @@ def track_events(
     compute_stats: bool = True,
     allow_merging: bool = False,
     nn_partitioning: bool = False,
-    merge_chunk_steps: int | None = None,
+    merge_chunk_steps: int | None = 64,
 ) -> TrackResult:
     """Boolean extreme field → globally labelled events with stats.
 
@@ -107,6 +107,10 @@ def track_events(
     parents by nearest parent centroid, merges are recorded in the
     ledger (``extras["merge_ledger"]``), and partition-boundary
     fragments are re-consolidated (M10) before event linking.
+
+    The memory-bounded chunked resolver is the DEFAULT
+    (``merge_chunk_steps=64``, driver memory O(chunk) not O(series));
+    pass ``merge_chunk_steps=None`` to opt into the one-shot collect.
     """
     labels = label_components(
         extremes,
@@ -134,6 +138,7 @@ def track_events(
                 wrap_x=wrap_x,
                 time_col=time_col,
                 nn_partitioning=nn_partitioning,
+                labels_materialized=True,  # label_components checkpoints
             )
         else:
             labels, ledger = split_merge_events(

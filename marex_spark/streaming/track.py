@@ -48,6 +48,23 @@ def _episode_fn(gap_days: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         y, x = key
+        if state.hasTimedOut:
+            # watermark passed the open episode's allowed gap: the cell
+            # went quiet, so the episode is closed by definition — emit
+            # it and drop the state entry (bounds state size and emits
+            # trailing episodes, which NoTimeout never would).
+            start_day, last_day, n_days = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "y": [y],
+                    "x": [x],
+                    "episode_start": pd.to_datetime([start_day * 86_400_000_000_000]),
+                    "episode_end": pd.to_datetime([last_day * 86_400_000_000_000]),
+                    "n_days": [n_days],
+                }
+            )
+            return
         if state.exists:
             start_day, last_day, n_days = state.get
         else:
@@ -74,6 +91,11 @@ def _episode_fn(gap_days: int):
                 start_day, last_day, n_days = d, d, 1
         if last_day is not None:
             state.update((start_day, last_day, n_days))
+            # flush when the watermark passes the end of the allowed gap
+            # (clamped above the current watermark — Spark rejects a
+            # timeout at or behind it, which a straggler cell could hit)
+            tmo = (last_day + gap_days + 1) * 86_400_000
+            state.setTimeoutTimestamp(max(tmo, state.getCurrentWatermarkMs() + 1))
 
         if closed:
             yield pd.DataFrame(
@@ -96,16 +118,25 @@ def _episode_fn(gap_days: int):
 def streaming_extreme_episodes(
     extreme_cells: DataFrame,
     gap_days: int = 2,
+    watermark_delay: str = "3 days",
 ) -> DataFrame:
     """Per-cell stateful episode detection over a stream of extreme
     cells (time, y, x). Emits an episode once a later extreme at the
-    same cell arrives more than ``gap_days`` after it ended (the
+    same cell arrives more than ``gap_days`` after it ended, OR once
+    the event-time watermark passes the episode's allowed gap (the
     streaming analogue of the reference's temporal gap rule,
-    track.py:1675-1726). Open episodes live in keyed state."""
-    return extreme_cells.groupBy("y", "x").applyInPandasWithState(
-        _episode_fn(gap_days),
-        outputStructType=_OUT_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    track.py:1675-1726). Open episodes live in keyed state; the
+    event-time timeout bounds state size and guarantees trailing
+    episodes are emitted. Rows later than ``watermark_delay`` are
+    dropped by the watermark (bounded, documented lateness)."""
+    return (
+        extreme_cells.withWatermark("time", watermark_delay)
+        .groupBy("y", "x")
+        .applyInPandasWithState(
+            _episode_fn(gap_days),
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

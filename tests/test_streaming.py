@@ -118,11 +118,14 @@ def test_stateful_episode_tracking(spark):
             ((r.y, r.x), r.episode_start.day, r.episode_end.day, r.n_days)
             for r in spark.sql("SELECT * FROM episodes").collect()
         }
-        # closed episodes only: (1,1) days1-4 (4 days) and days 11-12 (2);
-        # the day-20 episode and cell (2,5)'s second run stay open in state
+        # gap-closed: (1,1) days1-4 (4 days) and days 11-12 (2),
+        # (2,5) day1. Watermark (day21 - 3d = day18) also flushes
+        # (2,5)'s idle day-6 run via the event-time timeout; (1,1)'s
+        # day-21 episode stays open (timeout day24 > watermark).
         assert ((1, 1), 1, 4, 4) in got
         assert ((1, 1), 11, 12, 2) in got
         assert ((2, 5), 1, 1, 1) in got
-        assert len(got) == 3
+        assert ((2, 5), 6, 6, 1) in got
+        assert len(got) == 4
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
