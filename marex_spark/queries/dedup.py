@@ -59,9 +59,21 @@ def dedup_exact(spark, sf_dir):
 
 # ----------------------------------------------------- n-gram Jaccard dup
 
+# Hot-shingle document-frequency cap: a shingle shared by d documents
+# produces O(d²) candidate pairs in the self-join, so ONE stop-word
+# trigram at corpus scale creates a quadratic blowup on a single join
+# key. Shingles with df > cap carry ~no signal for near-dup detection
+# (they are corpus-common, not document-specific) and are dropped on
+# BOTH sides — the Jaccard is defined over the informative-shingle sets.
+_MAX_SHINGLE_DF = 256
+
+
 @register(
     "dedup_ngram_jaccard",
-    f"""WITH sh AS ({_shingles_sql(3)}),
+    f"""WITH sh0 AS ({_shingles_sql(3)}),
+        ok AS (SELECT shingle FROM sh0 GROUP BY 1
+               HAVING COUNT(*) <= {_MAX_SHINGLE_DF}),
+        sh AS (SELECT sh0.* FROM sh0 JOIN ok USING (shingle)),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -76,11 +88,20 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """3-gram Jaccard near-dup: shingle-join candidate pairs, exact
-    Jaccard on distinct-shingle sets, threshold 0.2. The shingle
-    equi-join is the scale path — pairs are only generated for docs
-    sharing a shingle (no O(n²) cross join)."""
+    Jaccard on distinct informative-shingle sets, threshold 0.2. The
+    shingle equi-join is the scale path — pairs are only generated for
+    docs sharing a shingle (no O(n²) cross join) — and the df cap
+    (``_MAX_SHINGLE_DF``) removes the remaining quadratic failure mode
+    of a single corpus-hot shingle key."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs, 3)
+    sh0 = _shingles(docs, 3)
+    ok = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh0.join(ok, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
