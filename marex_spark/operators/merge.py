@@ -41,10 +41,18 @@ def _slice_overlaps(ids_a: dict, ids_b: dict) -> np.ndarray:
         return np.empty((0, 3), dtype=np.int64)
     pa = ids_a["id"][ia]
     pb = ids_b["id"][ib]
-    m = max(int(pa.max()), int(pb.max())) + 1
-    pair = pa * m + pb
-    uniq, counts = np.unique(pair, return_counts=True)
-    return np.column_stack((uniq // m, uniq % m, counts)).astype(np.int64)
+    # encode pairs via compact per-slice indices, NOT raw ids: raw-id
+    # encoding (pa * max_id + pb) overflows int64 once ids exceed
+    # ~3e9 — which both a 100 TB label space and the parallel tier's
+    # block-local id namespaces do
+    ua, ia_inv = np.unique(pa, return_inverse=True)
+    ub, ib_inv = np.unique(pb, return_inverse=True)
+    m = len(ub)
+    code = ia_inv.astype(np.int64) * m + ib_inv
+    uniq, counts = np.unique(code, return_counts=True)
+    return np.column_stack(
+        (ua[uniq // m], ub[uniq % m], counts)
+    ).astype(np.int64)
 
 
 def _apply_threshold(pairs: np.ndarray, areas: dict, threshold: float) -> np.ndarray:
@@ -144,6 +152,11 @@ def _min_dist_to_members(
             )
         out = np.minimum(out, d.min(axis=1))
     return out
+
+
+# round count of the most recent split_merge_events_parallel call —
+# introspection for tests/benchmarks (2-3 expected; n_blocks worst case)
+LAST_PARALLEL_ROUNDS = 0
 
 
 @dataclass
@@ -462,6 +475,33 @@ def split_merge_events(
     return out_df, ledger_df
 
 
+def _resolve_block(resolver: "_Resolver", carry: list, slices: dict, stimes: list) -> None:
+    """Resolve one contiguous block of timesteps against a carry (the
+    previous block's last two post-resolution slices, already emitted).
+    This is the chunk-boundary sequencing shared by the chunked and
+    parallel drivers (reference chunk loop, track.py:3377-3420):
+
+    - consolidation (M10) needs t-1 mutable, so it is skipped when t-1
+      is the carry — the previous block's end-of-block pass (below)
+      already consolidated it (relative_t > 0 guard, track.py:3396);
+    - the block ends with a final consolidation of its last two slices
+      (end-of-chunk rule, track.py:3602-3615).
+    """
+    for _, csl in carry:
+        resolver.register_slice(csl)  # no-op recompute under the chunked
+        # driver (same values); required for a fresh per-block resolver
+    for ti in range(len(stimes)):
+        resolver.register_slice(slices[ti])
+    seq = carry + [(stimes[i], slices[i]) for i in range(len(stimes))]
+    first_new = len(carry)
+    for i in range(max(first_new, 1), len(seq)):
+        if i >= 2 and i - 1 >= first_new:
+            resolver.consolidate(seq[i - 2][1], seq[i - 1][1])
+        resolver.transition(seq[i - 1][1], seq[i][1], seq[i][0])
+    if len(seq) >= 2:
+        resolver.consolidate(seq[-2][1], seq[-1][1])
+
+
 def _ledger_df(spark, ledger: MergeLedger, time_col: str, time_type: str) -> DataFrame:
     pdf = pd.DataFrame(
         {
@@ -541,22 +581,7 @@ def split_merge_events_chunked(
             .toPandas()
         )
         slices, stimes = resolver.build_slices(pdf, time_col)
-        for ti in range(len(stimes)):
-            resolver.register_slice(slices[ti])
-
-        seq = carry + [(stimes[i], slices[i]) for i in range(len(stimes))]
-        first_new = len(carry)
-        for i in range(max(first_new, 1), len(seq)):
-            # consolidation needs t-1 mutable; at a chunk's first
-            # transition t-1 is the (already-emitted) carry — the
-            # reference skips it there too (relative_t > 0 guard,
-            # track.py:3396) because the end-of-chunk pass below
-            # already consolidated it
-            if i >= 2 and i - 1 >= first_new:
-                resolver.consolidate(seq[i - 2][1], seq[i - 1][1])
-            resolver.transition(seq[i - 1][1], seq[i][1], seq[i][0])
-        if len(seq) >= 2:
-            resolver.consolidate(seq[-2][1], seq[-1][1])
+        _resolve_block(resolver, carry, slices, stimes)
 
         chunk_pdf = pd.concat(
             [
@@ -587,6 +612,253 @@ def split_merge_events_chunked(
         else labels.limit(0).select(time_col, "y", "x", "obj_id")
     )
     return out_df, _ledger_df(spark, resolver.ledger, time_col, time_type)
+
+
+def split_merge_events_parallel(
+    labels: DataFrame,
+    nx: int,
+    block_steps: int = 64,
+    overlap_threshold: float = 0.5,
+    wrap_x: bool = True,
+    time_col: str = "time",
+    nn_partitioning: bool = False,
+    max_iter_per_step: int = 10,
+    max_rounds: int | None = None,
+    labels_materialized: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Wall-clock-parallel merge resolution (the reference's batched
+    iteration tier, track.py:3804-4814, re-expressed for Spark).
+
+    The time axis splits into blocks of ``block_steps``; every block is
+    resolved *concurrently* as one ``applyInPandas`` group running the
+    identical block kernel the chunked driver uses (``_resolve_block``),
+    with carry-in = the previous block's last two post-resolution
+    slices. Because block b's true carry isn't known until b-1 is
+    resolved, the driver iterates Jacobi-style: round r feeds every
+    block the carry produced in round r-1, until all carries reach a
+    fixpoint (block 0 is exact after round 1, block b after ≤ b+1
+    rounds, so ≤ #blocks rounds — in practice 2-3, because a block's
+    resolution rarely changes its final two slices). Per round the
+    driver holds only the carries and ledgers (small); the cells stay
+    distributed. Block-local new ids live in disjoint namespaces
+    (``global_max + 1 + block·2^33``) and are renumbered afterwards in
+    (block, creation-order) order — exactly the serial counter's time
+    order — so output and ledger match ``split_merge_events`` exactly
+    (asserted in tests/test_merge.py::test_parallel_matches_oneshot).
+    """
+    spark = labels.sparkSession
+    if not labels_materialized:
+        labels = labels.localCheckpoint()
+    times = [
+        r[0]
+        for r in labels.select(time_col).distinct().orderBy(time_col).collect()
+    ]
+    time_type = labels.schema[time_col].dataType.simpleString()
+    n_blocks = max(1, -(-len(times) // block_steps))
+    if n_blocks <= 1:
+        return split_merge_events_chunked(
+            labels,
+            nx=nx,
+            chunk_steps=block_steps,
+            overlap_threshold=overlap_threshold,
+            wrap_x=wrap_x,
+            time_col=time_col,
+            nn_partitioning=nn_partitioning,
+            max_iter_per_step=max_iter_per_step,
+            labels_materialized=True,
+        )
+
+    block_of = {t: i // block_steps for i, t in enumerate(times)}
+    carry_times = set()  # last two times of every non-final block
+    for b in range(n_blocks - 1):
+        carry_times.update(times[: (b + 1) * block_steps][-2:])
+    blocks_df = F.broadcast(
+        spark.createDataFrame(
+            [(t, b) for t, b in block_of.items()],
+            schema=f"{time_col} {time_type}, block long",
+        )
+    )
+    global_max = int(labels.agg(F.max("obj_id")).first()[0] or 0)
+    stride = 1 << 33
+
+    cells_b = (
+        labels.select(time_col, "y", "x", "obj_id")
+        .join(blocks_df, time_col)
+        .localCheckpoint()
+    )
+
+    out_schema = (
+        f"block long, kind int, seq long, k long, {time_col} {time_type}, "
+        "y long, x long, obj_id long, parent long, overlap long"
+    )
+
+    def _block_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["block"].iloc[0])
+        carry_pdf = pdf[pdf["is_carry"] == 1]
+        cells_pdf = pdf[pdf["is_carry"] == 0]
+        resolver = _Resolver(
+            nx=nx,
+            wrap_x=wrap_x,
+            overlap_threshold=overlap_threshold,
+            max_iter_per_step=max_iter_per_step,
+            grid=True,
+            nn_partitioning=nn_partitioning,
+        )
+        resolver.next_new_id = global_max + 1 + b * stride
+        carry = []
+        if len(carry_pdf):
+            cslices, ctimes = resolver.build_slices(carry_pdf, time_col)
+            carry = [(ctimes[i], cslices[i]) for i in range(len(ctimes))]
+        slices, stimes = resolver.build_slices(cells_pdf, time_col)
+        _resolve_block(resolver, carry, slices, stimes)
+
+        frames = []
+        for i in range(len(stimes)):
+            sl = slices[i]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "block": b,
+                        "kind": 0,
+                        "seq": 0,
+                        "k": 0,
+                        time_col: stimes[i],
+                        "y": sl["c1"],
+                        "x": sl["c2"],
+                        "obj_id": sl["id"],
+                        "parent": 0,
+                        "overlap": 0,
+                    }
+                )
+            )
+        led = resolver.ledger
+        for si in range(len(led.times)):
+            n_par = len(led.parent_ids[si])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "block": b,
+                        "kind": 2,
+                        "seq": si,
+                        "k": np.arange(n_par, dtype=np.int64),
+                        time_col: led.times[si],
+                        "y": 0,
+                        "x": 0,
+                        "obj_id": led.child_ids[si],
+                        "parent": led.parent_ids[si],
+                        "overlap": led.areas[si],
+                    }
+                )
+            )
+        if frames:
+            return pd.concat(frames, ignore_index=True)
+        empty = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "block": empty,
+                "kind": empty.astype(np.int32),
+                "seq": empty,
+                "k": empty,
+                time_col: pd.to_datetime([]),
+                "y": empty,
+                "x": empty,
+                "obj_id": empty,
+                "parent": empty,
+                "overlap": empty,
+            }
+        )
+
+    def _carry_key(pdf: pd.DataFrame):
+        return sorted(
+            zip(pdf[time_col], pdf["y"], pdf["x"], pdf["obj_id"])
+        )
+
+    carry_in: dict[int, pd.DataFrame | None] = {b: None for b in range(n_blocks)}
+    rounds_cap = max_rounds or n_blocks
+    out = None
+    global LAST_PARALLEL_ROUNDS
+    LAST_PARALLEL_ROUNDS = 0
+    for _ in range(rounds_cap):
+        LAST_PARALLEL_ROUNDS += 1
+        inp = cells_b.withColumn("is_carry", F.lit(0))
+        carry_frames = [
+            pdf.assign(block=b)
+            for b, pdf in carry_in.items()
+            if pdf is not None and len(pdf)
+        ]
+        if carry_frames:
+            cdf = spark.createDataFrame(
+                pd.concat(carry_frames, ignore_index=True)[
+                    [time_col, "y", "x", "obj_id", "block"]
+                ],
+                schema=f"{time_col} {time_type}, y long, x long, obj_id long, block long",
+            ).withColumn("is_carry", F.lit(1))
+            inp = inp.unionByName(cdf)
+        # explicit repartition by block: AQE would otherwise coalesce
+        # the small shuffle and serialise the per-block kernels
+        n_part = max(n_blocks, spark.sparkContext.defaultParallelism)
+        out = (
+            inp.repartition(n_part, "block")
+            .groupBy("block")
+            .applyInPandas(_block_kernel, schema=out_schema)
+            .localCheckpoint()
+        )
+        co = out.filter(
+            (F.col("kind") == 0) & F.col(time_col).isin(list(carry_times))
+        ).toPandas()
+        new_carry: dict[int, pd.DataFrame | None] = {0: None}
+        for b in range(n_blocks - 1):
+            g = co[co["block"] == b][[time_col, "y", "x", "obj_id"]]
+            new_carry[b + 1] = g if len(g) else None
+        stable = all(
+            (
+                (new_carry[b] is None and carry_in[b] is None)
+                or (
+                    new_carry[b] is not None
+                    and carry_in[b] is not None
+                    and _carry_key(new_carry[b]) == _carry_key(carry_in[b])
+                )
+            )
+            for b in range(n_blocks)
+        )
+        if stable:
+            break
+        carry_in = new_carry
+
+    # ---- renumber block-local new ids into the serial time-order counter
+    led_pdf = out.filter(F.col("kind") == 2).toPandas()
+    led_pdf = led_pdf.sort_values(["block", "seq", "k"]).reset_index(drop=True)
+    created = sorted(
+        {int(i) for i in led_pdf["obj_id"] if int(i) > global_max}
+    )  # block offsets are ascending with block, local ids ascending with
+    # creation order → ascending sort IS serial creation order
+    renum = {old: global_max + 1 + i for i, old in enumerate(created)}
+
+    cells_out = out.filter(F.col("kind") == 0).select(time_col, "y", "x", "obj_id")
+    if renum:
+        map_df = F.broadcast(
+            spark.createDataFrame(
+                list(renum.items()), schema="old long, new long"
+            )
+        )
+        cells_out = (
+            cells_out.join(map_df, cells_out["obj_id"] == map_df["old"], "left")
+            .withColumn("obj_id", F.coalesce("new", "obj_id"))
+            .select(time_col, "y", "x", "obj_id")
+        )
+
+    ledger = MergeLedger([], [], [], [])
+    for (_, _), grp in led_pdf.groupby(["block", "seq"], sort=True):
+        grp = grp.sort_values("k")
+        ledger.times.append(grp[time_col].iloc[0])
+        ledger.child_ids.append(
+            np.array([renum.get(int(i), int(i)) for i in grp["obj_id"]], dtype=np.int64)
+        )
+        ledger.parent_ids.append(
+            np.array([renum.get(int(i), int(i)) for i in grp["parent"]], dtype=np.int64)
+        )
+        ledger.areas.append(grp["overlap"].to_numpy(np.int64))
+    return cells_out, _ledger_df(spark, ledger, time_col, time_type)
 
 
 def split_merge_events_unstructured(

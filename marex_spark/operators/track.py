@@ -94,6 +94,7 @@ def track_events(
     allow_merging: bool = False,
     nn_partitioning: bool = False,
     merge_chunk_steps: int | None = 64,
+    merge_parallel: bool = False,
 ) -> TrackResult:
     """Boolean extreme field → globally labelled events with stats.
 
@@ -110,7 +111,10 @@ def track_events(
 
     The memory-bounded chunked resolver is the DEFAULT
     (``merge_chunk_steps=64``, driver memory O(chunk) not O(series));
-    pass ``merge_chunk_steps=None`` to opt into the one-shot collect.
+    pass ``merge_chunk_steps=None`` to opt into the one-shot collect,
+    or ``merge_parallel=True`` for the wall-clock-parallel time-block
+    tier (identical output, blocks resolved concurrently — the scale
+    path for multi-decade runs).
     """
     labels = label_components(
         extremes,
@@ -127,9 +131,21 @@ def track_events(
         from marex_spark.operators.merge import (
             split_merge_events,
             split_merge_events_chunked,
+            split_merge_events_parallel,
         )
 
-        if merge_chunk_steps:
+        if merge_parallel:
+            labels, ledger = split_merge_events_parallel(
+                labels,
+                nx=nx,
+                block_steps=merge_chunk_steps or 64,
+                overlap_threshold=overlap_threshold,
+                wrap_x=wrap_x,
+                time_col=time_col,
+                nn_partitioning=nn_partitioning,
+                labels_materialized=True,
+            )
+        elif merge_chunk_steps:
             labels, ledger = split_merge_events_chunked(
                 labels,
                 nx=nx,

@@ -367,6 +367,33 @@ def trk_m9_split_merge(spark, sf_dir):
     return life.orderBy("event_id")
 
 
+@register("trk_m9_parallel")
+def trk_m9_parallel(spark, sf_dir):
+    """Wall-clock-parallel split/merge tier (the reference's batched
+    iteration mode, track.py:3804-4814): time-blocks resolved
+    concurrently as applyInPandas groups, Jacobi carry fixpoint,
+    output exactly equal to the serial resolver (pinned by
+    tests/test_merge.py::test_parallel_matches_oneshot; this entry
+    mirrors trk_m9 so the driver sees identical rows). Rows-only.
+    Small block_steps so several blocks + carry rounds engage even on
+    the small fixture."""
+    from marex_spark.operators.track import track_events
+
+    base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
+    res = track_events(
+        base, nx=NXG, time_col="d", overlap_threshold=0.5,
+        compute_stats=False, allow_merging=True,
+        merge_parallel=True, merge_chunk_steps=8,
+    )
+    life = res.events.groupBy("event_id").agg(
+        F.min("d").alias("time_start"),
+        F.max("d").alias("time_end"),
+        F.countDistinct("d").cast("long").alias("n_timesteps"),
+        F.count("*").cast("long").alias("total_cells"),
+    )
+    return life.orderBy("event_id")
+
+
 @register("trk_j9_merge_ledger")
 def trk_j9_merge_ledger(spark, sf_dir):
     """J9: merge-ledger scatter — explode the per-merge parent arrays to

@@ -108,6 +108,37 @@ def test_pieces_follow_parents_before_collision(spark, two_blob_field):
         ), (t, lon)
 
 
+@pytest.mark.parametrize("block_steps", [3, 4])
+def test_parallel_matches_oneshot(spark, two_blob_field, block_steps):
+    """The Jacobi time-block tier must converge to exactly the serial
+    resolver's labels and ledger, including new-id numbering (the
+    collision at t=8 straddles or lands inside a block depending on
+    block_steps, exercising both carry paths)."""
+    from marex_spark.operators.label import label_components
+    from marex_spark.operators.merge import (
+        split_merge_events,
+        split_merge_events_parallel,
+    )
+
+    labels = label_components(two_blob_field, nx=NX)
+    one, ledger_one = split_merge_events(labels, nx=NX, overlap_threshold=0.5)
+    par, ledger_par = split_merge_events_parallel(
+        labels, nx=NX, block_steps=block_steps, overlap_threshold=0.5
+    )
+    a = {(r.time, r.y, r.x, r.obj_id) for r in one.collect()}
+    b = {(r.time, r.y, r.x, r.obj_id) for r in par.collect()}
+    assert a == b
+    la = [
+        (r.time, tuple(r.parent_ids), tuple(r.child_ids), tuple(r.overlap_areas))
+        for r in ledger_one.collect()
+    ]
+    lb = [
+        (r.time, tuple(r.parent_ids), tuple(r.child_ids), tuple(r.overlap_areas))
+        for r in ledger_par.collect()
+    ]
+    assert la == lb
+
+
 def test_chunked_matches_oneshot(spark, two_blob_field):
     """The memory-bounded chunk loop must reproduce the one-shot serial
     kernel exactly — labels, event count, and ledger."""
