@@ -135,20 +135,88 @@ def detect_extremes_blocked(
     )
 
 
+def pack_gridded(
+    series: DataFrame,
+    nx: int,
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Long (time, y, x, value) → packed (time, y, vals array<float>)
+    layout (the Spark analogue of the reference's zarr chunks,
+    detect.py:535 chunking). One shuffle; gaps become nulls in the
+    array (→ NaN in the kernel, preserving the drop-null semantics).
+    Ingestion jobs should land gridded data in this layout once and
+    reuse it — every downstream blocked pass then moves plain float
+    arrays through Arrow instead of per-cell tuples."""
+    m = F.map_from_entries(F.collect_list(F.struct("x", value_col)))
+    idx = F.sequence(F.lit(0), F.lit(nx - 1))
+    return (
+        series.groupBy(time_col, "y")
+        .agg(m.alias("m"))
+        .select(
+            time_col,
+            "y",
+            F.transform(idx, lambda i: F.element_at(F.col("m"), i)).alias("vals"),
+        )
+    )
+
+
+def detect_extremes_blocked_packed(
+    packed: DataFrame,
+    threshold_percentile: float = 0.95,
+    method_percentile: str = "exact",
+    precision: float = 0.01,
+    max_anomaly: float = 5.0,
+    time_col: str = "time",
+) -> DataFrame:
+    """Blocked detect over the PACKED layout (time, y, vals array<float>):
+    same kernel and semantics as :func:`detect_extremes_blocked`
+    (parity-pinned in tests), but the band matrix is assembled by
+    stacking rows' arrays — no per-cell factorize, and the shuffle +
+    Arrow transfer carry ×nx fewer rows. This is the SCALE.md "array
+    columns end-to-end" lever."""
+    exact = method_percentile == "exact"
+    spark = packed.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        for y, g in pdf.groupby("y", sort=False):
+            g = g.sort_values(time_col)
+            ut = g[time_col].to_numpy()
+            m = np.stack(g["vals"].to_numpy()).astype(np.float64)
+            doy = pd.DatetimeIndex(ut).dayofyear.to_numpy() - 1
+            ext = _detect_band(
+                m, doy, threshold_percentile, exact, precision, max_anomaly
+            )
+            tt, xx = np.nonzero(ext)
+            yield pd.DataFrame(
+                {time_col: ut[tt], "y": y, "x": xx.astype(np.int32)}
+            )
+
+    time_type = packed.schema[time_col].dataType.simpleString()
+    out_schema = f"{time_col} {time_type}, y int, x int"
+    return packed.repartition(parallelism, "y").mapInPandas(_run, schema=out_schema)
+
+
 def detect_track_blocked(
     spark,
     sf: float,
     method_percentile: str = "histogram",
 ) -> int:
-    """Bench harness: blocked detect feeding the standard tracking
-    stages (same sizes as pipeline.detect_track_bench)."""
+    """Bench harness: packed-layout blocked detect feeding the standard
+    tracking stages (same sizes as pipeline.detect_track_bench; the
+    packed source generates value-identical data to the long source)."""
     from marex_spark.operators.track import track_events
-    from marex_spark.sources.synthetic import synthetic_sst_gridded
+    from marex_spark.sources.synthetic import synthetic_sst_gridded_packed
 
     n_years = max(2, int(round(30 * sf)))
     ny, nx = (40, 80) if sf >= 0.05 else (20, 40)
-    series = synthetic_sst_gridded(spark, n_years=n_years, ny=ny, nx=nx)
-    cells = detect_extremes_blocked(series, method_percentile=method_percentile)
+    packed = synthetic_sst_gridded_packed(spark, n_years=n_years, ny=ny, nx=nx)
+    cells = detect_extremes_blocked_packed(packed, method_percentile=method_percentile)
     ext = cells.withColumn("extreme", F.lit(True))
     res = track_events(ext, nx=nx, compute_stats=False)
     res.events.write.mode("overwrite").format("noop").save()

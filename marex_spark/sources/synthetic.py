@@ -57,6 +57,48 @@ def synthetic_sst_gridded(
     )
 
 
+def synthetic_sst_gridded_packed(
+    spark: SparkSession,
+    n_years: int = 5,
+    ny: int = 20,
+    nx: int = 40,
+    start: str = "2000-01-01",
+    trend_per_year: float = 0.02,
+    noise_amp: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """The same series as :func:`synthetic_sst_gridded`, generated in the
+    PACKED gridded layout: one row per (time, y) with ``vals`` =
+    array<float> over x (the Spark analogue of the reference's zarr
+    chunk layout). Value-identical to the long form (same expressions,
+    same hash noise — pinned by tests/test_detect_blocked.py); rows
+    shrink ×nx, so the detect shuffle and Arrow transfer move plain
+    float arrays instead of per-cell (time,y,x,value) tuples."""
+    n_days = n_years * 365
+    t = spark.range(n_days).select(F.col("id").alias("t"))
+    yy = spark.range(ny).select(F.col("id").cast("int").alias("y"))
+    df = t.crossJoin(yy)
+
+    time = F.timestamp_add("DAY", F.col("t").cast("int"), F.lit(start).cast("timestamp"))
+    lat = -85.0 + F.col("y") * (170.0 / max(ny - 1, 1))
+    seasonal = 8.0 * F.cos(2 * 3.141592653589793 * (F.col("t") % 365) / 365.0) * F.signum(
+        -lat
+    )
+    base = 18.0 - 0.25 * F.abs(lat)
+    trend = F.lit(trend_per_year) * (F.col("t") / 365.0)
+    xs = F.sequence(F.lit(0), F.lit(nx - 1))
+    vals = F.transform(
+        xs,
+        lambda x: (
+            base
+            + seasonal
+            + trend
+            + _uniform([F.col("t"), F.col("y"), x], -noise_amp, noise_amp, seed)
+        ).cast("float"),
+    )
+    return df.select(time.alias("time"), "y", vals.alias("vals"))
+
+
 def grid_dims(spark: SparkSession, ny: int = 20, nx: int = 40):
     """Dimension tables (FIXTURES.md §1): grid_y(y, lat), grid_x(x, lon)
     spanning the full globe so periodic-x logic is exercised."""

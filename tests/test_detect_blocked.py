@@ -73,3 +73,48 @@ def test_blocked_frequency(spark, series):
     n_ext = detect_extremes_blocked(series, method_percentile="exact").count()
     frac = n_ext / n_total
     assert 0.03 <= frac <= 0.07, frac
+
+
+def test_packed_source_matches_long(spark):
+    """The packed generator must be value-identical to the long one."""
+    from marex_spark.sources.synthetic import (
+        synthetic_sst_gridded,
+        synthetic_sst_gridded_packed,
+    )
+
+    long_df = synthetic_sst_gridded(spark, n_years=1, ny=4, nx=6)
+    packed = synthetic_sst_gridded_packed(spark, n_years=1, ny=4, nx=6)
+    a = {
+        (r.time, r.y, r.x, round(r.value, 5)) for r in long_df.collect()
+    }
+    b = {
+        (r.time, r.y, x, round(v, 5))
+        for r in packed.collect()
+        for x, v in enumerate(r.vals)
+    }
+    assert a == b
+
+
+@pytest.mark.parametrize("mp", ["exact", "histogram"])
+def test_packed_detect_matches_long(spark, series, mp):
+    """Packed-layout detect == long-format blocked detect, dense and
+    gappy (gaps land as nulls in the packed arrays → NaN in the
+    kernel)."""
+    from marex_spark.operators.detect_blocked import (
+        detect_extremes_blocked_packed,
+        pack_gridded,
+    )
+
+    gappy = series.filter(F.pmod(F.xxhash64("time", "y", "x"), F.lit(17)) != 0)
+    for src in (series, gappy):
+        long_cells = {
+            (r.time, r.y, r.x)
+            for r in detect_extremes_blocked(src, method_percentile=mp).collect()
+        }
+        packed_cells = {
+            (r.time, r.y, r.x)
+            for r in detect_extremes_blocked_packed(
+                pack_gridded(src, nx=20), method_percentile=mp
+            ).collect()
+        }
+        assert long_cells == packed_cells
