@@ -1,0 +1,61 @@
+"""Typed exception surface (reference exceptions.py:11-295).
+
+The reference raises a small hierarchy rooted at MarExError so callers
+can catch validation vs configuration vs tracking failures separately;
+this module mirrors that contract (names and category semantics, not
+the implementation) with structured context carried on the exception.
+"""
+
+from __future__ import annotations
+
+
+class MarexSparkError(Exception):
+    """Base class (reference MarExError, exceptions.py:11): message plus
+    optional structured ``details`` and remediation ``suggestions``."""
+
+    def __init__(
+        self,
+        message: str,
+        details: dict | None = None,
+        suggestions: list[str] | None = None,
+    ):
+        self.details = details or {}
+        self.suggestions = suggestions or []
+        parts = [message]
+        if self.details:
+            parts.append(
+                "details: " + ", ".join(f"{k}={v}" for k, v in self.details.items())
+            )
+        if self.suggestions:
+            parts.append("try: " + "; ".join(self.suggestions))
+        super().__init__(" | ".join(parts))
+
+
+class DataValidationError(MarexSparkError):
+    """Invalid input data — NaN audit failures, empty series, wrong
+    dtypes (reference exceptions.py:84)."""
+
+
+class CoordinateError(MarexSparkError):
+    """Broken coordinate assumptions — unknown columns, unsortable or
+    duplicated time axis, grid mismatches (reference exceptions.py:122)."""
+
+
+class ConfigurationError(MarexSparkError):
+    """Invalid parameter combinations or unknown method names
+    (reference exceptions.py:180)."""
+
+
+class ProcessingError(MarexSparkError):
+    """A pipeline stage failed mid-computation (reference
+    exceptions.py:151)."""
+
+
+class DependencyError(MarexSparkError):
+    """An optional dependency (xarray, codecs) is missing (reference
+    exceptions.py:217)."""
+
+
+class TrackingError(MarexSparkError):
+    """Tracking-stage contract violations — missing geometry tables,
+    non-boolean fields (reference exceptions.py:255)."""

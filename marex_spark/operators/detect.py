@@ -57,10 +57,22 @@ def audit_series(
         F.sum("n_invalid").alias("invalid"), F.sum("n_total").alias("total")
     ).first()
     if worst:
-        raise ValueError(
+        from marex_spark.exceptions import DataValidationError
+
+        raise DataValidationError(
             f"series audit failed: {len(worst)}+ cells exceed "
-            f"{max_invalid_fraction:.0%} invalid; worst: "
-            + ", ".join(f"{tuple(r[k] for k in keys)}={r.n_invalid}/{r.n_total}" for r in worst)
+            f"{max_invalid_fraction:.0%} invalid",
+            details={
+                "worst": ", ".join(
+                    f"{tuple(r[k] for k in keys)}={r.n_invalid}/{r.n_total}"
+                    for r in worst
+                ),
+                "max_invalid_fraction": max_invalid_fraction,
+            },
+            suggestions=[
+                "mask or fill the flagged cells before detect",
+                "raise max_invalid_fraction if the gaps are expected (ice/QC)",
+            ],
         )
     return {"invalid": summary.invalid, "total": summary.total}
 
@@ -119,10 +131,18 @@ def preprocess_data(
     dedupes the shuffle; ``checkpoint=True`` materialises it instead
     (the reference's post-anomaly zarr checkpoint, detect.py:646-648).
     """
+    from marex_spark.exceptions import ConfigurationError
+
     if method_anomaly not in ANOMALY_METHODS:
-        raise ValueError(f"method_anomaly must be one of {ANOMALY_METHODS}")
+        raise ConfigurationError(
+            "unknown method_anomaly",
+            details={"got": method_anomaly, "valid": ANOMALY_METHODS},
+        )
     if method_extreme not in EXTREME_METHODS:
-        raise ValueError(f"method_extreme must be one of {EXTREME_METHODS}")
+        raise ConfigurationError(
+            "unknown method_extreme",
+            details={"got": method_extreme, "valid": EXTREME_METHODS},
+        )
 
     clean = df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col))
     clean = partition_by_cells(clean, keys)

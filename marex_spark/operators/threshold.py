@@ -158,7 +158,12 @@ def hobday_threshold_hist(
         # would put an eager job inside plan construction (the
         # anti-pattern SURVEY §3.1 flags in the reference)
         if nx is None or ny is None:
-            raise ValueError("spatial_window pooling needs nx and ny")
+            from marex_spark.exceptions import ConfigurationError
+
+            raise ConfigurationError(
+                "spatial_window pooling needs nx and ny",
+                details={"spatial_window": spatial_window},
+            )
         s = spatial_window // 2
         soffs = F.array([F.lit(o) for o in range(-s, s + 1)])
         fan2 = (

@@ -213,7 +213,13 @@ def track_events_unstructured(
     extras: dict = {}
     if allow_merging:
         if cell_geo is None:
-            raise ValueError("allow_merging needs cell_geo (cell, lat, lon)")
+            from marex_spark.exceptions import TrackingError
+
+            raise TrackingError(
+                "allow_merging needs cell_geo",
+                details={"expected_columns": "(cell, lat, lon)"},
+                suggestions=["pass cell_geo=grid dimension table"],
+            )
         from marex_spark.operators.merge import split_merge_events_unstructured
 
         labels, ledger = split_merge_events_unstructured(

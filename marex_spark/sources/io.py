@@ -71,9 +71,15 @@ def ingest_netcdf(
     try:
         import xarray as xr  # noqa: F401
     except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "NetCDF ingestion needs xarray+netCDF4; convert to parquet "
-            "offline or install the codecs"
+        from marex_spark.exceptions import DependencyError
+
+        raise DependencyError(
+            "NetCDF ingestion needs xarray+netCDF4",
+            details={"path": nc_path},
+            suggestions=[
+                "convert to parquet offline (tools/ingest_zarr.py for zarr)",
+                "install xarray + netCDF4 codecs",
+            ],
         ) from e
     ds = xr.open_dataset(nc_path)  # pragma: no cover
     pdf = ds[var].to_dataframe().reset_index()  # pragma: no cover

@@ -128,7 +128,9 @@ def test_histogram_vs_exact_threshold_close(sst):
 
 
 def test_invalid_method_raises(sst):
-    with pytest.raises(ValueError):
+    from marex_spark.exceptions import ConfigurationError, MarexSparkError
+
+    with pytest.raises(ConfigurationError):
         preprocess_data(sst, method_anomaly="nope")
-    with pytest.raises(ValueError):
+    with pytest.raises(MarexSparkError):  # typed hierarchy: base catches
         preprocess_data(sst, method_extreme="nope")

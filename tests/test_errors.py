@@ -1,0 +1,57 @@
+"""Typed exception surface (reference tests/test_error_handling.py
+coverage of exceptions.py:11-295): hierarchy, structured context in the
+message, and the operator preconditions that raise each category."""
+
+from __future__ import annotations
+
+import pytest
+
+from marex_spark.exceptions import (
+    ConfigurationError,
+    DataValidationError,
+    MarexSparkError,
+    TrackingError,
+)
+
+
+def test_hierarchy_and_message_structure():
+    e = DataValidationError(
+        "bad data", details={"cells": 3}, suggestions=["mask them"]
+    )
+    assert isinstance(e, MarexSparkError)
+    assert "bad data" in str(e)
+    assert "cells=3" in str(e)
+    assert "mask them" in str(e)
+    assert e.details == {"cells": 3}
+
+
+def test_audit_raises_data_validation_with_context(spark):
+    from marex_spark.operators.detect import audit_series
+
+    df = spark.createDataFrame(
+        [(1, 1, float("nan")), (2, 2, 5.0)], "y int, x int, value double"
+    )
+    with pytest.raises(DataValidationError) as ei:
+        audit_series(df)
+    assert "worst" in ei.value.details
+    assert ei.value.suggestions
+
+
+def test_unknown_method_is_configuration_error(spark):
+    from marex_spark.operators.detect import preprocess_data
+
+    df = spark.createDataFrame([(1, 1, 5.0)], "y int, x int, value double")
+    with pytest.raises(ConfigurationError) as ei:
+        preprocess_data(df, method_anomaly="bogus")
+    assert ei.value.details["got"] == "bogus"
+
+
+def test_unstructured_merge_needs_cell_geo(spark):
+    from marex_spark.operators.track import track_events_unstructured
+
+    ext = spark.createDataFrame(
+        [("2020-01-01", 1, True)], "time string, cell long, extreme boolean"
+    ).selectExpr("CAST(time AS timestamp) time", "cell", "extreme")
+    edges = spark.createDataFrame([(1, 2)], "cell long, nbr long")
+    with pytest.raises(TrackingError, match="cell_geo"):
+        track_events_unstructured(ext, edges, allow_merging=True)

@@ -1,0 +1,101 @@
+"""Zarr-v2 ingestion round-trip (reference helper.py:733-736 native
+input path): a store written chunk-by-chunk with the stdlib (zlib
+codec, NaN fill) must land in the engine's long and packed layouts
+with exact values — including edge chunks and missing-chunk fill."""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    """5×4×6 (time,y,x) float32 store, chunks (2,3,4) → edge chunks on
+    every axis; one chunk file deliberately missing (all-fill)."""
+    root = tmp_path_factory.mktemp("zstore")
+    T, NY, NX = 5, 4, 6
+    ct, cy, cx = 2, 3, 4
+    a = (
+        np.arange(T)[:, None, None] * 100.0
+        + np.arange(NY)[None, :, None] * 10.0
+        + np.arange(NX)[None, None, :]
+    ).astype(np.float32)
+
+    var_dir = root / "sst"
+    var_dir.mkdir()
+    meta = {
+        "zarr_format": 2,
+        "shape": [T, NY, NX],
+        "chunks": [ct, cy, cx],
+        "dtype": "<f4",
+        "order": "C",
+        "compressor": {"id": "zlib", "level": 1},
+        "fill_value": "NaN",
+        "filters": None,
+    }
+    (var_dir / ".zarray").write_text(json.dumps(meta))
+    for it in range(-(-T // ct)):
+        for iy in range(-(-NY // cy)):
+            for ix in range(-(-NX // cx)):
+                if (it, iy, ix) == (2, 1, 1):
+                    continue  # missing chunk → fill
+                chunk = np.full((ct, cy, cx), np.nan, dtype=np.float32)
+                ts = a[it * ct : (it + 1) * ct, iy * cy : (iy + 1) * cy, ix * cx : (ix + 1) * cx]
+                chunk[: ts.shape[0], : ts.shape[1], : ts.shape[2]] = ts
+                (var_dir / f"{it}.{iy}.{ix}").write_bytes(
+                    zlib.compress(chunk.tobytes(), 1)
+                )
+
+    tdir = root / "time"
+    tdir.mkdir()
+    (tdir / ".zarray").write_text(
+        json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": [T],
+                "chunks": [T],
+                "dtype": "<i8",
+                "order": "C",
+                "compressor": None,
+                "fill_value": 0,
+                "filters": None,
+            }
+        )
+    )
+    days = np.arange(18262, 18262 + T, dtype=np.int64)  # 2020-01-01…
+    (tdir / "0").write_bytes(days.tobytes())
+    return str(root), a
+
+
+def test_zarr_long_roundtrip(spark, store):
+    from marex_spark.sources.zarr import ingest_zarr_gridded
+
+    root, a = store
+    df = ingest_zarr_gridded(spark, root, "sst", layout="long")
+    got = {(r.time.day, r.y, r.x): r.value for r in df.collect()}
+    # the missing chunk (t∈{4}, y=3, x∈{4,5}) must be absent (fill=NaN)
+    expect = {
+        (t + 1, y, x): float(a[t, y, x])
+        for t in range(5)
+        for y in range(4)
+        for x in range(6)
+        if not (t == 4 and y == 3 and x >= 4)
+    }
+    assert set(got) == set(expect)
+    assert all(abs(got[k] - expect[k]) < 1e-5 for k in expect)
+
+
+def test_zarr_packed_roundtrip(spark, store):
+    from marex_spark.sources.zarr import ingest_zarr_gridded
+
+    root, a = store
+    packed = ingest_zarr_gridded(spark, root, "sst", layout="packed")
+    row = [r for r in packed.collect() if r.time.day == 2 and r.y == 1][0]
+    assert [round(v, 2) for v in row.vals] == [
+        round(float(a[1, 1, x]), 2) for x in range(6)
+    ]

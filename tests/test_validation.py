@@ -26,7 +26,9 @@ def test_audit_raises_with_report(spark):
     df = spark.createDataFrame(
         [(1, 1, float("nan")), (1, 1, 6.0)], "y int, x int, value double"
     )
-    with pytest.raises(ValueError, match="audit failed"):
+    from marex_spark.exceptions import DataValidationError
+
+    with pytest.raises(DataValidationError, match="audit failed"):
         audit_series(df)
 
 
@@ -72,7 +74,9 @@ def test_hobday_pooling_requires_nx(spark):
 
     series = synthetic_sst_gridded(spark, n_years=1, ny=4, nx=8)
     anom = anomaly_fixed_baseline(series)
-    with pytest.raises(ValueError, match="needs nx"):
+    from marex_spark.exceptions import ConfigurationError
+
+    with pytest.raises(ConfigurationError, match="needs nx"):
         hobday_threshold_hist(anom, spatial_window=5).count()
 
 
