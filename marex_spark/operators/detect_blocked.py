@@ -81,7 +81,7 @@ def _detect_band(
         thr = (sel - 1) * precision + precision * frac
         thr[sel == 0] = 0.0
     with np.errstate(invalid="ignore"):
-        return np.where(valid, anom >= thr[None, :], False)
+        return np.where(valid, anom >= thr[None, :], False), thr
 
 
 def detect_extremes_blocked(
@@ -114,7 +114,7 @@ def detect_extremes_blocked(
             doy = (
                 pd.DatetimeIndex(ut).dayofyear.to_numpy() - 1
             )
-            ext = _detect_band(
+            ext, _ = _detect_band(
                 m, doy, threshold_percentile, exact, precision, max_anomaly
             )
             tt, xx = np.nonzero(ext)
@@ -168,14 +168,22 @@ def detect_extremes_blocked_packed(
     precision: float = 0.01,
     max_anomaly: float = 5.0,
     time_col: str = "time",
+    output: str = "extremes",
 ) -> DataFrame:
     """Blocked detect over the PACKED layout (time, y, vals array<float>):
     same kernel and semantics as :func:`detect_extremes_blocked`
     (parity-pinned in tests), but the band matrix is assembled by
     stacking rows' arrays — no per-cell factorize, and the shuffle +
     Arrow transfer carry ×nx fewer rows. This is the SCALE.md "array
-    columns end-to-end" lever."""
+    columns end-to-end" lever.
+
+    ``output="thresholds"`` returns the per-cell threshold table
+    (y, x, threshold) instead of the sparse extreme cells — the
+    reference's thresholds output (detect.py:1119-1203), and the hook
+    the oracle gate uses to check the numpy kernel against SQL
+    quantile_cont."""
     exact = method_percentile == "exact"
+    thresholds = output == "thresholds"
     spark = packed.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
 
@@ -189,16 +197,28 @@ def detect_extremes_blocked_packed(
             ut = g[time_col].to_numpy()
             m = np.stack(g["vals"].to_numpy()).astype(np.float64)
             doy = pd.DatetimeIndex(ut).dayofyear.to_numpy() - 1
-            ext = _detect_band(
+            ext, thr = _detect_band(
                 m, doy, threshold_percentile, exact, precision, max_anomaly
             )
-            tt, xx = np.nonzero(ext)
-            yield pd.DataFrame(
-                {time_col: ut[tt], "y": y, "x": xx.astype(np.int32)}
-            )
+            if thresholds:
+                yield pd.DataFrame(
+                    {
+                        "y": y,
+                        "x": np.arange(m.shape[1], dtype=np.int32),
+                        "threshold": thr.astype(np.float64),
+                    }
+                )
+            else:
+                tt, xx = np.nonzero(ext)
+                yield pd.DataFrame(
+                    {time_col: ut[tt], "y": y, "x": xx.astype(np.int32)}
+                )
 
     time_type = packed.schema[time_col].dataType.simpleString()
-    out_schema = f"{time_col} {time_type}, y int, x int"
+    if thresholds:
+        out_schema = "y int, x int, threshold double"
+    else:
+        out_schema = f"{time_col} {time_type}, y int, x int"
     return packed.repartition(parallelism, "y").mapInPandas(_run, schema=out_schema)
 
 

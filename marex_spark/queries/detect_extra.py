@@ -181,3 +181,98 @@ def viz_clim_robust(spark, sf_dir):
         round6(F.percentile("value", F.lit(0.02))).alias("vmin"),
         round6(F.percentile("value", F.lit(0.98))).alias("vmax"),
     )
+
+
+# ------------------------------------------- packed blocked-kernel gate
+
+_PK_NY, _PK_NX = 6, 8
+_PK_NOISE = (
+    "CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(CAST(d AS VARCHAR), '|', "
+    "CAST(y AS VARCHAR), '|', CAST(x AS VARCHAR))), 1, 15)) AS BIGINT) "
+    "% 1000 / 1000.0"
+)
+
+
+@register(
+    "det_packed_threshold",
+    f"""WITH daily AS (
+          SELECT l_shipdate AS d,
+                 CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) / 1e6 AS rev
+          FROM lineitem GROUP BY 1),
+        grid AS (
+          SELECT d, y, x,
+                 rev + 2.0 * cos(2 * pi() * dayofyear(d) / 365.0)
+                     + {_PK_NOISE} AS value
+          FROM daily,
+               UNNEST(generate_series(0, {_PK_NY - 1})) AS ty(y),
+               UNNEST(generate_series(0, {_PK_NX - 1})) AS tx(x)),
+        anom AS (
+          SELECT y, x, value - AVG(value) OVER (
+                   PARTITION BY dayofyear(d), y, x) AS anomaly
+          FROM grid)
+        SELECT CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+               {round6_sql('quantile_cont(anomaly, 0.95)')} AS threshold
+        FROM anom GROUP BY 1, 2""",
+)
+def det_packed_threshold(spark, sf_dir):
+    """The packed blocked detect KERNEL vs SQL: doy climatology +
+    per-cell exact 95th-percentile threshold (detect.py:2365-2373 +
+    2887-2899) computed by the numpy band kernel over the packed
+    array-column layout, checked value-for-value against DuckDB's
+    quantile_cont. The seasonal term cancels inside each engine's own
+    climatology, so any doy-indexing or stacking bug in the kernel
+    surfaces as a value mismatch."""
+    from marex_spark.operators.detect_blocked import (
+        detect_extremes_blocked_packed,
+        pack_gridded,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        (
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
+            / 1e6
+        ).alias("rev")
+    )
+    yy = spark.range(_PK_NY).select(F.col("id").cast("int").alias("y"))
+    xx = spark.range(_PK_NX).select(F.col("id").cast("int").alias("x"))
+    noise = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("d").cast("string"),
+                        F.col("y").cast("string"),
+                        F.col("x").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+        / 1000.0
+    )
+    grid = (
+        daily.crossJoin(F.broadcast(yy))
+        .crossJoin(F.broadcast(xx))
+        .select(
+            "d",
+            "y",
+            "x",
+            (
+                F.col("rev")
+                + 2.0
+                * F.cos(2 * 3.141592653589793 * F.dayofyear("d") / 365.0)
+                + noise
+            ).alias("value"),
+        )
+    )
+    packed = pack_gridded(grid, nx=_PK_NX, time_col="d")
+    thr = detect_extremes_blocked_packed(
+        packed, method_percentile="exact", time_col="d", output="thresholds"
+    )
+    return thr.select("y", "x", round6(F.col("threshold")).alias("threshold"))
