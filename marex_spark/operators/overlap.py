@@ -36,22 +36,27 @@ def overlap_pairs(
     """Pairs of object IDs overlapping between consecutive steps with
     their overlap area: (id_t, id_next, overlap_area).
 
-    track.py:2396-2452's per-chunk kernel becomes a self-equi-join on
-    (t+1, cell) + groupBy pair.
+    track.py:2396-2452's per-chunk kernel, expressed as ONE shuffle: a
+    per-cell ``lead`` window (labels are sparse, so the next row of a
+    cell's time-ordered history is its next active step; the t+1 gate
+    keeps only consecutive-step pairs) then the map-side-combinable
+    pair aggregation. Replaces the previous (t+1, cell) self-equi-join,
+    which shuffled both sides — same output, half the shuffle volume.
     """
     ti = time_index(labels, time_col)
     lab = labels.join(F.broadcast(ti), time_col)
     area = F.col(area_col) if area_col else F.lit(1.0)
-    a = lab.select(
-        F.col("t"), *[F.col(k) for k in keys], F.col("obj_id").alias("id_t"), area.alias("a")
-    )
-    b = lab.select(
-        (F.col("t") - 1).alias("t"),
-        *[F.col(k) for k in keys],
-        F.col("obj_id").alias("id_next"),
-    )
+    w = Window.partitionBy(*keys).orderBy("t")
     return (
-        a.join(b, ["t", *keys])
+        lab.select(
+            "t",
+            *[F.col(k) for k in keys],
+            F.col("obj_id").alias("id_t"),
+            area.alias("a"),
+        )
+        .withColumn("t_next", F.lead("t").over(w))
+        .withColumn("id_next", F.lead("id_t").over(w))
+        .filter(F.col("t_next") == F.col("t") + 1)
         .groupBy("id_t", "id_next")
         .agg(F.sum("a").alias("overlap_area"))
     )
