@@ -227,16 +227,23 @@ def detect_track_blocked(
     sf: float,
     method_percentile: str = "histogram",
 ) -> int:
-    """Bench harness: packed-layout blocked detect feeding the standard
-    tracking stages (same sizes as pipeline.detect_track_bench; the
-    packed source generates value-identical data to the long source)."""
+    """Bench harness: blocked detect feeding the standard tracking
+    stages (same sizes as pipeline.detect_track_bench).
+
+    Uses the LONG generator + long-format kernel: generating packed
+    arrays in-plan runs through Spark's higher-order ``transform``,
+    which is interpreted per element (no whole-stage codegen) and
+    measured 4-9× slower than the codegen'd long generator. The packed
+    kernel itself is the right path when data arrives already packed
+    (zarr ingestion, pack_gridded-landed parquet) — the Arrow
+    round-trip of the packed layout measured ~free."""
     from marex_spark.operators.track import track_events
-    from marex_spark.sources.synthetic import synthetic_sst_gridded_packed
+    from marex_spark.sources.synthetic import synthetic_sst_gridded
 
     n_years = max(2, int(round(30 * sf)))
     ny, nx = (40, 80) if sf >= 0.05 else (20, 40)
-    packed = synthetic_sst_gridded_packed(spark, n_years=n_years, ny=ny, nx=nx)
-    cells = detect_extremes_blocked_packed(packed, method_percentile=method_percentile)
+    series = synthetic_sst_gridded(spark, n_years=n_years, ny=ny, nx=nx)
+    cells = detect_extremes_blocked(series, method_percentile=method_percentile)
     ext = cells.withColumn("extreme", F.lit(True))
     res = track_events(ext, nx=nx, compute_stats=False)
     res.events.write.mode("overwrite").format("noop").save()

@@ -73,7 +73,14 @@ def synthetic_sst_gridded_packed(
     chunk layout). Value-identical to the long form (same expressions,
     same hash noise — pinned by tests/test_detect_blocked.py); rows
     shrink ×nx, so the detect shuffle and Arrow transfer move plain
-    float arrays instead of per-cell (time,y,x,value) tuples."""
+    float arrays instead of per-cell (time,y,x,value) tuples.
+
+    CAVEAT (measured): Spark evaluates higher-order ``transform``
+    lambdas interpreted, outside whole-stage codegen — generating
+    packed data in-plan is 4-9× slower than the long generator. Use
+    this for parity tests and packed-path plumbing; for bulk synthetic
+    benchmarking generate long and ``pack_gridded`` once, and for real
+    data ingest packed directly (sources/zarr.py)."""
     n_days = n_years * 365
     t = spark.range(n_days).select(F.col("id").alias("t"))
     yy = spark.range(ny).select(F.col("id").cast("int").alias("y"))
