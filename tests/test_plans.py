@@ -64,6 +64,42 @@ def test_threshold_compare_is_broadcast(spark):
     assert broadcast_join_count(ext) >= 1
 
 
+def test_overlap_graph_is_single_data_shuffle(spark):
+    """The temporal overlap graph (J5): one hash Exchange for the
+    cell-partitioned lead window + one for the map-side-combinable pair
+    agg — the labelled field must NOT be shuffled twice into a
+    self-join (the r1 plan this replaced)."""
+    from marex_spark.operators.overlap import overlap_pairs
+    from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+    ext = synthetic_extremes_gridded(spark, n_time=8, ny=8, nx=16)
+    labels = ext.filter("extreme").select(
+        "time", "y", "x", F.xxhash64("time", "y", "x").alias("obj_id")
+    ).localCheckpoint()  # production input is checkpointed (track_events)
+    pairs = overlap_pairs(labels, keys=("y", "x"))
+    # 4 = time-index distinct (1) + its metadata-sized dense_rank (1)
+    #   + the ONE data shuffle for the lead window (1) + pair agg (1).
+    # The replaced self-join plan shuffled the labelled field twice → 5+.
+    assert exchange_count(pairs) <= 4
+    assert broadcast_join_count(pairs) == 1  # time index joins broadcast
+
+
+def test_labelling_is_single_shuffle_per_pass(spark):
+    """M4 labelling: the mapInPandas kernel pass contains exactly one
+    Exchange (the time hash-partitioning); the offset join broadcasts."""
+    from marex_spark.operators.label import label_components
+    from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+    ext = synthetic_extremes_gridded(spark, n_time=8, ny=8, nx=16)
+    out = label_components(ext, nx=16)
+    # post-checkpoint plan: the W6 offset table costs one map-side-
+    # combined agg (1 row/time out) + one metadata-sized window
+    # exchange; the labelled cells themselves join the offsets by
+    # BROADCAST — any plan that shuffles the cell field again fails.
+    assert exchange_count(out) <= 2
+    assert broadcast_join_count(out) == 1
+
+
 def test_small_dim_joins_broadcast(spark):
     """Star-schema dimension joins pick broadcast strategies."""
     li = load_table(spark, SF, "lineitem")
