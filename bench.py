@@ -181,6 +181,29 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
         ),
     )
 
+    # split/merge resolution tiers on the same grid: chunked (default)
+    # vs the wall-clock-parallel Jacobi time-block tier
+    def _merge_bench(parallel: bool) -> int:
+        from marex_spark.operators.detect_blocked import detect_extremes_blocked
+        from marex_spark.operators.track import track_events
+        from marex_spark.sources.synthetic import synthetic_sst_gridded
+        from pyspark.sql import functions as Fx
+
+        n_years = max(2, int(round(30 * sf)))
+        ny, nx = (40, 80) if sf >= 0.05 else (20, 40)
+        series = synthetic_sst_gridded(spark, n_years=n_years, ny=ny, nx=nx)
+        ext = detect_extremes_blocked(series).withColumn("extreme", Fx.lit(True))
+        res = track_events(
+            ext, nx=nx, overlap_threshold=0.5, compute_stats=False,
+            allow_merging=True, merge_parallel=parallel,
+        )
+        res.events.write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        return 0
+
+    guarded("track_merge_chunked", lambda: _merge_bench(False))
+    guarded("track_merge_parallel", lambda: _merge_bench(True))
+
 
 if __name__ == "__main__":
     main()
