@@ -92,17 +92,28 @@ def detect_extremes_blocked(
     max_anomaly: float = 5.0,
     time_col: str = "time",
     value_col: str = "value",
+    assume_band_partitioned: bool = False,
 ) -> DataFrame:
     """fixed_baseline + global_extreme over the long format, blocked by
     latitude band. Returns ONLY the extreme cells (time, y, x) — sparse,
     ready for label_components(extreme field dense not required).
+
+    ``assume_band_partitioned=True`` skips the band shuffle — only
+    valid when every input partition already holds complete bands
+    (band-partitioned generation, or a scan of band-bucketed parquet);
+    the kernel still groups by y inside each partition, so partial
+    bands would silently produce per-fragment climatologies.
     """
     exact = method_percentile == "exact"
     spark = series.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
 
-    def _run(groups: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in groups:
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        whole = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        for band, pdf in whole.groupby("y", sort=False):
             times = pdf[time_col].to_numpy()
             xs = pdf["x"].to_numpy(np.int64)
             vals = pdf[value_col].to_numpy(np.float64)
@@ -121,18 +132,15 @@ def detect_extremes_blocked(
             yield pd.DataFrame(
                 {
                     time_col: ut[tt],
-                    "y": pdf["y"].iloc[0],
+                    "y": band,
                     "x": ux[xx].astype(np.int32),
                 }
             )
 
     time_type = series.schema[time_col].dataType.simpleString()
     out_schema = f"{time_col} {time_type}, y int, x int"
-    return (
-        series.repartition(parallelism, "y")
-        .groupBy("y")
-        .applyInPandas(lambda pdf: next(_run(iter([pdf]))), schema=out_schema)
-    )
+    src = series if assume_band_partitioned else series.repartition(parallelism, "y")
+    return src.mapInPandas(_run, schema=out_schema)
 
 
 def pack_gridded(
@@ -242,8 +250,12 @@ def detect_track_blocked(
 
     n_years = max(2, int(round(30 * sf)))
     ny, nx = (40, 80) if sf >= 0.05 else (20, 40)
-    series = synthetic_sst_gridded(spark, n_years=n_years, ny=ny, nx=nx)
-    cells = detect_extremes_blocked(series, method_percentile=method_percentile)
+    series = synthetic_sst_gridded(
+        spark, n_years=n_years, ny=ny, nx=nx, band_partitioned=True
+    )
+    cells = detect_extremes_blocked(
+        series, method_percentile=method_percentile, assume_band_partitioned=True
+    )
     ext = cells.withColumn("extreme", F.lit(True))
     res = track_events(ext, nx=nx, compute_stats=False)
     res.events.write.mode("overwrite").format("noop").save()

@@ -29,17 +29,35 @@ def synthetic_sst_gridded(
     trend_per_year: float = 0.02,
     noise_amp: float = 1.0,
     seed: int = 42,
+    band_partitioned: bool = False,
 ) -> DataFrame:
     """SST-like gridded series in long format (time, y, x, value), one row
     per cell-day: latitude-dependent mean + seasonal cycle + linear
     trend + AR-free hash noise (FIXTURES.md §1; reference fixture
     tests/data/sst_gridded.zarr, 40y × 20 × 40).
+
+    ``band_partitioned=True`` emits the data already hash-partitioned
+    by latitude band (values identical), letting blocked detect skip
+    its only shuffle.
     """
     n_days = n_years * 365
     t = spark.range(n_days).select(F.col("id").alias("t"))
     yy = spark.range(ny).select(F.col("id").cast("int").alias("y"))
     xx = spark.range(nx).select(F.col("id").cast("int").alias("x"))
-    df = t.crossJoin(yy).crossJoin(xx)
+    if band_partitioned:
+        # hash-partition the y dimension FIRST and broadcast the other
+        # axes in: broadcast joins preserve the streamed side's
+        # partitioning, so every output partition holds complete
+        # latitude bands and blocked detect can skip its shuffle
+        # entirely (assume_band_partitioned=True).
+        par = spark.sparkContext.defaultParallelism
+        df = (
+            yy.repartition(par, "y")
+            .crossJoin(F.broadcast(t))
+            .crossJoin(F.broadcast(xx))
+        )
+    else:
+        df = t.crossJoin(yy).crossJoin(xx)
 
     time = F.timestamp_add("DAY", F.col("t").cast("int"), F.lit(start).cast("timestamp"))
     lat = -85.0 + F.col("y") * (170.0 / max(ny - 1, 1))
