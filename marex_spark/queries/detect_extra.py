@@ -276,3 +276,52 @@ def det_packed_threshold(spark, sf_dir):
         packed, method_percentile="exact", time_col="d", output="thresholds"
     )
     return thr.select("y", "x", round6(F.col("threshold")).alias("threshold"))
+
+
+@register(
+    "viz_trajectory_unwrap",
+    f"""WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 fmod(fmod(SUM(value) * 37, 360) + 360, 360) AS lon,
+                 AVG(value) AS lat
+          FROM events GROUP BY 1, 2),
+        stepd AS (
+          SELECT *, lon - LAG(lon) OVER (PARTITION BY event_type ORDER BY d) AS dlon
+          FROM daily),
+        corr AS (
+          SELECT event_type, d, lat, lon,
+                 SUM(CASE WHEN dlon > 180 THEN -360.0
+                          WHEN dlon < -180 THEN 360.0 ELSE 0.0 END)
+                   OVER (PARTITION BY event_type ORDER BY d
+                         ROWS UNBOUNDED PRECEDING) AS adj
+          FROM stepd)
+        SELECT event_type, d, {round6_sql('lat')} AS lat,
+               {round6_sql('lon + COALESCE(adj, 0)')} AS lon_unwrapped
+        FROM corr""",
+)
+def viz_trajectory_unwrap(spark, sf_dir):
+    """plotX trajectory preparation (viz.trajectories): per-event daily
+    centroid path with dateline unwrapping — a lag window classifies
+    >180° jumps, a running sum carries the ±360° correction forward.
+    The synthetic modular path (sum(value)·37 mod 360) jumps across
+    the seam constantly, so the unwrap logic is exercised on every
+    event series."""
+    from marex_spark.viz import trajectories
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.pmod(F.sum("value") * 37, F.lit(360.0)).alias("centroid_lon"),
+        F.avg("value").alias("centroid_lat"),
+    )
+    traj = trajectories(
+        daily, time_col="d", id_col="event_type",
+        lon_col="centroid_lon", lat_col="centroid_lat",
+    )
+    return traj.select(
+        "event_type",
+        "d",
+        round6(F.col("lat")).alias("lat"),
+        round6(F.col("lon_unwrapped")).alias("lon_unwrapped"),
+    )
