@@ -616,7 +616,7 @@ def split_merge_events_chunked(
 
 def split_merge_events_parallel(
     labels: DataFrame,
-    nx: int,
+    nx: int = 0,
     block_steps: int = 64,
     overlap_threshold: float = 0.5,
     wrap_x: bool = True,
@@ -625,6 +625,8 @@ def split_merge_events_parallel(
     max_iter_per_step: int = 10,
     max_rounds: int | None = None,
     labels_materialized: bool = False,
+    geometry: str = "grid",
+    cell_geo: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Wall-clock-parallel merge resolution (the reference's batched
     iteration tier, track.py:3804-4814, re-expressed for Spark).
@@ -645,8 +647,27 @@ def split_merge_events_parallel(
     (block, creation-order) order — exactly the serial counter's time
     order — so output and ledger match ``split_merge_events`` exactly
     (asserted in tests/test_merge.py::test_parallel_matches_oneshot).
+
+    ``geometry="sphere"`` runs the unstructured-mesh form (input
+    (time, cell, obj_id) + ``cell_geo`` (cell, lat, lon); haversine
+    partitioning) — same Jacobi structure, pinned equal to the serial
+    unstructured resolver in tests/test_unstructured.py.
     """
+    grid = geometry == "grid"
     spark = labels.sparkSession
+    labels_raw = labels
+    if not grid:
+        if cell_geo is None:
+            from marex_spark.exceptions import TrackingError
+
+            raise TrackingError(
+                "geometry='sphere' needs cell_geo",
+                details={"expected_columns": "(cell, lat, lon)"},
+            )
+        labels = labels.select(time_col, "cell", "obj_id").join(
+            F.broadcast(cell_geo.select("cell", "lat", "lon")), "cell"
+        )
+        labels_materialized = False  # the geo join is a new plan
     if not labels_materialized:
         labels = labels.localCheckpoint()
     times = [
@@ -656,16 +677,24 @@ def split_merge_events_parallel(
     time_type = labels.schema[time_col].dataType.simpleString()
     n_blocks = max(1, -(-len(times) // block_steps))
     if n_blocks <= 1:
-        return split_merge_events_chunked(
-            labels,
-            nx=nx,
-            chunk_steps=block_steps,
+        if grid:
+            return split_merge_events_chunked(
+                labels,
+                nx=nx,
+                chunk_steps=block_steps,
+                overlap_threshold=overlap_threshold,
+                wrap_x=wrap_x,
+                time_col=time_col,
+                nn_partitioning=nn_partitioning,
+                max_iter_per_step=max_iter_per_step,
+                labels_materialized=True,
+            )
+        return split_merge_events_unstructured(
+            labels_raw,
+            cell_geo,
             overlap_threshold=overlap_threshold,
-            wrap_x=wrap_x,
             time_col=time_col,
             nn_partitioning=nn_partitioning,
-            max_iter_per_step=max_iter_per_step,
-            labels_materialized=True,
         )
 
     block_of = {t: i // block_steps for i, t in enumerate(times)}
@@ -681,15 +710,17 @@ def split_merge_events_parallel(
     global_max = int(labels.agg(F.max("obj_id")).first()[0] or 0)
     stride = 1 << 33
 
+    coord_cols = ["y", "x"] if grid else ["cell", "lat", "lon"]
+    coord_schema = "y long, x long" if grid else "cell long, lat double, lon double"
     cells_b = (
-        labels.select(time_col, "y", "x", "obj_id")
+        labels.select(time_col, *coord_cols, "obj_id")
         .join(blocks_df, time_col)
         .localCheckpoint()
     )
 
     out_schema = (
         f"block long, kind int, seq long, k long, {time_col} {time_type}, "
-        "y long, x long, obj_id long, parent long, overlap long"
+        f"{coord_schema}, obj_id long, parent long, overlap long"
     )
 
     def _block_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -701,7 +732,7 @@ def split_merge_events_parallel(
             wrap_x=wrap_x,
             overlap_threshold=overlap_threshold,
             max_iter_per_step=max_iter_per_step,
-            grid=True,
+            grid=grid,
             nn_partitioning=nn_partitioning,
         )
         resolver.next_new_id = global_max + 1 + b * stride
@@ -711,6 +742,19 @@ def split_merge_events_parallel(
             carry = [(ctimes[i], cslices[i]) for i in range(len(ctimes))]
         slices, stimes = resolver.build_slices(cells_pdf, time_col)
         _resolve_block(resolver, carry, slices, stimes)
+
+        def _coords(sl=None):
+            if grid:
+                return (
+                    {"y": sl["c1"], "x": sl["c2"]}
+                    if sl is not None
+                    else {"y": 0, "x": 0}
+                )
+            return (
+                {"cell": sl["key"], "lat": sl["c1"], "lon": sl["c2"]}
+                if sl is not None
+                else {"cell": 0, "lat": 0.0, "lon": 0.0}
+            )
 
         frames = []
         for i in range(len(stimes)):
@@ -723,8 +767,7 @@ def split_merge_events_parallel(
                         "seq": 0,
                         "k": 0,
                         time_col: stimes[i],
-                        "y": sl["c1"],
-                        "x": sl["c2"],
+                        **_coords(sl),
                         "obj_id": sl["id"],
                         "parent": 0,
                         "overlap": 0,
@@ -742,8 +785,7 @@ def split_merge_events_parallel(
                         "seq": si,
                         "k": np.arange(n_par, dtype=np.int64),
                         time_col: led.times[si],
-                        "y": 0,
-                        "x": 0,
+                        **_coords(),
                         "obj_id": led.child_ids[si],
                         "parent": led.parent_ids[si],
                         "overlap": led.areas[si],
@@ -753,6 +795,11 @@ def split_merge_events_parallel(
         if frames:
             return pd.concat(frames, ignore_index=True)
         empty = np.array([], dtype=np.int64)
+        empty_coords = (
+            {"y": empty, "x": empty}
+            if grid
+            else {"cell": empty, "lat": empty.astype(float), "lon": empty.astype(float)}
+        )
         return pd.DataFrame(
             {
                 "block": empty,
@@ -760,17 +807,18 @@ def split_merge_events_parallel(
                 "seq": empty,
                 "k": empty,
                 time_col: pd.to_datetime([]),
-                "y": empty,
-                "x": empty,
+                **empty_coords,
                 "obj_id": empty,
                 "parent": empty,
                 "overlap": empty,
             }
         )
 
+    key_cols = ["y", "x"] if grid else ["cell"]
+
     def _carry_key(pdf: pd.DataFrame):
         return sorted(
-            zip(pdf[time_col], pdf["y"], pdf["x"], pdf["obj_id"])
+            zip(pdf[time_col], *[pdf[c] for c in key_cols], pdf["obj_id"])
         )
 
     carry_in: dict[int, pd.DataFrame | None] = {b: None for b in range(n_blocks)}
@@ -789,9 +837,12 @@ def split_merge_events_parallel(
         if carry_frames:
             cdf = spark.createDataFrame(
                 pd.concat(carry_frames, ignore_index=True)[
-                    [time_col, "y", "x", "obj_id", "block"]
+                    [time_col, *coord_cols, "obj_id", "block"]
                 ],
-                schema=f"{time_col} {time_type}, y long, x long, obj_id long, block long",
+                schema=(
+                    f"{time_col} {time_type}, {coord_schema}, "
+                    "obj_id long, block long"
+                ),
             ).withColumn("is_carry", F.lit(1))
             inp = inp.unionByName(cdf)
         # explicit repartition by block: AQE would otherwise coalesce
@@ -808,7 +859,7 @@ def split_merge_events_parallel(
         ).toPandas()
         new_carry: dict[int, pd.DataFrame | None] = {0: None}
         for b in range(n_blocks - 1):
-            g = co[co["block"] == b][[time_col, "y", "x", "obj_id"]]
+            g = co[co["block"] == b][[time_col, *coord_cols, "obj_id"]]
             new_carry[b + 1] = g if len(g) else None
         stable = all(
             (
@@ -834,7 +885,8 @@ def split_merge_events_parallel(
     # creation order → ascending sort IS serial creation order
     renum = {old: global_max + 1 + i for i, old in enumerate(created)}
 
-    cells_out = out.filter(F.col("kind") == 0).select(time_col, "y", "x", "obj_id")
+    out_cols = [time_col, *key_cols, "obj_id"]
+    cells_out = out.filter(F.col("kind") == 0).select(*out_cols)
     if renum:
         map_df = F.broadcast(
             spark.createDataFrame(
@@ -844,7 +896,7 @@ def split_merge_events_parallel(
         cells_out = (
             cells_out.join(map_df, cells_out["obj_id"] == map_df["old"], "left")
             .withColumn("obj_id", F.coalesce("new", "obj_id"))
-            .select(time_col, "y", "x", "obj_id")
+            .select(*out_cols)
         )
 
     ledger = MergeLedger([], [], [], [])

@@ -196,6 +196,8 @@ def track_events_unstructured(
     compute_stats: bool = True,
     allow_merging: bool = False,
     nn_partitioning: bool = False,
+    merge_parallel: bool = False,
+    merge_block_steps: int = 64,
 ) -> TrackResult:
     """Unstructured-mesh tracking (reference unstructured path,
     track.py:1023-1117 setup + M6/M2 kernels): boolean (time, cell)
@@ -220,15 +222,29 @@ def track_events_unstructured(
                 details={"expected_columns": "(cell, lat, lon)"},
                 suggestions=["pass cell_geo=grid dimension table"],
             )
-        from marex_spark.operators.merge import split_merge_events_unstructured
-
-        labels, ledger = split_merge_events_unstructured(
-            labels,
-            cell_geo,
-            overlap_threshold=overlap_threshold,
-            time_col=time_col,
-            nn_partitioning=nn_partitioning,
+        from marex_spark.operators.merge import (
+            split_merge_events_parallel,
+            split_merge_events_unstructured,
         )
+
+        if merge_parallel:
+            labels, ledger = split_merge_events_parallel(
+                labels,
+                block_steps=merge_block_steps,
+                overlap_threshold=overlap_threshold,
+                time_col=time_col,
+                nn_partitioning=nn_partitioning,
+                geometry="sphere",
+                cell_geo=cell_geo,
+            )
+        else:
+            labels, ledger = split_merge_events_unstructured(
+                labels,
+                cell_geo,
+                overlap_threshold=overlap_threshold,
+                time_col=time_col,
+                nn_partitioning=nn_partitioning,
+            )
         labels = labels.localCheckpoint()
         extras["merge_ledger"] = ledger
 

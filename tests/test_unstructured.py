@@ -62,6 +62,39 @@ def test_unstructured_merging_preserves_identities(spark, ring, two_blob_mesh):
     assert len(ledger[0].parent_ids) == 2
 
 
+def test_unstructured_parallel_matches_serial(spark, ring, two_blob_mesh):
+    """The Jacobi time-block tier in sphere geometry must reproduce the
+    serial unstructured resolver exactly (labels + ledger), with small
+    blocks so carries cross the collision."""
+    from marex_spark.operators.label import label_components_unstructured
+    from marex_spark.operators.merge import (
+        split_merge_events_parallel,
+        split_merge_events_unstructured,
+    )
+
+    edges, geo = ring
+    labels = label_components_unstructured(two_blob_mesh, edges).localCheckpoint()
+    one, ledger_one = split_merge_events_unstructured(
+        labels, geo, overlap_threshold=0.5
+    )
+    par, ledger_par = split_merge_events_parallel(
+        labels, block_steps=4, overlap_threshold=0.5,
+        geometry="sphere", cell_geo=geo,
+    )
+    a = {(r.time, r.cell, r.obj_id) for r in one.collect()}
+    b = {(r.time, r.cell, r.obj_id) for r in par.collect()}
+    assert a == b
+    la = [
+        (r.time, tuple(r.parent_ids), tuple(r.child_ids))
+        for r in ledger_one.collect()
+    ]
+    lb = [
+        (r.time, tuple(r.parent_ids), tuple(r.child_ids))
+        for r in ledger_par.collect()
+    ]
+    assert la == lb
+
+
 def test_unstructured_centroids_follow_path(spark, ring, two_blob_mesh):
     edges, geo = ring
     res = track_events_unstructured(
