@@ -108,39 +108,50 @@ def detect_extremes_blocked(
     spark = series.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
 
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        frames = [b for b in batches if len(b)]
-        if not frames:
+    def _run(batches) -> Iterator:
+        # mapInArrow: skip the Arrow→pandas conversion entirely (it
+        # measured ~30% of the whole pass-through cost at 37M rows) —
+        # numeric columns come out of Arrow as zero-copy-ish numpy,
+        # timestamps as int64 micros; only the ~unique times (tiny)
+        # ever touch pandas, for the day-of-year computation.
+        import pyarrow as pa
+
+        blist = list(batches)
+        if not blist or sum(b.num_rows for b in blist) == 0:
             return
-        whole = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        for band, pdf in whole.groupby("y", sort=False):
-            times = pdf[time_col].to_numpy()
-            xs = pdf["x"].to_numpy(np.int64)
-            vals = pdf[value_col].to_numpy(np.float64)
-            # hash-based factorize: no O(n log n) sort of the long block
-            t_idx, ut = pd.factorize(times, sort=False)
-            ux, x_idx = np.unique(xs, return_inverse=True)  # nx values, cheap
+        tbl = pa.Table.from_batches(blist).combine_chunks()
+        ts_type = tbl.schema.field(time_col).type
+        y = tbl["y"].to_numpy()
+        x = tbl["x"].to_numpy().astype(np.int64, copy=False)
+        ts = tbl[time_col].cast(pa.int64()).to_numpy()
+        v = tbl[value_col].to_numpy().astype(np.float64, copy=False)
+        for band in np.unique(y):
+            mask = y == band
+            ut, t_idx = np.unique(ts[mask], return_inverse=True)
+            ux, x_idx = np.unique(x[mask], return_inverse=True)
             m = np.full((len(ut), len(ux)), np.nan)
-            m[t_idx, x_idx] = vals
+            m[t_idx, x_idx] = v[mask]
             doy = (
-                pd.DatetimeIndex(ut).dayofyear.to_numpy() - 1
+                pd.DatetimeIndex(ut.astype("datetime64[us]")).dayofyear.to_numpy()
+                - 1
             )
             ext, _ = _detect_band(
                 m, doy, threshold_percentile, exact, precision, max_anomaly
             )
             tt, xx = np.nonzero(ext)
-            yield pd.DataFrame(
-                {
-                    time_col: ut[tt],
-                    "y": band,
-                    "x": ux[xx].astype(np.int32),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ut[tt]).cast(ts_type),
+                    pa.array(np.full(len(tt), band, dtype=np.int32)),
+                    pa.array(ux[xx].astype(np.int32)),
+                ],
+                names=[time_col, "y", "x"],
             )
 
     time_type = series.schema[time_col].dataType.simpleString()
     out_schema = f"{time_col} {time_type}, y int, x int"
     src = series if assume_band_partitioned else series.repartition(parallelism, "y")
-    return src.mapInPandas(_run, schema=out_schema)
+    return src.mapInArrow(_run, schema=out_schema)
 
 
 def pack_gridded(
