@@ -31,6 +31,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _time_unit(ts_type) -> str:
+    """numpy datetime64 unit for an arrow temporal type — int64-cast
+    values are in this unit (date32 → days, timestamp → its unit)."""
+    import pyarrow as pa
+
+    if pa.types.is_date32(ts_type):
+        return "D"
+    if pa.types.is_date64(ts_type):
+        return "ms"
+    if pa.types.is_timestamp(ts_type):
+        return ts_type.unit
+    raise TypeError(f"unsupported time column type: {ts_type}")
+
+
 def _detect_band(
     m: np.ndarray,
     doy_idx: np.ndarray,
@@ -121,6 +135,7 @@ def detect_extremes_blocked(
             return
         tbl = pa.Table.from_batches(blist).combine_chunks()
         ts_type = tbl.schema.field(time_col).type
+        unit = _time_unit(ts_type)
         y = tbl["y"].to_numpy()
         x = tbl["x"].to_numpy().astype(np.int64, copy=False)
         ts = tbl[time_col].cast(pa.int64()).to_numpy()
@@ -132,7 +147,9 @@ def detect_extremes_blocked(
             m = np.full((len(ut), len(ux)), np.nan)
             m[t_idx, x_idx] = v[mask]
             doy = (
-                pd.DatetimeIndex(ut.astype("datetime64[us]")).dayofyear.to_numpy()
+                pd.DatetimeIndex(
+                    ut.astype(f"datetime64[{unit}]").astype("datetime64[us]")
+                ).dayofyear.to_numpy()
                 - 1
             )
             ext, _ = _detect_band(
@@ -141,7 +158,7 @@ def detect_extremes_blocked(
             tt, xx = np.nonzero(ext)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(ut[tt]).cast(ts_type),
+                    pa.array(ut[tt].astype(f"datetime64[{unit}]")).cast(ts_type),
                     pa.array(np.full(len(tt), band, dtype=np.int32)),
                     pa.array(ux[xx].astype(np.int32)),
                 ],
@@ -206,31 +223,67 @@ def detect_extremes_blocked_packed(
     spark = packed.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
 
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        frames = [b for b in batches if len(b)]
-        if not frames:
+    def _run(batches) -> Iterator:
+        # mapInArrow: the packed layout's fixed-length list<float>
+        # column flattens straight into the (T × NX) band matrix —
+        # list offsets are uniform, so the values buffer reshapes with
+        # zero per-row work (vs np.stack over an object Series).
+        import pyarrow as pa
+
+        blist = list(batches)
+        if not blist or sum(b.num_rows for b in blist) == 0:
             return
-        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        for y, g in pdf.groupby("y", sort=False):
-            g = g.sort_values(time_col)
-            ut = g[time_col].to_numpy()
-            m = np.stack(g["vals"].to_numpy()).astype(np.float64)
-            doy = pd.DatetimeIndex(ut).dayofyear.to_numpy() - 1
+        tbl = pa.Table.from_batches(blist).combine_chunks()
+        ts_type = tbl.schema.field(time_col).type
+        unit = _time_unit(ts_type)
+        y = tbl["y"].to_numpy()
+        ts = tbl[time_col].cast(pa.int64()).to_numpy()
+        vcol = tbl["vals"].combine_chunks()
+        widths = np.diff(vcol.offsets.to_numpy())
+        if len(widths) and (widths != widths[0]).any():
+            from marex_spark.exceptions import DataValidationError
+
+            raise DataValidationError(
+                "packed vals arrays must be fixed-length",
+                details={"min": int(widths.min()), "max": int(widths.max())},
+            )
+        nx_w = int(widths[0]) if len(widths) else 0
+        flat = vcol.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
+        mat_all = flat.reshape(len(y), nx_w)
+        for band in np.unique(y):
+            mask = y == band
+            order = np.argsort(ts[mask], kind="stable")
+            ut = ts[mask][order]
+            m = mat_all[mask][order]
+            doy = (
+                pd.DatetimeIndex(
+                    ut.astype(f"datetime64[{unit}]").astype("datetime64[us]")
+                ).dayofyear.to_numpy()
+                - 1
+            )
             ext, thr = _detect_band(
                 m, doy, threshold_percentile, exact, precision, max_anomaly
             )
             if thresholds:
-                yield pd.DataFrame(
-                    {
-                        "y": y,
-                        "x": np.arange(m.shape[1], dtype=np.int32),
-                        "threshold": thr.astype(np.float64),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(nx_w, band, dtype=np.int32)),
+                        pa.array(np.arange(nx_w, dtype=np.int32)),
+                        pa.array(thr.astype(np.float64)),
+                    ],
+                    names=["y", "x", "threshold"],
                 )
             else:
                 tt, xx = np.nonzero(ext)
-                yield pd.DataFrame(
-                    {time_col: ut[tt], "y": y, "x": xx.astype(np.int32)}
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ut[tt].astype(f"datetime64[{unit}]")).cast(ts_type),
+                        pa.array(np.full(len(tt), band, dtype=np.int32)),
+                        pa.array(xx.astype(np.int32)),
+                    ],
+                    names=[time_col, "y", "x"],
                 )
 
     time_type = packed.schema[time_col].dataType.simpleString()
@@ -238,7 +291,7 @@ def detect_extremes_blocked_packed(
         out_schema = "y int, x int, threshold double"
     else:
         out_schema = f"{time_col} {time_type}, y int, x int"
-    return packed.repartition(parallelism, "y").mapInPandas(_run, schema=out_schema)
+    return packed.repartition(parallelism, "y").mapInArrow(_run, schema=out_schema)
 
 
 def detect_track_blocked(
