@@ -105,23 +105,31 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
 
     spark = holder["spark"] = get_spark(app_name="marex-bench", cores=int(CPUS))
 
-    def guarded(name, fn) -> None:
-        try:
-            timings[name] = timed(fn)
-            note(f"{name}: {timings[name]}s")
-        except Exception as e:
-            errors[name] = f"{type(e).__name__}: {e}"
-            note(f"{name}: ERROR {type(e).__name__}")
+    # Two INTERLEAVED passes over the whole suite, min per query: the
+    # box's external load is bursty and time-correlated, so back-to-back
+    # samples of one query land in the same burst — spreading a query's
+    # two samples a full pass apart decorrelates them.
+    plan: list = []  # (name, fn), in suite order
 
-    def timed(fn) -> float:
-        """Min of 2 runs — the box hosts other tenants and transient
-        co-load otherwise lands on whichever query it overlaps."""
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+    def guarded(name, fn) -> None:
+        plan.append((name, fn))
+
+    def _execute_plan() -> None:
+        for _pass in range(2):
+            for name, fn in plan:
+                if name in errors:
+                    continue
+                try:
+                    t0 = time.perf_counter()
+                    fn()
+                    dt = round(time.perf_counter() - t0, 3)
+                    if dt < timings.get(name, float("inf")):
+                        timings[name] = dt
+                    note(f"pass{_pass + 1} {name}: {dt}s")
+                except Exception as e:
+                    timings.pop(name, None)
+                    errors[name] = f"{type(e).__name__}: {e}"
+                    note(f"{name}: ERROR {type(e).__name__}")
 
     # Warm the JVM, parquet footers, and Python UDF workers outside the
     # timed region.  Warmup failure must not sink the bench.
@@ -203,6 +211,8 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
 
     guarded("track_merge_chunked", lambda: _merge_bench(False))
     guarded("track_merge_parallel", lambda: _merge_bench(True))
+
+    _execute_plan()
 
 
 if __name__ == "__main__":
