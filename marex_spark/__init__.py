@@ -35,10 +35,17 @@ def __getattr__(name):
         "preprocess_data": "marex_spark.operators.detect",
         "audit_series": "marex_spark.operators.detect",
         "detect_extremes_blocked": "marex_spark.operators.detect_blocked",
+        "detect_extremes_blocked_packed": "marex_spark.operators.detect_blocked",
+        "pack_gridded": "marex_spark.operators.detect_blocked",
         "preprocess_extremes": "marex_spark.operators.track",
         "track_events": "marex_spark.operators.track",
         "track_events_unstructured": "marex_spark.operators.track",
+        "split_merge_events_parallel": "marex_spark.operators.merge",
+        "ingest_zarr_gridded": "marex_spark.sources.zarr",
         "unify_coordinates": "marex_spark.functions.geometry",
+        "snapshot_grid": "marex_spark.viz",
+        "trajectories": "marex_spark.viz",
+        "clim_robust_limits": "marex_spark.viz",
     }
     if name in api:
         return getattr(import_module(api[name]), name)
