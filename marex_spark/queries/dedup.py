@@ -298,3 +298,61 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(cos >= _EMB_THRESHOLD)
         .select("id_a", "id_b", round6(cos).alias("cosine"))
     )
+
+
+# ----------------------------------------- cluster canonicalisation
+
+_LSH_PAIRS_SQL = f"""WITH sh AS ({_shingles_sql(3)}),
+        hashed AS (
+          SELECT doc_id, t.h AS h,
+                 MIN(md5(CAST(t.h AS VARCHAR) || '|' || shingle)) AS minhash
+          FROM sh, UNNEST(generate_series(0, {_N_HASH - 1})) AS t(h)
+          GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, CAST(h // {_BAND_ROWS} AS BIGINT) AS band,
+                 md5(string_agg(minhash, ',' ORDER BY h)) AS band_key
+          FROM hashed GROUP BY 1, 2),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id)"""
+
+
+@register(
+    "dedup_cluster_canonical",
+    f"""WITH RECURSIVE {_LSH_PAIRS_SQL.split('WITH ', 1)[1]},
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        walk(u, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u)
+        SELECT u AS doc_id, MIN(lbl) AS canonical_id,
+               CAST(MIN(lbl) != u AS INT) AS is_duplicate
+        FROM walk GROUP BY 1""",
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    """Near-dup CLUSTER canonicalisation — the operator a training-data
+    pipeline actually runs after candidate generation: connected
+    components over the MinHash-LSH pair graph (transitive closure, so
+    A~B~C dedups to one canonical even when A,C never collide), keep
+    the minimum doc_id per cluster. Reuses the tracker's union-find
+    (components.py, same tier as event linking); oracle is a
+    recursive-CTE min-label propagation over the identical pair CTE."""
+    from marex_spark.operators.components import connected_components_driver
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("id_t"), F.col("doc_b").alias("id_next")
+    )
+    nodes = docs.select("doc_id")
+    comp = connected_components_driver(
+        pairs, nodes, id_col="doc_id", compact=False
+    )
+    return comp.select(
+        "doc_id",
+        F.col("event_id").alias("canonical_id"),
+        (F.col("event_id") != F.col("doc_id")).cast("int").alias("is_duplicate"),
+    )
