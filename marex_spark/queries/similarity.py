@@ -180,3 +180,111 @@ def ann_ivf_topk(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= _TOP_K)
     )
+
+
+_EXACT_CTES = f"""q AS (
+          SELECT vec_id AS q_id, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+          WHERE vec_id < {_N_QUERY}),
+        c AS (
+          SELECT vec_id AS c_id, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+        dots AS (
+          SELECT q.q_id, c.c_id, {dec_sql('q.comp * c.comp')} AS dot
+          FROM q JOIN c ON q.idx = c.idx
+          WHERE q.q_id <> c.c_id
+          GROUP BY 1, 2),
+        norms AS (
+          SELECT vec_id, SQRT({dec_sql('CAST(embedding[t.i] AS DOUBLE) * CAST(embedding[t.i] AS DOUBLE)')}) AS nrm
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+          GROUP BY 1),
+        scored AS (
+          SELECT d.q_id, d.c_id, {round6_sql('d.dot / (nq.nrm * nc.nrm)')} AS cosine
+          FROM dots d
+          JOIN norms nq ON nq.vec_id = d.q_id
+          JOIN norms nc ON nc.vec_id = d.c_id)"""
+
+
+@register(
+    "ann_ivf_recall",
+    f"""WITH {_EXACT_CTES},
+        brute AS (
+          SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, c_id) AS rn
+            FROM scored) WHERE rn <= {_TOP_K}),
+        lbl AS (SELECT vec_id, label FROM embeddings),
+        ivf AS (
+          SELECT q_id, c_id FROM (
+            SELECT s.q_id, s.c_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.q_id
+                                      ORDER BY s.cosine DESC, s.c_id) AS rn
+            FROM scored s
+            JOIN lbl lq ON lq.vec_id = s.q_id
+            JOIN lbl lc ON lc.vec_id = s.c_id
+            WHERE lq.label = lc.label) WHERE rn <= {_TOP_K}),
+        hits AS (
+          SELECT b.q_id, COUNT(i.c_id) AS n_hit
+          FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
+          GROUP BY 1)
+        SELECT q_id, {round6_sql(f'n_hit / CAST({_TOP_K} AS DOUBLE)')} AS recall
+        FROM hits""",
+)
+def ann_ivf_recall(spark, sf_dir):
+    """Recall@{_TOP_K} of the IVF-bucketed index vs exact brute force —
+    the honest quality measurement an approximate index needs before
+    it replaces the exact path at scale. Both rankings use the
+    decimal-sum dot product (order-independent), so the top-k SETS are
+    deterministic and the per-query recall hash-matches SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _exploded(emb.filter(F.col("vec_id") < _N_QUERY), "q_id")
+    c = _exploded(emb, "c_id")
+    dots = (
+        q.join(c, (q.idx == c.idx) & (F.col("q_id") != F.col("c_id")))
+        .groupBy("q_id", "c_id")
+        .agg(dsum(q.comp * c.comp, "dot"))
+    )
+    norms = (
+        _exploded(emb, "vec_id")
+        .groupBy("vec_id")
+        .agg(F.sqrt(dsum(F.col("comp") * F.col("comp"))).alias("nrm"))
+    )
+    nq = norms.alias("nq")
+    nc = norms.alias("nc")
+    scored = (
+        dots.join(nq, F.col("nq.vec_id") == F.col("q_id"))
+        .join(nc, F.col("nc.vec_id") == F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            round6(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    brute = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "c_id")
+    )
+    lbl = emb.select("vec_id", "label")
+    lq = lbl.alias("lq")
+    lc = lbl.alias("lc")
+    ivf = (
+        scored.join(F.broadcast(lq), F.col("lq.vec_id") == F.col("q_id"))
+        .join(F.broadcast(lc), F.col("lc.vec_id") == F.col("c_id"))
+        .filter(F.col("lq.label") == F.col("lc.label"))
+        .select("q_id", "c_id", "cosine")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", F.col("c_id").alias("ivf_c_id"))
+    )
+    hits = brute.join(
+        ivf,
+        (brute.q_id == ivf.q_id) & (brute.c_id == ivf.ivf_c_id),
+        "left",
+    ).groupBy(brute.q_id).agg(F.count("ivf_c_id").alias("n_hit"))
+    return hits.select(
+        "q_id",
+        round6(F.col("n_hit") / float(_TOP_K)).alias("recall"),
+    )
