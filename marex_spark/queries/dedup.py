@@ -356,3 +356,53 @@ def dedup_cluster_canonical(spark, sf_dir):
         F.col("event_id").alias("canonical_id"),
         (F.col("event_id") != F.col("doc_id")).cast("int").alias("is_duplicate"),
     )
+
+
+# ------------------------------------------------- benchmark decontamination
+
+@register(
+    "decontam_ngram",
+    f"""WITH sh AS ({_shingles_sql(5)}),
+        src AS (SELECT doc_id, source FROM documents),
+        bench AS (
+          SELECT DISTINCT s.shingle FROM sh s
+          JOIN src ON s.doc_id = src.doc_id WHERE src.source = 'src0'),
+        tr AS (
+          SELECT s.doc_id, s.shingle FROM sh s
+          JOIN src ON s.doc_id = src.doc_id WHERE src.source <> 'src0'),
+        tot AS (SELECT doc_id, COUNT(*) AS n FROM tr GROUP BY 1),
+        hit AS (
+          SELECT t.doc_id, COUNT(*) AS nh FROM tr t
+          JOIN bench b ON t.shingle = b.shingle GROUP BY 1)
+        SELECT t.doc_id,
+               {round6_sql('COALESCE(h.nh, 0) / CAST(t.n AS DOUBLE)')} AS contamination
+        FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id""",
+)
+def decontam_ngram(spark, sf_dir):
+    """Benchmark decontamination — the LLM-pipeline op that keeps eval
+    data out of training corpora: per training doc, the fraction of its
+    distinct 5-gram shingles that appear anywhere in the benchmark set
+    (here: source 'src0' stands in for the held-out benchmark). The
+    benchmark shingle set is DISTINCT + broadcast (benchmarks are tiny
+    next to a 100 TB corpus); the training side pays one broadcast
+    semi-probe + one agg — no shuffle of the corpus by shingle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, 5).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    bench = (
+        sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    )
+    tr = sh.filter(F.col("source") != "src0").select("doc_id", "shingle")
+    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hit = (
+        tr.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nh"))
+    )
+    return tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        round6(
+            F.coalesce(F.col("nh"), F.lit(0)) / F.col("n").cast("double")
+        ).alias("contamination"),
+    )
