@@ -133,19 +133,34 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 _N_HASH = 8
 _BAND_ROWS = 2  # 4 bands × 2 rows
+# Universal-hash family over a Mersenne-ish prime: one md5 per shingle
+# (parsed to int64), then the 8 permutations are integer multiply-adds —
+# 8× cheaper than 8 salted md5s of the shingle STRING, and the same
+# arithmetic evaluates identically in Spark and DuckDB (operands stay
+# under 2^62, so neither engine's overflow behaviour is reached).
+_MH_P = 2_147_483_647  # 2^31 - 1
+_MH_A = [1_103_515_245, 22_695_477, 214_013, 69_069, 75, 1_664_525, 48_271, 16_807]
+_MH_B = [12_345, 1, 2_531_011, 362_437, 74, 1_013_904_223, 37, 17]
 
 
 @register(
     "dedup_minhash_lsh",
     f"""WITH sh AS ({_shingles_sql(3)}),
+        si AS (
+          SELECT doc_id,
+                 CAST(CONCAT('0x', SUBSTRING(md5(shingle), 1, 15)) AS BIGINT)
+                   % {_MH_P} AS s
+          FROM sh),
         hashed AS (
           SELECT doc_id, t.h AS h,
-                 MIN(md5(CAST(t.h AS VARCHAR) || '|' || shingle)) AS minhash
-          FROM sh, UNNEST(generate_series(0, {_N_HASH - 1})) AS t(h)
+                 MIN((s * CASE t.h {' '.join(f'WHEN {h} THEN {a}' for h, a in enumerate(_MH_A))} END
+                      + CASE t.h {' '.join(f'WHEN {h} THEN {b}' for h, b in enumerate(_MH_B))} END)
+                     % {_MH_P}) AS minhash
+          FROM si, UNNEST(generate_series(0, {_N_HASH - 1})) AS t(h)
           GROUP BY 1, 2),
         bands AS (
           SELECT doc_id, CAST(h // {_BAND_ROWS} AS BIGINT) AS band,
-                 md5(string_agg(minhash, ',' ORDER BY h)) AS band_key
+                 md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS band_key
           FROM hashed GROUP BY 1, 2),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -154,21 +169,27 @@ _BAND_ROWS = 2  # 4 bands × 2 rows
         SELECT doc_a, doc_b FROM pairs""",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates: 8 md5-salted min-hashes per doc,
+    """MinHash+LSH near-dup candidates: one md5 per shingle → int64,
+    8 universal-hash permutations (integer multiply-add mod 2^31-1),
     4 bands × 2 rows, candidate pairs = docs sharing a band bucket.
     Banding join scales as O(candidates), not O(n²)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs, 3)
-    hs = F.explode(F.array([F.lit(h) for h in range(_N_HASH)])).alias("h")
+    si = sh.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % _MH_P
+        ).alias("s"),
+    )
+    perms = F.array(
+        *[
+            ((F.col("s") * _MH_A[h] + _MH_B[h]) % _MH_P).alias(f"p{h}")
+            for h in range(_N_HASH)
+        ]
+    )
     hashed = (
-        sh.select("doc_id", "shingle", hs)
-        .select(
-            "doc_id",
-            "h",
-            F.md5(F.concat_ws("|", F.col("h").cast("string"), F.col("shingle"))).alias(
-                "hh"
-            ),
-        )
+        si.select("doc_id", F.posexplode(perms).alias("h", "hh"))
         .groupBy("doc_id", "h")
         .agg(F.min("hh").alias("minhash"))
     )
@@ -177,7 +198,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     ).agg(
         F.md5(
             F.concat_ws(
-                ",", F.array_sort(F.collect_list(F.struct("h", "minhash"))).minhash
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "minhash"))).minhash,
+                    lambda m: m.cast("string"),
+                ),
             )
         ).alias("band_key")
     )
@@ -303,14 +328,21 @@ def dedup_embedding_cosine(spark, sf_dir):
 # ----------------------------------------- cluster canonicalisation
 
 _LSH_PAIRS_SQL = f"""WITH sh AS ({_shingles_sql(3)}),
+        si AS (
+          SELECT doc_id,
+                 CAST(CONCAT('0x', SUBSTRING(md5(shingle), 1, 15)) AS BIGINT)
+                   % {_MH_P} AS s
+          FROM sh),
         hashed AS (
           SELECT doc_id, t.h AS h,
-                 MIN(md5(CAST(t.h AS VARCHAR) || '|' || shingle)) AS minhash
-          FROM sh, UNNEST(generate_series(0, {_N_HASH - 1})) AS t(h)
+                 MIN((s * CASE t.h {' '.join(f'WHEN {h} THEN {a}' for h, a in enumerate(_MH_A))} END
+                      + CASE t.h {' '.join(f'WHEN {h} THEN {b}' for h, b in enumerate(_MH_B))} END)
+                     % {_MH_P}) AS minhash
+          FROM si, UNNEST(generate_series(0, {_N_HASH - 1})) AS t(h)
           GROUP BY 1, 2),
         bands AS (
           SELECT doc_id, CAST(h // {_BAND_ROWS} AS BIGINT) AS band,
-                 md5(string_agg(minhash, ',' ORDER BY h)) AS band_key
+                 md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS band_key
           FROM hashed GROUP BY 1, 2),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
