@@ -31,18 +31,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _time_unit(ts_type) -> str:
-    """numpy datetime64 unit for an arrow temporal type — int64-cast
-    values are in this unit (date32 → days, timestamp → its unit)."""
+def _time_unit(ts_type) -> tuple[str, bool]:
+    """(numpy datetime64 unit, is_date) for an arrow temporal type —
+    int64-cast values are in this unit (date32 → days, timestamp → its
+    unit). Dates are timezone-free; timestamps are UTC instants."""
     import pyarrow as pa
 
     if pa.types.is_date32(ts_type):
-        return "D"
+        return "D", True
     if pa.types.is_date64(ts_type):
-        return "ms"
+        return "ms", True
     if pa.types.is_timestamp(ts_type):
-        return ts_type.unit
+        return ts_type.unit, False
     raise TypeError(f"unsupported time column type: {ts_type}")
+
+
+def _doy_of(ut: np.ndarray, unit: str, is_date: bool, tz: str) -> np.ndarray:
+    """0-based day-of-year per unique time, matching the relational
+    path's F.dayofyear: timestamps are UTC instants interpreted in the
+    SESSION timezone (Spark extracts date parts in
+    spark.sql.session.timeZone — raw epoch math would shift samples
+    near midnight into the wrong day for non-UTC sessions); dates are
+    timezone-free."""
+    idx = pd.DatetimeIndex(
+        ut.astype(f"datetime64[{unit}]").astype("datetime64[us]")
+    )
+    if not is_date and tz and tz.upper() != "UTC":
+        idx = idx.tz_localize("UTC").tz_convert(tz)
+    return idx.dayofyear.to_numpy() - 1
 
 
 def _detect_band(
@@ -121,6 +137,7 @@ def detect_extremes_blocked(
     exact = method_percentile == "exact"
     spark = series.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
+    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
 
     def _run(batches) -> Iterator:
         # mapInArrow: skip the Arrow→pandas conversion entirely (it
@@ -135,7 +152,7 @@ def detect_extremes_blocked(
             return
         tbl = pa.Table.from_batches(blist).combine_chunks()
         ts_type = tbl.schema.field(time_col).type
-        unit = _time_unit(ts_type)
+        unit, is_date = _time_unit(ts_type)
         y = tbl["y"].to_numpy()
         x = tbl["x"].to_numpy().astype(np.int64, copy=False)
         ts = tbl[time_col].cast(pa.int64()).to_numpy()
@@ -146,12 +163,7 @@ def detect_extremes_blocked(
             ux, x_idx = np.unique(x[mask], return_inverse=True)
             m = np.full((len(ut), len(ux)), np.nan)
             m[t_idx, x_idx] = v[mask]
-            doy = (
-                pd.DatetimeIndex(
-                    ut.astype(f"datetime64[{unit}]").astype("datetime64[us]")
-                ).dayofyear.to_numpy()
-                - 1
-            )
+            doy = _doy_of(ut, unit, is_date, session_tz)
             ext, _ = _detect_band(
                 m, doy, threshold_percentile, exact, precision, max_anomaly
             )
@@ -179,15 +191,23 @@ def pack_gridded(
 ) -> DataFrame:
     """Long (time, y, x, value) → packed (time, y, vals array<float>)
     layout (the Spark analogue of the reference's zarr chunks,
-    detect.py:535 chunking). One shuffle; gaps become nulls in the
-    array (→ NaN in the kernel, preserving the drop-null semantics).
-    Ingestion jobs should land gridded data in this layout once and
-    reuse it — every downstream blocked pass then moves plain float
-    arrays through Arrow instead of per-cell tuples."""
+    detect.py:535 chunking). Gaps become nulls in the array (→ NaN in
+    the kernel, preserving the drop-null semantics). Duplicate
+    (time, y, x) rows — overlapping re-ingested regions, double-landed
+    files — are resolved deterministically to MAX(value) by a per-cell
+    pre-aggregation (the long kernel's last-write-wins is row-order-
+    dependent; map_from_entries would otherwise throw
+    DUPLICATED_MAP_KEY at runtime). Ingestion jobs should land gridded
+    data in this layout once and reuse it — every downstream blocked
+    pass then moves plain float arrays through Arrow instead of
+    per-cell tuples."""
+    dedup = series.groupBy(time_col, "y", "x").agg(
+        F.max(value_col).alias(value_col)
+    )
     m = F.map_from_entries(F.collect_list(F.struct("x", value_col)))
     idx = F.sequence(F.lit(0), F.lit(nx - 1))
     return (
-        series.groupBy(time_col, "y")
+        dedup.groupBy(time_col, "y")
         .agg(m.alias("m"))
         .select(
             time_col,
@@ -222,6 +242,7 @@ def detect_extremes_blocked_packed(
     thresholds = output == "thresholds"
     spark = packed.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
+    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
 
     def _run(batches) -> Iterator:
         # mapInArrow: the packed layout's fixed-length list<float>
@@ -235,7 +256,7 @@ def detect_extremes_blocked_packed(
             return
         tbl = pa.Table.from_batches(blist).combine_chunks()
         ts_type = tbl.schema.field(time_col).type
-        unit = _time_unit(ts_type)
+        unit, is_date = _time_unit(ts_type)
         y = tbl["y"].to_numpy()
         ts = tbl[time_col].cast(pa.int64()).to_numpy()
         vcol = tbl["vals"].combine_chunks()
@@ -257,12 +278,7 @@ def detect_extremes_blocked_packed(
             order = np.argsort(ts[mask], kind="stable")
             ut = ts[mask][order]
             m = mat_all[mask][order]
-            doy = (
-                pd.DatetimeIndex(
-                    ut.astype(f"datetime64[{unit}]").astype("datetime64[us]")
-                ).dayofyear.to_numpy()
-                - 1
-            )
+            doy = _doy_of(ut, unit, is_date, session_tz)
             ext, thr = _detect_band(
                 m, doy, threshold_percentile, exact, precision, max_anomaly
             )
@@ -312,14 +328,14 @@ def detect_track_blocked(
     from marex_spark.operators.track import track_events
     from marex_spark.sources.synthetic import synthetic_sst_gridded
 
+    # deliberately the SHUFFLED path: the bench must measure the plan
+    # SCALE.md describes (one band shuffle) — the no-shuffle
+    # band-partitioned variant is a generator-side trick real ingested
+    # data only gets from a band-bucketed/packed layout
     n_years = max(2, int(round(30 * sf)))
     ny, nx = (40, 80) if sf >= 0.05 else (20, 40)
-    series = synthetic_sst_gridded(
-        spark, n_years=n_years, ny=ny, nx=nx, band_partitioned=True
-    )
-    cells = detect_extremes_blocked(
-        series, method_percentile=method_percentile, assume_band_partitioned=True
-    )
+    series = synthetic_sst_gridded(spark, n_years=n_years, ny=ny, nx=nx)
+    cells = detect_extremes_blocked(series, method_percentile=method_percentile)
     ext = cells.withColumn("extreme", F.lit(True))
     res = track_events(ext, nx=nx, compute_stats=False)
     res.events.write.mode("overwrite").format("noop").save()

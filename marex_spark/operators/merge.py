@@ -824,6 +824,8 @@ def split_merge_events_parallel(
     carry_in: dict[int, pd.DataFrame | None] = {b: None for b in range(n_blocks)}
     rounds_cap = max_rounds or n_blocks
     out = None
+    prev_out = None
+    stable = False
     global LAST_PARALLEL_ROUNDS
     LAST_PARALLEL_ROUNDS = 0
     for _ in range(rounds_cap):
@@ -846,17 +848,26 @@ def split_merge_events_parallel(
             ).withColumn("is_carry", F.lit(1))
             inp = inp.unionByName(cdf)
         # explicit repartition by block: AQE would otherwise coalesce
-        # the small shuffle and serialise the per-block kernels
+        # the small shuffle and serialise the per-block kernels.
+        # persist (not localCheckpoint): lineage does NOT grow across
+        # rounds (each round derives from cells_b + small carries), and
+        # persist lets the PREVIOUS round's full-dataset copy be freed
+        # as soon as its successor's carries are extracted.
         n_part = max(n_blocks, spark.sparkContext.defaultParallelism)
+        from pyspark.storagelevel import StorageLevel
+
         out = (
             inp.repartition(n_part, "block")
             .groupBy("block")
             .applyInPandas(_block_kernel, schema=out_schema)
-            .localCheckpoint()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         co = out.filter(
             (F.col("kind") == 0) & F.col(time_col).isin(list(carry_times))
         ).toPandas()
+        if prev_out is not None:
+            prev_out.unpersist()
+        prev_out = out
         new_carry: dict[int, pd.DataFrame | None] = {0: None}
         for b in range(n_blocks - 1):
             g = co[co["block"] == b][[time_col, *coord_cols, "obj_id"]]
@@ -875,6 +886,17 @@ def split_merge_events_parallel(
         if stable:
             break
         carry_in = new_carry
+    if not stable:
+        # only reachable with a caller-supplied max_rounds below the
+        # guaranteed-convergence bound (#blocks) — returning silently
+        # would violate the byte-identical-to-serial contract
+        from marex_spark.exceptions import ProcessingError
+
+        raise ProcessingError(
+            "parallel merge resolution did not converge within max_rounds",
+            details={"rounds": LAST_PARALLEL_ROUNDS, "n_blocks": n_blocks},
+            suggestions=["raise max_rounds (defaults to #blocks, which always converges)"],
+        )
 
     # ---- renumber block-local new ids into the serial time-order counter
     led_pdf = out.filter(F.col("kind") == 2).toPandas()

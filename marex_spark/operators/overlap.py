@@ -1,14 +1,16 @@
 """Temporal overlap graph (SURVEY J5 + M8) — the engine's load-bearing
-join (reference ``find_overlapping_objects`` track.py:2474-2504, overlap
-threshold track.py:2506-2552).
+linking step (reference ``find_overlapping_objects`` track.py:2474-2504,
+overlap threshold track.py:2506-2552).
 
-Input: labelled field (time, <cell keys>, obj_id). Times are compacted
-to a dense step index first (dense_rank over distinct times) so the
-"next timestep" join is cadence-independent.
+Input: labelled field (time, <cell keys>, obj_id) — label_components
+output, which contains ONLY labelled (extreme) cells. Times are
+compacted to a dense step index first (dense_rank over distinct times,
+metadata-sized) so the "next timestep" rule is cadence-independent.
 
-Scale: both sides filter obj_id > 0 before the self-join, the join key
-is (t, cell) so it co-partitions with the labelling output, and the
-pair aggregation is a map-side-combinable count/sum.
+Scale: ONE hash shuffle of the labelled field by cell for the lead
+window (the next row of a cell's time-ordered history is its next
+active step; a t+1 gate keeps consecutive-step pairs), then a
+map-side-combinable pair aggregation. Plan pinned in tests/test_plans.py.
 """
 
 from __future__ import annotations

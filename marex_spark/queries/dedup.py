@@ -143,9 +143,7 @@ _MH_A = [1_103_515_245, 22_695_477, 214_013, 69_069, 75, 1_664_525, 48_271, 16_8
 _MH_B = [12_345, 1, 2_531_011, 362_437, 74, 1_013_904_223, 37, 17]
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""WITH sh AS ({_shingles_sql(3)}),
+_LSH_PAIRS_SQL = f"""WITH sh AS ({_shingles_sql(3)}),
         si AS (
           SELECT doc_id,
                  CAST(CONCAT('0x', SUBSTRING(md5(shingle), 1, 15)) AS BIGINT)
@@ -165,8 +163,13 @@ _MH_B = [12_345, 1, 2_531_011, 362_437, 74, 1_013_904_223, 37, 17]
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
-            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b FROM pairs""",
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"{_LSH_PAIRS_SQL} SELECT doc_a, doc_b FROM pairs",
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates: one md5 per shingle → int64,
@@ -327,28 +330,8 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 # ----------------------------------------- cluster canonicalisation
 
-_LSH_PAIRS_SQL = f"""WITH sh AS ({_shingles_sql(3)}),
-        si AS (
-          SELECT doc_id,
-                 CAST(CONCAT('0x', SUBSTRING(md5(shingle), 1, 15)) AS BIGINT)
-                   % {_MH_P} AS s
-          FROM sh),
-        hashed AS (
-          SELECT doc_id, t.h AS h,
-                 MIN((s * CASE t.h {' '.join(f'WHEN {h} THEN {a}' for h, a in enumerate(_MH_A))} END
-                      + CASE t.h {' '.join(f'WHEN {h} THEN {b}' for h, b in enumerate(_MH_B))} END)
-                     % {_MH_P}) AS minhash
-          FROM si, UNNEST(generate_series(0, {_N_HASH - 1})) AS t(h)
-          GROUP BY 1, 2),
-        bands AS (
-          SELECT doc_id, CAST(h // {_BAND_ROWS} AS BIGINT) AS band,
-                 md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS band_key
-          FROM hashed GROUP BY 1, 2),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id)"""
+# (single source of truth for the LSH pair CTE: defined above, next to
+# dedup_minhash_lsh, and shared with the cluster canonicalisation oracle)
 
 
 @register(

@@ -27,6 +27,23 @@ def _read_meta(array_dir: str) -> dict:
 
 
 def _decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
+    if meta.get("filters"):
+        # filter chains (delta/shuffle/quantize/…) change the byte
+        # layout — decoding without applying them would silently
+        # corrupt every value, so refuse loudly like unknown codecs
+        try:
+            import numcodecs  # noqa: F401
+        except ImportError as e:
+            from marex_spark.exceptions import DependencyError
+
+            raise DependencyError(
+                "zarr store uses filters; decoding needs numcodecs",
+                details={"filters": meta["filters"]},
+                suggestions=["pip install numcodecs", "re-write store without filters"],
+            ) from e
+        raise NotImplementedError(
+            "zarr filter chains are not implemented in the stdlib reader"
+        )
     comp = meta.get("compressor")
     if comp is None:
         buf = raw
@@ -119,10 +136,12 @@ def ingest_zarr_gridded(
                     continue  # missing chunk = all fill_value
                 with open(path, "rb") as f:
                     a = _decode_chunk(f.read(), meta).astype(np.float64)
-                if fill is not None and not (
-                    isinstance(fill, float) and np.isnan(fill)
-                ):
-                    a = np.where(a == fill, np.nan, a)
+                # zarr-v2 JSON encodes non-finite fills as the strings
+                # "NaN"/"Infinity"/"-Infinity" — decode before comparing,
+                # else the float==str comparison is a silent no-op
+                fv = float(fill) if isinstance(fill, str) else fill
+                if fv is not None and not np.isnan(fv):
+                    a = np.where(a == fv, np.nan, a)
                 t0, y0, x0 = it * ct, iy * cy, ix * cx
                 nt = min(ct, T - t0)
                 nyc = min(cy, NY - y0)
@@ -142,7 +161,9 @@ def ingest_zarr_gridded(
 
     long_df = keys_df.mapInPandas(
         _decode, schema="time timestamp, y int, x int, value float"
-    ).filter(~F.isnan("value"))
+    ).filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    # (NaN written from pandas arrives as NULL through Arrow, and Spark's
+    # isnan(NULL) is false — both forms must be dropped)
     if layout == "long":
         return long_df
     from marex_spark.operators.detect_blocked import pack_gridded

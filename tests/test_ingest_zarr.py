@@ -90,6 +90,53 @@ def test_zarr_long_roundtrip(spark, store):
     assert all(abs(got[k] - expect[k]) < 1e-5 for k in expect)
 
 
+def test_zarr_filters_refused():
+    """Stores with filter chains must refuse loudly — decoding without
+    applying filters would silently corrupt every value (r2 review)."""
+    from marex_spark.sources.zarr import _decode_chunk
+
+    meta = {
+        "chunks": [1],
+        "dtype": "<f4",
+        "compressor": None,
+        "filters": [{"id": "delta", "dtype": "<f4"}],
+    }
+    with pytest.raises(Exception, match="filter"):
+        _decode_chunk(b"\x00\x00\x00\x00", meta)
+
+
+def test_zarr_string_fill_value(tmp_path, spark):
+    """zarr-v2 JSON string-encoded fill ('Infinity') must be decoded
+    before the fill comparison, not silently compared as a string."""
+    import numpy as np
+
+    root = tmp_path / "store"
+    var = root / "v"
+    var.mkdir(parents=True)
+    a = np.array([[[1.5, np.inf], [2.5, 3.5]]], dtype=np.float32)  # (1,2,2)
+    (var / ".zarray").write_text(
+        json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": [1, 2, 2],
+                "chunks": [1, 2, 2],
+                "dtype": "<f4",
+                "order": "C",
+                "compressor": None,
+                "fill_value": "Infinity",
+                "filters": None,
+            }
+        )
+    )
+    (var / "0.0.0").write_bytes(a.tobytes())
+    from marex_spark.sources.zarr import ingest_zarr_gridded
+
+    df = ingest_zarr_gridded(spark, str(root), "v", layout="long")
+    got = {(r.y, r.x): r.value for r in df.collect()}
+    assert (0, 1) not in got  # +inf == fill → dropped
+    assert abs(got[(0, 0)] - 1.5) < 1e-6 and len(got) == 3
+
+
 def test_zarr_packed_roundtrip(spark, store):
     from marex_spark.sources.zarr import ingest_zarr_gridded
 
