@@ -142,3 +142,39 @@ def txt_source_stats(spark, sf_dir):
     return docs.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"), round6(davg("n_chars")).alias("avg_chars")
     )
+
+
+@register(
+    "txt_unigram_logprob",
+    f"""WITH tok AS (
+          SELECT doc_id, t.w AS word
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+               UNNEST(ws) AS t(w)),
+        freq AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY 1),
+        tot AS (SELECT SUM(c) AS n FROM freq)
+        SELECT doc_id,
+               {round6_sql('AVG(ln(c / CAST(n AS DOUBLE)))')} AS avg_logprob
+        FROM tok JOIN freq USING (word) CROSS JOIN tot
+        GROUP BY 1""",
+)
+def txt_unigram_logprob(spark, sf_dir):
+    """Unigram language-model quality proxy: per doc, the mean log
+    corpus-probability of its tokens — the classic cheap filter for
+    garbage/outlier text (low = unusual vocabulary). The frequency
+    table is vocabulary-sized → broadcast; the corpus pays one token
+    explode + one map-side-combinable agg, no shuffle by word of the
+    full corpus rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    freq = tok.groupBy("word").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            round6(F.avg(F.log(F.col("c") / F.col("n").cast("double")))).alias(
+                "avg_logprob"
+            )
+        )
+    )
