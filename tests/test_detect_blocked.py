@@ -75,6 +75,32 @@ def test_blocked_frequency(spark, series):
     assert 0.03 <= frac <= 0.07, frac
 
 
+def test_blocked_matches_relational_nonutc_session(spark, series):
+    """Session-timezone regression (r2 review): with a non-UTC session,
+    F.dayofyear shifts midnight-UTC stamps to the PREVIOUS local day —
+    the kernels must bucket climatology identically to the relational
+    path, not by raw UTC epoch math."""
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rel = preprocess_data(series, method_percentile="exact")
+        rel_cells = {
+            (r.time, r.y, r.x)
+            for r in rel.extremes.filter("extreme").select("time", "y", "x").collect()
+        }
+        blk_cells = {
+            (r.time, r.y, r.x)
+            for r in detect_extremes_blocked(
+                series, method_percentile="exact"
+            ).collect()
+        }
+        diff = rel_cells ^ blk_cells
+        assert len(diff) <= max(2, len(rel_cells) // 1000), (
+            len(rel_cells), len(blk_cells), len(diff),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_packed_source_matches_long(spark):
     """The packed generator must be value-identical to the long one."""
     from marex_spark.sources.synthetic import (
