@@ -82,7 +82,19 @@ def test_blocked_matches_relational_nonutc_session(spark, series):
     path, not by raw UTC epoch math."""
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
-        rel = preprocess_data(series, method_percentile="exact")
+        # jitter hours so the UTC→local day shift is NON-uniform
+        # (midnight-only stamps shift every bucket identically, which
+        # any grouping would survive; mixed hours move only some
+        # samples across the local-day boundary)
+        jittered = series.withColumn(
+            "time",
+            F.timestamp_add(
+                "HOUR",
+                F.pmod(F.xxhash64("y", "x"), F.lit(12)).cast("int"),
+                F.col("time"),
+            ),
+        )
+        rel = preprocess_data(jittered, method_percentile="exact")
         rel_cells = {
             (r.time, r.y, r.x)
             for r in rel.extremes.filter("extreme").select("time", "y", "x").collect()
@@ -90,7 +102,7 @@ def test_blocked_matches_relational_nonutc_session(spark, series):
         blk_cells = {
             (r.time, r.y, r.x)
             for r in detect_extremes_blocked(
-                series, method_percentile="exact"
+                jittered, method_percentile="exact"
             ).collect()
         }
         diff = rel_cells ^ blk_cells
