@@ -139,6 +139,41 @@ def test_parallel_matches_oneshot(spark, two_blob_field, block_steps):
     assert la == lb
 
 
+@pytest.mark.parametrize("seed,density", [(3, 0.05), (11, 0.12), (29, 0.2)])
+def test_three_tiers_agree_on_random_fields(spark, seed, density):
+    """Serial, chunked and parallel resolvers must agree exactly on
+    unstructured random fields too — clumpy noise produces empty
+    timesteps, singletons, simultaneous merges and splits that the
+    analytic two-blob fixture never exercises."""
+    from marex_spark.operators.label import label_components
+    from marex_spark.operators.merge import (
+        split_merge_events,
+        split_merge_events_chunked,
+        split_merge_events_parallel,
+    )
+    from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+    field = synthetic_extremes_gridded(
+        spark, n_time=12, ny=16, nx=24, density=density, seed=seed
+    )
+    labels = label_components(field, nx=24)
+    one, l1 = split_merge_events(labels, nx=24, overlap_threshold=0.5)
+    chk, l2 = split_merge_events_chunked(
+        labels, nx=24, chunk_steps=5, overlap_threshold=0.5
+    )
+    par, l3 = split_merge_events_parallel(
+        labels, nx=24, block_steps=5, overlap_threshold=0.5
+    )
+    a = sorted(map(tuple, one.collect()))
+    assert a == sorted(map(tuple, chk.collect()))
+    assert a == sorted(map(tuple, par.collect()))
+    led = lambda df: [  # noqa: E731
+        (r.time, tuple(r.parent_ids), tuple(r.child_ids), tuple(r.overlap_areas))
+        for r in df.collect()
+    ]
+    assert led(l1) == led(l2) == led(l3)
+
+
 def test_chunked_matches_oneshot(spark, two_blob_field):
     """The memory-bounded chunk loop must reproduce the one-shot serial
     kernel exactly — labels, event count, and ledger."""
