@@ -95,6 +95,44 @@ def test_unstructured_parallel_matches_serial(spark, ring, two_blob_mesh):
     assert la == lb
 
 
+@pytest.mark.parametrize("seed", [5, 17])
+def test_sphere_tiers_agree_on_random_mesh(spark, ring, seed):
+    """Sphere serial vs parallel on random clumpy mesh activity —
+    beyond the structured colliding-blob path."""
+    import datetime as _dt
+
+    from marex_spark.operators.label import label_components_unstructured
+    from marex_spark.operators.merge import (
+        split_merge_events_parallel,
+        split_merge_events_unstructured,
+    )
+
+    edges, geo = ring
+    t0 = _dt.datetime(2023, 1, 1)
+    base = spark.range(N_CELL * 14).select(
+        (F.col("id") % N_CELL).alias("cell"),
+        F.timestamp_add(
+            "DAY", (F.col("id") / N_CELL).cast("int"), F.lit(t0)
+        ).alias("time"),
+    )
+    field = base.withColumn(
+        "extreme",
+        F.pmod(F.xxhash64("cell", (F.col("cell") / 7).cast("int"), "time", F.lit(seed)), F.lit(10))
+        < 3,
+    )
+    labels = label_components_unstructured(field, edges)
+    one, l1 = split_merge_events_unstructured(labels, geo, overlap_threshold=0.5)
+    par, l2 = split_merge_events_parallel(
+        labels, block_steps=4, overlap_threshold=0.5,
+        geometry="sphere", cell_geo=geo,
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, par.collect()))
+    led = lambda df: [  # noqa: E731
+        (r.time, tuple(r.parent_ids), tuple(r.child_ids)) for r in df.collect()
+    ]
+    assert led(l1) == led(l2)
+
+
 def test_unstructured_centroids_follow_path(spark, ring, two_blob_mesh):
     edges, geo = ring
     res = track_events_unstructured(
