@@ -18,3 +18,99 @@ import marex_spark.queries.similarity  # noqa: F401,E402
 import marex_spark.queries.tracking  # noqa: F401,E402
 import marex_spark.queries.multimodal  # noqa: F401,E402
 import marex_spark.queries.detect_extra  # noqa: F401,E402
+
+# ---------------------------------------------------------------------------
+# Evaluation-order priority.
+#
+# The driver evaluates registry entries in dict order with a bounded budget
+# (observed: exactly the first 50 entries in rounds 1-2). Registration order
+# follows module import order, which front-loaded 42 already-proven
+# relational rows and starved the tracking / dedup / ANN / text / multimodal
+# suites of any driver correctness signal for two rounds.
+#
+# Rebuild the dicts in place so the evaluation window is spent where the
+# information is: every never-driver-verified entry first, then a small set
+# of previously-green sentinels for regression cover, then the remaining
+# proven rows. In-place (clear + reinsert) so `from ... import QUERIES`
+# aliases held elsewhere observe the new order too.
+# ---------------------------------------------------------------------------
+
+_PRIORITY = [
+    # Tracking / morphology / CC suite (SURVEY §2 M1-M10, J9 ledger form).
+    "trk_m1_morph_close",
+    "trk_m3_time_gap_fill",
+    "trk_m7_connected_components",
+    "trk_m4_label_components",
+    "trk_m8_overlap_threshold",
+    "trk_m2_dilate_unstructured",
+    "trk_m5_track_nomerge",
+    "trk_m9_split_merge",
+    "trk_m9_parallel",
+    "trk_j9_merge_ledger",
+    "trk_m6_label_unstructured",
+    # LLM-pipeline: dedup + decontamination.
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_cluster_canonical",
+    "decontam_ngram",
+    # LLM-pipeline: text analysis.
+    "txt_token_count",
+    "txt_quality_score",
+    "txt_langid",
+    "txt_fingerprint",
+    "txt_source_stats",
+    "txt_unigram_logprob",
+    # LLM-pipeline: similarity search.
+    "ann_cosine_topk",
+    "ann_cosine_topk_fast",
+    "ann_lsh_bucket",
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    # LLM-pipeline: multimodal plumbing.
+    "mm_media_meta",
+    "mm_frame_sample",
+    "mm_resize_plan",
+    "mm_feature_extract",
+    # Detect-extra (§2 P1/J4/W3/F3/M11 + viz data layer + packed kernel).
+    "p1_mask_filter",
+    "j4_std_normalise",
+    "w3_circular_std_smooth",
+    "f3_linear_detrend",
+    "m11_circular_centroid",
+    "viz_clim_robust",
+    "det_packed_threshold",
+    "viz_trajectory_unwrap",
+    # §2 rows that were green in r01 but rotated out of the r02 window,
+    # plus the two never-windowed function rows.
+    "w4_spatial_rolling",
+    "f2_harmonics",
+    "f4_haversine",
+    "f6_interpolation",
+    # Green sentinels (#46-50): regression cover for the proven suites —
+    # scan+pushdown, overlap self-join, shifting climatology, histogram
+    # quantile, TPC-H aggregate.
+    "s1_scan_pushdown",
+    "j5_temporal_selfjoin",
+    "a2_shifting_climatology",
+    "a5_histogram_quantile",
+    "tpch_q1",
+]
+
+
+def _apply_priority_order() -> None:
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    if missing:  # pragma: no cover - registration drift guard
+        raise KeyError(f"priority list references unregistered queries: {missing}")
+    ordered = list(_PRIORITY) + [n for n in QUERIES if n not in set(_PRIORITY)]
+    for mapping in (QUERIES, ORACLES):
+        snapshot = dict(mapping)
+        mapping.clear()
+        mapping.update(
+            (name, snapshot[name]) for name in ordered if name in snapshot
+        )
+
+
+_apply_priority_order()

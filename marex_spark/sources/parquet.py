@@ -28,20 +28,34 @@ STAR_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver's events.parquet carries TIMESTAMP(NANOS), which Spark
-    # rejects outright unless nanosAsLong is set.  The conf is runtime-
-    # settable and idempotent, and the harness hands us a *foreign*
-    # SparkSession that our own builder (session.py) never touched — so it
-    # must be set here, at the read site, not only at session construction.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver's events.parquet carries TIMESTAMP(NANOS).  How Spark
+    # surfaces that has CHANGED across minor versions: older builds reject
+    # it unless spark.sql.legacy.parquet.nanosAsLong=true (then it arrives
+    # as int64 nanos), while pyspark 4.1.2 reads it natively as
+    # TIMESTAMP_NTZ truncated to micros and silently ignores the legacy
+    # conf.  Handle every shape at the read site — the harness hands us a
+    # *foreign* SparkSession our own builder (session.py) never touched.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed entirely in some future version
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as int64 nanos.
-    # Integer-div to micros (exact; float division would lose precision at
-    # 1e18) — matches DuckDB's nanos→micros truncation.
     for f in df.schema.fields:
-        if f.name == "ts" and f.dataType.typeName() == "long":
+        if f.name != "ts":
+            continue
+        t = f.dataType.typeName()
+        if t == "long":
+            # int64 nanos → micros by integer div (exact; float division
+            # would lose precision at 1e18) — matches DuckDB's truncation.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif t == "timestamp_ntz":
+            # Wall-clock equals the UTC instant (the writer's nanos are
+            # epoch-based).  to_utc_timestamp(ts,'UTC') maps wall→instant
+            # independent of spark.sql.session.timeZone, so downstream
+            # unix_micros()/date arithmetic agrees with DuckDB's epoch_us
+            # in ANY session timezone (a plain CAST would shift by the
+            # session offset).
+            df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     return df
 
 
