@@ -156,3 +156,104 @@ def test_packed_detect_matches_long(spark, series, mp):
             ).collect()
         }
         assert long_cells == packed_cells
+
+
+@pytest.fixture(scope="module")
+def series8(spark):
+    """Long enough for the 5-year shifting baseline to leave 3 scored
+    years."""
+    return synthetic_sst_gridded(spark, n_years=8, ny=6, nx=12)
+
+
+@pytest.mark.parametrize(
+    "ma,me,mp",
+    [
+        ("shifting_baseline", "hobday_extreme", "histogram"),
+        ("shifting_baseline", "hobday_extreme", "exact"),
+        ("shifting_baseline", "global_extreme", "exact"),
+        ("fixed_baseline", "hobday_extreme", "histogram"),
+    ],
+)
+def test_blocked_methods_match_relational(spark, series8, ma, me, mp):
+    """The blocked kernel's shifting-baseline anomaly and hobday
+    threshold must reproduce the oracle-checked relational operators
+    (climatology.anomaly_shifting_baseline, threshold.hobday_*) —
+    reference detect.py:1617-1669, 1921-1956, 2562-2734."""
+    rel = preprocess_data(
+        series8, method_anomaly=ma, method_extreme=me, method_percentile=mp
+    )
+    rel_cells = {
+        (r.time, r.y, r.x)
+        for r in rel.extremes.filter("extreme").select("time", "y", "x").collect()
+    }
+    rel.unpersist()
+    blk_cells = {
+        (r.time, r.y, r.x)
+        for r in detect_extremes_blocked(
+            series8, method_percentile=mp, method_anomaly=ma, method_extreme=me
+        ).collect()
+    }
+    assert rel_cells, "degenerate fixture: no extremes at all"
+    diff = rel_cells ^ blk_cells
+    assert len(diff) <= max(2, len(rel_cells) // 1000), (
+        len(rel_cells), len(blk_cells), len(diff),
+    )
+
+
+def test_blocked_shifting_gappy_matches_relational(spark, series8):
+    """Gaps must shrink the smoothing window / climatology sample set
+    exactly like the relational drop-null semantics."""
+    gappy = series8.filter(F.pmod(F.xxhash64("time", "y", "x"), F.lit(13)) != 0)
+    rel = preprocess_data(
+        gappy,
+        method_anomaly="shifting_baseline",
+        method_extreme="hobday_extreme",
+        method_percentile="histogram",
+    )
+    rel_cells = {
+        (r.time, r.y, r.x)
+        for r in rel.extremes.filter("extreme").select("time", "y", "x").collect()
+    }
+    rel.unpersist()
+    blk_cells = {
+        (r.time, r.y, r.x)
+        for r in detect_extremes_blocked(
+            gappy,
+            method_percentile="histogram",
+            method_anomaly="shifting_baseline",
+            method_extreme="hobday_extreme",
+        ).collect()
+    }
+    diff = rel_cells ^ blk_cells
+    assert len(diff) <= max(2, len(rel_cells) // 1000), (
+        len(rel_cells), len(blk_cells), len(diff),
+    )
+
+
+def test_packed_methods_match_long(spark, series8):
+    """Packed kernel == long kernel for the shifting/hobday configs."""
+    from marex_spark.operators.detect_blocked import (
+        detect_extremes_blocked_packed,
+        pack_gridded,
+    )
+
+    packed = pack_gridded(series8, nx=12)
+    for ma, me in [
+        ("shifting_baseline", "hobday_extreme"),
+        ("shifting_baseline", "global_extreme"),
+    ]:
+        long_cells = {
+            (r.time, r.y, r.x)
+            for r in detect_extremes_blocked(
+                series8, method_percentile="histogram",
+                method_anomaly=ma, method_extreme=me,
+            ).collect()
+        }
+        packed_cells = {
+            (r.time, r.y, r.x)
+            for r in detect_extremes_blocked_packed(
+                packed, method_percentile="histogram",
+                method_anomaly=ma, method_extreme=me,
+            ).collect()
+        }
+        assert long_cells == packed_cells, (ma, me)
