@@ -133,9 +133,14 @@ def connected_components_distributed(
         labels = jumped
         if changed == 0:
             break
-    w = Window.orderBy("lbl")
-    return labels.select(
-        F.col("u").alias(id_col), F.dense_rank().over(w).cast("long").alias("event_id")
+    # dense 1..K renumber without a global-order window: two-level
+    # bucketed index over the DISTINCT roots (overlap.time_index
+    # handles any orderable numeric column)
+    from marex_spark.operators.overlap import time_index
+
+    idx = time_index(labels.select(F.col("lbl")), time_col="lbl")
+    return labels.join(F.broadcast(idx), "lbl").select(
+        F.col("u").alias(id_col), F.col("t").cast("long").alias("event_id")
     )
 
 

@@ -150,11 +150,10 @@ def label_components(
     # Materialise once: both the offset table and the final join read it.
     labelled = labelled.localCheckpoint()
 
+    from marex_spark.operators.overlap import cumulative_offsets
+
     per_time_max = labelled.groupBy(time_col).agg(F.max("local_id").alias("max_id"))
-    w = Window.orderBy(time_col).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_time_max.select(
-        time_col, F.coalesce(F.sum("max_id").over(w), F.lit(0)).alias("id_offset")
-    )
+    offsets = cumulative_offsets(per_time_max, time_col, "max_id")
     return labelled.join(F.broadcast(offsets), time_col).select(
         time_col,
         "y",
@@ -217,11 +216,10 @@ def label_components_unstructured(
     per_time = labels.select(
         time_col, "cell", F.dense_rank().over(w).cast("int").alias("local_id")
     )
+    from marex_spark.operators.overlap import cumulative_offsets
+
     per_time_max = per_time.groupBy(time_col).agg(F.max("local_id").alias("max_id"))
-    wt = Window.orderBy(time_col).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_time_max.select(
-        time_col, F.coalesce(F.sum("max_id").over(wt), F.lit(0)).alias("id_offset")
-    )
+    offsets = cumulative_offsets(per_time_max, time_col, "max_id")
     return per_time.join(F.broadcast(offsets), time_col).select(
         time_col,
         "cell",

@@ -15,17 +15,93 @@ map-side-combinable pair aggregation. Plan pinned in tests/test_plans.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_BUCKET_DAYS = 512
+
+
+def _time_bucket(df: DataFrame, time_col: str) -> Column:
+    """Monotone coarse bucket of a time-like column (~512 daily steps
+    per bucket): the partition key that lets per-time metadata frames
+    use PARTITIONED windows instead of an empty partition spec (which
+    WindowExec executes on one task and warns about, storming logs —
+    VERDICT r2 #6)."""
+    t = df.schema[time_col].dataType.simpleString()
+    c = F.col(time_col)
+    if t == "date":
+        ordinal = F.datediff(c, F.to_date(F.lit("1970-01-01")))
+        width = _BUCKET_DAYS
+    elif t.startswith("timestamp"):
+        ts = F.to_utc_timestamp(c, "UTC") if t == "timestamp_ntz" else c
+        ordinal = F.unix_micros(ts)
+        width = _BUCKET_DAYS * 86_400_000_000
+    else:
+        ordinal = c.cast("long")
+        width = _BUCKET_DAYS
+    return F.floor(ordinal / F.lit(width)).alias("_bkt")
+
+
+def _bucket_offsets(per_bucket: DataFrame, val_col: str) -> DataFrame:
+    """(_bkt, _boff): exclusive prefix sum of val_col across buckets via
+    a broadcast non-equi self-join — bucket count ~ timesteps/512, so
+    the pair fan-out is trivial and no global-order window exists
+    anywhere in the plan."""
+    a = per_bucket.select("_bkt")
+    b = per_bucket.select(
+        F.col("_bkt").alias("_bkt2"), F.col(val_col).alias("_v2")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("_bkt2") < F.col("_bkt"), "left")
+        .groupBy("_bkt")
+        .agg(F.coalesce(F.sum("_v2"), F.lit(0)).cast("long").alias("_boff"))
+    )
 
 
 def time_index(labels: DataFrame, time_col: str = "time") -> DataFrame:
-    """Dense step index per distinct time (broadcast-sized)."""
-    w = Window.orderBy(time_col)
-    return (
+    """Dense step index per distinct time (broadcast-sized). Two-level:
+    row_number within a coarse time bucket + broadcast bucket offsets —
+    same dense index as a global-order window, no single-task stage."""
+    d = (
         labels.select(time_col)
         .distinct()
-        .withColumn("t", F.dense_rank().over(w).cast("long"))
+        .withColumn("_bkt", _time_bucket(labels, time_col))
+    )
+    w = Window.partitionBy("_bkt").orderBy(time_col)
+    ranked = d.withColumn("_r", F.row_number().over(w).cast("long"))
+    counts = d.groupBy("_bkt").agg(F.count("*").alias("_c"))
+    offs = _bucket_offsets(counts, "_c")
+    return (
+        ranked.join(F.broadcast(offs), "_bkt")
+        .select(time_col, (F.col("_r") + F.col("_boff")).alias("t"))
+    )
+
+
+def cumulative_offsets(
+    per_time: DataFrame,
+    time_col: str,
+    val_col: str,
+    out_col: str = "id_offset",
+) -> DataFrame:
+    """(time, out_col): EXCLUSIVE prefix sum of val_col in time order
+    over a one-row-per-timestep frame (the W6 global-ID offset table,
+    label.py). Two-level like :func:`time_index`: partitioned
+    intra-bucket window + broadcast bucket offsets."""
+    d = per_time.withColumn("_bkt", _time_bucket(per_time, time_col))
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = d.withColumn("_i", F.coalesce(F.sum(val_col).over(w), F.lit(0)))
+    sums = d.groupBy("_bkt").agg(F.sum(val_col).alias("_c"))
+    offs = _bucket_offsets(sums, "_c")
+    return (
+        intra.join(F.broadcast(offs), "_bkt")
+        .select(
+            time_col,
+            (F.col("_i") + F.col("_boff")).cast("long").alias(out_col),
+        )
     )
 
 

@@ -94,9 +94,17 @@ def track_events(
     allow_merging: bool = False,
     nn_partitioning: bool = False,
     merge_chunk_steps: int | None = 64,
-    merge_parallel: bool = False,
+    merge_parallel: bool = True,
+    compact_ids: bool = False,
 ) -> TrackResult:
     """Boolean extreme field → globally labelled events with stats.
+
+    ``compact_ids=False`` (default) keeps event_id = the component-root
+    object id: stable, deterministic, and computed with NO global-order
+    window. ``True`` renumbers events densely 1..K — a single-partition
+    dense_rank over every object id (the reference's in-memory dict
+    renumber, track.py:2888-2897); opt in only when dense ids are
+    actually needed, it is the one non-scalable step in the plan.
 
     overlap_threshold=0 reproduces the reference's no-merge 3-D
     connectivity (M5 via J5+M7: any overlap links two objects); >0
@@ -109,12 +117,14 @@ def track_events(
     ledger (``extras["merge_ledger"]``), and partition-boundary
     fragments are re-consolidated (M10) before event linking.
 
-    The memory-bounded chunked resolver is the DEFAULT
-    (``merge_chunk_steps=64``, driver memory O(chunk) not O(series));
-    pass ``merge_chunk_steps=None`` to opt into the one-shot collect,
-    or ``merge_parallel=True`` for the wall-clock-parallel time-block
-    tier (identical output, blocks resolved concurrently — the scale
-    path for multi-decade runs).
+    The wall-clock-parallel time-block resolver is the DEFAULT
+    (``merge_parallel=True``: blocks of ``merge_chunk_steps`` timesteps
+    resolved concurrently with a Jacobi carry fixpoint — 3× the chunked
+    tier's throughput at sf0.1, byte-identical output per
+    tests/test_merge.py::test_parallel_matches_oneshot). Fallbacks:
+    ``merge_parallel=False`` for the serial chunked resolver (driver
+    memory O(chunk)), plus ``merge_chunk_steps=None`` for the one-shot
+    collect.
     """
     labels = label_components(
         extremes,
@@ -173,7 +183,7 @@ def track_events(
         areas = object_areas(labels, time_col=time_col)
         pairs = filter_overlap_fraction(pairs, areas, overlap_threshold)
 
-    mapping = connected_components_driver(pairs, labels)
+    mapping = connected_components_driver(pairs, labels, compact=compact_ids)
     events = remap_ids(labels, mapping)
 
     ts_stats = life = None
@@ -196,8 +206,9 @@ def track_events_unstructured(
     compute_stats: bool = True,
     allow_merging: bool = False,
     nn_partitioning: bool = False,
-    merge_parallel: bool = False,
+    merge_parallel: bool = True,
     merge_block_steps: int = 64,
+    compact_ids: bool = False,
 ) -> TrackResult:
     """Unstructured-mesh tracking (reference unstructured path,
     track.py:1023-1117 setup + M6/M2 kernels): boolean (time, cell)
@@ -253,7 +264,7 @@ def track_events_unstructured(
         areas = object_areas(labels, time_col=time_col)
         pairs = filter_overlap_fraction(pairs, areas, overlap_threshold)
 
-    mapping = connected_components_driver(pairs, labels)
+    mapping = connected_components_driver(pairs, labels, compact=compact_ids)
     events = remap_ids(labels, mapping)
 
     ts_stats = life = None

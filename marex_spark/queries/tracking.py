@@ -356,7 +356,7 @@ def trk_m9_split_merge(spark, sf_dir):
     base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
     res = track_events(
         base, nx=NXG, time_col="d", overlap_threshold=0.5,
-        compute_stats=False, allow_merging=True,
+        compute_stats=False, allow_merging=True, merge_parallel=False,
     )
     life = res.events.groupBy("event_id").agg(
         F.min("d").alias("time_start"),

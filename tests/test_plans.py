@@ -77,11 +77,17 @@ def test_overlap_graph_is_single_data_shuffle(spark):
         "time", "y", "x", F.xxhash64("time", "y", "x").alias("obj_id")
     ).localCheckpoint()  # production input is checkpointed (track_events)
     pairs = overlap_pairs(labels, keys=("y", "x"))
-    # 4 = time-index distinct (1) + its metadata-sized dense_rank (1)
-    #   + the ONE data shuffle for the lead window (1) + pair agg (1).
-    # The replaced self-join plan shuffled the labelled field twice → 5+.
-    assert exchange_count(pairs) <= 4
-    assert broadcast_join_count(pairs) == 1  # time index joins broadcast
+    # Composition: the ONE data shuffle for the lead window + the pair
+    # agg, plus 5 METADATA-sized exchanges from the two-level time
+    # index (distinct times, per-bucket counts, bucket-offset join —
+    # frames of one row per timestep/bucket; the price of banning the
+    # single-task global-order window, VERDICT r2 #6). The replaced
+    # self-join plan shuffled the labelled field twice.
+    assert exchange_count(pairs) <= 7
+    assert broadcast_join_count(pairs) >= 1  # time index joins broadcast
+    from marex_spark.plans import plan_string
+
+    assert "SinglePartition" not in plan_string(pairs)
 
 
 def test_labelling_is_single_shuffle_per_pass(spark):
@@ -93,11 +99,15 @@ def test_labelling_is_single_shuffle_per_pass(spark):
     ext = synthetic_extremes_gridded(spark, n_time=8, ny=8, nx=16)
     out = label_components(ext, nx=16)
     # post-checkpoint plan: the W6 offset table costs one map-side-
-    # combined agg (1 row/time out) + one metadata-sized window
-    # exchange; the labelled cells themselves join the offsets by
-    # BROADCAST — any plan that shuffles the cell field again fails.
-    assert exchange_count(out) <= 2
-    assert broadcast_join_count(out) == 1
+    # combined agg (1 row/time out) + metadata-sized exchanges for the
+    # two-level bucketed prefix sum; the labelled cells themselves join
+    # the offsets by BROADCAST — any plan that shuffles the cell field
+    # again fails.
+    assert exchange_count(out) <= 5
+    assert broadcast_join_count(out) >= 1
+    from marex_spark.plans import plan_string
+
+    assert "SinglePartition" not in plan_string(out)
 
 
 def test_small_dim_joins_broadcast(spark):
@@ -109,3 +119,21 @@ def test_small_dim_joins_broadcast(spark):
     ).count()
     assert broadcast_join_count(q) == 1
     assert exchange_count(q) <= 2  # group-by shuffle only (+AQE final)
+
+
+def test_tracking_default_has_no_global_order_window(spark):
+    """VERDICT r2 #4: with compact_ids=False (the default), the event-id
+    remap must not contain a single-partition global-order window over
+    all object ids (SinglePartition dense_rank) — root ids are used
+    as-is. Dense compaction stays available but opt-in."""
+    from marex_spark.operators.track import track_events
+    from marex_spark.plans import plan_string
+    from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+    ext = synthetic_extremes_gridded(spark, n_time=6, ny=8, nx=16)
+    res = track_events(ext, nx=16, compute_stats=False)
+    plan = plan_string(res.events)
+    assert "SinglePartition" not in plan, plan[:2000]
+
+    compacted = track_events(ext, nx=16, compute_stats=False, compact_ids=True)
+    assert "SinglePartition" in plan_string(compacted.events)
