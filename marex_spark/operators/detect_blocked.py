@@ -245,9 +245,15 @@ def _thr_hobday(
         h = np.bincount(flat.ravel(), minlength=_N_DOY * nb * xc).reshape(
             _N_DOY, nb, xc
         )
-        pooled = np.zeros_like(h)
-        for off in range(-half, half + 1):
-            pooled += np.roll(h, -off, axis=0)
+        # circular ±half pooling via one cumsum pass (an 11-term roll
+        # loop re-touches the whole histogram per offset — ~5× the
+        # memory traffic; this was the shifting+hobday kernel's
+        # dominant cost at bench scale)
+        hp = np.concatenate([h[_N_DOY - half :], h, h[:half]], axis=0)
+        cs = np.concatenate(
+            [np.zeros((1, nb, xc), dtype=hp.dtype), hp.cumsum(axis=0)], axis=0
+        )
+        pooled = cs[2 * half + 1 :] - cs[: _N_DOY]
         cdf = pooled.cumsum(axis=1)
         n = cdf[:, -1, :]
         target = q * n

@@ -182,6 +182,7 @@ class _Resolver:
         max_iter_per_step: int,
         grid: bool,
         nn_partitioning: bool,
+        max_distance: float | None = None,
     ):
         self.nx = nx
         self.wrap_x = wrap_x
@@ -189,6 +190,7 @@ class _Resolver:
         self.max_iter_per_step = max_iter_per_step
         self.grid = grid
         self.nn_partitioning = nn_partitioning
+        self.max_distance = max_distance
         self.areas: dict[int, int] = {}
         self.cents: dict[int, tuple[float, float]] = {}
         self.ledger = MergeLedger([], [], [], [])
@@ -329,7 +331,21 @@ class _Resolver:
                         ],
                         axis=1,
                     )
-                    if self.grid:
+                    # cap semantics (reference track.py:3526-3535 auto
+                    # heuristic, 5224-5238 fallback): user max_distance
+                    # overrides the auto cap. Grid: cells. Unstructured:
+                    # DEGREES of great-circle arc — a documented
+                    # deviation from the reference's mesh-hop BFS cap
+                    # (hop counts are mesh-resolution-dependent; the
+                    # geodesic cap is the same physical quantity).
+                    if self.max_distance is not None:
+                        if self.grid:
+                            cap = float(self.max_distance) ** 2
+                        else:
+                            cap = float(
+                                np.sin(np.radians(self.max_distance) / 2.0) ** 2
+                            )
+                    elif self.grid:
                         max_area = max(self.areas.get(int(p), 1) for p in parent_ids)
                         cap = float(max(np.sqrt(max_area) * 3.0, 40.0)) ** 2
                     else:
@@ -358,6 +374,7 @@ def split_merge_serial(
     time_col: str = "time",
     geometry: str = "grid",
     nn_partitioning: bool = False,
+    max_distance: float | None = None,
 ) -> tuple[pd.DataFrame, MergeLedger]:
     """Sequential merge/split resolution over sparse labelled cells.
 
@@ -381,6 +398,7 @@ def split_merge_serial(
         max_iter_per_step=max_iter_per_step,
         grid=geometry == "grid",
         nn_partitioning=nn_partitioning,
+        max_distance=max_distance,
     )
     grid = resolver.grid
     slices, times = resolver.build_slices(cells, time_col)
@@ -433,6 +451,7 @@ def split_merge_events(
     wrap_x: bool = True,
     time_col: str = "time",
     nn_partitioning: bool = False,
+    max_distance: float | None = None,
     max_iter_per_step: int = 10,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed-in / distributed-out wrapper around the sequential
@@ -450,6 +469,7 @@ def split_merge_events(
         wrap_x=wrap_x,
         time_col=time_col,
         nn_partitioning=nn_partitioning,
+        max_distance=max_distance,
         max_iter_per_step=max_iter_per_step,
     )
     time_type = labels.schema[time_col].dataType.simpleString()
@@ -529,6 +549,7 @@ def split_merge_events_chunked(
     wrap_x: bool = True,
     time_col: str = "time",
     nn_partitioning: bool = False,
+    max_distance: float | None = None,
     max_iter_per_step: int = 10,
     labels_materialized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
@@ -562,6 +583,7 @@ def split_merge_events_chunked(
         max_iter_per_step=max_iter_per_step,
         grid=True,
         nn_partitioning=nn_partitioning,
+        max_distance=max_distance,
     )
     resolver.next_new_id = (
         labels.agg(F.max("obj_id")).first()[0] or 0
@@ -622,6 +644,7 @@ def split_merge_events_parallel(
     wrap_x: bool = True,
     time_col: str = "time",
     nn_partitioning: bool = False,
+    max_distance: float | None = None,
     max_iter_per_step: int = 10,
     max_rounds: int | None = None,
     labels_materialized: bool = False,
@@ -686,6 +709,7 @@ def split_merge_events_parallel(
                 wrap_x=wrap_x,
                 time_col=time_col,
                 nn_partitioning=nn_partitioning,
+                max_distance=max_distance,
                 max_iter_per_step=max_iter_per_step,
                 labels_materialized=True,
             )
@@ -695,6 +719,7 @@ def split_merge_events_parallel(
             overlap_threshold=overlap_threshold,
             time_col=time_col,
             nn_partitioning=nn_partitioning,
+            max_distance=max_distance,
         )
 
     block_of = {t: i // block_steps for i, t in enumerate(times)}
@@ -734,6 +759,7 @@ def split_merge_events_parallel(
             max_iter_per_step=max_iter_per_step,
             grid=grid,
             nn_partitioning=nn_partitioning,
+            max_distance=max_distance,
         )
         resolver.next_new_id = global_max + 1 + b * stride
         carry = []
@@ -941,6 +967,7 @@ def split_merge_events_unstructured(
     overlap_threshold: float = 0.5,
     time_col: str = "time",
     nn_partitioning: bool = False,
+    max_distance: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Unstructured-mesh form of :func:`split_merge_events`
     (track.py:3804+ semantics, serial tier): spherical centroids +
@@ -957,6 +984,7 @@ def split_merge_events_unstructured(
         time_col=time_col,
         geometry="sphere",
         nn_partitioning=nn_partitioning,
+        max_distance=max_distance,
     )
     time_type = labels.schema[time_col].dataType.simpleString()
     out_df = spark.createDataFrame(

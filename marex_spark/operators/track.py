@@ -93,6 +93,7 @@ def track_events(
     compute_stats: bool = True,
     allow_merging: bool = False,
     nn_partitioning: bool = False,
+    max_distance: float | None = None,
     merge_chunk_steps: int | None = 64,
     merge_parallel: bool = True,
     compact_ids: bool = False,
@@ -153,6 +154,7 @@ def track_events(
                 wrap_x=wrap_x,
                 time_col=time_col,
                 nn_partitioning=nn_partitioning,
+                max_distance=max_distance,
                 labels_materialized=True,
             )
         elif merge_chunk_steps:
@@ -164,6 +166,7 @@ def track_events(
                 wrap_x=wrap_x,
                 time_col=time_col,
                 nn_partitioning=nn_partitioning,
+                max_distance=max_distance,
                 labels_materialized=True,  # label_components checkpoints
             )
         else:
@@ -174,6 +177,7 @@ def track_events(
                 wrap_x=wrap_x,
                 time_col=time_col,
                 nn_partitioning=nn_partitioning,
+                max_distance=max_distance,
             )
         labels = labels.localCheckpoint()
         extras["merge_ledger"] = ledger
@@ -206,6 +210,7 @@ def track_events_unstructured(
     compute_stats: bool = True,
     allow_merging: bool = False,
     nn_partitioning: bool = False,
+    max_distance: float | None = None,
     merge_parallel: bool = True,
     merge_block_steps: int = 64,
     compact_ids: bool = False,
@@ -245,6 +250,7 @@ def track_events_unstructured(
                 overlap_threshold=overlap_threshold,
                 time_col=time_col,
                 nn_partitioning=nn_partitioning,
+                max_distance=max_distance,
                 geometry="sphere",
                 cell_geo=cell_geo,
             )
@@ -255,6 +261,7 @@ def track_events_unstructured(
                 overlap_threshold=overlap_threshold,
                 time_col=time_col,
                 nn_partitioning=nn_partitioning,
+                max_distance=max_distance,
             )
         labels = labels.localCheckpoint()
         extras["merge_ledger"] = ledger

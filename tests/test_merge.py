@@ -194,3 +194,56 @@ def test_chunked_matches_oneshot(spark, two_blob_field):
     la = [(r.time, tuple(r.parent_ids), tuple(r.child_ids)) for r in ledger_one.collect()]
     lb = [(r.time, tuple(r.parent_ids), tuple(r.child_ids)) for r in ledger_chk.collect()]
     assert la == lb
+
+
+class TestMaxDistance:
+    """max_distance knob parity with the reference's NN partitioning
+    (track.py:4979 parameter, 5224-5238 beyond-cap fallback; reference
+    tests/test_track_helpers.py::test_partition_nn_grid_max_distance):
+    child cells farther than max_distance from every parent's member
+    cells fall back to nearest-CENTROID assignment."""
+
+    @staticmethod
+    def _fixture():
+        import pandas as pd
+
+        rows = []
+        # t=0: parent 1 = a 20-cell column at x=0 (centroid y=9.5);
+        #      parent 2 = a 3x3 blob at x=19..21, y=0..2 (centroid ~(1,20))
+        for y in range(20):
+            rows.append((0, y, 0, 1))
+        for y in range(3):
+            for x in (19, 20, 21):
+                rows.append((0, y, x, 2))
+        # t=1: one child covering both parents plus an outlier at (0,8):
+        # nearest parent MEMBER is parent 1's (0,0) (d=8 < d=11 to
+        # parent 2's (0,19)), but nearest parent CENTROID is parent 2's.
+        for y in range(20):
+            rows.append((1, y, 0, 3))
+        for y in range(3):
+            for x in (19, 20, 21):
+                rows.append((1, y, x, 3))
+        rows.append((1, 0, 8, 3))
+        return pd.DataFrame(rows, columns=["t", "y", "x", "obj_id"])
+
+    @pytest.mark.parametrize(
+        "max_distance,expect_nn",
+        [
+            (None, True),   # auto cap = max(3*sqrt(20), 40) = 40 >= 8 → NN
+            (9.0, True),    # user cap 9 >= 8 → NN reaches parent 1
+            (5.0, False),   # cap 5 < 8: unreached → centroid → parent 2
+        ],
+    )
+    def test_grid_cap(self, max_distance, expect_nn):
+        from marex_spark.operators.merge import split_merge_serial
+
+        out, _ = split_merge_serial(
+            self._fixture(), nx=100, overlap_threshold=0.5, wrap_x=False,
+            time_col="t", nn_partitioning=True, max_distance=max_distance,
+        )
+        t1 = out[out["t"] == 1]
+        outlier_id = int(t1[(t1.y == 0) & (t1.x == 8)]["obj_id"].iloc[0])
+        group1_id = int(t1[(t1.y == 5) & (t1.x == 0)]["obj_id"].iloc[0])
+        group2_id = int(t1[(t1.y == 1) & (t1.x == 20)]["obj_id"].iloc[0])
+        assert group1_id != group2_id  # partition actually happened
+        assert outlier_id == (group1_id if expect_nn else group2_id)
