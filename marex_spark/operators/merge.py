@@ -958,6 +958,15 @@ def split_merge_events_parallel(
             np.array([renum.get(int(i), int(i)) for i in grp["parent"]], dtype=np.int64)
         )
         ledger.areas.append(grp["overlap"].to_numpy(np.int64))
+    # Materialise the output NOW, then release the round caches: the
+    # final round's persisted `out` and the `cells_b` checkpoint would
+    # otherwise stay resident for the whole session, accumulating
+    # cached blocks across repeated calls (ADVICE r2; the same concern
+    # DetectResult.unpersist addresses in detect.py). The eager
+    # checkpoint cuts lineage, so dropping the references lets the
+    # ContextCleaner reclaim cells_b too.
+    cells_out = cells_out.localCheckpoint()
+    out.unpersist()
     return cells_out, _ledger_df(spark, ledger, time_col, time_type)
 
 

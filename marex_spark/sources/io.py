@@ -64,10 +64,17 @@ def ingest_netcdf(
     x_dim: str = "lon",
 ) -> DataFrame:
     """S2 (detect.py:409 ``xr.open_dataset``): NetCDF → long-format
-    DataFrame ingestion. Requires xarray+netCDF4 (not in this image);
-    gated behind an import so the engine degrades gracefully — on a
-    real deployment this runs once as an ingestion job and everything
-    downstream reads parquet."""
+    DataFrame ingestion. Classic-format files (CDF-1/CDF-2) go through
+    the stdlib distributed reader (sources/netcdf.py — one task per
+    record range, no extra dependencies); NetCDF-4/HDF5 containers
+    still need xarray+netCDF4 (not in this image), gated behind an
+    import so the engine degrades gracefully."""
+    with open(nc_path, "rb") as f:
+        magic = f.read(4)
+    if magic[:3] == b"CDF" and magic[3] in (1, 2):
+        from marex_spark.sources.netcdf import ingest_netcdf_classic
+
+        return ingest_netcdf_classic(spark, nc_path, var, time_var=time_dim)
     try:
         import xarray as xr  # noqa: F401
     except ImportError as e:  # pragma: no cover

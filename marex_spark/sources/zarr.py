@@ -30,19 +30,13 @@ def _decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
     if meta.get("filters"):
         # filter chains (delta/shuffle/quantize/…) change the byte
         # layout — decoding without applying them would silently
-        # corrupt every value, so refuse loudly like unknown codecs
-        try:
-            import numcodecs  # noqa: F401
-        except ImportError as e:
-            from marex_spark.exceptions import DependencyError
-
-            raise DependencyError(
-                "zarr store uses filters; decoding needs numcodecs",
-                details={"filters": meta["filters"]},
-                suggestions=["pip install numcodecs", "re-write store without filters"],
-            ) from e
+        # corrupt every value, so refuse loudly with ONE error type and
+        # an actually-actionable suggestion (ADVICE r2: the old path
+        # suggested installing numcodecs, then raised anyway when it
+        # was present — the error type depended on an irrelevant import)
         raise NotImplementedError(
-            "zarr filter chains are not implemented in the stdlib reader"
+            "zarr filter chains are not implemented in the stdlib reader; "
+            f"re-write the store without filters (filters={meta['filters']!r})"
         )
     comp = meta.get("compressor")
     if comp is None:

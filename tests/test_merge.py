@@ -247,3 +247,55 @@ class TestMaxDistance:
         group2_id = int(t1[(t1.y == 1) & (t1.x == 20)]["obj_id"].iloc[0])
         assert group1_id != group2_id  # partition actually happened
         assert outlier_id == (group1_id if expect_nn else group2_id)
+
+
+def test_merge_fixture_centroid_paths_and_identity(spark, two_blob_field):
+    """Differential fixture vs the reference's published merge
+    semantics (tests/test_gridded_tracking.py:587-683 centroid
+    tolerances + its merge-event assertions): on a 1°/px geo grid the
+    two blobs' tracked centroids must follow their analytic paths
+    (lon_A = 20+2t, lon_B = 60-2t, lat = 0) within 0.5° lon / 0.25°
+    lat before the collision, both identities must survive the merge
+    to the final timestep, and the ledger's parent ids must be exactly
+    the two pre-collision objects."""
+    gy = spark.range(NY).select(
+        F.col("id").cast("int").alias("y"), (F.col("id") - 15.0).alias("lat")
+    )
+    gx = spark.range(NX).select(
+        F.col("id").cast("int").alias("x"), F.col("id").cast("double").alias("lon")
+    )
+    res = track_events(
+        two_blob_field, nx=NX, grid_y=gy, grid_x=gx,
+        overlap_threshold=0.5, allow_merging=True,
+    )
+    ts = {(r.time, r.event_id): r for r in res.timestep_stats.collect()}
+    by_day: dict[int, list] = {}
+    for (t, _), r in ts.items():
+        by_day.setdefault((t - T0).days, []).append(r)
+
+    # identify the two events by their day-0 positions
+    day0 = sorted(by_day[0], key=lambda r: r.centroid_lon)
+    ev_a, ev_b = day0[0].event_id, day0[1].event_id
+    assert ev_a != ev_b
+    for t in range(8):  # pre-collision path
+        rows = {r.event_id: r for r in by_day[t]}
+        a, b = rows[ev_a], rows[ev_b]
+        assert abs(a.centroid_lon - (20 + 2 * t)) <= 0.5, (t, a.centroid_lon)
+        assert abs(b.centroid_lon - (60 - 2 * t)) <= 0.5, (t, b.centroid_lon)
+        assert abs(a.centroid_lat) <= 0.25 and abs(b.centroid_lat) <= 0.25
+
+    # both identities survive through the merge to the last timestep
+    last = {r.event_id for r in by_day[9]}
+    assert {ev_a, ev_b} <= last
+
+    # ledger: one merge at t=8 whose parents are the t=7 objects of the
+    # two events (obj ids map to events via the final remap table)
+    ledger = res.extras["merge_ledger"].collect()
+    first = min(ledger, key=lambda r: r.time)
+    assert (first.time - T0).days == 8
+    obj_to_event = {
+        r.obj_id: r.event_id
+        for r in res.events.select("obj_id", "event_id").distinct().collect()
+    }
+    parent_events = {obj_to_event[p] for p in first.parent_ids}
+    assert parent_events == {ev_a, ev_b}
