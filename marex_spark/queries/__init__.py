@@ -89,13 +89,14 @@ _PRIORITY = [
     "f2_harmonics",
     "f4_haversine",
     "f6_interpolation",
-    # Green sentinels (#46-50): regression cover for the proven suites —
-    # scan+pushdown, overlap self-join, shifting climatology, histogram
-    # quantile, TPC-H aggregate.
+    # New in r3: distributed NetCDF-classic ingestion (S2).
+    "s2_netcdf_scan",
+    # Green sentinels (#47-50): regression cover for the proven suites —
+    # scan+pushdown, overlap self-join, shifting climatology, TPC-H
+    # aggregate.
     "s1_scan_pushdown",
     "j5_temporal_selfjoin",
     "a2_shifting_climatology",
-    "a5_histogram_quantile",
     "tpch_q1",
 ]
 

@@ -325,3 +325,50 @@ def viz_trajectory_unwrap(spark, sf_dir):
         round6(F.col("lat")).alias("lat"),
         round6(F.col("lon_unwrapped")).alias("lon_unwrapped"),
     )
+
+
+@register(
+    "s2_netcdf_scan",
+    """WITH g AS (
+         SELECT t.range AS t, y.range AS y, x.range AS x,
+                CAST(t.range*100 + y.range*10 + x.range AS DOUBLE) AS value
+         FROM range(5) t CROSS JOIN range(4) y CROSS JOIN range(6) x
+         WHERE NOT (t.range = 0 AND y.range = 0 AND x.range = 0))
+       SELECT CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(value) AS DOUBLE) AS total
+       FROM g GROUP BY 1, 2""",
+)
+def s2_netcdf_scan(spark, sf_dir):
+    """S2 (reference detect.py:409 NetCDF input): distributed stdlib
+    ingestion of a NetCDF classic file — a deterministic (t*100+y*10+x)
+    fixture written by the package's spec-literal writer, with the
+    (0,0,0) cell encoded as _FillValue (must be dropped). The oracle
+    regenerates the same field relationally; every value is an exact
+    small integer so the float32 round-trip and the DOUBLE sum are
+    hash-stable."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from marex_spark.sources.netcdf import (
+        ingest_netcdf_classic,
+        write_netcdf_classic,
+    )
+
+    T, NY, NX = 5, 4, 6
+    t, y, x = np.meshgrid(
+        np.arange(T), np.arange(NY), np.arange(NX), indexing="ij"
+    )
+    data = (t * 100 + y * 10 + x).astype(np.float32)
+    data[0, 0, 0] = 9.96921e36  # default NC fill
+    path = os.path.join(tempfile.gettempdir(), "marex_s2_fixture.nc")
+    write_netcdf_classic(
+        path, data, np.arange(T, dtype=np.float64), fill=9.96921e36
+    )
+    df = ingest_netcdf_classic(spark, path, "sst")
+    return df.groupBy(F.col("y").cast("int").alias("y"), F.col("x").cast("int").alias("x")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("double")).alias("total"),
+    )

@@ -1,7 +1,8 @@
 """NetCDF classic ingestion round-trip (S2, reference detect.py:409):
-a spec-literal CDF-1/CDF-2 writer builds fixtures in-test (the image
-has no netCDF4), the distributed stdlib reader must recover every
-value, timestamp, fill and scale/offset. Mirrors tests/test_ingest_zarr.py.
+the package's spec-literal CDF-1/CDF-2 writer builds fixtures (the
+image has no netCDF4), the distributed stdlib reader must recover
+every value, timestamp, fill and scale/offset. Mirrors
+tests/test_ingest_zarr.py.
 """
 
 from __future__ import annotations
@@ -11,121 +12,11 @@ import struct
 import numpy as np
 import pytest
 
-from marex_spark.sources.netcdf import ingest_netcdf_classic, read_header
-
-NC_DIMENSION, NC_VARIABLE, NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
-
-
-def _name(s: str) -> bytes:
-    b = s.encode()
-    return struct.pack(">i", len(b)) + b + b"\x00" * (-len(b) % 4)
-
-
-def _att(name: str, nc_type: int, values) -> bytes:
-    out = _name(name) + struct.pack(">ii", nc_type, len(values))
-    fmt = {4: ">i", 5: ">f", 6: ">d"}[nc_type]
-    raw = b"".join(struct.pack(fmt, v) for v in values)
-    return out + raw + b"\x00" * (-len(raw) % 4)
-
-
-def _att_list(atts: list[bytes]) -> bytes:
-    if not atts:
-        return struct.pack(">ii", 0, 0)
-    return struct.pack(">ii", NC_ATTRIBUTE, len(atts)) + b"".join(atts)
-
-
-def write_classic(
-    path: str,
-    data: np.ndarray,  # (T, NY, NX) float32
-    time_vals: np.ndarray,  # (T,) float64 days
-    version: int = 1,
-    record_time: bool = True,
-    fill: float | None = None,
-    scale: float | None = None,
-    offset: float | None = None,
-) -> None:
-    """Minimal CDF-1/CDF-2 writer following the classic format spec:
-    header (dims, no gatts, two variables), then fixed data, then the
-    record data interleaved per record."""
-    T, NY, NX = data.shape
-    dims = [("time", 0 if record_time else T), ("lat", NY), ("lon", NX)]
-
-    off_fmt = ">i" if version == 1 else ">q"
-
-    def var_entry(name, dimids, atts, nc_type, vsize, begin):
-        return (
-            _name(name)
-            + struct.pack(">i", len(dimids))
-            + b"".join(struct.pack(">i", d) for d in dimids)
-            + _att_list(atts)
-            + struct.pack(">ii", nc_type, vsize)
-            + struct.pack(off_fmt, begin)
-        )
-
-    sst_atts = []
-    if fill is not None:
-        sst_atts.append(_att("_FillValue", 5, [fill]))
-    if scale is not None:
-        sst_atts.append(_att("scale_factor", 6, [scale]))
-    if offset is not None:
-        sst_atts.append(_att("add_offset", 6, [offset]))
-    time_atts = [] if record_time else []
-    time_atts.append(_att_time_units())
-
-    plane = NY * NX * 4
-    time_vsize = 8 if record_time else T * 8
-    sst_vsize = plane if record_time else T * plane
-
-    # layout: header | time data | sst data  (fixed case)
-    #         header | [per-record: time(8) + sst(plane)]  (record case)
-    header_wo_vars = (
-        b"CDF"
-        + bytes([version])
-        + struct.pack(">i", T if record_time else 0)
-        + struct.pack(">ii", NC_DIMENSION, len(dims))
-        + b"".join(_name(n) + struct.pack(">i", s) for n, s in dims)
-        + _att_list([])
-        + struct.pack(">ii", NC_VARIABLE, 2)
-    )
-    # two passes: sizes depend on begin offsets only via fixed widths
-    dummy = var_entry("time", [0], time_atts, 6, time_vsize, 0) + var_entry(
-        "sst", [0, 1, 2], sst_atts, 5, sst_vsize, 0
-    )
-    data_start = len(header_wo_vars) + len(dummy)
-    if record_time:
-        time_begin = data_start
-        sst_begin = data_start + 8
-    else:
-        time_begin = data_start
-        sst_begin = data_start + T * 8
-    body = header_wo_vars + var_entry(
-        "time", [0], time_atts, 6, time_vsize, time_begin
-    ) + var_entry("sst", [0, 1, 2], sst_atts, 5, sst_vsize, sst_begin)
-
-    be_data = data.astype(">f4")
-    be_time = time_vals.astype(">f8")
-    with open(path, "wb") as f:
-        f.write(body)
-        if record_time:
-            for t in range(T):
-                # slice, not scalar index: a numpy scalar silently
-                # drops the big-endian dtype
-                f.write(be_time[t : t + 1].tobytes())
-                f.write(be_data[t].tobytes())
-        else:
-            f.write(be_time.tobytes())
-            f.write(be_data.tobytes())
-
-
-def _att_time_units() -> bytes:
-    s = b"days since 2020-01-01"
-    return (
-        _name("units")
-        + struct.pack(">ii", 2, len(s))
-        + s
-        + b"\x00" * (-len(s) % 4)
-    )
-
+from marex_spark.sources.netcdf import (
+    ingest_netcdf_classic,
+    read_header,
+    write_netcdf_classic as write_classic,
+)
 
 @pytest.fixture(scope="module")
 def field():
