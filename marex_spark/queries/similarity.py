@@ -236,7 +236,13 @@ def ann_ivf_recall(spark, sf_dir):
     the honest quality measurement an approximate index needs before
     it replaces the exact path at scale. Both rankings use the
     decimal-sum dot product (order-independent), so the top-k SETS are
-    deterministic and the per-query recall hash-matches SQL."""
+    deterministic and the per-query recall hash-matches SQL.
+
+    COST MODEL (r2 review): the ground truth is brute force BY
+    DEFINITION, so this query is O(corpus × queries) — it runs on the
+    SAMPLED query set (vec_id < {_N_QUERY}) and exists to measure the
+    index, never to serve it. For serving costs see ann_ivf_topk
+    (bucket-pruned) / ann_cosine_topk_fast (broadcast scan)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _exploded(emb.filter(F.col("vec_id") < _N_QUERY), "q_id")
     c = _exploded(emb, "c_id")
@@ -287,4 +293,130 @@ def ann_ivf_recall(spark, sf_dir):
     return hits.select(
         "q_id",
         round6(F.col("n_hit") / float(_TOP_K)).alias("recall"),
+    )
+
+
+_N_SEED = 8
+_N_PROBE = 2
+
+
+@register(
+    "ann_ivf_seeded_topk",
+    f"""WITH allv AS (
+          SELECT vec_id, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+        norms AS (
+          SELECT vec_id, SQRT({dec_sql('comp * comp')}) AS nrm
+          FROM allv GROUP BY 1),
+        seeds AS (SELECT vec_id AS cent_id, idx, comp FROM allv WHERE vec_id < {_N_SEED}),
+        asn AS (
+          SELECT v.vec_id, s.cent_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {round6_sql(f"{dec_sql('v.comp * s.comp')} / ANY_VALUE(nv.nrm * ns.nrm)")} DESC,
+                            s.cent_id) AS rn
+          FROM allv v
+          JOIN seeds s ON v.idx = s.idx
+          JOIN norms nv ON nv.vec_id = v.vec_id
+          JOIN norms ns ON ns.vec_id = s.cent_id
+          GROUP BY v.vec_id, s.cent_id),
+        buckets AS (SELECT vec_id AS c_id, cent_id AS bucket FROM asn WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS q_id, cent_id AS bucket FROM asn
+          WHERE rn <= {_N_PROBE} AND vec_id < {_N_QUERY}),
+        pairs AS (
+          SELECT p.q_id, b.c_id FROM probes p JOIN buckets b USING (bucket)
+          WHERE p.q_id <> b.c_id),
+        dots AS (
+          SELECT pr.q_id, pr.c_id, {dec_sql('q.comp * c.comp')} AS dot
+          FROM pairs pr
+          JOIN allv q ON q.vec_id = pr.q_id
+          JOIN allv c ON c.vec_id = pr.c_id AND c.idx = q.idx
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT d.q_id, d.c_id,
+                 {round6_sql('d.dot / (nq.nrm * nc.nrm)')} AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY d.q_id
+                                    ORDER BY {round6_sql('d.dot / (nq.nrm * nc.nrm)')} DESC, d.c_id) AS rn
+          FROM dots d
+          JOIN norms nq ON nq.vec_id = d.q_id
+          JOIN norms nc ON nc.vec_id = d.c_id)
+        SELECT q_id, c_id, cosine, CAST(rn AS INT) AS rn
+        FROM scored WHERE rn <= {_TOP_K}""",
+)
+def ann_ivf_seeded_topk(spark, sf_dir):
+    """IVF with a GEOMETRIC coarse quantizer, end-to-end oracle-checked
+    (the label-bucket variant ann_ivf_topk exercises the probe plan;
+    this one also verifies the assignment step): seeds = the corpus's
+    first K vectors (kmeans++-style seeding without Lloyd rounds — a
+    deterministic, SQL-replayable choice), every vector assigned to its
+    max-cosine seed, queries probe their {_N_PROBE} nearest buckets.
+
+    Scale shape: assignment is one corpus scan against K broadcast
+    seeds (O(N·K) map-side, no shuffle by vector); serving touches
+    ~{_N_PROBE}/{_N_SEED} of the corpus per query via the bucket join.
+    Decimal-sum dots + round6 cosine keep both rankings bit-identical
+    to DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    allv = _exploded(emb, "vec_id")
+    norms = allv.groupBy("vec_id").agg(
+        F.sqrt(dsum(F.col("comp") * F.col("comp"))).alias("nrm")
+    )
+    seeds = (
+        allv.filter(F.col("vec_id") < _N_SEED)
+        .select(F.col("vec_id").alias("cent_id"), "idx", F.col("comp").alias("scomp"))
+    )
+    nv = norms.select(F.col("vec_id").alias("nvid"), F.col("nrm").alias("vnrm"))
+    ns = norms.select(
+        F.col("vec_id").alias("cent_id"), F.col("nrm").alias("snrm")
+    )
+    asn_dots = (
+        allv.join(F.broadcast(seeds), "idx")
+        .groupBy("vec_id", "cent_id")
+        .agg(dsum(F.col("comp") * F.col("scomp"), "dot"))
+    )
+    cosine_a = round6(F.col("dot") / (F.col("vnrm") * F.col("snrm")))
+    wa = W.partitionBy("vec_id").orderBy(cosine_a.desc(), F.col("cent_id"))
+    asn = (
+        asn_dots.join(nv, F.col("vec_id") == F.col("nvid"))
+        .join(F.broadcast(ns), "cent_id")
+        .select(
+            F.col("vec_id").alias("vid"),
+            F.col("cent_id"),
+            F.row_number().over(wa).alias("rn"),
+        )
+    )
+    buckets = asn.filter(F.col("rn") == 1).select(
+        F.col("vid").alias("c_id"), F.col("cent_id").alias("bucket")
+    )
+    probes = asn.filter(
+        (F.col("rn") <= _N_PROBE) & (F.col("vid") < _N_QUERY)
+    ).select(F.col("vid").alias("q_id"), F.col("cent_id").alias("bucket"))
+    pairs = (
+        probes.join(buckets, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+    )
+    qv = allv.select(F.col("vec_id").alias("q_id"), "idx", F.col("comp").alias("qc"))
+    cv = allv.select(F.col("vec_id").alias("c_id"), "idx", F.col("comp").alias("cc"))
+    dots = (
+        pairs.join(qv, "q_id")
+        .join(cv, ["c_id", "idx"])
+        .groupBy("q_id", "c_id")
+        .agg(dsum(F.col("qc") * F.col("cc"), "dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("q_id"), F.col("nrm").alias("qn"))
+    nc = norms.select(F.col("vec_id").alias("c_id"), F.col("nrm").alias("cn"))
+    cosine = round6(F.col("dot") / (F.col("qn") * F.col("cn")))
+    w = W.partitionBy("q_id").orderBy(cosine.desc(), F.col("c_id"))
+    return (
+        dots.join(F.broadcast(nq), "q_id")
+        .join(F.broadcast(nc), "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            cosine.alias("cosine"),
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= _TOP_K)
     )
