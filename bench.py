@@ -223,6 +223,32 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
         ),
     )
 
+    # apples-to-apples vs BASELINE.md: the reference's published
+    # numbers time DETECT alone (docs/modules/detect.rst rows) — these
+    # two entries measure exactly that stage, without tracking, against
+    # rows 1 and 3 respectively
+    guarded(
+        "detect_only_10x",
+        lambda: (
+            detect_track_packed(spark, 1.0, packed_10x_path, track=False),
+            spark.catalog.clearCache(),
+        ),
+    )
+    guarded(
+        "detect_only_shifting_hobday",
+        lambda: (
+            detect_track_packed(
+                spark,
+                sf,
+                packed_shift_path,
+                method_anomaly="shifting_baseline",
+                method_extreme="hobday_extreme",
+                track=False,
+            ),
+            spark.catalog.clearCache(),
+        ),
+    )
+
     # split/merge resolution tiers on the same grid: chunked (default)
     # vs the wall-clock-parallel Jacobi time-block tier
     def _merge_bench(parallel: bool) -> int:

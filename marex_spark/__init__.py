@@ -42,6 +42,9 @@ def __getattr__(name):
         "track_events_unstructured": "marex_spark.operators.track",
         "split_merge_events_parallel": "marex_spark.operators.merge",
         "ingest_zarr_gridded": "marex_spark.sources.zarr",
+        "ingest_netcdf": "marex_spark.sources.io",
+        "ingest_netcdf_classic": "marex_spark.sources.netcdf",
+        "write_netcdf_classic": "marex_spark.sources.netcdf",
         "unify_coordinates": "marex_spark.functions.geometry",
         "snapshot_grid": "marex_spark.viz",
         "trajectories": "marex_spark.viz",

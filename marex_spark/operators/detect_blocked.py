@@ -632,11 +632,14 @@ def detect_track_packed(
     method_percentile: str = "histogram",
     method_anomaly: str = "fixed_baseline",
     method_extreme: str = "global_extreme",
+    track: bool = True,
 ) -> int:
     """Bench harness: packed-parquet scan → blocked kernel → tracking.
     The default bench path (VERDICT r2 #2): Arrow moves float arrays,
     the band shuffle carries ×nx fewer rows, and the kernel covers all
-    four anomaly×extreme hot configs."""
+    four anomaly×extreme hot configs. ``track=False`` measures the
+    detect stage alone — the apples-to-apples form of BASELINE.md's
+    rows, which time detect without tracking."""
     from marex_spark.operators.track import track_events
 
     _, _, nx = bench_grid_size(sf)
@@ -647,6 +650,9 @@ def detect_track_packed(
         method_anomaly=method_anomaly,
         method_extreme=method_extreme,
     )
+    if not track:
+        cells.write.mode("overwrite").format("noop").save()
+        return 0
     ext = cells.withColumn("extreme", F.lit(True))
     res = track_events(ext, nx=nx, compute_stats=False)
     res.events.write.mode("overwrite").format("noop").save()

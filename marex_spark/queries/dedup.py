@@ -421,3 +421,40 @@ def decontam_ngram(spark, sf_dir):
             F.coalesce(F.col("nh"), F.lit(0)) / F.col("n").cast("double")
         ).alias("contamination"),
     )
+
+
+@register(
+    "dedup_cross_source",
+    """WITH h AS (
+         SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h,
+                source, doc_id
+         FROM documents),
+       grp AS (
+         SELECT h, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+                MIN(doc_id) AS canonical_id
+         FROM h GROUP BY 1)
+       SELECT h, CAST(n_docs AS BIGINT) AS n_docs,
+              CAST(n_sources AS BIGINT) AS n_sources,
+              CAST(canonical_id AS BIGINT) AS canonical_id
+       FROM grp WHERE n_sources > 1""",
+)
+def dedup_cross_source(spark, sf_dir):
+    """Cross-source duplicate provenance: duplicate groups (keyed by a
+    leading-8-token prefix fingerprint — exact-hash grouping works the
+    same way but never fires on this corpus) that span more than one
+    source — the question a training-data pipeline asks before
+    deciding which copy to keep and which source to down-weight. One
+    map-side-combinable shuffle on the fingerprint; at 100 TB the
+    groupBy is the same plan as dedup_exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
+    return (
+        docs.select(fp.alias("h"), "source", "doc_id")
+        .groupBy("h")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )

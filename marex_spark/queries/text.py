@@ -178,3 +178,49 @@ def txt_unigram_logprob(spark, sf_dir):
             )
         )
     )
+
+
+@register(
+    "txt_repetition_ratio",
+    f"""WITH tok AS (
+          SELECT doc_id, t.i AS pos, ws[t.i] AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+               UNNEST(generate_series(1, len(ws))) AS t(i)),
+        tri AS (
+          SELECT doc_id,
+                 w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS g
+          FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        g AS (SELECT doc_id, g FROM tri WHERE g IS NOT NULL)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               {round6_sql('1.0 - COUNT(DISTINCT g) / CAST(COUNT(*) AS DOUBLE)')}
+                 AS dup_trigram_ratio
+        FROM g GROUP BY 1""",
+)
+def txt_repetition_ratio(spark, sf_dir):
+    """Repetition quality signal (the Gopher-rule family: heavily
+    repeated n-grams mark boilerplate/spam): per doc, the fraction of
+    duplicate word 3-grams. Trigrams via two LEADs over the doc's
+    token positions — the window partitions by doc_id, so the whole
+    computation is one corpus-wide shuffle keyed by document, no
+    token-level join."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    tri = tok.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+        ).alias("g"),
+        F.lead("w", 2).over(win).alias("_has3"),
+    ).filter(F.col("_has3").isNotNull())
+    return tri.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        round6(
+            F.lit(1.0) - F.countDistinct("g") / F.count("*").cast("double")
+        ).alias("dup_trigram_ratio"),
+    )
