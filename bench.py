@@ -234,6 +234,17 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
             spark.catalog.clearCache(),
         ),
     )
+    # BASELINE.md ROW 1's exact config: detrend_harmonic + global
+    guarded(
+        "detect_only_detrend_10x",
+        lambda: (
+            detect_track_packed(
+                spark, 1.0, packed_10x_path,
+                method_anomaly="detrend_harmonic", track=False,
+            ),
+            spark.catalog.clearCache(),
+        ),
+    )
     guarded(
         "detect_only_shifting_hobday",
         lambda: (

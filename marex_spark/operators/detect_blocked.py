@@ -149,6 +149,39 @@ def _anomaly_shifting(
     return anom
 
 
+def _decimal_year(doy0: np.ndarray, years: np.ndarray) -> np.ndarray:
+    """functions.temporal.decimal_year: year + (doy-1)/days_in_year."""
+    leap = ((years % 4 == 0) & ((years % 100 != 0) | (years % 400 == 0)))
+    return years + doy0 / np.where(leap, 366.0, 365.0)
+
+
+def _anomaly_detrend(
+    m: np.ndarray,
+    valid: np.ndarray,
+    doy0: np.ndarray,
+    years: np.ndarray,
+    n_harmonics: int,
+) -> np.ndarray:
+    """Harmonic + linear detrend, the dense mirror of
+    climatology.anomaly_detrend_harmonic (reference detect.py:2143-2220):
+    least-squares fit of [1, t−t̄, sin/cos(2πht)] per cell via the
+    design-matrix pseudo-inverse, fitted value removed per sample.
+    Missing samples contribute zero to the normal equations — exactly
+    the relational path's skipped rows. NOTE: the time axis (and hence
+    the pinv) is band-local; it equals the relational path's global
+    time list whenever every timestep has at least one valid cell in
+    the band (always true for dense grids)."""
+    t = _decimal_year(doy0, years)
+    cols = [np.ones_like(t), t - t.mean()]
+    for h in range(1, n_harmonics + 1):
+        cols.append(np.sin(2 * np.pi * h * t))
+        cols.append(np.cos(2 * np.pi * h * t))
+    X = np.stack(cols, axis=1)  # (T, k)
+    pinv = np.linalg.pinv(X)  # (k, T)
+    coef = pinv @ np.where(valid, m, 0.0)  # (k, NX)
+    return m - X @ coef
+
+
 def _thr_global(
     anom: np.ndarray, q: float, exact: bool, precision: float, max_anomaly: float
 ) -> np.ndarray:
@@ -285,6 +318,13 @@ def _band_extremes(
         anom = _anomaly_shifting(
             m, valid, doy0, years, days, p["window_year_baseline"], p["smooth_days"]
         )
+    elif p["method_anomaly"] == "detrend_harmonic":
+        anom = _anomaly_detrend(m, valid, doy0, years, p["n_harmonics"])
+    elif p["method_anomaly"] == "detrend_fixed_baseline":
+        # detect.py:2443-2460: remove the linear trend (no harmonics),
+        # then subtract the doy climatology of the detrended series
+        det = _anomaly_detrend(m, valid, doy0, years, 0)
+        anom = _anomaly_fixed(det, valid, doy0)
     else:
         anom = _anomaly_fixed(m, valid, doy0)
 
@@ -313,14 +353,18 @@ def _kernel_params(
     window_year_baseline: int,
     smooth_days: int,
     window_days_hobday: int,
+    n_harmonics: int,
 ) -> dict:
     from marex_spark.exceptions import ConfigurationError
 
-    if method_anomaly not in ("fixed_baseline", "shifting_baseline"):
+    if method_anomaly not in (
+        "fixed_baseline",
+        "shifting_baseline",
+        "detrend_harmonic",
+        "detrend_fixed_baseline",
+    ):
         raise ConfigurationError(
-            "blocked detect supports fixed_baseline / shifting_baseline "
-            "(detrend methods stay on the relational path)",
-            details={"got": method_anomaly},
+            "unknown method_anomaly", details={"got": method_anomaly}
         )
     if method_extreme not in ("global_extreme", "hobday_extreme"):
         raise ConfigurationError(
@@ -336,6 +380,7 @@ def _kernel_params(
         "window_year_baseline": window_year_baseline,
         "smooth_days": smooth_days,
         "window_days_hobday": window_days_hobday,
+        "n_harmonics": n_harmonics,
     }
 
 
@@ -353,6 +398,7 @@ def detect_extremes_blocked(
     window_year_baseline: int = 5,
     smooth_days: int = 21,
     window_days_hobday: int = 11,
+    n_harmonics: int = 2,
 ) -> DataFrame:
     """Blocked detect over the long format, by latitude band. Supports
     fixed/shifting baselines × global/hobday thresholds (the reference's
@@ -369,6 +415,7 @@ def detect_extremes_blocked(
         method_anomaly, method_extreme, method_percentile,
         threshold_percentile, precision, max_anomaly,
         window_year_baseline, smooth_days, window_days_hobday,
+        n_harmonics,
     )
     spark = series.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
@@ -502,6 +549,7 @@ def detect_extremes_blocked_packed(
     window_year_baseline: int = 5,
     smooth_days: int = 21,
     window_days_hobday: int = 11,
+    n_harmonics: int = 2,
 ) -> DataFrame:
     """Blocked detect over the PACKED layout (time, y, vals array<float>):
     same kernel and semantics as :func:`detect_extremes_blocked`
@@ -519,6 +567,7 @@ def detect_extremes_blocked_packed(
         method_anomaly, method_extreme, method_percentile,
         threshold_percentile, precision, max_anomaly,
         window_year_baseline, smooth_days, window_days_hobday,
+        n_harmonics,
     )
     thresholds = output == "thresholds"
     if thresholds and method_extreme != "global_extreme":

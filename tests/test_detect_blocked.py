@@ -257,3 +257,31 @@ def test_packed_methods_match_long(spark, series8):
             ).collect()
         }
         assert long_cells == packed_cells, (ma, me)
+
+
+@pytest.mark.parametrize("ma", ["detrend_harmonic", "detrend_fixed_baseline"])
+def test_blocked_detrend_matches_relational(spark, ma):
+    """The blocked detrend kernels must reproduce the relational
+    design-matrix fit (climatology.anomaly_detrend_harmonic /
+    _fixed_baseline; reference detect.py:2143-2220, 2443-2460), dense
+    and gappy."""
+    series = synthetic_sst_gridded(spark, n_years=4, ny=6, nx=12)
+    gappy = series.filter(F.pmod(F.xxhash64("time", "y", "x"), F.lit(13)) != 0)
+    for src in (series, gappy):
+        rel = preprocess_data(src, method_anomaly=ma, method_percentile="exact")
+        rel_cells = {
+            (r.time, r.y, r.x)
+            for r in rel.extremes.filter("extreme").select("time", "y", "x").collect()
+        }
+        rel.unpersist()
+        blk_cells = {
+            (r.time, r.y, r.x)
+            for r in detect_extremes_blocked(
+                src, method_percentile="exact", method_anomaly=ma
+            ).collect()
+        }
+        assert rel_cells, "degenerate fixture"
+        diff = rel_cells ^ blk_cells
+        assert len(diff) <= max(2, len(rel_cells) // 1000), (
+            len(rel_cells), len(blk_cells), len(diff),
+        )
