@@ -12,9 +12,12 @@ kernel per band inside ``applyInPandas``. Arrow moves each band's
 (time × nx) block in a single batch; output is only the sparse extreme
 cells, which is exactly what tracking consumes.
 
-Semantics match ``preprocess_data`` (fixed_baseline anomaly; exact or
-count-interpolated-histogram global threshold) — asserted cell-for-cell
-against the relational path in tests/test_detect_blocked.py.
+Semantics match ``preprocess_data`` across all four anomaly methods
+(fixed_baseline, shifting_baseline, detrend_harmonic,
+detrend_fixed_baseline) × both threshold families (global, hobday),
+each in exact and count-interpolated-histogram form — asserted
+cell-for-cell against the relational operators in
+tests/test_detect_blocked.py, dense and gappy.
 
 Scale: a 0.25° global decade is 720 bands × (3650 × 1440) floats
 ≈ 21 MB per band — hundreds of independent 20 MB kernels across the
@@ -328,6 +331,11 @@ def _band_extremes(
     else:
         anom = _anomaly_fixed(m, valid, doy0)
 
+    # NOTE: the hobday SPATIAL pooling variant (threshold.py
+    # spatial_window, W4) stays relational-only by design — a 5×5 pool
+    # crosses latitude-band boundaries, which would break the kernel's
+    # band independence (it would need a halo exchange); the relational
+    # fan-out form already scales there.
     exact = p["method_percentile"] == "exact"
     if p["method_extreme"] == "hobday_extreme":
         thr = _thr_hobday(
