@@ -115,6 +115,97 @@ def binary_erode(
     )
 
 
+def _dilate_np(g, offsets, wrap_x: bool):
+    """Dense dilation by shift-OR over the SE offsets: zero padding in
+    y (and x when not wrapping), np.roll for the periodic x."""
+    import numpy as np
+
+    R = max(max(abs(dy), abs(dx)) for dy, dx in offsets)
+    ny, nx = g.shape
+    if wrap_x:
+        p = np.zeros((ny + 2 * R, nx), dtype=bool)
+        p[R : R + ny] = g
+        acc = np.zeros_like(p)
+        for dy, dx in offsets:
+            acc |= np.roll(p, (dy, dx), axis=(0, 1))
+        return acc[R : R + ny]
+    p = np.zeros((ny + 2 * R, nx + 2 * R), dtype=bool)
+    p[R : R + ny, R : R + nx] = g
+    acc = np.zeros_like(p)
+    for dy, dx in offsets:
+        acc |= np.roll(p, (dy, dx), axis=(0, 1))
+    return acc[R : R + ny, R : R + nx]
+
+
+def _erode_np(g, offsets, wrap_x: bool):
+    """Dense erosion via the complement identity erode(X) = ¬dilate(¬X):
+    the dilation's zero padding makes off-grid cells count as PRESENT
+    for erosion — exactly the relational form's shore-protection rule
+    (in-bounds SE support only, track.py:1566-1577)."""
+    return ~_dilate_np(~g, offsets, wrap_x)
+
+
+def morph_close_open_blocked(
+    true_cells: DataFrame,
+    radius: int,
+    ny: int,
+    nx: int,
+    wrap_x: bool = True,
+    time_col: str = "time",
+) -> DataFrame:
+    """Closing-then-opening over sparse True cells, one dense numpy
+    kernel per timestep (the scale form of the M1 pair: the reference
+    runs C-backed binary_closing/opening per dask chunk,
+    track.py:1630-1634; the relational offset-explode form pays a
+    49-197× row fan-out per morphology op — measured 350 s for a
+    35M-cell-day preprocess at R=4 vs ~seconds here). One shuffle by
+    time; every slice is an independent kernel, same parallelism model
+    as labelling. Semantics pinned equal to
+    binary_erode(binary_dilate(...)) + the opening in
+    tests/test_morphology.py."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    offsets = disk_offsets(radius)
+    spark = true_cells.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    time_type = true_cells.schema[time_col].dataType.simpleString()
+
+    def _run(batches) -> Iterator:
+        blist = list(batches)
+        if not blist or sum(b.num_rows for b in blist) == 0:
+            return
+        tbl = pa.Table.from_batches(blist).combine_chunks()
+        ts_type = tbl.schema.field(time_col).type
+        ts = tbl[time_col].cast(pa.int64()).to_numpy()
+        ys = tbl["y"].to_numpy()
+        xs = tbl["x"].to_numpy()
+        for t in np.unique(ts):
+            m = ts == t
+            g = np.zeros((ny, nx), dtype=bool)
+            g[ys[m], xs[m]] = True
+            closed = _erode_np(_dilate_np(g, offsets, wrap_x), offsets, wrap_x)
+            opened = _dilate_np(
+                _erode_np(closed, offsets, wrap_x), offsets, wrap_x
+            )
+            yy, xx = np.nonzero(opened)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.full(len(yy), t)).cast(ts_type),
+                    pa.array(yy.astype(np.int32)),
+                    pa.array(xx.astype(np.int32)),
+                ],
+                names=[time_col, "y", "x"],
+            )
+
+    out_schema = f"{time_col} {time_type}, y int, x int"
+    return true_cells.repartition(parallelism, time_col).mapInArrow(
+        _run, schema=out_schema
+    )
+
+
 def fill_holes(
     extremes: DataFrame,
     radius: int,
@@ -123,24 +214,33 @@ def fill_holes(
     wrap_x: bool = True,
     time_col: str = "time",
     extreme_col: str = "extreme",
+    blocked: bool = True,
 ) -> DataFrame:
     """M1 (track.py:1520-1673): binary closing (fill holes ≤ R) then
-    opening (remove specks ≤ R). Input/output: boolean long field; the
-    output carries the same (time, y, x, extreme) schema, dense over the
-    input's cell set."""
+    opening (remove specks ≤ R). Input: boolean long field (dense or
+    sparse-True); output rows = input rows ∪ filled-in cells, so a
+    sparse input keeps its fill-ins (a plain left join silently dropped
+    them). ``blocked=True`` (default) runs the per-slice dense kernel;
+    ``False`` keeps the pure-relational offset-explode form (the
+    oracle-replayable algebra trk_m1 pins)."""
     true_cells = extremes.filter(F.col(extreme_col)).select(time_col, "y", "x")
-    closed = binary_erode(
-        binary_dilate(true_cells, radius, ny, nx, wrap_x, time_col),
-        radius, ny, nx, wrap_x, time_col,
-    )
-    opened = binary_dilate(
-        binary_erode(closed, radius, ny, nx, wrap_x, time_col),
-        radius, ny, nx, wrap_x, time_col,
-    )
+    if blocked:
+        opened = morph_close_open_blocked(
+            true_cells, radius, ny, nx, wrap_x, time_col
+        )
+    else:
+        closed = binary_erode(
+            binary_dilate(true_cells, radius, ny, nx, wrap_x, time_col),
+            radius, ny, nx, wrap_x, time_col,
+        )
+        opened = binary_dilate(
+            binary_erode(closed, radius, ny, nx, wrap_x, time_col),
+            radius, ny, nx, wrap_x, time_col,
+        )
     marked = opened.withColumn("_t", F.lit(True))
     return (
         extremes.drop(extreme_col)
-        .join(marked, [time_col, "y", "x"], "left")
+        .join(marked, [time_col, "y", "x"], "full")
         .withColumn(extreme_col, F.coalesce(F.col("_t"), F.lit(False)))
         .drop("_t")
     )

@@ -224,3 +224,72 @@ def txt_repetition_ratio(spark, sf_dir):
             F.lit(1.0) - F.countDistinct("g") / F.count("*").cast("double")
         ).alias("dup_trigram_ratio"),
     )
+
+
+@register(
+    "txt_chunk_windows",
+    """WITH tok AS (
+         SELECT doc_id, t.i - 1 AS pos, ws[t.i] AS w
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              UNNEST(generate_series(1, len(ws))) AS t(i)),
+       win AS (
+         SELECT doc_id, CAST(FLOOR(pos / 32) AS BIGINT) AS win_id,
+                COUNT(*) AS n_tokens,
+                MIN(pos) AS start_pos
+         FROM tok GROUP BY 1, 2)
+       SELECT doc_id, win_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(start_pos AS BIGINT) AS start_pos
+       FROM win""",
+)
+def txt_chunk_windows(spark, sf_dir):
+    """Training-window chunking: split every document into fixed-size
+    token windows (stride = size = 32 here; the sequence-packing
+    precursor every LLM data pipeline runs before tokenizer batching).
+    Pure built-ins: one explode + one map-side-combinable agg keyed
+    (doc, window) — no shuffle of raw text, scales linearly in tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    return (
+        tok.withColumn("win_id", F.floor(F.col("pos") / 32).cast("long"))
+        .groupBy("doc_id", "win_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.min("pos").cast("long").alias("start_pos"),
+        )
+    )
+
+
+@register(
+    "pipe_stratified_sample",
+    """WITH quota AS (
+         SELECT * FROM (VALUES ('src0', 80), ('src1', 50), ('src2', 20)) q(source, pct)),
+       h AS (
+         SELECT d.doc_id, d.source,
+                CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+         FROM documents d)
+       SELECT h.doc_id, h.source
+       FROM h JOIN quota USING (source)
+       WHERE h.bucket < quota.pct""",
+)
+def pipe_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the training-mix operator:
+    per-source keep-percentages applied via a content-stable hash
+    bucket (md5 of doc_id, NOT rand(): re-runs and retries must select
+    the same rows). Quota table broadcasts; the corpus pays one scan,
+    no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    quota = spark.createDataFrame(
+        [("src0", 80), ("src1", 50), ("src2", 20)], "source string, pct int"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("bucket") < F.col("pct"))
+        .select("doc_id", "source")
+    )

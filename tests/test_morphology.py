@@ -92,3 +92,54 @@ def test_filter_small_objects_drops_below_median(spark):
     out = filter_small_objects(df, nx=10, area_quartile=0.5, wrap_x=False)
     got = {(r.y, r.x) for r in out.filter("extreme").collect()}
     assert got == big
+
+
+@pytest.mark.parametrize("wrap_x", [True, False])
+@pytest.mark.parametrize("radius", [1, 2])
+def test_blocked_morphology_matches_relational(spark, wrap_x, radius):
+    """The per-slice dense kernel (morph_close_open_blocked) must equal
+    the pure-relational offset-explode closing+opening cell-for-cell —
+    including the shore-protection edge rule and the periodic seam."""
+    from marex_spark.operators.morphology import (
+        binary_dilate,
+        binary_erode,
+        morph_close_open_blocked,
+    )
+    from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+    ext = synthetic_extremes_gridded(spark, n_time=6, ny=12, nx=24)
+    tc = ext.filter("extreme").select("time", "y", "x")
+    closed = binary_erode(
+        binary_dilate(tc, radius, 12, 24, wrap_x), radius, 12, 24, wrap_x
+    )
+    opened_rel = binary_dilate(
+        binary_erode(closed, radius, 12, 24, wrap_x), radius, 12, 24, wrap_x
+    )
+    rel = {(r.time, r.y, r.x) for r in opened_rel.collect()}
+    blk = {
+        (r.time, r.y, r.x)
+        for r in morph_close_open_blocked(tc, radius, 12, 24, wrap_x).collect()
+    }
+    assert rel == blk
+
+
+def test_fill_holes_sparse_input_keeps_fillins(spark):
+    """A sparse True-only input must come back with hole fill-ins as
+    rows (the r3 full-join fix: a left join silently dropped every cell
+    absent from the input frame)."""
+    import datetime
+
+    from marex_spark.operators.morphology import fill_holes
+
+    t0 = datetime.datetime(2021, 1, 1)
+    # a 5x5 ring with the centre missing: closing fills (2,2)
+    rows = [
+        (t0, y, x, True)
+        for y in range(1, 4)
+        for x in range(1, 4)
+        if not (y == 2 and x == 2)
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, y int, x int, extreme boolean")
+    out = fill_holes(df, 1, 6, 6, wrap_x=False)
+    cells = {(r.y, r.x) for r in out.filter("extreme").collect()}
+    assert (2, 2) in cells
