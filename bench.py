@@ -260,6 +260,34 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
         ),
     )
 
+    # the reference's tracker.run() parity path: morphological
+    # preprocessing (closing/opening kernel + temporal gap fill +
+    # small-object filter) BEFORE tracking — the stage the r2 bench
+    # never exercised (its relational form measured 350 s at the 10×
+    # grid; the per-slice kernel landed in r3 runs it in seconds)
+    def _preprocess_track() -> int:
+        from pyspark.sql import functions as Fx
+
+        from marex_spark.operators.detect_blocked import (
+            bench_grid_size,
+            detect_extremes_blocked_packed,
+        )
+        from marex_spark.operators.track import preprocess_extremes, track_events
+
+        _, ny, nx = bench_grid_size(sf)
+        packed = spark.read.parquet(packed_path)
+        cells = detect_extremes_blocked_packed(packed, method_percentile="histogram")
+        ext = cells.withColumn("extreme", Fx.lit(True))
+        pre = preprocess_extremes(
+            ext, ny=ny, nx=nx, r_fill=4, t_fill=2, area_quartile=0.5
+        )
+        res = track_events(pre, nx=nx, compute_stats=False)
+        res.events.write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        return 0
+
+    guarded("preprocess_track", _preprocess_track)
+
     # split/merge resolution tiers on the same grid: chunked (default)
     # vs the wall-clock-parallel Jacobi time-block tier
     def _merge_bench(parallel: bool) -> int:
