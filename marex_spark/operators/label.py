@@ -168,18 +168,31 @@ def label_components_unstructured(
     time_col: str = "time",
     extreme_col: str = "extreme",
     max_rounds: int = 64,
+    method: str = "kernel",
 ) -> DataFrame:
-    """M6: per-time labelling on an unstructured mesh via pure-DataFrame
-    label propagation over the (cell, nbr) edge table — no UDF, works
-    at any mesh size.
+    """M6: per-time labelling on an unstructured mesh (reference
+    track.py:1947-2005 sparse boolean matrix labelling).
 
-    Each cell starts labelled with its own cell id; rounds of
-    ``min(label) over self ∪ neighbours`` (restricted to active cells)
-    until fixpoint, checked via a cheap aggregate. Converges in
-    O(component diameter) rounds; each round is one broadcast-join +
-    one aggregation.
+    ``method="kernel"`` (default): build the per-timestep INDUCED
+    subgraph (two joins of the edge table against the active set) and
+    run the numpy union-find per slice inside one mapInPandas stream —
+    the same kernel/contract as the structured M4 path. O(1) rounds;
+    the edge table is never broadcast and each slice's work is
+    proportional to its active cells + induced edges.
+
+    ``method="propagate"``: the pure-DataFrame min-label propagation
+    fixpoint (rounds of ``min(label) over self ∪ neighbours``) — kept
+    as the declarative differential form (equivalence pinned in
+    tests/test_unstructured.py); converges in O(component diameter)
+    rounds, which on a high-diameter mesh (a ring, a coastline) is the
+    slow path.
+
+    Output ids match between methods: component label = min member
+    cell id, densified per time, globally offset (W6).
     """
     active = extremes.filter(F.col(extreme_col)).select(time_col, "cell")
+    if method == "kernel":
+        return _label_unstructured_kernel(active, edges, time_col)
     labels = active.withColumn("lbl", F.col("cell").cast("long"))
     sym = edges.union(
         edges.select(F.col("nbr").alias("cell"), F.col("cell").alias("nbr"))
@@ -216,6 +229,69 @@ def label_components_unstructured(
     per_time = labels.select(
         time_col, "cell", F.dense_rank().over(w).cast("int").alias("local_id")
     )
+    from marex_spark.operators.overlap import cumulative_offsets
+
+    per_time_max = per_time.groupBy(time_col).agg(F.max("local_id").alias("max_id"))
+    offsets = cumulative_offsets(per_time_max, time_col, "max_id")
+    return per_time.join(F.broadcast(offsets), time_col).select(
+        time_col,
+        "cell",
+        (F.col("local_id") + F.col("id_offset")).cast("long").alias("obj_id"),
+    )
+
+
+def _label_unstructured_kernel(
+    active: DataFrame, edges: DataFrame, time_col: str
+) -> DataFrame:
+    """Kernel tier of M6: stream each timestep's active cells + induced
+    edges through the numpy union-find (_cc_edges), exactly like the
+    structured per-slice path."""
+    spark = active.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    time_type = active.schema[time_col].dataType.simpleString()
+
+    sym = edges.select("cell", "nbr")
+    e_act = (
+        sym.join(active, "cell")
+        .join(
+            active.select(time_col, F.col("cell").alias("nbr")),
+            [time_col, "nbr"],
+        )
+        .select(time_col, "cell", F.col("nbr"))
+    )
+    stream = active.select(
+        time_col, "cell", F.lit(None).cast("long").alias("nbr")
+    ).unionByName(e_act.select(time_col, "cell", F.col("nbr").cast("long")))
+
+    def _run(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        for t, g in pdf.groupby(time_col, sort=False):
+            nodes_mask = g["nbr"].isna()
+            cells = np.sort(g.loc[nodes_mask, "cell"].to_numpy(np.int64))
+            eu = g.loc[~nodes_mask, "cell"].to_numpy(np.int64)
+            ev = g.loc[~nodes_mask, "nbr"].to_numpy(np.int64)
+            u = np.searchsorted(cells, eu)
+            v = np.searchsorted(cells, ev)
+            roots = _cc_edges(len(cells), u, v)
+            # local ids 1..k ordered by each component's min cell id
+            # (cells sorted → root index order IS min-cell order)
+            _, local = np.unique(roots, return_inverse=True)
+            yield pd.DataFrame(
+                {
+                    time_col: t,
+                    "cell": cells,
+                    "local_id": (local + 1).astype(np.int32),
+                }
+            )
+
+    schema = f"{time_col} {time_type}, cell long, local_id int"
+    per_time = stream.repartition(parallelism, time_col).mapInPandas(
+        _run, schema=schema
+    ).localCheckpoint()
+
     from marex_spark.operators.overlap import cumulative_offsets
 
     per_time_max = per_time.groupBy(time_col).agg(F.max("local_id").alias("max_id"))

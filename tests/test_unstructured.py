@@ -151,3 +151,40 @@ def test_unstructured_centroids_follow_path(spark, ring, two_blob_mesh):
         )
         assert dl < 2.0, (t, lon, expect)
         assert abs(r.centroid_lat) < 1e-6
+
+
+def test_label_kernel_matches_propagation(spark):
+    """The kernel tier (per-slice induced-subgraph union-find) must
+    produce identical global ids to the declarative min-label
+    propagation fixpoint — including on a high-diameter mesh (a ring),
+    where propagation needs O(diameter) rounds."""
+    from marex_spark.operators.label import label_components_unstructured
+
+    n = 60
+    cells = spark.range(n).select(F.col("id").cast("long").alias("cell"))
+    edges = cells.select("cell", ((F.col("cell") + 1) % n).alias("nbr"))
+    # three timesteps: full ring, two arcs, sparse singletons
+    act = []
+    for c in range(n):
+        act.append((1, c, True))
+    for c in range(n):
+        act.append((2, c, c % 30 != 0))  # two arcs split at 0 and 30
+    for c in range(0, n, 7):
+        act.append((3, c, True))
+    ext = spark.createDataFrame(act, "t long, cell long, extreme boolean")
+    a = {
+        (r.t, r.cell, r.obj_id)
+        for r in label_components_unstructured(
+            ext, edges, time_col="t", method="kernel"
+        ).collect()
+    }
+    b = {
+        (r.t, r.cell, r.obj_id)
+        for r in label_components_unstructured(
+            ext, edges, time_col="t", method="propagate"
+        ).collect()
+    }
+    assert a == b
+    # day-2 arcs: exactly two components
+    day2 = {oid for (t, c, oid) in a if t == 2}
+    assert len(day2) == 2
