@@ -93,3 +93,123 @@ def test_slice_overlaps_any_id_magnitude(n, id_base, data):
     ref = Counter(zip(ids_a.tolist(), ids_b.tolist()))
     got = {(int(r[0]), int(r[1])): int(r[2]) for r in pairs}
     assert got == dict(ref)
+
+
+def _brute_shifting_anomaly(vals, years, doys, W, smooth_days):
+    """Brute-force reference for the shifting-baseline anomaly on one
+    cell: smooth by calendar-day window, climatology = mean of smoothed
+    samples at the same doy over years [y-W, y-1], drop first W years."""
+    n = len(vals)
+    days = np.asarray(
+        [int(y) * 366 + int(d) for y, d in zip(years, doys)]
+    )  # synthetic monotone day axis used consistently by both sides
+    half = smooth_days // 2
+    sm = np.empty(n)
+    for i in range(n):
+        w = np.abs(days - days[i]) <= half
+        w &= ~np.isnan(vals)
+        sm[i] = vals[w].mean() if w.any() else np.nan
+    out = np.full(n, np.nan)
+    valid_years = years[~np.isnan(vals)]
+    if len(valid_years) == 0:
+        return out
+    y0 = valid_years.min()
+    for i in range(n):
+        if np.isnan(vals[i]) or years[i] < y0 + W:
+            continue
+        sel = (
+            (doys == doys[i])
+            & (years >= years[i] - W)
+            & (years <= years[i] - 1)
+            & ~np.isnan(vals)
+        )
+        if sel.any():
+            out[i] = vals[i] - sm[sel].mean()
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(2000, 2004),  # year
+            st.integers(0, 9),  # doy (small synthetic calendar)
+            st.one_of(st.none(), st.floats(-5, 5, allow_nan=False)),
+        ),
+        min_size=4,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    W=st.integers(1, 3),
+)
+def test_shifting_anomaly_kernel_matches_brute_force(data, W):
+    """_anomaly_shifting against a per-sample brute-force reference on
+    arbitrary gappy single-cell series (synthetic 10-day calendar —
+    the kernel only consumes (doy, year, epoch_day) ints)."""
+    from marex_spark.operators.detect_blocked import _anomaly_shifting
+
+    data = sorted(data)
+    years = np.array([d[0] for d in data], dtype=np.int64)
+    doys = np.array([d[1] for d in data], dtype=np.int64)
+    vals = np.array(
+        [np.nan if d[2] is None else d[2] for d in data], dtype=np.float64
+    )
+    days = years * 366 + doys
+    m = vals[:, None]
+    expected = _brute_shifting_anomaly(vals, years, doys, W, smooth_days=3)
+    got = _anomaly_shifting(
+        m, ~np.isnan(m), doys, years, days, window_year_baseline=W, smooth_days=3
+    )[:, 0]
+    assert np.allclose(got, expected, equal_nan=True, atol=1e-9), (
+        got, expected,
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    cells=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 11)), min_size=0, max_size=50
+    ),
+    radius=st.integers(1, 2),
+    wrap_x=st.booleans(),
+)
+def test_morph_kernel_matches_brute_force(cells, radius, wrap_x):
+    """_dilate_np/_erode_np against brute-force set morphology with the
+    shore-protection rule (off-grid counts as True for erosion)."""
+    from marex_spark.operators.detect_blocked import _N_DOY  # noqa: F401
+    from marex_spark.operators.morphology import (
+        _dilate_np,
+        _erode_np,
+        disk_offsets,
+    )
+
+    ny, nx = 10, 12
+    offs = disk_offsets(radius)
+    g = np.zeros((ny, nx), dtype=bool)
+    for y, x in cells:
+        g[y, x] = True
+
+    def inb(y, x):
+        if wrap_x:
+            return 0 <= y < ny
+        return 0 <= y < ny and 0 <= x < nx
+
+    def norm(y, x):
+        return (y, x % nx) if wrap_x else (y, x)
+
+    dil = np.zeros_like(g)
+    for y in range(ny):
+        for x in range(nx):
+            dil[y, x] = any(
+                inb(y - dy, x - dx) and g[norm(y - dy, x - dx)]
+                for dy, dx in offs
+            )
+    ero = np.zeros_like(g)
+    for y in range(ny):
+        for x in range(nx):
+            ero[y, x] = all(
+                (not inb(y + dy, x + dx)) or g[norm(y + dy, x + dx)]
+                for dy, dx in offs
+            )
+    assert np.array_equal(_dilate_np(g, offs, wrap_x), dil)
+    assert np.array_equal(_erode_np(g, offs, wrap_x), ero)
