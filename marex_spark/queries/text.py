@@ -293,3 +293,29 @@ def pipe_stratified_sample(spark, sf_dir):
         .filter(F.col("bucket") < F.col("pct"))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "txt_token_count_bpe",
+    r"""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+                AS n_pretokens,
+              CAST(CEIL(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+       FROM documents""",
+)
+def txt_token_count_bpe(spark, sf_dir):
+    """BPE-ish token counting: a GPT-2-style pretokenizer approximation
+    (letter runs | digit runs | single punctuation) via
+    regexp_extract_all, plus the chars/4 BPE-count rule of thumb —
+    the budget estimator pipelines run before tokenizing 100 TB for
+    real. Same regex on both engines; pure codegen, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0
+            )
+        ).cast("long").alias("n_pretokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("approx_bpe_tokens"),
+    )
