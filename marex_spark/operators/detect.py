@@ -26,6 +26,7 @@ from marex_spark.operators.climatology import (
     partition_by_cells,
 )
 from marex_spark.operators.threshold import (
+    global_threshold_approx,
     global_threshold_exact,
     global_threshold_hist,
     hobday_threshold_exact,
@@ -106,7 +107,7 @@ def preprocess_data(
     df: DataFrame,
     method_anomaly: str = "fixed_baseline",
     method_extreme: str = "global_extreme",
-    method_percentile: str = "exact",
+    method_percentile: str = "exact",  # exact | histogram | approx (GK sketch)
     threshold_percentile: float = 0.95,
     keys: tuple[str, ...] = DEFAULT_KEYS,
     window_year_baseline: int = 5,
@@ -194,8 +195,12 @@ def preprocess_data(
             },
         )
     if method_extreme == "global_extreme":
-        thr = global_threshold_hist(
-            anom, keys, threshold_percentile, precision, max_anomaly
+        thr = (
+            global_threshold_approx(anom, keys, threshold_percentile)
+            if method_percentile == "approx"
+            else global_threshold_hist(
+                anom, keys, threshold_percentile, precision, max_anomaly
+            )
         )
     else:
         thr = (

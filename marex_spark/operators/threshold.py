@@ -81,6 +81,25 @@ def global_threshold_exact(
     )
 
 
+def global_threshold_approx(
+    anom: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    q: float = 0.95,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Spark-native sketch tier: per-cell approx_percentile
+    (Greenwald-Khanna, JVM-side, single map-side-combinable pass).
+    A third option beside exact (full sort) and the reference's
+    count-interpolated histogram — at 100 TB the sketch needs no
+    bounded-range assumption (the histogram's max_anomaly clamp) and
+    no bin-width tuning; error ≤ 1/accuracy of rank."""
+    return anom.groupBy(*keys).agg(
+        F.percentile_approx("anomaly", F.lit(q), F.lit(accuracy)).alias(
+            "threshold"
+        )
+    )
+
+
 def global_threshold_hist(
     anom: DataFrame,
     keys: tuple[str, ...] = DEFAULT_KEYS,

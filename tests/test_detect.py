@@ -134,3 +134,26 @@ def test_invalid_method_raises(sst):
         preprocess_data(sst, method_anomaly="nope")
     with pytest.raises(MarexSparkError):  # typed hierarchy: base catches
         preprocess_data(sst, method_extreme="nope")
+
+
+def test_approx_threshold_close_to_exact(spark):
+    """The Spark-native sketch tier (percentile_approx) must land
+    within histogram-precision distance of the exact per-cell
+    thresholds."""
+    from marex_spark.operators.climatology import (
+        anomaly_fixed_baseline,
+        partition_by_cells,
+    )
+    from marex_spark.operators.threshold import (
+        global_threshold_approx,
+        global_threshold_exact,
+    )
+    from marex_spark.sources.synthetic import synthetic_sst_gridded
+
+    series = synthetic_sst_gridded(spark, n_years=2, ny=6, nx=10)
+    anom = anomaly_fixed_baseline(partition_by_cells(series))
+    exact = {(r.y, r.x): r.threshold for r in global_threshold_exact(anom).collect()}
+    approx = {(r.y, r.x): r.threshold for r in global_threshold_approx(anom).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(exact[k] - approx[k]) < 0.05, (k, exact[k], approx[k])
