@@ -335,9 +335,11 @@ def filter_small_objects(
     extreme_col: str = "extreme",
     wrap_x: bool = True,
     grid_area: DataFrame | None = None,
+    min_area: float | None = None,
 ) -> DataFrame:
     """Small-object filter (track.py:1755-1906): label per time (M4),
-    object areas (A9), percentile threshold over object areas (A11),
+    object areas (A9), percentile threshold over object areas (A11) OR
+    an absolute floor (the reference's ``area_filter_absolute``),
     semi-join keep (P6). Returns the boolean field with small objects
     switched off."""
     from marex_spark.operators.label import label_components
@@ -351,14 +353,17 @@ def filter_small_objects(
         areas = object_areas(labels_a, time_col=time_col, area_col="area")
     else:
         areas = object_areas(labels, time_col=time_col)
-    thr = areas.agg(
-        F.percentile("area", F.lit(area_quartile)).alias("thr")
-    )
-    keep = (
-        areas.crossJoin(F.broadcast(thr))
-        .filter(F.col("area") >= F.col("thr"))
-        .select("obj_id")
-    )
+    if min_area is not None:
+        keep = areas.filter(F.col("area") >= float(min_area)).select("obj_id")
+    else:
+        thr = areas.agg(
+            F.percentile("area", F.lit(area_quartile)).alias("thr")
+        )
+        keep = (
+            areas.crossJoin(F.broadcast(thr))
+            .filter(F.col("area") >= F.col("thr"))
+            .select("obj_id")
+        )
     kept_cells = labels.join(keep, "obj_id", "left_semi").withColumn("_k", F.lit(True))
     return (
         extremes.drop(extreme_col)

@@ -41,16 +41,37 @@ def preprocess_extremes(
     wrap_x: bool = True,
     time_col: str = "time",
     extreme_col: str = "extreme",
+    area_filter_absolute: float | None = None,
 ) -> DataFrame:
     """The tracker's run_preprocess (track.py:1234-1368): morphological
     hole-filling (M1), temporal gap-filling (M3), then the small-object
-    percentile filter (A11+P6). Output: cleaned boolean field with the
-    input schema."""
+    filter (A11+P6) — by area QUARTILE (default) or an ABSOLUTE floor
+    (``area_filter_absolute``, the reference's regional-mode knob;
+    mutually exclusive with a non-zero quartile, and must be positive —
+    reference tests/test_track_edge_cases.py:551-605). Output: cleaned
+    boolean field with the input schema."""
+    from marex_spark.exceptions import ConfigurationError
     from marex_spark.operators.morphology import (
         fill_holes,
         fill_time_gaps,
         filter_small_objects,
     )
+
+    if area_filter_absolute is not None:
+        if area_filter_absolute <= 0:
+            raise ConfigurationError(
+                "area_filter_absolute must be positive",
+                details={"got": area_filter_absolute},
+            )
+        if area_quartile not in (0, 0.5):
+            raise ConfigurationError(
+                "Cannot specify both area filtering parameters "
+                "(area_quartile and area_filter_absolute)",
+                details={
+                    "area_quartile": area_quartile,
+                    "area_filter_absolute": area_filter_absolute,
+                },
+            )
 
     d = extremes
     if r_fill > 0:
@@ -61,7 +82,13 @@ def preprocess_extremes(
         # (track.py:1717-1726)
         if r_fill > 1:
             d = fill_holes(d, r_fill // 2, ny, nx, wrap_x, time_col, extreme_col)
-    if area_quartile > 0:
+    if area_filter_absolute is not None:
+        d = d.localCheckpoint()
+        d = filter_small_objects(
+            d, nx, 0.0, time_col, extreme_col, wrap_x,
+            min_area=area_filter_absolute,
+        )
+    elif area_quartile > 0:
         d = d.localCheckpoint()
         d = filter_small_objects(
             d, nx, area_quartile, time_col, extreme_col, wrap_x

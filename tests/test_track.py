@@ -90,3 +90,88 @@ def test_overlap_threshold_splits_weak_links(spark):
     n_loose = loose.events.select("event_id").distinct().count()
     n_strict = strict.events.select("event_id").distinct().count()
     assert n_strict >= n_loose
+
+
+class TestEdgeCases:
+    """Reference test_track_edge_cases.py parity: absolute area filter
+    + validation, single-timestep tracking, regional (no-wrap) mode."""
+
+    def test_area_filter_absolute(self, spark):
+        import datetime
+
+        from marex_spark.operators.track import preprocess_extremes
+
+        t0 = datetime.datetime(2021, 1, 1)
+        rows = []
+        # big 4x4 blob + isolated 1-cell speck, two timesteps
+        for t in range(2):
+            ts = t0 + datetime.timedelta(days=t)
+            for y in range(4, 8):
+                for x in range(4, 8):
+                    rows.append((ts, y, x, True))
+            rows.append((ts, 15, 30, True))
+        df = spark.createDataFrame(
+            rows, "time timestamp, y int, x int, extreme boolean"
+        )
+        out = preprocess_extremes(
+            df, ny=20, nx=40, r_fill=0, t_fill=0,
+            area_filter_absolute=3.0,
+        )
+        cells = {(r.y, r.x) for r in out.filter("extreme").collect()}
+        assert (15, 30) not in cells  # speck removed by the absolute floor
+        assert (5, 5) in cells
+
+    def test_area_filter_absolute_validation(self, spark):
+        from marex_spark.exceptions import ConfigurationError
+        from marex_spark.operators.track import preprocess_extremes
+
+        df = spark.createDataFrame(
+            [], "time timestamp, y int, x int, extreme boolean"
+        )
+        with pytest.raises(ConfigurationError, match="must be positive"):
+            preprocess_extremes(df, 10, 10, area_filter_absolute=-100.0)
+        with pytest.raises(ConfigurationError, match="both area filtering"):
+            preprocess_extremes(
+                df, 10, 10, area_quartile=0.9, area_filter_absolute=10.0
+            )
+
+    def test_single_timestep(self, spark):
+        """One timestep: no overlap pairs; every object is its own
+        event (reference test_single_timestep_data)."""
+        import datetime
+
+        from marex_spark.operators.track import track_events
+
+        t0 = datetime.datetime(2021, 1, 1)
+        rows = [(t0, 2, x, True) for x in range(3)] + [
+            (t0, 8, x, True) for x in range(10, 12)
+        ]
+        df = spark.createDataFrame(
+            rows, "time timestamp, y int, x int, extreme boolean"
+        )
+        res = track_events(df, nx=20, compute_stats=False)
+        assert res.events.select("event_id").distinct().count() == 2
+        assert res.events.count() == 5
+
+    def test_regional_mode_no_wrap(self, spark):
+        """wrap_x=False (the reference's regional_mode): a feature
+        split across the x boundary must stay TWO events; with wrap it
+        is one."""
+        import datetime
+
+        from marex_spark.operators.track import track_events
+
+        t0 = datetime.datetime(2021, 1, 1)
+        rows = []
+        for t in range(3):
+            ts = t0 + datetime.timedelta(days=t)
+            for y in range(5, 8):
+                for x in (0, 1, 18, 19):  # straddles the seam of nx=20
+                    rows.append((ts, y, x, True))
+        df = spark.createDataFrame(
+            rows, "time timestamp, y int, x int, extreme boolean"
+        )
+        wrapped = track_events(df, nx=20, wrap_x=True, compute_stats=False)
+        regional = track_events(df, nx=20, wrap_x=False, compute_stats=False)
+        assert wrapped.events.select("event_id").distinct().count() == 1
+        assert regional.events.select("event_id").distinct().count() == 2
