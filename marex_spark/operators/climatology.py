@@ -167,14 +167,24 @@ def anomaly_shifting_baseline(
     )
 
 
-def _design_matrix(times_decimal: list[float], n_harmonics: int = 2):
-    """Tiny (T × k) harmonic+trend design matrix and its pseudo-inverse,
-    computed on the driver with numpy (detect.py:2143-2220; k ≤ 6 so
-    this is microseconds regardless of data scale)."""
+def _design_matrix(
+    times_decimal: list[float],
+    n_harmonics: int = 2,
+    detrend_orders: tuple[int, ...] = (1,),
+):
+    """Tiny (T × k) polynomial+harmonic design matrix and its
+    pseudo-inverse, computed on the driver with numpy
+    (detect.py:2143-2220; k ≤ ~8 so this is microseconds regardless of
+    data scale). ``detrend_orders`` are the polynomial trend powers
+    (reference detect.py:299/2146: [1]=linear, [1,2]=+quadratic); the
+    fitted values are basis-shift invariant, so the reference's
+    orthogonalisation pass is unnecessary here."""
     import numpy as np
 
     t = np.asarray(times_decimal, dtype=np.float64)
-    cols = [np.ones_like(t), t - t.mean()]
+    cols = [np.ones_like(t)]
+    for order in detrend_orders:
+        cols.append((t - t.mean()) ** order)
     for h in range(1, n_harmonics + 1):
         cols.append(np.sin(2 * math.pi * h * t))
         cols.append(np.cos(2 * math.pi * h * t))
@@ -183,20 +193,43 @@ def _design_matrix(times_decimal: list[float], n_harmonics: int = 2):
     return X, pinv
 
 
+def _validate_detrend_orders(detrend_orders) -> tuple[int, ...]:
+    """Reference validation (detect.py:2100-2127): non-empty, all ≥ 1."""
+    from marex_spark.exceptions import ConfigurationError
+
+    orders = tuple(detrend_orders)
+    if not orders:
+        raise ConfigurationError(
+            "detrend_orders cannot be empty",
+            suggestions=["use detrend_orders=[1] for linear detrending"],
+        )
+    if any(o < 1 for o in orders):
+        raise ConfigurationError(
+            f"Invalid polynomial orders: {[o for o in orders if o < 1]}",
+            details={"rule": "polynomial orders must be >= 1"},
+        )
+    return orders
+
+
 def anomaly_detrend_harmonic(
     df: DataFrame,
     keys: tuple[str, ...] = DEFAULT_KEYS,
     n_harmonics: int = 2,
     time_col: str = "time",
     value_col: str = "value",
+    detrend_orders: tuple[int, ...] = (1,),
+    force_zero_mean: bool = False,
 ) -> DataFrame:
-    """Harmonic + linear detrend (detect.py:2143-2220, F3).
+    """Harmonic + polynomial detrend (detect.py:2143-2220, F3).
 
     coef_k(cell) = Σ_t pinv[k,t]·value(t,cell) — a weighted aggregation
     after broadcast-joining the per-time weight table; the fitted value
     is the design-row dot coef, removed per row. Everything except the
-    (T × k) pinv stays distributed.
+    (T × k) pinv stays distributed. ``detrend_orders`` mirror the
+    reference's polynomial powers; ``force_zero_mean`` subtracts the
+    per-cell residual mean afterwards (detect.py:2225-2227).
     """
+    detrend_orders = _validate_detrend_orders(detrend_orders)
     times = [
         r[0]
         for r in df.select(time_col).distinct().orderBy(time_col).collect()
@@ -209,7 +242,7 @@ def anomaly_detrend_harmonic(
         .collect()
     )
     dyears = [r["dyear"] for r in dec]
-    X, pinv = _design_matrix(dyears, n_harmonics)
+    X, pinv = _design_matrix(dyears, n_harmonics, detrend_orders)
     k = X.shape[1]
 
     weights = df.sparkSession.createDataFrame(
@@ -230,11 +263,17 @@ def anomaly_detrend_harmonic(
     for j in range(k):
         term = F.col("xrow")[j] * F.col(f"c{j}")
         fitted = term if fitted is None else fitted + term
-    return (
+    out = (
         d.join(coefs, list(keys))
         .withColumn("anomaly", (F.col(value_col) - fitted).cast("double"))
         .drop("w", "xrow", *[f"c{j}" for j in range(k)])
     )
+    if force_zero_mean:
+        w0 = Window.partitionBy(*keys)
+        out = out.withColumn(
+            "anomaly", F.col("anomaly") - F.avg("anomaly").over(w0)
+        )
+    return out
 
 
 def anomaly_detrend_fixed_baseline(

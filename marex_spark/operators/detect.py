@@ -119,6 +119,8 @@ def preprocess_data(
     time_col: str = "time",
     value_col: str = "value",
     checkpoint: bool = False,
+    detrend_orders: tuple[int, ...] = (1,),
+    force_zero_mean: bool = False,
 ) -> DetectResult:
     """Raw series → boolean extremes. Drops null/NaN values first
     (P2 validity predicate, detect.py:222).
@@ -156,7 +158,8 @@ def preprocess_data(
         )
     elif method_anomaly == "detrend_harmonic":
         anom = anomaly_detrend_harmonic(
-            clean, keys, n_harmonics, time_col=time_col, value_col=value_col
+            clean, keys, n_harmonics, time_col=time_col, value_col=value_col,
+            detrend_orders=detrend_orders, force_zero_mean=force_zero_mean,
         )
     else:
         anom = anomaly_detrend_fixed_baseline(

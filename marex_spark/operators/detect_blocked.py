@@ -164,6 +164,8 @@ def _anomaly_detrend(
     doy0: np.ndarray,
     years: np.ndarray,
     n_harmonics: int,
+    detrend_orders: tuple[int, ...] = (1,),
+    force_zero_mean: bool = False,
 ) -> np.ndarray:
     """Harmonic + linear detrend, the dense mirror of
     climatology.anomaly_detrend_harmonic (reference detect.py:2143-2220):
@@ -175,14 +177,24 @@ def _anomaly_detrend(
     time list whenever every timestep has at least one valid cell in
     the band (always true for dense grids)."""
     t = _decimal_year(doy0, years)
-    cols = [np.ones_like(t), t - t.mean()]
+    cols = [np.ones_like(t)]
+    for order in detrend_orders:
+        cols.append((t - t.mean()) ** order)
     for h in range(1, n_harmonics + 1):
         cols.append(np.sin(2 * np.pi * h * t))
         cols.append(np.cos(2 * np.pi * h * t))
     X = np.stack(cols, axis=1)  # (T, k)
     pinv = np.linalg.pinv(X)  # (k, T)
     coef = pinv @ np.where(valid, m, 0.0)  # (k, NX)
-    return m - X @ coef
+    anom = m - X @ coef
+    if force_zero_mean:
+        with np.errstate(invalid="ignore"):
+            cnt = valid.sum(axis=0)
+            mean = np.where(
+                cnt > 0, np.nansum(np.where(valid, anom, 0.0), axis=0), 0.0
+            ) / np.maximum(cnt, 1)
+        anom = anom - mean[None, :]
+    return anom
 
 
 def _thr_global(
@@ -322,7 +334,10 @@ def _band_extremes(
             m, valid, doy0, years, days, p["window_year_baseline"], p["smooth_days"]
         )
     elif p["method_anomaly"] == "detrend_harmonic":
-        anom = _anomaly_detrend(m, valid, doy0, years, p["n_harmonics"])
+        anom = _anomaly_detrend(
+            m, valid, doy0, years, p["n_harmonics"],
+            p["detrend_orders"], p["force_zero_mean"],
+        )
     elif p["method_anomaly"] == "detrend_fixed_baseline":
         # detect.py:2443-2460: remove the linear trend (no harmonics),
         # then subtract the doy climatology of the detrended series
@@ -362,8 +377,11 @@ def _kernel_params(
     smooth_days: int,
     window_days_hobday: int,
     n_harmonics: int,
+    detrend_orders: tuple[int, ...],
+    force_zero_mean: bool,
 ) -> dict:
     from marex_spark.exceptions import ConfigurationError
+    from marex_spark.operators.climatology import _validate_detrend_orders
 
     if method_anomaly not in (
         "fixed_baseline",
@@ -389,6 +407,8 @@ def _kernel_params(
         "smooth_days": smooth_days,
         "window_days_hobday": window_days_hobday,
         "n_harmonics": n_harmonics,
+        "detrend_orders": _validate_detrend_orders(detrend_orders),
+        "force_zero_mean": force_zero_mean,
     }
 
 
@@ -407,6 +427,8 @@ def detect_extremes_blocked(
     smooth_days: int = 21,
     window_days_hobday: int = 11,
     n_harmonics: int = 2,
+    detrend_orders: tuple[int, ...] = (1,),
+    force_zero_mean: bool = False,
 ) -> DataFrame:
     """Blocked detect over the long format, by latitude band. Supports
     fixed/shifting baselines × global/hobday thresholds (the reference's
@@ -423,7 +445,7 @@ def detect_extremes_blocked(
         method_anomaly, method_extreme, method_percentile,
         threshold_percentile, precision, max_anomaly,
         window_year_baseline, smooth_days, window_days_hobday,
-        n_harmonics,
+        n_harmonics, detrend_orders, force_zero_mean,
     )
     spark = series.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
@@ -558,6 +580,8 @@ def detect_extremes_blocked_packed(
     smooth_days: int = 21,
     window_days_hobday: int = 11,
     n_harmonics: int = 2,
+    detrend_orders: tuple[int, ...] = (1,),
+    force_zero_mean: bool = False,
 ) -> DataFrame:
     """Blocked detect over the PACKED layout (time, y, vals array<float>):
     same kernel and semantics as :func:`detect_extremes_blocked`
@@ -575,7 +599,7 @@ def detect_extremes_blocked_packed(
         method_anomaly, method_extreme, method_percentile,
         threshold_percentile, precision, max_anomaly,
         window_year_baseline, smooth_days, window_days_hobday,
-        n_harmonics,
+        n_harmonics, detrend_orders, force_zero_mean,
     )
     thresholds = output == "thresholds"
     if thresholds and method_extreme != "global_extreme":

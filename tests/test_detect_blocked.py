@@ -285,3 +285,51 @@ def test_blocked_detrend_matches_relational(spark, ma):
         assert len(diff) <= max(2, len(rel_cells) // 1000), (
             len(rel_cells), len(blk_cells), len(diff),
         )
+
+
+def test_blocked_detrend_orders_force_zero_mean(spark):
+    """Polynomial detrend orders + force_zero_mean must match between
+    the blocked kernel and the relational path (reference
+    detect.py:2146-2227 detrend_orders / force_zero_mean)."""
+    series = synthetic_sst_gridded(spark, n_years=4, ny=4, nx=8)
+    rel = preprocess_data(
+        series,
+        method_anomaly="detrend_harmonic",
+        method_percentile="exact",
+        detrend_orders=(1, 2),
+        force_zero_mean=True,
+    )
+    rel_cells = {
+        (r.time, r.y, r.x)
+        for r in rel.extremes.filter("extreme").select("time", "y", "x").collect()
+    }
+    rel.unpersist()
+    blk_cells = {
+        (r.time, r.y, r.x)
+        for r in detect_extremes_blocked(
+            series,
+            method_percentile="exact",
+            method_anomaly="detrend_harmonic",
+            detrend_orders=(1, 2),
+            force_zero_mean=True,
+        ).collect()
+    }
+    assert rel_cells, "degenerate fixture"
+    diff = rel_cells ^ blk_cells
+    assert len(diff) <= max(2, len(rel_cells) // 1000), (
+        len(rel_cells), len(blk_cells), len(diff),
+    )
+
+
+def test_detrend_orders_validation(spark):
+    from marex_spark.exceptions import ConfigurationError
+
+    series = synthetic_sst_gridded(spark, n_years=1, ny=2, nx=4)
+    with pytest.raises(ConfigurationError, match="cannot be empty"):
+        detect_extremes_blocked(
+            series, method_anomaly="detrend_harmonic", detrend_orders=()
+        )
+    with pytest.raises(ConfigurationError, match="Invalid polynomial"):
+        detect_extremes_blocked(
+            series, method_anomaly="detrend_harmonic", detrend_orders=(0,)
+        )
