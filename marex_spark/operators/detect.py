@@ -23,6 +23,7 @@ from marex_spark.operators.climatology import (
     anomaly_detrend_harmonic,
     anomaly_fixed_baseline,
     anomaly_shifting_baseline,
+    normalise_by_doy_std,
     partition_by_cells,
 )
 from marex_spark.operators.threshold import (
@@ -96,6 +97,10 @@ class DetectResult:
     # ``unpersist()`` once extremes are materialised, else repeated
     # preprocess_data calls in one session accumulate cached blocks
     persisted: DataFrame | None = None
+    # std_normalise=True outputs (reference detect.py:686-716): the
+    # same extreme identification run on the STD-normalised anomaly
+    extremes_stn: DataFrame | None = None
+    thresholds_stn: DataFrame | None = None
 
     def unpersist(self) -> None:
         if self.persisted is not None:
@@ -121,6 +126,7 @@ def preprocess_data(
     checkpoint: bool = False,
     detrend_orders: tuple[int, ...] = (1,),
     force_zero_mean: bool = False,
+    std_normalise: bool = False,
 ) -> DetectResult:
     """Raw series → boolean extremes. Drops null/NaN values first
     (P2 validity predicate, detect.py:222).
@@ -179,49 +185,54 @@ def preprocess_data(
         from pyspark.storagelevel import StorageLevel
 
         anom = persisted = anom.persist(StorageLevel.MEMORY_AND_DISK)
-    if method_extreme == "global_extreme" and exact:
-        # Fully fused: the per-cell quantile is a full-frame window over
-        # the cell partition — zero joins, zero extra shuffles.
-        w = Window.partitionBy(*keys)
-        extremes = anom.withColumn(
-            "threshold", F.percentile("anomaly", F.lit(threshold_percentile)).over(w)
-        ).withColumn("extreme", F.col("anomaly") >= F.col("threshold"))
-        thr = extremes.select(*keys, "threshold").dropDuplicates(list(keys))
-        return DetectResult(
-            extremes=extremes,
-            thresholds=thr,
-            params={
-                "method_anomaly": method_anomaly,
-                "method_extreme": method_extreme,
-                "method_percentile": method_percentile,
-                "threshold_percentile": threshold_percentile,
-            },
-        )
-    if method_extreme == "global_extreme":
-        thr = (
-            global_threshold_approx(anom, keys, threshold_percentile)
-            if method_percentile == "approx"
-            else global_threshold_hist(
-                anom, keys, threshold_percentile, precision, max_anomaly
+    def _identify(a: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Threshold + compare for one anomaly frame — shared by the
+        primary output and the std_normalise variant."""
+        if method_extreme == "global_extreme" and exact:
+            # Fully fused: the per-cell quantile is a full-frame window
+            # over the cell partition — zero joins, zero extra shuffles.
+            w = Window.partitionBy(*keys)
+            ext = a.withColumn(
+                "threshold",
+                F.percentile("anomaly", F.lit(threshold_percentile)).over(w),
+            ).withColumn("extreme", F.col("anomaly") >= F.col("threshold"))
+            return ext, ext.select(*keys, "threshold").dropDuplicates(list(keys))
+        if method_extreme == "global_extreme":
+            t = (
+                global_threshold_approx(a, keys, threshold_percentile)
+                if method_percentile == "approx"
+                else global_threshold_hist(
+                    a, keys, threshold_percentile, precision, max_anomaly
+                )
             )
-        )
-    else:
-        thr = (
-            hobday_threshold_exact(
-                anom, keys, threshold_percentile, window_days_hobday
+        else:
+            t = (
+                hobday_threshold_exact(
+                    a, keys, threshold_percentile, window_days_hobday
+                )
+                if exact
+                else hobday_threshold_hist(
+                    a,
+                    keys,
+                    threshold_percentile,
+                    window_days_hobday,
+                    precision,
+                    max_anomaly,
+                )
             )
-            if exact
-            else hobday_threshold_hist(
-                anom,
-                keys,
-                threshold_percentile,
-                window_days_hobday,
-                precision,
-                max_anomaly,
-            )
-        )
+        return identify_extremes(a, t, keys), t
 
-    extremes = identify_extremes(anom, thr, keys)
+    extremes, thr = _identify(anom)
+    ext_stn = thr_stn = None
+    if std_normalise and method_anomaly == "detrend_harmonic":
+        # reference detect.py:686-716: the SAME extreme identification
+        # over the STD-normalised anomaly, as additional outputs
+        stn = (
+            normalise_by_doy_std(anom, keys)
+            .drop("anomaly", "std_doy")
+            .withColumnRenamed("anomaly_norm", "anomaly")
+        )
+        ext_stn, thr_stn = _identify(stn)
     return DetectResult(
         extremes=extremes,
         thresholds=thr,
@@ -230,6 +241,9 @@ def preprocess_data(
             "method_extreme": method_extreme,
             "method_percentile": method_percentile,
             "threshold_percentile": threshold_percentile,
+            "std_normalise": std_normalise,
         },
         persisted=persisted,
+        extremes_stn=ext_stn,
+        thresholds_stn=thr_stn,
     )

@@ -157,3 +157,27 @@ def test_approx_threshold_close_to_exact(spark):
     assert set(exact) == set(approx)
     for k in exact:
         assert abs(exact[k] - approx[k]) < 0.05, (k, exact[k], approx[k])
+
+
+def test_std_normalise_outputs(spark):
+    """std_normalise=True (detrend_harmonic only, reference
+    detect.py:686-716): additional standardised extremes/thresholds
+    alongside the primary outputs; the standardised extreme frequency
+    stays in the same percentile band."""
+    from marex_spark.sources.synthetic import synthetic_sst_gridded
+
+    series = synthetic_sst_gridded(spark, n_years=2, ny=6, nx=10)
+    det = preprocess_data(
+        series,
+        method_anomaly="detrend_harmonic",
+        method_percentile="exact",
+        std_normalise=True,
+    )
+    assert det.extremes_stn is not None and det.thresholds_stn is not None
+    n_total = series.count()
+    frac = det.extremes_stn.filter("extreme").count() / n_total
+    assert 0.03 <= frac <= 0.07, frac
+    # primary outputs unaffected
+    frac0 = det.extremes.filter("extreme").count() / n_total
+    assert 0.03 <= frac0 <= 0.07, frac0
+    det.unpersist()
