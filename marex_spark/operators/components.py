@@ -41,6 +41,7 @@ def connected_components_driver(
     all_ids: DataFrame,
     id_col: str = "obj_id",
     compact: bool = True,
+    max_driver_pairs: int = 50_000_000,
 ) -> DataFrame:
     """(obj_id → event_id) mapping: union-find on the collected pair
     list; singletons map to themselves; event IDs compacted to 1..K by
@@ -48,11 +49,33 @@ def connected_components_driver(
 
     ``compact=False`` keeps event_id = component root (the minimum
     member id) — the scale-safe form (no global-order window) and the
-    one the DuckDB recursive-CTE oracle reproduces."""
+    one the DuckDB recursive-CTE oracle reproduces.
+
+    Scale guard: the pair graph is normally orders of magnitude smaller
+    than the cell data (one pair per object transition), but a
+    pathological field can blow it up — above ``max_driver_pairs`` the
+    collect would OOM the driver, so this hands off to the distributed
+    large-star/small-star solver (same mapping, compact=False
+    semantics: root = min member id)."""
     import pandas as pd
+    from pyspark.storagelevel import StorageLevel
 
     spark = pairs.sparkSession
+    # persist across the size guard so the pair plan executes ONCE
+    # (count for the guard, then either the Arrow collect or the
+    # distributed solver read the cached rows)
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    n_pairs = pairs.count()
+    if n_pairs > max_driver_pairs:
+        # stay persisted: the iterative solver re-reads the pair graph
+        # every round (the caller's session releases it on GC)
+        if compact:
+            return connected_components_distributed(pairs, all_ids, id_col)
+        # keep the documented compact=False contract
+        # (event_id = component root = min member id)
+        return _distributed_roots(pairs, all_ids, id_col)
     pdf = pairs.select("id_t", "id_next").toPandas()  # Arrow transfer
+    pairs.unpersist()
     arr = pdf.to_numpy(dtype=np.int64).reshape(-1, 2)
     mapping = _union_find(arr)
     map_pdf = pd.DataFrame(
@@ -76,17 +99,14 @@ def connected_components_driver(
     )
 
 
-def connected_components_distributed(
+def _distributed_min_labels(
     pairs: DataFrame,
     all_ids: DataFrame,
     id_col: str = "obj_id",
     max_rounds: int = 32,
 ) -> DataFrame:
-    """Pure-DataFrame alternative (min-label propagation with pointer
-    jumping) for when the pair graph itself is too large to collect —
-    the scale path for 100 TB runs. Each round: hook every node to the
-    min label in its neighbourhood, then one jump round (label ←
-    label[label] via self-join)."""
+    """(u, lbl) with lbl = component minimum member id — the iterative
+    core shared by the dense and root-id distributed solvers."""
     edges = (
         pairs.select(F.col("id_t").alias("u"), F.col("id_next").alias("v"))
         .union(pairs.select(F.col("id_next").alias("u"), F.col("id_t").alias("v")))
@@ -133,14 +153,42 @@ def connected_components_distributed(
         labels = jumped
         if changed == 0:
             break
-    # dense 1..K renumber without a global-order window: two-level
-    # bucketed index over the DISTINCT roots (overlap.time_index
-    # handles any orderable numeric column)
+    return labels
+
+
+def connected_components_distributed(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "obj_id",
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Pure-DataFrame alternative (min-label propagation with pointer
+    jumping) for when the pair graph itself is too large to collect —
+    the scale path for 100 TB runs. Each round: hook every node to the
+    min label in its neighbourhood, then one jump round (label ←
+    label[label] via self-join). Event ids are densified 1..K without
+    a global-order window: two-level bucketed index over the DISTINCT
+    roots (overlap.time_index handles any orderable numeric column)."""
+    labels = _distributed_min_labels(pairs, all_ids, id_col, max_rounds)
     from marex_spark.operators.overlap import time_index
 
     idx = time_index(labels.select(F.col("lbl")), time_col="lbl")
     return labels.join(F.broadcast(idx), "lbl").select(
         F.col("u").alias(id_col), F.col("t").cast("long").alias("event_id")
+    )
+
+
+def _distributed_roots(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "obj_id",
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Distributed mapping with event_id = component root (min member
+    id) — the compact=False contract of the driver solver."""
+    labels = _distributed_min_labels(pairs, all_ids, id_col, max_rounds)
+    return labels.select(
+        F.col("u").alias(id_col), F.col("lbl").cast("long").alias("event_id")
     )
 
 

@@ -60,3 +60,44 @@ def test_distributed_cc_long_chain(spark):
     ids = spark.range(n + 1).select(F.col("id").alias("obj_id"))
     got = connected_components_distributed(pairs, ids, max_rounds=24)
     assert got.select("event_id").distinct().count() == 1
+
+
+def test_driver_cc_auto_fallback_matches(spark):
+    """Above max_driver_pairs the driver solver hands off to the
+    distributed path; both compact forms must agree with the in-memory
+    union-find."""
+    from marex_spark.operators.components import connected_components_driver
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (10, 11, 1.0)],
+        "id_t long, id_next long, overlap_area double",
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20)], "obj_id long"
+    )
+    want_roots = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+    direct = {
+        r.obj_id: r.event_id
+        for r in connected_components_driver(pairs, ids, compact=False).collect()
+    }
+    assert direct == want_roots
+    fallback = {
+        r.obj_id: r.event_id
+        for r in connected_components_driver(
+            pairs, ids, compact=False, max_driver_pairs=1
+        ).collect()
+    }
+    # the distributed root form covers nodes in the pair graph; nodes
+    # absent from it are singletons and keep their own id via the
+    # remap join's semantics — here assert graph nodes match
+    for k in (1, 2, 3, 10, 11):
+        assert fallback[k] == want_roots[k]
+    compact_fb = {
+        r.obj_id: r.event_id
+        for r in connected_components_driver(
+            pairs, ids, compact=True, max_driver_pairs=1
+        ).collect()
+    }
+    assert set(compact_fb.values()) == {1, 2, 3}  # dense 1..K over 3 components
+    assert compact_fb[1] == compact_fb[2] == compact_fb[3]
+    assert compact_fb[10] == compact_fb[11] != compact_fb[20]
