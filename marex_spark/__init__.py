@@ -38,6 +38,7 @@ def __getattr__(name):
         "detect_extremes_blocked_packed": "marex_spark.operators.detect_blocked",
         "pack_gridded": "marex_spark.operators.detect_blocked",
         "preprocess_extremes": "marex_spark.operators.track",
+        "morph_close_open_blocked": "marex_spark.operators.morphology",
         "track_events": "marex_spark.operators.track",
         "track_events_unstructured": "marex_spark.operators.track",
         "split_merge_events_parallel": "marex_spark.operators.merge",
