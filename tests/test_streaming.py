@@ -129,3 +129,52 @@ def test_stateful_episode_tracking(spark):
         assert len(got) == 4
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_watermark_drops_late_rows(spark):
+    """Late-data semantics: a row older than the watermark arrives
+    after its window is finalized — append mode must NOT re-emit or
+    grow the closed window (the bounded-state guarantee the 100 TB
+    streaming plan relies on)."""
+    import datetime
+
+    tmp = tempfile.mkdtemp(prefix="marex_late_")
+    try:
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def mk(rows):
+            return spark.createDataFrame(
+                [(t0 + datetime.timedelta(days=d, hours=1), True) for d in rows],
+                "time timestamp, extreme boolean",
+            )
+
+        src = f"{tmp}/src"
+        mk(range(10)).write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema("time timestamp, extreme boolean").parquet(src)
+        agg = streaming_area_history(stream, window="1 day", watermark="2 days")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_hist")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        # phase 2: one LATE row (day 2 — far below the day-7 watermark)
+        # plus a fresh row advancing event time
+        mk([2, 12]).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+
+        rows = {
+            r.window_start.day: r.n_cells
+            for r in spark.sql("SELECT * FROM late_hist").collect()
+        }
+        # the day-3 window (Jan 3) was finalized with exactly one row;
+        # the late duplicate must not appear as a second emission/count
+        assert rows[3] == 1
+        # in-time windows emitted once each
+        assert all(v == 1 for v in rows.values()), rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
