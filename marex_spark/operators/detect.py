@@ -127,6 +127,9 @@ def preprocess_data(
     detrend_orders: tuple[int, ...] = (1,),
     force_zero_mean: bool = False,
     std_normalise: bool = False,
+    window_spatial_hobday: int | None = None,
+    nx: int | None = None,
+    ny: int | None = None,
 ) -> DetectResult:
     """Raw series → boolean extremes. Drops null/NaN values first
     (P2 validity predicate, detect.py:222).
@@ -152,6 +155,32 @@ def preprocess_data(
             "unknown method_extreme",
             details={"got": method_extreme, "valid": EXTREME_METHODS},
         )
+    if window_spatial_hobday is not None:
+        # reference validation (detect.py:1360-1430): hobday-only,
+        # histogram-only, structured grids only
+        if method_extreme != "hobday_extreme":
+            raise ConfigurationError(
+                "window_spatial_hobday can only be used with "
+                "method_extreme='hobday_extreme'",
+                details={"method_extreme": method_extreme},
+            )
+        if method_percentile == "exact":
+            raise ConfigurationError(
+                "window_spatial_hobday is not supported with "
+                "method_percentile='exact'",
+                details={"method_percentile": method_percentile},
+            )
+        if keys != ("y", "x"):
+            raise ConfigurationError(
+                "window_spatial_hobday is not supported for unstructured "
+                "grids",
+                details={"keys": keys},
+            )
+        if nx is None or ny is None:
+            raise ConfigurationError(
+                "window_spatial_hobday needs nx and ny",
+                details={"nx": nx, "ny": ny},
+            )
 
     clean = df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col))
     clean = partition_by_cells(clean, keys)
@@ -218,6 +247,9 @@ def preprocess_data(
                     window_days_hobday,
                     precision,
                     max_anomaly,
+                    spatial_window=window_spatial_hobday or 0,
+                    nx=nx,
+                    ny=ny,
                 )
             )
         return identify_extremes(a, t, keys), t

@@ -317,6 +317,112 @@ def _thr_hobday(
     return thr
 
 
+def _thr_hobday_spatial(
+    anoms: dict[int, np.ndarray],
+    band: int,
+    doy0: np.ndarray,
+    q: float,
+    window_days: int,
+    spatial_window: int,
+    precision: float,
+    max_anomaly: float,
+    nx: int,
+) -> np.ndarray:
+    """Hobday histogram threshold with 2-D spatial pooling (W4;
+    reference detect.py:2562-2734 with the lon-wrap pad 2652-2668):
+    per contributing latitude y' in the halo, build the per-(doy, bin,
+    x) histogram, pool circularly over the ±doy window, sum over the
+    y halo (poleward clamp = the halo simply lacks off-grid rows) and
+    the ±dx window (x wraps), then count-interpolate. x-chunked WITH
+    x-halo so memory stays bounded at any nx."""
+    half = window_days // 2
+    s = spatial_window // 2
+    n_pos = int(round(max_anomaly / precision))
+    nb = n_pos + 2
+    thr = np.full((_N_DOY, nx), np.nan)
+    chunk = 256
+    for x0 in range(0, nx, chunk):
+        x1 = min(x0 + chunk, nx)
+        xc = x1 - x0
+        # halo column index set: absolute x of [x0-s, x1+s) with wrap
+        cols = (np.arange(x0 - s, x1 + s) % nx).astype(np.int64)
+        ncol = len(cols)
+        pooled_sum = np.zeros((_N_DOY, nb, ncol), dtype=np.int64)
+        for y_val, anom in anoms.items():
+            if abs(y_val - band) > s:
+                continue
+            sub = anom[:, cols]  # (T × ncol); duplicated cols OK (nx < ncol)
+            valid = ~np.isnan(sub)
+            safe = np.where(valid, sub, 0.0)
+            bins = np.clip(
+                1 + np.floor(safe / precision).astype(np.int64), 1, n_pos + 1
+            )
+            bins[safe < 0] = 0
+            flat = (
+                doy0[:, None] * (nb * ncol)
+                + bins * ncol
+                + np.arange(ncol)[None, :]
+            )[valid]
+            h = np.bincount(flat.ravel(), minlength=_N_DOY * nb * ncol).reshape(
+                _N_DOY, nb, ncol
+            )
+            # circular doy pooling via one padded cumsum (see _thr_hobday)
+            hp = np.concatenate([h[_N_DOY - half :], h, h[:half]], axis=0)
+            cs = np.concatenate(
+                [np.zeros((1, nb, ncol), dtype=hp.dtype), hp.cumsum(axis=0)],
+                axis=0,
+            )
+            pooled_sum += cs[2 * half + 1 :] - cs[: _N_DOY]
+        # spatial x pooling: for own column j (position s..s+xc-1 in the
+        # halo), sum halo positions j-s..j+s — a sliding window over axis 2
+        cs2 = np.concatenate(
+            [np.zeros((_N_DOY, nb, 1), dtype=np.int64), pooled_sum.cumsum(axis=2)],
+            axis=2,
+        )
+        own = cs2[:, :, 2 * s + 1 :] - cs2[:, :, : ncol - 2 * s]  # (366, nb, xc)
+        cdf = own.cumsum(axis=1)
+        n = cdf[:, -1, :]
+        target = q * n
+        sel = (cdf >= target[:, None, :]).argmax(axis=1)
+        c = np.take_along_axis(own, sel[:, None, :], 1)[:, 0]
+        prev = np.take_along_axis(cdf, sel[:, None, :], 1)[:, 0] - c
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = np.clip((target - prev) / np.maximum(c, 1), 0.0, 1.0)
+        t = (sel - 1) * precision + precision * frac
+        t[sel == 0] = 0.0
+        t[n == 0] = np.nan
+        thr[:, x0:x1] = t
+    return thr
+
+
+def _anomaly_of(
+    m: np.ndarray,
+    doy0: np.ndarray,
+    years: np.ndarray,
+    days: np.ndarray,
+    p: dict,
+) -> np.ndarray:
+    """Anomaly-method dispatch for one band matrix (shared by the
+    per-band pipeline and the spatial-halo variant, which needs raw
+    anomalies for every halo latitude)."""
+    valid = ~np.isnan(m)
+    if p["method_anomaly"] == "shifting_baseline":
+        return _anomaly_shifting(
+            m, valid, doy0, years, days, p["window_year_baseline"], p["smooth_days"]
+        )
+    if p["method_anomaly"] == "detrend_harmonic":
+        return _anomaly_detrend(
+            m, valid, doy0, years, p["n_harmonics"],
+            p["detrend_orders"], p["force_zero_mean"],
+        )
+    if p["method_anomaly"] == "detrend_fixed_baseline":
+        # detect.py:2443-2460: remove the linear trend (no harmonics),
+        # then subtract the doy climatology of the detrended series
+        det = _anomaly_detrend(m, valid, doy0, years, 0)
+        return _anomaly_fixed(det, valid, doy0)
+    return _anomaly_fixed(m, valid, doy0)
+
+
 def _band_extremes(
     m: np.ndarray,
     doy0: np.ndarray,
@@ -328,23 +434,7 @@ def _band_extremes(
     extremes, per-cell global thresholds or (366 × NX) hobday table).
     Method dispatch mirrors operators.detect.preprocess_data
     (reference detect.py:1079-1203)."""
-    valid = ~np.isnan(m)
-    if p["method_anomaly"] == "shifting_baseline":
-        anom = _anomaly_shifting(
-            m, valid, doy0, years, days, p["window_year_baseline"], p["smooth_days"]
-        )
-    elif p["method_anomaly"] == "detrend_harmonic":
-        anom = _anomaly_detrend(
-            m, valid, doy0, years, p["n_harmonics"],
-            p["detrend_orders"], p["force_zero_mean"],
-        )
-    elif p["method_anomaly"] == "detrend_fixed_baseline":
-        # detect.py:2443-2460: remove the linear trend (no harmonics),
-        # then subtract the doy climatology of the detrended series
-        det = _anomaly_detrend(m, valid, doy0, years, 0)
-        anom = _anomaly_fixed(det, valid, doy0)
-    else:
-        anom = _anomaly_fixed(m, valid, doy0)
+    anom = _anomaly_of(m, doy0, years, days, p)
 
     # NOTE: the hobday SPATIAL pooling variant (threshold.py
     # spatial_window, W4) stays relational-only by design — a 5×5 pool
@@ -582,6 +672,8 @@ def detect_extremes_blocked_packed(
     n_harmonics: int = 2,
     detrend_orders: tuple[int, ...] = (1,),
     force_zero_mean: bool = False,
+    window_spatial_hobday: int | None = None,
+    ny: int | None = None,
 ) -> DataFrame:
     """Blocked detect over the PACKED layout (time, y, vals array<float>):
     same kernel and semantics as :func:`detect_extremes_blocked`
@@ -589,6 +681,14 @@ def detect_extremes_blocked_packed(
     stacking rows' arrays — no per-cell factorize, and the shuffle +
     Arrow transfer carry ×nx fewer rows. This is the SCALE.md "array
     columns end-to-end" lever.
+
+    ``window_spatial_hobday`` (W4; hobday + histogram only, needs
+    ``ny``) adds the reference's 2-D spatial pooling via a y-HALO fan:
+    each packed row is duplicated to the bands within ±s before the
+    band shuffle, so every band's kernel sees its neighbours' rows and
+    pools without any cross-band exchange — anomalies for halo rows
+    are recomputed per band (s+s+1× compute on the cheap stage buys
+    zero extra shuffles on the expensive one).
 
     ``output="thresholds"`` returns the per-cell threshold table
     (y, x, threshold) instead of the sparse extreme cells — the
@@ -602,13 +702,29 @@ def detect_extremes_blocked_packed(
         n_harmonics, detrend_orders, force_zero_mean,
     )
     thresholds = output == "thresholds"
-    if thresholds and method_extreme != "global_extreme":
-        from marex_spark.exceptions import ConfigurationError
+    from marex_spark.exceptions import ConfigurationError
 
+    if thresholds and method_extreme != "global_extreme":
         raise ConfigurationError(
             "thresholds output is defined for global_extreme only "
             "(hobday tables are (doy × cell); use the relational path)"
         )
+    spatial = int(window_spatial_hobday or 0)
+    if spatial:
+        # reference validation (detect.py:1385-1430)
+        if method_extreme != "hobday_extreme":
+            raise ConfigurationError(
+                "window_spatial_hobday can only be used with "
+                "method_extreme='hobday_extreme'"
+            )
+        if method_percentile == "exact":
+            raise ConfigurationError(
+                "window_spatial_hobday is not supported with "
+                "method_percentile='exact'"
+            )
+        if ny is None:
+            raise ConfigurationError("window_spatial_hobday needs ny")
+    p["spatial_window"] = spatial
     spark = packed.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
@@ -642,6 +758,41 @@ def detect_extremes_blocked_packed(
             np.float64, copy=False
         )
         mat_all = flat.reshape(len(y), nx_w)
+        if p["spatial_window"]:
+            bnd = tbl["band"].to_numpy()
+            for band in np.unique(bnd):
+                gmask = bnd == band
+                ts_g = ts[gmask]
+                y_g = y[gmask]
+                mat_g = mat_all[gmask]
+                ut, t_inv = np.unique(ts_g, return_inverse=True)
+                doy0, years, days = _time_parts(ut, unit, is_date, session_tz)
+                anoms: dict[int, np.ndarray] = {}
+                for y_val in np.unique(y_g):
+                    sel = y_g == y_val
+                    m = np.full((len(ut), nx_w), np.nan)
+                    m[t_inv[sel]] = mat_g[sel]
+                    anoms[int(y_val)] = _anomaly_of(m, doy0, years, days, p)
+                thr = _thr_hobday_spatial(
+                    anoms, int(band), doy0, p["q"],
+                    p["window_days_hobday"], p["spatial_window"],
+                    p["precision"], p["max_anomaly"], nx_w,
+                )
+                a = anoms.get(int(band))
+                if a is None:
+                    continue
+                with np.errstate(invalid="ignore"):
+                    ext = np.where(~np.isnan(a), a >= thr[doy0], False)
+                tt, xx = np.nonzero(ext)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ut[tt].astype(f"datetime64[{unit}]")).cast(ts_type),
+                        pa.array(np.full(len(tt), band, dtype=np.int32)),
+                        pa.array(xx.astype(np.int32)),
+                    ],
+                    names=[time_col, "y", "x"],
+                )
+            return
         for band in np.unique(y):
             mask = y == band
             order = np.argsort(ts[mask], kind="stable")
@@ -674,6 +825,20 @@ def detect_extremes_blocked_packed(
         out_schema = "y int, x int, threshold double"
     else:
         out_schema = f"{time_col} {time_type}, y int, x int"
+    if spatial:
+        s = spatial // 2
+        fanned = (
+            packed.select(
+                time_col, "y", "vals",
+                F.explode(F.sequence(F.lit(-s), F.lit(s))).alias("_dy"),
+            )
+            .withColumn("band", (F.col("y") + F.col("_dy")).cast("int"))
+            .filter((F.col("band") >= 0) & (F.col("band") < ny))
+            .drop("_dy")
+        )
+        return fanned.repartition(parallelism, "band").mapInArrow(
+            _run, schema=out_schema
+        )
     return packed.repartition(parallelism, "y").mapInArrow(_run, schema=out_schema)
 
 

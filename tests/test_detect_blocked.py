@@ -333,3 +333,67 @@ def test_detrend_orders_validation(spark):
         detect_extremes_blocked(
             series, method_anomaly="detrend_harmonic", detrend_orders=(0,)
         )
+
+
+def test_packed_spatial_hobday_matches_relational(spark):
+    """W4 in the kernel: the y-halo fan + in-kernel 2-D pooling must
+    equal the relational spatial hobday path cell-for-cell (reference
+    detect.py:2562-2734 with the lon-wrap pad 2652-2668)."""
+    from marex_spark.operators.detect_blocked import (
+        detect_extremes_blocked_packed,
+        pack_gridded,
+    )
+
+    NY, NX = 8, 14
+    series = synthetic_sst_gridded(spark, n_years=7, ny=NY, nx=NX)
+    packed = pack_gridded(series, nx=NX)
+    for ma in ("fixed_baseline", "shifting_baseline"):
+        rel = preprocess_data(
+            series, method_anomaly=ma, method_extreme="hobday_extreme",
+            method_percentile="histogram", window_spatial_hobday=5,
+            nx=NX, ny=NY,
+        )
+        rel_cells = {
+            (r.time, r.y, r.x)
+            for r in rel.extremes.filter("extreme").select("time", "y", "x").collect()
+        }
+        rel.unpersist()
+        blk_cells = {
+            (r.time, r.y, r.x)
+            for r in detect_extremes_blocked_packed(
+                packed, method_percentile="histogram", method_anomaly=ma,
+                method_extreme="hobday_extreme", window_spatial_hobday=5,
+                ny=NY,
+            ).collect()
+        }
+        assert rel_cells, ("degenerate fixture", ma)
+        assert rel_cells == blk_cells, (ma, len(rel_cells), len(blk_cells))
+
+
+def test_spatial_hobday_validation(spark):
+    """Reference validation rules (detect.py:1385-1430): hobday-only,
+    histogram-only, ny required."""
+    from marex_spark.exceptions import ConfigurationError
+    from marex_spark.operators.detect_blocked import (
+        detect_extremes_blocked_packed,
+        pack_gridded,
+    )
+
+    series = synthetic_sst_gridded(spark, n_years=1, ny=4, nx=6)
+    packed = pack_gridded(series, nx=6)
+    with pytest.raises(ConfigurationError, match="hobday_extreme"):
+        detect_extremes_blocked_packed(
+            packed, window_spatial_hobday=5, ny=4
+        )
+    with pytest.raises(ConfigurationError, match="exact"):
+        detect_extremes_blocked_packed(
+            packed, method_extreme="hobday_extreme",
+            method_percentile="exact", window_spatial_hobday=5, ny=4,
+        )
+    with pytest.raises(ConfigurationError, match="needs ny"):
+        detect_extremes_blocked_packed(
+            packed, method_extreme="hobday_extreme",
+            method_percentile="histogram", window_spatial_hobday=5,
+        )
+    with pytest.raises(ConfigurationError, match="hobday_extreme"):
+        preprocess_data(series, window_spatial_hobday=5, nx=6, ny=4)
