@@ -260,6 +260,31 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
         ),
     )
 
+    # the heaviest POSSIBLE config: shifting baseline + hobday with 5x5
+    # spatial pooling (W4) through the y-halo kernel — strictly heavier
+    # than any published reference row; evidence the full config space
+    # runs at kernel speed
+    def _spatial_bench() -> int:
+        from marex_spark.operators.detect_blocked import (
+            bench_grid_size,
+            detect_extremes_blocked_packed,
+        )
+
+        _, ny, _ = bench_grid_size(sf)
+        cells = detect_extremes_blocked_packed(
+            spark.read.parquet(packed_shift_path),
+            method_percentile="histogram",
+            method_anomaly="shifting_baseline",
+            method_extreme="hobday_extreme",
+            window_spatial_hobday=5,
+            ny=ny,
+        )
+        _force(cells)
+        spark.catalog.clearCache()
+        return 0
+
+    guarded("detect_only_shifting_hobday_spatial", _spatial_bench)
+
     # the reference's tracker.run() parity path: morphological
     # preprocessing (closing/opening kernel + temporal gap fill +
     # small-object filter) BEFORE tracking — the stage the r2 bench
