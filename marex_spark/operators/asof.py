@@ -1,0 +1,89 @@
+"""As-of join — the temporal lookup Spark lacks as a built-in (the
+brief's canonical "custom operator" example; DuckDB/kdb ship it
+natively, Flink calls it a temporal table join).
+
+For each left row, attach the latest right row with the same key and
+``right_time <= left_time``. Expressed as a UNION + per-key
+last-non-null window instead of a range join: both sides shuffle ONCE
+by key, the window scans each key's merged timeline in time order, and
+there is no (left × right-candidates) intermediate at all — the plan
+that survives a skewed 100 TB fact table where a range join's
+per-row candidate scan blows up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: every left row + the payload columns of the
+    most recent right row at or before its time (``backward``; the
+    only direction the reference pattern needs — ``forward`` mirrors
+    it with a reversed ordering). Right payload columns are suffixed;
+    left rows with no earlier right row keep nulls (left-outer
+    semantics, matching DuckDB's ASOF LEFT JOIN).
+
+    Ties: a right row AT the left timestamp is eligible; multiple
+    right rows at the same (key, time) resolve to the one last in the
+    window's deterministic tiebreak order (right rows sort before left
+    rows at equal times via the side marker).
+    """
+    if direction not in ("backward", "forward"):
+        from marex_spark.exceptions import ConfigurationError
+
+        raise ConfigurationError(
+            "asof_join direction must be 'backward' or 'forward'",
+            details={"got": direction},
+        )
+    payload = [c for c in right.columns if c not in (on, right_time)]
+    lcols = left.columns
+
+    l_tag = left.withColumn("_t", F.col(left_time)).withColumn(
+        "_side", F.lit(1)
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+    )
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    # right rows sort BEFORE left rows at the same _t, so an
+    # equal-timestamp right row is visible to the left row (<= rule)
+    order = (
+        [F.col("_t").asc(), F.col("_side").asc()]
+        if direction == "backward"
+        else [F.col("_t").desc(), F.col("_side").asc()]
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = merged.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True)
+            .over(w)
+            .alias(f"_f_{c}")
+            for c in payload
+        ],
+    )
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *lcols,
+            *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in payload],
+        )
+    )

@@ -180,3 +180,49 @@ def sess_sessionize(spark, sf_dir):
         "event_id",
         F.sum("new_sess").over(w).cast("long").alias("session_idx"),
     )
+
+
+@register(
+    "ops_asof_join",
+    """WITH r AS (
+         SELECT CAST(o_custkey % 100 AS BIGINT) AS k,
+                CAST(o_orderdate AS TIMESTAMP) AS t,
+                MAX(o_orderkey) AS last_orderkey,
+                COUNT(*) AS n_orders
+         FROM orders GROUP BY 1, 2),
+       e AS (SELECT CAST(user_id AS BIGINT) AS k, event_id, ts FROM events)
+       SELECT e.k AS user_id, e.event_id,
+              r.last_orderkey AS last_orderkey_r,
+              CAST(r.n_orders AS BIGINT) AS n_orders_r
+       FROM e ASOF LEFT JOIN r ON e.k = r.k AND e.ts >= r.t""",
+)
+def ops_asof_join(spark, sf_dir):
+    """As-of join (the brief's canonical custom operator; DuckDB has it
+    natively — the oracle IS the ASOF LEFT JOIN syntax): each event
+    picks the latest order state of its user at or before the event
+    time. Right side pre-aggregated to one row per (key, date) so the
+    pick is deterministic. One shuffle per side, no range-join
+    candidate blowup (operators/asof.py)."""
+    from marex_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("k"), "event_id", "ts"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.col("o_custkey") % 100).cast("long").alias("k"),
+            F.col("o_orderdate").cast("timestamp").alias("t"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    out = asof_join(ev, orders, on="k", left_time="ts", right_time="t")
+    return out.select(
+        F.col("k").alias("user_id"),
+        "event_id",
+        F.col("last_orderkey_r"),
+        F.col("n_orders_r"),
+    )

@@ -1,0 +1,62 @@
+"""As-of join operator tests: backward/forward directions, equal-time
+eligibility, left-outer nulls."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from marex_spark.operators.asof import asof_join
+
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _t(d):
+    return T0 + datetime.timedelta(days=d)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, _t(1)), (1, _t(5)), (1, _t(10)), (2, _t(3)), (3, _t(2))],
+        "k long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _t(0), 100.0), (1, _t(5), 150.0), (1, _t(8), 200.0), (2, _t(4), 50.0)],
+        "k long, rt timestamp, px double",
+    )
+    return left, right
+
+
+def test_backward(spark, frames):
+    left, right = frames
+    out = {
+        (r.k, r.lt.day): r.px_r
+        for r in asof_join(left, right, "k", "lt", "rt").collect()
+    }
+    assert out[(1, 2)] == 100.0   # day1 → day0 row
+    assert out[(1, 6)] == 150.0   # day5 → equal-time row eligible
+    assert out[(1, 11)] == 200.0  # day10 → day8
+    assert out[(2, 4)] is None    # day3 < first right row (day4)
+    assert out[(3, 3)] is None    # key with no right rows
+
+
+def test_forward(spark, frames):
+    left, right = frames
+    out = {
+        (r.k, r.lt.day): r.px_r
+        for r in asof_join(left, right, "k", "lt", "rt", direction="forward").collect()
+    }
+    assert out[(1, 2)] == 150.0   # next right at/after day1 is day5
+    assert out[(1, 6)] == 150.0   # equal time eligible
+    assert out[(1, 11)] is None   # nothing after day10
+    assert out[(2, 4)] == 50.0
+
+
+def test_direction_validation(spark, frames):
+    from marex_spark.exceptions import ConfigurationError
+
+    left, right = frames
+    with pytest.raises(ConfigurationError):
+        asof_join(left, right, "k", "lt", "rt", direction="sideways")
