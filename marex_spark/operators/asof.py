@@ -87,3 +87,46 @@ def asof_join(
             *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in payload],
         )
     )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_time: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "7 days",
+) -> DataFrame:
+    """Point-in-interval range join, bucketed (the scale form of the
+    brief's "range join" custom operator). A naive t BETWEEN s AND e
+    join plans as a broadcast-nested-loop — O(points × intervals) per
+    key. Instead each interval explodes into the time buckets it
+    covers (bounded fan-out: ⌈len/bucket⌉+1 rows) and the join is an
+    EQUI-join on (key, bucket) + an exact containment filter, which
+    Catalyst shuffles hash-partitioned like any other join. Intervals
+    much longer than ``bucket`` fan out more — pick bucket ≈ the
+    typical interval length."""
+    secs = F.unix_timestamp  # seconds resolution is enough for bucketing
+    # interval width in seconds, parsed driver-side (plain "<n> days/hours")
+    qty, unit = bucket.split()
+    width = int(qty) * {"days": 86400, "hours": 3600, "minutes": 60}[unit]
+
+    p_b = points.withColumn("_bkt", F.floor(secs(point_time) / width))
+    i_b = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(secs(start_col) / width),
+                F.floor(secs(end_col) / width),
+            )
+        ),
+    )
+    return (
+        p_b.join(i_b, [on, "_bkt"])
+        .filter(
+            (F.col(point_time) >= F.col(start_col))
+            & (F.col(point_time) <= F.col(end_col))
+        )
+        .drop("_bkt")
+    )

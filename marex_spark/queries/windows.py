@@ -226,3 +226,62 @@ def ops_asof_join(spark, sf_dir):
         F.col("last_orderkey_r"),
         F.col("n_orders_r"),
     )
+
+
+@register(
+    "ops_range_join",
+    """WITH iv AS (
+         SELECT user_id, event_id AS start_event_id, ts AS s,
+                ts + INTERVAL 10 MINUTE AS e
+         FROM events WHERE event_id % 10 = 0)
+       SELECT p.user_id, p.event_id, iv.start_event_id
+       FROM events p JOIN iv
+         ON p.user_id = iv.user_id AND p.ts >= iv.s AND p.ts <= iv.e""",
+)
+def ops_range_join(spark, sf_dir):
+    """Range join (the brief's custom-operator list): events falling in
+    the 10-minute window after each per-user anchor event. Spark-side
+    this is the BINNED equi-join form (operators/asof.range_join_binned
+    — bounded interval fan-out, hash shuffle, no nested-loop); the
+    oracle is DuckDB's plain inequality join."""
+    from marex_spark.operators.asof import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id",
+        F.col("event_id").alias("start_event_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    pts = ev.select("user_id", "event_id", "ts")
+    out = range_join_binned(
+        pts, iv, on="user_id", point_time="ts", start_col="s",
+        end_col="e", bucket="10 minutes",
+    )
+    return out.select("user_id", "event_id", "start_event_id")
+
+
+@register(
+    "ops_rollup_hier",
+    """SELECT source, lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
+       FROM documents GROUP BY ROLLUP (source, lang)""",
+)
+def ops_rollup_hier(spark, sf_dir):
+    """Hierarchical rollup (the "hypertable rollup" family): per
+    (source, lang), per source, and grand-total aggregates in ONE pass
+    via GROUP BY ROLLUP — Catalyst expands the grouping sets with a
+    single shuffle, the multi-resolution continuous-aggregate shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (F.grouping("source") * 2 + F.grouping("lang"))
+            .cast("long")
+            .alias("gid"),
+        )
+    )

@@ -60,3 +60,26 @@ def test_direction_validation(spark, frames):
     left, right = frames
     with pytest.raises(ConfigurationError):
         asof_join(left, right, "k", "lt", "rt", direction="sideways")
+
+
+def test_range_join_binned_bucket_boundaries(spark):
+    """Intervals spanning bucket boundaries must still match (the
+    explode covers every bucket the interval touches)."""
+    from marex_spark.operators.asof import range_join_binned
+
+    pts = spark.createDataFrame(
+        [(1, _t(0) + datetime.timedelta(hours=h)) for h in range(0, 48, 5)],
+        "k long, t timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(1, _t(0) + datetime.timedelta(hours=20),
+          _t(0) + datetime.timedelta(hours=30), "A")],
+        "k long, s timestamp, e timestamp, tag string",
+    )
+    out = range_join_binned(pts, iv, "k", "t", "s", "e", bucket="7 days")
+    hours = sorted((r.t - _t(0)).total_seconds() / 3600 for r in out.collect())
+    assert hours == [20.0, 25.0, 30.0]
+    # tiny bucket → interval fans out over many buckets, same answer
+    out2 = range_join_binned(pts, iv, "k", "t", "s", "e", bucket="1 hours")
+    hours2 = sorted((r.t - _t(0)).total_seconds() / 3600 for r in out2.collect())
+    assert hours2 == hours
