@@ -43,6 +43,7 @@ def __getattr__(name):
         "track_events_unstructured": "marex_spark.operators.track",
         "split_merge_events_parallel": "marex_spark.operators.merge",
         "asof_join": "marex_spark.operators.asof",
+        "range_join_binned": "marex_spark.operators.asof",
         "ingest_zarr_gridded": "marex_spark.sources.zarr",
         "ingest_netcdf": "marex_spark.sources.io",
         "ingest_netcdf_classic": "marex_spark.sources.netcdf",
