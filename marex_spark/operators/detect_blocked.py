@@ -290,22 +290,28 @@ def _thr_hobday(
             + bins[:, sel_cols] * xc
             + (col[sel_cols] - x0)[None, :]
         )[valid[:, sel_cols]]
+        # int32 throughout: counts are < T·window ≪ 2³¹ and the
+        # (366 × bins × x) tensors are memory-bandwidth-bound — int64
+        # doubled every cumsum/compare pass (measured ~2× the whole
+        # threshold cost at production band width)
         h = np.bincount(flat.ravel(), minlength=_N_DOY * nb * xc).reshape(
             _N_DOY, nb, xc
-        )
+        ).astype(np.int32)
         # circular ±half pooling via one cumsum pass (an 11-term roll
         # loop re-touches the whole histogram per offset — ~5× the
         # memory traffic; this was the shifting+hobday kernel's
         # dominant cost at bench scale)
         hp = np.concatenate([h[_N_DOY - half :], h, h[:half]], axis=0)
-        cs = np.concatenate(
-            [np.zeros((1, nb, xc), dtype=hp.dtype), hp.cumsum(axis=0)], axis=0
-        )
-        pooled = cs[2 * half + 1 :] - cs[: _N_DOY]
-        cdf = pooled.cumsum(axis=1)
+        np.cumsum(hp, axis=0, out=hp)
+        pooled = hp[2 * half :].copy()
+        pooled[1:] -= hp[: _N_DOY - 1]
+        cdf = np.cumsum(pooled, axis=1)
         n = cdf[:, -1, :]
         target = q * n
-        sel = (cdf >= target[:, None, :]).argmax(axis=1)
+        # integer compare: for integer cdf, (cdf >= t) ⇔ (cdf >= ⌈t⌉)
+        # for any float t — skips upcasting the whole tensor to float64
+        tgt_i = np.ceil(target).astype(np.int32)
+        sel = (cdf >= tgt_i[:, None, :]).argmax(axis=1)
         c = np.take_along_axis(pooled, sel[:, None, :], 1)[:, 0]
         prev = np.take_along_axis(cdf, sel[:, None, :], 1)[:, 0] - c
         with np.errstate(invalid="ignore", divide="ignore"):
