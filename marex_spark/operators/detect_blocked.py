@@ -353,7 +353,7 @@ def _thr_hobday_spatial(
         # halo column index set: absolute x of [x0-s, x1+s) with wrap
         cols = (np.arange(x0 - s, x1 + s) % nx).astype(np.int64)
         ncol = len(cols)
-        pooled_sum = np.zeros((_N_DOY, nb, ncol), dtype=np.int64)
+        pooled_sum = np.zeros((_N_DOY, nb, ncol), dtype=np.int32)
         for y_val, anom in anoms.items():
             if abs(y_val - band) > s:
                 continue
@@ -371,25 +371,24 @@ def _thr_hobday_spatial(
             )[valid]
             h = np.bincount(flat.ravel(), minlength=_N_DOY * nb * ncol).reshape(
                 _N_DOY, nb, ncol
-            )
+            ).astype(np.int32)
             # circular doy pooling via one padded cumsum (see _thr_hobday)
             hp = np.concatenate([h[_N_DOY - half :], h, h[:half]], axis=0)
-            cs = np.concatenate(
-                [np.zeros((1, nb, ncol), dtype=hp.dtype), hp.cumsum(axis=0)],
-                axis=0,
-            )
-            pooled_sum += cs[2 * half + 1 :] - cs[: _N_DOY]
+            np.cumsum(hp, axis=0, out=hp)
+            pooled_sum += hp[2 * half :]
+            pooled_sum[1:] -= hp[: _N_DOY - 1]
         # spatial x pooling: for own column j (position s..s+xc-1 in the
         # halo), sum halo positions j-s..j+s — a sliding window over axis 2
         cs2 = np.concatenate(
-            [np.zeros((_N_DOY, nb, 1), dtype=np.int64), pooled_sum.cumsum(axis=2)],
+            [np.zeros((_N_DOY, nb, 1), dtype=np.int32), pooled_sum.cumsum(axis=2)],
             axis=2,
         )
         own = cs2[:, :, 2 * s + 1 :] - cs2[:, :, : ncol - 2 * s]  # (366, nb, xc)
         cdf = own.cumsum(axis=1)
         n = cdf[:, -1, :]
         target = q * n
-        sel = (cdf >= target[:, None, :]).argmax(axis=1)
+        tgt_i = np.ceil(target).astype(np.int32)  # exact integer form
+        sel = (cdf >= tgt_i[:, None, :]).argmax(axis=1)
         c = np.take_along_axis(own, sel[:, None, :], 1)[:, 0]
         prev = np.take_along_axis(cdf, sel[:, None, :], 1)[:, 0] - c
         with np.errstate(invalid="ignore", divide="ignore"):
