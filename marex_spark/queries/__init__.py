@@ -83,21 +83,23 @@ _PRIORITY = [
     "viz_clim_robust",
     "det_packed_threshold",
     "viz_trajectory_unwrap",
-    # §2 rows that were green in r01 but rotated out of the r02 window,
-    # plus the two never-windowed function rows.
+    # §2 rows that were green in r01 but rotated out of the r02 window.
     "w4_spatial_rolling",
     "f2_harmonics",
-    "f4_haversine",
-    "f6_interpolation",
-    # New in r3: distributed NetCDF-classic ingestion (S2).
+    # New in r3/r4: distributed NetCDF-classic ingestion (S2), catalog
+    # scan (S6) — the last §2 row — and the beyond-reference operator
+    # trio (as-of join, binned range join, hierarchical rollup).
     "s2_netcdf_scan",
-    # Green sentinels (#47-50): regression cover for the proven suites —
-    # scan+pushdown, overlap self-join, shifting climatology, TPC-H
-    # aggregate.
+    "s6_catalog_scan",
+    "ops_asof_join",
+    "ops_range_join",
+    "ops_rollup_hier",
+    # Green sentinels (#49-50): regression cover for the proven suites —
+    # scan+pushdown and the overlap self-join. (f4/f6 + the other r01/r02
+    # greens rotate past the window; tools/oracle_check.py still covers
+    # the full registry locally every round.)
     "s1_scan_pushdown",
     "j5_temporal_selfjoin",
-    "a2_shifting_climatology",
-    "tpch_q1",
 ]
 
 

@@ -372,3 +372,46 @@ def s2_netcdf_scan(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("value").cast("double")).alias("total"),
     )
+
+
+@register(
+    "s6_catalog_scan",
+    """SELECT CAST(r.r_name AS VARCHAR) AS r_name,
+              CAST(COUNT(*) AS BIGINT) AS n_nations,
+              CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
+       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY 1""",
+)
+def s6_catalog_scan(spark, sf_dir):
+    """S6 (reference tests/make_test_data.ipynb cells 6-8: intake
+    catalog pull): datasets are addressed by NAME through a declarative
+    catalog — including one nested sub-catalog hop, mirroring intake's
+    ``cat['sub']['dataset']`` traversal — and the reads come back as
+    lazy parquet scans (predicate pushdown intact, nothing materialised
+    at open time)."""
+    import os
+    import tempfile
+
+    from marex_spark.sources.catalog import open_catalog, star_schema_catalog
+
+    d = tempfile.gettempdir()
+    star = star_schema_catalog(sf_dir, os.path.join(d, "marex_s6_star.json"))
+    root = os.path.join(d, "marex_s6_root.json")
+    with open(root, "w") as f:
+        import json
+
+        json.dump(
+            {"sources": {"star": {"driver": "catalog", "args": {"urlpath": star}}}},
+            f,
+        )
+    cat = open_catalog(root)
+    nation = cat.read(spark, "star.nation")
+    region = cat.read(spark, "star.region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("long").alias("n_nations"),
+            F.sum(F.col("n_nationkey").cast("long")).alias("key_sum"),
+        )
+    )

@@ -1,0 +1,87 @@
+"""S6 catalog scan (reference pulls test data through intake YAML
+catalogs — tests/make_test_data.ipynb cells 6-8). Covers YAML + JSON
+parsing, nested sub-catalog traversal, relative-path resolution, lazy
+parquet dispatch, and the error surface."""
+
+import json
+import os
+
+import pytest
+
+from marex_spark.exceptions import CoordinateError, DataValidationError
+from marex_spark.sources.catalog import (
+    Catalog,
+    open_catalog,
+    star_schema_catalog,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def star_cat(tmp_path):
+    return open_catalog(
+        star_schema_catalog(SF, str(tmp_path / "star.json"))
+    )
+
+
+def test_names_and_describe(star_cat):
+    names = star_cat.names()
+    assert "nation" in names and "lineitem" in names
+    d = star_cat.describe("nation")
+    assert d["driver"] == "parquet"
+    assert d["args"]["urlpath"].endswith("nation.parquet")
+
+
+def test_parquet_read_matches_direct(spark, star_cat):
+    via_cat = star_cat.read(spark, "nation")
+    direct = spark.read.parquet(os.path.join(SF, "nation.parquet"))
+    assert via_cat.count() == direct.count()
+    assert via_cat.schema == direct.schema
+
+
+def test_yaml_catalog_and_relative_paths(spark, tmp_path):
+    (tmp_path / "cat.yaml").write_text(
+        "sources:\n"
+        "  nat:\n"
+        "    driver: parquet\n"
+        f"    args: {{urlpath: nation.parquet}}\n"
+        "    metadata: {description: tpc-h nation}\n"
+    )
+    # relative urlpath resolves against the catalog file's directory
+    os.symlink(
+        os.path.join(SF, "nation.parquet"), tmp_path / "nation.parquet"
+    )
+    cat = open_catalog(str(tmp_path / "cat.yaml"))
+    assert cat.read(spark, "nat").count() == 25
+    assert cat.describe("nat")["metadata"]["description"] == "tpc-h nation"
+
+
+def test_nested_subcatalog(spark, tmp_path):
+    star = star_schema_catalog(SF, str(tmp_path / "star.json"))
+    root = tmp_path / "root.json"
+    root.write_text(
+        json.dumps(
+            {"sources": {"star": {"driver": "catalog", "args": {"urlpath": star}}}}
+        )
+    )
+    cat = open_catalog(str(root))
+    assert "star.region" in cat.names()
+    assert cat.read(spark, "star.region").count() == 5
+    # a sub-catalog is not itself readable
+    with pytest.raises(DataValidationError):
+        cat.read(spark, "star")
+
+
+def test_error_surface(tmp_path, star_cat):
+    with pytest.raises(CoordinateError) as ei:
+        star_cat._entry("nope")
+    assert "available" in ei.value.details
+    (tmp_path / "bad.json").write_text('{"no_sources": 1}')
+    with pytest.raises(DataValidationError):
+        Catalog(str(tmp_path / "bad.json"))
+    (tmp_path / "noargs.json").write_text(
+        '{"sources": {"a": {"driver": "parquet", "args": {}}}}'
+    )
+    with pytest.raises(DataValidationError):
+        Catalog(str(tmp_path / "noargs.json")).read(None, "a")
