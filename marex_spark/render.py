@@ -1,0 +1,282 @@
+"""plotX-equivalent RENDERING layer, dependency-free.
+
+The reference ships ~1,500 LoC of matplotlib/cartopy plotters
+(plotX/base.py:331-571 single_plot/multi_plot/animate, gridded.py:36,
+unstructured.py:116, ID-field categorical plotting base.py:578-591).
+matplotlib is not in this image, so rendering is implemented directly:
+numpy colormap application + a minimal stdlib-zlib PNG writer. The
+heavy lifting stays where it belongs — :mod:`marex_spark.viz` produces
+the dense grids / limits / frames from distributed plans; this module
+turns one driver-side numpy grid into pixels.
+
+Everything is deterministic (fixed colormap tables, integer math where
+possible) so renders are byte-stable across runs — tests pin pixels.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Colormaps: control points interpolated in RGB. `viridis`-like for
+# sequential, `coolwarm`-like for symmetric anomaly fields (the
+# reference defaults: cmap="viridis" / "RdBu_r" when issym,
+# plotX/base.py:573-576), plus a 20-colour categorical cycle for ID
+# fields (base.py:578-591 setup_id_plot_params).
+# ---------------------------------------------------------------------------
+
+_CMAPS = {
+    "viridis": [
+        (68, 1, 84), (72, 40, 120), (62, 74, 137), (49, 104, 142),
+        (38, 130, 142), (31, 158, 137), (53, 183, 121), (109, 205, 89),
+        (180, 222, 44), (253, 231, 37),
+    ],
+    "rdbu_r": [
+        (5, 48, 97), (33, 102, 172), (67, 147, 195), (146, 197, 222),
+        (209, 229, 240), (247, 247, 247), (253, 219, 199), (244, 165, 130),
+        (214, 96, 77), (178, 24, 43), (103, 0, 31),
+    ],
+    "greys": [(250, 250, 250), (5, 5, 5)],
+}
+
+# Tab20-style categorical cycle (ID plots; 0 reserved for background).
+_ID_COLORS = np.array(
+    [
+        (31, 119, 180), (255, 127, 14), (44, 160, 44), (214, 39, 40),
+        (148, 103, 189), (140, 86, 75), (227, 119, 194), (127, 127, 127),
+        (188, 189, 34), (23, 190, 207), (174, 199, 232), (255, 187, 120),
+        (152, 223, 138), (255, 152, 150), (197, 176, 213), (196, 156, 148),
+        (247, 182, 210), (199, 199, 199), (219, 219, 141), (158, 218, 229),
+    ],
+    dtype=np.uint8,
+)
+
+_NAN_RGB = np.array((220, 220, 220), dtype=np.uint8)  # land/missing
+
+
+def colormap_table(name: str, n: int = 256) -> np.ndarray:
+    """(n, 3) uint8 lookup table for a named colormap."""
+    try:
+        pts = np.array(_CMAPS[name.lower()], dtype=np.float64)
+    except KeyError:
+        raise ValueError(f"unknown colormap {name!r}; have {sorted(_CMAPS)}")
+    src = np.linspace(0.0, 1.0, len(pts))
+    dst = np.linspace(0.0, 1.0, n)
+    out = np.stack(
+        [np.interp(dst, src, pts[:, c]) for c in range(3)], axis=1
+    )
+    return np.round(out).astype(np.uint8)
+
+
+def render_field(
+    grid: np.ndarray,
+    clim: tuple | None = None,
+    cmap: str = "viridis",
+    issym: bool = False,
+) -> np.ndarray:
+    """Float (ny, nx) grid → (ny, nx, 3) uint8 RGB. NaN renders as the
+    missing-data grey. ``issym`` centres the scale on 0 with the
+    diverging map (reference base.py:573-576 defaults)."""
+    g = np.asarray(grid, dtype=np.float64)
+    finite = np.isfinite(g)
+    if clim is None:
+        if not finite.any():
+            lo, hi = 0.0, 1.0
+        elif issym:
+            m = float(np.abs(g[finite]).max())
+            lo, hi = -m, m
+        else:
+            lo, hi = float(g[finite].min()), float(g[finite].max())
+    else:
+        lo, hi = float(clim[0]), float(clim[1])
+    if issym and cmap == "viridis":
+        cmap = "rdbu_r"
+    lut = colormap_table(cmap)
+    span = hi - lo if hi > lo else 1.0
+    idx = np.clip((g - lo) / span, 0.0, 1.0)
+    idx = np.round(idx * (len(lut) - 1)).astype(np.int64)
+    idx[~finite] = 0
+    rgb = lut[idx]
+    rgb[~finite] = _NAN_RGB
+    return rgb
+
+
+def render_id_field(ids: np.ndarray, background=(255, 255, 255)) -> np.ndarray:
+    """Int (ny, nx) label grid → RGB; 0/negative = background, positive
+    IDs cycle through the categorical palette keyed by ID (stable
+    across frames — the same event keeps its colour through an
+    animation, like the reference's ID colormap)."""
+    a = np.asarray(ids, dtype=np.int64)
+    rgb = np.empty(a.shape + (3,), dtype=np.uint8)
+    rgb[:] = np.array(background, dtype=np.uint8)
+    pos = a > 0
+    rgb[pos] = _ID_COLORS[(a[pos] - 1) % len(_ID_COLORS)]
+    return rgb
+
+
+def upscale(rgb: np.ndarray, k: int) -> np.ndarray:
+    """Nearest-neighbour integer upscale (grid cells are data, not
+    samples — interpolation would invent values)."""
+    return np.repeat(np.repeat(rgb, k, axis=0), k, axis=1)
+
+
+def colorbar_strip(
+    cmap: str = "viridis", width: int = 256, height: int = 12
+) -> np.ndarray:
+    """Horizontal colourbar strip (reference _setup_colorbar)."""
+    lut = colormap_table(cmap, width)
+    return np.broadcast_to(lut[None, :, :], (height, width, 3)).copy()
+
+
+# ---------------------------------------------------------------------------
+# Minimal PNG writer: RGB8, no interlace, one zlib-compressed IDAT.
+# Pure stdlib — the point is a real, testable rendering sink without
+# matplotlib in the image.
+# ---------------------------------------------------------------------------
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_bytes(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → PNG file bytes."""
+    a = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got {a.shape}")
+    h, w = a.shape[:2]
+    # filter byte 0 (None) per scanline
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = a.reshape(h, w * 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return b"".join(
+        [
+            b"\x89PNG\r\n\x1a\n",
+            _chunk(b"IHDR", ihdr),
+            _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6)),
+            _chunk(b"IEND", b""),
+        ]
+    )
+
+
+def write_png(rgb: np.ndarray, path: str) -> str:
+    with open(path, "wb") as f:
+        f.write(png_bytes(rgb))
+    return path
+
+
+def read_png(path_or_bytes) -> np.ndarray:
+    """Decode a PNG written by :func:`png_bytes` (RGB8, filter 0) back
+    to (H, W, 3) uint8 — the test-side inverse; not a general decoder."""
+    buf = (
+        path_or_bytes
+        if isinstance(path_or_bytes, (bytes, bytearray))
+        else open(path_or_bytes, "rb").read()
+    )
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos < len(buf):
+        (n,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        payload = buf[pos + 8 : pos + 8 + n]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if (depth, ctype) != (8, 2):
+                raise ValueError("only RGB8 supported")
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + n
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    raw = raw.reshape(h, 1 + w * 3)
+    if (raw[:, 0] != 0).any():
+        raise ValueError("only filter-0 scanlines supported")
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# plotX-shaped frontend over the viz data layer.
+# ---------------------------------------------------------------------------
+
+
+class GriddedPlotter:
+    """plotX ``GriddedPlotter`` analogue (reference gridded.py:36): holds
+    a long-format DataFrame + grid shape; renders snapshots / ID fields
+    / animations to PNG. Spark does the data reduction (one slice or
+    one stats pass per render); numpy does the pixels."""
+
+    def __init__(self, df, ny: int, nx: int, value_col="value", time_col="time"):
+        self.df = df
+        self.ny, self.nx = int(ny), int(nx)
+        self.value_col, self.time_col = value_col, time_col
+
+    def clim_robust(self, q=(0.02, 0.98), issym: bool = False) -> tuple:
+        from marex_spark.viz import clim_robust_limits
+
+        lo, hi = clim_robust_limits(self.df, self.value_col, q)
+        if issym:
+            m = max(abs(lo), abs(hi))
+            return -m, m
+        return lo, hi
+
+    def single_plot(
+        self, time_value, path: str, clim=None, cmap="viridis",
+        issym=False, scale: int = 1,
+    ) -> str:
+        """Render one timestep to a PNG file (base.py:331 single_plot)."""
+        from marex_spark.viz import snapshot_grid
+
+        g = snapshot_grid(
+            self.df, time_value, self.ny, self.nx, self.value_col, self.time_col
+        )
+        rgb = render_field(g, clim=clim, cmap=cmap, issym=issym)
+        if scale > 1:
+            rgb = upscale(rgb, scale)
+        return write_png(rgb, path)
+
+    def id_plot(self, time_value, path: str, id_col="event_id", scale: int = 1) -> str:
+        """Render one timestep of labelled events (base.py:578)."""
+        from marex_spark.viz import event_snapshot
+
+        g = event_snapshot(
+            self.df, time_value, self.ny, self.nx, self.time_col, id_col
+        )
+        rgb = render_id_field(g)
+        if scale > 1:
+            rgb = upscale(rgb, scale)
+        return write_png(rgb, path)
+
+    def animate(
+        self, out_dir: str, clim=None, cmap="viridis", issym=False,
+        scale: int = 1,
+    ) -> list:
+        """All timesteps → ``frame_%05d.png`` under ``out_dir`` (plotX
+        base.py:408 animate writes an mp4 via ffmpeg; frames are the
+        portable stdlib equivalent — any encoder assembles them). The
+        colour scale is fixed across frames: one robust-limits pass
+        first unless ``clim`` given, so frames are comparable."""
+        from marex_spark.viz import animation_frames
+
+        os.makedirs(out_dir, exist_ok=True)
+        if clim is None:
+            clim = self.clim_robust(issym=issym)
+        paths = []
+        for i, (_, g) in enumerate(
+            animation_frames(self.df, self.ny, self.nx, self.value_col, self.time_col)
+        ):
+            rgb = render_field(g, clim=clim, cmap=cmap, issym=issym)
+            if scale > 1:
+                rgb = upscale(rgb, scale)
+            paths.append(write_png(rgb, os.path.join(out_dir, f"frame_{i:05d}.png")))
+        return paths

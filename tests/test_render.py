@@ -1,0 +1,99 @@
+"""Dependency-free plotX rendering layer (reference plotX/base.py:
+331-591, gridded.py:36): colormap determinism, NaN handling, PNG
+round-trip, ID-colour stability across frames, plotter end-to-end."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from marex_spark.render import (
+    GriddedPlotter,
+    colorbar_strip,
+    colormap_table,
+    png_bytes,
+    read_png,
+    render_field,
+    render_id_field,
+    upscale,
+    write_png,
+)
+
+
+def test_colormap_table_endpoints():
+    lut = colormap_table("viridis")
+    assert lut.shape == (256, 3) and lut.dtype == np.uint8
+    assert tuple(lut[0]) == (68, 1, 84)
+    assert tuple(lut[-1]) == (253, 231, 37)
+    with pytest.raises(ValueError):
+        colormap_table("nope")
+
+
+def test_render_field_scales_and_nan():
+    g = np.array([[0.0, 5.0], [10.0, np.nan]])
+    rgb = render_field(g)
+    assert tuple(rgb[0, 0]) == (68, 1, 84)  # min -> first entry
+    assert tuple(rgb[1, 0]) == (253, 231, 37)  # max -> last entry
+    assert tuple(rgb[1, 1]) == (220, 220, 220)  # NaN -> grey
+    # symmetric: 0 maps to the diverging midpoint neighbourhood
+    rgb_sym = render_field(np.array([[-2.0, 0.0, 2.0]]), issym=True)
+    mid = rgb_sym[0, 1].astype(int)
+    assert abs(int(mid[0]) - 247) <= 8 and abs(int(mid[2]) - 247) <= 8
+    # explicit clim clips
+    rgb_c = render_field(np.array([[100.0]]), clim=(0.0, 1.0))
+    assert tuple(rgb_c[0, 0]) == (253, 231, 37)
+
+
+def test_id_field_colours_stable():
+    a = np.array([[0, 1], [21, 1]])
+    rgb = render_id_field(a)
+    assert tuple(rgb[0, 0]) == (255, 255, 255)  # background
+    assert tuple(rgb[0, 1]) == tuple(rgb[1, 1])  # same ID same colour
+    assert tuple(rgb[1, 0]) == tuple(rgb[0, 1])  # 21 cycles onto 1's colour
+
+
+def test_png_round_trip():
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    buf = png_bytes(rgb)
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    out = read_png(buf)
+    np.testing.assert_array_equal(out, rgb)
+    up = upscale(rgb, 3)
+    assert up.shape == (51, 69, 3)
+    np.testing.assert_array_equal(up[::3, ::3], rgb)
+
+
+def test_colorbar_strip():
+    bar = colorbar_strip("rdbu_r", width=64, height=4)
+    assert bar.shape == (4, 64, 3)
+    assert tuple(bar[0, 0]) == (5, 48, 97)
+
+
+def test_gridded_plotter_end_to_end(spark, tmp_path):
+    pdf_rows = [
+        (t, y, x, float(t * 10 + y * 2 + x))
+        for t in range(3)
+        for y in range(4)
+        for x in range(5)
+        if not (y == 0 and x == 0)  # hole -> NaN pixel
+    ]
+    df = spark.createDataFrame(pdf_rows, "time int, y int, x int, value double")
+    p = GriddedPlotter(df, ny=4, nx=5)
+    lo, hi = p.clim_robust()
+    assert lo < hi
+    f = p.single_plot(1, str(tmp_path / "snap.png"), scale=2)
+    img = read_png(f)
+    assert img.shape == (8, 10, 3)
+    assert tuple(img[0, 0]) == (220, 220, 220)  # the hole
+    frames = p.animate(str(tmp_path / "anim"), clim=(0.0, 30.0))
+    assert len(frames) == 3
+    # fixed clim: the same cell brightens monotonically over frames
+    reds = [read_png(fp)[2, 2].sum() for fp in frames]
+    assert reds[0] != reds[-1]
+
+    ids = df.withColumn(
+        "event_id", (F.col("value") > 15).cast("int") * (F.col("y") + 1)
+    )
+    fid = GriddedPlotter(ids, ny=4, nx=5).id_plot(2, str(tmp_path / "ids.png"))
+    idimg = read_png(fid)
+    assert idimg.shape == (4, 5, 3)
