@@ -1,0 +1,123 @@
+"""Streaming training-data pipeline: the document-side operators
+(dedup, quality filtering, decontamination) as Structured-Streaming
+stages, for corpora that ARRIVE continuously instead of sitting in a
+batch store.
+
+Design per stage (all three are the streaming forms of the batch
+queries in :mod:`marex_spark.queries.dedup` / ``queries.text``):
+
+- exact dedup: ``dropDuplicatesWithinWatermark`` on a content hash —
+  state holds one hash per distinct doc inside the watermark horizon
+  and is PRUNED as event time advances (an unbounded
+  ``dropDuplicates`` would grow state forever at 100 TB/day rates);
+- quality + language scoring: pure column expressions, map-only — no
+  stream-side state at all, each micro-batch is a scoring pass;
+- decontamination: stream-static broadcast semi-join of exploded
+  stream shingles against the DISTINCT benchmark shingle set (the
+  benchmark is tiny next to the corpus; the stream pays no shuffle by
+  shingle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+    "for", "with", "as", "at", "by", "it", "be",
+)
+
+
+def dedup_exact_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival of each content hash within
+    the watermark horizon wins; later copies are dropped. State is one
+    row per distinct hash and expires with the watermark — the bounded
+    streaming analogue of the batch hash-groupBy (queries/dedup.py
+    dedup_exact)."""
+    hashed = stream.withColumn("content_hash", F.xxhash64(text_col))
+    return hashed.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
+def score_documents_stream(
+    stream: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Map-only quality + language scoring (streaming form of
+    txt_quality_score + txt_langid + txt_token_count): stateless, so it
+    composes with any output mode and adds no watermark requirement."""
+    ws = F.split(text_col, " ")
+    n = F.size(ws)
+    stop = F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS)))
+    longt = F.size(F.filter(ws, lambda w: F.length(w) >= 6))
+    return (
+        stream.withColumn("n_tokens", n.cast("long"))
+        .withColumn(
+            "avg_token_len", F.length(text_col).cast("double") / F.greatest(n, F.lit(1))
+        )
+        .withColumn(
+            "stopword_ratio", stop.cast("double") / F.greatest(n, F.lit(1))
+        )
+        .withColumn(
+            "long_token_ratio", longt.cast("double") / F.greatest(n, F.lit(1))
+        )
+    )
+
+
+def quality_filter_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 8,
+    min_stopword_ratio: float = 0.01,
+    max_avg_token_len: float = 20.0,
+) -> DataFrame:
+    """Score + threshold-filter in one stage — the gate a training
+    ingestion pipeline applies before a document is ever persisted."""
+    scored = score_documents_stream(stream, text_col)
+    return scored.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("avg_token_len") <= max_avg_token_len)
+    )
+
+
+def decontaminate_stream(
+    stream: DataFrame,
+    benchmark_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Contamination flags for a document stream.
+
+    ``benchmark_shingles`` is a STATIC DataFrame with one ``shingle``
+    column (distinct n-gram strings of the held-out eval set — build it
+    in batch, exactly as queries/dedup.py decontam_ngram does). Returns
+    the stream of ``(id_col, shingle)`` hits: stream-static joins
+    broadcast the static side, so this is map-only per micro-batch.
+    A streaming per-doc contamination *fraction* would need a stateful
+    aggregation; the hit stream is the append-mode-safe primitive —
+    ``dropDuplicatesWithinWatermark([id_col])`` downstream yields the
+    contaminated-doc-id stream."""
+    ws = F.split(text_col, " ")
+    sh = stream.select(
+        id_col,
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+                    lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+                ),
+                lambda s: F.size(F.split(s, " ")) >= n,
+            )
+        ).alias("shingle"),
+    )
+    return sh.join(F.broadcast(benchmark_shingles.select("shingle")), "shingle").select(
+        id_col, "shingle"
+    )

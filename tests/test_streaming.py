@@ -178,3 +178,87 @@ def test_watermark_drops_late_rows(spark):
         assert all(v == 1 for v in rows.values()), rows
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming document pipeline (streaming/documents.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def doc_stream_env(spark):
+    tmp = tempfile.mkdtemp(prefix="marex_docstream_")
+    rows = []
+    for i in range(40):
+        # every 5-gram window carries a k-dependent token, so shingle
+        # overlap exists ONLY within the same k family
+        k = i % 10
+        text = f"the k{k}a and k{k}b of k{k}c to k{k}d in k{k}e is k{k}f"
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", text))
+    rows.append((90, "2024-01-01 01:00:00", "x"))  # fails min_tokens
+    rows.append((91, "2024-01-01 01:01:00", " ".join(["zz"] * 30)))  # no stopwords
+    df = spark.createDataFrame(rows, "doc_id long, ts string, text string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    src = f"{tmp}/docs"
+    df.write.mode("overwrite").parquet(src)
+    yield spark, tmp, src, df
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _drain(stream_df, spark, tmp, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt_{name}")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def test_stream_dedup_exact(doc_stream_env):
+    from marex_spark.streaming.documents import dedup_exact_stream
+
+    spark, tmp, src, df = doc_stream_env
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = _drain(
+        dedup_exact_stream(stream, watermark="10 minutes"), spark, tmp, "dedup_out"
+    )
+    # 10 distinct bodies among the 40 repeats + 2 singletons
+    assert out.count() == 12
+    assert out.select("content_hash").distinct().count() == 12
+
+
+def test_stream_quality_filter_matches_batch(doc_stream_env):
+    from marex_spark.streaming.documents import quality_filter_stream
+
+    spark, tmp, src, df = doc_stream_env
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = _drain(quality_filter_stream(stream), spark, tmp, "qual_out")
+    batch = quality_filter_stream(df)
+    assert out.count() == batch.count() == 40  # both junk docs dropped
+    assert set(out.columns) >= {"n_tokens", "stopword_ratio", "avg_token_len"}
+
+
+def test_stream_decontaminate(doc_stream_env):
+    from marex_spark.streaming.documents import decontaminate_stream
+
+    spark, tmp, src, df = doc_stream_env
+    # benchmark = the body of doc 0 (hits every "% 10 == 0" repeat)
+    bench_ws = df.filter(F.col("doc_id") == 0).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.split("text", " ")) - 5),
+                lambda i: F.array_join(F.slice(F.split("text", " "), i + 1, 5), " "),
+            )
+        ).alias("shingle")
+    ).distinct()
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    hits = _drain(
+        decontaminate_stream(stream, bench_ws), spark, tmp, "decon_out"
+    )
+    flagged = {r.doc_id for r in hits.select("doc_id").distinct().collect()}
+    assert flagged == {0, 10, 20, 30}
