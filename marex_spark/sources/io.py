@@ -99,3 +99,33 @@ def add_time_bucket(df: DataFrame, time_col: str = "time", fmt: str = "yyyy-MM")
     """Month-bucket partition key for S4-style layouts (SURVEY §7.0:
     parquet partitioned by time bucket)."""
     return df.withColumn("time_bucket", F.date_format(time_col, fmt))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list,
+    n_buckets: int = 32,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Land a table BUCKETED by its join/group key (hash-bucketed +
+    optionally sorted within buckets, Hive layout).
+
+    This is the storage-side half of the co-located-join strategy for
+    repeated joins at 100 TB: two tables bucketed the same way on the
+    same keys join with ZERO exchange — the SortMergeJoin reads both
+    sides' matching buckets in place (pinned by
+    tests/test_plans.py::test_bucketed_join_is_shuffle_free). The
+    reference has no analogue (dask aligns chunks in memory); on Spark
+    the same idea lives in the table layout.
+
+    Uses ``saveAsTable`` because bucketing metadata lives in the
+    catalog, not the files; ``path`` overrides the warehouse location.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path:
+        w = w.option("path", os.path.abspath(path))
+    w.saveAsTable(table)

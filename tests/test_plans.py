@@ -137,3 +137,36 @@ def test_tracking_default_has_no_global_order_window(spark):
 
     compacted = track_events(ext, nx=16, compute_stats=False, compact_ids=True)
     assert "SinglePartition" in plan_string(compacted.events)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed identically on the join key SortMergeJoin
+    with ZERO exchange — the storage-side co-location strategy for
+    repeated 100 TB joins (sources/io.py write_bucketed)."""
+    from marex_spark.sources.io import write_bucketed
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    od = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    write_bucketed(li, "t_li_b", ["l_orderkey"], 8, path=str(tmp_path / "li"))
+    write_bucketed(od, "t_od_b", ["o_orderkey"], 8, path=str(tmp_path / "od"))
+    try:
+        a = spark.table("t_li_b")
+        b = spark.table("t_od_b")
+        with_bucketing = a.join(
+            b.hint("merge"), a.l_orderkey == b.o_orderkey
+        )
+        # disable broadcast so the plan can't dodge the question
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            assert exchange_count(with_bucketing) == 0
+            n = with_bucketing.count()
+            plain = li.join(od, li.l_orderkey == od.o_orderkey)
+            assert n == plain.count()  # same answer, zero shuffles
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_od_b")
