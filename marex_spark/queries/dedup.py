@@ -167,16 +167,11 @@ _LSH_PAIRS_SQL = f"""WITH sh AS ({_shingles_sql(3)}),
            AND a.doc_id < b.doc_id)"""
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"{_LSH_PAIRS_SQL} SELECT doc_a, doc_b FROM pairs",
-)
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates: one md5 per shingle → int64,
-    8 universal-hash permutations (integer multiply-add mod 2^31-1),
-    4 bands × 2 rows, candidate pairs = docs sharing a band bucket.
-    Banding join scales as O(candidates), not O(n²)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _lsh_bands(docs):
+    """(doc_id, band, band_key) LSH banding table: one md5 per shingle
+    → int64, universal-hash permutations (integer multiply-add mod
+    2^31-1), _BAND_ROWS rows per band. Shared by the clique- and
+    star-expansion candidate generators."""
     sh = _shingles(docs, 3)
     si = sh.select(
         "doc_id",
@@ -196,7 +191,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         .groupBy("doc_id", "h")
         .agg(F.min("hh").alias("minhash"))
     )
-    bands = hashed.groupBy(
+    return hashed.groupBy(
         "doc_id", (F.col("h") / _BAND_ROWS).cast("long").alias("band")
     ).agg(
         F.md5(
@@ -209,6 +204,19 @@ def dedup_minhash_lsh(spark, sf_dir):
             )
         ).alias("band_key")
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"{_LSH_PAIRS_SQL} SELECT doc_a, doc_b FROM pairs",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: banding via _lsh_bands,
+    candidate pairs = docs sharing a band bucket (clique expansion).
+    Banding join scales as O(candidates), not O(n²); the skew-guarded
+    star form is dedup_lsh_star_capped."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _lsh_bands(docs)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -221,6 +229,83 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+
+# LSH skew guard: a band bucket holding d docs (mass-duplicated
+# boilerplate, templated spam) contributes O(d^2) candidate pairs in
+# clique expansion — the one quadratic hazard in the LSH plan at
+# 100 TB. Buckets above the cap switch to STAR expansion: hub = min
+# doc_id, pairs = (hub, member). For downstream union-find
+# canonicalisation the star connects exactly the same component as the
+# clique, at O(d) pairs; only per-pair verification workflows see the
+# difference (documented in the docstring).
+_STAR_CAP = 3
+
+_LSH_STAR_SQL = f"""{_LSH_PAIRS_SQL.rsplit(',', 1)[0].rsplit('pairs AS', 1)[0]}
+        bsize AS (
+          SELECT band, band_key, COUNT(*) AS n, MIN(doc_id) AS hub
+          FROM bands GROUP BY 1, 2),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id
+          JOIN bsize s ON s.band = a.band AND s.band_key = a.band_key
+          WHERE s.n <= {_STAR_CAP}
+          UNION
+          SELECT s.hub AS doc_a, b.doc_id AS doc_b
+          FROM bsize s
+          JOIN bands b ON b.band = s.band AND b.band_key = s.band_key
+          WHERE s.n > {_STAR_CAP} AND b.doc_id != s.hub)"""
+
+
+@register(
+    "dedup_lsh_star_capped",
+    f"{_LSH_STAR_SQL} SELECT doc_a, doc_b FROM pairs",
+)
+def dedup_lsh_star_capped(spark, sf_dir):
+    """MinHash-LSH candidates with the hot-bucket SKEW GUARD: band
+    buckets with more than _STAR_CAP members emit hub->member star
+    pairs (O(d)) instead of all-pairs cliques (O(d^2)). Union-find
+    canonicalisation over star pairs yields the identical clusters —
+    the hub connects every member — so the scale path composes with
+    dedup_cluster_canonical unchanged; pairwise-Jaccard verification
+    pipelines should keep the clique form on the capped buckets they
+    can afford. The cap is deliberately tiny here so the star path is
+    exercised on the test corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _lsh_bands(docs)
+    bsize = bands.groupBy("band", "band_key").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("hub")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    small = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .join(
+            bsize.filter(F.col("n") <= _STAR_CAP).alias("s"),
+            (F.col("s.band") == F.col("a.band"))
+            & (F.col("s.band_key") == F.col("a.band_key")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    star = (
+        bsize.filter(F.col("n") > _STAR_CAP)
+        .alias("s")
+        .join(
+            b,
+            (F.col("b.band") == F.col("s.band"))
+            & (F.col("b.band_key") == F.col("s.band_key")),
+        )
+        .filter(F.col("b.doc_id") != F.col("s.hub"))
+        .select(F.col("s.hub").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return small.unionByName(star).distinct()
 
 
 # ----------------------------------------------------------------- SimHash
