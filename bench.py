@@ -245,6 +245,20 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
             spark.catalog.clearCache(),
         ),
     )
+    # BASELINE.md ROW 2's exact config: detrend_fixed_baseline + hobday
+    # per-doy threshold, at the 10× grid
+    guarded(
+        "detect_only_fixed_hobday_10x",
+        lambda: (
+            detect_track_packed(
+                spark, 1.0, packed_10x_path,
+                method_anomaly="detrend_fixed_baseline",
+                method_extreme="hobday_extreme",
+                track=False,
+            ),
+            spark.catalog.clearCache(),
+        ),
+    )
     guarded(
         "detect_only_shifting_hobday",
         lambda: (
