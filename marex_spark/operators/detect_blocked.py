@@ -847,6 +847,79 @@ def detect_extremes_blocked_packed(
     return packed.repartition(parallelism, "y").mapInArrow(_run, schema=out_schema)
 
 
+def pack_unstructured(
+    series: DataFrame,
+    block_cells: int = 1024,
+    time_col: str = "time",
+    cell_col: str = "cell",
+    value_col: str = "value",
+) -> DataFrame:
+    """Long unstructured (time, cell, value) → the SAME packed layout
+    the gridded kernel consumes: cells are grouped into fixed-width
+    blocks (y = cell // block_cells, x = cell % block_cells) and each
+    (time, block) row carries a float array.
+
+    Per-cell detect semantics (climatology, shifting baseline, detrend,
+    global/hobday thresholds) are spatially independent, so the block
+    key is free to be arbitrary — blocking a mesh loses nothing. Only
+    the 5×5 spatial hobday pooling (W4) is grid-specific, and the
+    reference defines that for gridded data only. Mesh users get the
+    identical kernel-speed fast path (reference: unstructured ICON
+    support, detect.py:17-18, track.py:1060-1089); morphology/labelling
+    stay on the mesh-adjacency operators (morphology.py, label.py).
+    """
+    mapped = series.select(
+        time_col,
+        (F.col(cell_col) / block_cells).cast("int").alias("y"),
+        (F.col(cell_col) % block_cells).cast("int").alias("x"),
+        value_col,
+    )
+    return pack_gridded(mapped, nx=block_cells, time_col=time_col, value_col=value_col)
+
+
+def detect_extremes_unstructured_packed(
+    series: DataFrame,
+    block_cells: int = 1024,
+    time_col: str = "time",
+    cell_col: str = "cell",
+    value_col: str = "value",
+    output: str = "extremes",
+    **kernel_kw,
+) -> DataFrame:
+    """Unstructured fast path: pack cells into blocks, run the packed
+    band kernel, map block coordinates back to cell ids. Returns sparse
+    (time, cell) extreme rows — or (cell, threshold) with
+    ``output="thresholds"`` — matching the relational
+    ``preprocess_data(keys=("cell",))`` semantics cell-for-cell
+    (parity-pinned in tests/test_detect_blocked.py).
+
+    ``window_spatial_hobday`` is rejected: spatial pooling is undefined
+    on an arbitrary cell blocking (use the gridded path, or mesh
+    morphology operators for neighbourhood logic).
+    """
+    from marex_spark.exceptions import ConfigurationError
+
+    if kernel_kw.get("window_spatial_hobday"):
+        raise ConfigurationError(
+            "window_spatial_hobday is grid-only; an unstructured blocking "
+            "has no 2-D neighbourhood"
+        )
+    packed = pack_unstructured(
+        series, block_cells, time_col=time_col, cell_col=cell_col,
+        value_col=value_col,
+    )
+    out = detect_extremes_blocked_packed(
+        packed, time_col=time_col, output=output, **kernel_kw
+    )
+    cell = (
+        F.col("y").cast("long") * block_cells + F.col("x").cast("long")
+    ).alias(cell_col)
+    if output == "thresholds":
+        # trailing-block filler cells carry NaN thresholds — drop them
+        return out.select(cell, "threshold").filter(~F.isnan("threshold"))
+    return out.select(time_col, cell)
+
+
 def bench_grid_size(sf: float) -> tuple[int, int, int]:
     """(n_years, ny, nx) for the synthetic bench grid at a given sf —
     shared by pipeline.detect_track_bench and the packed bench path so

@@ -279,6 +279,89 @@ def det_packed_threshold(spark, sf_dir):
 
 
 @register(
+    "det_packed_unstructured",
+    f"""WITH daily AS (
+          SELECT l_shipdate AS d,
+                 CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) / 1e6 AS rev
+          FROM lineitem GROUP BY 1),
+        grid AS (
+          SELECT d, y * {_PK_NX} + x AS cell,
+                 rev + 2.0 * cos(2 * pi() * dayofyear(d) / 365.0)
+                     + {_PK_NOISE} AS value
+          FROM daily,
+               UNNEST(generate_series(0, {_PK_NY - 1})) AS ty(y),
+               UNNEST(generate_series(0, {_PK_NX - 1})) AS tx(x)),
+        anom AS (
+          SELECT cell, value - AVG(value) OVER (
+                   PARTITION BY dayofyear(d), cell) AS anomaly
+          FROM grid)
+        SELECT CAST(cell AS BIGINT) AS cell,
+               {round6_sql('quantile_cont(anomaly, 0.95)')} AS threshold
+        FROM anom GROUP BY 1""",
+)
+def det_packed_unstructured(spark, sf_dir):
+    """The UNSTRUCTURED packed fast path vs SQL: the same doy-
+    climatology + per-cell exact-percentile field as
+    det_packed_threshold, but flattened to mesh cell ids and blocked at
+    a width (17) unrelated to the source grid — proving the arbitrary
+    cell blocking (detect_blocked.pack_unstructured) reproduces
+    per-cell thresholds value-for-value (reference unstructured ICON
+    support, detect.py:17-18)."""
+    from marex_spark.operators.detect_blocked import (
+        detect_extremes_unstructured_packed,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        (
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
+            / 1e6
+        ).alias("rev")
+    )
+    yy = spark.range(_PK_NY).select(F.col("id").cast("int").alias("y"))
+    xx = spark.range(_PK_NX).select(F.col("id").cast("int").alias("x"))
+    noise = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("d").cast("string"),
+                        F.col("y").cast("string"),
+                        F.col("x").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+        / 1000.0
+    )
+    mesh = (
+        daily.crossJoin(F.broadcast(yy))
+        .crossJoin(F.broadcast(xx))
+        .select(
+            "d",
+            (F.col("y").cast("long") * _PK_NX + F.col("x")).alias("cell"),
+            (
+                F.col("rev")
+                + 2.0
+                * F.cos(2 * 3.141592653589793 * F.dayofyear("d") / 365.0)
+                + noise
+            ).alias("value"),
+        )
+    )
+    thr = detect_extremes_unstructured_packed(
+        mesh, block_cells=17, time_col="d", output="thresholds",
+        method_percentile="exact",
+    )
+    return thr.select("cell", round6(F.col("threshold")).alias("threshold"))
+
+
+@register(
     "viz_trajectory_unwrap",
     f"""WITH daily AS (
           SELECT event_type, CAST(ts AS DATE) AS d,

@@ -397,3 +397,81 @@ def test_spatial_hobday_validation(spark):
         )
     with pytest.raises(ConfigurationError, match="hobday_extreme"):
         preprocess_data(series, window_spatial_hobday=5, nx=6, ny=4)
+
+
+# ---------------------------------------------------------------------------
+# Unstructured (mesh) fast path: arbitrary cell blocking, same kernel
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "ma,me,mp",
+    [
+        ("fixed_baseline", "global_extreme", "exact"),
+        ("shifting_baseline", "hobday_extreme", "histogram"),
+    ],
+)
+def test_unstructured_packed_matches_relational(spark, series8, ma, me, mp):
+    """Mesh cells blocked at a width UNRELATED to the source grid (37)
+    must reproduce the relational preprocess_data(keys=('cell',))
+    extreme set cell-for-cell."""
+    from marex_spark.operators.detect_blocked import (
+        detect_extremes_unstructured_packed,
+    )
+
+    nx = 12
+    mesh = series8.select(
+        "time",
+        (F.col("y").cast("long") * nx + F.col("x")).alias("cell"),
+        "value",
+    )
+    fast = detect_extremes_unstructured_packed(
+        mesh, block_cells=37, method_anomaly=ma, method_extreme=me,
+        method_percentile=mp,
+    )
+    rel = preprocess_data(
+        mesh, keys=("cell",), method_anomaly=ma, method_extreme=me,
+        method_percentile=mp,
+    )
+    a = {(r.time, r.cell) for r in fast.collect()}
+    b = {
+        (r.time, r.cell)
+        for r in rel.extremes.filter("extreme").select("time", "cell").collect()
+    }
+    assert a == b
+
+
+def test_unstructured_packed_thresholds_drop_filler(spark, series8):
+    from marex_spark.operators.detect_blocked import (
+        detect_extremes_unstructured_packed,
+    )
+
+    nx = 12
+    n_cells = 6 * nx
+    mesh = series8.select(
+        "time",
+        (F.col("y").cast("long") * nx + F.col("x")).alias("cell"),
+        "value",
+    )
+    thr = detect_extremes_unstructured_packed(
+        mesh, block_cells=32, output="thresholds",
+        method_percentile="exact",
+    )
+    rows = thr.collect()
+    assert len(rows) == n_cells  # 72 real cells; 3 blocks of 32 -> 96 slots
+    assert all(r.cell < n_cells for r in rows)
+
+
+def test_unstructured_packed_rejects_spatial(spark, series8):
+    from marex_spark.exceptions import ConfigurationError
+    from marex_spark.operators.detect_blocked import (
+        detect_extremes_unstructured_packed,
+    )
+
+    with pytest.raises(ConfigurationError):
+        detect_extremes_unstructured_packed(
+            series8.select(
+                "time", (F.col("y") * 12 + F.col("x")).alias("cell"), "value"
+            ),
+            window_spatial_hobday=5,
+        )
