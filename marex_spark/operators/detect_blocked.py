@@ -867,6 +867,13 @@ def pack_unstructured(
     identical kernel-speed fast path (reference: unstructured ICON
     support, detect.py:17-18, track.py:1060-1089); morphology/labelling
     stay on the mesh-adjacency operators (morphology.py, label.py).
+
+    Sizing: parallelism = n_cells / block_cells tasks, so pick
+    block_cells ≤ n_cells / (4 × executor slots). The 1024 default
+    suits production meshes (ICON R2B9 ~84M cells → 82k blocks);
+    measured locally, 3200 cells at width 1024 (4 blocks on 32 cores)
+    ran 6.5 s where width 100 (32 blocks) ran 1.7 s — the same rate as
+    the gridded band kernel.
     """
     mapped = series.select(
         time_col,
