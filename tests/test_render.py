@@ -97,3 +97,45 @@ def test_gridded_plotter_end_to_end(spark, tmp_path):
     fid = GriddedPlotter(ids, ny=4, nx=5).id_plot(2, str(tmp_path / "ids.png"))
     idimg = read_png(fid)
     assert idimg.shape == (4, 5, 3)
+
+
+def test_fill_holes_nearest():
+    import numpy as np
+
+    from marex_spark.render import fill_holes_nearest
+
+    g = np.full((5, 5), np.nan)
+    g[2, 2] = 4.0
+    out = fill_holes_nearest(g, max_iter=1)
+    assert out[1, 2] == 4.0 and out[2, 1] == 4.0
+    assert np.isnan(out[0, 0])  # beyond one step stays missing
+    full = fill_holes_nearest(g, max_iter=8)
+    assert not np.isnan(full).any()
+
+
+def test_unstructured_plotter(spark, tmp_path):
+    import numpy as np
+
+    from marex_spark.render import UnstructuredPlotter, read_png
+
+    # 16-cell mesh covering a 4x4 raster of a 40x40 degree box
+    geo_rows = [
+        (c, -20.0 + 5.0 + 10.0 * (c // 4), -20.0 + 5.0 + 10.0 * (c % 4))
+        for c in range(16)
+    ]
+    geo = spark.createDataFrame(geo_rows, "cell long, lat double, lon double")
+    data = spark.createDataFrame(
+        [(0, c, float(c)) for c in range(16) if c != 5],
+        "time int, cell long, value double",
+    )
+    p = UnstructuredPlotter(
+        data, geo, ny=4, nx=4, extent=(-20.0, 20.0, -20.0, 20.0)
+    )
+    raw = p.snapshot(0, fill=False)
+    assert raw.shape == (4, 4)
+    assert raw[0, 0] == 0.0 and raw[3, 3] == 15.0
+    assert np.isnan(raw[1, 1])  # the missing cell's pixel
+    filled = p.snapshot(0)
+    assert not np.isnan(filled[1, 1])
+    f = p.single_plot(0, str(tmp_path / "mesh.png"), scale=4)
+    assert read_png(f).shape == (16, 16, 3)
