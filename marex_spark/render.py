@@ -379,3 +379,58 @@ class UnstructuredPlotter:
         if scale > 1:
             rgb = upscale(rgb, scale)
         return write_png(rgb, path)
+
+
+def render_frames_distributed(
+    df,
+    out_dir: str,
+    ny: int,
+    nx: int,
+    clim: tuple,
+    cmap: str = "viridis",
+    issym: bool = False,
+    scale: int = 1,
+    value_col: str = "value",
+    time_col: str = "time",
+) -> list:
+    """Distributed animation rendering: every timestep becomes one
+    PNG, rendered INSIDE executors in a single pass (applyInPandas per
+    time slice) instead of the driver's frame-by-frame collect loop
+    (``GriddedPlotter.animate``). ``clim`` is required because frames
+    render independently — compute it once via ``clim_robust_limits``.
+
+    Frames land in ``out_dir`` on executor-local storage keyed by the
+    frame's own timestamp, so the pass is idempotent and order-free; on
+    a cluster point ``out_dir`` at shared storage. Returns the sorted
+    (time, path) list — the driver moves only one row per frame, never
+    pixels. This is the plotX ``animate`` (base.py:408) reshaped for a
+    rendering farm: 36k frames/century render in one Spark job.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    lo, hi = float(clim[0]), float(clim[1])
+
+    def _render(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        t = pdf[time_col].iloc[0]
+        g = np.full((ny, nx), np.nan)
+        g[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf[value_col].to_numpy()
+        rgb = render_field(g, clim=(lo, hi), cmap=cmap, issym=issym)
+        if scale > 1:
+            rgb = upscale(rgb, scale)
+        stamp = str(t).replace(" ", "_").replace(":", "-")
+        path = os.path.join(out_dir, f"frame_{stamp}.png")
+        write_png(rgb, path)
+        return pd.DataFrame({time_col: [t], "path": [path]})
+
+    out = (
+        df.select(time_col, "y", "x", value_col)
+        .groupBy(time_col)
+        .applyInPandas(
+            _render,
+            schema=f"{time_col} {df.schema[time_col].dataType.simpleString()}, path string",
+        )
+        .orderBy(time_col)
+    )
+    return [(r[time_col], r["path"]) for r in out.collect()]

@@ -139,3 +139,25 @@ def test_unstructured_plotter(spark, tmp_path):
     assert not np.isnan(filled[1, 1])
     f = p.single_plot(0, str(tmp_path / "mesh.png"), scale=4)
     assert read_png(f).shape == (16, 16, 3)
+
+
+def test_render_frames_distributed(spark, tmp_path):
+    import numpy as np
+
+    from marex_spark.render import read_png, render_frames_distributed
+
+    rows = [
+        (t, y, x, float(t + y + x))
+        for t in range(4)
+        for y in range(3)
+        for x in range(4)
+    ]
+    df = spark.createDataFrame(rows, "time int, y int, x int, value double")
+    frames = render_frames_distributed(
+        df, str(tmp_path / "farm"), ny=3, nx=4, clim=(0.0, 9.0), scale=2
+    )
+    assert [t for t, _ in frames] == [0, 1, 2, 3]
+    imgs = [read_png(p) for _, p in frames]
+    assert all(im.shape == (6, 8, 3) for im in imgs)
+    # same clim across frames: the same cell brightens with t
+    assert not np.array_equal(imgs[0], imgs[3])
