@@ -52,6 +52,13 @@ def __getattr__(name):
         "snapshot_grid": "marex_spark.viz",
         "trajectories": "marex_spark.viz",
         "clim_robust_limits": "marex_spark.viz",
+        "pack_unstructured": "marex_spark.operators.detect_blocked",
+        "detect_extremes_unstructured_packed": "marex_spark.operators.detect_blocked",
+        "open_catalog": "marex_spark.sources.catalog",
+        "write_bucketed": "marex_spark.sources.io",
+        "GriddedPlotter": "marex_spark.render",
+        "UnstructuredPlotter": "marex_spark.render",
+        "render_frames_distributed": "marex_spark.render",
     }
     if name in api:
         return getattr(import_module(api[name]), name)

@@ -161,3 +161,27 @@ def test_render_frames_distributed(spark, tmp_path):
     assert all(im.shape == (6, 8, 3) for im in imgs)
     # same clim across frames: the same cell brightens with t
     assert not np.array_equal(imgs[0], imgs[3])
+
+
+def test_png_roundtrip_property():
+    """Property: encode/decode is identity for arbitrary RGB arrays,
+    including degenerate 1-pixel and single-row/column shapes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from marex_spark.render import png_bytes, read_png
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, seed):
+        rgb = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        np.testing.assert_array_equal(read_png(png_bytes(rgb)), rgb)
+
+    check()
