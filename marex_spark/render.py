@@ -245,6 +245,26 @@ class GriddedPlotter:
             rgb = upscale(rgb, scale)
         return write_png(rgb, path)
 
+    def multi_plot(
+        self, time_values, path: str, clim=None, cmap="viridis",
+        issym=False, scale: int = 1, ncols: int = 2,
+    ) -> str:
+        """plotX ``multi_plot`` (base.py:348): several timesteps side
+        by side, SHARED colour scale (one robust-limits pass when clim
+        absent — panels are comparable by construction)."""
+        from marex_spark.viz import snapshot_grid
+
+        if clim is None:
+            clim = self.clim_robust(issym=issym)
+        panels = []
+        for t in time_values:
+            g = snapshot_grid(
+                self.df, t, self.ny, self.nx, self.value_col, self.time_col
+            )
+            rgb = render_field(g, clim=clim, cmap=cmap, issym=issym)
+            panels.append(upscale(rgb, scale) if scale > 1 else rgb)
+        return write_png(compose_panels(panels, ncols=ncols), path)
+
     def id_plot(self, time_value, path: str, id_col="event_id", scale: int = 1) -> str:
         """Render one timestep of labelled events (base.py:578)."""
         from marex_spark.viz import event_snapshot
@@ -434,3 +454,29 @@ def render_frames_distributed(
         .orderBy(time_col)
     )
     return [(r[time_col], r["path"]) for r in out.collect()]
+
+
+def compose_panels(
+    panels: list, ncols: int = 2, pad: int = 2, background=(255, 255, 255)
+) -> np.ndarray:
+    """Tile RGB panels into one image (row-major, padded) — the layout
+    half of plotX ``multi_plot`` (base.py:348)."""
+    if not panels:
+        raise ValueError("no panels")
+    h = max(p.shape[0] for p in panels)
+    w = max(p.shape[1] for p in panels)
+    nrows = (len(panels) + ncols - 1) // ncols
+    out = np.empty(
+        (nrows * h + pad * (nrows + 1), ncols * w + pad * (ncols + 1), 3),
+        dtype=np.uint8,
+    )
+    out[:] = np.array(background, dtype=np.uint8)
+    for i, p in enumerate(panels):
+        r, c = divmod(i, ncols)
+        y0 = pad + r * (h + pad)
+        x0 = pad + c * (w + pad)
+        out[y0 : y0 + p.shape[0], x0 : x0 + p.shape[1]] = p
+    return out
+
+
+

@@ -185,3 +185,24 @@ def test_png_roundtrip_property():
         np.testing.assert_array_equal(read_png(png_bytes(rgb)), rgb)
 
     check()
+
+
+def test_multi_plot_shared_scale(spark, tmp_path):
+    import numpy as np
+
+    from marex_spark.render import GriddedPlotter, compose_panels, read_png
+
+    rows = [
+        (t, y, x, float(10 * t + y + x))
+        for t in range(4)
+        for y in range(3)
+        for x in range(4)
+    ]
+    df = spark.createDataFrame(rows, "time int, y int, x int, value double")
+    p = GriddedPlotter(df, ny=3, nx=4)
+    f = p.multi_plot([0, 1, 2, 3], str(tmp_path / "multi.png"), ncols=2)
+    img = read_png(f)
+    # 2x2 grid of 3x4 panels with pad 2
+    assert img.shape == (3 * 2 + 2 * 3, 4 * 2 + 2 * 3, 3)
+    with np.testing.assert_raises(ValueError):
+        compose_panels([])
