@@ -1,0 +1,163 @@
+"""Embedding-column operators for the training-data pipeline:
+normalisation, int8 scalar quantisation, and distributed PCA.
+
+These are the preparation stages upstream of the similarity suite
+(queries/similarity.py): ANN assumes unit vectors, storage at 100 TB
+wants 4× int8 compression, and IVF bucketing benefits from
+decorrelated axes. All hot-path arithmetic stays JVM-side
+(``aggregate``/``zip_with``/``transform`` higher-order functions);
+the only driver-side step is the 64×64 eigendecomposition, fed by a
+map-side partial-covariance pass (the classic "matrix agg = partial
+X'X per partition + driver combine" pattern — the shuffle moves
+d×(d+1) floats per partition, never the vectors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def embedding_normalize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """L2-normalise vectors (unit sphere — the form every cosine
+    operator downstream assumes). Zero vectors pass through unchanged
+    rather than dividing by zero."""
+    out_col = out_col or vec_col
+    norm = F.sqrt(
+        F.aggregate(
+            vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+        )
+    )
+    return df.withColumn(
+        out_col,
+        F.when(norm > 0.0, F.transform(vec_col, lambda x: x / norm)).otherwise(
+            F.col(vec_col)
+        ),
+    )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantisation: scale = max|v|/127,
+    q_i = floor(v_i/scale + 0.5) (explicit half-up — identical maths is
+    expressible in the DuckDB oracle, where round() ties-to-even would
+    diverge). Storage drops 4×; dequantisation error ≤ scale/2 per
+    coordinate. Zero vectors get scale 0 and all-zero codes."""
+    amax = F.aggregate(
+        vec_col,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.when(
+        amax > 0.0,
+        F.transform(
+            vec_col,
+            lambda x: F.floor(x.cast("double") / (amax / 127.0) + 0.5).cast(
+                "int"
+            ),
+        ),
+    ).otherwise(F.transform(vec_col, lambda x: F.lit(0)))
+    return df.withColumn("scale", scale).withColumn("qvec", q)
+
+
+def dequantize_int8(
+    df: DataFrame, q_col: str = "qvec", scale_col: str = "scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    return df.withColumn(
+        out_col,
+        F.transform(q_col, lambda x: (x.cast("double") * F.col(scale_col)).cast("float")),
+    )
+
+
+def pca_fit(
+    df: DataFrame, k: int, vec_col: str = "embedding"
+) -> dict:
+    """Fit a k-component PCA on an embedding column.
+
+    Distributed part: one ``mapInArrow`` pass emits per-batch partial
+    (count, sum, X'X) — d² + d + 1 doubles each — which a tiny driver
+    reduce combines into the covariance; the eigendecomposition of the
+    d×d matrix is driver-side numpy (d is 64-1024 for real embedding
+    stores; the O(d³) step is microseconds and independent of n).
+    Component signs are fixed deterministically (largest-|coefficient|
+    positive) so results are stable across partitionings.
+
+    Returns {"mean": (d,), "components": (k, d), "explained_variance":
+    (k,)} as plain numpy — broadcastable into :func:`pca_project`.
+    """
+    import pyarrow as pa
+
+    def _partials(batches):
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            col = tbl[vec_col].combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            n = len(col)
+            if n == 0:
+                continue
+            d = len(flat) // n
+            X = flat.reshape(n, d)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([n], type=pa.int64()),
+                    pa.array([X.sum(axis=0)], type=pa.list_(pa.float64())),
+                    pa.array([(X.T @ X).reshape(-1)], type=pa.list_(pa.float64())),
+                ],
+                names=["n", "s", "xtx"],
+            )
+
+    parts = (
+        df.select(vec_col)
+        .mapInArrow(_partials, schema="n long, s array<double>, xtx array<double>")
+        .collect()
+    )
+    n = sum(r.n for r in parts)
+    if n == 0:
+        raise ValueError("pca_fit on an empty DataFrame")
+    s = np.sum([np.asarray(r.s) for r in parts], axis=0)
+    xtx = np.sum([np.asarray(r.xtx) for r in parts], axis=0)
+    d = len(s)
+    mean = s / n
+    cov = xtx.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    # deterministic sign: largest-|coeff| coordinate positive
+    for i in range(comps.shape[0]):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_variance": evals[order],
+    }
+
+
+def pca_project(
+    df: DataFrame, model: dict, vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project vectors onto the fitted components — JVM-side: each
+    output coordinate is one ``aggregate(zip_with(vec - mean, comp))``
+    over literal arrays, so the hot path never leaves codegen and the
+    model ships as plan literals (no UDF, no broadcast variable)."""
+    mean = [float(v) for v in model["mean"]]
+    comps = model["components"]
+    cols = []
+    for i in range(comps.shape[0]):
+        comp = F.array(*[F.lit(float(c)) for c in comps[i]])
+        mean_arr = F.array(*[F.lit(m) for m in mean])
+        centered = F.zip_with(vec_col, mean_arr, lambda x, m: x.cast("double") - m)
+        dot = F.aggregate(
+            F.zip_with(centered, comp, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(dot.alias(f"_p{i}"))
+    return df.select("*", F.array(*cols).alias(out_col))

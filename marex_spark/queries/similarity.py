@@ -420,3 +420,59 @@ def ann_ivf_seeded_topk(spark, sf_dir):
         )
         .filter(F.col("rn") <= _TOP_K)
     )
+
+
+# --------------------------------------------- embedding preparation ops
+
+@register(
+    "emb_quantize_int8",
+    """SELECT vec_id,
+              CAST(t.i - 1 AS BIGINT) AS idx,
+              CAST(CASE WHEN s.scale > 0
+                   THEN floor(CAST(embedding[t.i] AS DOUBLE) / s.scale + 0.5)
+                   ELSE 0 END AS BIGINT) AS code
+       FROM embeddings e
+       JOIN (SELECT vec_id,
+                    list_max(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+             FROM embeddings GROUP BY vec_id, embedding) s USING (vec_id),
+            UNNEST(generate_series(1, len(embedding))) AS t(i)""",
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Int8 scalar quantisation of the embedding store (4× compression
+    for the 100 TB ANN corpus): per-vector symmetric scale max|v|/127,
+    codes floor(v/scale + 0.5) — explicit half-up so Spark and DuckDB
+    run the identical double math. Output exploded to (vec_id, idx,
+    code) so the gate pins every code, not an array repr."""
+    from marex_spark.operators.embed import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb)
+    return q.select(
+        "vec_id", F.posexplode("qvec").alias("idx", "code")
+    ).select(
+        "vec_id",
+        F.col("idx").cast("long").alias("idx"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
+@register("emb_pca_project")
+def emb_pca_project(spark, sf_dir):
+    """Distributed PCA (rows-only: the eigendecomposition is not
+    SQL-expressible): map-side partial X'X covariance → driver eigh →
+    JVM-side aggregate/zip_with projection. Deterministic component
+    signs; invariance to partitioning pinned in tests/test_embed.py.
+    Returns (vec_id, k coordinate columns) rounded to 1e-6."""
+    from marex_spark.operators.embed import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=4)
+    proj = pca_project(emb, model)
+    return proj.select(
+        "vec_id",
+        *[
+            round6(F.col("projected")[i]).alias(f"pc{i}")
+            for i in range(4)
+        ],
+    )
