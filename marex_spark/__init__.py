@@ -59,6 +59,10 @@ def __getattr__(name):
         "GriddedPlotter": "marex_spark.render",
         "UnstructuredPlotter": "marex_spark.render",
         "render_frames_distributed": "marex_spark.render",
+        "Tracker": "marex_spark.tracker",
+        "tracker": "marex_spark.tracker",
+        "regional_tracker": "marex_spark.tracker",
+        "cell_areas_from_resolution": "marex_spark.tracker",
     }
     if name in api:
         return getattr(import_module(api[name]), name)

@@ -219,7 +219,12 @@ def track_events(
 
     ts_stats = life = None
     if compute_stats and grid_y is not None and grid_x is not None:
-        geo = attach_geo(events, grid_y, grid_x)
+        # a cell_area column on the y dimension table (e.g. from
+        # Tracker.grid_resolution / cell_areas_from_resolution) overrides
+        # the cos(lat) default — the reference's grid_resolution semantics
+        # (track.py:131-135: "Overrides any provided cell_areas")
+        area_col = "cell_area" if "cell_area" in grid_y.columns else None
+        geo = attach_geo(events, grid_y, grid_x, area_col=area_col)
         ts_stats = event_timestep_stats(geo, time_col=time_col)
         life = event_lifetime_stats(ts_stats, time_col=time_col)
     return TrackResult(

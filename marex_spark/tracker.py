@@ -1,0 +1,388 @@
+"""User-facing tracker facade — the Spark analogue of the reference's
+``marEx.tracker(...)`` class and ``marEx.regional_tracker(...)``
+convenience constructor (reference track.py:66-360 for the parameter
+surface, 5471-5560 for the regional variant).
+
+The reference couples configuration (R_fill, T_fill, area filters,
+merge policy, regional/unstructured switches) with a ``run()`` driver
+that executes preprocess → label → track.  Here the same configuration
+maps onto the engine's composable operators:
+
+- hole/gap filling + area filter → ``operators.track.preprocess_extremes``
+  (gridded) or the mesh morphology ops (unstructured),
+- labelling + overlap linking + split/merge → ``operators.track.
+  track_events`` / ``track_events_unstructured``,
+- per-event statistics → ``operators.stats`` via the grid dimension
+  tables.
+
+Everything stays lazy DataFrames; ``run()`` returns the same
+``TrackResult`` the functional API produces, so either entry point can
+be used interchangeably.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marex_spark.exceptions import ConfigurationError, DataValidationError
+from marex_spark.operators.track import (
+    TrackResult,
+    preprocess_extremes,
+    track_events,
+    track_events_unstructured,
+)
+
+_EARTH_RADIUS_KM = 6371.0
+
+
+def cell_areas_from_resolution(grid_y: DataFrame, resolution_deg: float) -> DataFrame:
+    """Per-latitude-band true spherical cell area in km² for a regular
+    lat/lon grid of ``resolution_deg`` spacing (the reference's
+    ``grid_resolution`` knob, track.py:131-135: "automatically
+    calculates cell areas using spherical geometry").
+
+    A(φ) = R² · Δλ · (sin(φ+Δφ/2) − sin(φ−Δφ/2)) — exact for a
+    spherical quadrangle, no small-angle approximation.  Returns
+    ``grid_y`` with a ``cell_area`` column; broadcast-sized (one row
+    per y)."""
+    dlam = math.radians(resolution_deg)
+    half = resolution_deg / 2.0
+    area = (
+        F.lit(_EARTH_RADIUS_KM**2)
+        * F.lit(dlam)
+        * (F.sin(F.radians(F.col("lat") + half)) - F.sin(F.radians(F.col("lat") - half)))
+    )
+    return grid_y.withColumn("cell_area", F.abs(area))
+
+
+@dataclass
+class Tracker:
+    """Configuration + ``run()`` driver mirroring ``marEx.tracker``.
+
+    Parameters (names follow the reference where the concept carries
+    over; Spark-specific inputs replace the xarray ones):
+
+    data_bin : boolean long-format DataFrame — (time, y, x, extreme)
+        gridded, or (time, cell, extreme) unstructured.  The reference
+        takes a boolean DataArray (track.py:85-88).
+    mask : optional DataFrame of valid cells — (y, x[, mask]) /
+        (cell[, mask]); True = valid (track.py:89-90).  Cells outside
+        the mask are forced False before any morphology.
+    R_fill : morphological closing/opening radius in grid cells
+        (track.py:91-93).
+    area_filter_quartile / area_filter_absolute : mutually exclusive
+        small-object filters (track.py:94-101); default quartile 0.5
+        when neither is given, as in the reference.
+    T_fill : permissible temporal gap in steps, must be even
+        (track.py:102-104, validation at 706).
+    allow_merging / nn_partitioning / overlap_threshold / max_distance:
+        split-merge policy knobs (track.py:105-121, 5224-5238).
+    unstructured_grid : mesh mode; needs ``edges`` (track.py:122-129).
+    grid_y / grid_x : (y, lat) / (x, lon) dimension tables for stats —
+        the Spark form of the reference's coordinate arrays.
+    cell_geo : (cell, lat, lon[, area]) for unstructured stats.
+    cell_areas : optional (y, x, area) / per-band table overriding the
+        cos(lat) default (track.py:124-130).
+    grid_resolution : degrees; derives true spherical cell areas and
+        overrides ``cell_areas`` (track.py:131-135).
+    regional_mode / coordinate_units : non-global domain — disables the
+        periodic x seam (track.py:149-155; wrap handling 921-940).
+        ``coordinate_units`` must be 'degrees' or 'radians' when
+        regional.
+    """
+
+    data_bin: DataFrame
+    mask: DataFrame | None = None
+    R_fill: int = 8
+    area_filter_quartile: float | None = None
+    area_filter_absolute: float | None = None
+    T_fill: int = 2
+    allow_merging: bool = True
+    nn_partitioning: bool = False
+    overlap_threshold: float = 0.5
+    max_distance: float | None = None
+    unstructured_grid: bool = False
+    edges: DataFrame | None = None
+    ny: int | None = None
+    nx: int | None = None
+    grid_y: DataFrame | None = None
+    grid_x: DataFrame | None = None
+    cell_geo: DataFrame | None = None
+    cell_areas: DataFrame | None = None
+    grid_resolution: float | None = None
+    regional_mode: bool = False
+    coordinate_units: str | None = None
+    time_col: str = "time"
+    extreme_col: str = "extreme"
+    connectivity: int = 8
+    merge_parallel: bool = True
+    compact_ids: bool = False
+    extras: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.T_fill % 2 != 0:
+            # reference track.py:706
+            raise ConfigurationError(
+                "T_fill must be even for temporal symmetry",
+                details={"T_fill": self.T_fill},
+            )
+        if self.area_filter_quartile is not None and self.area_filter_absolute is not None:
+            raise ConfigurationError(
+                "area_filter_quartile and area_filter_absolute are mutually exclusive",
+                details={
+                    "area_filter_quartile": self.area_filter_quartile,
+                    "area_filter_absolute": self.area_filter_absolute,
+                },
+            )
+        if self.area_filter_quartile is not None and not (
+            0.0 <= self.area_filter_quartile < 1.0
+        ):
+            raise ConfigurationError(
+                "area_filter_quartile must be in [0, 1)",
+                details={"area_filter_quartile": self.area_filter_quartile},
+            )
+        if self.regional_mode:
+            if self.unstructured_grid:
+                # reference track.py:501-502 raises NotImplementedError
+                raise NotImplementedError(
+                    "regional_mode is not yet implemented for unstructured grids"
+                )
+            if self.coordinate_units not in ("degrees", "radians"):
+                # reference track.py:922-929
+                raise ConfigurationError(
+                    "coordinate_units must be specified when regional_mode=True",
+                    details={"coordinate_units": self.coordinate_units},
+                    suggestions=[
+                        "Set coordinate_units='degrees' for degree-based coordinates",
+                        "Set coordinate_units='radians' for radian-based coordinates",
+                    ],
+                )
+        if self.unstructured_grid:
+            if self.edges is None:
+                raise DataValidationError(
+                    "unstructured_grid=True needs the (cell, nbr) edge table",
+                    details={"edges": None},
+                )
+        else:
+            if self.nx is None or (self.R_fill > 0 and self.ny is None):
+                raise DataValidationError(
+                    "gridded tracking needs nx (row-major label encoding) "
+                    "and ny when R_fill > 0 (dense morphology kernel shape)",
+                    details={"nx": self.nx, "ny": self.ny},
+                )
+
+    # -- internals ---------------------------------------------------
+
+    def _spatial_keys(self) -> list[str]:
+        return ["cell"] if self.unstructured_grid else ["y", "x"]
+
+    def _apply_mask(self, d: DataFrame) -> DataFrame:
+        """Force cells outside the valid mask to False (reference zeroes
+        invalid regions before morphology, track.py:694-700)."""
+        if self.mask is None:
+            return d
+        keys = self._spatial_keys()
+        m = self.mask
+        if "mask" in m.columns:
+            m = m.filter(F.col("mask")).select(*keys)
+        else:
+            m = m.select(*keys)
+        valid = m.withColumn("_valid", F.lit(True))
+        return (
+            d.join(F.broadcast(valid), keys, "left")
+            .withColumn(
+                self.extreme_col,
+                F.col(self.extreme_col) & F.coalesce(F.col("_valid"), F.lit(False)),
+            )
+            .drop("_valid")
+        )
+
+    def _grid_y_with_area(self) -> DataFrame | None:
+        if self.grid_y is None:
+            return None
+        if self.grid_resolution is not None:
+            return cell_areas_from_resolution(self.grid_y, self.grid_resolution)
+        return self.grid_y
+
+    def _preprocess_unstructured(self, d: DataFrame) -> DataFrame:
+        """Mesh-mode preprocessing: closing then opening by R hops over
+        the edge table (M2), temporal gap fill (M3), then the area
+        filter via per-slice mesh labelling (reference unstructured
+        preprocess, track.py:1560-1660)."""
+        from marex_spark.operators.label import label_components_unstructured
+        from marex_spark.operators.morphology import (
+            dilate_unstructured,
+            erode_unstructured,
+            fill_time_gaps,
+        )
+        from marex_spark.operators.overlap import object_areas
+
+        cells = d.filter(F.col(self.extreme_col)).select(self.time_col, "cell")
+        if self.R_fill > 0:
+            closed = erode_unstructured(
+                dilate_unstructured(cells, self.edges, self.R_fill, self.time_col),
+                self.edges,
+                self.R_fill,
+                self.time_col,
+            )
+            opened = dilate_unstructured(
+                erode_unstructured(closed, self.edges, self.R_fill, self.time_col),
+                self.edges,
+                self.R_fill,
+                self.time_col,
+            )
+            cells = opened
+        dense = (
+            d.select(self.time_col, "cell")
+            .join(
+                cells.withColumn("_t", F.lit(True)),
+                [self.time_col, "cell"],
+                "left",
+            )
+            .withColumn(self.extreme_col, F.coalesce(F.col("_t"), F.lit(False)))
+            .drop("_t")
+        )
+        if self.T_fill > 0:
+            dense = fill_time_gaps(
+                dense, self.T_fill, self.time_col, self.extreme_col, keys=("cell",)
+            )
+        dense = dense.localCheckpoint()
+
+        quartile = self.area_filter_quartile
+        absolute = self.area_filter_absolute
+        if quartile is None and absolute is None:
+            quartile = 0.5  # reference default (track.py:96)
+        if (quartile or 0) <= 0 and absolute is None:
+            return dense
+
+        labels = label_components_unstructured(
+            dense, self.edges, time_col=self.time_col, extreme_col=self.extreme_col
+        )
+        if self.cell_geo is not None and "area" in self.cell_geo.columns:
+            la = labels.join(
+                F.broadcast(self.cell_geo.select("cell", "area")), "cell"
+            )
+            areas = object_areas(la, time_col=self.time_col, area_col="area")
+        else:
+            areas = object_areas(labels, time_col=self.time_col)
+        if absolute is not None:
+            keep = areas.filter(F.col("area") >= float(absolute)).select("obj_id")
+        else:
+            thr = areas.agg(F.percentile("area", F.lit(quartile)).alias("thr"))
+            keep = (
+                areas.crossJoin(F.broadcast(thr))
+                .filter(F.col("area") >= F.col("thr"))
+                .select("obj_id")
+            )
+        kept = labels.join(keep, "obj_id", "left_semi").withColumn("_k", F.lit(True))
+        return (
+            dense.drop(self.extreme_col)
+            .join(
+                kept.select(self.time_col, "cell", "_k"),
+                [self.time_col, "cell"],
+                "left",
+            )
+            .withColumn(self.extreme_col, F.coalesce(F.col("_k"), F.lit(False)))
+            .drop("_k")
+        )
+
+    # -- public API --------------------------------------------------
+
+    def run_preprocess(self) -> DataFrame:
+        """Morphological preprocessing only (the reference's
+        ``run_preprocess``, track.py:1234-1368): mask → closing/opening
+        → temporal gap fill → small-object filter."""
+        d = self._apply_mask(self.data_bin)
+        if self.unstructured_grid:
+            return self._preprocess_unstructured(d)
+        quartile = self.area_filter_quartile
+        if quartile is None and self.area_filter_absolute is None:
+            quartile = 0.5  # reference default
+        return preprocess_extremes(
+            d,
+            ny=self.ny or 0,
+            nx=self.nx,
+            r_fill=self.R_fill,
+            t_fill=self.T_fill,
+            area_quartile=quartile or 0.0,
+            wrap_x=not self.regional_mode,
+            time_col=self.time_col,
+            extreme_col=self.extreme_col,
+            area_filter_absolute=self.area_filter_absolute,
+        )
+
+    def run(self) -> TrackResult:
+        """Preprocess then track; the reference's ``tracker.run()``
+        (track.py:1162-1232). Returns the engine's ``TrackResult``
+        (events / timestep_stats / lifetime_stats / merge ledger)."""
+        cleaned = self.run_preprocess()
+        if self.unstructured_grid:
+            return track_events_unstructured(
+                cleaned,
+                self.edges,
+                cell_geo=self.cell_geo,
+                overlap_threshold=self.overlap_threshold,
+                time_col=self.time_col,
+                extreme_col=self.extreme_col,
+                allow_merging=self.allow_merging,
+                nn_partitioning=self.nn_partitioning,
+                max_distance=self.max_distance,
+                merge_parallel=self.merge_parallel,
+                compact_ids=self.compact_ids,
+            )
+        gy = self._grid_y_with_area()
+        res = track_events(
+            cleaned,
+            nx=self.nx,
+            grid_y=gy,
+            grid_x=self.grid_x,
+            overlap_threshold=self.overlap_threshold,
+            connectivity=self.connectivity,
+            wrap_x=not self.regional_mode,
+            time_col=self.time_col,
+            extreme_col=self.extreme_col,
+            compute_stats=gy is not None and self.grid_x is not None,
+            allow_merging=self.allow_merging,
+            nn_partitioning=self.nn_partitioning,
+            max_distance=self.max_distance,
+            merge_parallel=self.merge_parallel,
+            compact_ids=self.compact_ids,
+        )
+        return res
+
+
+def tracker(data_bin: DataFrame, mask: DataFrame | None = None, **kwargs) -> Tracker:
+    """Lower-case constructor matching the reference's class name
+    (``marEx.tracker``, track.py:66)."""
+    return Tracker(data_bin, mask, **kwargs)
+
+
+def regional_tracker(
+    data_bin: DataFrame,
+    mask: DataFrame | None = None,
+    *,
+    coordinate_units: str,
+    R_fill: int,
+    area_filter_quartile: float | None = None,
+    area_filter_absolute: float | None = None,
+    **kwargs,
+) -> Tracker:
+    """Regional (non-global) convenience constructor: sets
+    ``regional_mode=True`` and requires explicit coordinate units,
+    exactly as the reference (track.py:5471-5560).  Regional mode turns
+    the periodic x seam off — objects do not wrap across the domain
+    edge."""
+    return Tracker(
+        data_bin,
+        mask,
+        regional_mode=True,
+        coordinate_units=coordinate_units,
+        R_fill=R_fill,
+        area_filter_quartile=area_filter_quartile,
+        area_filter_absolute=area_filter_absolute,
+        **kwargs,
+    )

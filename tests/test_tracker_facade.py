@@ -1,0 +1,222 @@
+"""Tracker facade (marex_spark.tracker) — the reference's
+``marEx.tracker(...)`` / ``regional_tracker(...)`` API surface
+(reference track.py:66-360, 5471-5560) on top of the engine operators.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from marex_spark.exceptions import ConfigurationError, DataValidationError
+from marex_spark.operators.track import preprocess_extremes, track_events
+from marex_spark.sources.synthetic import synthetic_extremes_gridded
+from marex_spark.tracker import (
+    Tracker,
+    cell_areas_from_resolution,
+    regional_tracker,
+    tracker,
+)
+
+NY, NX = 24, 48
+
+
+def _grid_dims(spark):
+    gy = spark.range(NY).select(
+        F.col("id").cast("int").alias("y"),
+        (-85.0 + F.col("id") * (170.0 / (NY - 1))).alias("lat"),
+    )
+    gx = spark.range(NX).select(
+        F.col("id").cast("int").alias("x"),
+        ((F.col("id") + 0.5) * (360.0 / NX)).alias("lon"),
+    )
+    return gy, gx
+
+
+class TestValidation:
+    def test_t_fill_must_be_even(self, spark):
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        with pytest.raises(ConfigurationError, match="T_fill must be even"):
+            Tracker(ext, ny=NY, nx=NX, T_fill=3)
+
+    def test_area_filters_mutually_exclusive(self, spark):
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        with pytest.raises(ConfigurationError, match="mutually exclusive"):
+            Tracker(
+                ext, ny=NY, nx=NX,
+                area_filter_quartile=0.5, area_filter_absolute=10,
+            )
+
+    def test_regional_needs_units(self, spark):
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        with pytest.raises(ConfigurationError, match="coordinate_units"):
+            Tracker(ext, ny=NY, nx=NX, regional_mode=True)
+
+    def test_regional_unstructured_not_implemented(self, spark):
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        with pytest.raises(NotImplementedError):
+            Tracker(
+                ext, regional_mode=True, coordinate_units="degrees",
+                unstructured_grid=True, edges=ext.limit(0),
+            )
+
+    def test_gridded_needs_nx(self, spark):
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        with pytest.raises(DataValidationError, match="nx"):
+            Tracker(ext)
+
+
+class TestRunParity:
+    """tracker(...).run() must equal the functional pipeline it wraps."""
+
+    def test_run_matches_functional_composition(self, spark):
+        ext = synthetic_extremes_gridded(spark, n_time=10, ny=NY, nx=NX)
+        t = tracker(
+            ext, ny=NY, nx=NX, R_fill=2, T_fill=2,
+            area_filter_quartile=0.25, allow_merging=False,
+            overlap_threshold=0.5,
+        )
+        got = t.run().events
+
+        cleaned = preprocess_extremes(
+            ext, ny=NY, nx=NX, r_fill=2, t_fill=2, area_quartile=0.25,
+        )
+        want = track_events(
+            cleaned, nx=NX, overlap_threshold=0.5, compute_stats=False
+        ).events
+
+        g = got.groupBy("event_id").count().orderBy("event_id").collect()
+        w = want.groupBy("event_id").count().orderBy("event_id").collect()
+        assert [tuple(r) for r in g] == [tuple(r) for r in w]
+
+    def test_default_area_quartile_is_half(self, spark):
+        """Neither filter given → quartile 0.5, as the reference defaults
+        (track.py:94-96)."""
+        ext = synthetic_extremes_gridded(spark, n_time=6, ny=NY, nx=NX)
+        t = tracker(ext, ny=NY, nx=NX, R_fill=0, T_fill=0, allow_merging=False)
+        via_default = t.run_preprocess()
+        via_explicit = preprocess_extremes(
+            ext, ny=NY, nx=NX, r_fill=0, t_fill=0, area_quartile=0.5
+        )
+        n_def = via_default.filter(F.col("extreme")).count()
+        n_exp = via_explicit.filter(F.col("extreme")).count()
+        assert n_def == n_exp
+
+    def test_mask_zeroes_invalid_cells(self, spark):
+        ext = synthetic_extremes_gridded(spark, n_time=6, ny=NY, nx=NX)
+        # mask out the left half of the domain
+        mask = (
+            spark.range(NY).select(F.col("id").cast("int").alias("y"))
+            .crossJoin(spark.range(NX).select(F.col("id").cast("int").alias("x")))
+            .withColumn("mask", F.col("x") >= NX // 2)
+        )
+        t = tracker(
+            ext, mask, ny=NY, nx=NX, R_fill=0, T_fill=0,
+            area_filter_quartile=0.0, allow_merging=False,
+        )
+        events = t.run().events
+        assert events.filter(F.col("x") < NX // 2).count() == 0
+        assert events.count() > 0
+
+    def test_stats_with_grid_resolution_areas(self, spark):
+        ext = synthetic_extremes_gridded(spark, n_time=6, ny=NY, nx=NX)
+        gy, gx = _grid_dims(spark)
+        t = tracker(
+            ext, ny=NY, nx=NX, R_fill=0, T_fill=0,
+            area_filter_quartile=0.0, allow_merging=False,
+            grid_y=gy, grid_x=gx, grid_resolution=360.0 / NX,
+        )
+        res = t.run()
+        assert res.lifetime_stats is not None
+        row = res.timestep_stats.agg(F.max("area").alias("a")).first()
+        # true spherical areas in km² — a 7.5° cell near the equator is
+        # ~687k km²; cos-lat proxy areas are ≤ 1. Orders of magnitude apart.
+        assert row.a > 1000.0
+
+
+class TestRegional:
+    def test_regional_tracker_disables_wrap(self, spark):
+        # one blob straddling the x seam: global mode links it into one
+        # object; regional mode must keep two
+        rows = []
+        for t in range(3):
+            for y in range(8, 12):
+                for x in list(range(0, 3)) + list(range(NX - 3, NX)):
+                    rows.append((t, y, x))
+        base = spark.createDataFrame(rows, "t int, y int, x int")
+        full = (
+            spark.range(3).select(F.col("id").cast("int").alias("t"))
+            .crossJoin(spark.range(NY).select(F.col("id").cast("int").alias("y")))
+            .crossJoin(spark.range(NX).select(F.col("id").cast("int").alias("x")))
+        )
+        ext = (
+            full.join(base.withColumn("_e", F.lit(True)), ["t", "y", "x"], "left")
+            .select(
+                F.col("t").cast("timestamp").alias("time"),
+                "y", "x",
+                F.coalesce(F.col("_e"), F.lit(False)).alias("extreme"),
+            )
+        )
+        reg = regional_tracker(
+            ext, coordinate_units="degrees", R_fill=0,
+            area_filter_quartile=0.0, ny=NY, nx=NX, T_fill=0,
+            allow_merging=False,
+        ).run()
+        glob = tracker(
+            ext, ny=NY, nx=NX, R_fill=0, T_fill=0,
+            area_filter_quartile=0.0, allow_merging=False,
+        ).run()
+        n_reg = reg.events.select("event_id").distinct().count()
+        n_glob = glob.events.select("event_id").distinct().count()
+        assert n_glob == 1
+        assert n_reg == 2
+
+
+class TestUnstructured:
+    def test_mesh_run(self, spark):
+        n_cell = 64
+        cells = spark.range(n_cell).select(F.col("id").cast("int").alias("cell"))
+        edges = cells.select(
+            "cell", ((F.col("cell") + 1) % n_cell).alias("nbr")
+        )
+        rows = []
+        for t in range(4):
+            for c in range(10, 20):
+                rows.append((t, c, True))
+        # dense boolean field over all cells
+        base = spark.createDataFrame(rows, "t int, cell int, extreme boolean")
+        full = (
+            spark.range(4).select(F.col("id").cast("int").alias("t"))
+            .crossJoin(cells)
+        )
+        ext = (
+            full.join(base.drop("extreme").withColumn("_e", F.lit(True)), ["t", "cell"], "left")
+            .select(
+                F.col("t").cast("timestamp").alias("time"),
+                "cell",
+                F.coalesce(F.col("_e"), F.lit(False)).alias("extreme"),
+            )
+        )
+        t = tracker(
+            ext, unstructured_grid=True, edges=edges, R_fill=1, T_fill=0,
+            area_filter_quartile=0.0, allow_merging=False,
+        )
+        res = t.run()
+        assert res.events.select("event_id").distinct().count() == 1
+        # closing+opening preserves the solid 10-cell run
+        assert res.events.count() >= 4 * 10
+
+
+def test_cell_areas_from_resolution_exact(spark):
+    gy = spark.createDataFrame([(0, 0.0), (1, 60.0)], "y int, lat double")
+    out = {r.y: r.cell_area for r in cell_areas_from_resolution(gy, 1.0).collect()}
+    r = 6371.0
+    dlam = math.radians(1.0)
+    a0 = r * r * dlam * (math.sin(math.radians(0.5)) - math.sin(math.radians(-0.5)))
+    a60 = r * r * dlam * (math.sin(math.radians(60.5)) - math.sin(math.radians(59.5)))
+    assert out[0] == pytest.approx(a0, rel=1e-9)
+    assert out[1] == pytest.approx(a60, rel=1e-9)
+    # cos-lat scaling: the 60° band is ~half the equatorial band
+    assert out[1] / out[0] == pytest.approx(math.cos(math.radians(60.0)), rel=1e-3)
