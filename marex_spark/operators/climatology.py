@@ -83,6 +83,7 @@ def anomaly_fixed_baseline(
     keys: tuple[str, ...] = DEFAULT_KEYS,
     value_col: str = "value",
     clim: DataFrame | None = None,
+    reference_period: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Anomaly vs fixed doy climatology (detect.py:2334-2440):
     anomaly = value − clim(doy, cell).
@@ -90,14 +91,25 @@ def anomaly_fixed_baseline(
     Expressed as a full-frame window over (cell, doy) rather than the
     agg+self-join the reference's flox call implies: with the input
     partitioned by cell (partition_by_cells) this is join-free and
-    shuffle-free — the J1/J2 alignment collapses into the window."""
+    shuffle-free — the J1/J2 alignment collapses into the window.
+
+    ``reference_period=(start_year, end_year)`` (inclusive) restricts
+    the climatology to that year range while still scoring every sample
+    (detect.py:358-362) — a conditional avg over the same window, so
+    the knob costs no extra shuffle and the plan shape is unchanged."""
     d = add_time_keys(df)
     if clim is not None:  # caller supplied an external climatology table
         return d.join(clim, ["doy", *keys]).withColumn(
             "anomaly", (F.col(value_col) - F.col("clim")).cast("double")
         )
     w = Window.partitionBy(*keys, "doy")
-    return d.withColumn("clim", F.avg(value_col).over(w)).withColumn(
+    if reference_period is not None:
+        y0, y1 = int(reference_period[0]), int(reference_period[1])
+        in_ref = F.col("year").between(y0, y1)
+        clim_expr = F.avg(F.when(in_ref, F.col(value_col))).over(w)
+    else:
+        clim_expr = F.avg(value_col).over(w)
+    return d.withColumn("clim", clim_expr).withColumn(
         "anomaly", (F.col(value_col) - F.col("clim")).cast("double")
     )
 
@@ -281,16 +293,19 @@ def anomaly_detrend_fixed_baseline(
     keys: tuple[str, ...] = DEFAULT_KEYS,
     time_col: str = "time",
     value_col: str = "value",
+    reference_period: tuple[int, int] | None = None,
 ) -> DataFrame:
     """detrend_fixed_baseline (detect.py:2443-2460): remove the linear
     trend (no harmonics), then subtract the doy climatology of the
-    detrended series."""
+    detrended series. Per the reference (detect.py:2411-2413), the
+    trend fit always uses the FULL series; only the climatology step
+    respects ``reference_period``."""
     det = anomaly_detrend_harmonic(
         df, keys, n_harmonics=0, time_col=time_col, value_col=value_col
     ).select(time_col, *keys, F.col("anomaly").alias("detrended"))
-    return anomaly_fixed_baseline(det, keys, value_col="detrended").withColumnRenamed(
-        "clim", "doy_clim"
-    )
+    return anomaly_fixed_baseline(
+        det, keys, value_col="detrended", reference_period=reference_period
+    ).withColumnRenamed("clim", "doy_clim")
 
 
 def normalise_by_doy_std(

@@ -130,6 +130,7 @@ def preprocess_data(
     window_spatial_hobday: int | None = None,
     nx: int | None = None,
     ny: int | None = None,
+    reference_period: tuple[int, int] | None = None,
 ) -> DetectResult:
     """Raw series → boolean extremes. Drops null/NaN values first
     (P2 validity predicate, detect.py:222).
@@ -182,11 +183,29 @@ def preprocess_data(
                 details={"nx": nx, "ny": ny},
             )
 
+    if reference_period is not None and method_anomaly not in (
+        "fixed_baseline",
+        "detrend_fixed_baseline",
+    ):
+        # reference validation (detect.py:570-577)
+        raise ConfigurationError(
+            f"reference_period is not supported for "
+            f"method_anomaly='{method_anomaly}'",
+            details={
+                "reference_period": reference_period,
+                "valid_methods": ("fixed_baseline", "detrend_fixed_baseline"),
+            },
+            suggestions=["Remove the reference_period parameter, or "
+                         "use a fixed-baseline anomaly method"],
+        )
+
     clean = df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col))
     clean = partition_by_cells(clean, keys)
 
     if method_anomaly == "fixed_baseline":
-        anom = anomaly_fixed_baseline(clean, keys, value_col)
+        anom = anomaly_fixed_baseline(
+            clean, keys, value_col, reference_period=reference_period
+        )
     elif method_anomaly == "shifting_baseline":
         anom = anomaly_shifting_baseline(
             clean, keys, window_year_baseline, smooth_days, value_col
@@ -198,7 +217,8 @@ def preprocess_data(
         )
     else:
         anom = anomaly_detrend_fixed_baseline(
-            clean, keys, time_col=time_col, value_col=value_col
+            clean, keys, time_col=time_col, value_col=value_col,
+            reference_period=reference_period,
         )
 
     if checkpoint:

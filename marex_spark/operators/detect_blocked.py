@@ -72,16 +72,26 @@ def _time_parts(
 _N_DOY = 366  # circular doy modulus, fixed like the relational mod-366
 
 
-def _anomaly_fixed(m: np.ndarray, valid: np.ndarray, doy0: np.ndarray) -> np.ndarray:
+def _anomaly_fixed(
+    m: np.ndarray,
+    valid: np.ndarray,
+    doy0: np.ndarray,
+    ref_mask: np.ndarray | None = None,
+) -> np.ndarray:
     """Fixed-baseline anomaly (detect.py:2365-2373): value − doy
-    group-mean climatology of the available samples. NaN at the gaps."""
+    group-mean climatology of the available samples. NaN at the gaps.
+    ``ref_mask`` (per-timestep boolean) restricts which rows feed the
+    climatology — the reference_period knob (detect.py:358-362) — while
+    every row is still scored."""
     T, NX = m.shape
     n_doy = int(doy0.max()) + 1
+    contributes = valid if ref_mask is None else valid & ref_mask[:, None]
     sums = np.zeros((n_doy, NX))
     counts = np.zeros((n_doy, NX))
-    np.add.at(sums, doy0, np.where(valid, m, 0.0))
-    np.add.at(counts, doy0, valid.astype(np.float64))
-    clim = sums / np.maximum(counts, 1.0)
+    np.add.at(sums, doy0, np.where(contributes, m, 0.0))
+    np.add.at(counts, doy0, contributes.astype(np.float64))
+    with np.errstate(invalid="ignore"):
+        clim = np.where(counts > 0, sums / np.maximum(counts, 1.0), np.nan)
     return m - clim[doy0]
 
 
@@ -420,12 +430,17 @@ def _anomaly_of(
             m, valid, doy0, years, p["n_harmonics"],
             p["detrend_orders"], p["force_zero_mean"],
         )
+    rp = p.get("reference_period")
+    ref_mask = None
+    if rp is not None:
+        ref_mask = (years >= rp[0]) & (years <= rp[1])
     if p["method_anomaly"] == "detrend_fixed_baseline":
         # detect.py:2443-2460: remove the linear trend (no harmonics),
-        # then subtract the doy climatology of the detrended series
+        # then subtract the doy climatology of the detrended series;
+        # the trend fit always uses the full series (detect.py:2411-2413)
         det = _anomaly_detrend(m, valid, doy0, years, 0)
-        return _anomaly_fixed(det, valid, doy0)
-    return _anomaly_fixed(m, valid, doy0)
+        return _anomaly_fixed(det, valid, doy0, ref_mask)
+    return _anomaly_fixed(m, valid, doy0, ref_mask)
 
 
 def _band_extremes(
@@ -474,9 +489,21 @@ def _kernel_params(
     n_harmonics: int,
     detrend_orders: tuple[int, ...],
     force_zero_mean: bool,
+    reference_period: tuple[int, int] | None = None,
 ) -> dict:
     from marex_spark.exceptions import ConfigurationError
     from marex_spark.operators.climatology import _validate_detrend_orders
+
+    if reference_period is not None and method_anomaly not in (
+        "fixed_baseline",
+        "detrend_fixed_baseline",
+    ):
+        # reference validation (detect.py:570-577)
+        raise ConfigurationError(
+            f"reference_period is not supported for "
+            f"method_anomaly='{method_anomaly}'",
+            details={"reference_period": reference_period},
+        )
 
     if method_anomaly not in (
         "fixed_baseline",
@@ -504,6 +531,11 @@ def _kernel_params(
         "n_harmonics": n_harmonics,
         "detrend_orders": _validate_detrend_orders(detrend_orders),
         "force_zero_mean": force_zero_mean,
+        "reference_period": (
+            (int(reference_period[0]), int(reference_period[1]))
+            if reference_period is not None
+            else None
+        ),
     }
 
 
@@ -524,6 +556,7 @@ def detect_extremes_blocked(
     n_harmonics: int = 2,
     detrend_orders: tuple[int, ...] = (1,),
     force_zero_mean: bool = False,
+    reference_period: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Blocked detect over the long format, by latitude band. Supports
     fixed/shifting baselines × global/hobday thresholds (the reference's
@@ -540,7 +573,7 @@ def detect_extremes_blocked(
         method_anomaly, method_extreme, method_percentile,
         threshold_percentile, precision, max_anomaly,
         window_year_baseline, smooth_days, window_days_hobday,
-        n_harmonics, detrend_orders, force_zero_mean,
+        n_harmonics, detrend_orders, force_zero_mean, reference_period,
     )
     spark = series.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
@@ -679,6 +712,7 @@ def detect_extremes_blocked_packed(
     force_zero_mean: bool = False,
     window_spatial_hobday: int | None = None,
     ny: int | None = None,
+    reference_period: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Blocked detect over the PACKED layout (time, y, vals array<float>):
     same kernel and semantics as :func:`detect_extremes_blocked`
@@ -704,7 +738,7 @@ def detect_extremes_blocked_packed(
         method_anomaly, method_extreme, method_percentile,
         threshold_percentile, precision, max_anomaly,
         window_year_baseline, smooth_days, window_days_hobday,
-        n_harmonics, detrend_orders, force_zero_mean,
+        n_harmonics, detrend_orders, force_zero_mean, reference_period,
     )
     thresholds = output == "thresholds"
     from marex_spark.exceptions import ConfigurationError
