@@ -63,6 +63,15 @@ def __getattr__(name):
         "tracker": "marex_spark.tracker",
         "regional_tracker": "marex_spark.tracker",
         "cell_areas_from_resolution": "marex_spark.tracker",
+        "get_logger": "marex_spark.logging_config",
+        "configure_logging": "marex_spark.logging_config",
+        "set_verbose_mode": "marex_spark.logging_config",
+        "set_quiet_mode": "marex_spark.logging_config",
+        "set_normal_logging": "marex_spark.logging_config",
+        "get_verbosity_level": "marex_spark.logging_config",
+        "is_verbose_mode": "marex_spark.logging_config",
+        "is_quiet_mode": "marex_spark.logging_config",
+        "log_timing": "marex_spark.logging_config",
     }
     if name in api:
         return getattr(import_module(api[name]), name)
