@@ -55,3 +55,35 @@ def test_unstructured_merge_needs_cell_geo(spark):
     edges = spark.createDataFrame([(1, 2)], "cell long, nbr long")
     with pytest.raises(TrackingError, match="cell_geo"):
         track_events_unstructured(ext, edges, allow_merging=True)
+
+
+class TestDependencyGates:
+    """Optional-dependency surface (reference _dependencies.py:7-243)."""
+
+    def test_has_dependency(self):
+        from marex_spark._dependencies import has_dependency
+
+        assert has_dependency("numpy")
+        assert not has_dependency("definitely_not_a_module_xyz")
+
+    def test_require_dependencies_raises_typed(self):
+        import pytest
+
+        from marex_spark._dependencies import require_dependencies
+        from marex_spark.exceptions import DependencyError
+
+        require_dependencies(["numpy", "pandas"], "core math")  # no raise
+        with pytest.raises(DependencyError, match="no_such_mod"):
+            require_dependencies(["no_such_mod"], "imaginary feature")
+
+    def test_profile_and_status(self, capsys):
+        from marex_spark._dependencies import (
+            get_installation_profile,
+            print_dependency_status,
+        )
+
+        assert get_installation_profile() in ("minimal", "io", "full")
+        print_dependency_status()
+        out = capsys.readouterr().out
+        assert "Current Profile:" in out
+        assert "duckdb" in out
