@@ -121,9 +121,21 @@ class Tracker:
     connectivity: int = 8
     merge_parallel: bool = True
     compact_ids: bool = False
+    checkpoint: str | None = None  # 'save' | 'load' | None (track.py:138,342)
+    temp_dir: str | None = None
     extras: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
+        if self.checkpoint not in (None, "None", "save", "load"):
+            raise ConfigurationError(
+                "checkpoint must be 'save', 'load', or None",
+                details={"checkpoint": self.checkpoint},
+            )
+        if self.checkpoint in ("save", "load") and not self.temp_dir:
+            raise ConfigurationError(
+                "checkpoint='save'/'load' needs temp_dir",
+                details={"temp_dir": self.temp_dir},
+            )
         if self.T_fill % 2 != 0:
             # reference track.py:706
             raise ConfigurationError(
@@ -292,28 +304,53 @@ class Tracker:
 
     # -- public API --------------------------------------------------
 
-    def run_preprocess(self) -> DataFrame:
+    def _checkpoint_path(self) -> str:
+        return f"{self.temp_dir}/marex_checkpoint_proc_bin.parquet"
+
+    def run_preprocess(self, checkpoint: str | None = None) -> DataFrame:
         """Morphological preprocessing only (the reference's
         ``run_preprocess``, track.py:1234-1368): mask → closing/opening
-        → temporal gap fill → small-object filter."""
+        → temporal gap fill → small-object filter.
+
+        ``checkpoint`` overrides the instance strategy (track.py:1234):
+        'load' reads the preprocessed field back from ``temp_dir``
+        (skipping all morphology); 'save' materialises it to parquet
+        and re-reads — durable lineage break, the reference's
+        checkpoint-zarr analogue (track.py:1317-1327)."""
+        from marex_spark.logging_config import get_logger, log_timing
+
+        log = get_logger("tracker")
+        ckpt = checkpoint or self.checkpoint
+        if ckpt == "load":
+            log.info("Loading preprocessed data from checkpoint")
+            return self.data_bin.sparkSession.read.parquet(self._checkpoint_path())
+
         d = self._apply_mask(self.data_bin)
-        if self.unstructured_grid:
-            return self._preprocess_unstructured(d)
-        quartile = self.area_filter_quartile
-        if quartile is None and self.area_filter_absolute is None:
-            quartile = 0.5  # reference default
-        return preprocess_extremes(
-            d,
-            ny=self.ny or 0,
-            nx=self.nx,
-            r_fill=self.R_fill,
-            t_fill=self.T_fill,
-            area_quartile=quartile or 0.0,
-            wrap_x=not self.regional_mode,
-            time_col=self.time_col,
-            extreme_col=self.extreme_col,
-            area_filter_absolute=self.area_filter_absolute,
-        )
+        with log_timing(log, "Morphological preprocessing"):
+            if self.unstructured_grid:
+                out = self._preprocess_unstructured(d)
+            else:
+                quartile = self.area_filter_quartile
+                if quartile is None and self.area_filter_absolute is None:
+                    quartile = 0.5  # reference default
+                out = preprocess_extremes(
+                    d,
+                    ny=self.ny or 0,
+                    nx=self.nx,
+                    r_fill=self.R_fill,
+                    t_fill=self.T_fill,
+                    area_quartile=quartile or 0.0,
+                    wrap_x=not self.regional_mode,
+                    time_col=self.time_col,
+                    extreme_col=self.extreme_col,
+                    area_filter_absolute=self.area_filter_absolute,
+                )
+        if ckpt == "save":
+            from marex_spark.sources.io import checkpoint_parquet
+
+            log.info("Saving preprocessed data to checkpoint")
+            out = checkpoint_parquet(out, self._checkpoint_path())
+        return out
 
     def run(self) -> TrackResult:
         """Preprocess then track; the reference's ``tracker.run()``

@@ -220,3 +220,32 @@ def test_cell_areas_from_resolution_exact(spark):
     assert out[1] == pytest.approx(a60, rel=1e-9)
     # cos-lat scaling: the 60° band is ~half the equatorial band
     assert out[1] / out[0] == pytest.approx(math.cos(math.radians(60.0)), rel=1e-3)
+
+
+class TestCheckpoint:
+    """checkpoint='save'/'load' strategy (reference track.py:1234-1330)."""
+
+    def test_save_then_load_roundtrip(self, spark, tmp_path):
+        ext = synthetic_extremes_gridded(spark, n_time=6, ny=NY, nx=NX)
+        t_save = tracker(
+            ext, ny=NY, nx=NX, R_fill=1, T_fill=2,
+            area_filter_quartile=0.25, allow_merging=False,
+            checkpoint="save", temp_dir=str(tmp_path),
+        )
+        saved = t_save.run_preprocess()
+        n_saved = saved.filter(F.col("extreme")).count()
+        # a fresh tracker with checkpoint='load' skips morphology entirely
+        t_load = tracker(
+            ext.limit(0), ny=NY, nx=NX, R_fill=1, T_fill=2,
+            allow_merging=False, checkpoint="load", temp_dir=str(tmp_path),
+        )
+        loaded = t_load.run_preprocess()
+        assert loaded.filter(F.col("extreme")).count() == n_saved
+        assert n_saved > 0
+
+    def test_checkpoint_validation(self, spark):
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        with pytest.raises(ConfigurationError, match="checkpoint"):
+            Tracker(ext, ny=NY, nx=NX, checkpoint="bogus")
+        with pytest.raises(ConfigurationError, match="temp_dir"):
+            Tracker(ext, ny=NY, nx=NX, checkpoint="save")
