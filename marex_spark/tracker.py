@@ -352,6 +352,90 @@ class Tracker:
             out = checkpoint_parquet(out, self._checkpoint_path())
         return out
 
+    def preprocess_stats(self) -> dict:
+        """The reference's preprocessing ``object_stats`` diagnostics
+        (track.py:1330-1351): object counts and area fractions around
+        the small-object filter.  Keys: ``total_area_IDed``,
+        ``N_objects_prefiltered``, ``N_objects_filtered``,
+        ``area_threshold``, ``accepted_area_fraction``,
+        ``preprocessed_area_fraction``.
+
+        Runs its own labelling pass over the hole/gap-filled field (the
+        engine's filter does not expose its internals), so this is an
+        opt-in diagnostic job, not part of ``run()``'s critical path.
+        All reductions are distributed aggs; only six scalars reach the
+        driver."""
+        from marex_spark.operators.overlap import object_areas
+
+        d = self._apply_mask(self.data_bin)
+        raw_area = d.filter(F.col(self.extreme_col)).count()
+
+        # hole/gap filling WITHOUT the area filter
+        saved_q, saved_a = self.area_filter_quartile, self.area_filter_absolute
+        self.area_filter_quartile, self.area_filter_absolute = 0.0, None
+        try:
+            if self.unstructured_grid:
+                filled = self._preprocess_unstructured(d)
+            else:
+                filled = preprocess_extremes(
+                    d,
+                    ny=self.ny or 0,
+                    nx=self.nx,
+                    r_fill=self.R_fill,
+                    t_fill=self.T_fill,
+                    area_quartile=0.0,
+                    wrap_x=not self.regional_mode,
+                    time_col=self.time_col,
+                    extreme_col=self.extreme_col,
+                )
+        finally:
+            self.area_filter_quartile, self.area_filter_absolute = saved_q, saved_a
+        filled = filled.localCheckpoint()
+
+        if self.unstructured_grid:
+            from marex_spark.operators.label import label_components_unstructured
+
+            labels = label_components_unstructured(
+                filled, self.edges, time_col=self.time_col,
+                extreme_col=self.extreme_col,
+            )
+        else:
+            from marex_spark.operators.label import label_components
+
+            labels = label_components(
+                filled, nx=self.nx, time_col=self.time_col,
+                extreme_col=self.extreme_col, wrap_x=not self.regional_mode,
+            )
+        areas = object_areas(labels, time_col=self.time_col)
+
+        quartile = self.area_filter_quartile
+        if quartile is None and self.area_filter_absolute is None:
+            quartile = 0.5
+        if self.area_filter_absolute is not None:
+            thr = float(self.area_filter_absolute)
+        else:
+            thr = float(
+                areas.agg(F.percentile("area", F.lit(quartile or 0.0))).first()[0]
+            )
+        row = areas.agg(
+            F.count("*").alias("n_pre"),
+            F.sum("area").alias("total"),
+            F.sum(F.when(F.col("area") >= thr, 1).otherwise(0)).alias("n_post"),
+            F.sum(F.when(F.col("area") >= thr, F.col("area"))).alias("accepted"),
+        ).first()
+        total = float(row.total or 0.0)
+        accepted = float(row.accepted or 0.0)
+        return {
+            "total_area_IDed": total,
+            "N_objects_prefiltered": int(row.n_pre),
+            "N_objects_filtered": int(row.n_post),
+            "area_threshold": thr,
+            "accepted_area_fraction": accepted / total if total else float("nan"),
+            "preprocessed_area_fraction": (
+                raw_area / accepted if accepted else float("nan")
+            ),
+        }
+
     def run(self) -> TrackResult:
         """Preprocess then track; the reference's ``tracker.run()``
         (track.py:1162-1232). Returns the engine's ``TrackResult``

@@ -249,3 +249,24 @@ class TestCheckpoint:
             Tracker(ext, ny=NY, nx=NX, checkpoint="bogus")
         with pytest.raises(ConfigurationError, match="temp_dir"):
             Tracker(ext, ny=NY, nx=NX, checkpoint="save")
+
+
+def test_preprocess_stats(spark):
+    """object_stats diagnostics (reference track.py:1330-1351)."""
+    ext = synthetic_extremes_gridded(spark, n_time=6, ny=NY, nx=NX)
+    t = tracker(
+        ext, ny=NY, nx=NX, R_fill=0, T_fill=0,
+        area_filter_quartile=0.5, allow_merging=False,
+    )
+    s = t.preprocess_stats()
+    assert set(s) == {
+        "total_area_IDed", "N_objects_prefiltered", "N_objects_filtered",
+        "area_threshold", "accepted_area_fraction",
+        "preprocessed_area_fraction",
+    }
+    assert s["N_objects_filtered"] <= s["N_objects_prefiltered"]
+    assert 0.0 < s["accepted_area_fraction"] <= 1.0
+    assert s["area_threshold"] > 0.0
+    # with no morphology, every raw cell is still IDed pre-filter
+    raw = ext.filter(F.col("extreme")).count()
+    assert s["total_area_IDed"] == pytest.approx(raw)
