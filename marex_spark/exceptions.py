@@ -59,3 +59,46 @@ class DependencyError(MarexSparkError):
 class TrackingError(MarexSparkError):
     """Tracking-stage contract violations — missing geometry tables,
     non-boolean fields (reference exceptions.py:255)."""
+
+
+class VisualisationError(MarexSparkError):
+    """Rendering-layer failures — unknown colormap, bad frame geometry
+    (reference exceptions.py:295)."""
+
+
+def create_data_validation_error(
+    message: str, data_info: dict | None = None, **kwargs
+) -> DataValidationError:
+    """Convenience constructor folding data context (type, shape, dtype)
+    into ``details`` (reference exceptions.py:338-361)."""
+    details = dict(kwargs.pop("details", {}) or {})
+    if data_info:
+        details.update(data_info)
+    return DataValidationError(message, details=details, **kwargs)
+
+
+def create_coordinate_error(
+    message: str,
+    coordinate_ranges: dict | None = None,
+    detected_system: str | None = None,
+    **kwargs,
+) -> CoordinateError:
+    """Convenience constructor folding coordinate ranges / detected
+    system into ``details`` (reference exceptions.py:363-394)."""
+    details = dict(kwargs.pop("details", {}) or {})
+    if coordinate_ranges:
+        details["coordinate_ranges"] = coordinate_ranges
+    if detected_system:
+        details["detected_system"] = detected_system
+    return CoordinateError(message, details=details, **kwargs)
+
+
+def create_processing_error(
+    message: str, computation_info: dict | None = None, **kwargs
+) -> ProcessingError:
+    """Convenience constructor folding computation context (partition
+    sizes, row counts) into ``details`` (reference exceptions.py:397-419)."""
+    details = dict(kwargs.pop("details", {}) or {})
+    if computation_info:
+        details.update(computation_info)
+    return ProcessingError(message, details=details, **kwargs)

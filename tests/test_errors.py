@@ -87,3 +87,47 @@ class TestDependencyGates:
         out = capsys.readouterr().out
         assert "Current Profile:" in out
         assert "duckdb" in out
+
+
+class TestConvenienceConstructors:
+    """Reference exceptions.py:338-419."""
+
+    def test_data_validation(self):
+        from marex_spark.exceptions import (
+            DataValidationError,
+            create_data_validation_error,
+        )
+
+        e = create_data_validation_error(
+            "bad frame", data_info={"rows": 0, "dtype": "float"}
+        )
+        assert isinstance(e, DataValidationError)
+        assert e.details["rows"] == 0
+        assert "bad frame" in str(e)
+
+    def test_coordinate(self):
+        from marex_spark.exceptions import CoordinateError, create_coordinate_error
+
+        e = create_coordinate_error(
+            "lon out of range",
+            coordinate_ranges={"lon": (-180, 180)},
+            detected_system="degrees_-180_180",
+        )
+        assert isinstance(e, CoordinateError)
+        assert e.details["detected_system"] == "degrees_-180_180"
+
+    def test_processing(self):
+        from marex_spark.exceptions import ProcessingError, create_processing_error
+
+        e = create_processing_error(
+            "stage died", computation_info={"partitions": 32},
+            suggestions=["raise shuffle partitions"],
+        )
+        assert isinstance(e, ProcessingError)
+        assert e.details["partitions"] == 32
+        assert "raise shuffle partitions" in str(e)
+
+    def test_visualisation_error_in_hierarchy(self):
+        from marex_spark.exceptions import MarexSparkError, VisualisationError
+
+        assert issubclass(VisualisationError, MarexSparkError)
