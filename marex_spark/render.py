@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import struct
 import zlib
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -480,3 +481,109 @@ def compose_panels(
 
 
 
+
+
+# ---------------------------------------------------------------------------
+# plotX module-level configuration + dispatcher (reference
+# plotX/__init__.py:82-198: PlotConfig, specify_grid, the xr accessor's
+# _detect_grid_type at 44-79).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PlotConfig:
+    """Per-plot options (reference plotX ``PlotConfig``): the knobs the
+    reference exposes on its accessor, minus the cartopy-specific ones
+    (projection/land features need cartopy; the PNG layer renders plain
+    rasters)."""
+
+    title: str | None = None
+    var_units: str = ""
+    issym: bool = False
+    cmap: str | None = None
+    cperc: tuple = (4, 96)
+    clim: tuple | None = None
+    show_colorbar: bool = True
+    grid_labels: bool = False
+    dimensions: dict | None = None
+    norm: object | None = None
+    plot_IDs: bool = False
+    extend: str = "both"
+
+
+_grid_spec: dict = {"grid_type": None, "cell_geo": None, "ny": None, "nx": None}
+
+
+def specify_grid(
+    grid_type: str | None = None,
+    cell_geo=None,
+    ny: int | None = None,
+    nx: int | None = None,
+) -> None:
+    """Set the global grid specification used by ``plotX()`` dispatch
+    (reference plotX/__init__.py:157-198 — its tgrid/ckdtree paths
+    become the ``cell_geo`` dimension table here)."""
+    from marex_spark.exceptions import ConfigurationError
+
+    if grid_type is not None and grid_type.lower() not in (
+        "gridded",
+        "unstructured",
+    ):
+        raise ConfigurationError(
+            "Invalid grid type specification",
+            details={"provided_type": grid_type,
+                     "valid_types": ["gridded", "unstructured"]},
+            suggestions=[
+                "Use 'gridded' for regular lat/lon grids",
+                "Use 'unstructured' for triangular/irregular meshes",
+            ],
+        )
+    _grid_spec.update(
+        grid_type=grid_type.lower() if grid_type else None,
+        cell_geo=cell_geo, ny=ny, nx=nx,
+    )
+
+
+def clear_grid_spec() -> None:
+    """Reset the global grid specification (reference
+    plotX/__init__.py:201-210 reset helper)."""
+    _grid_spec.update(grid_type=None, cell_geo=None, ny=None, nx=None)
+
+
+def plotX(df, ny: int | None = None, nx: int | None = None, **kwargs):
+    """Grid-type-detecting plotter constructor — the accessor entry
+    point (reference plotX/__init__.py:44-79 ``_detect_grid_type``: a
+    'y' dimension present → gridded, else unstructured). Column-based
+    here: (y, x) columns → GriddedPlotter; a 'cell' column →
+    UnstructuredPlotter (needs cell_geo from specify_grid or kwargs).
+    An explicit specify_grid(grid_type=...) overrides detection."""
+    from marex_spark.exceptions import VisualisationError
+
+    ny = ny or _grid_spec["ny"]
+    nx = nx or _grid_spec["nx"]
+    cols = set(df.columns)
+    forced = _grid_spec["grid_type"]
+    gridded = {"y", "x"} <= cols if forced is None else forced == "gridded"
+    if gridded:
+        if ny is None or nx is None:
+            raise VisualisationError(
+                "gridded plotting needs ny and nx",
+                details={"ny": ny, "nx": nx},
+                suggestions=["pass ny=/nx= or call specify_grid(ny=..., nx=...)"],
+            )
+        return GriddedPlotter(df, ny=ny, nx=nx, **kwargs)
+    if "cell" not in cols:
+        raise VisualisationError(
+            "cannot detect grid type: no (y, x) and no cell column",
+            details={"columns": sorted(cols)},
+            suggestions=["call specify_grid(grid_type=...)"],
+        )
+    cell_geo = kwargs.pop("cell_geo", None) or _grid_spec["cell_geo"]
+    if cell_geo is None:
+        raise VisualisationError(
+            "unstructured plotting needs cell_geo (cell, lat, lon)",
+            suggestions=["specify_grid(cell_geo=...) or pass cell_geo="],
+        )
+    return UnstructuredPlotter(
+        df, cell_geo, ny=ny or 180, nx=nx or 360, **kwargs
+    )

@@ -206,3 +206,63 @@ def test_multi_plot_shared_scale(spark, tmp_path):
     assert img.shape == (3 * 2 + 2 * 3, 4 * 2 + 2 * 3, 3)
     with np.testing.assert_raises(ValueError):
         compose_panels([])
+
+
+class TestPlotXDispatch:
+    """plotX() accessor dispatch + specify_grid (reference
+    plotX/__init__.py:44-79, 157-198)."""
+
+    def test_detects_gridded(self, spark):
+        from marex_spark.render import GriddedPlotter, plotX
+
+        df = spark.createDataFrame(
+            [(0, 0, 0, 1.0)], "t int, y int, x int, value double"
+        )
+        p = plotX(df, ny=4, nx=4)
+        assert isinstance(p, GriddedPlotter)
+
+    def test_detects_unstructured_with_spec(self, spark):
+        from marex_spark.render import (
+            UnstructuredPlotter,
+            clear_grid_spec,
+            plotX,
+            specify_grid,
+        )
+
+        geo = spark.createDataFrame(
+            [(0, 0.0, 0.0)], "cell int, lat double, lon double"
+        )
+        df = spark.createDataFrame([(0, 0, 1.0)], "t int, cell int, value double")
+        specify_grid(cell_geo=geo, ny=8, nx=16)
+        try:
+            p = plotX(df, time_col="t")
+            assert isinstance(p, UnstructuredPlotter)
+        finally:
+            clear_grid_spec()
+
+    def test_invalid_grid_type_rejected(self):
+        import pytest
+
+        from marex_spark.exceptions import ConfigurationError
+        from marex_spark.render import specify_grid
+
+        with pytest.raises(ConfigurationError, match="grid type"):
+            specify_grid(grid_type="hexagonal")
+
+    def test_missing_geo_raises_typed(self, spark):
+        import pytest
+
+        from marex_spark.exceptions import VisualisationError
+        from marex_spark.render import clear_grid_spec, plotX
+
+        clear_grid_spec()
+        df = spark.createDataFrame([(0, 0, 1.0)], "t int, cell int, value double")
+        with pytest.raises(VisualisationError, match="cell_geo"):
+            plotX(df)
+
+    def test_plot_config_defaults(self):
+        from marex_spark.render import PlotConfig
+
+        c = PlotConfig(title="snap", issym=True)
+        assert c.cperc == (4, 96)
+        assert c.show_colorbar and c.issym
