@@ -63,6 +63,15 @@ def __getattr__(name):
         "tracker": "marex_spark.tracker",
         "regional_tracker": "marex_spark.tracker",
         "cell_areas_from_resolution": "marex_spark.tracker",
+        "plotX": "marex_spark.render",
+        "PlotConfig": "marex_spark.render",
+        "specify_grid": "marex_spark.render",
+        "configure_spark": "marex_spark.helper",
+        "start_local_cluster": "marex_spark.helper",
+        "recommended_shuffle_partitions": "marex_spark.helper",
+        "has_dependency": "marex_spark._dependencies",
+        "get_installation_profile": "marex_spark._dependencies",
+        "print_dependency_status": "marex_spark._dependencies",
         "get_logger": "marex_spark.logging_config",
         "configure_logging": "marex_spark.logging_config",
         "set_verbose_mode": "marex_spark.logging_config",

@@ -131,3 +131,45 @@ class TestConvenienceConstructors:
         from marex_spark.exceptions import MarexSparkError, VisualisationError
 
         assert issubclass(VisualisationError, MarexSparkError)
+
+
+class TestHelperConfig:
+    """configure_spark / sizing rules (reference helper.py:90-639)."""
+
+    def test_conf_shape(self, tmp_path):
+        from marex_spark.helper import configure_spark
+
+        conf = configure_spark(
+            scratch_dir=str(tmp_path), workers=100,
+            memory_per_worker_gb=32, dataset_bytes=15 * 1024**4,
+        )
+        assert conf["spark.local.dir"] == str(tmp_path)
+        assert conf["spark.executor.instances"] == "100"
+        assert conf["spark.executor.memory"] == "28g"  # 10% headroom
+        # 15 TB / 128 MB = ~122k partitions
+        assert int(conf["spark.sql.shuffle.partitions"]) == 15 * 1024**4 // (128 * 1024**2)
+        assert conf["spark.sql.adaptive.enabled"] == "true"
+
+    def test_overrides_win(self):
+        from marex_spark.helper import configure_spark
+
+        conf = configure_spark(config={"spark.sql.adaptive.enabled": "false"})
+        assert conf["spark.sql.adaptive.enabled"] == "false"
+
+    def test_validation(self):
+        import pytest
+
+        from marex_spark.exceptions import ConfigurationError
+        from marex_spark.helper import configure_spark
+
+        with pytest.raises(ConfigurationError):
+            configure_spark(workers=0)
+        with pytest.raises(ConfigurationError):
+            configure_spark(memory_per_worker_gb=-1)
+
+    def test_recommended_partitions_floor(self):
+        from marex_spark.helper import recommended_shuffle_partitions
+
+        assert recommended_shuffle_partitions(0) == 32
+        assert recommended_shuffle_partitions(1024) == 32
+        assert recommended_shuffle_partitions(64 * 1024**3) == 512
