@@ -319,3 +319,180 @@ def txt_token_count_bpe(spark, sf_dir):
         ).cast("long").alias("n_pretokens"),
         F.ceil(F.length("text") / 4.0).cast("long").alias("approx_bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction — the privacy pass every training-data pipeline
+# runs before release. The synthetic corpus carries no PII, so the
+# query INJECTS a deterministic contact suffix derived from doc_id
+# first (same derivation in the oracle) and then proves the scan +
+# redaction machinery on it: pattern counts and a hash of the redacted
+# text (row stays small; the full redacted corpus would be the real
+# output). Pure regexp built-ins — JVM-side, no UDFs, embarrassingly
+# parallel map over the corpus at any scale.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{4}"
+
+
+@register(
+    "txt_pii_redact",
+    f"""WITH t AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(txt, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+        FROM t""",
+)
+def txt_pii_redact(spark, sf_dir):
+    """PII detection + redaction: email/phone regex scan counts and the
+    redacted text (hashed for compactness)."""
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = docs.select("doc_id", txt.alias("txt"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("txt", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("txt", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("txt", F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1): the
+# published document-filter thresholds as one map-only pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_gopher_rules",
+    f"""WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               {round6_sql('list_sum(list_transform(ws, w -> CAST(length(w) AS DOUBLE))) / len(ws)')}
+                   AS mean_word_len,
+               {round6_sql(f'CAST(len(list_filter(ws, w -> regexp_matches(w, {chr(39)}[A-Za-z]{chr(39)}))) AS DOUBLE) / len(ws)')}
+                   AS alpha_word_ratio,
+               CAST(len(list_filter(ws, w -> w IN ({_STOP_SQL}))) >= 2 AS BOOLEAN)
+                   AS has_min_stopwords,
+               CAST(len(ws) BETWEEN 50 AND 100000
+                    AND (list_sum(list_transform(ws, w -> CAST(length(w) AS DOUBLE))) / len(ws)) BETWEEN 3 AND 10
+                    AND (CAST(len(list_filter(ws, w -> regexp_matches(w, {chr(39)}[A-Za-z]{chr(39)}))) AS DOUBLE) / len(ws)) >= 0.8
+                    AND len(list_filter(ws, w -> w IN ({_STOP_SQL}))) >= 2
+                    AS BOOLEAN) AS passes
+        FROM t""",
+)
+def txt_gopher_rules(spark, sf_dir):
+    """Gopher document-quality rules: word count in [50, 100k], mean
+    word length in [3, 10], ≥80% words with an alphabetic char, ≥2
+    stopwords. One JVM-side pass; each rule also emitted for audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    mean_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / n
+    alpha_ratio = (
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("double") / n
+    )
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS)))
+    passes = (
+        n.between(50, 100000)
+        & mean_len.between(3.0, 10.0)
+        & (alpha_ratio >= 0.8)
+        & (n_stop >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        round6(mean_len).alias("mean_word_len"),
+        round6(alpha_ratio).alias("alpha_word_ratio"),
+        (n_stop >= 2).alias("has_min_stopwords"),
+        passes.alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted source mixing — the data-mix operator behind
+# multi-source training corpora: sample source s with probability
+# proportional to n_s^alpha (alpha<1 upweights small sources), scaled
+# so the total target is a fraction of the corpus. Selection is by
+# content-stable hash (re-runs pick the same rows); the per-source
+# fraction table is a broadcast join, the corpus pays one scan.
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.5
+_MIX_TARGET = 0.6  # sample 60% of the corpus overall
+
+
+@register(
+    "pipe_source_mix_temperature",
+    f"""WITH n AS (
+          SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_s FROM documents GROUP BY source),
+        w AS (
+          SELECT source, n_s, POW(n_s, {_MIX_ALPHA}) / SUM(POW(n_s, {_MIX_ALPHA})) OVER () AS w_s,
+                 (SELECT SUM(n_s) FROM n) AS total FROM n),
+        f AS (
+          SELECT source, LEAST(1.0, total * {_MIX_TARGET} * w_s / n_s) AS keep_frac FROM w),
+        h AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+          FROM documents)
+        SELECT h.doc_id, h.source
+        FROM h JOIN f USING (source)
+        WHERE h.u < f.keep_frac""",
+)
+def pipe_source_mix_temperature(spark, sf_dir):
+    """Temperature-weighted source sampling (w_s proportional to n_s^alpha,
+    alpha=0.5, 60%% overall target), deterministic via md5 hash buckets."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count("*").cast("double").alias("n_s"))
+    w_all = Window.partitionBy()
+    w = n.select(
+        "source",
+        "n_s",
+        (F.pow("n_s", F.lit(_MIX_ALPHA)) / F.sum(F.pow("n_s", F.lit(_MIX_ALPHA))).over(w_all)).alias("w_s"),
+        F.sum("n_s").over(w_all).alias("total"),
+    )
+    f_tab = w.select(
+        "source",
+        F.least(
+            F.lit(1.0), F.col("total") * _MIX_TARGET * F.col("w_s") / F.col("n_s")
+        ).alias("keep_frac"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") / F.lit(4294967296.0)
+    )
+    return (
+        docs.select("doc_id", "source", u.alias("u"))
+        .join(F.broadcast(f_tab), "source")
+        .filter(F.col("u") < F.col("keep_frac"))
+        .select("doc_id", "source")
+    )
