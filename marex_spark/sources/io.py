@@ -129,3 +129,62 @@ def write_bucketed(
     if path:
         w = w.option("path", os.path.abspath(path))
     w.saveAsTable(table)
+
+
+def write_track_result(
+    res,
+    path: str,
+    attrs: dict | None = None,
+) -> dict:
+    """One-call persistence of a tracking run — the Spark form of the
+    reference's annotated events Dataset write (track.py:1414-1468
+    run_stats_attributes + its zarr write): each component table lands
+    as parquet under ``path`` and the run metadata (allow_merging
+    analogue flags, table row counts, user attrs such as
+    Tracker.preprocess_stats()) as a JSON sidecar.
+
+    Layout: events/ timestep_stats/ lifetime_stats/ merge_ledger/
+    parquet dirs (present when the result carries them) +
+    attributes.json. Returns the attributes written."""
+    parts = {
+        "events": res.events,
+        "timestep_stats": res.timestep_stats,
+        "lifetime_stats": res.lifetime_stats,
+        "merge_ledger": res.extras.get("merge_ledger"),
+    }
+    written = {}
+    for name, df in parts.items():
+        if df is not None:
+            df.write.mode("overwrite").parquet(f"{path}/{name}")
+            written[name] = True
+    meta = dict(attrs or {})
+    meta["tables"] = sorted(written)
+    meta["N_events_final"] = (
+        res.events.select("event_id").distinct().count()
+    )
+    write_stats_json(meta, f"{path}/attributes.json")
+    return meta
+
+
+def read_track_result(spark, path: str):
+    """Round-trip loader for :func:`write_track_result` — rebuilds a
+    ``TrackResult`` (lazy scans; attributes from the JSON sidecar into
+    ``extras['attributes']``)."""
+    import os
+
+    from marex_spark.operators.track import TrackResult
+
+    def _maybe(name):
+        p = f"{path}/{name}"
+        return spark.read.parquet(p) if os.path.isdir(p) else None
+
+    extras = {"attributes": read_stats_json(f"{path}/attributes.json")}
+    ledger = _maybe("merge_ledger")
+    if ledger is not None:
+        extras["merge_ledger"] = ledger
+    return TrackResult(
+        events=spark.read.parquet(f"{path}/events"),
+        timestep_stats=_maybe("timestep_stats"),
+        lifetime_stats=_maybe("lifetime_stats"),
+        extras=extras,
+    )

@@ -57,3 +57,26 @@ def test_time_bucket_derivation(spark):
 def test_stats_sidecar(tmp):
     write_stats_json({"area_total": 42.5, "n_events": 7}, f"{tmp}/stats.json")
     assert read_stats_json(f"{tmp}/stats.json") == {"area_total": 42.5, "n_events": 7}
+
+
+class TestTrackResultRoundTrip:
+    """write_track_result / read_track_result (reference annotated
+    events Dataset write, track.py:1414-1468)."""
+
+    def test_roundtrip(self, spark, tmp_path):
+        from marex_spark.operators.track import track_events
+        from marex_spark.sources.io import read_track_result, write_track_result
+        from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+        ext = synthetic_extremes_gridded(spark, n_time=6, ny=16, nx=32)
+        res = track_events(ext, nx=32, compute_stats=False, allow_merging=True)
+        meta = write_track_result(
+            res, str(tmp_path / "run1"), attrs={"allow_merging": 1}
+        )
+        assert meta["allow_merging"] == 1
+        assert "events" in meta["tables"] and "merge_ledger" in meta["tables"]
+
+        back = read_track_result(spark, str(tmp_path / "run1"))
+        assert back.events.count() == res.events.count()
+        assert back.extras["attributes"]["N_events_final"] == meta["N_events_final"]
+        assert back.timestep_stats is None  # not written, not invented
