@@ -74,3 +74,53 @@ def area_history(
     return extremes.groupBy(time_col).agg(
         F.sum(F.when(F.col(extreme_col), 1).otherwise(0)).alias("n_extreme_cells")
     )
+
+
+def episode_stats(
+    extremes: DataFrame,
+    keys: tuple[str, ...] = ("y", "x"),
+    time_col: str = "time",
+    extreme_col: str = "extreme",
+    max_gap_days: int = 2,
+    min_duration_days: int = 5,
+) -> DataFrame:
+    """Per-cell extreme-episode metrics — the Hobday et al. (2016)
+    marine-heatwave summary computed from a boolean detect output:
+    an episode is a run of extreme days bridging gaps of up to
+    ``max_gap_days`` and lasting at least ``min_duration_days``.
+
+    Output per cell: ``n_episodes``, ``max_duration``,
+    ``mean_duration``, ``total_extreme_days``.
+
+    Physical shape: one shuffle by cell; the lag window, running
+    episode id, and both aggregations are all local to that layout —
+    the same single-shuffle plan as the detect pipeline, so it runs
+    directly on a 100 TB extremes table."""
+    from pyspark.sql import Window
+
+    from marex_spark.functions.temporal import epoch_day
+
+    ext = extremes.filter(F.col(extreme_col)).select(
+        *keys, epoch_day(time_col).alias("de")
+    )
+    w = Window.partitionBy(*keys).orderBy("de")
+    brk = F.when(
+        F.col("de") - F.lag("de").over(w) <= max_gap_days + 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    epi = ext.withColumn("brk", brk).withColumn(
+        "eid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = (
+        epi.groupBy(*keys, "eid")
+        .agg(
+            (F.max("de") - F.min("de") + 1).alias("duration"),
+            F.count("*").alias("n_days"),
+        )
+        .filter(F.col("duration") >= min_duration_days)
+    )
+    return runs.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_episodes"),
+        F.max("duration").cast("long").alias("max_duration"),
+        F.avg(F.col("duration").cast("double")).alias("mean_duration"),
+        F.sum("n_days").cast("long").alias("total_extreme_days"),
+    )

@@ -498,3 +498,86 @@ def s6_catalog_scan(spark, sf_dir):
             F.sum(F.col("n_nationkey").cast("long")).alias("key_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-cell extreme-episode statistics — the classic Hobday et al. (2016)
+# marine-heatwave summary the reference's users compute from detect
+# output (episodes = runs of extreme days, gaps <= 2 days bridged,
+# minimum duration 5 days; then per-cell frequency/duration metrics).
+# Pure gaps-and-islands window algebra: one shuffle by cell, every
+# window partition-local — the same single-shuffle shape as detect.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mhw_episode_stats",
+    f"""WITH daily AS (
+          SELECT CAST(l_suppkey % 50 AS BIGINT) AS cell,
+                 date_diff('day', DATE '1970-01-01', l_shipdate) AS de,
+                 SUM(l_extendedprice * (1 - l_discount)) AS rev
+          FROM lineitem GROUP BY 1, 2),
+        thr AS (
+          SELECT cell, quantile_cont(rev, 0.9) AS q FROM daily GROUP BY cell),
+        ext AS (
+          SELECT d.cell, d.de FROM daily d JOIN thr t USING (cell) WHERE d.rev > t.q),
+        gaps AS (
+          SELECT cell, de,
+                 CASE WHEN de - LAG(de) OVER (PARTITION BY cell ORDER BY de) <= 3
+                      THEN 0 ELSE 1 END AS brk
+          FROM ext),
+        epi AS (
+          SELECT cell, de,
+                 SUM(brk) OVER (PARTITION BY cell ORDER BY de
+                                ROWS UNBOUNDED PRECEDING) AS eid
+          FROM gaps),
+        runs AS (
+          SELECT cell, eid, MAX(de) - MIN(de) + 1 AS duration,
+                 COUNT(*) AS n_days
+          FROM epi GROUP BY cell, eid
+          HAVING MAX(de) - MIN(de) + 1 >= 5)
+        SELECT cell,
+               CAST(COUNT(*) AS BIGINT) AS n_episodes,
+               CAST(MAX(duration) AS BIGINT) AS max_duration,
+               {round6_sql('AVG(CAST(duration AS DOUBLE))')} AS mean_duration,
+               CAST(SUM(n_days) AS BIGINT) AS total_extreme_days
+        FROM runs GROUP BY cell""",
+)
+def mhw_episode_stats(spark, sf_dir):
+    """Per-cell episode metrics over a thresholded daily series:
+    episodes bridge gaps <= 2 days and must last >= 5 days (Hobday
+    definitions); outputs count, max/mean duration, total extreme
+    days."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            (F.col("l_suppkey") % 50).cast("long").alias("cell"),
+            F.datediff("l_shipdate", F.lit("1970-01-01")).alias("de"),
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    thr = daily.groupBy("cell").agg(F.percentile("rev", F.lit(0.9)).alias("q"))
+    ext = daily.join(thr, "cell").filter(F.col("rev") > F.col("q"))
+    w = Window.partitionBy("cell").orderBy("de")
+    brk = F.when(
+        F.col("de") - F.lag("de").over(w) <= 3, F.lit(0)
+    ).otherwise(F.lit(1))
+    epi = ext.withColumn("brk", brk).withColumn(
+        "eid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = (
+        epi.groupBy("cell", "eid")
+        .agg(
+            (F.max("de") - F.min("de") + 1).alias("duration"),
+            F.count("*").alias("n_days"),
+        )
+        .filter(F.col("duration") >= 5)
+    )
+    return runs.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_episodes"),
+        F.max("duration").cast("long").alias("max_duration"),
+        round6(F.avg(F.col("duration").cast("double"))).alias("mean_duration"),
+        F.sum("n_days").cast("long").alias("total_extreme_days"),
+    )

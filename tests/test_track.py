@@ -175,3 +175,47 @@ class TestEdgeCases:
         regional = track_events(df, nx=20, wrap_x=False, compute_stats=False)
         assert wrapped.events.select("event_id").distinct().count() == 1
         assert regional.events.select("event_id").distinct().count() == 2
+
+
+class TestEpisodeStats:
+    """Per-cell Hobday-2016 episode metrics (operators/stats.episode_stats)."""
+
+    def test_gap_bridging_and_min_duration(self, spark):
+        from pyspark.sql import functions as F
+
+        from marex_spark.operators.stats import episode_stats
+
+        # cell A: days 0-3 extreme, gap 4-5, days 6-8 extreme
+        #   -> one bridged episode days 0..8 (duration 9, 7 extreme days)
+        # cell B: days 0-2 extreme only -> duration 3 < 5, filtered out
+        rows = [(0, 0, d) for d in [0, 1, 2, 3, 6, 7, 8]] + [
+            (0, 1, d) for d in [0, 1, 2]
+        ]
+        df = spark.createDataFrame(rows, "y int, x int, d int").select(
+            "y", "x",
+            F.timestamp_seconds(F.col("d") * 86400).alias("time"),
+            F.lit(True).alias("extreme"),
+        )
+        out = {(r.y, r.x): r for r in episode_stats(df).collect()}
+        assert (0, 1) not in out
+        a = out[(0, 0)]
+        assert a.n_episodes == 1
+        assert a.max_duration == 9
+        assert a.total_extreme_days == 7
+
+    def test_gap_too_large_splits(self, spark):
+        from pyspark.sql import functions as F
+
+        from marex_spark.operators.stats import episode_stats
+
+        # gap of 3 days (> max_gap 2) splits into two episodes of 5 days
+        rows = [(0, 0, d) for d in list(range(0, 5)) + list(range(8, 13))]
+        df = spark.createDataFrame(rows, "y int, x int, d int").select(
+            "y", "x",
+            F.timestamp_seconds(F.col("d") * 86400).alias("time"),
+            F.lit(True).alias("extreme"),
+        )
+        a = episode_stats(df).collect()[0]
+        assert a.n_episodes == 2
+        assert a.max_duration == 5
+        assert a.mean_duration == 5.0
