@@ -50,6 +50,7 @@ def __getattr__(name):
         "write_netcdf_classic": "marex_spark.sources.netcdf",
         "unify_coordinates": "marex_spark.functions.geometry",
         "snapshot_grid": "marex_spark.viz",
+        "episode_stats": "marex_spark.operators.stats",
         "trajectories": "marex_spark.viz",
         "clim_robust_limits": "marex_spark.viz",
         "pack_unstructured": "marex_spark.operators.detect_blocked",

@@ -83,6 +83,7 @@ def episode_stats(
     extreme_col: str = "extreme",
     max_gap_days: int = 2,
     min_duration_days: int = 5,
+    anomaly_col: str | None = None,
 ) -> DataFrame:
     """Per-cell extreme-episode metrics — the Hobday et al. (2016)
     marine-heatwave summary computed from a boolean detect output:
@@ -90,7 +91,10 @@ def episode_stats(
     ``max_gap_days`` and lasting at least ``min_duration_days``.
 
     Output per cell: ``n_episodes``, ``max_duration``,
-    ``mean_duration``, ``total_extreme_days``.
+    ``mean_duration``, ``total_extreme_days``; with ``anomaly_col``
+    also the Hobday intensity metrics ``i_max`` (peak anomaly),
+    ``i_mean`` (mean over extreme days) and ``i_cum`` (cumulative
+    degree-days, the sum of anomalies over all episode days).
 
     Physical shape: one shuffle by cell; the lag window, running
     episode id, and both aggregations are all local to that layout —
@@ -100,9 +104,10 @@ def episode_stats(
 
     from marex_spark.functions.temporal import epoch_day
 
-    ext = extremes.filter(F.col(extreme_col)).select(
-        *keys, epoch_day(time_col).alias("de")
-    )
+    sel = [*keys, epoch_day(time_col).alias("de")]
+    if anomaly_col is not None:
+        sel.append(F.col(anomaly_col).cast("double").alias("_a"))
+    ext = extremes.filter(F.col(extreme_col)).select(*sel)
     w = Window.partitionBy(*keys).orderBy("de")
     brk = F.when(
         F.col("de") - F.lag("de").over(w) <= max_gap_days + 1, F.lit(0)
@@ -110,17 +115,31 @@ def episode_stats(
     epi = ext.withColumn("brk", brk).withColumn(
         "eid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+    run_aggs = [
+        (F.max("de") - F.min("de") + 1).alias("duration"),
+        F.count("*").alias("n_days"),
+    ]
+    if anomaly_col is not None:
+        run_aggs += [
+            F.max("_a").alias("_imax"),
+            F.avg("_a").alias("_imean"),
+            F.sum("_a").alias("_icum"),
+        ]
     runs = (
         epi.groupBy(*keys, "eid")
-        .agg(
-            (F.max("de") - F.min("de") + 1).alias("duration"),
-            F.count("*").alias("n_days"),
-        )
+        .agg(*run_aggs)
         .filter(F.col("duration") >= min_duration_days)
     )
-    return runs.groupBy(*keys).agg(
+    cell_aggs = [
         F.count("*").cast("long").alias("n_episodes"),
         F.max("duration").cast("long").alias("max_duration"),
         F.avg(F.col("duration").cast("double")).alias("mean_duration"),
         F.sum("n_days").cast("long").alias("total_extreme_days"),
-    )
+    ]
+    if anomaly_col is not None:
+        cell_aggs += [
+            F.max("_imax").alias("i_max"),
+            F.avg("_imean").alias("i_mean"),
+            F.sum("_icum").alias("i_cum"),
+        ]
+    return runs.groupBy(*keys).agg(*cell_aggs)

@@ -219,3 +219,22 @@ class TestEpisodeStats:
         assert a.n_episodes == 2
         assert a.max_duration == 5
         assert a.mean_duration == 5.0
+
+    def test_intensity_metrics(self, spark):
+        from pyspark.sql import functions as F
+
+        from marex_spark.operators.stats import episode_stats
+
+        rows = [(0, 0, d, 1.0 + d * 0.5) for d in range(5)]
+        df = spark.createDataFrame(
+            rows, "y int, x int, d int, anomaly double"
+        ).select(
+            "y", "x",
+            F.timestamp_seconds(F.col("d") * 86400).alias("time"),
+            F.lit(True).alias("extreme"),
+            "anomaly",
+        )
+        a = episode_stats(df, anomaly_col="anomaly").collect()[0]
+        assert a.i_max == 3.0
+        assert a.i_mean == 2.0
+        assert a.i_cum == 10.0
