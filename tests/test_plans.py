@@ -170,3 +170,17 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_od_b")
+
+
+def test_episode_stats_is_single_shuffle(spark):
+    """Hobday episode metrics: one hash Exchange by cell; the lag
+    window, running episode id, and both aggregations reuse that layout
+    (grouping keys are supersets of the partition keys)."""
+    from marex_spark.operators.stats import episode_stats
+    from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+    ext = synthetic_extremes_gridded(spark, n_time=6, ny=8, nx=16)
+    out = episode_stats(ext)
+    assert exchange_count(out) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
