@@ -131,6 +131,7 @@ def preprocess_data(
     nx: int | None = None,
     ny: int | None = None,
     reference_period: tuple[int, int] | None = None,
+    dimensions: dict | None = None,
 ) -> DetectResult:
     """Raw series → boolean extremes. Drops null/NaN values first
     (P2 validity predicate, detect.py:222).
@@ -198,6 +199,17 @@ def preprocess_data(
             suggestions=["Remove the reference_period parameter, or "
                          "use a fixed-baseline anomaly method"],
         )
+
+    if dimensions is not None:
+        # reference detect.py:131-220: canonical->actual name mapping;
+        # after renaming, the canonical names drive the whole pipeline
+        from marex_spark.datamodel import apply_dimensions
+
+        df = apply_dimensions(
+            df, dimensions, unstructured=keys == ("cell",),
+            require=(*keys, "time", "value"),
+        )
+        time_col, value_col = "time", "value"
 
     clean = df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col))
     clean = partition_by_cells(clean, keys)

@@ -123,9 +123,25 @@ class Tracker:
     compact_ids: bool = False
     checkpoint: str | None = None  # 'save' | 'load' | None (track.py:138,342)
     temp_dir: str | None = None
+    dimensions: dict | None = None  # canonical -> actual column names
     extras: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
+        if self.dimensions is not None:
+            # reference track.py:119-127 dimensions mapping; canonical
+            # names drive everything downstream
+            from marex_spark.datamodel import apply_dimensions
+
+            spatial = ("cell",) if self.unstructured_grid else ("y", "x")
+            mapping = dict(self.dimensions)
+            mapping.setdefault("extreme", self.extreme_col)
+            mapping.setdefault("time", self.time_col)
+            self.data_bin = apply_dimensions(
+                self.data_bin, mapping,
+                unstructured=self.unstructured_grid,
+                require=(*spatial, "time", "extreme"),
+            )
+            self.time_col, self.extreme_col = "time", "extreme"
         if self.checkpoint not in (None, "None", "save", "load"):
             raise ConfigurationError(
                 "checkpoint must be 'save', 'load', or None",

@@ -110,3 +110,60 @@ def test_detect_on_unstructured_keys(spark):
     det = preprocess_data(series, keys=("cell",), method_percentile="exact")
     frac = det.extremes.filter("extreme").count() / det.extremes.count()
     assert 0.03 <= frac <= 0.07
+
+
+class TestDimensionsMapping:
+    """dimensions= canonical->actual mapping (reference detect.py:131-220,
+    track.py:119-127)."""
+
+    def test_preprocess_data_with_renamed_columns(self, spark):
+        from pyspark.sql import functions as F
+
+        from marex_spark.operators.detect import preprocess_data
+        from marex_spark.sources.synthetic import synthetic_sst_gridded
+
+        base = synthetic_sst_gridded(spark, n_years=2, ny=4, nx=8)
+        renamed = (
+            base.withColumnRenamed("time", "t")
+            .withColumnRenamed("y", "lat_idx")
+            .withColumnRenamed("x", "lon_idx")
+            .withColumnRenamed("value", "sst")
+        )
+        det_ref = preprocess_data(base, method_percentile="exact")
+        det_map = preprocess_data(
+            renamed,
+            method_percentile="exact",
+            dimensions={"time": "t", "y": "lat_idx", "x": "lon_idx", "value": "sst"},
+        )
+        n_ref = det_ref.extremes.filter(F.col("extreme")).count()
+        n_map = det_map.extremes.filter(F.col("extreme")).count()
+        det_ref.unpersist()
+        det_map.unpersist()
+        assert n_ref == n_map and n_ref > 0
+
+    def test_missing_mapped_column_raises(self, spark):
+        import pytest
+
+        from marex_spark.datamodel import apply_dimensions
+        from marex_spark.exceptions import CoordinateError
+
+        df = spark.createDataFrame([(1, 2)], "a int, b int")
+        with pytest.raises(CoordinateError, match="not found"):
+            apply_dimensions(df, {"time": "nope"})
+
+    def test_tracker_dimensions(self, spark):
+        from pyspark.sql import functions as F
+
+        from marex_spark.sources.synthetic import synthetic_extremes_gridded
+        from marex_spark.tracker import tracker
+
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=8, nx=16)
+        renamed = ext.withColumnRenamed("time", "t").withColumnRenamed(
+            "extreme", "is_hot"
+        )
+        t = tracker(
+            renamed, ny=8, nx=16, R_fill=0, T_fill=0,
+            area_filter_quartile=0.0, allow_merging=False,
+            dimensions={"time": "t", "extreme": "is_hot"},
+        )
+        assert t.run().events.count() == ext.filter(F.col("extreme")).count()
