@@ -57,6 +57,9 @@ def __getattr__(name):
         "detect_extremes_unstructured_packed": "marex_spark.operators.detect_blocked",
         "open_catalog": "marex_spark.sources.catalog",
         "write_bucketed": "marex_spark.sources.io",
+        "write_track_result": "marex_spark.sources.io",
+        "read_track_result": "marex_spark.sources.io",
+        "checkpoint_parquet": "marex_spark.sources.io",
         "GriddedPlotter": "marex_spark.render",
         "UnstructuredPlotter": "marex_spark.render",
         "render_frames_distributed": "marex_spark.render",
