@@ -209,9 +209,26 @@ def _var_decode_params(v: dict) -> tuple:
     return fill, float(scale[0]), float(offset[0])
 
 
-def _decode_time_units(units: str, vals: np.ndarray) -> list:
+_FIXED_CALENDARS = {
+    "noleap": 365, "365_day": 365, "360_day": 360,
+    "all_leap": 366, "366_day": 366,
+}
+
+
+def _decode_time_units(units: str, vals: np.ndarray, calendar: str = "") -> list:
     """CF-style 'UNIT since BASE' decode for the common units; raw
-    integers pass through as day counts from the epoch."""
+    integers pass through as day counts from the epoch.
+
+    ``calendar`` (CF time:calendar attribute) — fixed-length model
+    calendars (noleap/365_day, 360_day, all_leap/366_day, the climate-
+    model norm) decode by (year, day-of-year) arithmetic: model day d
+    of year Y maps to the Gregorian timestamp Jan-1-of-Y + (d-1) days,
+    which makes Spark's year()/dayofyear() recover the MODEL calendar
+    exactly (dayofyear(Jan1 + k days) ≡ k+1). Climatology and
+    thresholds group on the model's own day index instead of drifting
+    ~1 day per 4 years, the way a Gregorian decode of noleap data does.
+    (The reference gets the same behaviour from xarray's cftime
+    decoding, detect.py's dayofyear use.)"""
     unit_s = {"days": 86400, "hours": 3600, "minutes": 60, "seconds": 1}
     base = pd.Timestamp("1970-01-01")
     mult = 86400
@@ -220,6 +237,19 @@ def _decode_time_units(units: str, vals: np.ndarray) -> list:
         if len(parts) == 2 and parts[0].strip().lower() in unit_s:
             mult = unit_s[parts[0].strip().lower()]
             base = pd.Timestamp(parts[1].strip())
+    cal = (calendar or "").strip().lower()
+    year_len = _FIXED_CALENDARS.get(cal)
+    if year_len is not None:
+        # whole model days since BASE (sub-day parts truncate)
+        days = (vals.astype(np.float64) * mult // 86400).astype(np.int64)
+        base_doy = min(base.dayofyear, year_len) - 1
+        total = base_doy + days
+        year = base.year + total // year_len
+        doy = total % year_len  # 0-based
+        return [
+            pd.Timestamp(year=int(y), month=1, day=1) + pd.Timedelta(days=int(d))
+            for y, d in zip(year, doy)
+        ]
     return list(base + pd.to_timedelta(vals.astype(np.float64) * mult, unit="s"))
 
 
@@ -303,7 +333,12 @@ def ingest_netcdf_classic(
     if tv is not None and len(tv["dimids"]) == 1 and tv["dimids"][0] == d0:
         raw_t = _read_coord(path, header, tv, T)
         units = tv["atts"].get("units", "")
-        times = _decode_time_units(units if isinstance(units, str) else "", raw_t)
+        cal = tv["atts"].get("calendar", "")
+        times = _decode_time_units(
+            units if isinstance(units, str) else "",
+            raw_t,
+            cal if isinstance(cal, str) else "",
+        )
     else:
         times = _decode_time_units("", np.arange(T))
 

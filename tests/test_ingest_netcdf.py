@@ -101,3 +101,58 @@ def test_rejects_non_classic(spark, tmp_path_factory):
         f.write(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
     with pytest.raises(DataValidationError):
         ingest_netcdf_classic(spark, p, "sst")
+
+
+class TestFixedCalendars:
+    """CF fixed-length model calendars (noleap/360_day) decode by
+    (year, doy) arithmetic so Spark's dayofyear() recovers the model
+    day index without leap drift."""
+
+    def test_noleap_no_drift(self):
+        import numpy as np
+        import pandas as pd
+
+        from marex_spark.sources.netcdf import _decode_time_units
+
+        # 10 model years of noleap days from 2000-01-01; gregorian
+        # decode would drift +2 days by 2008 (2000, 2004 leaps)
+        vals = np.arange(10 * 365)
+        ts = _decode_time_units("days since 2000-01-01", vals, "noleap")
+        assert ts[0] == pd.Timestamp("2000-01-01")
+        # model day 0 of year Y is always Jan 1, doy 1
+        for y in range(10):
+            t = ts[y * 365]
+            assert (t.year, t.month, t.day) == (2000 + y, 1, 1)
+        # model doy is exactly periodic with period 365
+        assert all(ts[i].dayofyear == (i % 365) + 1 for i in range(0, 3650, 37))
+
+    def test_360_day(self):
+        import numpy as np
+
+        from marex_spark.sources.netcdf import _decode_time_units
+
+        vals = np.arange(720)
+        ts = _decode_time_units("days since 1850-01-01", vals, "360_day")
+        assert ts[360].year == 1851 and ts[360].dayofyear == 1
+        assert ts[719].dayofyear == 360
+
+    def test_standard_calendar_unchanged(self):
+        import numpy as np
+        import pandas as pd
+
+        from marex_spark.sources.netcdf import _decode_time_units
+
+        vals = np.arange(366)
+        ts = _decode_time_units("days since 2020-01-01", vals, "standard")
+        assert ts[59] == pd.Timestamp("2020-02-29")  # leap day kept
+
+    def test_mid_year_base(self):
+        import numpy as np
+
+        from marex_spark.sources.netcdf import _decode_time_units
+
+        ts = _decode_time_units("days since 2000-07-01", np.arange(2), "noleap")
+        # 2000-07-01 is doy 183 in the Gregorian base (leap year);
+        # noleap arithmetic keeps the base day index and increments
+        assert ts[0].dayofyear == 183
+        assert ts[1].dayofyear == 184
