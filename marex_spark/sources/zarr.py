@@ -82,6 +82,7 @@ def ingest_zarr_gridded(
     time_units: str = "days",
     time_base: str = "1970-01-01",
     layout: str = "packed",
+    calendar: str = "",
 ):
     """3-D (time, y, x) zarr array → Spark DataFrame in the requested
     layout. Distributed: one task per zarr chunk file."""
@@ -107,9 +108,23 @@ def ingest_zarr_gridded(
         tvals = _read_small_array(tdir).astype(np.int64)
     else:
         tvals = np.arange(T, dtype=np.int64)
-    unit_s = 86400 if time_units == "days" else 1
-    base = pd.Timestamp(time_base)
-    times = base + pd.to_timedelta(tvals * unit_s, unit="s")
+    # if the time array carries CF attrs (.zattrs), they win over the
+    # keyword defaults; fixed-length model calendars decode by
+    # (year, doy) arithmetic (see netcdf._decode_time_units)
+    units_str = f"{time_units} since {time_base}"
+    zattrs_path = os.path.join(tdir, ".zattrs")
+    if os.path.exists(zattrs_path):
+        import json
+
+        try:
+            atts = json.loads(open(zattrs_path).read())
+            units_str = atts.get("units", units_str)
+            calendar = calendar or atts.get("calendar", "")
+        except (OSError, ValueError):
+            pass
+    from marex_spark.sources.netcdf import _decode_time_units
+
+    times = _decode_time_units(units_str, tvals, calendar)
 
     keys = [
         (it, iy, ix)

@@ -146,3 +146,40 @@ def test_zarr_packed_roundtrip(spark, store):
     assert [round(v, 2) for v in row.vals] == [
         round(float(a[1, 1, x]), 2) for x in range(6)
     ]
+
+
+def test_zattrs_calendar_decode(spark, tmp_path):
+    """A time array with CF .zattrs (units + noleap calendar) decodes by
+    model-day arithmetic: day 365 of a noleap series is Jan 1 of the
+    next year, day-of-year 1."""
+    root = tmp_path / "cal.zarr"
+    T, NY, NX = 366, 1, 2
+    var_dir = root / "sst"
+    var_dir.mkdir(parents=True)
+    a = np.arange(T * NY * NX, dtype=np.float32).reshape(T, NY, NX)
+    (var_dir / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [T, NY, NX], "chunks": [T, NY, NX],
+        "dtype": "<f4", "order": "C", "compressor": None,
+        "fill_value": "NaN", "filters": None,
+    }))
+    (var_dir / "0.0.0").write_bytes(a.tobytes())
+    tdir = root / "time"
+    tdir.mkdir()
+    (tdir / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [T], "chunks": [T], "dtype": "<i8",
+        "order": "C", "compressor": None, "fill_value": 0, "filters": None,
+    }))
+    (tdir / "0").write_bytes(np.arange(T, dtype=np.int64).tobytes())
+    (tdir / ".zattrs").write_text(json.dumps({
+        "units": "days since 2000-01-01", "calendar": "noleap",
+    }))
+
+    from pyspark.sql import functions as F
+
+    from marex_spark.sources.zarr import ingest_zarr_gridded
+
+    df = ingest_zarr_gridded(spark, str(root), "sst", layout="long")
+    d365 = df.filter(F.col("value") == 365 * NX).select(
+        F.year("time").alias("y"), F.dayofyear("time").alias("d")
+    ).first()
+    assert (d365.y, d365.d) == (2001, 1)  # noleap: no Feb 29 slot
