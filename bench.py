@@ -317,10 +317,15 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
         packed = spark.read.parquet(packed_path)
         cells = detect_extremes_blocked_packed(packed, method_percentile="histogram")
         ext = cells.withColumn("extreme", Fx.lit(True))
-        pre = preprocess_extremes(
-            ext, ny=ny, nx=nx, r_fill=4, t_fill=2, area_quartile=0.5
+        # fused form: the area filter's labels feed tracking directly —
+        # the second labelling pass (one full shuffle + kernel pass
+        # over all extreme cells) is skipped; structure-identical
+        # (tests/test_track.py::TestFusedLabelling)
+        labels = preprocess_extremes(
+            ext, ny=ny, nx=nx, r_fill=4, t_fill=2, area_quartile=0.5,
+            return_labels=True,
         )
-        res = track_events(pre, nx=nx, compute_stats=False)
+        res = track_events(ext, nx=nx, compute_stats=False, labels=labels)
         res.events.write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
         return 0

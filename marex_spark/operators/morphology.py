@@ -336,12 +336,21 @@ def filter_small_objects(
     wrap_x: bool = True,
     grid_area: DataFrame | None = None,
     min_area: float | None = None,
+    return_labels: bool = False,
 ) -> DataFrame:
     """Small-object filter (track.py:1755-1906): label per time (M4),
     object areas (A9), percentile threshold over object areas (A11) OR
     an absolute floor (the reference's ``area_filter_absolute``),
     semi-join keep (P6). Returns the boolean field with small objects
-    switched off."""
+    switched off.
+
+    ``return_labels=True`` returns the surviving LABELLED cells
+    (time, y, x, obj_id) instead of the boolean field: dropping whole
+    components never splits or merges the others, so these labels are
+    valid tracking input as-is — the caller skips the second
+    labelling pass ``track_events`` would otherwise run (one full
+    shuffle + kernel pass over all extreme cells saved; only the
+    obj-id NUMBERING differs from relabelling the filtered field)."""
     from marex_spark.operators.label import label_components
     from marex_spark.operators.overlap import object_areas
 
@@ -364,7 +373,10 @@ def filter_small_objects(
             .filter(F.col("area") >= F.col("thr"))
             .select("obj_id")
         )
-    kept_cells = labels.join(keep, "obj_id", "left_semi").withColumn("_k", F.lit(True))
+    kept_cells = labels.join(keep, "obj_id", "left_semi")
+    if return_labels:
+        return kept_cells.select(time_col, "y", "x", "obj_id")
+    kept_cells = kept_cells.withColumn("_k", F.lit(True))
     return (
         extremes.drop(extreme_col)
         .join(kept_cells.select(time_col, "y", "x", "_k"), [time_col, "y", "x"], "left")

@@ -42,6 +42,7 @@ def preprocess_extremes(
     time_col: str = "time",
     extreme_col: str = "extreme",
     area_filter_absolute: float | None = None,
+    return_labels: bool = False,
 ) -> DataFrame:
     """The tracker's run_preprocess (track.py:1234-1368): morphological
     hole-filling (M1), temporal gap-filling (M3), then the small-object
@@ -49,7 +50,14 @@ def preprocess_extremes(
     (``area_filter_absolute``, the reference's regional-mode knob;
     mutually exclusive with a non-zero quartile, and must be positive —
     reference tests/test_track_edge_cases.py:551-605). Output: cleaned
-    boolean field with the input schema."""
+    boolean field with the input schema.
+
+    ``return_labels=True`` returns LABELLED surviving cells
+    (time, y, x, obj_id) instead — the area filter already labels the
+    field, so handing its labels to ``track_events(labels=...)``
+    skips tracking's own labelling pass (one full shuffle + kernel
+    pass over all extreme cells saved; only obj-id numbering differs
+    from the two-pass form)."""
     from marex_spark.exceptions import ConfigurationError
     from marex_spark.operators.morphology import (
         fill_holes,
@@ -86,12 +94,19 @@ def preprocess_extremes(
         d = d.localCheckpoint()
         d = filter_small_objects(
             d, nx, 0.0, time_col, extreme_col, wrap_x,
-            min_area=area_filter_absolute,
+            min_area=area_filter_absolute, return_labels=return_labels,
         )
     elif area_quartile > 0:
         d = d.localCheckpoint()
         d = filter_small_objects(
-            d, nx, area_quartile, time_col, extreme_col, wrap_x
+            d, nx, area_quartile, time_col, extreme_col, wrap_x,
+            return_labels=return_labels,
+        )
+    elif return_labels:
+        from marex_spark.operators.label import label_components
+
+        d = label_components(
+            d, nx=nx, time_col=time_col, extreme_col=extreme_col, wrap_x=wrap_x
         )
     return d
 
@@ -124,6 +139,7 @@ def track_events(
     merge_chunk_steps: int | None = 64,
     merge_parallel: bool = True,
     compact_ids: bool = False,
+    labels: DataFrame | None = None,
 ) -> TrackResult:
     """Boolean extreme field → globally labelled events with stats.
 
@@ -154,16 +170,23 @@ def track_events(
     memory O(chunk)), plus ``merge_chunk_steps=None`` for the one-shot
     collect.
     """
-    labels = label_components(
-        extremes,
-        nx=nx,
-        time_col=time_col,
-        connectivity=connectivity,
-        wrap_x=wrap_x,
-        extreme_col=extreme_col,
-    )
-    # label_components already checkpoints its output, so the self-join
-    # below reads materialised rows rather than re-running the UDF.
+    if labels is None:
+        labels = label_components(
+            extremes,
+            nx=nx,
+            time_col=time_col,
+            connectivity=connectivity,
+            wrap_x=wrap_x,
+            extreme_col=extreme_col,
+        )
+        # label_components already checkpoints its output, so the
+        # self-join below reads materialised rows rather than
+        # re-running the UDF.
+    else:
+        # pre-labelled input (e.g. filter_small_objects
+        # return_labels=True): skip the labelling pass entirely; the
+        # merge/overlap stages need materialised rows
+        labels = labels.localCheckpoint()
     extras: dict = {}
     if allow_merging:
         from marex_spark.operators.merge import (

@@ -124,6 +124,13 @@ class Tracker:
     checkpoint: str | None = None  # 'save' | 'load' | None (track.py:138,342)
     temp_dir: str | None = None
     dimensions: dict | None = None  # canonical -> actual column names
+    # Reuse the area filter's labels as tracking input (gridded path):
+    # skips the second labelling pass — one full shuffle + kernel pass
+    # over all extreme cells. Event structure is identical; only the
+    # arbitrary obj-id numbering differs from the two-pass form
+    # (tests/test_track.py::TestFusedLabelling). Disabled automatically
+    # when a checkpoint strategy needs the boolean field on disk.
+    fuse_labelling: bool = True
     extras: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -455,9 +462,13 @@ class Tracker:
     def run(self) -> TrackResult:
         """Preprocess then track; the reference's ``tracker.run()``
         (track.py:1162-1232). Returns the engine's ``TrackResult``
-        (events / timestep_stats / lifetime_stats / merge ledger)."""
-        cleaned = self.run_preprocess()
+        (events / timestep_stats / lifetime_stats / merge ledger).
+
+        On the gridded path the area filter's labels feed tracking
+        directly by default (``fuse_labelling``), skipping the second
+        labelling pass."""
         if self.unstructured_grid:
+            cleaned = self.run_preprocess()
             return track_events_unstructured(
                 cleaned,
                 self.edges,
@@ -472,6 +483,29 @@ class Tracker:
                 compact_ids=self.compact_ids,
             )
         gy = self._grid_y_with_area()
+        labels = None
+        ckpt = self.checkpoint in ("save", "load")
+        if self.fuse_labelling and not ckpt:
+            d = self._apply_mask(self.data_bin)
+            quartile = self.area_filter_quartile
+            if quartile is None and self.area_filter_absolute is None:
+                quartile = 0.5  # reference default
+            labels = preprocess_extremes(
+                d,
+                ny=self.ny or 0,
+                nx=self.nx,
+                r_fill=self.R_fill,
+                t_fill=self.T_fill,
+                area_quartile=quartile or 0.0,
+                wrap_x=not self.regional_mode,
+                time_col=self.time_col,
+                extreme_col=self.extreme_col,
+                area_filter_absolute=self.area_filter_absolute,
+                return_labels=True,
+            )
+            cleaned = self.data_bin.limit(0)  # unused when labels given
+        else:
+            cleaned = self.run_preprocess()
         res = track_events(
             cleaned,
             nx=self.nx,
@@ -488,6 +522,7 @@ class Tracker:
             max_distance=self.max_distance,
             merge_parallel=self.merge_parallel,
             compact_ids=self.compact_ids,
+            labels=labels,
         )
         return res
 

@@ -238,3 +238,38 @@ class TestEpisodeStats:
         assert a.i_max == 3.0
         assert a.i_mean == 2.0
         assert a.i_cum == 10.0
+
+
+class TestFusedLabelling:
+    """preprocess_extremes(return_labels=True) + track_events(labels=...)
+    must produce the same event STRUCTURE as the two-pass form (ids are
+    numbering-dependent; cell partitions are not)."""
+
+    def _event_partition(self, events):
+        """Frozenset of frozensets of (time, y, x) — id-free structure."""
+        from collections import defaultdict
+
+        groups = defaultdict(set)
+        for r in events.collect():
+            groups[r.event_id].add((str(r.time), r.y, r.x))
+        return frozenset(frozenset(v) for v in groups.values())
+
+    def test_structure_identical(self, spark):
+        from marex_spark.operators.track import preprocess_extremes, track_events
+        from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+        ext = synthetic_extremes_gridded(spark, n_time=10, ny=20, nx=40)
+        two_pass = track_events(
+            preprocess_extremes(ext, ny=20, nx=40, r_fill=2, t_fill=2,
+                                area_quartile=0.5),
+            nx=40, compute_stats=False,
+        ).events
+        fused = track_events(
+            ext.limit(0),  # unused when labels given
+            nx=40, compute_stats=False,
+            labels=preprocess_extremes(
+                ext, ny=20, nx=40, r_fill=2, t_fill=2, area_quartile=0.5,
+                return_labels=True,
+            ),
+        ).events
+        assert self._event_partition(two_pass) == self._event_partition(fused)

@@ -76,7 +76,7 @@ class TestRunParity:
         t = tracker(
             ext, ny=NY, nx=NX, R_fill=2, T_fill=2,
             area_filter_quartile=0.25, allow_merging=False,
-            overlap_threshold=0.5,
+            overlap_threshold=0.5, fuse_labelling=False,
         )
         got = t.run().events
 
@@ -90,6 +90,28 @@ class TestRunParity:
         g = got.groupBy("event_id").count().orderBy("event_id").collect()
         w = want.groupBy("event_id").count().orderBy("event_id").collect()
         assert [tuple(r) for r in g] == [tuple(r) for r in w]
+
+    def test_fused_default_same_structure(self, spark):
+        """The default fused path: same cells, same event partition
+        structure as the two-pass form (ids renumber)."""
+        from collections import defaultdict
+
+        ext = synthetic_extremes_gridded(spark, n_time=10, ny=NY, nx=NX)
+
+        def structure(events):
+            groups = defaultdict(set)
+            for r in events.collect():
+                groups[r.event_id].add((str(r.time), r.y, r.x))
+            return frozenset(frozenset(v) for v in groups.values())
+
+        kw = dict(
+            ny=NY, nx=NX, R_fill=2, T_fill=2,
+            area_filter_quartile=0.25, allow_merging=False,
+            overlap_threshold=0.5,
+        )
+        fused = tracker(ext, **kw).run().events
+        two_pass = tracker(ext, fuse_labelling=False, **kw).run().events
+        assert structure(fused) == structure(two_pass)
 
     def test_default_area_quartile_is_half(self, spark):
         """Neither filter given → quartile 0.5, as the reference defaults
