@@ -269,6 +269,7 @@ def track_events_unstructured(
     merge_parallel: bool = True,
     merge_block_steps: int = 64,
     compact_ids: bool = False,
+    labels: DataFrame | None = None,
 ) -> TrackResult:
     """Unstructured-mesh tracking (reference unstructured path,
     track.py:1023-1117 setup + M6/M2 kernels): boolean (time, cell)
@@ -276,12 +277,17 @@ def track_events_unstructured(
 
     ``cell_geo``: (cell, lat, lon[, area]) dimension table — needed for
     stats and for merge partitioning (haversine to parent centroids).
+
+    ``labels``: pre-labelled (time, cell, obj_id) input (e.g. from the
+    mesh area filter) — skips the labelling pass.
     """
     from marex_spark.operators.label import label_components_unstructured
 
-    labels = label_components_unstructured(
-        extremes, edges, time_col=time_col, extreme_col=extreme_col
-    ).localCheckpoint()
+    if labels is None:
+        labels = label_components_unstructured(
+            extremes, edges, time_col=time_col, extreme_col=extreme_col
+        )
+    labels = labels.localCheckpoint()
 
     extras: dict = {}
     if allow_merging:

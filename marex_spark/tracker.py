@@ -243,7 +243,9 @@ class Tracker:
             return cell_areas_from_resolution(self.grid_y, self.grid_resolution)
         return self.grid_y
 
-    def _preprocess_unstructured(self, d: DataFrame) -> DataFrame:
+    def _preprocess_unstructured(
+        self, d: DataFrame, return_labels: bool = False
+    ) -> DataFrame:
         """Mesh-mode preprocessing: closing then opening by R hops over
         the edge table (M2), temporal gap fill (M3), then the area
         filter via per-slice mesh labelling (reference unstructured
@@ -292,6 +294,11 @@ class Tracker:
         if quartile is None and absolute is None:
             quartile = 0.5  # reference default (track.py:96)
         if (quartile or 0) <= 0 and absolute is None:
+            if return_labels:
+                return label_components_unstructured(
+                    dense, self.edges, time_col=self.time_col,
+                    extreme_col=self.extreme_col,
+                )
             return dense
 
         labels = label_components_unstructured(
@@ -313,7 +320,12 @@ class Tracker:
                 .filter(F.col("area") >= F.col("thr"))
                 .select("obj_id")
             )
-        kept = labels.join(keep, "obj_id", "left_semi").withColumn("_k", F.lit(True))
+        kept = labels.join(keep, "obj_id", "left_semi")
+        if return_labels:
+            # same contract as the gridded fused path: dropping whole
+            # components keeps the remaining labels valid tracking input
+            return kept.select(self.time_col, "cell", "obj_id")
+        kept = kept.withColumn("_k", F.lit(True))
         return (
             dense.drop(self.extreme_col)
             .join(
@@ -468,7 +480,15 @@ class Tracker:
         directly by default (``fuse_labelling``), skipping the second
         labelling pass."""
         if self.unstructured_grid:
-            cleaned = self.run_preprocess()
+            mesh_labels = None
+            cleaned = None
+            if self.fuse_labelling and self.checkpoint not in ("save", "load"):
+                mesh_labels = self._preprocess_unstructured(
+                    self._apply_mask(self.data_bin), return_labels=True
+                )
+                cleaned = self.data_bin.limit(0)
+            else:
+                cleaned = self.run_preprocess()
             return track_events_unstructured(
                 cleaned,
                 self.edges,
@@ -481,6 +501,7 @@ class Tracker:
                 max_distance=self.max_distance,
                 merge_parallel=self.merge_parallel,
                 compact_ids=self.compact_ids,
+                labels=mesh_labels,
             )
         gy = self._grid_y_with_area()
         labels = None
