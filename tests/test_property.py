@@ -6,6 +6,7 @@ regression from r2)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -213,3 +214,60 @@ def test_morph_kernel_matches_brute_force(cells, radius, wrap_x):
             )
     assert np.array_equal(_dilate_np(g, offs, wrap_x), dil)
     assert np.array_equal(_erode_np(g, offs, wrap_x), ero)
+
+
+class TestEpisodeStatsProperty:
+    """episode_stats vs a direct python run-length model on random
+    sparse day sets."""
+
+    @pytest.mark.parametrize("seed", [3, 11, 29])
+    def test_matches_python_model(self, spark, seed):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from marex_spark.operators.stats import episode_stats
+
+        rng = random.Random(seed)
+        max_gap, min_dur = 2, 5
+        cells = [(0, x) for x in range(6)]
+        rows, model = [], {}
+        for y, x in cells:
+            days = sorted(rng.sample(range(120), rng.randint(0, 40)))
+            rows += [(y, x, d) for d in days]
+            # python model: split runs on gap > max_gap, filter by span
+            runs, cur = [], []
+            for d in days:
+                if cur and d - cur[-1] > max_gap + 1:
+                    runs.append(cur)
+                    cur = []
+                cur.append(d)
+            if cur:
+                runs.append(cur)
+            kept = [r for r in runs if r[-1] - r[0] + 1 >= min_dur]
+            if kept:
+                durs = [r[-1] - r[0] + 1 for r in kept]
+                model[(y, x)] = (
+                    len(kept), max(durs), sum(durs) / len(durs),
+                    sum(len(r) for r in kept),
+                )
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "y int, x int, d int").select(
+            "y", "x",
+            F.timestamp_seconds(F.col("d") * 86400).alias("time"),
+            F.lit(True).alias("extreme"),
+        )
+        got = {
+            (r.y, r.x): (r.n_episodes, r.max_duration, r.mean_duration,
+                         r.total_extreme_days)
+            for r in episode_stats(
+                df, max_gap_days=max_gap, min_duration_days=min_dur
+            ).collect()
+        }
+        assert set(got) == set(model)
+        for k in model:
+            assert got[k][0] == model[k][0]
+            assert got[k][1] == model[k][1]
+            assert abs(got[k][2] - model[k][2]) < 1e-9
+            assert got[k][3] == model[k][3]
