@@ -471,14 +471,34 @@ class Tracker:
             ),
         }
 
-    def run(self) -> TrackResult:
+    def run(
+        self, return_merges: bool = False, checkpoint: str | None = None
+    ):
         """Preprocess then track; the reference's ``tracker.run()``
-        (track.py:1162-1232). Returns the engine's ``TrackResult``
-        (events / timestep_stats / lifetime_stats / merge ledger).
+        (track.py:1162-1232, signature at 1163). Returns the engine's
+        ``TrackResult`` (events / timestep_stats / lifetime_stats /
+        merge ledger) — or ``(TrackResult, merges_df)`` when
+        ``return_merges=True``, matching the reference's two-value
+        form. ``checkpoint`` overrides the instance strategy for the
+        preprocessing stage.
 
         On the gridded path the area filter's labels feed tracking
         directly by default (``fuse_labelling``), skipping the second
         labelling pass."""
+        if checkpoint:
+            saved = self.checkpoint
+            self.checkpoint = checkpoint
+            try:
+                res = self.run(return_merges=return_merges)
+            finally:
+                self.checkpoint = saved
+            return res
+        res = self._run_impl()
+        if return_merges:
+            return res, res.extras.get("merge_ledger")
+        return res
+
+    def _run_impl(self) -> TrackResult:
         if self.unstructured_grid:
             mesh_labels = None
             cleaned = None

@@ -292,3 +292,17 @@ def test_preprocess_stats(spark):
     # with no morphology, every raw cell is still IDed pre-filter
     raw = ext.filter(F.col("extreme")).count()
     assert s["total_area_IDed"] == pytest.approx(raw)
+
+
+def test_run_return_merges(spark):
+    """run(return_merges=True) returns the (result, merges) pair the
+    reference's run() does (track.py:1163)."""
+    ext = synthetic_extremes_gridded(spark, n_time=6, ny=NY, nx=NX)
+    t = tracker(
+        ext, ny=NY, nx=NX, R_fill=0, T_fill=0,
+        area_filter_quartile=0.0, allow_merging=True,
+        overlap_threshold=0.5,
+    )
+    res, merges = t.run(return_merges=True)
+    assert merges is res.extras["merge_ledger"]
+    assert res.events.count() > 0
