@@ -34,6 +34,24 @@ def __getattr__(name):
     api = {
         "preprocess_data": "marex_spark.operators.detect",
         "audit_series": "marex_spark.operators.detect",
+        "compute_normalised_anomaly": "marex_spark.api",
+        "identify_extremes": "marex_spark.api",
+        "rolling_climatology": "marex_spark.api",
+        "smoothed_rolling_climatology": "marex_spark.api",
+        "wrap_exception": "marex_spark.exceptions",
+        "MarExError": "marex_spark.exceptions",
+        "MarexSparkError": "marex_spark.exceptions",
+        "DataValidationError": "marex_spark.exceptions",
+        "CoordinateError": "marex_spark.exceptions",
+        "ProcessingError": "marex_spark.exceptions",
+        "ConfigurationError": "marex_spark.exceptions",
+        "DependencyError": "marex_spark.exceptions",
+        "TrackingError": "marex_spark.exceptions",
+        "VisualisationError": "marex_spark.exceptions",
+        "create_data_validation_error": "marex_spark.exceptions",
+        "create_coordinate_error": "marex_spark.exceptions",
+        "create_processing_error": "marex_spark.exceptions",
+        "require_dependencies": "marex_spark._dependencies",
         "detect_extremes_blocked": "marex_spark.operators.detect_blocked",
         "detect_extremes_blocked_packed": "marex_spark.operators.detect_blocked",
         "pack_gridded": "marex_spark.operators.detect_blocked",

@@ -102,3 +102,27 @@ def create_processing_error(
     if computation_info:
         details.update(computation_info)
     return ProcessingError(message, details=details, **kwargs)
+
+
+def wrap_exception(
+    original_exception: Exception,
+    message: str | None = None,
+    exception_type: type | None = None,
+) -> MarexSparkError:
+    """Wrap a generic exception in the typed hierarchy (reference
+    exceptions.py:434-470): keeps the original as ``__cause__`` and in
+    ``details``. Already-typed errors pass through unchanged."""
+    if isinstance(original_exception, MarexSparkError):
+        return original_exception
+    cls = exception_type or ProcessingError
+    msg = message or f"{type(original_exception).__name__}: {original_exception}"
+    wrapped = cls(
+        msg,
+        details={"original_type": type(original_exception).__name__},
+    )
+    wrapped.__cause__ = original_exception
+    return wrapped
+
+
+# Reference-name alias: marEx users catch MarExError (exceptions.py:11).
+MarExError = MarexSparkError
