@@ -6,8 +6,10 @@ Two paths:
   product is computed by position-explode + exact DECIMAL sums so the
   hash matches DuckDB bit-for-bit (see functions/decimals.py).
 - ``ann_cosine_topk_fast`` — the throughput variant used by bench:
-  zip_with/aggregate dot product, fully JVM-side, no explode. Same
-  rows, float-summation order differs → rows-only check.
+  zip_with/aggregate dot product, fully JVM-side, no explode. Full
+  oracle: DuckDB's list_reduce folds left exactly like Spark's
+  aggregate (0.0+v1 == v1 in IEEE double), so the float-summation
+  order matches element-for-element.
 - ``ann_lsh_bucketed`` — the scale path: md5-derived sign-bucket per
   vector, candidates restricted to the same bucket (IVF/LSH shape).
 """
@@ -95,7 +97,33 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
-@register("ann_cosine_topk_fast")  # no oracle: float-sum order differs by design
+@register(
+    "ann_cosine_topk_fast",
+    f"""WITH q AS (
+          SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id < {_N_QUERY}),
+        c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+        scored AS (
+          SELECT q.q_id, c.c_id,
+            ROUND(
+              list_reduce(list_transform(list_zip(q.q_emb, c.c_emb),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                          (a, b) -> a + b)
+              / (sqrt(list_reduce(list_transform(q.q_emb,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                          (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(c.c_emb,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                          (a, b) -> a + b))), 6) AS cosine
+          FROM c JOIN q ON q.q_id <> c.c_id),
+        ranked AS (
+          SELECT q_id, c_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, c_id) AS rn
+          FROM scored)
+        SELECT q_id, c_id, cosine, CAST(rn AS INT) AS rn
+        FROM ranked WHERE rn <= {_TOP_K}""",
+)
 def ann_cosine_topk_fast(spark, sf_dir):
     """Throughput variant: zip_with + aggregate dot product (JVM-side,
     no explode, no idx shuffle). Broadcast the small query side; the
@@ -144,7 +172,35 @@ def ann_lsh_bucket(spark, sf_dir):
     )
 
 
-@register("ann_ivf_topk")  # rows-only: float math in bucket-local scoring
+@register(
+    "ann_ivf_topk",
+    f"""WITH q AS (
+          SELECT vec_id AS q_id, embedding AS q_emb, label AS bucket
+          FROM embeddings WHERE vec_id < {_N_QUERY}),
+        c AS (SELECT vec_id AS c_id, embedding AS c_emb, label AS bucket
+              FROM embeddings),
+        scored AS (
+          SELECT q.q_id, c.c_id,
+            ROUND(
+              list_reduce(list_transform(list_zip(q.q_emb, c.c_emb),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                          (a, b) -> a + b)
+              / (sqrt(list_reduce(list_transform(q.q_emb,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                          (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(c.c_emb,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                          (a, b) -> a + b))), 6) AS cosine
+          FROM c JOIN q USING (bucket)
+          WHERE q.q_id <> c.c_id),
+        ranked AS (
+          SELECT q_id, c_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, c_id) AS rn
+          FROM scored)
+        SELECT q_id, c_id, cosine, CAST(rn AS INT) AS rn
+        FROM ranked WHERE rn <= {_TOP_K}""",
+)
 def ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed ANN: score only candidates sharing the query's
     bucket (label). At scale the bucket column is the partition key, so

@@ -317,13 +317,57 @@ def trk_m2_dilate_unstructured(spark, sf_dir):
 
 # ------------------------------------------------- M5/M12 no-merge tracking
 
-@register("trk_m5_track_nomerge")
+_M5_SQL = f"""WITH RECURSIVE base AS ({_BOOL_GRID_SQL}),
+nodes AS (SELECT d, y, x, y * {BIG} + x AS id FROM base),
+edges AS (
+  SELECT a.d AS d, a.id AS u, b.id AS v
+  FROM nodes a JOIN nodes b
+    ON a.d = b.d
+   AND abs(a.y - b.y) <= 1
+   AND least(abs(a.x - b.x), {NXG} - abs(a.x - b.x)) <= 1
+   AND (a.y != b.y OR a.x != b.x)),
+walk(d, u, lbl) AS (
+  SELECT d, id, id FROM nodes
+  UNION
+  SELECT e.d, e.u, w.lbl FROM edges e JOIN walk w ON e.d = w.d AND e.v = w.u),
+comp AS (SELECT d, u, MIN(lbl) AS obj FROM walk GROUP BY d, u),
+cells AS (
+  SELECT c.d, c.u // {BIG} AS y, c.u % {BIG} AS x,
+         -- globally unique per-slice object key (epoch day * stride + root)
+         CAST(date_diff('day', DATE '1970-01-01', c.d) AS BIGINT) * 100000
+           + c.obj AS obj_id
+  FROM comp c),
+pairs0 AS (
+  SELECT DISTINCT a.obj_id AS u, b.obj_id AS v
+  FROM cells a JOIN cells b
+    ON b.y = a.y AND b.x = a.x
+   AND (b.obj_id // 100000) = (a.obj_id // 100000) + 1),
+sym AS (SELECT u, v FROM pairs0 UNION SELECT v, u FROM pairs0),
+objs AS (SELECT DISTINCT obj_id FROM cells),
+ewalk(u, lbl) AS (
+  SELECT obj_id, obj_id FROM objs
+  UNION
+  SELECT s.u, w.lbl FROM sym s JOIN ewalk w ON s.v = w.u),
+eroot AS (SELECT u AS obj_id, MIN(lbl) AS root FROM ewalk GROUP BY u),
+joined AS (
+  SELECT r.root, c.obj_id, c.y, c.x,
+         DATE '1970-01-01' + CAST(c.obj_id // 100000 AS INT) AS d
+  FROM cells c JOIN eroot r USING (obj_id))
+SELECT MIN(d) AS time_start, MAX(d) AS time_end,
+       CAST(COUNT(DISTINCT d) AS BIGINT) AS n_timesteps,
+       CAST(COUNT(*) AS BIGINT) AS total_cells
+FROM joined GROUP BY root"""
+
+
+@register("trk_m5_track_nomerge", _M5_SQL)
 def trk_m5_track_nomerge(spark, sf_dir):
     """Full no-merge tracking slice (M4→J5→M7→A9/A13) on the derived
-    boolean grid: per-event lifetime stats. Deterministic (dense event
-    ids over union-find roots) but not SQL-expressible end-to-end —
-    rows-only check; the stages are individually oracle-checked by
-    trk_m4/trk_m7/trk_m8."""
+    boolean grid: per-event lifetime stats. The oracle replays the
+    whole chain in SQL — per-slice recursive-CTE labelling, the
+    consecutive-day same-cell overlap graph, recursive min-label
+    closure over object ids, per-component aggregation. Event ids are
+    engine-specific union-find roots, so the output is ID-FREE (the
+    stats multiset): any correct tracking produces the same rows."""
     from marex_spark.operators.track import track_events
 
     base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
@@ -339,7 +383,7 @@ def trk_m5_track_nomerge(spark, sf_dir):
             F.count("*").cast("long").alias("total_cells"),
         )
     )
-    return life.orderBy("event_id")
+    return life.select("time_start", "time_end", "n_timesteps", "total_cells")
 
 
 # --------------------------------------- M9/M10 split-merge tracking
@@ -420,12 +464,40 @@ def trk_j9_merge_ledger(spark, sf_dir):
 
 # ----------------------------------------- M6 unstructured labelling
 
-@register("trk_m6_label_unstructured")
+_M6_SQL = """WITH RECURSIVE active AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, CAST(event_id % 120 AS BIGINT) AS cell
+  FROM events WHERE value > 60),
+ring AS (
+  SELECT CAST(g.c AS BIGINT) AS cell, CAST((g.c + 1) % 120 AS BIGINT) AS nbr
+  FROM (SELECT UNNEST(generate_series(0, 119)) AS c) g),
+sym AS (SELECT cell, nbr FROM ring UNION SELECT nbr, cell FROM ring),
+e AS (
+  SELECT a.d, a.cell AS u, s.nbr AS v
+  FROM active a JOIN sym s ON s.cell = a.cell
+  JOIN active b ON b.d = a.d AND b.cell = s.nbr),
+walk(d, u, lbl) AS (
+  SELECT d, cell, cell FROM active
+  UNION
+  SELECT e.d, e.u, w.lbl FROM e JOIN walk w ON w.d = e.d AND w.u = e.v),
+comp AS (SELECT d, u AS cell, MIN(lbl) AS root FROM walk GROUP BY d, u),
+locals AS (
+  SELECT d, cell, DENSE_RANK() OVER (PARTITION BY d ORDER BY root) AS local_id
+  FROM comp),
+offs AS (SELECT d, MAX(local_id) AS mx FROM locals GROUP BY d),
+offs2 AS (
+  SELECT d, COALESCE(SUM(mx) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM offs)
+SELECT l.d AS d, l.cell AS cell, CAST(l.local_id + o.off AS BIGINT) AS obj_id
+FROM locals l JOIN offs2 o ON l.d = o.d"""
+
+
+@register("trk_m6_label_unstructured", _M6_SQL)
 def trk_m6_label_unstructured(spark, sf_dir):
-    """M6 (track.py:1947-2005): per-time labelling on the mesh via pure
-    DataFrame min-label propagation over the edge table. Rows-only
-    (iterative fixpoint); the structured counterpart is oracle-matched
-    in trk_m4."""
+    """M6 (track.py:1947-2005): per-time labelling on the mesh (induced
+    subgraph union-find kernel). Oracle: recursive-CTE min-label
+    propagation over the same ring mesh with the engine's id scheme
+    (min member root → dense per-time id → W6 cumulative offsets)."""
     from marex_spark.operators.label import label_components_unstructured
 
     ev = load_table(spark, sf_dir, "events")
