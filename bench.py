@@ -332,6 +332,26 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
 
     guarded("preprocess_track", _preprocess_track)
 
+    # per-cell Hobday MHW episode metrics over the 10x grid's detect
+    # output (35M cell-days in, one shuffle by cell): the classic
+    # summary statistics marine-heatwave users compute from extremes
+    def _episode_stats_10x() -> int:
+        from pyspark.sql import functions as Fx
+
+        from marex_spark.operators.detect_blocked import (
+            detect_extremes_blocked_packed,
+        )
+        from marex_spark.operators.stats import episode_stats
+
+        packed = spark.read.parquet(packed_10x_path)
+        cells = detect_extremes_blocked_packed(packed, method_percentile="histogram")
+        ext = cells.withColumn("extreme", Fx.lit(True))
+        episode_stats(ext).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        return 0
+
+    guarded("episode_stats_10x", _episode_stats_10x)
+
     # split/merge resolution tiers on the same grid: chunked (default)
     # vs the wall-clock-parallel Jacobi time-block tier
     def _merge_bench(parallel: bool) -> int:
