@@ -127,6 +127,10 @@ def identify_extremes(
     a = anomalies
     if anomaly_col != "anomaly":
         a = a.withColumnRenamed(anomaly_col, "anomaly")
+    if time_col != "time":
+        # the threshold operators derive (year, doy) from the canonical
+        # 'time' column; rename rather than thread the name through
+        a = a.drop("time").withColumnRenamed(time_col, "time")
     exact = method_percentile == "exact"
     if method_extreme == "global_extreme" and exact:
         w = Window.partitionBy(*keys)
@@ -191,6 +195,8 @@ def smoothed_rolling_climatology(
     """Rolling climatology of the day-smoothed series (reference
     detect.py:1691-1800) — the shifting-baseline method's climatology
     table."""
+    if time_col != "time":
+        df = df.drop("time").withColumnRenamed(time_col, "time")
     return shifting_climatology(
         df, keys, window_year_baseline, smooth_days_baseline, value_col
     )

@@ -337,6 +337,7 @@ def filter_small_objects(
     grid_area: DataFrame | None = None,
     min_area: float | None = None,
     return_labels: bool = False,
+    connectivity: int = 8,
 ) -> DataFrame:
     """Small-object filter (track.py:1755-1906): label per time (M4),
     object areas (A9), percentile threshold over object areas (A11) OR
@@ -355,7 +356,8 @@ def filter_small_objects(
     from marex_spark.operators.overlap import object_areas
 
     labels = label_components(
-        extremes, nx=nx, time_col=time_col, extreme_col=extreme_col, wrap_x=wrap_x
+        extremes, nx=nx, time_col=time_col, extreme_col=extreme_col,
+        wrap_x=wrap_x, connectivity=connectivity,
     )
     if grid_area is not None:
         labels_a = labels.join(F.broadcast(grid_area), ["y", "x"])

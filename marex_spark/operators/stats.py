@@ -122,7 +122,6 @@ def episode_stats(
     if anomaly_col is not None:
         run_aggs += [
             F.max("_a").alias("_imax"),
-            F.avg("_a").alias("_imean"),
             F.sum("_a").alias("_icum"),
         ]
     runs = (
@@ -139,7 +138,10 @@ def episode_stats(
     if anomaly_col is not None:
         cell_aggs += [
             F.max("_imax").alias("i_max"),
-            F.avg("_imean").alias("i_mean"),
+            # day-weighted: mean over ALL extreme days of kept episodes,
+            # not a mean of per-episode means (a 10-day episode counts
+            # twice a 5-day one)
+            (F.sum("_icum") / F.sum("n_days")).alias("i_mean"),
             F.sum("_icum").alias("i_cum"),
         ]
     return runs.groupBy(*keys).agg(*cell_aggs)

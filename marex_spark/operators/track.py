@@ -43,6 +43,7 @@ def preprocess_extremes(
     extreme_col: str = "extreme",
     area_filter_absolute: float | None = None,
     return_labels: bool = False,
+    connectivity: int = 8,
 ) -> DataFrame:
     """The tracker's run_preprocess (track.py:1234-1368): morphological
     hole-filling (M1), temporal gap-filling (M3), then the small-object
@@ -95,18 +96,20 @@ def preprocess_extremes(
         d = filter_small_objects(
             d, nx, 0.0, time_col, extreme_col, wrap_x,
             min_area=area_filter_absolute, return_labels=return_labels,
+            connectivity=connectivity,
         )
     elif area_quartile > 0:
         d = d.localCheckpoint()
         d = filter_small_objects(
             d, nx, area_quartile, time_col, extreme_col, wrap_x,
-            return_labels=return_labels,
+            return_labels=return_labels, connectivity=connectivity,
         )
     elif return_labels:
         from marex_spark.operators.label import label_components
 
         d = label_components(
-            d, nx=nx, time_col=time_col, extreme_col=extreme_col, wrap_x=wrap_x
+            d, nx=nx, time_col=time_col, extreme_col=extreme_col,
+            wrap_x=wrap_x, connectivity=connectivity,
         )
     return d
 
@@ -140,6 +143,7 @@ def track_events(
     merge_parallel: bool = True,
     compact_ids: bool = False,
     labels: DataFrame | None = None,
+    cell_areas: DataFrame | None = None,
 ) -> TrackResult:
     """Boolean extreme field → globally labelled events with stats.
 
@@ -242,12 +246,25 @@ def track_events(
 
     ts_stats = life = None
     if compute_stats and grid_y is not None and grid_x is not None:
-        # a cell_area column on the y dimension table (e.g. from
-        # Tracker.grid_resolution / cell_areas_from_resolution) overrides
-        # the cos(lat) default — the reference's grid_resolution semantics
-        # (track.py:131-135: "Overrides any provided cell_areas")
+        # area precedence (reference track.py:131-135): a cell_area
+        # column on the y dimension table (grid_resolution /
+        # cell_areas_from_resolution) wins; else a user (y, x, area)
+        # table; else the cos(lat) proxy
         area_col = "cell_area" if "cell_area" in grid_y.columns else None
-        geo = attach_geo(events, grid_y, grid_x, area_col=area_col)
+        ev = events
+        if area_col is None and cell_areas is not None:
+            ev = events.join(
+                F.broadcast(
+                    cell_areas.select("y", "x", F.col("area").alias("_user_area"))
+                ),
+                ["y", "x"],
+                "left",
+            )
+        geo = attach_geo(ev, grid_y, grid_x, area_col=area_col)
+        if area_col is None and cell_areas is not None:
+            geo = geo.withColumn(
+                "area", F.coalesce(F.col("_user_area"), F.col("area"))
+            ).drop("_user_area")
         ts_stats = event_timestep_stats(geo, time_col=time_col)
         life = event_lifetime_stats(ts_stats, time_col=time_col)
     return TrackResult(

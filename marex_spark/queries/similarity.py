@@ -105,7 +105,7 @@ def ann_cosine_topk(spark, sf_dir):
         c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
         scored AS (
           SELECT q.q_id, c.c_id,
-            ROUND(
+            FLOOR((
               list_reduce(list_transform(list_zip(q.q_emb, c.c_emb),
                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
                           (a, b) -> a + b)
@@ -114,7 +114,7 @@ def ann_cosine_topk(spark, sf_dir):
                           (a, b) -> a + b))
                  * sqrt(list_reduce(list_transform(c.c_emb,
                           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
-                          (a, b) -> a + b))), 6) AS cosine
+                          (a, b) -> a + b)))) * 1e6 + 0.5) / 1e6 AS cosine
           FROM c JOIN q ON q.q_id <> c.c_id),
         ranked AS (
           SELECT q_id, c_id, cosine,
@@ -181,7 +181,7 @@ def ann_lsh_bucket(spark, sf_dir):
               FROM embeddings),
         scored AS (
           SELECT q.q_id, c.c_id,
-            ROUND(
+            FLOOR((
               list_reduce(list_transform(list_zip(q.q_emb, c.c_emb),
                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
                           (a, b) -> a + b)
@@ -190,7 +190,7 @@ def ann_lsh_bucket(spark, sf_dir):
                           (a, b) -> a + b))
                  * sqrt(list_reduce(list_transform(c.c_emb,
                           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
-                          (a, b) -> a + b))), 6) AS cosine
+                          (a, b) -> a + b)))) * 1e6 + 0.5) / 1e6 AS cosine
           FROM c JOIN q USING (bucket)
           WHERE q.q_id <> c.c_id),
         ranked AS (

@@ -331,12 +331,17 @@ walk(d, u, lbl) AS (
   UNION
   SELECT e.d, e.u, w.lbl FROM edges e JOIN walk w ON e.d = w.d AND e.v = w.u),
 comp AS (SELECT d, u, MIN(lbl) AS obj FROM walk GROUP BY d, u),
+dayidx AS (
+  -- DENSE index over PRESENT days: the engine's time_index links
+  -- consecutive present timesteps, bridging calendar days with zero
+  -- active cells (overlap.py time_index semantics)
+  SELECT d, DENSE_RANK() OVER (ORDER BY d) AS di
+  FROM (SELECT DISTINCT d FROM base)),
 cells AS (
   SELECT c.d, c.u // {BIG} AS y, c.u % {BIG} AS x,
-         -- globally unique per-slice object key (epoch day * stride + root)
-         CAST(date_diff('day', DATE '1970-01-01', c.d) AS BIGINT) * 100000
-           + c.obj AS obj_id
-  FROM comp c),
+         -- globally unique per-slice object key (day index * stride + root)
+         x2.di * 100000 + c.obj AS obj_id
+  FROM comp c JOIN dayidx x2 USING (d)),
 pairs0 AS (
   SELECT DISTINCT a.obj_id AS u, b.obj_id AS v
   FROM cells a JOIN cells b
@@ -350,8 +355,7 @@ ewalk(u, lbl) AS (
   SELECT s.u, w.lbl FROM sym s JOIN ewalk w ON s.v = w.u),
 eroot AS (SELECT u AS obj_id, MIN(lbl) AS root FROM ewalk GROUP BY u),
 joined AS (
-  SELECT r.root, c.obj_id, c.y, c.x,
-         DATE '1970-01-01' + CAST(c.obj_id // 100000 AS INT) AS d
+  SELECT r.root, c.obj_id, c.y, c.x, c.d
   FROM cells c JOIN eroot r USING (obj_id))
 SELECT MIN(d) AS time_start, MAX(d) AS time_end,
        CAST(COUNT(DISTINCT d) AS BIGINT) AS n_timesteps,

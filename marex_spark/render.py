@@ -211,6 +211,20 @@ def read_png(path_or_bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _resolve_plot_config(config, clim, cmap, issym):
+    """Fold a PlotConfig into the per-call kwargs (explicit kwargs win;
+    config supplies defaults). Returns (clim, cmap, issym, cperc)."""
+    cperc = (2, 98)
+    if config is not None:
+        if clim is None and config.clim is not None:
+            clim = tuple(config.clim)
+        if cmap == "viridis" and config.cmap:
+            cmap = config.cmap
+        issym = issym or config.issym
+        cperc = tuple(config.cperc)
+    return clim, cmap, issym, cperc
+
+
 class GriddedPlotter:
     """plotX ``GriddedPlotter`` analogue (reference gridded.py:36): holds
     a long-format DataFrame + grid shape; renders snapshots / ID fields
@@ -233,10 +247,14 @@ class GriddedPlotter:
 
     def single_plot(
         self, time_value, path: str, clim=None, cmap="viridis",
-        issym=False, scale: int = 1,
+        issym=False, scale: int = 1, config=None,
     ) -> str:
-        """Render one timestep to a PNG file (base.py:331 single_plot)."""
+        """Render one timestep to a PNG file (base.py:331 single_plot).
+        ``config``: a PlotConfig supplying defaults for clim/cmap/issym
+        (explicit kwargs win)."""
         from marex_spark.viz import snapshot_grid
+
+        clim, cmap, issym, _ = _resolve_plot_config(config, clim, cmap, issym)
 
         g = snapshot_grid(
             self.df, time_value, self.ny, self.nx, self.value_col, self.time_col
@@ -248,15 +266,18 @@ class GriddedPlotter:
 
     def multi_plot(
         self, time_values, path: str, clim=None, cmap="viridis",
-        issym=False, scale: int = 1, ncols: int = 2,
+        issym=False, scale: int = 1, ncols: int = 2, config=None,
     ) -> str:
         """plotX ``multi_plot`` (base.py:348): several timesteps side
         by side, SHARED colour scale (one robust-limits pass when clim
         absent — panels are comparable by construction)."""
         from marex_spark.viz import snapshot_grid
 
+        clim, cmap, issym, cperc = _resolve_plot_config(config, clim, cmap, issym)
         if clim is None:
-            clim = self.clim_robust(issym=issym)
+            clim = self.clim_robust(
+                q=(cperc[0] / 100.0, cperc[1] / 100.0), issym=issym
+            )
         panels = []
         for t in time_values:
             g = snapshot_grid(
@@ -280,7 +301,7 @@ class GriddedPlotter:
 
     def animate(
         self, out_dir: str, clim=None, cmap="viridis", issym=False,
-        scale: int = 1,
+        scale: int = 1, config=None,
     ) -> list:
         """All timesteps → ``frame_%05d.png`` under ``out_dir`` (plotX
         base.py:408 animate writes an mp4 via ffmpeg; frames are the
@@ -289,9 +310,12 @@ class GriddedPlotter:
         first unless ``clim`` given, so frames are comparable."""
         from marex_spark.viz import animation_frames
 
+        clim, cmap, issym, cperc = _resolve_plot_config(config, clim, cmap, issym)
         os.makedirs(out_dir, exist_ok=True)
         if clim is None:
-            clim = self.clim_robust(issym=issym)
+            clim = self.clim_robust(
+                q=(cperc[0] / 100.0, cperc[1] / 100.0), issym=issym
+            )
         paths = []
         for i, (_, g) in enumerate(
             animation_frames(self.df, self.ny, self.nx, self.value_col, self.time_col)
@@ -391,8 +415,9 @@ class UnstructuredPlotter:
 
     def single_plot(
         self, time_value, path: str, clim=None, cmap="viridis",
-        issym=False, scale: int = 1, fill: bool = True,
+        issym=False, scale: int = 1, fill: bool = True, config=None,
     ) -> str:
+        clim, cmap, issym, _ = _resolve_plot_config(config, clim, cmap, issym)
         rgb = render_field(
             self.snapshot(time_value, fill=fill), clim=clim, cmap=cmap,
             issym=issym,

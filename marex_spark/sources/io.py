@@ -159,8 +159,13 @@ def write_track_result(
             written[name] = True
     meta = dict(attrs or {})
     meta["tables"] = sorted(written)
+    # count from the parquet just written — re-counting res.events would
+    # re-execute the tracking DAG a second time
     meta["N_events_final"] = (
-        res.events.select("event_id").distinct().count()
+        res.events.sparkSession.read.parquet(f"{path}/events")
+        .select("event_id")
+        .distinct()
+        .count()
     )
     write_stats_json(meta, f"{path}/attributes.json")
     return meta

@@ -209,10 +209,7 @@ def _var_decode_params(v: dict) -> tuple:
     return fill, float(scale[0]), float(offset[0])
 
 
-_FIXED_CALENDARS = {
-    "noleap": 365, "365_day": 365, "360_day": 360,
-    "all_leap": 366, "366_day": 366,
-}
+_FIXED_CALENDARS = {"noleap": 365, "365_day": 365, "360_day": 360}
 
 
 def _decode_time_units(units: str, vals: np.ndarray, calendar: str = "") -> list:
@@ -220,15 +217,25 @@ def _decode_time_units(units: str, vals: np.ndarray, calendar: str = "") -> list
     integers pass through as day counts from the epoch.
 
     ``calendar`` (CF time:calendar attribute) — fixed-length model
-    calendars (noleap/365_day, 360_day, all_leap/366_day, the climate-
-    model norm) decode by (year, day-of-year) arithmetic: model day d
-    of year Y maps to the Gregorian timestamp Jan-1-of-Y + (d-1) days,
-    which makes Spark's year()/dayofyear() recover the MODEL calendar
-    exactly (dayofyear(Jan1 + k days) ≡ k+1). Climatology and
-    thresholds group on the model's own day index instead of drifting
-    ~1 day per 4 years, the way a Gregorian decode of noleap data does.
-    (The reference gets the same behaviour from xarray's cftime
-    decoding, detect.py's dayofyear use.)"""
+    calendars (noleap/365_day and 360_day, the climate-model norm)
+    decode by (year, day-of-year) arithmetic: model day d of year Y
+    maps to the Gregorian timestamp Jan-1-of-Y + (d-1) days, which
+    makes Spark's year()/dayofyear() recover the MODEL calendar
+    exactly (dayofyear(Jan1 + k days) ≡ k+1; with ≤365 model days per
+    year the mapping is injective in every Gregorian year).
+    Climatology and thresholds group on the model's own day index
+    instead of drifting ~1 day per 4 years, the way a Gregorian decode
+    of noleap data does. (The reference gets the same behaviour from
+    xarray's cftime decoding, detect.py's dayofyear use.)
+
+    366-day calendars (all_leap) are refused: 366 model days cannot map
+    injectively into non-leap Gregorian years while preserving year(),
+    so a silent decode would merge model days 366 and 1.
+
+    The base date's day-of-year offset is computed in the MODEL
+    calendar (non-leap doy for noleap; 30-day months for 360_day), not
+    the Gregorian one — a "days since 2000-07-01" noleap base must not
+    inherit year-2000's leap-shifted doy."""
     unit_s = {"days": 86400, "hours": 3600, "minutes": 60, "seconds": 1}
     base = pd.Timestamp("1970-01-01")
     mult = 86400
@@ -238,14 +245,36 @@ def _decode_time_units(units: str, vals: np.ndarray, calendar: str = "") -> list
             mult = unit_s[parts[0].strip().lower()]
             base = pd.Timestamp(parts[1].strip())
     cal = (calendar or "").strip().lower()
+    if cal in ("all_leap", "366_day"):
+        from marex_spark.exceptions import ConfigurationError
+
+        raise ConfigurationError(
+            "366-day model calendars cannot be decoded onto Gregorian "
+            "timestamps without merging model days 366 and 1 in non-leap "
+            "years",
+            details={"calendar": cal},
+            suggestions=[
+                "re-encode the series on a noleap/360_day/standard calendar",
+                "or ingest with integer day indices and derive doy yourself",
+            ],
+        )
     year_len = _FIXED_CALENDARS.get(cal)
     if year_len is not None:
         # whole model days since BASE (sub-day parts truncate)
         days = (vals.astype(np.float64) * mult // 86400).astype(np.int64)
-        base_doy = min(base.dayofyear, year_len) - 1
+        if year_len == 360:
+            # 30-day months; clamp Gregorian day 31 in the base string
+            base_doy = (base.month - 1) * 30 + min(base.day, 30) - 1
+        else:
+            # non-leap doy regardless of the base string's Gregorian year
+            # (a Feb-29 Gregorian base clamps to Feb 28 — no model slot)
+            bd = min(base.day, 28) if base.month == 2 else base.day
+            base_doy = (
+                pd.Timestamp(year=2001, month=base.month, day=bd).dayofyear - 1
+            )
         total = base_doy + days
         year = base.year + total // year_len
-        doy = total % year_len  # 0-based
+        doy = total % year_len  # 0-based, < 365 → injective per year
         return [
             pd.Timestamp(year=int(y), month=1, day=1) + pd.Timedelta(days=int(d))
             for y, d in zip(year, doy)

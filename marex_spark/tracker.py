@@ -340,6 +340,13 @@ class Tracker:
     # -- public API --------------------------------------------------
 
     def _checkpoint_path(self) -> str:
+        # also guards the run(checkpoint=...)/run_preprocess(checkpoint=...)
+        # overrides, which bypass the constructor validation
+        if not self.temp_dir:
+            raise ConfigurationError(
+                "checkpoint='save'/'load' needs temp_dir",
+                details={"temp_dir": self.temp_dir},
+            )
         return f"{self.temp_dir}/marex_checkpoint_proc_bin.parquet"
 
     def run_preprocess(self, checkpoint: str | None = None) -> DataFrame:
@@ -379,6 +386,7 @@ class Tracker:
                     time_col=self.time_col,
                     extreme_col=self.extreme_col,
                     area_filter_absolute=self.area_filter_absolute,
+                    connectivity=self.connectivity,
                 )
         if ckpt == "save":
             from marex_spark.sources.io import checkpoint_parquet
@@ -486,6 +494,11 @@ class Tracker:
         directly by default (``fuse_labelling``), skipping the second
         labelling pass."""
         if checkpoint:
+            if checkpoint not in ("save", "load"):
+                raise ConfigurationError(
+                    "checkpoint override must be 'save' or 'load'",
+                    details={"checkpoint": checkpoint},
+                )
             saved = self.checkpoint
             self.checkpoint = checkpoint
             try:
@@ -543,6 +556,7 @@ class Tracker:
                 extreme_col=self.extreme_col,
                 area_filter_absolute=self.area_filter_absolute,
                 return_labels=True,
+                connectivity=self.connectivity,
             )
             cleaned = self.data_bin.limit(0)  # unused when labels given
         else:
@@ -564,6 +578,7 @@ class Tracker:
             merge_parallel=self.merge_parallel,
             compact_ids=self.compact_ids,
             labels=labels,
+            cell_areas=self.cell_areas if self.grid_resolution is None else None,
         )
         return res
 

@@ -146,13 +146,38 @@ class TestFixedCalendars:
         ts = _decode_time_units("days since 2020-01-01", vals, "standard")
         assert ts[59] == pd.Timestamp("2020-02-29")  # leap day kept
 
-    def test_mid_year_base(self):
+    def test_mid_year_base_uses_model_doy(self):
         import numpy as np
 
         from marex_spark.sources.netcdf import _decode_time_units
 
         ts = _decode_time_units("days since 2000-07-01", np.arange(2), "noleap")
-        # 2000-07-01 is doy 183 in the Gregorian base (leap year);
-        # noleap arithmetic keeps the base day index and increments
-        assert ts[0].dayofyear == 183
-        assert ts[1].dayofyear == 184
+        # July 1 is model doy 182 in a NOLEAP calendar (the Gregorian
+        # base year 2000 being leap must not shift it to 183)
+        assert ts[0].dayofyear == 182
+        assert ts[1].dayofyear == 183
+
+    def test_366_day_calendar_refused(self):
+        import numpy as np
+        import pytest
+
+        from marex_spark.exceptions import ConfigurationError
+        from marex_spark.sources.netcdf import _decode_time_units
+
+        with pytest.raises(ConfigurationError, match="366"):
+            _decode_time_units("days since 1970-01-01", np.arange(3), "all_leap")
+
+    def test_noleap_injective_around_year_end(self):
+        import numpy as np
+
+        from marex_spark.sources.netcdf import _decode_time_units
+
+        # model days 364 (Dec 31) and 365 (next Jan 1) must be distinct
+        # timestamps in every year, including Gregorian leap years
+        for base_year in (1970, 1972, 2000):
+            ts = _decode_time_units(
+                f"days since {base_year}-01-01", np.array([364, 365]), "noleap"
+            )
+            assert ts[0] != ts[1]
+            assert ts[0].year == base_year and ts[0].dayofyear == 365
+            assert ts[1].year == base_year + 1 and ts[1].dayofyear == 1

@@ -266,3 +266,27 @@ class TestPlotXDispatch:
         c = PlotConfig(title="snap", issym=True)
         assert c.cperc == (4, 96)
         assert c.show_colorbar and c.issym
+
+    def test_plot_config_consumed(self, spark, tmp_path):
+        """PlotConfig must actually drive rendering (review finding):
+        cmap/issym/clim from the config reach the pixels."""
+        import numpy as np
+
+        from marex_spark.render import GriddedPlotter, PlotConfig, read_png
+
+        df = spark.createDataFrame(
+            [(0, y, x, float(y * 4 + x)) for y in range(4) for x in range(4)],
+            "t int, y int, x int, value double",
+        )
+        p = GriddedPlotter(df, ny=4, nx=4, time_col="t")
+        a = p.single_plot(0, str(tmp_path / "a.png"))
+        b = p.single_plot(
+            0, str(tmp_path / "b.png"), config=PlotConfig(cmap="rdbu_r")
+        )
+        assert not np.array_equal(read_png(a), read_png(b))
+        # explicit kwarg wins over config
+        c = p.single_plot(
+            0, str(tmp_path / "c.png"), cmap="rdbu_r",
+            config=PlotConfig(cmap="greys"),
+        )
+        assert np.array_equal(read_png(b), read_png(c))

@@ -273,3 +273,27 @@ class TestFusedLabelling:
             ),
         ).events
         assert self._event_partition(two_pass) == self._event_partition(fused)
+
+    def test_intensity_day_weighted_across_episodes(self, spark):
+        """i_mean must weight by extreme days, not average per-episode
+        means (review finding): 5 days at 1.0 + 10 days at 4.0 -> 3.0."""
+        from pyspark.sql import functions as F
+
+        from marex_spark.operators.stats import episode_stats
+
+        rows = [(0, 0, d, 1.0) for d in range(5)] + [
+            (0, 0, d, 4.0) for d in range(20, 30)
+        ]
+        df = spark.createDataFrame(
+            rows, "y int, x int, d int, anomaly double"
+        ).select(
+            "y", "x",
+            F.timestamp_seconds(F.col("d") * 86400).alias("time"),
+            F.lit(True).alias("extreme"),
+            "anomaly",
+        )
+        a = episode_stats(df, anomaly_col="anomaly").collect()[0]
+        assert a.n_episodes == 2
+        assert a.i_mean == pytest.approx(3.0)
+        assert a.i_cum == pytest.approx(45.0)
+        assert a.i_max == 4.0

@@ -306,3 +306,65 @@ def test_run_return_merges(spark):
     res, merges = t.run(return_merges=True)
     assert merges is res.extras["merge_ledger"]
     assert res.events.count() > 0
+
+
+class TestReviewFixes:
+    """Regression tests for the round-3 code-review findings."""
+
+    def test_fused_path_honours_connectivity(self, spark):
+        """connectivity=4 must not silently become 8 on the default
+        fused path: two diagonal cells are one 8-conn object but two
+        4-conn objects."""
+        rows = [(0, 5, 5), (0, 6, 6)]
+        base = spark.createDataFrame(rows, "t int, y int, x int")
+        full = (
+            spark.range(1).select(F.col("id").cast("int").alias("t"))
+            .crossJoin(spark.range(NY).select(F.col("id").cast("int").alias("y")))
+            .crossJoin(spark.range(NX).select(F.col("id").cast("int").alias("x")))
+        )
+        ext = (
+            full.join(base.withColumn("_e", F.lit(True)), ["t", "y", "x"], "left")
+            .select(
+                F.col("t").cast("timestamp").alias("time"), "y", "x",
+                F.coalesce(F.col("_e"), F.lit(False)).alias("extreme"),
+            )
+        )
+        kw = dict(ny=NY, nx=NX, R_fill=0, T_fill=0,
+                  area_filter_quartile=0.0, allow_merging=False)
+        n8 = tracker(ext, connectivity=8, **kw).run().events.select(
+            "event_id").distinct().count()
+        n4 = tracker(ext, connectivity=4, **kw).run().events.select(
+            "event_id").distinct().count()
+        assert n8 == 1
+        assert n4 == 2
+
+    def test_cell_areas_table_consumed(self, spark):
+        """A user (y, x, area) table must flow into event stats."""
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        gy, gx = _grid_dims(spark)
+        areas = (
+            spark.range(NY).select(F.col("id").cast("int").alias("y"))
+            .crossJoin(spark.range(NX).select(F.col("id").cast("int").alias("x")))
+            .withColumn("area", F.lit(7777.0))
+        )
+        res = tracker(
+            ext, ny=NY, nx=NX, R_fill=0, T_fill=0,
+            area_filter_quartile=0.0, allow_merging=False,
+            grid_y=gy, grid_x=gx, cell_areas=areas,
+        ).run()
+        one_cell = res.timestep_stats.filter(F.col("n_cells") == 1).first()
+        if one_cell is not None:
+            assert one_cell.area == 7777.0
+        # every area is a multiple of the constant cell area
+        bad = res.timestep_stats.filter(
+            F.abs(F.col("area") - F.col("n_cells") * 7777.0) > 1e-6
+        ).count()
+        assert bad == 0
+
+    def test_run_checkpoint_override_validated(self, spark):
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        t = tracker(ext, ny=NY, nx=NX, allow_merging=False)
+        with pytest.raises(ConfigurationError, match="temp_dir"):
+            t.run(checkpoint="save")
+        with pytest.raises(ConfigurationError, match="save"):
+            t.run(checkpoint="bogus")
