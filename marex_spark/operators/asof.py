@@ -51,11 +51,15 @@ def asof_join(
     l_tag = left.withColumn("_t", F.col(left_time)).withColumn(
         "_side", F.lit(1)
     )
-    r_tag = right.select(
+    # carry the matched right ROW as one struct: last-non-null over the
+    # struct picks the latest right row as a unit, so a NULL payload in
+    # that row stays NULL (per-column fills resurrected stale values
+    # and could mix columns from different right rows)
+    r_tag = right.filter(F.col(on).isNotNull()).select(
         F.col(on),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_row"),
     )
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
@@ -71,20 +75,16 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = merged.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True)
-            .over(w)
-            .alias(f"_f_{c}")
-            for c in payload
-        ],
-    )
+    filled = merged.withColumn("_f", F.last("_row", ignorenulls=True).over(w))
+    # NULL join keys never match in an equality join (DuckDB ASOF
+    # semantics): blank their fill
+    fill = F.when(F.col(on).isNotNull(), F.col("_f"))
     return (
         filled.filter(F.col("_side") == 1)
+        .withColumn("_f", fill)
         .select(
             *lcols,
-            *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in payload],
+            *[F.col(f"_f.{c}").alias(f"{c}{suffix}") for c in payload],
         )
     )
 
@@ -108,9 +108,26 @@ def range_join_binned(
     much longer than ``bucket`` fan out more — pick bucket ≈ the
     typical interval length."""
     secs = F.unix_timestamp  # seconds resolution is enough for bucketing
-    # interval width in seconds, parsed driver-side (plain "<n> days/hours")
-    qty, unit = bucket.split()
-    width = int(qty) * {"days": 86400, "hours": 3600, "minutes": 60}[unit]
+    # interval width in seconds, parsed driver-side; singular and plural
+    # unit forms accepted, typed error otherwise
+    unit_s = {
+        "week": 604800, "weeks": 604800,
+        "day": 86400, "days": 86400,
+        "hour": 3600, "hours": 3600,
+        "minute": 60, "minutes": 60,
+        "second": 1, "seconds": 1,
+    }
+    try:
+        qty, unit = bucket.split()
+        width = int(qty) * unit_s[unit.lower()]
+    except (ValueError, KeyError):
+        from marex_spark.exceptions import ConfigurationError
+
+        raise ConfigurationError(
+            "bucket must be '<n> <unit>' with unit in "
+            "weeks/days/hours/minutes/seconds",
+            details={"got": bucket},
+        ) from None
 
     p_b = points.withColumn("_bkt", F.floor(secs(point_time) / width))
     i_b = intervals.withColumn(

@@ -184,6 +184,15 @@ def preprocess_data(
                 details={"nx": nx, "ny": ny},
             )
 
+    if std_normalise and method_anomaly != "detrend_harmonic":
+        # reference detect.py:299 documents std_normalise as a
+        # detrend_harmonic-only knob; silently returning None outputs
+        # would surface as a confusing downstream failure
+        raise ConfigurationError(
+            "std_normalise is only supported with "
+            "method_anomaly='detrend_harmonic'",
+            details={"method_anomaly": method_anomaly},
+        )
     if reference_period is not None and method_anomaly not in (
         "fixed_baseline",
         "detrend_fixed_baseline",

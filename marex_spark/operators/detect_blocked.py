@@ -239,6 +239,10 @@ def _thr_global(
     frac = np.clip((target - prev) / np.maximum(c, 1), 0.0, 1.0)
     thr = (sel - 1) * precision + precision * frac
     thr[sel == 0] = 0.0
+    # all-NaN columns (gappy cells, trailing block filler) have no
+    # threshold — NaN, matching the exact path and _thr_hobday's
+    # t[n==0] rule, so downstream ~isnan filters drop them
+    thr[valid.sum(axis=0) == 0] = np.nan
     return thr
 
 
@@ -651,6 +655,12 @@ def pack_gridded(
     spark = series.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     val_type = series.schema[value_col].dataType.simpleString()
+    if val_type not in ("float", "double"):
+        # the kernel emits float arrays and gaps are NaN (which integer
+        # arrays can't represent): cast up front so int/long/decimal
+        # value columns pack instead of crashing on a schema mismatch
+        series = series.withColumn(value_col, F.col(value_col).cast("double"))
+        val_type = "double"
     np_val = np.float32 if val_type == "float" else np.float64
 
     def _run(batches) -> Iterator:

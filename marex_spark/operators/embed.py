@@ -30,11 +30,20 @@ def embedding_normalize(
             vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
         )
     )
-    return df.withColumn(
-        out_col,
-        F.when(norm > 0.0, F.transform(vec_col, lambda x: x / norm)).otherwise(
-            F.col(vec_col)
-        ),
+    # materialise the norm as a plain column FIRST: referencing the
+    # aggregate subtree inside the transform lambda re-evaluates it per
+    # ELEMENT (O(d²) per row — review finding); a projected column is
+    # evaluated once per row
+    return (
+        df.withColumn("_nrm", norm)
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_nrm") > 0.0,
+                F.transform(vec_col, lambda x: x / F.col("_nrm")),
+            ).otherwise(F.col(vec_col)),
+        )
+        .drop("_nrm")
     )
 
 
@@ -51,17 +60,21 @@ def quantize_int8(
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
-    scale = (amax / F.lit(127.0)).alias("scale")
+    # amax as a projected column: inside the transform lambda the
+    # aggregate would re-run per element (O(d²) per row)
+    d = df.withColumn("_amax", amax).withColumn(
+        "scale", F.col("_amax") / F.lit(127.0)
+    )
     q = F.when(
-        amax > 0.0,
+        F.col("_amax") > 0.0,
         F.transform(
             vec_col,
-            lambda x: F.floor(x.cast("double") / (amax / 127.0) + 0.5).cast(
-                "int"
-            ),
+            lambda x: F.floor(
+                x.cast("double") / (F.col("_amax") / 127.0) + 0.5
+            ).cast("int"),
         ),
     ).otherwise(F.transform(vec_col, lambda x: F.lit(0)))
-    return df.withColumn("scale", scale).withColumn("qvec", q)
+    return d.withColumn("qvec", q).drop("_amax")
 
 
 def dequantize_int8(

@@ -142,7 +142,12 @@ class Catalog:
         }
         args.update(overrides)
         if driver == "parquet":
-            return spark.read.parquet(path)
+            # forward declared args + caller overrides as reader options
+            # (mergeSchema, recursiveFileLookup, ...) — dropping them
+            # silently honoured only part of the catalog entry
+            return spark.read.options(**{k: str(v) for k, v in args.items()}).parquet(
+                path
+            )
         if driver == "zarr":
             from marex_spark.sources.zarr import ingest_zarr_gridded
 

@@ -83,3 +83,46 @@ def test_range_join_binned_bucket_boundaries(spark):
     out2 = range_join_binned(pts, iv, "k", "t", "s", "e", bucket="1 hours")
     hours2 = sorted((r.t - _t(0)).total_seconds() / 3600 for r in out2.collect())
     assert hours2 == hours
+
+
+class TestAsofReviewFixes:
+    """Review findings: row-unit fill + NULL-key semantics."""
+
+    def test_null_payload_not_resurrected(self, spark):
+        """A NULL payload in the LATEST matching right row must stay
+        NULL (per-column fill resurrected older values)."""
+        from marex_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 3)], "k int, t int")
+        right = spark.createDataFrame(
+            [(1, 1, 5, 10), (1, 2, None, 20)], "k int, t int, val int, cnt int"
+        )
+        row = asof_join(left, right, "k", "t", "t").first()
+        assert row.val_r is None  # from the t=2 row, not t=1's 5
+        assert row.cnt_r == 20    # same right row supplies every column
+
+    def test_null_keys_never_match(self, spark):
+        from marex_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(None, 5)], "k int, t int")
+        right = spark.createDataFrame([(None, 1, 7)], "k int, t int, val int")
+        row = asof_join(left, right, "k", "t", "t").first()
+        assert row.val_r is None
+
+    def test_bucket_parser_units_and_errors(self, spark):
+        import pytest
+
+        from marex_spark.exceptions import ConfigurationError
+        from marex_spark.operators.asof import range_join_binned
+
+        pts = spark.createDataFrame(
+            [(1, "2024-01-02 00:00:00")], "k int, t string"
+        ).selectExpr("k", "CAST(t AS TIMESTAMP) AS t")
+        iv = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", "2024-01-03 00:00:00")],
+            "k int, s string, e string",
+        ).selectExpr("k", "CAST(s AS TIMESTAMP) AS s", "CAST(e AS TIMESTAMP) AS e")
+        # singular unit now accepted
+        assert range_join_binned(pts, iv, "k", "t", "s", "e", bucket="1 day").count() == 1
+        with pytest.raises(ConfigurationError, match="unit"):
+            range_join_binned(pts, iv, "k", "t", "s", "e", bucket="1 fortnight")

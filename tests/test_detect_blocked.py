@@ -475,3 +475,32 @@ def test_unstructured_packed_rejects_spatial(spark, series8):
             ),
             window_spatial_hobday=5,
         )
+
+
+def test_histogram_threshold_nan_for_empty_cells():
+    """Review finding: all-NaN columns must get NaN thresholds on the
+    histogram path (they already did on exact and hobday)."""
+    import numpy as np
+
+    from marex_spark.operators.detect_blocked import _thr_global
+
+    anom = np.full((10, 3), 1.0)
+    anom[:, 1] = np.nan  # dead cell
+    thr = _thr_global(anom, 0.9, exact=False, precision=0.01, max_anomaly=5.0)
+    assert np.isnan(thr[1])
+    assert not np.isnan(thr[0]) and not np.isnan(thr[2])
+
+
+def test_pack_gridded_integer_values(spark):
+    """Review finding: non-float value columns cast up front instead of
+    crashing on an Arrow schema mismatch."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.operators.detect_blocked import pack_gridded
+
+    df = spark.createDataFrame(
+        [(0, 0, x, x * 10) for x in range(4)], "t int, y int, x int, value long"
+    ).select(F.col("t").cast("timestamp").alias("time"), "y", "x", "value")
+    packed = pack_gridded(df, nx=4)
+    row = packed.first()
+    assert row.vals == [0.0, 10.0, 20.0, 30.0]
