@@ -24,9 +24,30 @@ def main():
     out = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="mx_track_")
     spark = mx.get_spark("example-track")
 
+    import datetime
+
     from marex_spark.sources.synthetic import synthetic_extremes_gridded
 
-    extremes = synthetic_extremes_gridded(spark, n_time=60, ny=NY, nx=NX)
+    # random clumpy field + two converging blobs (collide ~day 8) so
+    # the run demonstrates split/merge genealogy, not just tracking
+    extremes = synthetic_extremes_gridded(spark, n_time=60, ny=NY, nx=NX, density=0.02)
+    t0 = datetime.datetime(2020, 1, 1)  # generator's start date
+    blob_rows = []
+    for t in range(12):
+        ax, bx = 20 + 2 * t, 60 - 2 * t
+        for dy in range(-4, 5):
+            for dx in range(-4, 5):
+                blob_rows.append((t0 + datetime.timedelta(days=t), 20 + dy, (ax + dx) % NX))
+                blob_rows.append((t0 + datetime.timedelta(days=t), 20 + dy, (bx + dx) % NX))
+    blobs = spark.createDataFrame(
+        blob_rows, "time timestamp, y int, x int"
+    ).dropDuplicates().withColumn("extreme", F.lit(True))
+    extremes = (
+        extremes.join(blobs.select("time", "y", "x", F.col("extreme").alias("_b")),
+                      ["time", "y", "x"], "left")
+        .withColumn("extreme", F.col("extreme") | F.coalesce(F.col("_b"), F.lit(False)))
+        .drop("_b")
+    )
 
     gy = spark.range(NY).select(
         F.col("id").cast("int").alias("y"),
@@ -40,7 +61,7 @@ def main():
     t = mx.tracker(
         extremes,
         ny=NY, nx=NX,
-        R_fill=2,
+        R_fill=1,
         T_fill=2,
         area_filter_quartile=0.5,
         allow_merging=True,
