@@ -126,3 +126,53 @@ class TestAsofReviewFixes:
         assert range_join_binned(pts, iv, "k", "t", "s", "e", bucket="1 day").count() == 1
         with pytest.raises(ConfigurationError, match="unit"):
             range_join_binned(pts, iv, "k", "t", "s", "e", bucket="1 fortnight")
+
+
+def test_asof_differential_vs_duckdb_with_nulls(spark):
+    """Randomised differential: asof_join vs DuckDB's native ASOF LEFT
+    JOIN, including NULL payloads and NULL keys — the cases the
+    pre-aggregated registry oracle can't reach."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(99)
+    left_rows = [
+        (rng.choice([1, 2, 3, None]), rng.randint(0, 50)) for _ in range(120)
+    ]
+    right_rows = [
+        (
+            rng.choice([1, 2, 3]),
+            rng.randint(0, 50),
+            rng.choice([None, 10, 20, 30]),
+        )
+        for _ in range(60)
+    ]
+    # dedupe right (k, t) so "latest right row" is unambiguous
+    seen = {}
+    for k, t, v in right_rows:
+        seen[(k, t)] = v
+    right_rows = [(k, t, v) for (k, t), v in seen.items()]
+
+    from marex_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(left_rows, "k int, t int")
+    right = spark.createDataFrame(right_rows, "k int, rt int, val int")
+    got = {
+        (r.k, r.t, r.val_r)
+        for r in asof_join(left, right, "k", "t", "rt").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k INT, t INT)")
+    con.executemany("INSERT INTO l VALUES (?, ?)", left_rows)
+    con.execute("CREATE TABLE r(k INT, rt INT, val INT)")
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", right_rows)
+    want = {
+        tuple(row)
+        for row in con.execute(
+            "SELECT l.k, l.t, r.val FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.t >= r.rt"
+        ).fetchall()
+    }
+    assert got == want
