@@ -152,6 +152,114 @@ def pca_fit(
     }
 
 
+def _kmeans_dist2(vec_col, centroid: list[float]):
+    """Exact decimal-fold squared L2 distance to one centroid.
+
+    The per-element ``(x - m)^2`` is double (bit-identical in any
+    engine given identical inputs); the *sum* folds DECIMAL(38,6)
+    casts, so it is order-independent and equals a SQL
+    ``SUM(CAST(.. AS DECIMAL(38,6)))`` over exploded positions —
+    which is what keeps the DuckDB oracle hash-identical."""
+    carr = F.array(*[F.lit(float(m)) for m in centroid])
+    diffsq = F.zip_with(
+        vec_col, carr, lambda x, m: (x.cast("double") - m) * (x.cast("double") - m)
+    )
+    return F.aggregate(
+        diffsq,
+        F.lit(0).cast("decimal(38,6)"),
+        lambda acc, v: acc + v.cast("decimal(38,6)"),
+    ).cast("double")
+
+
+def kmeans_assign_cols(vec_col: str, centroids: list[list[float]]):
+    """(cent_id, dist2) Column pair for a fixed centroid list.
+
+    Centroids ship as plan literals (k×d doubles), so assignment is a
+    pure per-row codegen expression: no join, no shuffle, no UDF — at
+    100 TB this is the shape you want (the scan stays embarrassingly
+    parallel; only the tiny update aggregate shuffles). Ties break to
+    the lowest cent_id (``array_position`` returns the first match).
+    """
+    dists = F.array(*[_kmeans_dist2(vec_col, c) for c in centroids])
+    best = F.array_min(dists)
+    cent = (F.array_position(dists, best) - 1).cast("int")
+    return cent, best
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for IVF centroid training.
+
+    Deterministic end to end (the registry entry ``emb_kmeans_assign``
+    replays it as pure SQL in DuckDB):
+
+    - seeding: the ``k`` rows with smallest ``(md5(id), id)`` — a
+      content-independent pseudo-random draw both engines agree on;
+    - assignment: squared-L2 argmin via :func:`kmeans_assign_cols`
+      (decimal-fold distances, lowest-id tiebreak), shuffle-free;
+    - update: per-(centroid, position) mean via posexplode +
+      order-independent decimal sums (``davg``). Map-side partial
+      aggregation collapses the exploded rows before the shuffle, so
+      the exchange moves only k×d rows per partition regardless of n.
+      Empty clusters keep their previous centroid.
+
+    Driver state is k×d doubles per iteration — the same "small model,
+    big scan" tiering as :func:`pca_fit`. Returns the final centroids
+    as plain Python lists (usable as literals in downstream plans).
+    """
+    from marex_spark.functions.decimals import davg
+
+    if k <= 0 or n_iter < 0:
+        raise ValueError("kmeans_fit needs k > 0 and n_iter >= 0")
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("kmeans_fit on an empty DataFrame")
+    cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    for _ in range(n_iter):
+        cent_col, _ = kmeans_assign_cols(vec_col, cents)
+        upd = (
+            df.select(cent_col.alias("cent_id"), F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(davg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cent: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cent.setdefault(r.cent_id, {})[r.pos] = float(r.m)
+        cents = [
+            [by_cent[ci][p] for p in range(len(cents[ci]))]
+            if ci in by_cent
+            else cents[ci]  # empty cluster: keep previous centroid
+            for ci in range(len(cents))
+        ]
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cent_col: str = "cent_id",
+    dist_col: str = "dist2",
+) -> DataFrame:
+    """Attach (cent_id, dist2) for a fitted centroid list — the IVF
+    bucketing step: partition/bucket the corpus by ``cent_id`` and ANN
+    probes read only their bucket."""
+    cent, dist = kmeans_assign_cols(vec_col, centroids)
+    return df.withColumn(cent_col, cent).withColumn(dist_col, dist)
+
+
 def pca_project(
     df: DataFrame, model: dict, vec_col: str = "embedding",
     out_col: str = "projected",

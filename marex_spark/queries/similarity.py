@@ -532,3 +532,80 @@ def emb_pca_project(spark, sf_dir):
             for i in range(4)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (IVF centroid training) — operators/embed.py
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITER = 2
+
+
+def _kmeans_oracle(k: int, n_iter: int) -> str:
+    """Unrolled SQL replay of kmeans_fit + kmeans_assign: fixed
+    iteration count makes Lloyd's loop expressible as chained CTEs.
+    Every cross-row float sum goes through DECIMAL(38,6) (dec_sql /
+    davg_sql), matching the Spark side's decimal folds bit-for-bit."""
+    from marex_spark.functions.decimals import davg_sql
+
+    head = f"""WITH e AS (
+      SELECT vec_id, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+    seed_ids AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cent_id
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {k}),
+    c0 AS (
+      SELECT s.cent_id, e.idx, e.comp AS m
+      FROM seed_ids s JOIN e ON e.vec_id = s.vec_id)"""
+    steps = []
+    for i in range(n_iter + 1):  # n_iter updates + one final assignment
+        steps.append(f""",
+    d{i} AS (
+      SELECT e.vec_id, c.cent_id,
+             {dec_sql('(e.comp - c.m) * (e.comp - c.m)')} AS dist2
+      FROM e JOIN c{i} c ON c.idx = e.idx
+      GROUP BY 1, 2),
+    a{i} AS (
+      SELECT vec_id, cent_id, dist2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, cent_id) AS rn
+      FROM d{i})""")
+        if i < n_iter:
+            steps.append(f""",
+    u{i} AS (
+      SELECT a.cent_id, e.idx, {davg_sql('e.comp')} AS m
+      FROM a{i} a JOIN e ON e.vec_id = a.vec_id
+      WHERE a.rn = 1
+      GROUP BY 1, 2),
+    c{i + 1} AS (
+      SELECT c.cent_id, c.idx, COALESCE(u.m, c.m) AS m
+      FROM c{i} c LEFT JOIN u{i} u
+        ON u.cent_id = c.cent_id AND u.idx = c.idx)""")
+    tail = f"""
+    SELECT vec_id, cent_id, {round6_sql('dist2')} AS dist2
+    FROM a{n_iter} WHERE rn = 1"""
+    return head + "".join(steps) + tail
+
+
+@register("emb_kmeans_assign", _kmeans_oracle(_KM_K, _KM_ITER))
+def emb_kmeans_assign(spark, sf_dir):
+    """Lloyd's k-means over the embedding corpus, then bucket
+    assignment — the training step that produces real IVF centroids
+    (ann_ivf_seeded_topk consumes fixed seeds; this learns them).
+
+    Scale shape: assignment is a per-row codegen expression over
+    centroid literals (no join/shuffle); the update aggregate's
+    posexplode collapses map-side, so each iteration shuffles only
+    k x d x partitions rows; driver state is k x d doubles. See
+    operators/embed.py kmeans_fit."""
+    from marex_spark.operators.embed import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=_KM_K, n_iter=_KM_ITER)
+    out = kmeans_assign(emb, cents)
+    return out.select(
+        "vec_id", "cent_id", round6(F.col("dist2")).alias("dist2")
+    )

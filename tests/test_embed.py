@@ -72,3 +72,75 @@ def test_pca_project_matches_numpy_and_is_partition_invariant(vecs):
     np.testing.assert_allclose(
         got.var(axis=0), m["explained_variance"], rtol=1e-3
     )
+
+
+class TestKMeans:
+    """Lloyd's k-means: recovers planted blobs, is partition-invariant,
+    and keeps empty clusters at their previous centroid."""
+
+    @pytest.fixture(scope="class")
+    def blobs(self, spark):
+        rng = np.random.default_rng(7)
+        centers = np.array(
+            [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+        )
+        X = np.vstack(
+            [c + rng.normal(scale=0.3, size=(40, 3)) for c in centers]
+        )
+        truth = np.repeat(np.arange(3), 40)
+        rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        return df, truth
+
+    def test_recovers_planted_blobs(self, blobs):
+        from marex_spark.operators.embed import kmeans_assign, kmeans_fit
+
+        df, truth = blobs
+        cents = kmeans_fit(df, k=3, n_iter=4)
+        out = kmeans_assign(df, cents).orderBy("vec_id").collect()
+        got = np.array([r.cent_id for r in out])
+        # every planted blob lands in exactly one learned cluster
+        for b in range(3):
+            assert len(set(got[truth == b])) == 1
+        assert len({got[truth == b][0] for b in range(3)}) == 3
+        # each blob's centroid sits at its planted center
+        for b in range(3):
+            ci = got[truth == b][0]
+            assert np.abs(np.array(cents[ci]).max() - 10.0) < 0.2
+
+    def test_partition_invariant(self, blobs):
+        from marex_spark.operators.embed import kmeans_fit
+
+        df, _ = blobs
+        a = kmeans_fit(df, k=3, n_iter=2)
+        b = kmeans_fit(df.repartition(13), k=3, n_iter=2)
+        # decimal-fold sums make the fit independent of partitioning
+        assert a == b
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        from marex_spark.operators.embed import kmeans_fit
+
+        # two far blobs, k=3: at least one seed strands with no
+        # exclusive territory after the first update on some draws;
+        # regardless, every returned centroid must be finite and k kept
+        rng = np.random.default_rng(3)
+        X = np.vstack(
+            [
+                [0.0, 0.0] + rng.normal(scale=0.1, size=(20, 2)),
+                [50.0, 50.0] + rng.normal(scale=0.1, size=(20, 2)),
+            ]
+        )
+        rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = kmeans_fit(df, k=3, n_iter=3)
+        assert len(cents) == 3
+        assert all(np.isfinite(c).all() for c in np.array(cents))
+
+    def test_validation(self, blobs):
+        from marex_spark.operators.embed import kmeans_fit
+
+        df, _ = blobs
+        with pytest.raises(ValueError):
+            kmeans_fit(df, k=0)
+        with pytest.raises(ValueError):
+            kmeans_fit(df.filter("vec_id < 0"), k=2)
