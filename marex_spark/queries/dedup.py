@@ -543,3 +543,92 @@ def dedup_cross_source(spark, sf_dir):
         )
         .filter(F.col("n_sources") > 1)
     )
+
+
+# ------------------------------------------- exact-substring span dedup
+
+# Rolling-window width in tokens. The published exact-substring dedup
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better") marks any >=50-token span that re-occurs verbatim anywhere
+# in the corpus; the suffix-array they use is a single-machine
+# structure, so the distributed re-expression is rolling fixed-width
+# window hashes — a window is duplicated iff its W tokens appear
+# verbatim in another document. W=16 fits the synthetic corpus's
+# document lengths while keeping the same semantics.
+_SPAN_W = 16
+
+
+@register(
+    "dedup_substring_spans",
+    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        wins AS (
+          SELECT doc_id, md5(array_to_string(w[i.i : i.i + {_SPAN_W - 1}], ' ')) AS h
+          FROM t, UNNEST(generate_series(1, greatest(len(w) - {_SPAN_W - 1}, 0))) AS i(i)),
+        shared AS (
+          SELECT h FROM wins GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+        per_doc AS (
+          SELECT w.doc_id,
+                 COUNT(*) AS n_windows,
+                 SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_windows
+          FROM wins w LEFT JOIN shared s ON s.h = w.h
+          GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               COALESCE({round6_sql('CAST(p.n_dup_windows AS DOUBLE) / p.n_windows')}, 0.0) AS dup_ratio
+        FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id""",
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact-substring duplicate spans: every {W}-token rolling window
+    is hashed; a window position is duplicated iff its hash occurs in
+    >=2 distinct docs. Per-doc output = window count, duplicated-window
+    count, duplicated fraction (the "how much of this doc is copied
+    text" signal used to cut spans before training).
+
+    Scale shape: NO pair join anywhere — the only shuffles are the
+    window-hash groupBy (map-side combinable; cross-doc df per hash,
+    not pairs) and the hash-keyed join back, so a corpus-hot boilerplate
+    span costs O(df), never O(df^2). Window fan-out is len-{W}+1 rows
+    per doc, the same order as the shingle suite."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(words) >= _SPAN_W,
+        F.sequence(F.lit(1), F.size(words) - (_SPAN_W - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = (
+        docs.select("doc_id", words.alias("w"), F.explode(idx).alias("i"))
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("w", F.col("i"), _SPAN_W), " ")).alias("h"),
+        )
+    )
+    shared = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(True).alias("is_dup"))
+    )
+    per_doc = (
+        wins.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(
+                F.when(F.col("is_dup"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce(
+                round6(F.col("n_dup_windows").cast("double") / F.col("n_windows")),
+                F.lit(0.0),
+            ).alias("dup_ratio"),
+        )
+    )

@@ -47,3 +47,32 @@ def test_star_cap_fires_and_preserves_clusters(spark):
     assert big > 0
     assert n_star <= n_clique
     assert _clusters(spark, clique) == _clusters(spark, star)
+
+
+def test_substring_spans_planted_copy(spark, tmp_path):
+    """A verbatim 16-token span copied between two docs is flagged at
+    every window position it covers; unrelated docs and short docs
+    report zero with ratio 0.0."""
+    import marex_spark.queries.dedup as dq
+
+    span = " ".join(f"tok{i}" for i in range(16))
+    docs = [
+        (0, "alpha " + span + " omega", "en", "s0", 0),
+        (1, "prefix words here " + span, "en", "s1", 0),
+        (2, " ".join(f"other{i}" for i in range(30)), "en", "s0", 0),
+        (3, "too short", "en", "s1", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in dq.dedup_substring_spans(spark, str(tmp_path)).collect()
+    }
+    # doc0: 18 tokens -> 3 windows; only the exact copied alignment
+    # (positions covering the span with identical 16-token content)
+    # is shared with doc1 -> the 'alpha..'-shifted windows differ
+    assert out[0].n_windows == 3 and out[0].n_dup_windows == 1
+    assert out[1].n_windows == 4 and out[1].n_dup_windows == 1
+    assert out[2].n_windows == 15 and out[2].n_dup_windows == 0
+    assert out[3].n_windows == 0 and out[3].dup_ratio == 0.0
