@@ -184,3 +184,30 @@ def test_episode_stats_is_single_shuffle(spark):
     assert exchange_count(out) == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_kmeans_assign_is_shuffle_free(spark):
+    """IVF bucket assignment ships centroids as plan literals: scoring
+    a vector is a pure per-row expression — zero exchanges, zero joins
+    — so the 100 TB corpus scan stays embarrassingly parallel."""
+    from marex_spark.operators.embed import kmeans_assign
+    from marex_spark.plans import plan_string
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = [[0.1] * 64, [0.2] * 64, [0.3] * 64]
+    out = kmeans_assign(emb, cents)
+    assert exchange_count(out) == 0
+    assert "Join" not in plan_string(out)
+
+
+def test_substring_spans_has_no_pair_join(spark):
+    """The span-dedup plan must stay O(df) per hot window hash: hash
+    groupBy + hash-keyed joins only, never a cartesian/nested-loop pair
+    expansion."""
+    from marex_spark.queries.dedup import dedup_substring_spans
+    from marex_spark.plans import plan_string
+
+    out = dedup_substring_spans(spark, SF)
+    plan = plan_string(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
