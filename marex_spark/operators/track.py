@@ -362,3 +362,174 @@ def track_events_unstructured(
     return TrackResult(
         events=events, timestep_stats=ts_stats, lifetime_stats=life, extras=extras
     )
+
+
+def extend_track_events(
+    prior_events: DataFrame,
+    new_extremes: DataFrame,
+    nx: int,
+    grid_y: DataFrame | None = None,
+    grid_x: DataFrame | None = None,
+    prior_timestep_stats: DataFrame | None = None,
+    overlap_threshold: float = 0.0,
+    connectivity: int = 8,
+    wrap_x: bool = True,
+    time_col: str = "time",
+    extreme_col: str = "extreme",
+    compute_stats: bool = True,
+    cell_areas: DataFrame | None = None,
+) -> TrackResult:
+    """Incremental append tracking: extend a finished no-merge run with
+    new timesteps WITHOUT recomputing history — the operation a
+    production pipeline runs per ingest cycle, where the archive is
+    100 TB and the new month is a rounding error.
+
+    ``prior_events`` is a previous :func:`track_events` output
+    (``compact_ids=False`` — root-stable ids are what make extension
+    possible). Only the new slices plus the single boundary slice are
+    touched:
+
+    - new slices are labelled with ids offset past the prior maximum —
+      exactly the ids a full re-run would assign (per-slice labels are
+      dense 1..n and W6 offsets are prefix sums, so continuing the
+      cumsum from ``max(obj_id)`` reproduces it);
+    - the overlap graph is built over (boundary slice ∪ new slices)
+      only; boundary objects enter the union-find collapsed to their
+      prior event_id. Because every old event_id (a component-min) is
+      smaller than every new obj_id, the min-root rule yields the same
+      event ids as a full recompute — including the case where a new
+      object bridges TWO old events, which merges them (their prior
+      rows are remapped);
+    - equality with the full recompute is pinned in
+      tests/test_track.py (any overlap_threshold, either
+      connectivity).
+
+    Stats: per-timestep stats are computed for the new slices only and
+    unioned with ``prior_timestep_stats`` (remapped through any old-old
+    merges); lifetime stats are re-aggregated from the (small) combined
+    per-timestep table. Without ``prior_timestep_stats`` the returned
+    stats are None.
+
+    Caveats (documented, not silent): the input must be the
+    *preprocessed* boolean field — morphological time-gap closing
+    (T_fill) spans the boundary, so run ``preprocess_extremes`` over
+    the new slices plus the trailing ``t_fill`` old slices first if
+    gap-bridging across the append boundary matters; and a prior run
+    made with a global area QUARTILE froze that quantile — extension
+    keeps it (pass ``area_filter_absolute`` workflows for exactness).
+    Merge-split runs (``allow_merging=True``) carry per-step partition
+    state and are not extendable here.
+    """
+    from marex_spark.exceptions import ConfigurationError
+
+    head = prior_events.agg(
+        F.max(time_col).alias("t_max"), F.max("obj_id").alias("id_max")
+    ).collect()[0]
+    if head.t_max is None:
+        raise ConfigurationError("prior_events is empty — run track_events first")
+    prior_max_time, prior_max_id = head.t_max, int(head.id_max)
+
+    bad = new_extremes.filter(F.col(time_col) <= F.lit(prior_max_time)).limit(1)
+    if bad.count() > 0:
+        raise ConfigurationError(
+            "new_extremes overlaps the prior run — extension needs "
+            "strictly later timesteps",
+            details={"prior_max_time": str(prior_max_time)},
+        )
+
+    labels_new = label_components(
+        new_extremes,
+        nx=nx,
+        time_col=time_col,
+        connectivity=connectivity,
+        wrap_x=wrap_x,
+        extreme_col=extreme_col,
+    ).withColumn("obj_id", (F.col("obj_id") + F.lit(prior_max_id)).cast("long"))
+    labels_new = labels_new.localCheckpoint()
+
+    boundary = prior_events.filter(F.col(time_col) == F.lit(prior_max_time))
+    combined = boundary.select(time_col, "y", "x", "obj_id").unionByName(
+        labels_new.select(time_col, "y", "x", "obj_id")
+    )
+
+    pairs = overlap_pairs(combined, keys=("y", "x"), time_col=time_col)
+    if overlap_threshold > 0:
+        areas = object_areas(combined, time_col=time_col)
+        pairs = filter_overlap_fraction(pairs, areas, overlap_threshold)
+
+    # collapse boundary objects to their prior event id; new ids pass
+    # through (broadcast: one slice's objects)
+    b_map = boundary.select("obj_id", "event_id").distinct()
+    pairs_n = (
+        pairs.join(
+            F.broadcast(b_map.select(F.col("obj_id").alias("id_t"),
+                                     F.col("event_id").alias("_ev_t"))),
+            "id_t",
+            "left",
+        )
+        .select(
+            F.coalesce("_ev_t", F.col("id_t")).alias("id_t"),
+            "id_next",
+            *(["overlap_area"] if "overlap_area" in pairs.columns else []),
+        )
+    )
+    nodes = (
+        b_map.select(F.col("event_id").alias("obj_id")).distinct()
+        .unionByName(labels_new.select("obj_id").distinct())
+    )
+    mapping = connected_components_driver(pairs_n, nodes, compact=False)
+
+    events_new = remap_ids(labels_new, mapping)
+    # old events touched by a merge get remapped; everything else is
+    # identity (left join keeps untouched history untouched)
+    ev_remap = mapping.select(
+        F.col("obj_id").alias("event_id"), F.col("event_id").alias("_ev2")
+    )
+    events_old = (
+        prior_events.join(F.broadcast(ev_remap), "event_id", "left")
+        .withColumn("event_id", F.coalesce("_ev2", F.col("event_id")))
+        .drop("_ev2")
+    )
+    events = events_old.select(time_col, "y", "x", "obj_id", "event_id").unionByName(
+        events_new.select(time_col, "y", "x", "obj_id", "event_id")
+    )
+
+    ts_stats = life = None
+    if (
+        compute_stats
+        and grid_y is not None
+        and grid_x is not None
+        and prior_timestep_stats is not None
+    ):
+        area_col = "cell_area" if "cell_area" in grid_y.columns else None
+        ev = events_new
+        if area_col is None and cell_areas is not None:
+            ev = events_new.join(
+                F.broadcast(
+                    cell_areas.select("y", "x", F.col("area").alias("_user_area"))
+                ),
+                ["y", "x"],
+                "left",
+            )
+        geo = attach_geo(ev, grid_y, grid_x, area_col=area_col)
+        if area_col is None and cell_areas is not None:
+            geo = geo.withColumn(
+                "area", F.coalesce(F.col("_user_area"), F.col("area"))
+            ).drop("_user_area")
+        ts_new = event_timestep_stats(geo, time_col=time_col)
+        ts_old = (
+            prior_timestep_stats.join(F.broadcast(ev_remap), "event_id", "left")
+            .withColumn("event_id", F.coalesce("_ev2", F.col("event_id")))
+            .drop("_ev2")
+        )
+        ts_stats = ts_old.unionByName(ts_new)
+        life = event_lifetime_stats(ts_stats, time_col=time_col)
+    return TrackResult(
+        events=events,
+        timestep_stats=ts_stats,
+        lifetime_stats=life,
+        extras={
+            "prior_max_time": prior_max_time,
+            "prior_max_obj_id": prior_max_id,
+        },
+    )

@@ -390,6 +390,42 @@ def trk_m5_track_nomerge(spark, sf_dir):
     return life.select("time_start", "time_end", "n_timesteps", "total_cells")
 
 
+@register("trk_extend_incremental", _M5_SQL)
+def trk_extend_incremental(spark, sf_dir):
+    """Incremental append tracking (operators/track.py
+    extend_track_events): track the FIRST HALF of the derived boolean
+    grid, then extend with the second half — labels continue the W6
+    cumsum past the prior max id and boundary objects enter the
+    union-find collapsed to their prior event ids, so the combined run
+    is exactly the full recompute. The oracle IS trk_m5's full-chain
+    SQL replay: hash-matching it proves incremental == from-scratch
+    on the driver's own gate."""
+    from marex_spark.operators.track import extend_track_events, track_events
+
+    base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
+    days = sorted(r[0] for r in base.select("d").distinct().collect())
+    cutoff = days[len(days) // 2]
+    prior = track_events(
+        base.filter(F.col("d") <= F.lit(cutoff)),
+        nx=NXG, time_col="d", compute_stats=False,
+    )
+    res = extend_track_events(
+        prior.events,
+        base.filter(F.col("d") > F.lit(cutoff)),
+        nx=NXG, time_col="d", compute_stats=False,
+    )
+    life = (
+        res.events.groupBy("event_id")
+        .agg(
+            F.min("d").alias("time_start"),
+            F.max("d").alias("time_end"),
+            F.countDistinct("d").cast("long").alias("n_timesteps"),
+            F.count("*").cast("long").alias("total_cells"),
+        )
+    )
+    return life.select("time_start", "time_end", "n_timesteps", "total_cells")
+
+
 # --------------------------------------- M9/M10 split-merge tracking
 
 @register("trk_m9_split_merge")

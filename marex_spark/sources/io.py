@@ -193,3 +193,53 @@ def read_track_result(spark, path: str):
         lifetime_stats=_maybe("lifetime_stats"),
         extras=extras,
     )
+
+
+def extend_track_run(
+    spark,
+    path: str,
+    new_extremes,
+    nx: int,
+    grid_y=None,
+    grid_x=None,
+    out_path: str | None = None,
+    **track_kwargs,
+):
+    """Persistence-level incremental tracking: load a
+    :func:`write_track_result` directory, extend it with new timesteps
+    (:func:`marex_spark.operators.track.extend_track_events` — exact
+    parity with a full recompute), and optionally persist the combined
+    run to ``out_path``.
+
+    ``out_path`` must differ from ``path``: the extension reads the
+    prior parquet lazily, so writing over it would clobber its own
+    input mid-job. A production cycle alternates two generation
+    directories (or uses dated paths) and flips a pointer — the same
+    pattern as any overwrite-safe parquet pipeline.
+
+    Returns the extended ``TrackResult`` (attributes of the prior run
+    stay available under ``extras['attributes']`` when persisted)."""
+    from marex_spark.exceptions import ConfigurationError
+    from marex_spark.operators.track import extend_track_events
+
+    if out_path is not None and out_path == path:
+        raise ConfigurationError(
+            "out_path must differ from path (lazy scans would overwrite "
+            "their own input)",
+            details={"path": path},
+        )
+    prior = read_track_result(spark, path)
+    res = extend_track_events(
+        prior.events,
+        new_extremes,
+        nx=nx,
+        grid_y=grid_y,
+        grid_x=grid_x,
+        prior_timestep_stats=prior.timestep_stats,
+        **track_kwargs,
+    )
+    if out_path is not None:
+        attrs = dict(prior.extras.get("attributes") or {})
+        attrs["extended_from"] = path
+        write_track_result(res, out_path, attrs=attrs)
+    return res

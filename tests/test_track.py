@@ -297,3 +297,121 @@ class TestFusedLabelling:
         assert a.i_mean == pytest.approx(3.0)
         assert a.i_cum == pytest.approx(45.0)
         assert a.i_max == 4.0
+
+
+class TestExtendTrackEvents:
+    """Incremental append tracking: extending a finished run with new
+    timesteps must reproduce the full recompute exactly (ids included),
+    because labels continue the W6 cumsum and min-root event ids are
+    stable under appending larger ids."""
+
+    def _grids(self, spark, ny, nx):
+        gy = spark.range(ny).select(
+            F.col("id").cast("int").alias("y"),
+            (-90.0 + (F.col("id") + 0.5) * (180.0 / ny)).alias("lat"),
+        )
+        gx = spark.range(nx).select(
+            F.col("id").cast("int").alias("x"),
+            ((F.col("id") + 0.5) * (360.0 / nx)).alias("lon"),
+        )
+        return gy, gx
+
+    def _split(self, ext, n_prior):
+        times = sorted(
+            r[0] for r in ext.select("time").distinct().collect()
+        )
+        cutoff = times[n_prior - 1]
+        return (
+            ext.filter(F.col("time") <= F.lit(cutoff)),
+            ext.filter(F.col("time") > F.lit(cutoff)),
+        )
+
+    @pytest.mark.parametrize("theta", [0.0, 0.3])
+    def test_matches_full_recompute(self, spark, theta):
+        from marex_spark.operators.track import extend_track_events
+
+        ny, nx = 24, 48
+        ext = synthetic_extremes_gridded(
+            spark, n_time=12, ny=ny, nx=nx, density=0.05, seed=3
+        )
+        gy, gx = self._grids(spark, ny, nx)
+        full = track_events(
+            ext, nx=nx, grid_y=gy, grid_x=gx, overlap_threshold=theta
+        )
+        prior_ext, new_ext = self._split(ext, 8)
+        prior = track_events(
+            prior_ext, nx=nx, grid_y=gy, grid_x=gx, overlap_threshold=theta
+        )
+        extd = extend_track_events(
+            prior.events,
+            new_ext,
+            nx=nx,
+            grid_y=gy,
+            grid_x=gx,
+            prior_timestep_stats=prior.timestep_stats,
+            overlap_threshold=theta,
+        )
+        cols = ["time", "y", "x", "obj_id", "event_id"]
+        a = sorted(map(tuple, full.events.select(*cols).collect()))
+        b = sorted(map(tuple, extd.events.select(*cols).collect()))
+        assert a == b
+        # lifetime stats re-aggregated from the merged per-timestep
+        # table match the full run's (float tolerance: partial-sum order)
+        fa = {r.event_id: r for r in full.lifetime_stats.collect()}
+        fb = {r.event_id: r for r in extd.lifetime_stats.collect()}
+        assert set(fa) == set(fb)
+        for k in fa:
+            assert fa[k].n_timesteps == fb[k].n_timesteps
+            assert abs(fa[k].max_area - fb[k].max_area) < 1e-9
+
+    def test_new_bridge_merges_two_old_events(self, spark):
+        """An object in the appended data overlapping two previously
+        separate events must merge them, remapping prior history to the
+        smaller event id — same as the full recompute."""
+        from marex_spark.operators.track import extend_track_events
+
+        nx = 32
+        rows = []
+        # two separate static blobs for t in {1, 2}
+        for d in (1, 2):
+            for xx in (2, 3):
+                rows.append((d, 5, xx, True))
+            for xx in (10, 11):
+                rows.append((d, 5, xx, True))
+        # t=3 (appended): one wide object spanning both columns
+        for xx in range(2, 12):
+            rows.append((3, 5, xx, True))
+        df = spark.createDataFrame(rows, "d int, y int, x int, extreme boolean").select(
+            F.timestamp_add(
+                "DAY", F.col("d"), F.lit("2021-01-01").cast("timestamp")
+            ).alias("time"),
+            "y", "x", "extreme",
+        )
+        full = track_events(df, nx=nx, compute_stats=False)
+        prior_ext, new_ext = self._split(df, 2)
+        prior = track_events(prior_ext, nx=nx, compute_stats=False)
+        assert prior.events.select("event_id").distinct().count() == 2
+        extd = extend_track_events(
+            prior.events, new_ext, nx=nx, compute_stats=False
+        )
+        cols = ["time", "y", "x", "obj_id", "event_id"]
+        a = sorted(map(tuple, full.events.select(*cols).collect()))
+        b = sorted(map(tuple, extd.events.select(*cols).collect()))
+        assert a == b
+        assert extd.events.select("event_id").distinct().count() == 1
+
+    def test_rejects_overlapping_times(self, spark):
+        from marex_spark.exceptions import ConfigurationError
+        from marex_spark.operators.track import extend_track_events
+
+        df = spark.createDataFrame(
+            [(1, 0, 0, True)], "d int, y int, x int, extreme boolean"
+        ).select(
+            F.timestamp_add(
+                "DAY", F.col("d"), F.lit("2021-01-01").cast("timestamp")
+            ).alias("time"),
+            "y", "x", "extreme",
+        )
+        res = track_events(df, nx=8, compute_stats=False)
+        with pytest.raises(ConfigurationError):
+            extend_track_events(res.events, df, nx=8, compute_stats=False)
