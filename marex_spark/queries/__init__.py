@@ -48,6 +48,9 @@ _PRIORITY = [
     "trk_m9_parallel",
     "trk_j9_merge_ledger",
     "trk_m6_label_unstructured",
+    # Incremental append tracking (new r3): oracle = trk_m5's full-chain
+    # replay, so a green row proves incremental == from-scratch.
+    "trk_extend_incremental",
     # LLM-pipeline: dedup + decontamination.
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -94,12 +97,11 @@ _PRIORITY = [
     "ops_asof_join",
     "ops_range_join",
     "ops_rollup_hier",
-    # Green sentinels (#49-50): regression cover for the proven suites —
-    # scan+pushdown and the overlap self-join. (f4/f6 + the other r01/r02
-    # greens rotate past the window; tools/oracle_check.py still covers
-    # the full registry locally every round.)
+    # Green sentinel (#50): regression cover for the proven suites —
+    # scan+pushdown. (j5 + f4/f6 + the other r01/r02 greens rotate past
+    # the window; tools/oracle_check.py still covers the full registry
+    # locally every round.)
     "s1_scan_pushdown",
-    "j5_temporal_selfjoin",
 ]
 
 
