@@ -552,6 +552,8 @@ def split_merge_events_chunked(
     max_distance: float | None = None,
     max_iter_per_step: int = 10,
     labels_materialized: bool = False,
+    resume_state: dict | None = None,
+    return_state: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Memory-bounded variant of :func:`split_merge_events` — the
     reference's chunk loop (track.py:3377-3420): pull ``chunk_steps``
@@ -561,6 +563,14 @@ def split_merge_events_chunked(
     dicts), emit the chunk, advance. Driver memory is O(chunk) instead
     of O(series); output and ledger are identical to the one-shot
     serial kernel (asserted in tests/test_merge.py).
+
+    Resumability: the complete sequencing state between chunks is
+    (carry slices, id counter) — the same fact the parallel tier's
+    fresh per-block resolvers rely on. ``return_state=True`` appends
+    that state dict (``{"carry": [(time, slice)...], "next_new_id"}``)
+    to the return tuple; passing it back as ``resume_state`` continues
+    resolution over strictly later timesteps as if the loop had never
+    stopped — the incremental append path (extend_track_events).
 
     The per-chunk time-range filter re-executes the ``labels`` plan once
     per chunk, so the plan is localCheckpoint'ed here unless the caller
@@ -591,6 +601,19 @@ def split_merge_events_chunked(
 
     out_frames: list[DataFrame] = []
     carry: list[tuple] = []  # [(time, slice)] — last two resolved slices
+    if resume_state is not None:
+        carry = list(resume_state["carry"])
+        if carry and times and carry[-1][0] >= times[0]:
+            from marex_spark.exceptions import TrackingError
+
+            raise TrackingError(
+                "resume_state carry must precede all new timesteps",
+                details={"carry_end": str(carry[-1][0]), "first_new": str(times[0])},
+            )
+        # never reuse an id the resumed run may already have emitted
+        resolver.next_new_id = max(
+            resolver.next_new_id, int(resume_state["next_new_id"])
+        )
 
     for start in range(0, len(times), chunk_steps):
         chunk_times = times[start : start + chunk_steps]
@@ -633,7 +656,11 @@ def split_merge_events_chunked(
         if out_frames
         else labels.limit(0).select(time_col, "y", "x", "obj_id")
     )
-    return out_df, _ledger_df(spark, resolver.ledger, time_col, time_type)
+    ledger = _ledger_df(spark, resolver.ledger, time_col, time_type)
+    if return_state:
+        state = {"carry": list(carry), "next_new_id": int(resolver.next_new_id)}
+        return out_df, ledger, state
+    return out_df, ledger
 
 
 def split_merge_events_parallel(

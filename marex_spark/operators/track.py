@@ -378,9 +378,14 @@ def extend_track_events(
     extreme_col: str = "extreme",
     compute_stats: bool = True,
     cell_areas: DataFrame | None = None,
+    allow_merging: bool = False,
+    nn_partitioning: bool = False,
+    max_distance: float | None = None,
+    merge_chunk_steps: int = 64,
+    prior_merge_ledger: DataFrame | None = None,
 ) -> TrackResult:
-    """Incremental append tracking: extend a finished no-merge run with
-    new timesteps WITHOUT recomputing history — the operation a
+    """Incremental append tracking: extend a finished run with new
+    timesteps WITHOUT recomputing history — the operation a
     production pipeline runs per ingest cycle, where the archive is
     100 TB and the new month is a rounding error.
 
@@ -417,8 +422,18 @@ def extend_track_events(
     gap-bridging across the append boundary matters; and a prior run
     made with a global area QUARTILE froze that quantile — extension
     keeps it (pass ``area_filter_absolute`` workflows for exactness).
-    Merge-split runs (``allow_merging=True``) carry per-step partition
-    state and are not extendable here.
+
+    ``allow_merging=True`` extends a split/merge run: the chunked
+    resolver resumes from (carry = the prior run's last two resolved
+    slices, rebuilt from ``prior_events``; id counter past the prior
+    max), which is the complete between-chunk sequencing state. The
+    resulting partition STRUCTURE and ledger match a from-scratch run,
+    but id VALUES are a consistent relabelling rather than numerically
+    identical — a full recompute reseeds its id counter from the
+    global label maximum, so it does not even preserve the prior run's
+    own ids (tests pin id-free lifetime-stat and ledger-shape
+    equality). New merge events land in ``extras['merge_ledger']``,
+    appended to ``prior_merge_ledger`` when given.
     """
     from marex_spark.exceptions import ConfigurationError
 
@@ -446,6 +461,69 @@ def extend_track_events(
         extreme_col=extreme_col,
     ).withColumn("obj_id", (F.col("obj_id") + F.lit(prior_max_id)).cast("long"))
     labels_new = labels_new.localCheckpoint()
+
+    extras: dict = {
+        "prior_max_time": prior_max_time,
+        "prior_max_obj_id": prior_max_id,
+    }
+    if allow_merging:
+        from marex_spark.operators.merge import (
+            _Resolver,
+            split_merge_events_chunked,
+        )
+
+        # carry = the prior run's last two resolved slices (prior
+        # events ARE the post-resolution labels); rebuilt into the
+        # resolver's slice layout by the same build_slices pass
+        tail_times = [
+            r[0]
+            for r in prior_events.select(time_col)
+            .distinct()
+            .orderBy(F.desc(time_col))
+            .limit(2)
+            .collect()
+        ]
+        tail_pdf = (
+            prior_events.filter(F.col(time_col) >= F.lit(min(tail_times)))
+            .select(time_col, "y", "x", "obj_id")
+            .toPandas()
+        )
+        seed = _Resolver(
+            nx=nx, wrap_x=wrap_x, overlap_threshold=overlap_threshold,
+            max_iter_per_step=10, grid=True,
+            nn_partitioning=nn_partitioning, max_distance=max_distance,
+        )
+        c_slices, c_times = seed.build_slices(tail_pdf, time_col)
+        resume = {
+            "carry": [(c_times[i], c_slices[i]) for i in range(len(c_times))],
+            "next_new_id": prior_max_id + 1,
+        }
+        labels_new, new_ledger = split_merge_events_chunked(
+            labels_new,
+            nx=nx,
+            chunk_steps=merge_chunk_steps,
+            overlap_threshold=overlap_threshold,
+            wrap_x=wrap_x,
+            time_col=time_col,
+            nn_partitioning=nn_partitioning,
+            max_distance=max_distance,
+            labels_materialized=True,
+            resume_state=resume,
+        )
+        labels_new = labels_new.localCheckpoint()
+        extras["merge_ledger"] = (
+            prior_merge_ledger.unionByName(
+                new_ledger.withColumn(
+                    "merge_id",
+                    (
+                        F.col("merge_id")
+                        + F.lit(prior_merge_ledger.count())
+                    ).cast("long"),
+                )
+            )
+            if prior_merge_ledger is not None
+            else new_ledger
+        )
 
     boundary = prior_events.filter(F.col(time_col) == F.lit(prior_max_time))
     combined = boundary.select(time_col, "y", "x", "obj_id").unionByName(
@@ -528,8 +606,5 @@ def extend_track_events(
         events=events,
         timestep_stats=ts_stats,
         lifetime_stats=life,
-        extras={
-            "prior_max_time": prior_max_time,
-            "prior_max_obj_id": prior_max_id,
-        },
+        extras=extras,
     )

@@ -415,3 +415,66 @@ class TestExtendTrackEvents:
         res = track_events(df, nx=8, compute_stats=False)
         with pytest.raises(ConfigurationError):
             extend_track_events(res.events, df, nx=8, compute_stats=False)
+
+
+class TestExtendMergeRun:
+    """Merge-mode extension: the chunked resolver resumes from the
+    prior run's last two slices + id counter. A from-scratch run
+    renumbers (its counter seeds from the global label max), so the
+    gate is id-free: identical lifetime-stat multisets and ledger
+    shapes."""
+
+    def _idfree_life(self, events, time_col="time"):
+        rows = (
+            events.groupBy("event_id")
+            .agg(
+                F.min(time_col).alias("t0"),
+                F.max(time_col).alias("t1"),
+                F.countDistinct(time_col).alias("nt"),
+                F.count("*").alias("cells"),
+            )
+            .select("t0", "t1", "nt", "cells")
+            .collect()
+        )
+        return sorted(map(tuple, rows))
+
+    def _ledger_shape(self, ledger, time_col="time"):
+        rows = ledger.select(
+            time_col,
+            F.size("parent_ids").alias("np"),
+            F.sort_array("overlap_areas").alias("areas"),
+        ).collect()
+        return sorted((r[0], r.np, tuple(r.areas)) for r in rows)
+
+    def test_matches_full_recompute_idfree(self, spark):
+        from marex_spark.operators.track import extend_track_events
+
+        ny, nx = 24, 48
+        ext = synthetic_extremes_gridded(
+            spark, n_time=12, ny=ny, nx=nx, density=0.07, seed=11
+        )
+        full = track_events(
+            ext, nx=nx, overlap_threshold=0.5, compute_stats=False,
+            allow_merging=True,
+        )
+        times = sorted(r[0] for r in ext.select("time").distinct().collect())
+        cutoff = times[7]
+        prior = track_events(
+            ext.filter(F.col("time") <= F.lit(cutoff)),
+            nx=nx, overlap_threshold=0.5, compute_stats=False,
+            allow_merging=True,
+        )
+        extd = extend_track_events(
+            prior.events,
+            ext.filter(F.col("time") > F.lit(cutoff)),
+            nx=nx, overlap_threshold=0.5, compute_stats=False,
+            allow_merging=True,
+            prior_merge_ledger=prior.extras["merge_ledger"],
+        )
+        assert self._idfree_life(full.events) == self._idfree_life(extd.events)
+        assert self._ledger_shape(
+            full.extras["merge_ledger"]
+        ) == self._ledger_shape(extd.extras["merge_ledger"])
+        # combined ledger ids stay unique after the append-shift
+        ml = extd.extras["merge_ledger"]
+        assert ml.select("merge_id").distinct().count() == ml.count()
