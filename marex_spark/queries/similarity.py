@@ -542,11 +542,13 @@ _KM_K = 8
 _KM_ITER = 2
 
 
-def _kmeans_oracle(k: int, n_iter: int) -> str:
-    """Unrolled SQL replay of kmeans_fit + kmeans_assign: fixed
-    iteration count makes Lloyd's loop expressible as chained CTEs.
+def _kmeans_ctes(k: int, n_iter: int) -> str:
+    """WITH-clause body replaying kmeans_fit: fixed iteration count
+    makes Lloyd's loop expressible as chained CTEs, ending at
+    ``a{n_iter}`` (the final (vec_id, cent_id, dist2, rn) assignment).
     Every cross-row float sum goes through DECIMAL(38,6) (dec_sql /
-    davg_sql), matching the Spark side's decimal folds bit-for-bit."""
+    davg_sql), matching the Spark side's decimal folds bit-for-bit.
+    Shared by the emb_kmeans_assign and ann_ivf_kmeans_topk oracles."""
     from marex_spark.functions.decimals import davg_sql
 
     head = f"""WITH e AS (
@@ -584,10 +586,16 @@ def _kmeans_oracle(k: int, n_iter: int) -> str:
       SELECT c.cent_id, c.idx, COALESCE(u.m, c.m) AS m
       FROM c{i} c LEFT JOIN u{i} u
         ON u.cent_id = c.cent_id AND u.idx = c.idx)""")
-    tail = f"""
+    return head + "".join(steps)
+
+
+def _kmeans_oracle(k: int, n_iter: int) -> str:
+    return (
+        _kmeans_ctes(k, n_iter)
+        + f"""
     SELECT vec_id, cent_id, {round6_sql('dist2')} AS dist2
     FROM a{n_iter} WHERE rn = 1"""
-    return head + "".join(steps) + tail
+    )
 
 
 @register("emb_kmeans_assign", _kmeans_oracle(_KM_K, _KM_ITER))
@@ -608,4 +616,116 @@ def emb_kmeans_assign(spark, sf_dir):
     out = kmeans_assign(emb, cents)
     return out.select(
         "vec_id", "cent_id", round6(F.col("dist2")).alias("dist2")
+    )
+
+
+_NPROBE = 2
+
+
+def _ivf_kmeans_oracle(k: int, n_iter: int) -> str:
+    a = f"a{n_iter}"
+    cos = """FLOOR((
+              list_reduce(list_transform(list_zip(eq.embedding, ec.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                          (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(eq.embedding,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                          (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(ec.embedding,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                          (x, y) -> x + y)))) * 1e6 + 0.5) / 1e6"""
+    return (
+        _kmeans_ctes(k, n_iter)
+        + f""",
+    probes AS (
+      SELECT vec_id AS q_id, cent_id AS bucket
+      FROM {a} WHERE rn <= {_NPROBE} AND vec_id < {_N_QUERY}),
+    buckets AS (
+      SELECT vec_id AS c_id, cent_id AS bucket FROM {a} WHERE rn = 1),
+    cand AS (
+      SELECT p.q_id, b.c_id
+      FROM probes p JOIN buckets b USING (bucket)
+      WHERE p.q_id <> b.c_id),
+    scored AS (
+      SELECT c.q_id, c.c_id, {cos} AS cosine
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.q_id
+      JOIN embeddings ec ON ec.vec_id = c.c_id),
+    ranked AS (
+      SELECT q_id, c_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, c_id) AS rn
+      FROM scored)
+    SELECT q_id, c_id, cosine, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= {_TOP_K}"""
+    )
+
+
+@register("ann_ivf_kmeans_topk", _ivf_kmeans_oracle(_KM_K, _KM_ITER))
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """End-to-end learned-IVF ANN: train centroids with distributed
+    Lloyd's k-means, bucket the corpus by nearest centroid, probe each
+    query's {_NPROBE} nearest buckets (multi-probe — the standard
+    recall lever), score only the pruned candidates.
+
+    Scale shape: corpus bucketing is the shuffle-free literal-centroid
+    expression; probes (queries × nprobe rows) broadcast into a
+    bucket-keyed join, so a 100 TB corpus pays one scan plus a
+    candidate-sized shuffle. The oracle replays training AND probing
+    as one SQL chain."""
+    from marex_spark.operators.embed import kmeans_assign_cols, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=_KM_K, n_iter=_KM_ITER)
+
+    cent_col, _ = kmeans_assign_cols("embedding", cents)
+    cand = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        cent_col.alias("bucket"),
+    )
+
+    from marex_spark.operators.embed import _kmeans_dist2
+
+    ranked_cents = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _kmeans_dist2("embedding", c).alias("d"),
+                    F.lit(ci).cast("int").alias("c"),
+                )
+                for ci, c in enumerate(cents)
+            ]
+        )
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < _N_QUERY)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(F.slice(ranked_cents, 1, _NPROBE)).alias("pr"),
+        )
+        .select("q_id", "q_emb", F.col("pr.c").alias("bucket"))
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    nrm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    scored = (
+        cand.join(F.broadcast(probes), "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            round6(dot("q_emb", "c_emb") / (nrm("q_emb") * nrm("c_emb"))),
+        )
+        .select("q_id", "c_id", "cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("int")).filter(
+        F.col("rn") <= _TOP_K
     )
