@@ -583,6 +583,59 @@ class Tracker:
         return res
 
 
+    def extend(self, prior, prior_timestep_stats: DataFrame | None = None):
+        """Incremental append: treat this tracker's ``data_bin`` as the
+        NEW timesteps and extend ``prior`` (a ``TrackResult`` or its
+        events DataFrame) without recomputing history — the
+        per-ingest-cycle form of ``run()``
+        (operators/track.py extend_track_events; exact no-merge parity
+        with a full recompute, id-free parity for merge runs).
+
+        Preprocessing (mask, morphology, area filter) applies to the
+        new slices only — see extend_track_events' boundary caveats
+        (T_fill closing across the append boundary; a quartile area
+        filter re-quantiles over the new slices alone, so prefer
+        ``area_filter_absolute`` for append workflows)."""
+        from marex_spark.operators.track import extend_track_events
+
+        if self.unstructured_grid:
+            raise ConfigurationError(
+                "extend() supports gridded runs only",
+                details={"unstructured_grid": True},
+            )
+        events = prior.events if hasattr(prior, "events") else prior
+        if prior_timestep_stats is None and hasattr(prior, "timestep_stats"):
+            prior_timestep_stats = prior.timestep_stats
+        prior_ledger = (
+            prior.extras.get("merge_ledger")
+            if hasattr(prior, "extras")
+            else None
+        )
+        cleaned = self.run_preprocess()
+        gy = self._grid_y_with_area()
+        return extend_track_events(
+            events,
+            cleaned,
+            nx=self.nx,
+            grid_y=gy,
+            grid_x=self.grid_x,
+            prior_timestep_stats=prior_timestep_stats,
+            overlap_threshold=self.overlap_threshold,
+            connectivity=self.connectivity,
+            wrap_x=not self.regional_mode,
+            time_col=self.time_col,
+            extreme_col=self.extreme_col,
+            compute_stats=gy is not None
+            and self.grid_x is not None
+            and prior_timestep_stats is not None,
+            cell_areas=self.cell_areas if self.grid_resolution is None else None,
+            allow_merging=self.allow_merging,
+            nn_partitioning=self.nn_partitioning,
+            max_distance=self.max_distance,
+            prior_merge_ledger=prior_ledger,
+        )
+
+
 def tracker(data_bin: DataFrame, mask: DataFrame | None = None, **kwargs) -> Tracker:
     """Lower-case constructor matching the reference's class name
     (``marEx.tracker``, track.py:66)."""

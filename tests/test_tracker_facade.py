@@ -368,3 +368,40 @@ class TestReviewFixes:
             t.run(checkpoint="save")
         with pytest.raises(ConfigurationError, match="save"):
             t.run(checkpoint="bogus")
+
+
+class TestExtendFacade:
+    """Tracker.extend: the per-ingest-cycle form of run() — a tracker
+    over the NEW slices extends a prior result; with no-op
+    preprocessing the combined events equal one full run()."""
+
+    def test_extend_equals_full_run(self, spark):
+        ext = synthetic_extremes_gridded(
+            spark, n_time=10, ny=NY, nx=NX, density=0.06, seed=9
+        )
+        gy, gx = _grid_dims(spark)
+        kw = dict(
+            ny=NY, nx=NX, grid_y=gy, grid_x=gx,
+            R_fill=0, T_fill=0, area_filter_quartile=0.0,
+        )
+        full = Tracker(ext, **kw).run()
+        times = sorted(r[0] for r in ext.select("time").distinct().collect())
+        cutoff = times[6]
+        prior = Tracker(ext.filter(F.col("time") <= F.lit(cutoff)), **kw).run()
+        extd = Tracker(ext.filter(F.col("time") > F.lit(cutoff)), **kw).extend(prior)
+        cols = ["time", "y", "x", "obj_id", "event_id"]
+        assert sorted(map(tuple, full.events.select(*cols).collect())) == sorted(
+            map(tuple, extd.events.select(*cols).collect())
+        )
+        # stats flow through: same event set in lifetime stats
+        assert {r.event_id for r in full.lifetime_stats.collect()} == {
+            r.event_id for r in extd.lifetime_stats.collect()
+        }
+
+    def test_extend_rejects_unstructured(self, spark):
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+        t = Tracker(ext.withColumnRenamed("y", "cell").drop("x"),
+                    unstructured_grid=True, edges=edges)
+        with pytest.raises(ConfigurationError, match="gridded"):
+            t.extend(ext.limit(0))
