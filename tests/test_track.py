@@ -326,8 +326,12 @@ class TestExtendTrackEvents:
             ext.filter(F.col("time") > F.lit(cutoff)),
         )
 
-    @pytest.mark.parametrize("theta", [0.0, 0.3])
-    def test_matches_full_recompute(self, spark, theta):
+    @pytest.mark.parametrize(
+        "theta,n_prior",
+        [(0.0, 8), (0.3, 8), (0.0, 2), (0.0, 11)],  # incl. tiny prior
+        # and a single appended slice — the boundary-layout edge cases
+    )
+    def test_matches_full_recompute(self, spark, theta, n_prior):
         from marex_spark.operators.track import extend_track_events
 
         ny, nx = 24, 48
@@ -338,7 +342,7 @@ class TestExtendTrackEvents:
         full = track_events(
             ext, nx=nx, grid_y=gy, grid_x=gx, overlap_threshold=theta
         )
-        prior_ext, new_ext = self._split(ext, 8)
+        prior_ext, new_ext = self._split(ext, n_prior)
         prior = track_events(
             prior_ext, nx=nx, grid_y=gy, grid_x=gx, overlap_threshold=theta
         )
