@@ -121,3 +121,97 @@ def decontaminate_stream(
     return sh.join(F.broadcast(benchmark_shingles.select("shingle")), "shingle").select(
         id_col, "shingle"
     )
+
+
+def doc_band_keys(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document MinHash-LSH band keys as a MAP-ONLY expression —
+    no groupBy, so it runs on a stream without stateful aggregation.
+
+    Same maths as the batch banding (queries/dedup.py _lsh_bands: md5
+    shingle → int64, universal-hash permutations, _BAND_ROWS rows per
+    band), but folded into nested higher-order functions over the
+    per-row shingle array instead of an explode + groupBy — pinned
+    equal to the batch table in tests/test_streaming.py. Documents
+    too short to shingle produce no rows."""
+    from marex_spark.queries.dedup import _BAND_ROWS, _MH_A, _MH_B, _MH_P, _N_HASH
+
+    n = 3
+    ws = F.split(F.col(text_col), " ")
+    shingles = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+                lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+            ),
+            lambda s: F.size(F.split(s, " ")) >= n,
+        )
+    )
+    s_arr = F.transform(
+        shingles,
+        lambda sh: F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long")
+        % _MH_P,
+    )
+    def _perm(h):
+        # closure, NOT a default arg: a 2-parameter lambda would make
+        # F.transform pass the array index as the second argument
+        return F.array_min(
+            F.transform(s_arr, lambda s: (s * _MH_A[h] + _MH_B[h]) % _MH_P)
+        )
+
+    minhashes = [_perm(h) for h in range(_N_HASH)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            mh.cast("string")
+                            for mh in minhashes[
+                                b * _BAND_ROWS : (b + 1) * _BAND_ROWS
+                            ]
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(_N_HASH // _BAND_ROWS)
+        ]
+    )
+    return (
+        df.filter(F.size(shingles) > 0)
+        .select("*", F.explode(bands).alias("_b"))
+        .select(
+            *df.columns,
+            F.col("_b.band").alias("band"),
+            F.col("_b.band_key").alias("band_key"),
+        )
+    )
+
+
+def near_dup_stream(
+    stream: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming near-dup detection against an EXISTING corpus: the
+    "is this incoming document a near-duplicate of our training set"
+    gate.
+
+    ``corpus_bands`` is the static LSH band index built in batch
+    (queries/dedup.py _lsh_bands over the archived corpus — at 100 TB
+    it lives as a parquet table keyed by (band, band_key)). The stream
+    side computes its band keys map-only (:func:`doc_band_keys`) and
+    stream-static joins; with a broadcastable index the micro-batch
+    pays no shuffle. Returns (stream doc id, matched corpus doc_id,
+    band) hits; dedupe downstream per doc id for a boolean flag."""
+    sb = doc_band_keys(stream, text_col, id_col)
+    idx = corpus_bands.select(
+        F.col("doc_id").alias("corpus_doc_id"), "band", "band_key"
+    )
+    return sb.join(F.broadcast(idx), ["band", "band_key"]).select(
+        id_col, "corpus_doc_id", "band"
+    )

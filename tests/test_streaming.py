@@ -262,3 +262,42 @@ def test_stream_decontaminate(doc_stream_env):
     )
     flagged = {r.doc_id for r in hits.select("doc_id").distinct().collect()}
     assert flagged == {0, 10, 20, 30}
+
+
+def test_doc_band_keys_match_batch_banding(doc_stream_env):
+    """The map-only per-row band expression must equal the batch
+    explode+groupBy banding table row for row — the guarantee that the
+    streaming near-dup gate uses the SAME index keys the batch corpus
+    index was built with."""
+    from marex_spark.queries.dedup import _lsh_bands
+    from marex_spark.streaming.documents import doc_band_keys
+
+    spark, tmp, src, df = doc_stream_env
+    a = sorted(
+        map(
+            tuple,
+            doc_band_keys(df).select("doc_id", "band", "band_key").collect(),
+        )
+    )
+    b = sorted(map(tuple, _lsh_bands(df).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_stream_near_dup_against_corpus(doc_stream_env):
+    """Streaming docs that duplicate an archived corpus doc are
+    flagged via the stream-static band join; novel docs are not."""
+    from marex_spark.queries.dedup import _lsh_bands
+    from marex_spark.streaming.documents import near_dup_stream
+
+    spark, tmp, src, df = doc_stream_env
+    # archive = the k-family-0 docs; stream = everything
+    corpus = df.filter(F.col("doc_id") % 10 == 0)
+    idx = _lsh_bands(corpus).localCheckpoint()
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    hits = _drain(
+        near_dup_stream(stream, idx), spark, tmp, "neardup_out"
+    )
+    flagged = {r.doc_id for r in hits.select("doc_id").distinct().collect()}
+    # every k0-family doc (incl. the corpus docs themselves) collides
+    # with the archive; other families share no shingles
+    assert flagged == {i for i in range(40) if i % 10 == 0}
