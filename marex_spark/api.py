@@ -129,8 +129,25 @@ def identify_extremes(
         a = a.withColumnRenamed(anomaly_col, "anomaly")
     if time_col != "time":
         # the threshold operators derive (year, doy) from the canonical
-        # 'time' column; rename rather than thread the name through
-        a = a.drop("time").withColumnRenamed(time_col, "time")
+        # 'time' column; rename rather than thread the name through.
+        # NOTE: a pre-existing unrelated 'time' data column would be
+        # ambiguous with the time axis — refuse instead of dropping it
+        if "time" in a.columns:
+            raise ConfigurationError(
+                "input has both a 'time' column and a different "
+                "time_col — rename one",
+                details={"time_col": time_col},
+            )
+        a = a.withColumnRenamed(time_col, "time")
+
+    def _restore(d):
+        # hand the caller's column name back (review finding: the
+        # output silently came back renamed to 'time')
+        return (
+            d.withColumnRenamed("time", time_col)
+            if time_col != "time" and "time" in d.columns
+            else d
+        )
     exact = method_percentile == "exact"
     if method_extreme == "global_extreme" and exact:
         w = Window.partitionBy(*keys)
@@ -138,7 +155,7 @@ def identify_extremes(
             "threshold",
             F.percentile("anomaly", F.lit(threshold_percentile)).over(w),
         ).withColumn("extreme", F.col("anomaly") >= F.col("threshold"))
-        return ext, ext.select(*keys, "threshold").dropDuplicates(list(keys))
+        return _restore(ext), ext.select(*keys, "threshold").dropDuplicates(list(keys))
     if method_extreme == "global_extreme":
         t = (
             global_threshold_approx(a, keys, threshold_percentile)
@@ -157,7 +174,7 @@ def identify_extremes(
                 spatial_window=window_spatial_hobday or 0, nx=nx, ny=ny,
             )
         )
-    return _compare(a, t, keys), t
+    return _restore(_compare(a, t, keys)), _restore(t)
 
 
 def rolling_climatology(
@@ -196,7 +213,13 @@ def smoothed_rolling_climatology(
     detect.py:1691-1800) — the shifting-baseline method's climatology
     table."""
     if time_col != "time":
-        df = df.drop("time").withColumnRenamed(time_col, "time")
+        if "time" in df.columns:
+            raise ConfigurationError(
+                "input has both a 'time' column and a different "
+                "time_col — rename one",
+                details={"time_col": time_col},
+            )
+        df = df.withColumnRenamed(time_col, "time")
     return shifting_climatology(
         df, keys, window_year_baseline, smooth_days_baseline, value_col
     )

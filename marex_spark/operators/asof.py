@@ -37,6 +37,12 @@ def asof_join(
     right rows at the same (key, time) resolve to the one last in the
     window's deterministic tiebreak order (right rows sort before left
     rows at equal times via the side marker).
+
+    NULL times follow SCALAR comparison semantics: a NULL left or
+    right time never matches (like a NULL key). This deliberately
+    differs from DuckDB's native ASOF operator, whose sort-based
+    implementation treats a NULL time as +infinity — the differential
+    test pins our rule against an explicit lateral-subquery spec.
     """
     if direction not in ("backward", "forward"):
         from marex_spark.exceptions import ConfigurationError
@@ -55,7 +61,12 @@ def asof_join(
     # struct picks the latest right row as a unit, so a NULL payload in
     # that row stays NULL (per-column fills resurrected stale values
     # and could mix columns from different right rows)
-    r_tag = right.filter(F.col(on).isNotNull()).select(
+    # NULL-time right rows can never satisfy the comparison (NULL
+    # <= t is never true) but would sort first under the backward
+    # ordering and pollute the running fill — drop them up front
+    r_tag = right.filter(
+        F.col(on).isNotNull() & F.col(right_time).isNotNull()
+    ).select(
         F.col(on),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
@@ -76,9 +87,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = merged.withColumn("_f", F.last("_row", ignorenulls=True).over(w))
-    # NULL join keys never match in an equality join (DuckDB ASOF
+    # NULL join keys never match in an equality join, and a NULL
+    # left time never satisfies the comparison (DuckDB ASOF
     # semantics): blank their fill
-    fill = F.when(F.col(on).isNotNull(), F.col("_f"))
+    fill = F.when(
+        F.col(on).isNotNull() & F.col("_t").isNotNull(), F.col("_f")
+    )
     return (
         filled.filter(F.col("_side") == 1)
         .withColumn("_f", fill)

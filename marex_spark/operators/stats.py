@@ -123,6 +123,10 @@ def episode_stats(
         run_aggs += [
             F.max("_a").alias("_imax"),
             F.sum("_a").alias("_icum"),
+            # non-null anomaly days: the i_mean denominator must skip
+            # NULLs exactly like the numerator sum does, or gap days in
+            # the anomaly table deflate the mean
+            F.count("_a").alias("_na"),
         ]
     runs = (
         epi.groupBy(*keys, "eid")
@@ -138,10 +142,10 @@ def episode_stats(
     if anomaly_col is not None:
         cell_aggs += [
             F.max("_imax").alias("i_max"),
-            # day-weighted: mean over ALL extreme days of kept episodes,
-            # not a mean of per-episode means (a 10-day episode counts
-            # twice a 5-day one)
-            (F.sum("_icum") / F.sum("n_days")).alias("i_mean"),
+            # day-weighted: mean over ALL anomaly-valued extreme days of
+            # kept episodes, not a mean of per-episode means (a 10-day
+            # episode counts twice a 5-day one)
+            (F.sum("_icum") / F.sum("_na")).alias("i_mean"),
             F.sum("_icum").alias("i_cum"),
         ]
     return runs.groupBy(*keys).agg(*cell_aggs)

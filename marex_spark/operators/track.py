@@ -246,30 +246,43 @@ def track_events(
 
     ts_stats = life = None
     if compute_stats and grid_y is not None and grid_x is not None:
-        # area precedence (reference track.py:131-135): a cell_area
-        # column on the y dimension table (grid_resolution /
-        # cell_areas_from_resolution) wins; else a user (y, x, area)
-        # table; else the cos(lat) proxy
-        area_col = "cell_area" if "cell_area" in grid_y.columns else None
-        ev = events
-        if area_col is None and cell_areas is not None:
-            ev = events.join(
-                F.broadcast(
-                    cell_areas.select("y", "x", F.col("area").alias("_user_area"))
-                ),
-                ["y", "x"],
-                "left",
-            )
-        geo = attach_geo(ev, grid_y, grid_x, area_col=area_col)
-        if area_col is None and cell_areas is not None:
-            geo = geo.withColumn(
-                "area", F.coalesce(F.col("_user_area"), F.col("area"))
-            ).drop("_user_area")
-        ts_stats = event_timestep_stats(geo, time_col=time_col)
+        ts_stats = _timestep_stats_with_areas(
+            events, grid_y, grid_x, cell_areas, time_col
+        )
         life = event_lifetime_stats(ts_stats, time_col=time_col)
     return TrackResult(
         events=events, timestep_stats=ts_stats, lifetime_stats=life, extras=extras
     )
+
+
+def _timestep_stats_with_areas(
+    events: DataFrame,
+    grid_y: DataFrame,
+    grid_x: DataFrame,
+    cell_areas: DataFrame | None,
+    time_col: str,
+) -> DataFrame:
+    """Per-timestep stats with the area-precedence rule (reference
+    track.py:131-135): a cell_area column on the y dimension table
+    (grid_resolution / cell_areas_from_resolution) wins; else a user
+    (y, x, area) table; else the cos(lat) proxy. Shared by
+    track_events and extend_track_events."""
+    area_col = "cell_area" if "cell_area" in grid_y.columns else None
+    ev = events
+    if area_col is None and cell_areas is not None:
+        ev = events.join(
+            F.broadcast(
+                cell_areas.select("y", "x", F.col("area").alias("_user_area"))
+            ),
+            ["y", "x"],
+            "left",
+        )
+    geo = attach_geo(ev, grid_y, grid_x, area_col=area_col)
+    if area_col is None and cell_areas is not None:
+        geo = geo.withColumn(
+            "area", F.coalesce(F.col("_user_area"), F.col("area"))
+        ).drop("_user_area")
+    return event_timestep_stats(geo, time_col=time_col)
 
 
 def track_events_unstructured(
@@ -579,28 +592,36 @@ def extend_track_events(
         and grid_x is not None
         and prior_timestep_stats is not None
     ):
-        area_col = "cell_area" if "cell_area" in grid_y.columns else None
-        ev = events_new
-        if area_col is None and cell_areas is not None:
-            ev = events_new.join(
-                F.broadcast(
-                    cell_areas.select("y", "x", F.col("area").alias("_user_area"))
-                ),
-                ["y", "x"],
-                "left",
-            )
-        geo = attach_geo(ev, grid_y, grid_x, area_col=area_col)
-        if area_col is None and cell_areas is not None:
-            geo = geo.withColumn(
-                "area", F.coalesce(F.col("_user_area"), F.col("area"))
-            ).drop("_user_area")
-        ts_new = event_timestep_stats(geo, time_col=time_col)
-        ts_old = (
-            prior_timestep_stats.join(F.broadcast(ev_remap), "event_id", "left")
-            .withColumn("event_id", F.coalesce("_ev2", F.col("event_id")))
-            .drop("_ev2")
+        ts_new = _timestep_stats_with_areas(
+            events_new, grid_y, grid_x, cell_areas, time_col
         )
-        ts_stats = ts_old.unionByName(ts_new)
+        # Old events that MERGED (a new object bridged them) would
+        # leave duplicate (time, event_id) rows after a bare remap —
+        # and the weighted-centroid recombination is not recoverable
+        # from the stats rows (each row keeps only the unit direction,
+        # not the cartesian sum). The merged set is tiny, so recompute
+        # those events' old-slice stats exactly from their cell rows;
+        # untouched events keep their prior rows verbatim.
+        # only OLD event nodes (ids <= prior max) whose root changed
+        # indicate an old-old merge; rows where a NEW obj id maps to an
+        # old root are ordinary continuations and touch no old stats
+        merged = ev_remap.filter(
+            (F.col("event_id") != F.col("_ev2"))
+            & (F.col("event_id") <= F.lit(prior_max_id))
+        )
+        merged_roots = merged.select(F.col("_ev2").alias("event_id")).distinct()
+        ts_keep = prior_timestep_stats.join(
+            F.broadcast(
+                merged.select("event_id").unionByName(merged_roots)
+            ),
+            "event_id",
+            "left_anti",
+        )
+        ts_merged = _timestep_stats_with_areas(
+            events_old.join(F.broadcast(merged_roots), "event_id", "semi"),
+            grid_y, grid_x, cell_areas, time_col,
+        )
+        ts_stats = ts_keep.unionByName(ts_merged).unionByName(ts_new)
         life = event_lifetime_stats(ts_stats, time_col=time_col)
     return TrackResult(
         events=events,

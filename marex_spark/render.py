@@ -254,7 +254,14 @@ class GriddedPlotter:
         (explicit kwargs win)."""
         from marex_spark.viz import snapshot_grid
 
-        clim, cmap, issym, _ = _resolve_plot_config(config, clim, cmap, issym)
+        clim, cmap, issym, cperc = _resolve_plot_config(config, clim, cmap, issym)
+        if clim is None and config is not None:
+            # a PlotConfig asked for robust percentile limits — honour
+            # cperc here exactly like multi_plot/animate do (review
+            # finding: single_plot silently ignored it)
+            clim = self.clim_robust(
+                q=(cperc[0] / 100.0, cperc[1] / 100.0), issym=issym
+            )
 
         g = snapshot_grid(
             self.df, time_value, self.ny, self.nx, self.value_col, self.time_col
@@ -417,7 +424,19 @@ class UnstructuredPlotter:
         self, time_value, path: str, clim=None, cmap="viridis",
         issym=False, scale: int = 1, fill: bool = True, config=None,
     ) -> str:
-        clim, cmap, issym, _ = _resolve_plot_config(config, clim, cmap, issym)
+        clim, cmap, issym, cperc = _resolve_plot_config(config, clim, cmap, issym)
+        if clim is None and config is not None:
+            # honour PlotConfig.cperc (same rule as GriddedPlotter)
+            from marex_spark.viz import clim_robust_limits
+
+            lo, hi = clim_robust_limits(
+                self._gridded, self.value_col,
+                (cperc[0] / 100.0, cperc[1] / 100.0),
+            )
+            if issym:
+                m = max(abs(lo), abs(hi))
+                lo, hi = -m, m
+            clim = (lo, hi)
         rgb = render_field(
             self.snapshot(time_value, fill=fill), clim=clim, cmap=cmap,
             issym=issym,

@@ -236,6 +236,10 @@ def extend_track_run(
         grid_y=grid_y,
         grid_x=grid_x,
         prior_timestep_stats=prior.timestep_stats,
+        # a merge-mode prior run's persisted ledger must carry through,
+        # or the extended run's ledger would silently lose every
+        # pre-append merge event
+        prior_merge_ledger=prior.extras.get("merge_ledger"),
         **track_kwargs,
     )
     if out_path is not None:

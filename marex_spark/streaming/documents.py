@@ -196,6 +196,7 @@ def near_dup_stream(
     corpus_bands: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_index: bool = False,
 ) -> DataFrame:
     """Streaming near-dup detection against an EXISTING corpus: the
     "is this incoming document a near-duplicate of our training set"
@@ -205,13 +206,18 @@ def near_dup_stream(
     (queries/dedup.py _lsh_bands over the archived corpus — at 100 TB
     it lives as a parquet table keyed by (band, band_key)). The stream
     side computes its band keys map-only (:func:`doc_band_keys`) and
-    stream-static joins; with a broadcastable index the micro-batch
-    pays no shuffle. Returns (stream doc id, matched corpus doc_id,
-    band) hits; dedupe downstream per doc id for a boolean flag."""
+    stream-static joins. Set ``broadcast_index=True`` only when the
+    index genuinely fits in executor memory (small/sampled corpus);
+    the default lets Spark pick the join strategy, since force-
+    broadcasting a 100 TB corpus's index would OOM every executor.
+    Returns (stream doc id, matched corpus doc_id, band) hits; dedupe
+    downstream per doc id for a boolean flag."""
     sb = doc_band_keys(stream, text_col, id_col)
     idx = corpus_bands.select(
         F.col("doc_id").alias("corpus_doc_id"), "band", "band_key"
     )
-    return sb.join(F.broadcast(idx), ["band", "band_key"]).select(
+    if broadcast_index:
+        idx = F.broadcast(idx)
+    return sb.join(idx, ["band", "band_key"]).select(
         id_col, "corpus_doc_id", "band"
     )

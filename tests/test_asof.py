@@ -176,3 +176,62 @@ def test_asof_differential_vs_duckdb_with_nulls(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_asof_differential_null_times_scalar_semantics(spark):
+    """NULL left/right TIMES follow scalar-comparison semantics (a NULL
+    comparison never matches) — deliberately NOT DuckDB's native ASOF,
+    whose sort-based implementation treats a NULL time as +infinity.
+    The oracle is an explicit lateral subquery spelling the rule out."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(7)
+    left_rows = [
+        (
+            rng.choice([1, 2, 3, None]),
+            rng.choice([None] + list(range(31))),
+        )
+        for _ in range(100)
+    ]
+    right_rows = [
+        (
+            rng.choice([1, 2, 3]),
+            rng.choice([None] + list(range(31))),
+            rng.choice([None, 10, 20, 30]),
+        )
+        for _ in range(50)
+    ]
+    seen = {}
+    for k, t, v in right_rows:
+        seen[(k, t)] = v
+    right_rows = [(k, t, v) for (k, t), v in seen.items()]
+
+    from marex_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(left_rows, "k int, t int")
+    right = spark.createDataFrame(right_rows, "k int, rt int, val int")
+    from collections import Counter
+
+    got = Counter(
+        (r.k, r.t, r.val_r)
+        for r in asof_join(left, right, "k", "t", "rt").collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k INT, t INT)")
+    con.executemany("INSERT INTO l VALUES (?, ?)", left_rows)
+    con.execute("CREATE TABLE r(k INT, rt INT, val INT)")
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", right_rows)
+    want = Counter(
+        tuple(row)
+        for row in con.execute(
+            """SELECT l.k, l.t,
+                      (SELECT r.val FROM r
+                        WHERE r.k = l.k AND r.rt <= l.t
+                        ORDER BY r.rt DESC LIMIT 1) AS val
+               FROM l"""
+        ).fetchall()
+    )
+    assert got == want

@@ -290,3 +290,23 @@ class TestPlotXDispatch:
             config=PlotConfig(cmap="greys"),
         )
         assert np.array_equal(read_png(b), read_png(c))
+
+
+def test_single_plot_honours_config_cperc(spark, tmp_path):
+    """PlotConfig.cperc must drive single_plot's colour limits exactly
+    like multi_plot's (review finding: it was silently ignored)."""
+    from marex_spark.render import GriddedPlotter, PlotConfig
+
+    rows = [
+        (0, y, x, float(y * 8 + x)) for y in range(4) for x in range(8)
+    ]
+    df = spark.createDataFrame(rows, "time int, y int, x int, value double")
+    p = GriddedPlotter(df, ny=4, nx=8)
+    cfg = PlotConfig(cperc=(10, 90))
+    a = p.single_plot(0, f"{tmp_path}/a.png", config=cfg)
+    lo, hi = p.clim_robust(q=(0.10, 0.90))
+    b = p.single_plot(0, f"{tmp_path}/b.png", clim=(lo, hi))
+    assert open(a, "rb").read() == open(b, "rb").read()
+    # and differs from the raw min/max scaling
+    c = p.single_plot(0, f"{tmp_path}/c.png")
+    assert open(a, "rb").read() != open(c, "rb").read()

@@ -391,18 +391,42 @@ class TestExtendTrackEvents:
             ).alias("time"),
             "y", "x", "extreme",
         )
-        full = track_events(df, nx=nx, compute_stats=False)
+        gy, gx = self._grids(spark, 12, nx)
+        full = track_events(df, nx=nx, grid_y=gy, grid_x=gx)
         prior_ext, new_ext = self._split(df, 2)
-        prior = track_events(prior_ext, nx=nx, compute_stats=False)
+        prior = track_events(prior_ext, nx=nx, grid_y=gy, grid_x=gx)
         assert prior.events.select("event_id").distinct().count() == 2
         extd = extend_track_events(
-            prior.events, new_ext, nx=nx, compute_stats=False
+            prior.events, new_ext, nx=nx, grid_y=gy, grid_x=gx,
+            prior_timestep_stats=prior.timestep_stats,
         )
         cols = ["time", "y", "x", "obj_id", "event_id"]
         a = sorted(map(tuple, full.events.select(*cols).collect()))
         b = sorted(map(tuple, extd.events.select(*cols).collect()))
         assert a == b
         assert extd.events.select("event_id").distinct().count() == 1
+        # merged-event stats must be RECOMPUTED, not double-counted:
+        # one (time, event) row per old slice covering both blobs
+        fa = sorted(
+            map(tuple, full.timestep_stats.select(
+                "time", "event_id", "n_cells").collect())
+        )
+        fb = sorted(
+            map(tuple, extd.timestep_stats.select(
+                "time", "event_id", "n_cells").collect())
+        )
+        assert fa == fb
+        la = {r.event_id: r for r in full.lifetime_stats.collect()}
+        lb = {r.event_id: r for r in extd.lifetime_stats.collect()}
+        assert set(la) == set(lb)
+        for k in la:
+            assert la[k].n_timesteps == lb[k].n_timesteps
+            assert abs(la[k].max_area - lb[k].max_area) < 1e-9
+            assert (
+                abs(la[k].centroid_lat_start - lb[k].centroid_lat_start) < 1e-9
+                if hasattr(la[k], "centroid_lat_start")
+                else True
+            )
 
     def test_rejects_overlapping_times(self, spark):
         from marex_spark.exceptions import ConfigurationError
@@ -482,3 +506,26 @@ class TestExtendMergeRun:
         # combined ledger ids stay unique after the append-shift
         ml = extd.extras["merge_ledger"]
         assert ml.select("merge_id").distinct().count() == ml.count()
+
+
+def test_intensity_mean_skips_null_anomaly_days(spark):
+    """Extreme days whose anomaly is NULL (gaps in the anomaly table)
+    must not deflate i_mean: numerator and denominator both skip
+    NULLs (review finding)."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.operators.stats import episode_stats
+
+    rows = [(0, 0, d, 2.0 if d % 2 == 0 else None) for d in range(10)]
+    df = spark.createDataFrame(
+        rows, "y int, x int, d int, anomaly double"
+    ).select(
+        "y", "x",
+        F.timestamp_seconds(F.col("d") * 86400).alias("time"),
+        F.lit(True).alias("extreme"),
+        "anomaly",
+    )
+    a = episode_stats(df, anomaly_col="anomaly").collect()[0]
+    assert a.total_extreme_days == 10
+    assert a.i_mean == pytest.approx(2.0)
+    assert a.i_cum == pytest.approx(10.0)
