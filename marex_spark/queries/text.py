@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from marex_spark.functions.decimals import dec_sql, dsum
 from marex_spark.queries.registry import register, round6, round6_sql
 from marex_spark.sources.parquet import load_table
 
@@ -496,3 +497,155 @@ def pipe_source_mix_temperature(spark, sf_dir):
         .filter(F.col("u") < F.col("keep_frac"))
         .select("doc_id", "source")
     )
+
+
+# --------------------------------------------------- TF-IDF keyword search
+
+_TFIDF_TERMS = ("spark", "join", "window")
+_TFIDF_K = 25
+
+
+@register(
+    "txt_tfidf_search",
+    f"""WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM w WHERE term IN {_TFIDF_TERMS!r}
+      GROUP BY 1, 2),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    idf AS (
+      SELECT term,
+             {round6_sql('ln((SELECT n_docs FROM n) / COUNT(DISTINCT doc_id))')} AS idf
+      FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             {dec_sql('tf.tf * idf.idf')} AS score
+      FROM tf JOIN idf USING (term)
+      GROUP BY 1),
+    ranked AS (
+      SELECT doc_id, {round6_sql('score')} AS score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+    SELECT doc_id, score, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= {_TFIDF_K}""",
+)
+def txt_tfidf_search(spark, sf_dir):
+    """TF-IDF keyword search over the corpus: score = sum over query
+    terms of term-frequency x ln(N/df), top-{_TFIDF_K} docs.
+
+    Scale shape: the word explode filters to the query terms BEFORE
+    the shuffle (the predicate sits inside the generator's projection),
+    so the aggregation touches only query-term occurrences; idf is a
+    terms-sized broadcast. One corpus scan at 100 TB, no global state.
+    Determinism: tf x idf products sum in DECIMAL; idf itself is
+    round6'd so both engines feed identical doubles in."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*_TFIDF_TERMS))
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("term").agg(
+        round6(
+            F.log(F.lit(float(n_docs)) / F.countDistinct("doc_id"))
+        ).alias("idf")
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(dsum(F.col("tf") * F.col("idf"), "score"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.orderBy(F.desc("score"), "doc_id"))
+    return (
+        scored.select("doc_id", round6(F.col("score")).alias("score"))
+        .withColumn("rn", rn.cast("int"))
+        .filter(F.col("rn") <= _TFIDF_K)
+    )
+
+
+# ------------------------------------- logistic-regression quality model
+
+_LR_DIM = 16
+_LR_ITER = 2
+_LR_RATE = 0.5
+
+
+def _logreg_oracle(dim: int, n_iter: int, lr: float) -> str:
+    """Unrolled SQL replay of logreg_fit + logreg_predict
+    (operators/classify.py): fixed-iteration batch gradient descent as
+    chained CTEs. DECIMAL folds for z and the gradient; the sigmoid is
+    round6'd so libm exp's last ulp cannot diverge the engines."""
+    sig = round6_sql("1.0 / (1.0 + exp(-z.z))")
+    ctes = [f"""WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    feat0 AS (
+      SELECT doc_id,
+             CAST(CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 15)) AS BIGINT)
+                  % {dim} AS INT) AS j,
+             COUNT(*) AS c
+      FROM tok GROUP BY 1, 2),
+    lens AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+    feats AS (
+      SELECT f.doc_id, f.j, CAST(f.c AS DOUBLE) / l.n AS x
+      FROM feat0 f JOIN lens l USING (doc_id)
+      UNION ALL
+      SELECT doc_id, {dim} AS j, 1.0 AS x FROM documents),
+    lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents),
+    nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w0 AS (SELECT t.j, 0.0 AS wt
+           FROM UNNEST(generate_series(0, {dim})) AS t(j))"""]
+    for i in range(n_iter):
+        ctes.append(f""",
+    z{i} AS (
+      SELECT f.doc_id, {dec_sql('f.x * w.wt')} AS z
+      FROM feats f JOIN w{i} w USING (j) GROUP BY 1),
+    p{i} AS (
+      SELECT z.doc_id, {sig} AS p, lab.y
+      FROM z{i} z JOIN lab USING (doc_id)),
+    g{i} AS (
+      SELECT f.j,
+             {dec_sql('(p.p - p.y) * f.x')} / (SELECT n_docs FROM nn) AS g
+      FROM feats f JOIN p{i} p USING (doc_id) GROUP BY 1),
+    w{i + 1} AS (
+      SELECT w.j, w.wt - {lr} * COALESCE(g.g, 0.0) AS wt
+      FROM w{i} w LEFT JOIN g{i} g USING (j))""")
+    ctes.append(f""",
+    zf AS (
+      SELECT f.doc_id, {dec_sql('f.x * w.wt')} AS z
+      FROM feats f JOIN w{n_iter} w USING (j) GROUP BY 1)
+    SELECT z.doc_id, {round6_sql('1.0 / (1.0 + exp(-z.z))')} AS p,
+           {round6_sql('1.0 / (1.0 + exp(-z.z))')} >= 0.5 AS label
+    FROM zf z""")
+    return "".join(ctes)
+
+
+@register("txt_quality_lr", _logreg_oracle(_LR_DIM, _LR_ITER, _LR_RATE))
+def txt_quality_lr(spark, sf_dir):
+    """Train a hashed-bag-of-words logistic-regression classifier
+    (English-vs-rest stand-in for a fasttext-style quality model) with
+    distributed batch gradient descent, then score the corpus — the
+    full in-engine train+apply cycle (operators/classify.py).
+
+    Scale shape: each iteration is one scoring aggregation (shuffle of
+    doc-count rows) and one gradient aggregation (map-side-combined to
+    dim+1 rows); weights ship as plan literals. The oracle replays
+    BOTH iterations and the final scoring as one SQL chain."""
+    from marex_spark.operators.classify import (
+        hashed_bow_features,
+        logreg_fit,
+        logreg_predict,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_bow_features(docs, dim=_LR_DIM).localCheckpoint()
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    w = logreg_fit(feats, labels, dim=_LR_DIM, n_iter=_LR_ITER, lr=_LR_RATE)
+    return logreg_predict(feats, w)

