@@ -285,3 +285,93 @@ def ops_rollup_hier(spark, sf_dir):
             .alias("gid"),
         )
     )
+
+
+@register(
+    "evt_funnel",
+    """WITH v AS (
+         SELECT user_id, MIN(ts) AS t1 FROM events
+         WHERE event_type = 'view' GROUP BY 1),
+       c AS (
+         SELECT e.user_id, MIN(e.ts) AS t2
+         FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+         WHERE e.event_type = 'click' GROUP BY 1),
+       p AS (
+         SELECT e.user_id, MIN(e.ts) AS t3
+         FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+         WHERE e.event_type = 'purchase' GROUP BY 1)
+       SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM v
+       UNION ALL
+       SELECT 2, 'click', COUNT(*) FROM c
+       UNION ALL
+       SELECT 3, 'purchase', COUNT(*) FROM p""",
+)
+def evt_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: a user
+    counts at stage k only with a stage-k event STRICTLY AFTER their
+    stage-(k-1) entry time (classic product-analytics funnel).
+
+    Scale shape: each stage is one filtered aggregation plus an
+    equi-join on user_id against the (users-sized, shrinking) previous
+    stage — no window over the full event log, no per-user event
+    collection; all three stages reuse the user_id hash partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(prev, etype, tcol_prev, tcol):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(tcol_prev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = stage(None, "view", None, "t1")
+    c = stage(v, "click", "t1", "t2")
+    p = stage(c, "purchase", "t2", "t3")
+
+    def cnt(df, k, name):
+        return df.agg(
+            F.lit(k).cast("int").alias("stage"),
+            F.lit(name).alias("event_type"),
+            F.count("*").alias("n_users"),
+        )
+
+    return cnt(v, 1, "view").unionByName(cnt(c, 2, "click")).unionByName(
+        cnt(p, 3, "purchase")
+    )
+
+
+@register(
+    "evt_retention_cohorts",
+    """WITH firstday AS (
+         SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+         FROM events GROUP BY 1)
+       SELECT f.cohort_day,
+              CAST(CAST(e.ts AS DATE) - f.cohort_day AS BIGINT) AS day_offset,
+              COUNT(DISTINCT e.user_id) AS n_users
+       FROM events e JOIN firstday f ON f.user_id = e.user_id
+       GROUP BY 1, 2""",
+)
+def evt_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted distinct per (cohort, day offset) — the other staple
+    product-analytics rollup. Two aggregations on the user_id layout;
+    the cohort table is users-sized and co-partitions with the event
+    log on the join key."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
