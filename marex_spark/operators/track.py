@@ -396,6 +396,7 @@ def extend_track_events(
     max_distance: float | None = None,
     merge_chunk_steps: int = 64,
     prior_merge_ledger: DataFrame | None = None,
+    prior_head: tuple | None = None,
 ) -> TrackResult:
     """Incremental append tracking: extend a finished run with new
     timesteps WITHOUT recomputing history — the operation a
@@ -450,12 +451,20 @@ def extend_track_events(
     """
     from marex_spark.exceptions import ConfigurationError
 
-    head = prior_events.agg(
-        F.max(time_col).alias("t_max"), F.max("obj_id").alias("id_max")
-    ).collect()[0]
-    if head.t_max is None:
-        raise ConfigurationError("prior_events is empty — run track_events first")
-    prior_max_time, prior_max_id = head.t_max, int(head.id_max)
+    if prior_head is not None:
+        # (max time, max obj_id) from the archive's metadata
+        # (write_track_result stores them) — skips the one job that
+        # would otherwise scan the whole prior events table
+        prior_max_time, prior_max_id = prior_head[0], int(prior_head[1])
+    else:
+        head = prior_events.agg(
+            F.max(time_col).alias("t_max"), F.max("obj_id").alias("id_max")
+        ).collect()[0]
+        if head.t_max is None:
+            raise ConfigurationError(
+                "prior_events is empty — run track_events first"
+            )
+        prior_max_time, prior_max_id = head.t_max, int(head.id_max)
 
     bad = new_extremes.filter(F.col(time_col) <= F.lit(prior_max_time)).limit(1)
     if bad.count() > 0:

@@ -159,14 +159,23 @@ def write_track_result(
             written[name] = True
     meta = dict(attrs or {})
     meta["tables"] = sorted(written)
-    # count from the parquet just written — re-counting res.events would
+    # all from the parquet just written — re-counting res.events would
     # re-execute the tracking DAG a second time
-    meta["N_events_final"] = (
-        res.events.sparkSession.read.parquet(f"{path}/events")
-        .select("event_id")
-        .distinct()
-        .count()
-    )
+    ev = res.events.sparkSession.read.parquet(f"{path}/events")
+    meta["N_events_final"] = ev.select("event_id").distinct().count()
+    # archive head for incremental extension (extend_track_run passes
+    # these as prior_head so the append cycle never scans the archive)
+    time_col = next((c for c in ("time", "d") if c in ev.columns), None)
+    if time_col is not None and "obj_id" in ev.columns:
+        head = ev.agg(
+            F.max(time_col).alias("t"), F.max("obj_id").alias("i")
+        ).collect()[0]
+        if head.t is not None:
+            meta["time_col"] = time_col
+            meta["t_max"] = (
+                head.t.isoformat() if hasattr(head.t, "isoformat") else head.t
+            )
+            meta["max_obj_id"] = int(head.i)
     write_stats_json(meta, f"{path}/attributes.json")
     return meta
 
@@ -229,6 +238,26 @@ def extend_track_run(
             details={"path": path},
         )
     prior = read_track_result(spark, path)
+    # the archive head from the run's metadata: the extension then
+    # never runs a job over the whole prior events table
+    attrs = prior.extras.get("attributes") or {}
+    prior_head = None
+    if (
+        "t_max" in attrs
+        and "max_obj_id" in attrs
+        and track_kwargs.get("time_col", "time") == attrs.get("time_col", "time")
+    ):
+        t_max = attrs["t_max"]
+        if isinstance(t_max, str):
+            import datetime
+
+            tc = attrs.get("time_col", "time")
+            t_type = prior.events.schema[tc].dataType.simpleString()
+            if t_type == "date":
+                t_max = datetime.date.fromisoformat(t_max)
+            elif t_type.startswith("timestamp"):
+                t_max = datetime.datetime.fromisoformat(t_max)
+        prior_head = (t_max, int(attrs["max_obj_id"]))
     res = extend_track_events(
         prior.events,
         new_extremes,
@@ -240,6 +269,7 @@ def extend_track_run(
         # or the extended run's ledger would silently lose every
         # pre-append merge event
         prior_merge_ledger=prior.extras.get("merge_ledger"),
+        prior_head=prior_head,
         **track_kwargs,
     )
     if out_path is not None:
