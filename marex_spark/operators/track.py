@@ -547,12 +547,51 @@ def extend_track_events(
             else new_ledger
         )
 
-    boundary = prior_events.filter(F.col(time_col) == F.lit(prior_max_time))
-    combined = boundary.select(time_col, "y", "x", "obj_id").unionByName(
-        labels_new.select(time_col, "y", "x", "obj_id")
+    events, events_new, events_old, ev_remap = _extend_link(
+        prior_events, labels_new, ("y", "x"), time_col,
+        prior_max_time, overlap_threshold,
     )
 
-    pairs = overlap_pairs(combined, keys=("y", "x"), time_col=time_col)
+    ts_stats = life = None
+    if (
+        compute_stats
+        and grid_y is not None
+        and grid_x is not None
+        and prior_timestep_stats is not None
+    ):
+        ts_stats = _extend_stats(
+            prior_timestep_stats, events_new, events_old, ev_remap,
+            prior_max_id, time_col,
+            lambda ev: _timestep_stats_with_areas(
+                ev, grid_y, grid_x, cell_areas, time_col
+            ),
+        )
+        life = event_lifetime_stats(ts_stats, time_col=time_col)
+    return TrackResult(
+        events=events,
+        timestep_stats=ts_stats,
+        lifetime_stats=life,
+        extras=extras,
+    )
+
+
+def _extend_link(
+    prior_events: DataFrame,
+    labels_new: DataFrame,
+    keys: tuple,
+    time_col: str,
+    prior_max_time,
+    overlap_threshold: float,
+):
+    """Shared boundary-linking core of the extension path: overlap
+    graph over (boundary slice ∪ new labels), boundary objects
+    collapsed to their prior event ids, min-root union-find, remap.
+    Returns (events, events_new, events_old, ev_remap)."""
+    boundary = prior_events.filter(F.col(time_col) == F.lit(prior_max_time))
+    cols = [time_col, *keys, "obj_id"]
+    combined = boundary.select(*cols).unionByName(labels_new.select(*cols))
+
+    pairs = overlap_pairs(combined, keys=keys, time_col=time_col)
     if overlap_threshold > 0:
         areas = object_areas(combined, time_col=time_col)
         pairs = filter_overlap_fraction(pairs, areas, overlap_threshold)
@@ -590,51 +629,121 @@ def extend_track_events(
         .withColumn("event_id", F.coalesce("_ev2", F.col("event_id")))
         .drop("_ev2")
     )
-    events = events_old.select(time_col, "y", "x", "obj_id", "event_id").unionByName(
-        events_new.select(time_col, "y", "x", "obj_id", "event_id")
+    out_cols = [*cols, "event_id"]
+    events = events_old.select(*out_cols).unionByName(
+        events_new.select(*out_cols)
+    )
+    return events, events_new, events_old, ev_remap
+
+
+def _extend_stats(
+    prior_timestep_stats: DataFrame,
+    events_new: DataFrame,
+    events_old: DataFrame,
+    ev_remap: DataFrame,
+    prior_max_id: int,
+    time_col: str,
+    stats_fn,
+) -> DataFrame:
+    """Combined per-timestep stats for an extension. Old events that
+    MERGED (a new object bridged them) would leave duplicate
+    (time, event_id) rows after a bare remap — and the
+    weighted-centroid recombination is not recoverable from the stats
+    rows (each row keeps only the unit direction, not the cartesian
+    sum). The merged set is tiny, so recompute those events' old-slice
+    stats exactly from their cell rows; untouched events keep their
+    prior rows verbatim. Only OLD event nodes (ids <= prior max) whose
+    root changed indicate an old-old merge; a NEW obj id mapping to an
+    old root is an ordinary continuation and touches no old stats."""
+    ts_new = stats_fn(events_new)
+    merged = ev_remap.filter(
+        (F.col("event_id") != F.col("_ev2"))
+        & (F.col("event_id") <= F.lit(prior_max_id))
+    )
+    merged_roots = merged.select(F.col("_ev2").alias("event_id")).distinct()
+    ts_keep = prior_timestep_stats.join(
+        F.broadcast(merged.select("event_id").unionByName(merged_roots)),
+        "event_id",
+        "left_anti",
+    )
+    ts_merged = stats_fn(
+        events_old.join(F.broadcast(merged_roots), "event_id", "semi")
+    )
+    return ts_keep.unionByName(ts_merged).unionByName(ts_new)
+
+
+def extend_track_events_unstructured(
+    prior_events: DataFrame,
+    new_extremes: DataFrame,
+    edges: DataFrame,
+    cell_geo: DataFrame | None = None,
+    prior_timestep_stats: DataFrame | None = None,
+    overlap_threshold: float = 0.0,
+    time_col: str = "time",
+    extreme_col: str = "extreme",
+    compute_stats: bool = True,
+    prior_head: tuple | None = None,
+) -> TrackResult:
+    """Incremental append tracking on an unstructured mesh — the
+    (time, cell) form of :func:`extend_track_events`, same exactness
+    argument (labels continue the W6 cumsum; boundary objects collapse
+    to prior event ids; min-root numbering reproduces the full
+    recompute). Merge-split mesh runs are not extendable yet (the
+    sphere-geometry resolver resume is a follow-up); use the gridded
+    path or recompute."""
+    from marex_spark.exceptions import ConfigurationError
+    from marex_spark.operators.label import label_components_unstructured
+
+    if prior_head is not None:
+        prior_max_time, prior_max_id = prior_head[0], int(prior_head[1])
+    else:
+        head = prior_events.agg(
+            F.max(time_col).alias("t_max"), F.max("obj_id").alias("id_max")
+        ).collect()[0]
+        if head.t_max is None:
+            raise ConfigurationError(
+                "prior_events is empty — run track_events_unstructured first"
+            )
+        prior_max_time, prior_max_id = head.t_max, int(head.id_max)
+
+    bad = new_extremes.filter(F.col(time_col) <= F.lit(prior_max_time)).limit(1)
+    if bad.count() > 0:
+        raise ConfigurationError(
+            "new_extremes overlaps the prior run — extension needs "
+            "strictly later timesteps",
+            details={"prior_max_time": str(prior_max_time)},
+        )
+
+    labels_new = label_components_unstructured(
+        new_extremes, edges, time_col=time_col, extreme_col=extreme_col
+    ).withColumn("obj_id", (F.col("obj_id") + F.lit(prior_max_id)).cast("long"))
+    labels_new = labels_new.localCheckpoint()
+
+    events, events_new, events_old, ev_remap = _extend_link(
+        prior_events, labels_new, ("cell",), time_col,
+        prior_max_time, overlap_threshold,
     )
 
     ts_stats = life = None
-    if (
-        compute_stats
-        and grid_y is not None
-        and grid_x is not None
-        and prior_timestep_stats is not None
-    ):
-        ts_new = _timestep_stats_with_areas(
-            events_new, grid_y, grid_x, cell_areas, time_col
+    if compute_stats and cell_geo is not None and prior_timestep_stats is not None:
+
+        def _mesh_stats(ev):
+            geo = ev.join(F.broadcast(cell_geo), "cell")
+            if "area" not in geo.columns:
+                geo = geo.withColumn("area", F.lit(1.0))
+            return event_timestep_stats(geo, time_col=time_col)
+
+        ts_stats = _extend_stats(
+            prior_timestep_stats, events_new, events_old, ev_remap,
+            prior_max_id, time_col, _mesh_stats,
         )
-        # Old events that MERGED (a new object bridged them) would
-        # leave duplicate (time, event_id) rows after a bare remap —
-        # and the weighted-centroid recombination is not recoverable
-        # from the stats rows (each row keeps only the unit direction,
-        # not the cartesian sum). The merged set is tiny, so recompute
-        # those events' old-slice stats exactly from their cell rows;
-        # untouched events keep their prior rows verbatim.
-        # only OLD event nodes (ids <= prior max) whose root changed
-        # indicate an old-old merge; rows where a NEW obj id maps to an
-        # old root are ordinary continuations and touch no old stats
-        merged = ev_remap.filter(
-            (F.col("event_id") != F.col("_ev2"))
-            & (F.col("event_id") <= F.lit(prior_max_id))
-        )
-        merged_roots = merged.select(F.col("_ev2").alias("event_id")).distinct()
-        ts_keep = prior_timestep_stats.join(
-            F.broadcast(
-                merged.select("event_id").unionByName(merged_roots)
-            ),
-            "event_id",
-            "left_anti",
-        )
-        ts_merged = _timestep_stats_with_areas(
-            events_old.join(F.broadcast(merged_roots), "event_id", "semi"),
-            grid_y, grid_x, cell_areas, time_col,
-        )
-        ts_stats = ts_keep.unionByName(ts_merged).unionByName(ts_new)
         life = event_lifetime_stats(ts_stats, time_col=time_col)
     return TrackResult(
         events=events,
         timestep_stats=ts_stats,
         lifetime_stats=life,
-        extras=extras,
+        extras={
+            "prior_max_time": prior_max_time,
+            "prior_max_obj_id": prior_max_id,
+        },
     )

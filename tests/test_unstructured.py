@@ -188,3 +188,39 @@ def test_label_kernel_matches_propagation(spark):
     # day-2 arcs: exactly two components
     day2 = {oid for (t, c, oid) in a if t == 2}
     assert len(day2) == 2
+
+
+def test_unstructured_extension_matches_full(spark, ring, two_blob_mesh):
+    """Mesh incremental append: extending a prior run with the last 4
+    timesteps (including the blob collision) must equal the full
+    recompute exactly — same min-root argument as the gridded path."""
+    from marex_spark.operators.track import (
+        extend_track_events_unstructured,
+        track_events_unstructured,
+    )
+
+    edges, geo = ring
+    full = track_events_unstructured(
+        two_blob_mesh, edges, geo, overlap_threshold=0.5
+    )
+    times = sorted(r[0] for r in two_blob_mesh.select("time").distinct().collect())
+    cutoff = times[8]
+    prior = track_events_unstructured(
+        two_blob_mesh.filter(F.col("time") <= F.lit(cutoff)),
+        edges, geo, overlap_threshold=0.5,
+    )
+    extd = extend_track_events_unstructured(
+        prior.events,
+        two_blob_mesh.filter(F.col("time") > F.lit(cutoff)),
+        edges,
+        cell_geo=geo,
+        prior_timestep_stats=prior.timestep_stats,
+        overlap_threshold=0.5,
+    )
+    cols = ["time", "cell", "obj_id", "event_id"]
+    a = sorted(map(tuple, full.events.select(*cols).collect()))
+    b = sorted(map(tuple, extd.events.select(*cols).collect()))
+    assert a == b
+    fa = {(r.time, r.event_id): r.n_cells for r in full.timestep_stats.collect()}
+    fb = {(r.time, r.event_id): r.n_cells for r in extd.timestep_stats.collect()}
+    assert fa == fb
