@@ -40,7 +40,7 @@ def main() -> None:
 
     print("== quality classifier (hashed-BoW logistic regression) ==")
     docs = load_table(spark, sf_dir, "documents")
-    feats = hashed_bow_features(docs, dim=16).localCheckpoint()
+    feats = hashed_bow_features(docs, dim=16)
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("double").alias("y")
     )

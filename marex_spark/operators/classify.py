@@ -82,6 +82,10 @@ def logreg_fit(
     n = labels.count()
     if n == 0:
         raise ValueError("logreg_fit on an empty label set")
+    # each iteration runs two jobs over `features` — materialise once
+    # here so an un-checkpointed feature lineage (explode + groupBys)
+    # is not recomputed 2×n_iter times
+    features = features.localCheckpoint()
     w = [0.0] * (dim + 1)
     for _ in range(n_iter):
         p = _scores(features, w, id_col)

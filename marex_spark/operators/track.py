@@ -449,30 +449,9 @@ def extend_track_events(
     equality). New merge events land in ``extras['merge_ledger']``,
     appended to ``prior_merge_ledger`` when given.
     """
-    from marex_spark.exceptions import ConfigurationError
-
-    if prior_head is not None:
-        # (max time, max obj_id) from the archive's metadata
-        # (write_track_result stores them) — skips the one job that
-        # would otherwise scan the whole prior events table
-        prior_max_time, prior_max_id = prior_head[0], int(prior_head[1])
-    else:
-        head = prior_events.agg(
-            F.max(time_col).alias("t_max"), F.max("obj_id").alias("id_max")
-        ).collect()[0]
-        if head.t_max is None:
-            raise ConfigurationError(
-                "prior_events is empty — run track_events first"
-            )
-        prior_max_time, prior_max_id = head.t_max, int(head.id_max)
-
-    bad = new_extremes.filter(F.col(time_col) <= F.lit(prior_max_time)).limit(1)
-    if bad.count() > 0:
-        raise ConfigurationError(
-            "new_extremes overlaps the prior run — extension needs "
-            "strictly later timesteps",
-            details={"prior_max_time": str(prior_max_time)},
-        )
+    prior_max_time, prior_max_id = _extend_head(
+        prior_events, new_extremes, time_col, prior_head
+    )
 
     labels_new = label_components(
         new_extremes,
@@ -575,6 +554,41 @@ def extend_track_events(
     )
 
 
+def _extend_head(
+    prior_events: DataFrame,
+    new_extremes: DataFrame,
+    time_col: str,
+    prior_head: tuple | None,
+):
+    """Shared extension preamble: resolve (max time, max obj_id) of the
+    prior run — from the archive metadata when given (skipping the one
+    job that would scan the whole prior events table), else by
+    aggregation — and reject appended data that overlaps the prior
+    window."""
+    from marex_spark.exceptions import ConfigurationError
+
+    if prior_head is not None:
+        prior_max_time, prior_max_id = prior_head[0], int(prior_head[1])
+    else:
+        head = prior_events.agg(
+            F.max(time_col).alias("t_max"), F.max("obj_id").alias("id_max")
+        ).collect()[0]
+        if head.t_max is None:
+            raise ConfigurationError(
+                "prior_events is empty — run tracking first"
+            )
+        prior_max_time, prior_max_id = head.t_max, int(head.id_max)
+
+    bad = new_extremes.filter(F.col(time_col) <= F.lit(prior_max_time)).limit(1)
+    if bad.count() > 0:
+        raise ConfigurationError(
+            "new_extremes overlaps the prior run — extension needs "
+            "strictly later timesteps",
+            details={"prior_max_time": str(prior_max_time)},
+        )
+    return prior_max_time, prior_max_id
+
+
 def _extend_link(
     prior_events: DataFrame,
     labels_new: DataFrame,
@@ -588,6 +602,16 @@ def _extend_link(
     collapsed to their prior event ids, min-root union-find, remap.
     Returns (events, events_new, events_old, ev_remap)."""
     boundary = prior_events.filter(F.col(time_col) == F.lit(prior_max_time))
+    if boundary.limit(1).count() == 0:
+        # a mis-parsed prior_head (wrong type/timezone) would match an
+        # empty boundary and silently skip linking — refuse instead
+        from marex_spark.exceptions import ConfigurationError
+
+        raise ConfigurationError(
+            "boundary slice is empty — prior_head does not match any "
+            "timestep of prior_events",
+            details={"prior_max_time": str(prior_max_time)},
+        )
     cols = [time_col, *keys, "obj_id"]
     combined = boundary.select(*cols).unionByName(labels_new.select(*cols))
 
@@ -683,36 +707,28 @@ def extend_track_events_unstructured(
     extreme_col: str = "extreme",
     compute_stats: bool = True,
     prior_head: tuple | None = None,
+    allow_merging: bool = False,
 ) -> TrackResult:
     """Incremental append tracking on an unstructured mesh — the
     (time, cell) form of :func:`extend_track_events`, same exactness
     argument (labels continue the W6 cumsum; boundary objects collapse
     to prior event ids; min-root numbering reproduces the full
-    recompute). Merge-split mesh runs are not extendable yet (the
-    sphere-geometry resolver resume is a follow-up); use the gridded
-    path or recompute."""
-    from marex_spark.exceptions import ConfigurationError
+    recompute).
+
+    Merge-split mesh runs are NOT extendable yet (the sphere-geometry
+    resolver resume is a follow-up): declaring ``allow_merging=True``
+    raises rather than silently absorbing the new window's splits and
+    merges without a ledger; use the gridded path or recompute."""
     from marex_spark.operators.label import label_components_unstructured
 
-    if prior_head is not None:
-        prior_max_time, prior_max_id = prior_head[0], int(prior_head[1])
-    else:
-        head = prior_events.agg(
-            F.max(time_col).alias("t_max"), F.max("obj_id").alias("id_max")
-        ).collect()[0]
-        if head.t_max is None:
-            raise ConfigurationError(
-                "prior_events is empty — run track_events_unstructured first"
-            )
-        prior_max_time, prior_max_id = head.t_max, int(head.id_max)
-
-    bad = new_extremes.filter(F.col(time_col) <= F.lit(prior_max_time)).limit(1)
-    if bad.count() > 0:
-        raise ConfigurationError(
-            "new_extremes overlaps the prior run — extension needs "
-            "strictly later timesteps",
-            details={"prior_max_time": str(prior_max_time)},
+    if allow_merging:
+        raise NotImplementedError(
+            "merge-mode extension is not implemented for unstructured "
+            "meshes — recompute, or use the gridded path"
         )
+    prior_max_time, prior_max_id = _extend_head(
+        prior_events, new_extremes, time_col, prior_head
+    )
 
     labels_new = label_components_unstructured(
         new_extremes, edges, time_col=time_col, extreme_col=extreme_col

@@ -643,7 +643,7 @@ def txt_quality_lr(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = hashed_bow_features(docs, dim=_LR_DIM).localCheckpoint()
+    feats = hashed_bow_features(docs, dim=_LR_DIM)
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("double").alias("y")
     )

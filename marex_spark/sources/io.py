@@ -160,22 +160,30 @@ def write_track_result(
     meta = dict(attrs or {})
     meta["tables"] = sorted(written)
     # all from the parquet just written — re-counting res.events would
-    # re-execute the tracking DAG a second time
-    ev = res.events.sparkSession.read.parquet(f"{path}/events")
-    meta["N_events_final"] = ev.select("event_id").distinct().count()
-    # archive head for incremental extension (extend_track_run passes
-    # these as prior_head so the append cycle never scans the archive)
+    # re-execute the tracking DAG a second time. ONE scan computes the
+    # event count and the archive head together (extend_track_run
+    # passes the head as prior_head so the append cycle never scans
+    # the archive).
+    spark = res.events.sparkSession
+    ev = spark.read.parquet(f"{path}/events")
     time_col = next((c for c in ("time", "d") if c in ev.columns), None)
+    aggs = [F.countDistinct("event_id").alias("n")]
     if time_col is not None and "obj_id" in ev.columns:
-        head = ev.agg(
-            F.max(time_col).alias("t"), F.max("obj_id").alias("i")
-        ).collect()[0]
-        if head.t is not None:
-            meta["time_col"] = time_col
-            meta["t_max"] = (
-                head.t.isoformat() if hasattr(head.t, "isoformat") else head.t
-            )
-            meta["max_obj_id"] = int(head.i)
+        aggs += [F.max(time_col).alias("t"), F.max("obj_id").alias("i")]
+    head = ev.agg(*aggs).collect()[0]
+    meta["N_events_final"] = int(head.n)
+    if len(aggs) > 1 and head.t is not None:
+        meta["time_col"] = time_col
+        meta["t_max"] = (
+            head.t.isoformat() if hasattr(head.t, "isoformat") else head.t
+        )
+        meta["max_obj_id"] = int(head.i)
+        # timestamps serialise session-tz-naive: record the tz so a
+        # reader in a different session timezone falls back to the
+        # exact aggregation instead of silently mislinking
+        meta["session_tz"] = spark.conf.get(
+            "spark.sql.session.timeZone", "UTC"
+        )
     write_stats_json(meta, f"{path}/attributes.json")
     return meta
 
@@ -246,6 +254,11 @@ def extend_track_run(
         "t_max" in attrs
         and "max_obj_id" in attrs
         and track_kwargs.get("time_col", "time") == attrs.get("time_col", "time")
+        # serialised timestamps are session-tz-naive: a tz mismatch
+        # would parse to a different instant, match an empty boundary
+        # slice, and silently skip linking — fall back to the agg
+        and attrs.get("session_tz")
+        == spark.conf.get("spark.sql.session.timeZone", "UTC")
     ):
         t_max = attrs["t_max"]
         if isinstance(t_max, str):

@@ -24,7 +24,7 @@ def planted(spark):
         else:
             rows.append((i, "bad junk noise broken trash bad junk", 0.0))
     docs = spark.createDataFrame(rows, "doc_id long, text string, y double")
-    feats = hashed_bow_features(docs, dim=16).localCheckpoint()
+    feats = hashed_bow_features(docs, dim=16)
     labels = docs.select("doc_id", "y")
     return docs, feats, labels
 

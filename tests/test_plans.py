@@ -234,4 +234,6 @@ def test_extension_prunes_prior_archive_scan(spark, tmp_path):
     archived = spark.read.parquet(f"{tmp_path}/events")
     boundary = archived.filter(F.col("time") == F.lit(times[3]))
     pf = pushed_filters(boundary)
-    assert "time" in pf and "IsNotNull" in pf or "EqualTo" in pf, pf
+    # the EqualTo on time must itself reach the scan — IsNotNull alone
+    # would re-read the whole archive (precedence bug fixed in review)
+    assert "time" in pf and "EqualTo" in pf, pf
