@@ -596,14 +596,29 @@ class Tracker:
         (T_fill closing across the append boundary; a quartile area
         filter re-quantiles over the new slices alone, so prefer
         ``area_filter_absolute`` for append workflows)."""
-        from marex_spark.operators.track import extend_track_events
+        from marex_spark.operators.track import (
+            extend_track_events,
+            extend_track_events_unstructured,
+        )
 
-        if self.unstructured_grid:
-            raise ConfigurationError(
-                "extend() supports gridded runs only",
-                details={"unstructured_grid": True},
-            )
         events = prior.events if hasattr(prior, "events") else prior
+        if self.unstructured_grid:
+            if prior_timestep_stats is None and hasattr(prior, "timestep_stats"):
+                prior_timestep_stats = prior.timestep_stats
+            cleaned = self.run_preprocess()
+            return extend_track_events_unstructured(
+                events,
+                cleaned,
+                self.edges,
+                cell_geo=self.cell_geo,
+                prior_timestep_stats=prior_timestep_stats,
+                overlap_threshold=self.overlap_threshold,
+                time_col=self.time_col,
+                extreme_col=self.extreme_col,
+                compute_stats=self.cell_geo is not None
+                and prior_timestep_stats is not None,
+                allow_merging=self.allow_merging,
+            )
         if prior_timestep_stats is None and hasattr(prior, "timestep_stats"):
             prior_timestep_stats = prior.timestep_stats
         prior_ledger = (

@@ -398,10 +398,36 @@ class TestExtendFacade:
             r.event_id for r in extd.lifetime_stats.collect()
         }
 
-    def test_extend_rejects_unstructured(self, spark):
-        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
-        edges = spark.createDataFrame([(0, 1)], "src long, dst long")
-        t = Tracker(ext.withColumnRenamed("y", "cell").drop("x"),
-                    unstructured_grid=True, edges=edges)
-        with pytest.raises(ConfigurationError, match="gridded"):
-            t.extend(ext.limit(0))
+    def test_extend_unstructured_equals_full(self, spark):
+        """Mesh facade extension: a tracker over the new slices extends
+        a prior mesh run; with no-op preprocessing the combined events
+        equal one full run()."""
+        import datetime
+
+        n_cell = 40
+        cells = spark.range(n_cell).select(F.col("id").alias("cell"))
+        edges = cells.select(
+            "cell", ((F.col("cell") + 1) % n_cell).alias("nbr")
+        )
+        t0 = datetime.datetime(2022, 1, 1)
+        rows = []
+        for t in range(8):
+            c0 = 5 + 2 * t
+            for c in range(n_cell):
+                if min(abs(c - c0), n_cell - abs(c - c0)) <= 3:
+                    rows.append((t0 + datetime.timedelta(days=t), c, True))
+        df = spark.createDataFrame(
+            rows, "time timestamp, cell long, extreme boolean"
+        )
+        kw = dict(unstructured_grid=True, edges=edges, R_fill=0, T_fill=0,
+                  area_filter_quartile=0.0, allow_merging=False)
+        full = Tracker(df, **kw).run()
+        cutoff = t0 + datetime.timedelta(days=4)
+        prior = Tracker(df.filter(F.col("time") <= F.lit(cutoff)), **kw).run()
+        extd = Tracker(
+            df.filter(F.col("time") > F.lit(cutoff)), **kw
+        ).extend(prior)
+        cols = ["time", "cell", "obj_id", "event_id"]
+        assert sorted(
+            map(tuple, full.events.select(*cols).collect())
+        ) == sorted(map(tuple, extd.events.select(*cols).collect()))
