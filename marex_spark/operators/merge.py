@@ -554,6 +554,8 @@ def split_merge_events_chunked(
     labels_materialized: bool = False,
     resume_state: dict | None = None,
     return_state: bool = False,
+    geometry: str = "grid",
+    cell_geo: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Memory-bounded variant of :func:`split_merge_events` — the
     reference's chunk loop (track.py:3377-3420): pull ``chunk_steps``
@@ -578,7 +580,20 @@ def split_merge_events_chunked(
     e.g. track_events passes label_components' checkpointed output) —
     otherwise a direct caller with a raw labelling plan would silently
     recompute the whole labelling per chunk."""
+    grid = geometry == "grid"
     spark = labels.sparkSession
+    if not grid:
+        if cell_geo is None:
+            from marex_spark.exceptions import TrackingError
+
+            raise TrackingError(
+                "geometry='sphere' needs cell_geo",
+                details={"expected_columns": "(cell, lat, lon)"},
+            )
+        labels = labels.select(time_col, "cell", "obj_id").join(
+            F.broadcast(cell_geo.select("cell", "lat", "lon")), "cell"
+        )
+        labels_materialized = False  # the geo join is a new plan
     if not labels_materialized:
         labels = labels.localCheckpoint()
     times = [
@@ -591,7 +606,7 @@ def split_merge_events_chunked(
         wrap_x=wrap_x,
         overlap_threshold=overlap_threshold,
         max_iter_per_step=max_iter_per_step,
-        grid=True,
+        grid=grid,
         nn_partitioning=nn_partitioning,
         max_distance=max_distance,
     )
@@ -617,44 +632,63 @@ def split_merge_events_chunked(
 
     for start in range(0, len(times), chunk_steps):
         chunk_times = times[start : start + chunk_steps]
+        cols = [time_col, "y", "x", "obj_id"] if grid else [
+            time_col, "cell", "lat", "lon", "obj_id"
+        ]
         pdf = (
             labels.filter(
                 (F.col(time_col) >= chunk_times[0])
                 & (F.col(time_col) <= chunk_times[-1])
             )
-            .select(time_col, "y", "x", "obj_id")
+            .select(*cols)
             .toPandas()
         )
         slices, stimes = resolver.build_slices(pdf, time_col)
         _resolve_block(resolver, carry, slices, stimes)
 
-        chunk_pdf = pd.concat(
-            [
-                pd.DataFrame(
-                    {
-                        time_col: stimes[i],
-                        "y": slices[i]["c1"],
-                        "x": slices[i]["c2"],
-                        "obj_id": slices[i]["id"],
-                    }
-                )
-                for i in range(len(stimes))
-            ],
-            ignore_index=True,
-        )
-        out_frames.append(
-            spark.createDataFrame(
-                chunk_pdf, schema=f"{time_col} {time_type}, y long, x long, obj_id long"
+        if grid:
+            chunk_pdf = pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            time_col: stimes[i],
+                            "y": slices[i]["c1"],
+                            "x": slices[i]["c2"],
+                            "obj_id": slices[i]["id"],
+                        }
+                    )
+                    for i in range(len(stimes))
+                ],
+                ignore_index=True,
             )
-        )
+            schema = f"{time_col} {time_type}, y long, x long, obj_id long"
+        else:
+            chunk_pdf = pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            time_col: stimes[i],
+                            "cell": slices[i]["key"],
+                            "obj_id": slices[i]["id"],
+                        }
+                    )
+                    for i in range(len(stimes))
+                ],
+                ignore_index=True,
+            )
+            schema = f"{time_col} {time_type}, cell long, obj_id long"
+        out_frames.append(spark.createDataFrame(chunk_pdf, schema=schema))
         carry = [(stimes[i], slices[i]) for i in range(len(stimes))][-2:]
 
     from functools import reduce
 
+    empty_cols = [time_col, "y", "x", "obj_id"] if grid else [
+        time_col, "cell", "obj_id"
+    ]
     out_df = (
         reduce(DataFrame.unionByName, out_frames)
         if out_frames
-        else labels.limit(0).select(time_col, "y", "x", "obj_id")
+        else labels.limit(0).select(*empty_cols)
     )
     ledger = _ledger_df(spark, resolver.ledger, time_col, time_type)
     if return_state:

@@ -708,6 +708,10 @@ def extend_track_events_unstructured(
     compute_stats: bool = True,
     prior_head: tuple | None = None,
     allow_merging: bool = False,
+    nn_partitioning: bool = False,
+    max_distance: float | None = None,
+    merge_chunk_steps: int = 64,
+    prior_merge_ledger: DataFrame | None = None,
 ) -> TrackResult:
     """Incremental append tracking on an unstructured mesh — the
     (time, cell) form of :func:`extend_track_events`, same exactness
@@ -715,16 +719,20 @@ def extend_track_events_unstructured(
     to prior event ids; min-root numbering reproduces the full
     recompute).
 
-    Merge-split mesh runs are NOT extendable yet (the sphere-geometry
-    resolver resume is a follow-up): declaring ``allow_merging=True``
-    raises rather than silently absorbing the new window's splits and
-    merges without a ledger; use the gridded path or recompute."""
+    ``allow_merging=True`` resumes the sphere-geometry chunked resolver
+    from the prior run's last two resolved slices (joined with
+    ``cell_geo``, which is required) — same structural-parity contract
+    as the gridded merge extension (id values are a consistent
+    relabelling, partition structure and ledger match a from-scratch
+    run)."""
     from marex_spark.operators.label import label_components_unstructured
 
-    if allow_merging:
-        raise NotImplementedError(
-            "merge-mode extension is not implemented for unstructured "
-            "meshes — recompute, or use the gridded path"
+    if allow_merging and cell_geo is None:
+        from marex_spark.exceptions import TrackingError
+
+        raise TrackingError(
+            "allow_merging extension needs cell_geo",
+            details={"expected_columns": "(cell, lat, lon)"},
         )
     prior_max_time, prior_max_id = _extend_head(
         prior_events, new_extremes, time_col, prior_head
@@ -734,6 +742,68 @@ def extend_track_events_unstructured(
         new_extremes, edges, time_col=time_col, extreme_col=extreme_col
     ).withColumn("obj_id", (F.col("obj_id") + F.lit(prior_max_id)).cast("long"))
     labels_new = labels_new.localCheckpoint()
+
+    extras: dict = {
+        "prior_max_time": prior_max_time,
+        "prior_max_obj_id": prior_max_id,
+    }
+    if allow_merging:
+        from marex_spark.operators.merge import (
+            _Resolver,
+            split_merge_events_chunked,
+        )
+
+        tail_times = [
+            r[0]
+            for r in prior_events.select(time_col)
+            .distinct()
+            .orderBy(F.desc(time_col))
+            .limit(2)
+            .collect()
+        ]
+        tail_pdf = (
+            prior_events.filter(F.col(time_col) >= F.lit(min(tail_times)))
+            .select(time_col, "cell", "obj_id")
+            .join(F.broadcast(cell_geo.select("cell", "lat", "lon")), "cell")
+            .select(time_col, "cell", "lat", "lon", "obj_id")
+            .toPandas()
+        )
+        seed = _Resolver(
+            nx=0, wrap_x=False, overlap_threshold=overlap_threshold,
+            max_iter_per_step=10, grid=False,
+            nn_partitioning=nn_partitioning, max_distance=max_distance,
+        )
+        c_slices, c_times = seed.build_slices(tail_pdf, time_col)
+        resume = {
+            "carry": [(c_times[i], c_slices[i]) for i in range(len(c_times))],
+            "next_new_id": prior_max_id + 1,
+        }
+        labels_new, new_ledger = split_merge_events_chunked(
+            labels_new,
+            nx=0,
+            chunk_steps=merge_chunk_steps,
+            overlap_threshold=overlap_threshold,
+            wrap_x=False,
+            time_col=time_col,
+            nn_partitioning=nn_partitioning,
+            max_distance=max_distance,
+            resume_state=resume,
+            geometry="sphere",
+            cell_geo=cell_geo,
+        )
+        labels_new = labels_new.localCheckpoint()
+        extras["merge_ledger"] = (
+            prior_merge_ledger.unionByName(
+                new_ledger.withColumn(
+                    "merge_id",
+                    (
+                        F.col("merge_id") + F.lit(prior_merge_ledger.count())
+                    ).cast("long"),
+                )
+            )
+            if prior_merge_ledger is not None
+            else new_ledger
+        )
 
     events, events_new, events_old, ev_remap = _extend_link(
         prior_events, labels_new, ("cell",), time_col,
@@ -758,8 +828,5 @@ def extend_track_events_unstructured(
         events=events,
         timestep_stats=ts_stats,
         lifetime_stats=life,
-        extras={
-            "prior_max_time": prior_max_time,
-            "prior_max_obj_id": prior_max_id,
-        },
+        extras=extras,
     )

@@ -618,6 +618,13 @@ class Tracker:
                 compute_stats=self.cell_geo is not None
                 and prior_timestep_stats is not None,
                 allow_merging=self.allow_merging,
+                nn_partitioning=self.nn_partitioning,
+                max_distance=self.max_distance,
+                prior_merge_ledger=(
+                    prior.extras.get("merge_ledger")
+                    if hasattr(prior, "extras")
+                    else None
+                ),
             )
         if prior_timestep_stats is None and hasattr(prior, "timestep_stats"):
             prior_timestep_stats = prior.timestep_stats

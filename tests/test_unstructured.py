@@ -224,3 +224,67 @@ def test_unstructured_extension_matches_full(spark, ring, two_blob_mesh):
     fa = {(r.time, r.event_id): r.n_cells for r in full.timestep_stats.collect()}
     fb = {(r.time, r.event_id): r.n_cells for r in extd.timestep_stats.collect()}
     assert fa == fb
+
+
+def test_unstructured_merge_extension_idfree_parity(spark, ring, two_blob_mesh):
+    """Mesh merge-mode extension: the sphere resolver resumes from the
+    prior run's carry; id-free lifetime-stat multiset and ledger shape
+    must match a from-scratch run (same contract as the gridded merge
+    extension — absolute ids renumber)."""
+    from marex_spark.operators.track import (
+        extend_track_events_unstructured,
+        track_events_unstructured,
+    )
+
+    edges, geo = ring
+    full = track_events_unstructured(
+        two_blob_mesh, edges, geo, overlap_threshold=0.5,
+        compute_stats=False, allow_merging=True, merge_parallel=False,
+    )
+    times = sorted(r[0] for r in two_blob_mesh.select("time").distinct().collect())
+    cutoff = times[8]  # split BEFORE the ~t=10 collision
+    prior = track_events_unstructured(
+        two_blob_mesh.filter(F.col("time") <= F.lit(cutoff)),
+        edges, geo, overlap_threshold=0.5,
+        compute_stats=False, allow_merging=True, merge_parallel=False,
+    )
+    extd = extend_track_events_unstructured(
+        prior.events,
+        two_blob_mesh.filter(F.col("time") > F.lit(cutoff)),
+        edges,
+        cell_geo=geo,
+        overlap_threshold=0.5,
+        compute_stats=False,
+        allow_merging=True,
+        prior_merge_ledger=prior.extras["merge_ledger"],
+    )
+
+    def idfree(events):
+        rows = (
+            events.groupBy("event_id")
+            .agg(
+                F.min("time").alias("t0"),
+                F.max("time").alias("t1"),
+                F.countDistinct("time").alias("nt"),
+                F.count("*").alias("cells"),
+            )
+            .select("t0", "t1", "nt", "cells")
+            .collect()
+        )
+        return sorted(map(tuple, rows))
+
+    assert idfree(full.events) == idfree(extd.events)
+
+    def ledger_shape(led):
+        rows = led.select(
+            "time",
+            F.size("parent_ids").alias("np"),
+            F.sort_array("overlap_areas").alias("areas"),
+        ).collect()
+        return sorted((r[0], r.np, tuple(r.areas)) for r in rows)
+
+    assert ledger_shape(full.extras["merge_ledger"]) == ledger_shape(
+        extd.extras["merge_ledger"]
+    )
+    # the collision merge happens in the APPENDED window and is ledgered
+    assert extd.extras["merge_ledger"].count() > 0
