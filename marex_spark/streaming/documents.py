@@ -221,3 +221,29 @@ def near_dup_stream(
     return sb.join(idx, ["band", "band_key"]).select(
         id_col, "corpus_doc_id", "band"
     )
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    key_col: str = "doc_id",
+    time_col: str = "ts",
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization with the built-in ``session_window``:
+    per-key sessions close after ``gap`` of inactivity and EMIT once
+    the watermark passes their end — the streaming form of the batch
+    lag-gap + running-sum sessionizer (queries/windows.py
+    sess_sessionize). State per open session only, pruned by the
+    watermark; output (key, session_start, session_end, n_events)."""
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -301,3 +301,49 @@ def test_stream_near_dup_against_corpus(doc_stream_env):
     # every k0-family doc (incl. the corpus docs themselves) collides
     # with the archive; other families share no shingles
     assert flagged == {i for i in range(40) if i % 10 == 0}
+
+
+def test_stream_sessionize(spark):
+    """session_window sessions: two bursts separated by more than the
+    gap emit as two sessions per key once the watermark passes."""
+    import shutil
+    import tempfile
+
+    from marex_spark.streaming.documents import sessionize_stream
+
+    tmp = tempfile.mkdtemp(prefix="marex_sess_")
+    try:
+        rows = []
+        for k in (1, 2):
+            for m in (0, 5, 10):       # burst 1
+                rows.append((k, f"2024-01-01 00:{m:02d}:00"))
+            for m in (0, 3):           # burst 2, > 1h later
+                rows.append((k, f"2024-01-01 02:{m:02d}:00"))
+        rows.append((1, "2024-01-01 06:00:00"))  # watermark pusher
+        df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        src = f"{tmp}/events"
+        df.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = sessionize_stream(
+            stream, key_col="user_id", gap="30 minutes", watermark="1 hour"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess_out")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.user_id, r.session_start.minute, r.n_events)
+            for r in spark.table("sess_out").collect()
+        }
+        # both keys: burst1 (3 events) and burst2 (2 events) closed
+        assert (1, 0, 3) in got and (2, 0, 3) in got
+        assert (1, 0, 2) in got or (2, 0, 2) in got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
