@@ -649,3 +649,65 @@ def txt_quality_lr(spark, sf_dir):
     )
     w = logreg_fit(feats, labels, dim=_LR_DIM, n_iter=_LR_ITER, lr=_LR_RATE)
     return logreg_predict(feats, w)
+
+
+@register(
+    "pipe_corpus_curation",
+    """WITH scored AS (
+         SELECT doc_id, source, text, string_split(text, ' ') AS ws
+         FROM documents),
+       gated AS (
+         SELECT doc_id, source, text FROM scored
+         WHERE len(ws) >= 30
+           AND length(text) / len(ws) BETWEEN 2 AND 12),
+       exact AS (
+         SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+       prefix AS (
+         SELECT MIN(g.doc_id) AS doc_id
+         FROM gated g JOIN exact e USING (doc_id)
+         GROUP BY md5(array_to_string(list_slice(string_split(g.text, ' '), 1, 8), ' '))),
+       sampled AS (
+         SELECT g.doc_id, g.source, g.text
+         FROM gated g JOIN prefix p USING (doc_id)
+         WHERE CAST(('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 < 80)
+       SELECT source,
+              COUNT(*) AS n_docs,
+              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+       FROM sampled GROUP BY source""",
+)
+def pipe_corpus_curation(spark, sf_dir):
+    """The curation gauntlet as ONE composed plan: quality gate (word
+    count + mean word length) → exact dedup (min doc per content hash)
+    → prefix near-dup collapse (min doc per leading-8-token
+    fingerprint) → deterministic 80% hash sample → per-source corpus
+    accounting. Every stage is a Catalyst-planned filter/groupBy on
+    the same scan lineage — the point is that the pipeline suite
+    COMPOSES without materialisation barriers, and the optimizer sees
+    the whole DAG (the oracle replays the identical chain).
+
+    Scale: two map-side-combinable shuffles (content hash, prefix
+    hash); the gates and the sample are per-row expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    gated = docs.filter(
+        (F.size(ws) >= 30)
+        & ((F.length("text") / F.size(ws)).between(2, 12))
+    ).select("doc_id", "source", "text")
+    exact = gated.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    prefix = (
+        gated.join(exact, "doc_id", "semi")
+        .groupBy(
+            F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
+        )
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    sampled = gated.join(prefix, "doc_id", "semi").filter(bucket < 80)
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+    )
