@@ -529,3 +529,41 @@ def test_intensity_mean_skips_null_anomaly_days(spark):
     assert a.total_extreme_days == 10
     assert a.i_mean == pytest.approx(2.0)
     assert a.i_cum == pytest.approx(10.0)
+
+
+class TestOverlapFractionEdges:
+    """Reference test_track_edge_cases.py:869-945 parity: pairs whose
+    ids are absent from the props table yield an EMPTY result (not an
+    error), and overlap fractions > 1.0 are kept without complaint."""
+
+    def test_missing_ids_drop_to_empty(self, spark):
+        from marex_spark.operators.overlap import filter_overlap_fraction
+
+        pairs = spark.createDataFrame(
+            [(999, 1000, 50.0), (1001, 1002, 60.0)],
+            "id_t long, id_next long, overlap_area double",
+        )
+        areas = spark.createDataFrame(
+            [(1, 100.0), (2, 200.0)], "obj_id long, area double"
+        )
+        out = filter_overlap_fraction(pairs, areas, 0.1)
+        assert out.count() == 0
+        assert out.columns == ["id_t", "id_next", "overlap_area"]
+
+    def test_fraction_above_one_kept(self, spark):
+        from marex_spark.operators.overlap import filter_overlap_fraction
+
+        pairs = spark.createDataFrame(
+            [(1, 2, 150.0), (3, 4, 80.0)],
+            "id_t long, id_next long, overlap_area double",
+        )
+        areas = spark.createDataFrame(
+            [(1, 100.0), (2, 120.0), (3, 200.0), (4, 300.0)],
+            "obj_id long, area double",
+        )
+        out = {
+            (r.id_t, r.id_next)
+            for r in filter_overlap_fraction(pairs, areas, 0.5).collect()
+        }
+        assert (1, 2) in out       # fraction 1.5 — kept
+        assert (3, 4) not in out   # fraction 0.4 < 0.5
