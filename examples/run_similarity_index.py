@@ -40,11 +40,12 @@ def main() -> None:
 
     print("== quality classifier (hashed-BoW logistic regression) ==")
     docs = load_table(spark, sf_dir, "documents")
-    feats = hashed_bow_features(docs, dim=16)
+    feats = hashed_bow_features(docs, dim=16).localCheckpoint()
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("double").alias("y")
     )
-    w = logreg_fit(feats, labels, dim=16, n_iter=10, lr=1.0)
+    w = logreg_fit(feats, labels, dim=16, n_iter=10, lr=1.0,
+                   features_materialized=True)
     pred = logreg_predict(feats, w).join(labels, "doc_id")
     acc = (
         pred.filter(

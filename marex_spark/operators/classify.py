@@ -67,6 +67,7 @@ def logreg_fit(
     n_iter: int = 2,
     lr: float = 0.5,
     id_col: str = "doc_id",
+    features_materialized: bool = False,
 ) -> list[float]:
     """Batch-gradient logistic regression: w ← w − lr·(1/N)·Σ(σ(w·x)−y)x,
     ``n_iter`` full-batch steps from w=0. ``features`` is the
@@ -84,8 +85,12 @@ def logreg_fit(
         raise ValueError("logreg_fit on an empty label set")
     # each iteration runs two jobs over `features` — materialise once
     # here so an un-checkpointed feature lineage (explode + groupBys)
-    # is not recomputed 2×n_iter times
-    features = features.localCheckpoint()
+    # is not recomputed 2×n_iter times. Callers that ALSO score with
+    # the same frame should checkpoint it themselves and declare
+    # features_materialized=True, so fit and predict share one
+    # materialisation.
+    if not features_materialized:
+        features = features.localCheckpoint()
     w = [0.0] * (dim + 1)
     for _ in range(n_iter):
         p = _scores(features, w, id_col)

@@ -468,62 +468,11 @@ def extend_track_events(
         "prior_max_obj_id": prior_max_id,
     }
     if allow_merging:
-        from marex_spark.operators.merge import (
-            _Resolver,
-            split_merge_events_chunked,
-        )
-
-        # carry = the prior run's last two resolved slices (prior
-        # events ARE the post-resolution labels); rebuilt into the
-        # resolver's slice layout by the same build_slices pass
-        tail_times = [
-            r[0]
-            for r in prior_events.select(time_col)
-            .distinct()
-            .orderBy(F.desc(time_col))
-            .limit(2)
-            .collect()
-        ]
-        tail_pdf = (
-            prior_events.filter(F.col(time_col) >= F.lit(min(tail_times)))
-            .select(time_col, "y", "x", "obj_id")
-            .toPandas()
-        )
-        seed = _Resolver(
-            nx=nx, wrap_x=wrap_x, overlap_threshold=overlap_threshold,
-            max_iter_per_step=10, grid=True,
-            nn_partitioning=nn_partitioning, max_distance=max_distance,
-        )
-        c_slices, c_times = seed.build_slices(tail_pdf, time_col)
-        resume = {
-            "carry": [(c_times[i], c_slices[i]) for i in range(len(c_times))],
-            "next_new_id": prior_max_id + 1,
-        }
-        labels_new, new_ledger = split_merge_events_chunked(
-            labels_new,
-            nx=nx,
-            chunk_steps=merge_chunk_steps,
-            overlap_threshold=overlap_threshold,
-            wrap_x=wrap_x,
-            time_col=time_col,
-            nn_partitioning=nn_partitioning,
-            max_distance=max_distance,
-            labels_materialized=True,
-            resume_state=resume,
-        )
-        labels_new = labels_new.localCheckpoint()
-        extras["merge_ledger"] = (
-            prior_merge_ledger.unionByName(
-                new_ledger.withColumn(
-                    "merge_id",
-                    (
-                        F.col("merge_id")
-                        + F.lit(prior_merge_ledger.count())
-                    ).cast("long"),
-                )
-            )
-            if prior_merge_ledger is not None
-            else new_ledger
+        labels_new, extras["merge_ledger"] = _extend_resume_merge(
+            prior_events, labels_new, prior_max_id, time_col,
+            overlap_threshold, nn_partitioning, max_distance,
+            merge_chunk_steps, prior_merge_ledger,
+            nx=nx, wrap_x=wrap_x, cell_geo=None,
         )
 
     events, events_new, events_old, ev_remap = _extend_link(
@@ -587,6 +536,99 @@ def _extend_head(
             details={"prior_max_time": str(prior_max_time)},
         )
     return prior_max_time, prior_max_id
+
+
+def _extend_resume_merge(
+    prior_events: DataFrame,
+    labels_new: DataFrame,
+    prior_max_id: int,
+    time_col: str,
+    overlap_threshold: float,
+    nn_partitioning: bool,
+    max_distance: float | None,
+    merge_chunk_steps: int,
+    prior_merge_ledger: DataFrame | None,
+    nx: int = 0,
+    wrap_x: bool = True,
+    cell_geo: DataFrame | None = None,
+):
+    """Shared merge-mode resumption for both extension paths: rebuild
+    the resolver carry from the prior run's last two resolved slices
+    (prior events ARE the post-resolution labels, put back into the
+    resolver's slice layout by the same build_slices pass), resume the
+    chunked resolver over the new labels only, and append the new
+    ledger after the prior one with dense merge ids.
+    ``cell_geo=None`` selects grid geometry; a (cell, lat, lon) table
+    selects the sphere form. Returns (resolved labels, ledger)."""
+    from marex_spark.exceptions import ConfigurationError
+    from marex_spark.operators.merge import _Resolver, split_merge_events_chunked
+
+    grid = cell_geo is None
+    tail_times = [
+        r[0]
+        for r in prior_events.select(time_col)
+        .distinct()
+        .orderBy(F.desc(time_col))
+        .limit(2)
+        .collect()
+    ]
+    if not tail_times:
+        # reachable only via an explicit prior_head over an empty
+        # events table (e.g. clobbered archive with a surviving
+        # attributes.json) — _extend_head's agg path catches it earlier
+        raise ConfigurationError(
+            "prior_events has no timesteps — cannot resume the merge "
+            "resolver",
+        )
+    tail = prior_events.filter(F.col(time_col) >= F.lit(min(tail_times)))
+    if grid:
+        tail_pdf = tail.select(time_col, "y", "x", "obj_id").toPandas()
+    else:
+        tail_pdf = (
+            tail.select(time_col, "cell", "obj_id")
+            .join(F.broadcast(cell_geo.select("cell", "lat", "lon")), "cell")
+            .select(time_col, "cell", "lat", "lon", "obj_id")
+            .toPandas()
+        )
+    seed = _Resolver(
+        nx=nx, wrap_x=wrap_x if grid else False,
+        overlap_threshold=overlap_threshold,
+        max_iter_per_step=10, grid=grid,
+        nn_partitioning=nn_partitioning, max_distance=max_distance,
+    )
+    c_slices, c_times = seed.build_slices(tail_pdf, time_col)
+    resume = {
+        "carry": [(c_times[i], c_slices[i]) for i in range(len(c_times))],
+        "next_new_id": prior_max_id + 1,
+    }
+    resolved, new_ledger = split_merge_events_chunked(
+        labels_new,
+        nx=nx,
+        chunk_steps=merge_chunk_steps,
+        overlap_threshold=overlap_threshold,
+        wrap_x=wrap_x if grid else False,
+        time_col=time_col,
+        nn_partitioning=nn_partitioning,
+        max_distance=max_distance,
+        labels_materialized=grid,  # the sphere path re-joins geometry
+        resume_state=resume,
+        geometry="grid" if grid else "sphere",
+        cell_geo=cell_geo,
+    )
+    resolved = resolved.localCheckpoint()
+    ledger = (
+        prior_merge_ledger.unionByName(
+            new_ledger.withColumn(
+                "merge_id",
+                (F.col("merge_id") + F.lit(prior_merge_ledger.count())).cast(
+                    "long"
+                ),
+            )
+        )
+        if prior_merge_ledger is not None
+        else new_ledger
+    )
+    return resolved, ledger
 
 
 def _extend_link(
@@ -748,61 +790,11 @@ def extend_track_events_unstructured(
         "prior_max_obj_id": prior_max_id,
     }
     if allow_merging:
-        from marex_spark.operators.merge import (
-            _Resolver,
-            split_merge_events_chunked,
-        )
-
-        tail_times = [
-            r[0]
-            for r in prior_events.select(time_col)
-            .distinct()
-            .orderBy(F.desc(time_col))
-            .limit(2)
-            .collect()
-        ]
-        tail_pdf = (
-            prior_events.filter(F.col(time_col) >= F.lit(min(tail_times)))
-            .select(time_col, "cell", "obj_id")
-            .join(F.broadcast(cell_geo.select("cell", "lat", "lon")), "cell")
-            .select(time_col, "cell", "lat", "lon", "obj_id")
-            .toPandas()
-        )
-        seed = _Resolver(
-            nx=0, wrap_x=False, overlap_threshold=overlap_threshold,
-            max_iter_per_step=10, grid=False,
-            nn_partitioning=nn_partitioning, max_distance=max_distance,
-        )
-        c_slices, c_times = seed.build_slices(tail_pdf, time_col)
-        resume = {
-            "carry": [(c_times[i], c_slices[i]) for i in range(len(c_times))],
-            "next_new_id": prior_max_id + 1,
-        }
-        labels_new, new_ledger = split_merge_events_chunked(
-            labels_new,
-            nx=0,
-            chunk_steps=merge_chunk_steps,
-            overlap_threshold=overlap_threshold,
-            wrap_x=False,
-            time_col=time_col,
-            nn_partitioning=nn_partitioning,
-            max_distance=max_distance,
-            resume_state=resume,
-            geometry="sphere",
+        labels_new, extras["merge_ledger"] = _extend_resume_merge(
+            prior_events, labels_new, prior_max_id, time_col,
+            overlap_threshold, nn_partitioning, max_distance,
+            merge_chunk_steps, prior_merge_ledger,
             cell_geo=cell_geo,
-        )
-        labels_new = labels_new.localCheckpoint()
-        extras["merge_ledger"] = (
-            prior_merge_ledger.unionByName(
-                new_ledger.withColumn(
-                    "merge_id",
-                    (
-                        F.col("merge_id") + F.lit(prior_merge_ledger.count())
-                    ).cast("long"),
-                )
-            )
-            if prior_merge_ledger is not None
-            else new_ledger
         )
 
     events, events_new, events_old, ev_remap = _extend_link(

@@ -643,11 +643,15 @@ def txt_quality_lr(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = hashed_bow_features(docs, dim=_LR_DIM)
+    # one materialisation serves both training and the final scoring
+    feats = hashed_bow_features(docs, dim=_LR_DIM).localCheckpoint()
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("double").alias("y")
     )
-    w = logreg_fit(feats, labels, dim=_LR_DIM, n_iter=_LR_ITER, lr=_LR_RATE)
+    w = logreg_fit(
+        feats, labels, dim=_LR_DIM, n_iter=_LR_ITER, lr=_LR_RATE,
+        features_materialized=True,
+    )
     return logreg_predict(feats, w)
 
 

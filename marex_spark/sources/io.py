@@ -254,23 +254,29 @@ def extend_track_run(
         "t_max" in attrs
         and "max_obj_id" in attrs
         and track_kwargs.get("time_col", "time") == attrs.get("time_col", "time")
-        # serialised timestamps are session-tz-naive: a tz mismatch
-        # would parse to a different instant, match an empty boundary
-        # slice, and silently skip linking — fall back to the agg
-        and attrs.get("session_tz")
-        == spark.conf.get("spark.sql.session.timeZone", "UTC")
     ):
         t_max = attrs["t_max"]
+        usable = True
         if isinstance(t_max, str):
             import datetime
 
             tc = attrs.get("time_col", "time")
             t_type = prior.events.schema[tc].dataType.simpleString()
             if t_type == "date":
+                # dates have no timezone — always safe to reuse
                 t_max = datetime.date.fromisoformat(t_max)
             elif t_type.startswith("timestamp"):
+                # serialised timestamps are session-tz-naive: a tz
+                # mismatch (or a pre-metadata archive with no recorded
+                # tz) would parse to a different instant, match an
+                # empty boundary slice, and skip linking — fall back
+                # to the exact aggregation in that case
+                usable = attrs.get("session_tz") == spark.conf.get(
+                    "spark.sql.session.timeZone", "UTC"
+                )
                 t_max = datetime.datetime.fromisoformat(t_max)
-        prior_head = (t_max, int(attrs["max_obj_id"]))
+        if usable:
+            prior_head = (t_max, int(attrs["max_obj_id"]))
     res = extend_track_events(
         prior.events,
         new_extremes,

@@ -342,8 +342,9 @@ def test_stream_sessionize(spark):
             (r.user_id, r.session_start.minute, r.n_events)
             for r in spark.table("sess_out").collect()
         }
-        # both keys: burst1 (3 events) and burst2 (2 events) closed
+        # both keys: burst1 (3 events) and burst2 (2 events) closed —
+        # the watermark pusher (06:00 − 1h) passes every session end
         assert (1, 0, 3) in got and (2, 0, 3) in got
-        assert (1, 0, 2) in got or (2, 0, 2) in got
+        assert (1, 0, 2) in got and (2, 0, 2) in got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
