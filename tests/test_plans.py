@@ -237,3 +237,18 @@ def test_extension_prunes_prior_archive_scan(spark, tmp_path):
     # the EqualTo on time must itself reach the scan — IsNotNull alone
     # would re-read the whole archive (precedence bug fixed in review)
     assert "time" in pf and "EqualTo" in pf, pf
+
+
+def test_curation_pipeline_shuffle_bound(spark):
+    """The composed curation gauntlet must stay at its two
+    map-side-combinable shuffles (content hash + prefix hash) plus the
+    semi-join exchanges — a materialisation barrier or accidental
+    cartesian would show up as a plan blowup."""
+    from marex_spark.plans import plan_string
+    from marex_spark.queries.text import pipe_corpus_curation
+
+    out = pipe_corpus_curation(spark, SF)
+    plan = plan_string(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert exchange_count(out) <= 6, exchange_count(out)
