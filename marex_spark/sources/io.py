@@ -296,3 +296,65 @@ def extend_track_run(
         attrs["extended_from"] = path
         write_track_result(res, out_path, attrs=attrs)
     return res
+
+
+def rewind_track_run(spark, path: str, to_time, out_path: str):
+    """Truncate an archived tracking run at ``to_time`` (inclusive) —
+    the recovery half of the append cycle: when late-arriving or
+    corrected data invalidates the tail of an archive, rewind to the
+    last good timestep and :func:`extend_track_run` forward from there
+    instead of recomputing the whole history.
+
+    Truncation is exact because tracking state flows strictly forward:
+    dropping trailing timesteps cannot change earlier labels, and an
+    event id (component-root = min obj id) can only have been
+    INTRODUCED at or before its first surviving row — so filtering
+    rows by time leaves a self-consistent run identical to one that
+    had stopped at ``to_time``, except for event ids whose root
+    objects lived entirely in the dropped tail (impossible: roots are
+    minima over ids that grow with time) and events that EXISTED only
+    in the tail (correctly dropped). Per-timestep stats filter the
+    same way; lifetime stats are re-aggregated from the surviving
+    per-timestep rows; ledger rows after the cut are dropped.
+
+    Writes a fresh archive at ``out_path`` (which must differ from
+    ``path``) and returns its attributes."""
+    from marex_spark.exceptions import ConfigurationError
+    from marex_spark.operators.stats import event_lifetime_stats
+    from marex_spark.operators.track import TrackResult
+
+    if out_path == path:
+        raise ConfigurationError(
+            "out_path must differ from path (lazy scans would overwrite "
+            "their own input)",
+            details={"path": path},
+        )
+    prior = read_track_result(spark, path)
+    attrs = prior.extras.get("attributes") or {}
+    tc = attrs.get("time_col", "time")
+    events = prior.events.filter(F.col(tc) <= F.lit(to_time))
+    if events.limit(1).count() == 0:
+        raise ConfigurationError(
+            "rewind would drop every timestep",
+            details={"to_time": str(to_time)},
+        )
+    ts = life = None
+    if prior.timestep_stats is not None:
+        # stats rows for events that survive only partially are still
+        # exact per-(time, event) — they never aggregate across time
+        surviving = events.select("event_id").distinct()
+        ts = prior.timestep_stats.filter(F.col(tc) <= F.lit(to_time)).join(
+            F.broadcast(surviving), "event_id", "semi"
+        )
+        life = event_lifetime_stats(ts, time_col=tc)
+    extras = {}
+    ledger = prior.extras.get("merge_ledger")
+    if ledger is not None:
+        extras["merge_ledger"] = ledger.filter(F.col(tc) <= F.lit(to_time))
+    res = TrackResult(
+        events=events, timestep_stats=ts, lifetime_stats=life, extras=extras
+    )
+    new_attrs = dict(attrs)
+    new_attrs["rewound_from"] = path
+    new_attrs["rewound_to"] = str(to_time)
+    return write_track_result(res, out_path, attrs=new_attrs)

@@ -80,3 +80,90 @@ class TestTrackResultRoundTrip:
         assert back.events.count() == res.events.count()
         assert back.extras["attributes"]["N_events_final"] == meta["N_events_final"]
         assert back.timestep_stats is None  # not written, not invented
+
+
+def test_rewind_then_extend_equals_full(spark, tmp_path):
+    """Late-data recovery cycle: rewind an archive to the last good
+    timestep, extend forward with the corrected tail — the result must
+    equal tracking the corrected series from scratch."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.operators.track import track_events
+    from marex_spark.sources.io import (
+        extend_track_run,
+        rewind_track_run,
+        write_track_result,
+    )
+    from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+    ny, nx = 16, 32
+    good = synthetic_extremes_gridded(spark, n_time=10, ny=ny, nx=nx, seed=21)
+    times = sorted(r[0] for r in good.select("time").distinct().collect())
+    cut = times[6]
+    # the "bad" archive: last 3 steps came from a corrupted feed
+    # (different seed); the corrected series replaces them
+    bad_tail = synthetic_extremes_gridded(
+        spark, n_time=10, ny=ny, nx=nx, seed=99
+    ).filter(F.col("time") > F.lit(cut))
+    bad_series = good.filter(F.col("time") <= F.lit(cut)).unionByName(bad_tail)
+
+    gy = spark.range(ny).select(
+        F.col("id").cast("int").alias("y"),
+        (-40.0 + F.col("id") * 5.0).alias("lat"),
+    )
+    gx = spark.range(nx).select(
+        F.col("id").cast("int").alias("x"), (F.col("id") * 11.0).alias("lon")
+    )
+    bad_run = track_events(bad_series, nx=nx, grid_y=gy, grid_x=gx)
+    write_track_result(bad_run, f"{tmp_path}/bad")
+
+    rewind_track_run(spark, f"{tmp_path}/bad", cut, f"{tmp_path}/rewound")
+    extend_track_run(
+        spark,
+        f"{tmp_path}/rewound",
+        good.filter(F.col("time") > F.lit(cut)),
+        nx=nx,
+        grid_y=gy,
+        grid_x=gx,
+        out_path=f"{tmp_path}/fixed",
+    )
+
+    full = track_events(good, nx=nx, grid_y=gy, grid_x=gx)
+    cols = ["time", "y", "x", "obj_id", "event_id"]
+    a = sorted(map(tuple, full.events.select(*cols).collect()))
+    b = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{tmp_path}/fixed/events").select(*cols).collect(),
+        )
+    )
+    assert a == b
+    # lifetime stats re-aggregated through the cycle match too
+    fa = {r.event_id: r.n_timesteps for r in full.lifetime_stats.collect()}
+    fb = {
+        r.event_id: r.n_timesteps
+        for r in spark.read.parquet(f"{tmp_path}/fixed/lifetime_stats").collect()
+    }
+    assert fa == fb
+
+
+def test_rewind_validation(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from marex_spark.exceptions import ConfigurationError
+    from marex_spark.operators.track import track_events
+    from marex_spark.sources.io import rewind_track_run, write_track_result
+    from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+    ext = synthetic_extremes_gridded(spark, n_time=4, ny=8, nx=16, seed=5)
+    res = track_events(ext, nx=16, compute_stats=False)
+    write_track_result(res, f"{tmp_path}/run")
+    with pytest.raises(ConfigurationError, match="differ"):
+        rewind_track_run(spark, f"{tmp_path}/run", None, f"{tmp_path}/run")
+    with pytest.raises(ConfigurationError, match="every timestep"):
+        rewind_track_run(
+            spark, f"{tmp_path}/run",
+            datetime.datetime(1900, 1, 1), f"{tmp_path}/out",
+        )
