@@ -715,3 +715,68 @@ def pipe_corpus_curation(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
     )
+
+
+# ----------------------------------------------------- BPE tokenizer train
+
+_BPE_MERGES = 4
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled SQL replay of bpe_fit + bpe_segment
+    (operators/bpe.py): fixed merge count makes the training loop
+    expressible as chained CTEs; the tie-break (max count, then
+    lexicographic pair) and the two-pass replace application is
+    identical in both engines (see operators/bpe.py)."""
+    head = """WITH wf AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0 GROUP BY 1),
+    r0 AS (
+      SELECT cnt,
+             ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS rep
+      FROM wf)"""
+    steps = []
+    for i in range(n_merges):
+        steps.append(f""",
+    p{i} AS (
+      SELECT s.syms[t.i] || ' ' || s.syms[t.i + 1] AS pair, SUM(s.cnt) AS n
+      FROM (SELECT cnt, string_split(trim(rep), ' ') AS syms FROM r{i}) s,
+           UNNEST(generate_series(1, greatest(len(s.syms) - 1, 0))) AS t(i)
+      GROUP BY 1),
+    b{i} AS (SELECT pair FROM p{i} ORDER BY n DESC, pair LIMIT 1),
+    r{i + 1} AS (
+      SELECT cnt,
+             replace(replace(rep,
+                     ' ' || (SELECT pair FROM b{i}) || ' ',
+                     ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' '),
+                     ' ' || (SELECT pair FROM b{i}) || ' ',
+                     ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ')
+               AS rep
+      FROM r{i})""")
+    tail = f"""
+    SELECT symbol, CAST(SUM(cnt) AS BIGINT) AS freq
+    FROM (SELECT cnt, unnest(string_split(trim(rep), ' ')) AS symbol
+          FROM r{n_merges})
+    GROUP BY 1"""
+    return head + "".join(steps) + tail
+
+
+@register("txt_bpe_train", _bpe_oracle(_BPE_MERGES))
+def txt_bpe_train(spark, sf_dir):
+    """Train a {_BPE_MERGES}-merge BPE tokenizer on the corpus
+    word-frequency table and emit the resulting symbol vocabulary with
+    frequencies — tokenizer training as an in-engine operator
+    (operators/bpe.py).
+
+    Scale shape: ONE corpus-scale aggregation (the word-frequency
+    table, map-side combined to vocabulary size); every merge round
+    then works on the tiny distinct-word table, and the learned rules
+    apply as chained literal replaces. The oracle replays training
+    round-for-round as CTEs."""
+    from marex_spark.operators.bpe import bpe_fit, bpe_segment, word_frequency
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = word_frequency(docs).localCheckpoint()
+    merges = bpe_fit(words, n_merges=_BPE_MERGES)
+    return bpe_segment(words, merges)

@@ -62,3 +62,44 @@ def test_validation(planted, spark):
         logreg_fit(feats, labels, dim=0)
     with pytest.raises(ValueError):
         logreg_fit(feats, labels.filter("doc_id < 0"), dim=16)
+
+
+class TestBPE:
+    """BPE trainer (operators/bpe.py): learns the expected merges on a
+    planted corpus and survives 1-char words."""
+
+    def test_learns_planted_merges(self, spark):
+        from marex_spark.operators.bpe import bpe_fit, bpe_segment
+
+        # 'ab' dominates: appears in every word of the corpus
+        words = spark.createDataFrame(
+            [("abab", 10), ("abc", 5), ("cab", 3)], "word string, cnt long"
+        )
+        merges = bpe_fit(words, n_merges=2)
+        # pair (a,b) count = 10*2 + 5 + 3 = 28, the clear winner
+        assert merges[0] == ("a", "b")
+        # second round: 'ab ab' in 'abab' (10) beats 'ab c' (5) & 'c ab' (3)
+        assert merges[1] == ("ab", "ab")
+        freq = {r.symbol: r.freq for r in bpe_segment(words, merges).collect()}
+        assert freq["abab"] == 10
+        assert freq["ab"] == 5 + 3  # from 'abc' and 'cab'
+        assert freq["c"] == 5 + 3
+
+    def test_single_char_words_survive(self, spark):
+        from marex_spark.operators.bpe import bpe_fit, bpe_segment
+
+        words = spark.createDataFrame(
+            [("a", 100), ("bb", 2)], "word string, cnt long"
+        )
+        merges = bpe_fit(words, n_merges=3)
+        assert merges[0] == ("b", "b")
+        freq = {r.symbol: r.freq for r in bpe_segment(words, merges).collect()}
+        assert freq == {"a": 100, "bb": 2}
+
+    def test_validation(self, spark):
+        from marex_spark.operators.bpe import bpe_fit
+
+        words = spark.createDataFrame([("x", 1)], "word string, cnt long")
+        with pytest.raises(ValueError):
+            bpe_fit(words, n_merges=-1)
+        assert bpe_fit(words, n_merges=0) == []
