@@ -83,9 +83,11 @@ def bpe_fit(
             break
         left, right = best[0].pair.split(" ", 1)
         merges.append((left, right))
+        prev = reps
         reps = reps.select(
             "cnt", _apply_merge(F.col("rep"), left, right).alias("rep")
         ).localCheckpoint()
+        prev.unpersist()  # bound storage to two vocabulary copies
     return merges
 
 

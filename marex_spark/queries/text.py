@@ -746,13 +746,18 @@ def _bpe_oracle(n_merges: int) -> str:
       GROUP BY 1),
     b{i} AS (SELECT pair FROM p{i} ORDER BY n DESC, pair LIMIT 1),
     r{i + 1} AS (
+      -- CASE guards the degenerate corpus that runs out of mergeable
+      -- pairs before the round budget: an empty b{i} makes the scalar
+      -- subquery NULL and replace(rep, NULL, ..) would null every rep
+      -- (Spark's bpe_fit simply stops early)
       SELECT cnt,
-             replace(replace(rep,
-                     ' ' || (SELECT pair FROM b{i}) || ' ',
-                     ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' '),
-                     ' ' || (SELECT pair FROM b{i}) || ' ',
-                     ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ')
-               AS rep
+             CASE WHEN (SELECT pair FROM b{i}) IS NULL THEN rep
+                  ELSE replace(replace(rep,
+                       ' ' || (SELECT pair FROM b{i}) || ' ',
+                       ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' '),
+                       ' ' || (SELECT pair FROM b{i}) || ' ',
+                       ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ')
+             END AS rep
       FROM r{i})""")
     tail = f"""
     SELECT symbol, CAST(SUM(cnt) AS BIGINT) AS freq
@@ -764,7 +769,7 @@ def _bpe_oracle(n_merges: int) -> str:
 
 @register("txt_bpe_train", _bpe_oracle(_BPE_MERGES))
 def txt_bpe_train(spark, sf_dir):
-    """Train a {_BPE_MERGES}-merge BPE tokenizer on the corpus
+    """Train a 4-merge (_BPE_MERGES) BPE tokenizer on the corpus
     word-frequency table and emit the resulting symbol vocabulary with
     frequencies — tokenizer training as an in-engine operator
     (operators/bpe.py).

@@ -212,6 +212,19 @@ def read_track_result(spark, path: str):
     )
 
 
+def _check_distinct_out_path(path: str, out_path: str) -> None:
+    """Refuse writing an archive over its own lazy input; normalised so
+    'dir/' vs 'dir' spellings cannot bypass the guard."""
+    from marex_spark.exceptions import ConfigurationError
+
+    if os.path.normpath(out_path) == os.path.normpath(path):
+        raise ConfigurationError(
+            "out_path must differ from path (lazy scans would overwrite "
+            "their own input)",
+            details={"path": path},
+        )
+
+
 def extend_track_run(
     spark,
     path: str,
@@ -239,12 +252,8 @@ def extend_track_run(
     from marex_spark.exceptions import ConfigurationError
     from marex_spark.operators.track import extend_track_events
 
-    if out_path is not None and out_path == path:
-        raise ConfigurationError(
-            "out_path must differ from path (lazy scans would overwrite "
-            "their own input)",
-            details={"path": path},
-        )
+    if out_path is not None:
+        _check_distinct_out_path(path, out_path)
     prior = read_track_result(spark, path)
     # the archive head from the run's metadata: the extension then
     # never runs a job over the whole prior events table
@@ -298,54 +307,83 @@ def extend_track_run(
     return res
 
 
-def rewind_track_run(spark, path: str, to_time, out_path: str):
+def rewind_track_run(
+    spark,
+    path: str,
+    to_time,
+    out_path: str,
+    overlap_threshold: float = 0.0,
+    grid_y=None,
+    grid_x=None,
+    cell_areas=None,
+):
     """Truncate an archived tracking run at ``to_time`` (inclusive) —
     the recovery half of the append cycle: when late-arriving or
     corrected data invalidates the tail of an archive, rewind to the
     last good timestep and :func:`extend_track_run` forward from there
     instead of recomputing the whole history.
 
-    Truncation is exact because tracking state flows strictly forward:
-    dropping trailing timesteps cannot change earlier labels, and an
-    event id (component-root = min obj id) can only have been
-    INTRODUCED at or before its first surviving row — so filtering
-    rows by time leaves a self-consistent run identical to one that
-    had stopped at ``to_time``, except for event ids whose root
-    objects lived entirely in the dropped tail (impossible: roots are
-    minima over ids that grow with time) and events that EXISTED only
-    in the tail (correctly dropped). Per-timestep stats filter the
-    same way; lifetime stats are re-aggregated from the surviving
-    per-timestep rows; ledger rows after the cut are dropped.
+    Object labels truncate exactly (labelling and merge resolution at
+    step t use only information at or before t), but EVENT ids do not:
+    the min-root union-find spans the whole run, so a merge link that
+    existed only in the dropped tail has already retroactively unified
+    earlier events' ids. Rewind therefore RE-LINKS the surviving
+    labels (overlap graph + union-find over the kept timesteps — the
+    same ``overlap_threshold`` as the original run must be passed),
+    which splits tail-only merges back apart and makes the rewound
+    archive equal a run that had stopped at ``to_time``. Re-linking
+    reads only the stored labels: no detect, no labelling, no
+    morphology is repeated.
+
+    Per-timestep stats are recomputed from the surviving cell rows
+    (prior stats rows are unusable for split events — two formerly
+    unified tracks aggregated into one row); pass ``grid_y``/``grid_x``
+    (and optionally ``cell_areas``) for gridded runs or ensure
+    ``cell_geo``-style stats are rebuilt downstream — without
+    dimension tables the rewound archive carries no stats tables.
+    Ledger rows after the cut are dropped.
 
     Writes a fresh archive at ``out_path`` (which must differ from
     ``path``) and returns its attributes."""
-    from marex_spark.exceptions import ConfigurationError
+    from marex_spark.operators.components import (
+        connected_components_driver,
+        remap_ids,
+    )
+    from marex_spark.operators.overlap import (
+        filter_overlap_fraction,
+        object_areas,
+        overlap_pairs,
+    )
     from marex_spark.operators.stats import event_lifetime_stats
-    from marex_spark.operators.track import TrackResult
+    from marex_spark.operators.track import (
+        TrackResult,
+        _timestep_stats_with_areas,
+    )
 
-    if out_path == path:
-        raise ConfigurationError(
-            "out_path must differ from path (lazy scans would overwrite "
-            "their own input)",
-            details={"path": path},
-        )
+    _check_distinct_out_path(path, out_path)
     prior = read_track_result(spark, path)
     attrs = prior.extras.get("attributes") or {}
     tc = attrs.get("time_col", "time")
-    events = prior.events.filter(F.col(tc) <= F.lit(to_time))
-    if events.limit(1).count() == 0:
+    kept = prior.events.filter(F.col(tc) <= F.lit(to_time))
+    if kept.limit(1).count() == 0:
+        from marex_spark.exceptions import ConfigurationError
+
         raise ConfigurationError(
             "rewind would drop every timestep",
             details={"to_time": str(to_time)},
         )
+    keys = ("cell",) if "cell" in kept.columns else ("y", "x")
+    labels = kept.select(tc, *keys, "obj_id").localCheckpoint()
+    pairs = overlap_pairs(labels, keys=keys, time_col=tc)
+    if overlap_threshold > 0:
+        areas = object_areas(labels, time_col=tc)
+        pairs = filter_overlap_fraction(pairs, areas, overlap_threshold)
+    mapping = connected_components_driver(pairs, labels, compact=False)
+    events = remap_ids(labels, mapping)
+
     ts = life = None
-    if prior.timestep_stats is not None:
-        # stats rows for events that survive only partially are still
-        # exact per-(time, event) — they never aggregate across time
-        surviving = events.select("event_id").distinct()
-        ts = prior.timestep_stats.filter(F.col(tc) <= F.lit(to_time)).join(
-            F.broadcast(surviving), "event_id", "semi"
-        )
+    if grid_y is not None and grid_x is not None and keys == ("y", "x"):
+        ts = _timestep_stats_with_areas(events, grid_y, grid_x, cell_areas, tc)
         life = event_lifetime_stats(ts, time_col=tc)
     extras = {}
     ledger = prior.extras.get("merge_ledger")

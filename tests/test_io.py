@@ -117,7 +117,10 @@ def test_rewind_then_extend_equals_full(spark, tmp_path):
     bad_run = track_events(bad_series, nx=nx, grid_y=gy, grid_x=gx)
     write_track_result(bad_run, f"{tmp_path}/bad")
 
-    rewind_track_run(spark, f"{tmp_path}/bad", cut, f"{tmp_path}/rewound")
+    rewind_track_run(
+        spark, f"{tmp_path}/bad", cut, f"{tmp_path}/rewound",
+        grid_y=gy, grid_x=gx,
+    )
     extend_track_run(
         spark,
         f"{tmp_path}/rewound",
@@ -167,3 +170,45 @@ def test_rewind_validation(spark, tmp_path):
             spark, f"{tmp_path}/run",
             datetime.datetime(1900, 1, 1), f"{tmp_path}/out",
         )
+
+
+def test_rewind_splits_tail_only_merges(spark, tmp_path):
+    """The review repro: two blobs merge ONLY in the (dropped) tail.
+    Min-root event ids had already been unified retroactively, so a
+    bare filter would keep them fused — rewind must RE-LINK and split
+    them back, equalling a run stopped at the cut."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.operators.track import track_events
+    from marex_spark.sources.io import rewind_track_run, write_track_result
+
+    rows = []
+    for d in (1, 2, 3):
+        for xx in (2, 3):
+            rows.append((d, 5, xx, True))
+        for xx in (10, 11):
+            rows.append((d, 5, xx, True))
+    for xx in range(2, 12):  # t=4: the spanning (to-be-dropped) bridge
+        rows.append((4, 5, xx, True))
+    df = spark.createDataFrame(rows, "d int, y int, x int, extreme boolean").select(
+        F.timestamp_add("DAY", F.col("d"), F.lit("2021-01-01").cast("timestamp")).alias("time"),
+        "y", "x", "extreme",
+    )
+    run = track_events(df, nx=32, compute_stats=False)
+    assert run.events.select("event_id").distinct().count() == 1  # fused
+    write_track_result(run, f"{tmp_path}/fused")
+
+    cut = df.agg(F.max("time")).collect()[0][0]
+    times = sorted(r[0] for r in df.select("time").distinct().collect())
+    rewind_track_run(spark, f"{tmp_path}/fused", times[2], f"{tmp_path}/rw")
+
+    stopped = track_events(
+        df.filter(F.col("time") <= F.lit(times[2])), nx=32, compute_stats=False
+    )
+    cols = ["time", "y", "x", "obj_id", "event_id"]
+    a = sorted(map(tuple, stopped.events.select(*cols).collect()))
+    b = sorted(
+        map(tuple, spark.read.parquet(f"{tmp_path}/rw/events").select(*cols).collect())
+    )
+    assert a == b
+    assert stopped.events.select("event_id").distinct().count() == 2  # split back
