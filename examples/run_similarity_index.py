@@ -61,6 +61,13 @@ def main() -> None:
         "vocabulary test in tests/test_classify.py shows full separation)"
     )
 
+    print("== BPE tokenizer training (in-engine) ==")
+    from marex_spark.operators.bpe import bpe_fit, word_frequency
+
+    words = word_frequency(docs).localCheckpoint()
+    merges = bpe_fit(words, n_merges=6)
+    print("   learned merges:", " ".join(f"{l}+{r}" for l, r in merges))
+
 
 if __name__ == "__main__":
     main()
