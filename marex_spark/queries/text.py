@@ -785,3 +785,58 @@ def txt_bpe_train(spark, sf_dir):
     words = word_frequency(docs).localCheckpoint()
     merges = bpe_fit(words, n_merges=_BPE_MERGES)
     return bpe_segment(words, merges)
+
+
+@register(
+    "pipe_token_budget_mix",
+    """WITH quota AS (
+         SELECT * FROM (VALUES ('src0', 4000), ('src1', 2500), ('src2', 1000))
+                q(source, budget)),
+       t AS (
+         SELECT doc_id, source,
+                len(string_split(text, ' ')) AS n_tokens,
+                md5(CAST(doc_id AS VARCHAR)) AS h
+         FROM documents),
+       ranked AS (
+         SELECT t.*, quota.budget,
+                SUM(n_tokens) OVER (PARTITION BY t.source
+                                    ORDER BY h, doc_id) AS cum_tokens
+         FROM t JOIN quota USING (source))
+       SELECT doc_id, source,
+              CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(cum_tokens AS BIGINT) AS cum_tokens
+       FROM ranked WHERE cum_tokens <= budget""",
+)
+def pipe_token_budget_mix(spark, sf_dir):
+    """Token-budget source mixing: fill each source's token budget by
+    admitting documents in content-stable hash order until the
+    cumulative token count reaches the quota — how a training mix hits
+    "N tokens of source X" targets deterministically (re-runs admit
+    the same documents; no rand()).
+
+    Scale shape: one running-sum window PARTITIONED by source (never a
+    global order), quota broadcast; the corpus pays one scan plus the
+    per-source window shuffle."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    quota = spark.createDataFrame(
+        [("src0", 4000), ("src1", 2500), ("src2", 1000)],
+        "source string, budget int",
+    )
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = W.partitionBy("source").orderBy("h", "doc_id")
+    ranked = t.join(F.broadcast(quota), "source").withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    return ranked.filter(F.col("cum_tokens") <= F.col("budget")).select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
