@@ -83,11 +83,14 @@ def bpe_fit(
             break
         left, right = best[0].pair.split(" ", 1)
         merges.append((left, right))
-        prev = reps
         reps = reps.select(
             "cnt", _apply_merge(F.col("rep"), left, right).alias("rep")
         ).localCheckpoint()
-        prev.unpersist()  # bound storage to two vocabulary copies
+        # NOTE: superseded localCheckpoint blocks are RDD-level cache
+        # the Dataset CacheManager does not track, so unpersist() is a
+        # no-op on them; they are released by the ContextCleaner once
+        # the superseded DataFrames are garbage-collected (rebinding
+        # `reps` drops the only reference each round)
     return merges
 
 

@@ -191,7 +191,12 @@ def track_events(
         # return_labels=True): skip the labelling pass entirely; the
         # merge/overlap stages need materialised rows
         labels = labels.localCheckpoint()
-    extras: dict = {}
+    extras: dict = {
+        # linking provenance — rewind_track_run re-links with the
+        # SAME gate and numbering (persisted via write_track_result)
+        "overlap_threshold": overlap_threshold,
+        "compact_ids": compact_ids,
+    }
     if allow_merging:
         from marex_spark.operators.merge import (
             split_merge_events,
@@ -319,7 +324,12 @@ def track_events_unstructured(
         )
     labels = labels.localCheckpoint()
 
-    extras: dict = {}
+    extras: dict = {
+        # linking provenance — rewind_track_run re-links with the
+        # SAME gate and numbering (persisted via write_track_result)
+        "overlap_threshold": overlap_threshold,
+        "compact_ids": compact_ids,
+    }
     if allow_merging:
         if cell_geo is None:
             from marex_spark.exceptions import TrackingError
@@ -466,6 +476,8 @@ def extend_track_events(
     extras: dict = {
         "prior_max_time": prior_max_time,
         "prior_max_obj_id": prior_max_id,
+        "overlap_threshold": overlap_threshold,
+        "compact_ids": False,
     }
     if allow_merging:
         labels_new, extras["merge_ledger"] = _extend_resume_merge(
@@ -788,6 +800,8 @@ def extend_track_events_unstructured(
     extras: dict = {
         "prior_max_time": prior_max_time,
         "prior_max_obj_id": prior_max_id,
+        "overlap_threshold": overlap_threshold,
+        "compact_ids": False,
     }
     if allow_merging:
         labels_new, extras["merge_ledger"] = _extend_resume_merge(

@@ -159,6 +159,11 @@ def write_track_result(
             written[name] = True
     meta = dict(attrs or {})
     meta["tables"] = sorted(written)
+    # linking provenance (rewind_track_run re-links with the same gate
+    # and numbering); absent for results from older engine versions
+    for k in ("overlap_threshold", "compact_ids"):
+        if k in res.extras:
+            meta[k] = res.extras[k]
     # all from the parquet just written — re-counting res.events would
     # re-execute the tracking DAG a second time. ONE scan computes the
     # event count and the archive head together (extend_track_run
@@ -213,11 +218,18 @@ def read_track_result(spark, path: str):
 
 
 def _check_distinct_out_path(path: str, out_path: str) -> None:
-    """Refuse writing an archive over its own lazy input; normalised so
-    'dir/' vs 'dir' spellings cannot bypass the guard."""
+    """Refuse writing an archive over its own lazy input; resolved to
+    real absolute paths so relative spellings and symlink aliases of
+    the same directory cannot bypass the guard (remote URIs compare
+    normalised as-is)."""
     from marex_spark.exceptions import ConfigurationError
 
-    if os.path.normpath(out_path) == os.path.normpath(path):
+    def _canon(p: str) -> str:
+        if "://" in p:
+            return os.path.normpath(p)
+        return os.path.realpath(os.path.abspath(p))
+
+    if _canon(out_path) == _canon(path):
         raise ConfigurationError(
             "out_path must differ from path (lazy scans would overwrite "
             "their own input)",
@@ -312,10 +324,12 @@ def rewind_track_run(
     path: str,
     to_time,
     out_path: str,
-    overlap_threshold: float = 0.0,
+    overlap_threshold: float | None = None,
     grid_y=None,
     grid_x=None,
     cell_areas=None,
+    cell_geo=None,
+    drop_stats: bool = False,
 ):
     """Truncate an archived tracking run at ``to_time`` (inclusive) —
     the recovery half of the append cycle: when late-arriving or
@@ -328,8 +342,11 @@ def rewind_track_run(
     the min-root union-find spans the whole run, so a merge link that
     existed only in the dropped tail has already retroactively unified
     earlier events' ids. Rewind therefore RE-LINKS the surviving
-    labels (overlap graph + union-find over the kept timesteps — the
-    same ``overlap_threshold`` as the original run must be passed),
+    labels (overlap graph + union-find over the kept timesteps, using
+    the run's ARCHIVED ``overlap_threshold``/``compact_ids`` —
+    write_track_result persists them; an explicit
+    ``overlap_threshold`` argument overrides, and archives from
+    engine versions that predate the provenance keys REQUIRE it),
     which splits tail-only merges back apart and makes the rewound
     archive equal a run that had stopped at ``to_time``. Re-linking
     reads only the stored labels: no detect, no labelling, no
@@ -337,14 +354,16 @@ def rewind_track_run(
 
     Per-timestep stats are recomputed from the surviving cell rows
     (prior stats rows are unusable for split events — two formerly
-    unified tracks aggregated into one row); pass ``grid_y``/``grid_x``
-    (and optionally ``cell_areas``) for gridded runs or ensure
-    ``cell_geo``-style stats are rebuilt downstream — without
-    dimension tables the rewound archive carries no stats tables.
-    Ledger rows after the cut are dropped.
+    unified tracks aggregated into one row): pass ``grid_y``/``grid_x``
+    (+ optional ``cell_areas``) for gridded runs or ``cell_geo`` for
+    meshes. When the archive CARRIES stats but the dimension tables
+    are missing, rewind refuses rather than silently dropping them —
+    opt out explicitly with ``drop_stats=True``. Ledger rows after
+    the cut are dropped.
 
     Writes a fresh archive at ``out_path`` (which must differ from
     ``path``) and returns its attributes."""
+    from marex_spark.exceptions import ConfigurationError
     from marex_spark.operators.components import (
         connected_components_driver,
         remap_ids,
@@ -354,7 +373,10 @@ def rewind_track_run(
         object_areas,
         overlap_pairs,
     )
-    from marex_spark.operators.stats import event_lifetime_stats
+    from marex_spark.operators.stats import (
+        event_lifetime_stats,
+        event_timestep_stats,
+    )
     from marex_spark.operators.track import (
         TrackResult,
         _timestep_stats_with_areas,
@@ -364,10 +386,18 @@ def rewind_track_run(
     prior = read_track_result(spark, path)
     attrs = prior.extras.get("attributes") or {}
     tc = attrs.get("time_col", "time")
+    if overlap_threshold is None:
+        if "overlap_threshold" not in attrs:
+            raise ConfigurationError(
+                "archive records no overlap_threshold (written by an "
+                "older engine version) — pass the original run's value "
+                "explicitly",
+                details={"path": path},
+            )
+        overlap_threshold = float(attrs["overlap_threshold"])
+    compact = bool(attrs.get("compact_ids", False))
     kept = prior.events.filter(F.col(tc) <= F.lit(to_time))
     if kept.limit(1).count() == 0:
-        from marex_spark.exceptions import ConfigurationError
-
         raise ConfigurationError(
             "rewind would drop every timestep",
             details={"to_time": str(to_time)},
@@ -378,14 +408,35 @@ def rewind_track_run(
     if overlap_threshold > 0:
         areas = object_areas(labels, time_col=tc)
         pairs = filter_overlap_fraction(pairs, areas, overlap_threshold)
-    mapping = connected_components_driver(pairs, labels, compact=False)
+    # same numbering as the archived run: dense 1..K when it used
+    # compact_ids, component roots otherwise
+    mapping = connected_components_driver(pairs, labels, compact=compact)
     events = remap_ids(labels, mapping)
 
     ts = life = None
-    if grid_y is not None and grid_x is not None and keys == ("y", "x"):
+    had_stats = prior.timestep_stats is not None
+    if keys == ("y", "x") and grid_y is not None and grid_x is not None:
         ts = _timestep_stats_with_areas(events, grid_y, grid_x, cell_areas, tc)
         life = event_lifetime_stats(ts, time_col=tc)
-    extras = {}
+    elif keys == ("cell",) and cell_geo is not None:
+        geo = events.join(F.broadcast(cell_geo), "cell")
+        if "area" not in geo.columns:
+            geo = geo.withColumn("area", F.lit(1.0))
+        ts = event_timestep_stats(geo, time_col=tc)
+        life = event_lifetime_stats(ts, time_col=tc)
+    elif had_stats and not drop_stats:
+        raise ConfigurationError(
+            "archive carries stats tables but no dimension tables were "
+            "given to recompute them (prior stats rows are unusable "
+            "after re-linking) — pass grid_y/grid_x or cell_geo, or "
+            "set drop_stats=True to write the rewound archive without "
+            "stats",
+            details={"path": path},
+        )
+    extras = {
+        "overlap_threshold": overlap_threshold,
+        "compact_ids": compact,
+    }
     ledger = prior.extras.get("merge_ledger")
     if ledger is not None:
         extras["merge_ledger"] = ledger.filter(F.col(tc) <= F.lit(to_time))

@@ -198,7 +198,6 @@ def test_rewind_splits_tail_only_merges(spark, tmp_path):
     assert run.events.select("event_id").distinct().count() == 1  # fused
     write_track_result(run, f"{tmp_path}/fused")
 
-    cut = df.agg(F.max("time")).collect()[0][0]
     times = sorted(r[0] for r in df.select("time").distinct().collect())
     rewind_track_run(spark, f"{tmp_path}/fused", times[2], f"{tmp_path}/rw")
 
