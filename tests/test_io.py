@@ -211,3 +211,74 @@ def test_rewind_splits_tail_only_merges(spark, tmp_path):
     )
     assert a == b
     assert stopped.events.select("event_id").distinct().count() == 2  # split back
+
+
+class TestRewindProvenance:
+    """Archived linking provenance (overlap_threshold / compact_ids)
+    drives the rewind re-link; stats guards are loud, not silent."""
+
+    def _run(self, spark, **kw):
+        from pyspark.sql import functions as F
+
+        from marex_spark.operators.track import track_events
+        from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+        ext = synthetic_extremes_gridded(spark, n_time=6, ny=12, nx=24, seed=8)
+        times = sorted(r[0] for r in ext.select("time").distinct().collect())
+        return track_events(ext, nx=24, **kw), times
+
+    def test_stats_archive_requires_dims_or_optout(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from marex_spark.exceptions import ConfigurationError
+        from marex_spark.sources.io import rewind_track_run, write_track_result
+
+        gy = spark.range(12).select(
+            F.col("id").cast("int").alias("y"), (F.col("id") * 1.0).alias("lat")
+        )
+        gx = spark.range(24).select(
+            F.col("id").cast("int").alias("x"), (F.col("id") * 1.0).alias("lon")
+        )
+        res, times = self._run(spark, grid_y=gy, grid_x=gx)
+        write_track_result(res, f"{tmp_path}/r")
+        with pytest.raises(ConfigurationError, match="stats"):
+            rewind_track_run(spark, f"{tmp_path}/r", times[3], f"{tmp_path}/o1")
+        import os
+
+        rewind_track_run(
+            spark, f"{tmp_path}/r", times[3], f"{tmp_path}/o2", drop_stats=True
+        )
+        assert not os.path.isdir(f"{tmp_path}/o2/timestep_stats")
+        rewind_track_run(
+            spark, f"{tmp_path}/r", times[3], f"{tmp_path}/o3",
+            grid_y=gy, grid_x=gx,
+        )
+        assert os.path.isdir(f"{tmp_path}/o3/timestep_stats")
+
+    def test_compact_archive_rewinds_to_dense_ids(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from marex_spark.operators.track import track_events
+        from marex_spark.sources.io import rewind_track_run, write_track_result
+        from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+        ext = synthetic_extremes_gridded(spark, n_time=6, ny=12, nx=24, seed=8)
+        times = sorted(r[0] for r in ext.select("time").distinct().collect())
+        res = track_events(ext, nx=24, compute_stats=False, compact_ids=True)
+        write_track_result(res, f"{tmp_path}/c")
+        rewind_track_run(spark, f"{tmp_path}/c", times[3], f"{tmp_path}/co")
+        stopped = track_events(
+            ext.filter(F.col("time") <= F.lit(times[3])),
+            nx=24, compute_stats=False, compact_ids=True,
+        )
+        cols = ["time", "y", "x", "obj_id", "event_id"]
+        a = sorted(map(tuple, stopped.events.select(*cols).collect()))
+        b = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{tmp_path}/co/events").select(*cols).collect(),
+            )
+        )
+        assert a == b
+        ids = {r.event_id for r in stopped.events.select("event_id").distinct().collect()}
+        assert ids == set(range(1, len(ids) + 1))  # dense 1..K preserved
