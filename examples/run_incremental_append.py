@@ -70,20 +70,38 @@ def main() -> None:
     n_events = res.events.select("event_id").distinct().count()
     print(f"   extended in {t_ext:.1f}s; {n_events} events total")
 
+    print("== late correction: rewind two weeks, re-extend ==")
+    from marex_spark.sources.io import rewind_track_run
+
+    rewind_track_run(
+        spark, f"{work}/run_extended", days[-15], f"{work}/run_rewound",
+        grid_y=gy, grid_x=gx,
+    )
+    extend_track_run(
+        spark,
+        f"{work}/run_rewound",
+        ext.filter(F.col("time") > F.lit(days[-15])),
+        nx=40,
+        grid_y=gy,
+        grid_x=gx,
+        out_path=f"{work}/run_final",
+    )
+
     print("== sanity: extension == full recompute ==")
     full = track_events(ext, nx=40, grid_y=gy, grid_x=gx)
     cols = ["time", "y", "x", "obj_id", "event_id"]
     a = sorted(map(tuple, full.events.select(*cols).collect()))
-    b = sorted(
-        map(
-            tuple,
-            spark.read.parquet(f"{work}/run_extended/events")
-            .select(*cols)
-            .collect(),
+    for gen in ("run_extended", "run_final"):
+        b = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{work}/{gen}/events")
+                .select(*cols)
+                .collect(),
+            )
         )
-    )
-    assert a == b, "extension diverged from the full recompute"
-    print(f"   exact match on {len(a)} labelled cells")
+        assert a == b, f"{gen} diverged from the full recompute"
+    print(f"   exact match on {len(a)} labelled cells (extend AND rewind+extend)")
 
 
 if __name__ == "__main__":
