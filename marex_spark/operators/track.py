@@ -260,6 +260,16 @@ def track_events(
     )
 
 
+def _mesh_timestep_stats(events, cell_geo, time_col: str):
+    """Per-timestep stats on a mesh: broadcast the (cell, lat, lon
+    [, area]) geometry, defaulting area to 1. Shared by
+    track_events_unstructured, the mesh extension, and rewind."""
+    geo = events.join(F.broadcast(cell_geo), "cell")
+    if "area" not in geo.columns:
+        geo = geo.withColumn("area", F.lit(1.0))
+    return event_timestep_stats(geo, time_col=time_col)
+
+
 def _timestep_stats_with_areas(
     events: DataFrame,
     grid_y: DataFrame,
@@ -377,10 +387,7 @@ def track_events_unstructured(
 
     ts_stats = life = None
     if compute_stats and cell_geo is not None:
-        geo = events.join(F.broadcast(cell_geo), "cell")
-        if "area" not in geo.columns:
-            geo = geo.withColumn("area", F.lit(1.0))
-        ts_stats = event_timestep_stats(geo, time_col=time_col)
+        ts_stats = _mesh_timestep_stats(events, cell_geo, time_col)
         life = event_lifetime_stats(ts_stats, time_col=time_col)
     return TrackResult(
         events=events, timestep_stats=ts_stats, lifetime_stats=life, extras=extras
@@ -820,10 +827,7 @@ def extend_track_events_unstructured(
     if compute_stats and cell_geo is not None and prior_timestep_stats is not None:
 
         def _mesh_stats(ev):
-            geo = ev.join(F.broadcast(cell_geo), "cell")
-            if "area" not in geo.columns:
-                geo = geo.withColumn("area", F.lit(1.0))
-            return event_timestep_stats(geo, time_col=time_col)
+            return _mesh_timestep_stats(ev, cell_geo, time_col)
 
         ts_stats = _extend_stats(
             prior_timestep_stats, events_new, events_old, ev_remap,

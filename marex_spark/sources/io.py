@@ -225,6 +225,11 @@ def _check_distinct_out_path(path: str, out_path: str) -> None:
     from marex_spark.exceptions import ConfigurationError
 
     def _canon(p: str) -> str:
+        if p.startswith("file:"):
+            # a file: URI names a local path — resolve it like one so
+            # 'file:///x' and '/x' compare equal
+            local = p[5:].lstrip("/")
+            return os.path.realpath("/" + local)
         if "://" in p:
             return os.path.normpath(p)
         return os.path.realpath(os.path.abspath(p))
@@ -267,9 +272,25 @@ def extend_track_run(
     if out_path is not None:
         _check_distinct_out_path(path, out_path)
     prior = read_track_result(spark, path)
+    attrs = prior.extras.get("attributes") or {}
+    # linking provenance is AUTHORITATIVE (rewind_track_run trusts the
+    # archived values): default the extension's gate from the archive
+    # instead of silently re-linking the boundary at 0.0, and refuse
+    # compact-id archives — extension's exactness argument needs
+    # root-stable event ids (a full compact recompute renumbers
+    # globally, so no extension can match it)
+    if attrs.get("compact_ids"):
+        raise ConfigurationError(
+            "archive was written with compact_ids=True — extension "
+            "requires root-stable event ids; re-run tracking with "
+            "compact_ids=False (the default) to produce an extendable "
+            "archive",
+            details={"path": path},
+        )
+    if "overlap_threshold" not in track_kwargs and "overlap_threshold" in attrs:
+        track_kwargs["overlap_threshold"] = float(attrs["overlap_threshold"])
     # the archive head from the run's metadata: the extension then
     # never runs a job over the whole prior events table
-    attrs = prior.extras.get("attributes") or {}
     prior_head = None
     if (
         "t_max" in attrs
@@ -325,6 +346,7 @@ def rewind_track_run(
     to_time,
     out_path: str,
     overlap_threshold: float | None = None,
+    compact_ids: bool | None = None,
     grid_y=None,
     grid_x=None,
     cell_areas=None,
@@ -373,12 +395,10 @@ def rewind_track_run(
         object_areas,
         overlap_pairs,
     )
-    from marex_spark.operators.stats import (
-        event_lifetime_stats,
-        event_timestep_stats,
-    )
+    from marex_spark.operators.stats import event_lifetime_stats
     from marex_spark.operators.track import (
         TrackResult,
+        _mesh_timestep_stats,
         _timestep_stats_with_areas,
     )
 
@@ -395,7 +415,16 @@ def rewind_track_run(
                 details={"path": path},
             )
         overlap_threshold = float(attrs["overlap_threshold"])
-    compact = bool(attrs.get("compact_ids", False))
+    if compact_ids is None:
+        if "compact_ids" not in attrs:
+            raise ConfigurationError(
+                "archive records no compact_ids (written by an older "
+                "engine version) — pass the original run's value "
+                "explicitly",
+                details={"path": path},
+            )
+        compact_ids = bool(attrs["compact_ids"])
+    compact = compact_ids
     kept = prior.events.filter(F.col(tc) <= F.lit(to_time))
     if kept.limit(1).count() == 0:
         raise ConfigurationError(
@@ -403,6 +432,26 @@ def rewind_track_run(
             details={"to_time": str(to_time)},
         )
     keys = ("cell",) if "cell" in kept.columns else ("y", "x")
+    # settle the stats question BEFORE the (expensive) re-link: every
+    # input to the decision is already known
+    had_stats = prior.timestep_stats is not None
+    dims_given = (
+        keys == ("y", "x") and grid_y is not None and grid_x is not None
+    ) or (keys == ("cell",) and cell_geo is not None)
+    if drop_stats and dims_given:
+        raise ConfigurationError(
+            "contradictory request: drop_stats=True together with "
+            "dimension tables — omit one",
+        )
+    if had_stats and not dims_given and not drop_stats:
+        raise ConfigurationError(
+            "archive carries stats tables but no dimension tables were "
+            "given to recompute them (prior stats rows are unusable "
+            "after re-linking) — pass grid_y/grid_x or cell_geo, or "
+            "set drop_stats=True to write the rewound archive without "
+            "stats",
+            details={"path": path},
+        )
     labels = kept.select(tc, *keys, "obj_id").localCheckpoint()
     pairs = overlap_pairs(labels, keys=keys, time_col=tc)
     if overlap_threshold > 0:
@@ -414,25 +463,14 @@ def rewind_track_run(
     events = remap_ids(labels, mapping)
 
     ts = life = None
-    had_stats = prior.timestep_stats is not None
-    if keys == ("y", "x") and grid_y is not None and grid_x is not None:
-        ts = _timestep_stats_with_areas(events, grid_y, grid_x, cell_areas, tc)
+    if dims_given:
+        if keys == ("y", "x"):
+            ts = _timestep_stats_with_areas(
+                events, grid_y, grid_x, cell_areas, tc
+            )
+        else:
+            ts = _mesh_timestep_stats(events, cell_geo, tc)
         life = event_lifetime_stats(ts, time_col=tc)
-    elif keys == ("cell",) and cell_geo is not None:
-        geo = events.join(F.broadcast(cell_geo), "cell")
-        if "area" not in geo.columns:
-            geo = geo.withColumn("area", F.lit(1.0))
-        ts = event_timestep_stats(geo, time_col=tc)
-        life = event_lifetime_stats(ts, time_col=tc)
-    elif had_stats and not drop_stats:
-        raise ConfigurationError(
-            "archive carries stats tables but no dimension tables were "
-            "given to recompute them (prior stats rows are unusable "
-            "after re-linking) — pass grid_y/grid_x or cell_geo, or "
-            "set drop_stats=True to write the rewound archive without "
-            "stats",
-            details={"path": path},
-        )
     extras = {
         "overlap_threshold": overlap_threshold,
         "compact_ids": compact,
