@@ -78,6 +78,23 @@ def __getattr__(name):
         "write_track_result": "marex_spark.sources.io",
         "read_track_result": "marex_spark.sources.io",
         "checkpoint_parquet": "marex_spark.sources.io",
+        # incremental run lifecycle (round-3): append / recover
+        "extend_track_events": "marex_spark.operators.track",
+        "extend_track_events_unstructured": "marex_spark.operators.track",
+        "extend_track_run": "marex_spark.sources.io",
+        "rewind_track_run": "marex_spark.sources.io",
+        # in-engine training (round-3)
+        "kmeans_fit": "marex_spark.operators.embed",
+        "kmeans_assign": "marex_spark.operators.embed",
+        "pca_fit": "marex_spark.operators.embed",
+        "pca_project": "marex_spark.operators.embed",
+        "embedding_normalize": "marex_spark.operators.embed",
+        "hashed_bow_features": "marex_spark.operators.classify",
+        "logreg_fit": "marex_spark.operators.classify",
+        "logreg_predict": "marex_spark.operators.classify",
+        "bpe_fit": "marex_spark.operators.bpe",
+        "bpe_segment": "marex_spark.operators.bpe",
+        "word_frequency": "marex_spark.operators.bpe",
         "GriddedPlotter": "marex_spark.render",
         "UnstructuredPlotter": "marex_spark.render",
         "render_frames_distributed": "marex_spark.render",
