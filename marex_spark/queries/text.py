@@ -840,3 +840,63 @@ def pipe_token_budget_mix(spark, sf_dir):
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
+
+
+@register(
+    "txt_bigram_logprob",
+    f"""WITH tok AS (
+          SELECT doc_id, t.i AS pos, ws[t.i] AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+               UNNEST(generate_series(1, len(ws))) AS t(i)),
+        bi AS (
+          SELECT doc_id, w AS w1, LEAD(w) OVER win AS w2
+          FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        b AS (SELECT doc_id, w1, w1 || ' ' || w2 AS bg FROM bi
+              WHERE w2 IS NOT NULL),
+        bfreq AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY 1),
+        ufreq AS (SELECT w AS w1, COUNT(*) AS c1 FROM tok GROUP BY 1)
+        SELECT doc_id,
+               {round6_sql('AVG(ln(c2 / CAST(c1 AS DOUBLE)))')}
+                 AS avg_bigram_logprob
+        FROM b JOIN bfreq USING (bg) JOIN ufreq USING (w1)
+        GROUP BY 1""",
+)
+def txt_bigram_logprob(spark, sf_dir):
+    """Bigram language-model quality proxy: per doc, the mean log
+    conditional corpus-probability ln(count(w1 w2)/count(w1)) of its
+    adjacent token pairs — a sharper fluency signal than the unigram
+    form (txt_unigram_logprob): shuffled-word salad keeps its unigram
+    score but collapses here.
+
+    Scale shape: bigram extraction is a doc-partitioned LEAD window
+    (no global order); the bigram/unigram frequency tables are
+    vocabulary-sized broadcasts, so the corpus pays the token explode
+    plus map-side-combinable aggregations only."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    b = (
+        tok.withColumn("w2", F.lead("w").over(win))
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.concat_ws(" ", "w", "w2").alias("bg"),
+        )
+    )
+    bfreq = b.groupBy("bg").agg(F.count("*").alias("c2"))
+    ufreq = tok.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("c1"))
+    return (
+        b.join(F.broadcast(bfreq), "bg")
+        .join(F.broadcast(ufreq), "w1")
+        .groupBy("doc_id")
+        .agg(
+            round6(
+                F.avg(F.log(F.col("c2") / F.col("c1").cast("double")))
+            ).alias("avg_bigram_logprob")
+        )
+    )
