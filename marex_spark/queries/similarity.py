@@ -20,7 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from marex_spark.functions.decimals import dec_sql, dsum
-from marex_spark.queries.registry import register, round6, round6_sql
+from marex_spark.queries.registry import ORACLES, register, round6, round6_sql
 from marex_spark.sources.parquet import load_table
 
 _N_QUERY = 5
@@ -728,4 +728,40 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
     return scored.withColumn("rn", F.row_number().over(w).cast("int")).filter(
         F.col("rn") <= _TOP_K
+    )
+
+
+@register(
+    "ann_ivf_kmeans_recall",
+    f"""WITH bf AS ({ORACLES['ann_cosine_topk_fast']}),
+        ivf AS ({ORACLES['ann_ivf_kmeans_topk']})
+    SELECT bf.q_id,
+           {round6_sql(f'SUM(CASE WHEN ivf.c_id IS NOT NULL THEN 1 ELSE 0 END) / {_TOP_K}.0')}
+             AS recall
+    FROM bf LEFT JOIN ivf
+      ON ivf.q_id = bf.q_id AND ivf.c_id = bf.c_id
+    GROUP BY 1""",
+)
+def ann_ivf_kmeans_recall(spark, sf_dir):
+    """Recall@{k} of the LEARNED-IVF multi-probe index against exact
+    brute force, per query — the quality dial for the trained
+    centroids (ann_ivf_recall measures the label-bucket stand-in; this
+    measures the k-means index end-to-end).
+
+    COST MODEL: the ground truth is brute force by definition — run at
+    sample scale to tune k/nprobe, not over a full corpus. The oracle
+    composes the two existing oracle chains verbatim."""
+    bf = ann_cosine_topk_fast(spark, sf_dir).select("q_id", "c_id")
+    ivf = (
+        ann_ivf_kmeans_topk(spark, sf_dir)
+        .select("q_id", "c_id", F.lit(1).alias("_hit"))
+    )
+    return (
+        bf.join(ivf, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            round6(
+                F.sum(F.coalesce("_hit", F.lit(0))) / F.lit(float(_TOP_K))
+            ).alias("recall")
+        )
     )
