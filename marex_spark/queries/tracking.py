@@ -250,7 +250,8 @@ pairs AS (
   FROM lab_t a JOIN lab_t b ON b.t = a.t + 1 AND a.y = b.y AND a.x = b.x
   GROUP BY 1, 2),
 areas AS (SELECT obj_id, COUNT(*) AS area FROM labels GROUP BY obj_id)
-SELECT p.id_t, p.id_next, CAST(p.overlap_cells AS BIGINT) AS overlap_cells
+SELECT CAST(p.id_t AS BIGINT) AS id_t, CAST(p.id_next AS BIGINT) AS id_next,
+       CAST(p.overlap_cells AS BIGINT) AS overlap_cells
 FROM pairs p
 JOIN areas a1 ON p.id_t = a1.obj_id
 JOIN areas a2 ON p.id_next = a2.obj_id

@@ -99,8 +99,8 @@ def render_field(
     lut = colormap_table(cmap)
     span = hi - lo if hi > lo else 1.0
     idx = np.clip((g - lo) / span, 0.0, 1.0)
+    idx = np.where(finite, idx, 0.0)
     idx = np.round(idx * (len(lut) - 1)).astype(np.int64)
-    idx[~finite] = 0
     rgb = lut[idx]
     rgb[~finite] = _NAN_RGB
     return rgb
@@ -349,8 +349,9 @@ def fill_holes_nearest(grid: np.ndarray, max_iter: int = 8) -> np.ndarray:
         stack = np.stack(
             [pad[:-2, 1:-1], pad[2:, 1:-1], pad[1:-1, :-2], pad[1:-1, 2:]]
         )
+        cnt = np.sum(~np.isnan(stack), axis=0)
         with np.errstate(invalid="ignore"):
-            neigh = np.nanmean(stack, axis=0)
+            neigh = np.where(cnt > 0, np.nansum(stack, axis=0) / np.maximum(cnt, 1), np.nan)
         g[holes] = neigh[holes]
     return g
 

@@ -250,6 +250,7 @@ def extend_track_run(
     grid_y=None,
     grid_x=None,
     out_path: str | None = None,
+    drop_stats: bool = False,
     **track_kwargs,
 ):
     """Persistence-level incremental tracking: load a
@@ -287,8 +288,44 @@ def extend_track_run(
             "archive",
             details={"path": path},
         )
+    if "compact_ids" not in attrs:
+        # pre-provenance archive: the key's ABSENCE must not pass the
+        # guard silently (a compact_ids=True archive written by an older
+        # engine would extend and diverge from a full recompute) — mirror
+        # rewind_track_run and demand the caller assert the original value
+        if track_kwargs.pop("compact_ids", None) is not False:
+            raise ConfigurationError(
+                "archive records no compact_ids (written by an older "
+                "engine version) — assert the original run used the "
+                "default by passing compact_ids=False explicitly",
+                details={"path": path},
+            )
+    else:
+        track_kwargs.pop("compact_ids", None)
     if "overlap_threshold" not in track_kwargs and "overlap_threshold" in attrs:
         track_kwargs["overlap_threshold"] = float(attrs["overlap_threshold"])
+    # a merge-mode archive must resume the resolver: extending with the
+    # default allow_merging=False would silently run a no-merge extension
+    # and write_track_result would then DROP the prior ledger from
+    # out_path (the no-merge TrackResult carries none)
+    if prior.extras.get("merge_ledger") is not None and "allow_merging" not in track_kwargs:
+        track_kwargs["allow_merging"] = True
+    # archived stats are recomputed through the dimension tables; losing
+    # them because grid_y/grid_x were omitted should be loud (mirror
+    # rewind_track_run's drop_stats contract)
+    if (
+        not drop_stats
+        and prior.timestep_stats is not None
+        and (grid_y is None or grid_x is None)
+        and track_kwargs.get("compute_stats", True)
+    ):
+        raise ConfigurationError(
+            "archive carries timestep/lifetime stats but grid_y/grid_x "
+            "were not supplied — the extended archive would silently "
+            "lose both stats tables; pass the dimension tables or opt "
+            "out explicitly with drop_stats=True",
+            details={"path": path},
+        )
     # the archive head from the run's metadata: the extension then
     # never runs a job over the whole prior events table
     prior_head = None
@@ -359,8 +396,15 @@ def rewind_track_run(
     last good timestep and :func:`extend_track_run` forward from there
     instead of recomputing the whole history.
 
-    Object labels truncate exactly (labelling and merge resolution at
-    step t use only information at or before t), but EVENT ids do not:
+    For no-merge archives, object labels truncate exactly (labelling
+    at step t uses only information at or before t). For merge-mode
+    archives the guarantee is EVENT-level only: the chunked resolver
+    consolidates slice t-1 while processing slice t, so the cut slice
+    may carry sibling-child obj_ids already fused that a run genuinely
+    stopped at ``to_time`` would keep separate — the children share a
+    parent and re-link into the same event either way, so event
+    membership and stats match, but obj_id-level equality is not
+    promised. EVENT ids need re-linking in both modes:
     the min-root union-find spans the whole run, so a merge link that
     existed only in the dropped tail has already retroactively unified
     earlier events' ids. Rewind therefore RE-LINKS the surviving

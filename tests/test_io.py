@@ -282,3 +282,189 @@ class TestRewindProvenance:
         assert a == b
         ids = {r.event_id for r in stopped.events.select("event_id").distinct().collect()}
         assert ids == set(range(1, len(ids) + 1))  # dense 1..K preserved
+
+
+class TestExtendProvenance:
+    """extend_track_run guards mirror rewind_track_run: merge-mode
+    archives resume the resolver by default (the ledger must survive),
+    pre-provenance archives demand an explicit compact_ids assertion,
+    and archived stats cannot be dropped silently."""
+
+    def _blob_series(self, spark, n_time=5, bridge_at=None):
+        from pyspark.sql import functions as F
+
+        rows = []
+        for d in range(1, n_time + 1):
+            for xx in (2, 3):
+                rows.append((d, 5, xx, True))
+            for xx in (10, 11):
+                rows.append((d, 5, xx, True))
+            if bridge_at is not None and d >= bridge_at:
+                for xx in range(4, 10):
+                    rows.append((d, 5, xx, True))
+        return spark.createDataFrame(
+            rows, "d int, y int, x int, extreme boolean"
+        ).select(
+            F.timestamp_add(
+                "DAY", F.col("d"), F.lit("2021-01-01").cast("timestamp")
+            ).alias("time"),
+            "y", "x", "extreme",
+        )
+
+    def test_merge_archive_resumes_resolver_by_default(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from marex_spark.operators.track import track_events
+        from marex_spark.sources.io import (
+            extend_track_run,
+            read_stats_json,
+            write_track_result,
+        )
+
+        df = self._blob_series(spark, n_time=6, bridge_at=4)
+        times = sorted(r[0] for r in df.select("time").distinct().collect())
+        cut = times[4]
+        prior = track_events(
+            df.filter(F.col("time") <= F.lit(cut)),
+            nx=32, compute_stats=False, allow_merging=True,
+        )
+        assert prior.extras.get("merge_ledger") is not None
+        n_ledger = prior.extras["merge_ledger"].count()
+        assert n_ledger > 0  # the bridge produced a merge event
+        write_track_result(prior, f"{tmp_path}/m")
+
+        # NO allow_merging passed: must default from the archived ledger
+        res = extend_track_run(
+            spark,
+            f"{tmp_path}/m",
+            df.filter(F.col("time") > F.lit(cut)),
+            nx=32,
+            out_path=f"{tmp_path}/me",
+            compute_stats=False,
+        )
+        assert res.extras.get("merge_ledger") is not None
+        meta = read_stats_json(f"{tmp_path}/me/attributes.json")
+        assert "merge_ledger" in meta["tables"]
+        # every pre-append merge event survived into the new archive
+        out_ledger = spark.read.parquet(f"{tmp_path}/me/merge_ledger")
+        assert out_ledger.filter(F.col("time") <= F.lit(cut)).count() == n_ledger
+
+    def test_pre_provenance_archive_requires_compact_assertion(
+        self, spark, tmp_path
+    ):
+        import json
+
+        from pyspark.sql import functions as F
+
+        from marex_spark.exceptions import ConfigurationError
+        from marex_spark.operators.track import track_events
+        from marex_spark.sources.io import extend_track_run, write_track_result
+
+        df = self._blob_series(spark, n_time=4)
+        times = sorted(r[0] for r in df.select("time").distinct().collect())
+        prior = track_events(
+            df.filter(F.col("time") <= F.lit(times[2])),
+            nx=32, compute_stats=False,
+        )
+        write_track_result(prior, f"{tmp_path}/p")
+        # simulate an older engine: strip the provenance key
+        ap = f"{tmp_path}/p/attributes.json"
+        with open(ap) as f:
+            attrs = json.load(f)
+        attrs.pop("compact_ids", None)
+        with open(ap, "w") as f:
+            json.dump(attrs, f)
+
+        new = df.filter(F.col("time") > F.lit(times[2]))
+        with pytest.raises(ConfigurationError, match="compact_ids"):
+            extend_track_run(spark, f"{tmp_path}/p", new, nx=32,
+                             compute_stats=False)
+        res = extend_track_run(
+            spark, f"{tmp_path}/p", new, nx=32,
+            compute_stats=False, compact_ids=False,
+        )
+        assert res.events.count() > 0
+
+    def test_extend_stats_archive_requires_dims_or_optout(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from marex_spark.exceptions import ConfigurationError
+        from marex_spark.operators.track import track_events
+        from marex_spark.sources.io import extend_track_run, write_track_result
+
+        gy = spark.range(12).select(
+            F.col("id").cast("int").alias("y"), (F.col("id") * 1.0).alias("lat")
+        )
+        gx = spark.range(32).select(
+            F.col("id").cast("int").alias("x"), (F.col("id") * 1.0).alias("lon")
+        )
+        df = self._blob_series(spark, n_time=4)
+        times = sorted(r[0] for r in df.select("time").distinct().collect())
+        prior = track_events(
+            df.filter(F.col("time") <= F.lit(times[2])),
+            nx=32, grid_y=gy, grid_x=gx,
+        )
+        write_track_result(prior, f"{tmp_path}/s")
+        new = df.filter(F.col("time") > F.lit(times[2]))
+        with pytest.raises(ConfigurationError, match="stats"):
+            extend_track_run(spark, f"{tmp_path}/s", new, nx=32,
+                             out_path=f"{tmp_path}/s1")
+        extend_track_run(
+            spark, f"{tmp_path}/s", new, nx=32,
+            out_path=f"{tmp_path}/s2", drop_stats=True,
+        )
+        assert not os.path.isdir(f"{tmp_path}/s2/timestep_stats")
+        extend_track_run(
+            spark, f"{tmp_path}/s", new, nx=32,
+            grid_y=gy, grid_x=gx, out_path=f"{tmp_path}/s3",
+        )
+        assert os.path.isdir(f"{tmp_path}/s3/timestep_stats")
+
+
+def test_rewind_merge_mode_event_level(spark, tmp_path):
+    """Merge-mode rewind pins EVENT-level equality with a stopped run
+    (obj_id-level equality is not promised: the chunked resolver
+    consolidates slice t-1 while processing t, so the cut slice can
+    carry sibling-child ids already fused). Compare event partitions
+    of cells, id-free."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.operators.track import track_events
+    from marex_spark.sources.io import rewind_track_run, write_track_result
+
+    rows = []
+    for d in (1, 2, 3):
+        for xx in (2, 3):
+            rows.append((d, 5, xx, True))
+        for xx in (10, 11):
+            rows.append((d, 5, xx, True))
+    for xx in range(2, 12):  # t=4: bridge that exists only in the tail
+        rows.append((4, 5, xx, True))
+    df = spark.createDataFrame(rows, "d int, y int, x int, extreme boolean").select(
+        F.timestamp_add("DAY", F.col("d"), F.lit("2021-01-01").cast("timestamp")).alias("time"),
+        "y", "x", "extreme",
+    )
+    run = track_events(df, nx=32, compute_stats=False, allow_merging=True)
+    write_track_result(run, f"{tmp_path}/mf")
+    times = sorted(r[0] for r in df.select("time").distinct().collect())
+    rewind_track_run(spark, f"{tmp_path}/mf", times[2], f"{tmp_path}/mrw")
+
+    stopped = track_events(
+        df.filter(F.col("time") <= F.lit(times[2])),
+        nx=32, compute_stats=False, allow_merging=True,
+    )
+
+    def partitions(ev):
+        groups = {}
+        for r in ev.select("time", "y", "x", "event_id").collect():
+            groups.setdefault(r.event_id, set()).add((r.time, r.y, r.x))
+        return sorted(
+            (sorted(g) for g in groups.values()), key=lambda g: g[0]
+        )
+
+    a = partitions(stopped.events)
+    b = partitions(spark.read.parquet(f"{tmp_path}/mrw/events"))
+    assert a == b
+    assert len(a) == 2  # the tail-only merge split back apart
