@@ -428,78 +428,292 @@ def trk_extend_incremental(spark, sf_dir):
 
 
 # --------------------------------------- M9/M10 split-merge tracking
+#
+# The oracle replays the ENTIRE split/merge resolver in DuckDB SQL —
+# the one capability VERDICT r3 called "never hash-verified". One
+# recursive-CTE iteration = one resolver micro-step, carrying the two
+# active slices (prev = resolved t-1, cur = being-resolved t) as the
+# working set:
+#
+#   * while thresholded overlap pairs show a multi-parent child and
+#     fewer than max_iter_per_step (10) partition rounds have run:
+#     partition each merging child's cells to the nearest parent
+#     centroid (circular-mean x, wrapped-Euclidean distance — the
+#     reference's structured mode, track.py:5357-5419 / 4827-4884),
+#     rank-1 parent (smallest id) keeps the child id, others get fresh
+#     ids (order-isomorphic to the engine's global counter);
+#   * otherwise advance: consolidate cur (M10, track.py:2554-2656 —
+#     children of one parent renamed to the first child), emit prev as
+#     final, pull slice t+1 from the labelled base. The final
+#     consolidation of the last slice (end-of-chunk rule,
+#     track.py:3602-3615) is the same advance with no next slice.
+#
+# Merge events ('ledger' rows) are emitted as they happen. After the
+# recursion, event linking (J5 overlap graph at the same threshold +
+# min-root union-find) and per-event stats replay in SQL exactly like
+# trk_m5. All resolver decisions depend only on id ORDER (never
+# values), cell geometry and integer areas, so the replay is exact;
+# the one caveat: consolidation uses the disjoint-group mapping
+# (child -> min child of its parent), which equals the engine's
+# sequential renaming whenever no child has two surviving parents at
+# consolidation time (holds on these fixtures — the engine skips
+# already-renamed ids when groups overlap, a post-cap-only case).
 
-@register("trk_m9_split_merge")
-def trk_m9_split_merge(spark, sf_dir):
-    """Full split/merge tracking (M8-M10 + J9 ledger) on the derived
-    boolean grid: per-event lifetime stats with identities preserved
-    through merges (track.py:3337-3802). Rows-only (sequential
-    fixpoint); the constituent stages are oracle-checked by
-    trk_m4/trk_m7/trk_m8."""
-    from marex_spark.operators.track import track_events
+_M9_THR = 0.5
+_M9_MAXITER = 10
 
-    base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
-    res = track_events(
-        base, nx=NXG, time_col="d", overlap_threshold=0.5,
-        compute_stats=False, allow_merging=True, merge_parallel=False,
-    )
+
+def _m9_recursion_sql() -> str:
+    """Shared WITH RECURSIVE prefix: labelled cells (exactly the
+    trk_m4 id scheme, which hash-matches the engine's labels) + the
+    resolver micro-step recursion."""
+    import math
+
+    w = repr(2.0 * math.pi / NXG)       # pixel -> angle
+    inv = repr(NXG / (2.0 * math.pi))   # angle -> pixel
+    return f"""WITH RECURSIVE base AS ({_BOOL_GRID_SQL}),
+nodes AS (SELECT d, y, x, y * {BIG} + x AS id FROM base),
+gedges AS (
+  SELECT a.d AS d, a.id AS u, b.id AS v
+  FROM nodes a JOIN nodes b
+    ON a.d = b.d
+   AND abs(a.y - b.y) <= 1
+   AND least(abs(a.x - b.x), {NXG} - abs(a.x - b.x)) <= 1
+   AND (a.y != b.y OR a.x != b.x)),
+walk(d, u, lbl) AS (
+  SELECT d, id, id FROM nodes
+  UNION
+  SELECT e.d, e.u, w.lbl FROM gedges e JOIN walk w ON e.d = w.d AND e.v = w.u),
+comp AS (SELECT d, u, MIN(lbl) AS root FROM walk GROUP BY d, u),
+locals AS (
+  SELECT d, u, DENSE_RANK() OVER (PARTITION BY d ORDER BY root) AS local_id
+  FROM comp),
+offs AS (SELECT d, MAX(local_id) AS mx FROM locals GROUP BY d),
+offs2 AS (
+  SELECT d, COALESCE(SUM(mx) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM offs),
+dayidx AS (
+  SELECT d, CAST(DENSE_RANK() OVER (ORDER BY d) - 1 AS INT) AS ti
+  FROM (SELECT DISTINCT d FROM base)),
+cells AS MATERIALIZED (
+  SELECT di.ti, l.d,
+         CAST(l.u // {BIG} AS BIGINT) AS y,
+         CAST(l.u % {BIG} AS BIGINT) AS x,
+         CAST(l.local_id + o.off AS BIGINT) AS id
+  FROM locals l JOIN offs2 o USING (d) JOIN dayidx di USING (d)),
+nt AS MATERIALIZED (SELECT MAX(ti) AS tmax FROM cells),
+rec(ti, j, role, d, y, x, id) AS (
+  SELECT c.ti, 0,
+         CASE WHEN n.tmax = 0 THEN 'final'
+              WHEN c.ti = 0 THEN 'prev' ELSE 'cur' END,
+         c.d, c.y, c.x, c.id
+  FROM cells c CROSS JOIN nt n
+  WHERE c.ti <= LEAST(n.tmax, 1)
+  UNION ALL
+  (
+    WITH prev AS (SELECT * FROM rec WHERE role = 'prev'),
+    cur AS (SELECT * FROM rec WHERE role = 'cur'),
+    st AS (SELECT MAX(ti) AS ti, MAX(j) AS j FROM cur),
+    ap AS (SELECT id, COUNT(*) AS a FROM prev GROUP BY id),
+    ac AS (SELECT id, COUNT(*) AS a FROM cur GROUP BY id),
+    ov AS (
+      SELECT p.id AS pid, c.id AS cid, CAST(COUNT(*) AS BIGINT) AS o
+      FROM prev p JOIN cur c ON p.y = c.y AND p.x = c.x
+      GROUP BY 1, 2),
+    gated AS (
+      SELECT ov.pid, ov.cid, ov.o
+      FROM ov JOIN ap ON ov.pid = ap.id JOIN ac ON ov.cid = ac.id
+      WHERE ov.o >= {_M9_THR} * LEAST(ap.a, ac.a)),
+    mp AS (SELECT cid FROM gated GROUP BY cid HAVING COUNT(*) >= 2),
+    flag AS (
+      SELECT (EXISTS (SELECT 1 FROM mp)
+              AND (SELECT j FROM st) < {_M9_MAXITER}) AS doing,
+             ((SELECT ti FROM st) = (SELECT tmax FROM nt)) AS last),
+    -- branch A: one partition round -----------------------------------
+    par AS (
+      SELECT g.cid, g.pid,
+             ROW_NUMBER() OVER (PARTITION BY g.cid ORDER BY g.pid) AS rk
+      FROM gated g JOIN mp USING (cid)),
+    cents AS (
+      SELECT p.id,
+             AVG(CAST(p.y AS DOUBLE)) AS cy,
+             fmod(fmod(atan2(AVG(sin(p.x * {w})), AVG(cos(p.x * {w}))) * {inv},
+                       {NXG}) + {NXG}, {NXG}) AS cx
+      FROM prev p GROUP BY p.id),
+    assign AS (
+      SELECT c.y, c.x, pa.cid, pa.pid, pa.rk,
+             CAST(c.y AS DOUBLE) - ce.cy AS dy,
+             LEAST(abs(CAST(c.x AS DOUBLE) - ce.cx),
+                   {NXG} - abs(CAST(c.x AS DOUBLE) - ce.cx)) AS dx
+      FROM cur c JOIN par pa ON pa.cid = c.id JOIN cents ce ON ce.id = pa.pid),
+    best AS (
+      SELECT y, x, cid, rk,
+             ROW_NUMBER() OVER (PARTITION BY y, x
+                                ORDER BY dy * dy + dx * dx, rk) AS brn
+      FROM assign),
+    pieceids AS (
+      SELECT cid, rk,
+             1000000000 * CAST((SELECT ti FROM st) * 16 + (SELECT j FROM st) + 1 AS BIGINT)
+               + ROW_NUMBER() OVER (ORDER BY cid, rk) AS nid
+      FROM (SELECT DISTINCT cid, rk FROM par WHERE rk >= 2)),
+    -- branch B: consolidate + advance ----------------------------------
+    consol AS (
+      SELECT cid, MIN(newid) AS newid
+      FROM (
+        SELECT g.cid, MIN(g.cid) OVER (PARTITION BY g.pid) AS newid
+        FROM gated g
+        WHERE g.pid IN (SELECT pid FROM gated GROUP BY pid HAVING COUNT(*) >= 2))
+      GROUP BY cid),
+    out_rows AS (
+      -- A1: carried prev
+      SELECT p.ti, 0 AS j, 'prev' AS role, p.d, p.y, p.x, p.id
+      FROM prev p WHERE (SELECT doing FROM flag)
+      UNION ALL
+      -- A2: repartitioned cur
+      SELECT c.ti, (SELECT j FROM st) + 1, 'cur', c.d, c.y, c.x,
+             COALESCE(CASE WHEN b.rk = 1 THEN b.cid ELSE pi.nid END, c.id)
+      FROM cur c
+      LEFT JOIN (SELECT * FROM best WHERE brn = 1) b
+             ON b.y = c.y AND b.x = c.x
+      LEFT JOIN pieceids pi ON pi.cid = b.cid AND pi.rk = b.rk
+      WHERE (SELECT doing FROM flag)
+      UNION ALL
+      -- A3: ledger rows (one per merging child x parent this round)
+      SELECT (SELECT ti FROM st), (SELECT j FROM st), 'ledger',
+             (SELECT MIN(d) FROM cur), g.cid, g.pid, g.o
+      FROM gated g JOIN mp USING (cid)
+      WHERE (SELECT doing FROM flag)
+      UNION ALL
+      -- B1: prev leaves the window as final
+      SELECT p.ti, 0, 'final', p.d, p.y, p.x, p.id
+      FROM prev p WHERE NOT (SELECT doing FROM flag)
+      UNION ALL
+      -- B2: consolidated cur becomes prev (or final at the last step)
+      SELECT c.ti, 0,
+             CASE WHEN (SELECT last FROM flag) THEN 'final' ELSE 'prev' END,
+             c.d, c.y, c.x, COALESCE(m.newid, c.id)
+      FROM cur c LEFT JOIN consol m ON m.cid = c.id
+      WHERE NOT (SELECT doing FROM flag)
+      UNION ALL
+      -- B3: next slice enters as cur
+      SELECT c.ti, 0, 'cur', c.d, c.y, c.x, c.id
+      FROM cells c
+      WHERE NOT (SELECT doing FROM flag)
+        AND NOT (SELECT last FROM flag)
+        AND c.ti = (SELECT ti FROM st) + 1)
+    SELECT * FROM out_rows
+  )
+),
+fcells AS MATERIALIZED (SELECT ti, d, y, x, id FROM rec WHERE role = 'final')"""
+
+
+_M9_SQL = f"""{_m9_recursion_sql()},
+fareas AS (SELECT id, COUNT(*) AS a FROM fcells GROUP BY id),
+fov AS (
+  SELECT a.id AS u, b.id AS v, COUNT(*) AS o
+  FROM fcells a JOIN fcells b ON b.ti = a.ti + 1 AND a.y = b.y AND a.x = b.x
+  GROUP BY 1, 2),
+fp AS (
+  SELECT u, v FROM fov
+  JOIN fareas fa ON fov.u = fa.id JOIN fareas fb ON fov.v = fb.id
+  WHERE fov.o >= {_M9_THR} * LEAST(fa.a, fb.a)),
+fsym AS (SELECT u, v FROM fp UNION SELECT v, u FROM fp),
+fobjs AS (SELECT DISTINCT id FROM fcells),
+ewalk(u, lbl) AS (
+  SELECT id, id FROM fobjs
+  UNION
+  SELECT s.u, w.lbl FROM fsym s JOIN ewalk w ON s.v = w.u),
+eroot AS (SELECT u AS id, MIN(lbl) AS root FROM ewalk GROUP BY u)
+SELECT MIN(f.d) AS time_start, MAX(f.d) AS time_end,
+       CAST(COUNT(DISTINCT f.d) AS BIGINT) AS n_timesteps,
+       CAST(COUNT(*) AS BIGINT) AS total_cells
+FROM fcells f JOIN eroot r USING (id)
+GROUP BY r.root"""
+
+
+_J9_SQL = f"""{_m9_recursion_sql()},
+merges AS (
+  SELECT ti, j, y AS cid, d,
+         CAST(COUNT(*) AS BIGINT) AS n_parents,
+         CAST(SUM(id) AS BIGINT) AS total_overlap,
+         CAST(MAX(id) AS BIGINT) AS max_overlap
+  FROM rec WHERE role = 'ledger'
+  GROUP BY ti, j, y, d)
+SELECT d, n_parents, total_overlap, max_overlap FROM merges"""
+
+
+def _m9_lifetime(res):
     life = res.events.groupBy("event_id").agg(
         F.min("d").alias("time_start"),
         F.max("d").alias("time_end"),
         F.countDistinct("d").cast("long").alias("n_timesteps"),
         F.count("*").cast("long").alias("total_cells"),
     )
-    return life.orderBy("event_id")
+    # id-free: engine event ids are union-find roots over engine label
+    # values, the oracle's are roots over its own (order-isomorphic)
+    # labels — the stats multiset is the invariant payload
+    return life.select("time_start", "time_end", "n_timesteps", "total_cells")
 
 
-@register("trk_m9_parallel")
+@register("trk_m9_split_merge", _M9_SQL)
+def trk_m9_split_merge(spark, sf_dir):
+    """Full split/merge tracking (M8-M10 + J9 ledger) on the derived
+    boolean grid: per-event lifetime stats with identities preserved
+    through merges (reference track.py:3337-3802, 5357-5419). The
+    oracle replays the WHOLE resolver — centroid partitioning,
+    fixpoint, consolidation, final linking — as a recursive-CTE
+    micro-step machine (see _m9_recursion_sql); output is id-free."""
+    from marex_spark.operators.track import track_events
+
+    base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
+    res = track_events(
+        base, nx=NXG, time_col="d", overlap_threshold=_M9_THR,
+        compute_stats=False, allow_merging=True, merge_parallel=False,
+    )
+    return _m9_lifetime(res)
+
+
+@register("trk_m9_parallel", _M9_SQL)
 def trk_m9_parallel(spark, sf_dir):
     """Wall-clock-parallel split/merge tier (the reference's batched
     iteration mode, track.py:3804-4814): time-blocks resolved
     concurrently as applyInPandas groups, Jacobi carry fixpoint,
-    output exactly equal to the serial resolver (pinned by
-    tests/test_merge.py::test_parallel_matches_oneshot; this entry
-    mirrors trk_m9 so the driver sees identical rows). Rows-only.
-    Small block_steps so several blocks + carry rounds engage even on
-    the small fixture."""
+    output exactly equal to the serial resolver (also pinned by
+    tests/test_merge.py::test_parallel_matches_oneshot) — so the SAME
+    full-replay oracle gates it. Small block_steps so several blocks +
+    carry rounds engage even on the small fixture."""
     from marex_spark.operators.track import track_events
 
     base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
     res = track_events(
-        base, nx=NXG, time_col="d", overlap_threshold=0.5,
+        base, nx=NXG, time_col="d", overlap_threshold=_M9_THR,
         compute_stats=False, allow_merging=True,
         merge_parallel=True, merge_chunk_steps=8,
     )
-    life = res.events.groupBy("event_id").agg(
-        F.min("d").alias("time_start"),
-        F.max("d").alias("time_end"),
-        F.countDistinct("d").cast("long").alias("n_timesteps"),
-        F.count("*").cast("long").alias("total_cells"),
-    )
-    return life.orderBy("event_id")
+    return _m9_lifetime(res)
 
 
-@register("trk_j9_merge_ledger")
+@register("trk_j9_merge_ledger", _J9_SQL)
 def trk_j9_merge_ledger(spark, sf_dir):
-    """J9: merge-ledger scatter — explode the per-merge parent arrays to
-    (time, merge_id, parent_id) rows (track.py:3031-3106). Rows-only
-    (ledger derives from the sequential merge loop)."""
+    """J9: merge-ledger scatter (track.py:3031-3106) — per merge event,
+    the id-free payload (time, parent count, total/max overlap area).
+    The oracle emits the same rows from inside the resolver replay's
+    partition branch, so every recorded merge is hash-verified."""
     from marex_spark.operators.track import track_events
 
     base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
     res = track_events(
-        base, nx=NXG, time_col="d", overlap_threshold=0.5,
+        base, nx=NXG, time_col="d", overlap_threshold=_M9_THR,
         compute_stats=False, allow_merging=True,
     )
     ledger = res.extras["merge_ledger"]
-    return (
-        ledger.select(
-            "merge_id",
-            "d",
-            F.explode("parent_ids").alias("parent_id"),
-            F.size("child_ids").cast("long").alias("n_children"),
-        )
-        .orderBy("merge_id", "parent_id")
+    return ledger.select(
+        "d",
+        F.size("parent_ids").cast("long").alias("n_parents"),
+        F.aggregate(
+            "overlap_areas", F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("total_overlap"),
+        F.array_max("overlap_areas").cast("long").alias("max_overlap"),
     )
 
 
