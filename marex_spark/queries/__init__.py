@@ -36,72 +36,71 @@ import marex_spark.queries.detect_extra  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # Tracking / morphology / CC suite (SURVEY §2 M1-M10, J9 ledger form).
-    "trk_m1_morph_close",
-    "trk_m3_time_gap_fill",
-    "trk_m7_connected_components",
-    "trk_m4_label_components",
-    "trk_m8_overlap_threshold",
-    "trk_m2_dilate_unstructured",
-    "trk_m5_track_nomerge",
+    # ---- r4 window: every entry the driver has NEVER hash-verified ----
+    # The split/merge resolver family: newly oracled this round (full
+    # SQL replay of the resolver, see queries/tracking.py) — the one §2
+    # capability VERDICT r3 flagged as never hash-verified — plus the
+    # trk_m8 row that was red on an oracle HUGEINT cast (now fixed).
     "trk_m9_split_merge",
     "trk_m9_parallel",
     "trk_j9_merge_ledger",
-    "trk_m6_label_unstructured",
-    # Incremental append tracking (new r3): oracle = trk_m5's full-chain
-    # replay, so a green row proves incremental == from-scratch.
-    "trk_extend_incremental",
-    # LLM-pipeline: dedup + decontamination.
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_cluster_canonical",
-    "decontam_ngram",
-    # LLM-pipeline: text analysis.
-    "txt_token_count",
-    "txt_quality_score",
-    "txt_langid",
-    "txt_fingerprint",
-    "txt_source_stats",
-    "txt_unigram_logprob",
-    # LLM-pipeline: similarity search.
-    "ann_cosine_topk",
-    "ann_cosine_topk_fast",
-    "ann_lsh_bucket",
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    # LLM-pipeline: multimodal plumbing.
-    "mm_media_meta",
-    "mm_frame_sample",
-    "mm_resize_plan",
+    "trk_m8_overlap_threshold",
+    # mm_feature_extract: upgraded from rows-only to a byte-exact pixel
+    # stats oracle; emb_project_fixed: new full oracle for the PCA
+    # projection path (eigh-fitted variant stays rows-only, next row).
     "mm_feature_extract",
-    # Detect-extra (§2 P1/J4/W3/F3/M11 + viz data layer + packed kernel).
-    "p1_mask_filter",
-    "j4_std_normalise",
-    "w3_circular_std_smooth",
-    "f3_linear_detrend",
-    "m11_circular_centroid",
-    "viz_clim_robust",
-    "det_packed_threshold",
-    "viz_trajectory_unwrap",
-    # §2 rows that were green in r01 but rotated out of the r02 window.
-    "w4_spatial_rolling",
-    "f2_harmonics",
-    # New in r3/r4: distributed NetCDF-classic ingestion (S2), catalog
-    # scan (S6) — the last §2 row — and the beyond-reference operator
-    # trio (as-of join, binned range join, hierarchical rollup).
+    "emb_project_fixed",
+    "emb_pca_project",
+    # §2 rows window-starved since r1 (local oracle green all rounds).
+    "f4_haversine",
+    "f6_interpolation",
+    # Dedup suite additions never inside a driver window.
+    "dedup_lsh_star_capped",
+    "dedup_cross_source",
+    "dedup_substring_spans",
+    # Text-analysis / pipeline suites added in r3 (local green, never
+    # driver-evaluated).
+    "txt_repetition_ratio",
+    "txt_chunk_windows",
+    "txt_token_count_bpe",
+    "txt_pii_redact",
+    "txt_gopher_rules",
+    "txt_tfidf_search",
+    "txt_quality_lr",
+    "txt_bpe_train",
+    "txt_bigram_logprob",
+    "pipe_stratified_sample",
+    "pipe_source_mix_temperature",
+    "pipe_corpus_curation",
+    "pipe_token_budget_mix",
+    # Embedding / ANN additions (in-engine k-means training included).
+    "ann_ivf_seeded_topk",
+    "emb_quantize_int8",
+    "emb_kmeans_assign",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_kmeans_recall",
+    # Event-analytics + detect additions.
+    "evt_funnel",
+    "evt_retention_cohorts",
+    "det_packed_unstructured",
+    "mhw_episode_stats",
+    # ---- green sentinels: regression cover across every suite ----
+    "s1_scan_pushdown",
     "s2_netcdf_scan",
     "s6_catalog_scan",
-    "ops_asof_join",
-    "ops_range_join",
-    "ops_rollup_hier",
-    # Green sentinel (#50): regression cover for the proven suites —
-    # scan+pushdown. (j5 + f4/f6 + the other r01/r02 greens rotate past
-    # the window; tools/oracle_check.py still covers the full registry
-    # locally every round.)
-    "s1_scan_pushdown",
+    "trk_m4_label_components",
+    "trk_m5_track_nomerge",
+    "trk_m6_label_unstructured",
+    "trk_extend_incremental",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "decontam_ngram",
+    "txt_token_count",
+    "ann_ivf_topk",
+    "mm_media_meta",
+    "w4_spatial_rolling",
+    "j4_std_normalise",
+    "det_packed_threshold",
 ]
 
 

@@ -78,16 +78,57 @@ def mm_resize_plan(spark, sf_dir):
     )
 
 
-@register("mm_feature_extract")
+_FEAT_SQL = """WITH docs AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+         CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+         CAST(n_chars % 48 + 12 AS BIGINT) AS h
+  FROM documents),
+pos AS (
+  SELECT doc_id, text, L, w, h, UNNEST(range(w * h * 3)) AS p
+  FROM docs),
+b AS (
+  SELECT doc_id, w, h, p % 3 AS ch,
+         CAST(ascii(substr(text, CAST(p % L AS INT) + 1, 1)) AS DOUBLE) AS v
+  FROM pos),
+agg AS (
+  SELECT doc_id, w, h,
+         SUM(CASE WHEN ch = 0 THEN v END) / (w * h) AS mean_r,
+         SUM(CASE WHEN ch = 1 THEN v END) / (w * h) AS mean_g,
+         SUM(CASE WHEN ch = 2 THEN v END) / (w * h) AS mean_b,
+         sqrt(AVG(v * v) - AVG(v) * AVG(v)) AS sd,
+         MIN(v) AS minv, MAX(v) AS maxv
+  FROM b GROUP BY doc_id, w, h)
+SELECT doc_id,
+       ROUND(mean_r, 6) AS mean_r,
+       ROUND(mean_g, 6) AS mean_g,
+       ROUND(mean_b, 6) AS mean_b,
+       ROUND(sd, 2) AS std2,
+       CAST(minv AS BIGINT) AS min_v, CAST(maxv AS BIGINT) AS max_v,
+       w AS width, h AS height
+FROM agg"""
+
+
+@register("mm_feature_extract", _FEAT_SQL)
 def mm_feature_extract(spark, sf_dir):
     """Decode + 8-dim feature extraction through the Arrow-batched
-    mapInPandas kernel (stubbed codec, real plumbing). Rows-only: the
-    byte-level fake decode is deterministic but not SQL-expressible."""
+    mapInPandas kernel (stubbed codec, real plumbing). The stub tiles
+    the (ASCII) payload bytes into (h, w, 3) pixels, so the channel
+    means and min/max are EXACT integer-sum arithmetic the oracle
+    replays by exploding byte positions (channel = flat index mod 3,
+    byte = position mod payload length). Integer sums are exact in
+    float64, making the means bit-identical; std is rounded to 2
+    decimals (numpy's two-pass vs SQL's moment formula differ at
+    ~1e-13)."""
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(attach_media(docs))
     return feats.select(
         "doc_id",
-        F.round(F.element_at("features", 1), 4).alias("mean_r"),
-        F.round(F.element_at("features", 4), 4).alias("std"),
+        F.round(F.element_at("features", 1), 6).alias("mean_r"),
+        F.round(F.element_at("features", 2), 6).alias("mean_g"),
+        F.round(F.element_at("features", 3), 6).alias("mean_b"),
+        F.round(F.element_at("features", 4), 2).alias("std2"),
+        F.element_at("features", 5).cast("long").alias("min_v"),
+        F.element_at("features", 6).cast("long").alias("max_v"),
         F.element_at("features", 7).cast("long").alias("width"),
+        F.element_at("features", 8).cast("long").alias("height"),
     )

@@ -513,6 +513,49 @@ def emb_quantize_int8(spark, sf_dir):
     )
 
 
+_PROJ_FIXED_SQL = """WITH e AS (
+  SELECT vec_id, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+proj AS (
+  SELECT vec_id, k.k AS pc,
+         SUM(e.comp * (CAST((k.k * 37 + e.idx * 11) % 13 - 6 AS DOUBLE) / 7.0)
+             ORDER BY e.idx) AS v
+  FROM e, (SELECT UNNEST(generate_series(0, 2)) AS k) k
+  GROUP BY 1, 2)
+SELECT vec_id,
+       ROUND(MAX(CASE WHEN pc = 0 THEN v END), 6) AS p0,
+       ROUND(MAX(CASE WHEN pc = 1 THEN v END), 6) AS p1,
+       ROUND(MAX(CASE WHEN pc = 2 THEN v END), 6) AS p2
+FROM proj GROUP BY vec_id"""
+
+
+@register("emb_project_fixed", _PROJ_FIXED_SQL)
+def emb_project_fixed(spark, sf_dir):
+    """The PCA projection operator driven by a FIXED deterministic
+    basis, giving the codegen projection path (zip_with + sequential
+    aggregate fold, no UDF) a full value-hash oracle — the eigh-fitted
+    variant (emb_pca_project) stays rows-only because the
+    eigendecomposition is not SQL-expressible, but the projection
+    machinery itself is hash-verified here. The oracle's ordered SUM
+    replays the fold element-sequentially, so the double arithmetic is
+    bit-identical before round6."""
+    import numpy as np
+
+    from marex_spark.operators.embed import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()[0])
+    comps = np.array(
+        [[((k * 37 + j * 11) % 13 - 6) / 7.0 for j in range(d)] for k in range(3)]
+    )
+    model = {"mean": np.zeros(d), "components": comps}
+    proj = pca_project(emb, model)
+    return proj.select(
+        "vec_id",
+        *[round6(F.col("projected")[i]).alias(f"p{i}") for i in range(3)],
+    )
+
+
 @register("emb_pca_project")
 def emb_pca_project(spark, sf_dir):
     """Distributed PCA (rows-only: the eigendecomposition is not
