@@ -84,6 +84,9 @@ _PRIORITY = [
     "evt_retention_cohorts",
     "det_packed_unstructured",
     "mhw_episode_stats",
+    # New this round: NetCDF-4/HDF5 ingestion through the stdlib chunk
+    # B-tree reader (never driver-evaluated; same oracle as classic S2).
+    "s2_netcdf4_scan",
     # ---- green sentinels: regression cover across every suite ----
     "s1_scan_pushdown",
     "s2_netcdf_scan",

@@ -458,6 +458,52 @@ def s2_netcdf_scan(spark, sf_dir):
 
 
 @register(
+    "s2_netcdf4_scan",
+    """WITH g AS (
+         SELECT t.range AS t, y.range AS y, x.range AS x,
+                CAST(t.range*100 + y.range*10 + x.range AS DOUBLE) AS value
+         FROM range(5) t CROSS JOIN range(4) y CROSS JOIN range(6) x
+         WHERE NOT (t.range = 0 AND y.range = 0 AND x.range = 0))
+       SELECT CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(value) AS DOUBLE) AS total
+       FROM g GROUP BY 1, 2""",
+)
+def s2_netcdf4_scan(spark, sf_dir):
+    """S2, NetCDF-4/HDF5 flavour (reference detect.py:409 — xarray's
+    default engine is netcdf4): the same deterministic fixture as
+    s2_netcdf_scan but written as a CHUNKED + shuffled + deflated HDF5
+    file by the package's spec-literal writer and ingested through the
+    distributed chunk-index reader (sources/hdf5.py) — chunk B-tree
+    walk, per-chunk inflate/unshuffle, edge-chunk trim, fill drop all
+    on the hash path. Same oracle as the classic entry: both readers
+    must agree exactly."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from marex_spark.sources.hdf5 import ingest_netcdf4, write_netcdf4
+
+    T, NY, NX = 5, 4, 6
+    t, y, x = np.meshgrid(
+        np.arange(T), np.arange(NY), np.arange(NX), indexing="ij"
+    )
+    data = (t * 100 + y * 10 + x).astype(np.float32)
+    data[0, 0, 0] = 9.96921e36  # default NC fill
+    path = os.path.join(tempfile.gettempdir(), "marex_s2_h5_fixture.nc")
+    write_netcdf4(
+        path, data, np.arange(T, dtype=np.float64),
+        chunks=(2, 3, 4), compress=True, shuffle=True, fill=9.96921e36,
+    )
+    df = ingest_netcdf4(spark, path, "sst")
+    return df.groupBy(F.col("y").cast("int").alias("y"), F.col("x").cast("int").alias("x")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("double")).alias("total"),
+    )
+
+
+@register(
     "s6_catalog_scan",
     """SELECT CAST(r.r_name AS VARCHAR) AS r_name,
               CAST(COUNT(*) AS BIGINT) AS n_nations,

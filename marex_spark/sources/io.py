@@ -66,15 +66,21 @@ def ingest_netcdf(
     """S2 (detect.py:409 ``xr.open_dataset``): NetCDF → long-format
     DataFrame ingestion. Classic-format files (CDF-1/CDF-2) go through
     the stdlib distributed reader (sources/netcdf.py — one task per
-    record range, no extra dependencies); NetCDF-4/HDF5 containers
-    still need xarray+netCDF4 (not in this image), gated behind an
-    import so the engine degrades gracefully."""
+    record range); NetCDF-4/HDF5 containers go through the stdlib HDF5
+    subset reader (sources/hdf5.py — one task per chunk batch). Other
+    containers (CDF-5, exotic HDF5 features) fall back to
+    xarray+netCDF4 when installed, gated behind an import so the
+    engine degrades gracefully."""
     with open(nc_path, "rb") as f:
-        magic = f.read(4)
+        magic = f.read(8)
     if magic[:3] == b"CDF" and magic[3] in (1, 2):
         from marex_spark.sources.netcdf import ingest_netcdf_classic
 
         return ingest_netcdf_classic(spark, nc_path, var, time_var=time_dim)
+    if magic == b"\x89HDF\r\n\x1a\n":
+        from marex_spark.sources.hdf5 import ingest_netcdf4
+
+        return ingest_netcdf4(spark, nc_path, var, time_var=time_dim)
     try:
         import xarray as xr  # noqa: F401
     except ImportError as e:  # pragma: no cover

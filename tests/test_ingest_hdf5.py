@@ -1,0 +1,155 @@
+"""NetCDF-4/HDF5 ingestion (S2, reference detect.py:409 — xarray's
+default engine reads NetCDF-4/HDF5): the package's spec-literal HDF5
+writer builds fixtures (no h5py in this image), the distributed reader
+must recover every value through contiguous and chunked layouts,
+deflate/shuffle filters, fills, scale/offset — and agree byte-for-byte
+with the CDF-2 path on the same data (the VERDICT r3 acceptance
+criterion)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from marex_spark.sources.hdf5 import (
+    ingest_netcdf4,
+    read_hdf5_header,
+    write_netcdf4,
+)
+
+
+@pytest.fixture(scope="module")
+def field():
+    rng = np.random.default_rng(11)
+    return rng.normal(15.0, 2.0, size=(6, 5, 7)).astype(np.float32)
+
+
+def _collect(df):
+    return {(r.time, r.y, r.x): r.value for r in df.collect()}
+
+
+def test_header_parse(tmp_path, field):
+    p = str(tmp_path / "h.nc")
+    write_netcdf4(p, field, np.arange(6, dtype=np.float64))
+    hdr = read_hdf5_header(p)
+    assert set(hdr["datasets"]) == {"time", "sst"}
+    sst = hdr["datasets"]["sst"]
+    assert sst["dims"] == [6, 5, 7]
+    assert sst["dtype"] == np.dtype("<f4")
+    assert sst["layout"]["class"] == "contiguous"
+    t = hdr["datasets"]["time"]
+    assert t["attrs"]["units"].startswith("days since")
+
+
+def test_contiguous_roundtrip(spark, tmp_path, field):
+    p = str(tmp_path / "c.nc")
+    write_netcdf4(p, field, np.arange(6, dtype=np.float64))
+    rows = _collect(ingest_netcdf4(spark, p, "sst"))
+    assert len(rows) == field.size
+    for (t, y, x), v in rows.items():
+        assert v == pytest.approx(float(field[t.day - 1, y, x]), rel=1e-6)
+
+
+@pytest.mark.parametrize(
+    "chunks,compress,shuffle",
+    [
+        ((2, 3, 4), False, False),
+        ((2, 3, 4), True, False),
+        ((2, 3, 4), True, True),
+        ((6, 5, 7), True, True),   # single chunk
+        ((1, 2, 2), False, True),  # many edge chunks
+    ],
+)
+def test_chunked_roundtrip(spark, tmp_path, field, chunks, compress, shuffle):
+    p = str(tmp_path / f"k{chunks[0]}{chunks[1]}{chunks[2]}{compress}{shuffle}.nc")
+    write_netcdf4(
+        p, field, np.arange(6, dtype=np.float64),
+        chunks=chunks, compress=compress, shuffle=shuffle,
+    )
+    hdr = read_hdf5_header(p)
+    assert hdr["datasets"]["sst"]["layout"]["class"] == "chunked"
+    rows = _collect(ingest_netcdf4(spark, p, "sst"))
+    assert len(rows) == field.size
+    for (t, y, x), v in rows.items():
+        assert v == pytest.approx(float(field[t.day - 1, y, x]), rel=1e-6)
+
+
+def test_matches_classic_reader_exactly(spark, tmp_path, field):
+    """Acceptance: the HDF5 path on the same data equals the CDF-2 path
+    byte-for-byte (same float32 values, same timestamps)."""
+    from marex_spark.sources.netcdf import (
+        ingest_netcdf_classic,
+        write_netcdf_classic,
+    )
+
+    tvals = np.arange(6, dtype=np.float64)
+    pc = str(tmp_path / "c2.nc")
+    ph = str(tmp_path / "h5.nc")
+    write_netcdf_classic(pc, field, tvals, version=2)
+    write_netcdf4(ph, field, tvals, chunks=(2, 2, 3), compress=True, shuffle=True)
+    a = _collect(ingest_netcdf_classic(spark, pc, "sst"))
+    b = _collect(ingest_netcdf4(spark, ph, "sst"))
+    assert a == b  # exact equality, not approx
+
+
+def test_fill_and_scale(spark, tmp_path, field):
+    data = field.copy()
+    data[0, 0, 0] = 9999.0
+    p = str(tmp_path / "fs.nc")
+    write_netcdf4(
+        p, data, np.arange(6, dtype=np.float64),
+        chunks=(3, 5, 7), fill=9999.0, scale=0.5, offset=100.0,
+    )
+    rows = {(r.time.day, r.y, r.x): r.value for r in ingest_netcdf4(spark, p, "sst").collect()}
+    assert (1, 0, 0) not in rows  # fill dropped
+    assert rows[(1, 1, 1)] == pytest.approx(float(field[0, 1, 1]) * 0.5 + 100.0, rel=1e-6)
+
+
+def test_calendar_attr_decodes(spark, tmp_path, field):
+    p = str(tmp_path / "cal.nc")
+    write_netcdf4(
+        p, field, np.arange(363, 369, dtype=np.float64),
+        time_units="days since 2000-01-01", calendar="noleap",
+    )
+    times = sorted({r.time for r in ingest_netcdf4(spark, p, "sst").collect()})
+    import pandas as pd
+
+    # noleap: model day 364 has model doy 365 (year 2000), model day
+    # 365 rolls to year 2001 doy 1 — a Gregorian decode of leap-year
+    # 2000 would keep day 365 inside 2000 (doy 366)
+    assert pd.Timestamp(times[1]).dayofyear == 365
+    t2 = pd.Timestamp(times[2])
+    assert t2.year == 2001 and t2.dayofyear == 1
+
+
+def test_packed_layout_matches_long(spark, tmp_path, field):
+    p = str(tmp_path / "pk.nc")
+    write_netcdf4(p, field, np.arange(6, dtype=np.float64), chunks=(2, 3, 4))
+    long_rows = _collect(ingest_netcdf4(spark, p, "sst"))
+    packed = ingest_netcdf4(spark, p, "sst", layout="packed")
+    pk_rows = {
+        (r.time, r.y, x): v
+        for r in packed.collect()
+        for x, v in enumerate(r.vals)
+        if v == v
+    }
+    assert long_rows == pk_rows
+
+
+def test_dispatch_from_io(spark, tmp_path, field):
+    """io.ingest_netcdf routes HDF5 magic to the HDF5 reader."""
+    from marex_spark.sources.io import ingest_netcdf
+
+    p = str(tmp_path / "disp.nc")
+    write_netcdf4(p, field, np.arange(6, dtype=np.float64), chunks=(2, 3, 4))
+    assert ingest_netcdf(spark, p, "sst").count() == field.size
+
+
+def test_rejects_classic_magic(tmp_path):
+    from marex_spark.exceptions import DataValidationError
+
+    p = str(tmp_path / "bad.nc")
+    with open(p, "wb") as f:
+        f.write(b"CDF\x01" + b"\x00" * 64)
+    with pytest.raises(DataValidationError):
+        read_hdf5_header(p)
