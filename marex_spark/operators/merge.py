@@ -158,6 +158,28 @@ def _min_dist_to_members(
 # introspection for tests/benchmarks (2-3 expected; n_blocks worst case)
 LAST_PARALLEL_ROUNDS = 0
 
+# Driver-materialisation budget for the SERIAL tiers (one-shot collects
+# the whole series; chunked pages per chunk). ~40 bytes/sparse cell in
+# pandas → 50M cells ≈ 2 GB, a sane driver ceiling. The parallel tier
+# (split_merge_events_parallel, the default) never materialises more
+# than one block per executor task and has no such bound.
+SERIAL_CELL_BUDGET = 50_000_000
+
+
+def _guard_serial_cells(n_cells: int, budget: int | None, what: str) -> None:
+    limit = SERIAL_CELL_BUDGET if budget is None else budget
+    if limit and n_cells > limit:
+        from marex_spark.exceptions import TrackingError
+
+        raise TrackingError(
+            f"{what} would materialise {n_cells:,} sparse cells on the "
+            f"driver (budget {limit:,}) — use the distributed-parallel "
+            "resolver instead (track_events(..., merge_parallel=True) / "
+            "split_merge_events_parallel), or raise max_driver_cells "
+            "explicitly if this driver really has the memory",
+            details={"n_cells": int(n_cells), "budget": int(limit)},
+        )
+
 
 @dataclass
 class MergeLedger:
@@ -453,14 +475,22 @@ def split_merge_events(
     nn_partitioning: bool = False,
     max_distance: float | None = None,
     max_iter_per_step: int = 10,
+    max_driver_cells: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed-in / distributed-out wrapper around the sequential
     resolution kernel: collect the sparse labelled cells (Arrow), run
     the driver loop, return (relabelled labels, merge ledger) as
     DataFrames. The ledger uses ArrayType columns instead of the
     reference's -1-padded matrices (track.py:3776-3793 → SURVEY §1.3).
-    """
+
+    Fails fast (TrackingError) when the series holds more than
+    ``max_driver_cells`` (default :data:`SERIAL_CELL_BUDGET`) sparse
+    cells instead of OOMing the driver mid-collect — the parallel tier
+    is the scale path; this one-shot tier mirrors the reference's own
+    driver-sequential ``.compute()`` (track.py:3386)."""
     spark = labels.sparkSession
+    labels = labels.localCheckpoint()  # counted, then collected: one compute
+    _guard_serial_cells(labels.count(), max_driver_cells, "split_merge_events")
     pdf = labels.select(time_col, "y", "x", "obj_id").toPandas()
     out, ledger = split_merge_serial(
         pdf,
@@ -556,6 +586,7 @@ def split_merge_events_chunked(
     return_state: bool = False,
     geometry: str = "grid",
     cell_geo: DataFrame | None = None,
+    max_driver_cells: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Memory-bounded variant of :func:`split_merge_events` — the
     reference's chunk loop (track.py:3377-3420): pull ``chunk_steps``
@@ -596,10 +627,17 @@ def split_merge_events_chunked(
         labels_materialized = False  # the geo join is a new plan
     if not labels_materialized:
         labels = labels.localCheckpoint()
-    times = [
-        r[0]
-        for r in labels.select(time_col).distinct().orderBy(time_col).collect()
-    ]
+    # one aggregation yields BOTH the timestep list and per-time cell
+    # counts; the counts size-guard every chunk before anything is
+    # paged to the driver (fail fast, never OOM mid-series)
+    tcounts = labels.groupBy(time_col).count().orderBy(time_col).collect()
+    times = [r[0] for r in tcounts]
+    for start in range(0, len(times), chunk_steps):
+        _guard_serial_cells(
+            sum(int(r[1]) for r in tcounts[start : start + chunk_steps]),
+            max_driver_cells,
+            f"split_merge_events_chunked (chunk at {times[start]})",
+        )
     time_type = labels.schema[time_col].dataType.simpleString()
     resolver = _Resolver(
         nx=nx,

@@ -299,3 +299,36 @@ def test_merge_fixture_centroid_paths_and_identity(spark, two_blob_field):
     }
     parent_events = {obj_to_event[p] for p in first.parent_ids}
     assert parent_events == {ev_a, ev_b}
+
+
+class TestSerialBudgetGuard:
+    """The serial tiers fail fast (typed error naming the parallel
+    tier) instead of OOMing the driver mid-collect."""
+
+    def _labels(self, spark):
+        from marex_spark.operators.label import label_components
+        from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=8, nx=16, seed=3)
+        return label_components(ext, nx=16)
+
+    def test_oneshot_over_budget_fails_fast(self, spark):
+        from marex_spark.exceptions import TrackingError
+        from marex_spark.operators.merge import split_merge_events
+
+        labels = self._labels(spark)
+        with pytest.raises(TrackingError, match="merge_parallel"):
+            split_merge_events(labels, nx=16, max_driver_cells=10)
+        # within budget: runs
+        out, _ = split_merge_events(labels, nx=16, max_driver_cells=10**9)
+        assert out.count() == labels.count()
+
+    def test_chunked_over_budget_fails_fast(self, spark):
+        from marex_spark.exceptions import TrackingError
+        from marex_spark.operators.merge import split_merge_events_chunked
+
+        labels = self._labels(spark)
+        with pytest.raises(TrackingError, match="merge_parallel"):
+            split_merge_events_chunked(
+                labels, nx=16, chunk_steps=2, max_driver_cells=10
+            )
