@@ -1,0 +1,192 @@
+"""Pure-Python Blosc-1 frame decoder (LZ4 + blosclz-free subset) so the
+stdlib zarr reader (sources/zarr.py) can ingest REAL marEx stores —
+xarray/zarr's default compressor is blosc(cname='lz4', shuffle=1),
+which is exactly what the reference's own test fixtures and every
+field-deployed marEx output use. No C extension, no numcodecs.
+
+Format reference: the public c-blosc1 format documentation
+(https://github.com/Blosc/c-blosc/blob/main/README_CHUNK_FORMAT.rst)
+and the LZ4 block format spec
+(https://github.com/lz4/lz4/blob/dev/doc/lz4_Block_format.md).
+
+Layout of a blosc-1 frame:
+  byte 0: format version      byte 1: codec version
+  byte 2: flags (bit0 byte-shuffle, bit1 memcpy, bit2 bit-shuffle,
+                 bits 5-7 codec id: 0 blosclz, 1 lz4/lz4hc, ...)
+  byte 3: typesize
+  4-8 / 8-12 / 12-16: nbytes, blocksize, cbytes (uint32 LE)
+Then, unless memcpy: uint32 bstarts[nblocks] (absolute offsets), and
+each block holds ``nstreams`` sub-streams, each ``[uint32 csize]
+[payload]`` where payload is stored raw iff csize == uncompressed
+stream size. LZ4 (non-HC) frames written by c-blosc split shuffled
+blocks into ``typesize`` streams (one per byte lane).
+
+Decoding is executor-side over chunk-sized buffers: the per-chunk
+Python cost is amortised by Arrow batching, and a real deployment that
+needs line-rate decode installs numcodecs — this decoder's job is to
+make the default store format WORK everywhere the engine runs."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
+    """LZ4 block format decode (token / literals / offset / match)."""
+    dst = bytearray()
+    i, n = 0, len(src)
+    while i < n and len(dst) < dst_size:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        dst += src[i : i + lit]
+        i += lit
+        if i >= n:
+            break  # block ends with literals
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        mlen = token & 0xF
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(dst) - offset
+        if offset >= mlen:
+            dst += dst[start : start + mlen]
+        else:  # overlapping match: byte-at-a-time semantics
+            for k in range(mlen):
+                dst.append(dst[start + k])
+    if len(dst) != dst_size:
+        raise ValueError(
+            f"LZ4 stream decoded to {len(dst)} bytes, expected {dst_size}"
+        )
+    return bytes(dst)
+
+
+def _unshuffle(buf: bytes, typesize: int) -> bytes:
+    if typesize <= 1:
+        return buf
+    n = len(buf) // typesize
+    return (
+        np.frombuffer(buf[: n * typesize], dtype=np.uint8)
+        .reshape(typesize, n)
+        .T.tobytes()
+        + buf[n * typesize :]
+    )
+
+
+def blosc_decompress(frame: bytes) -> bytes:
+    """Decode one blosc-1 frame → raw bytes."""
+    if len(frame) < 16:
+        raise ValueError("blosc frame shorter than its 16-byte header")
+    flags = frame[2]
+    typesize = frame[3]
+    nbytes, blocksize, cbytes = struct.unpack("<III", frame[4:16])
+    if cbytes != len(frame):
+        raise ValueError(
+            f"blosc header cbytes={cbytes} != frame length {len(frame)}"
+        )
+    if flags & 0x2:  # pure memcpy
+        return bytes(frame[16 : 16 + nbytes])
+    if flags & 0x4:
+        raise NotImplementedError("blosc bit-shuffle is not supported")
+    codec = (flags >> 5) & 0x7
+    if codec not in (0, 1):
+        raise NotImplementedError(
+            f"blosc codec id {codec} unsupported (blosclz/lz4 only)"
+        )
+    if codec == 0:
+        _decomp = _blosclz_decompress
+    else:
+        _decomp = lz4_block_decompress
+    shuffled = bool(flags & 0x1) and typesize > 1
+    nblocks = (nbytes + blocksize - 1) // blocksize if blocksize else 1
+    bstarts = struct.unpack_from(f"<{nblocks}I", frame, 16)
+    out = bytearray()
+    for bi in range(nblocks):
+        bsize = min(blocksize, nbytes - bi * blocksize)
+        # c-blosc splits shuffled lz4/blosclz blocks into one stream
+        # per byte lane; unshuffled blocks are a single stream
+        nstreams = typesize if shuffled and bsize % typesize == 0 else 1
+        neblock = bsize // nstreams
+        pos = bstarts[bi]
+        block = bytearray()
+        for _ in range(nstreams):
+            (csize,) = struct.unpack_from("<I", frame, pos)
+            pos += 4
+            payload = frame[pos : pos + csize]
+            pos += csize
+            if csize == neblock:
+                block += payload  # stored raw
+            else:
+                block += _decomp(payload, neblock)
+        if shuffled:
+            block = bytearray(_unshuffle(bytes(block), typesize))
+        out += block
+    if len(out) != nbytes:
+        raise ValueError(f"blosc decoded {len(out)} bytes, expected {nbytes}")
+    return bytes(out)
+
+
+def _blosclz_decompress(src: bytes, dst_size: int) -> bytes:
+    """blosclz (c-blosc's default codec) block decode — the FastLZ
+    derivative: control token of 3 op bits + 5 length bits, long-match
+    extension bytes, and 2-byte far offsets."""
+    dst = bytearray()
+    i, n = 0, len(src)
+    if n == 0:
+        return bytes(dst)
+    ctrl = src[i]
+    i += 1
+    first = True
+    while i < n or first and ctrl < 32:
+        if ctrl >= 32:
+            mlen = (ctrl >> 5) - 1
+            ofs = (ctrl & 31) << 8
+            if mlen == 7 - 1:
+                while True:
+                    code = src[i]
+                    i += 1
+                    mlen += code
+                    if code != 255:
+                        break
+            ofs |= src[i]
+            i += 1
+            if ofs == 8191:  # far match: 2 extra offset bytes
+                ofs += (src[i] << 8) | src[i + 1]
+                i += 2
+            start = len(dst) - ofs - 1
+            mlen += 3
+            if ofs + 1 >= mlen:
+                dst += dst[start : start + mlen]
+            else:
+                for k in range(mlen):
+                    dst.append(dst[start + k])
+        else:
+            run = ctrl + 1
+            dst += src[i : i + run]
+            i += run
+        first = False
+        if i < n:
+            ctrl = src[i]
+            i += 1
+        else:
+            break
+    if len(dst) != dst_size:
+        raise ValueError(
+            f"blosclz stream decoded to {len(dst)} bytes, expected {dst_size}"
+        )
+    return bytes(dst)

@@ -43,6 +43,12 @@ def _decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
         buf = raw
     elif comp.get("id") in ("zlib", "gzip"):
         buf = zlib.decompress(raw, 47)  # auto-detect zlib/gzip headers
+    elif comp.get("id") == "blosc":
+        # zarr/xarray's DEFAULT compressor — pure-Python frame decoder
+        # (sources/blosc.py) so real marEx stores read without numcodecs
+        from marex_spark.sources.blosc import blosc_decompress
+
+        buf = blosc_decompress(raw)
     else:
         try:  # real codec stack, if installed
             import numcodecs

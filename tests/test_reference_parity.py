@@ -1,0 +1,165 @@
+"""Statistical parity against the REFERENCE's own test fixtures
+(tests/data/*.zarr, read directly from the read-only reference checkout
+through the stdlib zarr reader + pure-Python blosc decoder) — the
+semantic gates that DuckDB oracles can't see:
+
+- the moving-blob analytic test (reference
+  tests/test_gridded_tracking.py:587-683): tracked centroid must follow
+  the synthetic blob's analytic path (3 deg/day east from lon 170,
+  lat 0) within the reference's own tolerances;
+- the percentile-frequency binomial check (reference
+  tests/conftest.py:168-232 + test_gridded_preprocessing.py): detected
+  extreme frequency must sit near (100-p)/100.
+
+These run the REAL reference data through the full Spark engine, so
+they also pin the blosc-lz4 zarr decode end-to-end."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+REF_DATA = "/root/reference/tests/data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_DATA), reason="reference fixtures not present"
+)
+
+
+def _grid_dfs(spark, store):
+    from pyspark.sql import functions as F
+
+    from marex_spark.sources.zarr import _read_small_array
+
+    lat = _read_small_array(os.path.join(store, "lat"))
+    lon = _read_small_array(os.path.join(store, "lon"))
+    gy = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(lat)], "y int, lat double"
+    )
+    gx = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(lon)], "x int, lon double"
+    )
+    return gy, gx, lat, lon
+
+
+class TestBloscZarrDecode:
+    """The reference stores are blosc-lz4 (zarr/xarray's default);
+    coordinate arrays decode to exact half/nine-degree grids — an
+    independent check of the LZ4 + shuffle + split-stream path."""
+
+    def test_blob_store_coordinates_exact(self):
+        from marex_spark.sources.zarr import _read_small_array
+
+        store = os.path.join(REF_DATA, "extremes_gridded_blob.zarr")
+        lat = _read_small_array(os.path.join(store, "lat"))
+        lon = _read_small_array(os.path.join(store, "lon"))
+        np.testing.assert_array_equal(lat, np.arange(-89.5, 90.0, 1.0, dtype=np.float32))
+        np.testing.assert_array_equal(lon, np.arange(-179.5, 180.0, 1.0, dtype=np.float32))
+
+    def test_extremes_are_binary(self):
+        from marex_spark.sources.zarr import _decode_chunk, _read_meta
+
+        store = os.path.join(REF_DATA, "extremes_gridded_blob.zarr")
+        meta = _read_meta(os.path.join(store, "extreme_events"))
+        with open(os.path.join(store, "extreme_events", "0.0.0"), "rb") as f:
+            a = _decode_chunk(f.read(), meta)
+        assert set(np.unique(a)) <= {0, 1}
+        assert a.sum() > 0
+
+
+def test_centroid_tracking_moving_blob(spark):
+    """Reference test_gridded_tracking.py:587-683: the tracked event's
+    per-timestep centroid follows the analytic path (start lon 170,
+    +3 deg/day east, lat 0) within the reference's tolerances
+    (lat 0.25 deg, lon 0.5 deg)."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.operators.track import track_events
+    from marex_spark.sources.zarr import ingest_zarr_gridded
+
+    store = os.path.join(REF_DATA, "extremes_gridded_blob.zarr")
+    long_df = ingest_zarr_gridded(spark, store, "extreme_events", layout="long")
+    ext = long_df.filter(F.col("value") > 0.5).withColumn("extreme", F.lit(True))
+    gy, gx, lat, lon = _grid_dfs(spark, store)
+
+    res = track_events(
+        ext.select("time", "y", "x", "extreme"),
+        nx=len(lon),
+        grid_y=gy,
+        grid_x=gx,
+        allow_merging=True,
+        overlap_threshold=0.3,
+    )
+    ts = res.timestep_stats.collect()
+    assert ts, "no tracked events"
+    # longest event = the moving blob
+    from collections import Counter
+
+    dur = Counter(r.event_id for r in ts)
+    blob_id, n_steps = dur.most_common(1)[0]
+    assert n_steps > 5, "no long-duration event found (expected moving blob)"
+
+    rows = sorted((r for r in ts if r.event_id == blob_id), key=lambda r: r.time)
+    t0 = min(r.time for r in ts)
+    rate, start_lon, expected_lat = 3.0, 170.0, 0.0
+    for r in rows:
+        dd = (r.time - t0).days
+        exp_lon = (start_lon + rate * dd) % 360.0
+        lat_err = abs(r.centroid_lat - expected_lat)
+        dlon = abs(r.centroid_lon - exp_lon)
+        lon_err = min(dlon, 360.0 - dlon)
+        assert lat_err <= 0.25, f"day {dd}: lat error {lat_err:.3f} > 0.25"
+        assert lon_err <= 0.5, f"day {dd}: lon error {lon_err:.3f} > 0.5"
+
+
+class TestPercentileFrequency:
+    """Reference conftest.py:168-232: for a p-percentile threshold the
+    detected frequency must be (100-p)/100 within 20% relative
+    tolerance (the reference's no-sample-size branch)."""
+
+    @pytest.fixture(scope="class")
+    def sst_long(self, spark):
+        from marex_spark.sources.zarr import ingest_zarr_gridded
+
+        store = os.path.join(REF_DATA, "sst_gridded.zarr")
+        return ingest_zarr_gridded(spark, store, "to", layout="long").localCheckpoint()
+
+    def _frequency(self, det):
+        from pyspark.sql import functions as F
+
+        row = det.extremes.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("extreme").cast("long")).alias("k"),
+        ).first()
+        return row.k / row.n, row.n
+
+    def test_detrend_harmonic_global_extreme(self, sst_long):
+        from marex_spark.operators.detect import preprocess_data
+
+        det = preprocess_data(
+            sst_long,
+            method_anomaly="detrend_harmonic",
+            method_extreme="global_extreme",
+            threshold_percentile=0.95,
+            detrend_orders=(1, 2),
+        )
+        freq, n = self._frequency(det)
+        assert n > 10**6
+        assert 0.04 <= freq <= 0.06, f"frequency {freq:.4f} outside [0.04, 0.06]"
+
+    def test_shifting_baseline_hobday_extreme(self, sst_long):
+        from marex_spark.operators.detect import preprocess_data
+
+        det = preprocess_data(
+            sst_long,
+            method_anomaly="shifting_baseline",
+            method_extreme="hobday_extreme",
+            threshold_percentile=0.95,
+            window_year_baseline=3,   # reference test reductions
+            smooth_days=11,
+            window_days_hobday=3,
+        )
+        freq, n = self._frequency(det)
+        assert 0.04 <= freq <= 0.06, f"frequency {freq:.4f} outside [0.04, 0.06]"
