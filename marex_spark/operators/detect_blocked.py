@@ -367,7 +367,12 @@ def _thr_hobday_spatial(
         # halo column index set: absolute x of [x0-s, x1+s) with wrap
         cols = (np.arange(x0 - s, x1 + s) % nx).astype(np.int64)
         ncol = len(cols)
-        pooled_sum = np.zeros((_N_DOY, nb, ncol), dtype=np.int32)
+        # y pooling FIRST (both poolings are linear and commute): the
+        # flat (doy, bin, col) indices of every contributing halo row
+        # feed ONE bincount, and the circular doy pooling then runs as
+        # ONE padded cumsum over the y-summed histogram — instead of a
+        # 67M-bin allocation + full-histogram cumsum per halo row
+        flats = []
         for y_val, anom in anoms.items():
             if abs(y_val - band) > s:
                 continue
@@ -378,19 +383,24 @@ def _thr_hobday_spatial(
                 1 + np.floor(safe / precision).astype(np.int64), 1, n_pos + 1
             )
             bins[safe < 0] = 0
-            flat = (
-                doy0[:, None] * (nb * ncol)
-                + bins * ncol
-                + np.arange(ncol)[None, :]
-            )[valid]
-            h = np.bincount(flat.ravel(), minlength=_N_DOY * nb * ncol).reshape(
-                _N_DOY, nb, ncol
-            ).astype(np.int32)
-            # circular doy pooling via one padded cumsum (see _thr_hobday)
-            hp = np.concatenate([h[_N_DOY - half :], h, h[:half]], axis=0)
-            np.cumsum(hp, axis=0, out=hp)
-            pooled_sum += hp[2 * half :]
-            pooled_sum[1:] -= hp[: _N_DOY - 1]
+            flats.append(
+                (
+                    doy0[:, None] * (nb * ncol)
+                    + bins * ncol
+                    + np.arange(ncol)[None, :]
+                )[valid]
+            )
+        if not flats:
+            thr[:, x0:x1] = np.nan
+            continue
+        h = np.bincount(
+            np.concatenate(flats), minlength=_N_DOY * nb * ncol
+        ).reshape(_N_DOY, nb, ncol).astype(np.int32)
+        # circular doy pooling via one padded cumsum (see _thr_hobday)
+        hp = np.concatenate([h[_N_DOY - half :], h, h[:half]], axis=0)
+        np.cumsum(hp, axis=0, out=hp)
+        pooled_sum = hp[2 * half :].copy()
+        pooled_sum[1:] -= hp[: _N_DOY - 1]
         # spatial x pooling: for own column j (position s..s+xc-1 in the
         # halo), sum halo positions j-s..j+s — a sliding window over axis 2
         cs2 = np.concatenate(
