@@ -85,8 +85,13 @@ _PRIORITY = [
     "det_packed_unstructured",
     "mhw_episode_stats",
     # New this round: NetCDF-4/HDF5 ingestion through the stdlib chunk
-    # B-tree reader (never driver-evaluated; same oracle as classic S2).
+    # B-tree reader, and the S3/S4/S5 sink round-trips (checkpoint,
+    # dynamic-partition region overwrite, stats sidecar) — none ever
+    # driver-evaluated.
     "s2_netcdf4_scan",
+    "s3_checkpoint_roundtrip",
+    "s4_region_overwrite",
+    "s5_stats_sidecar",
     # ---- green sentinels: regression cover across every suite ----
     "s1_scan_pushdown",
     "s2_netcdf_scan",
@@ -98,12 +103,8 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "decontam_ngram",
-    "txt_token_count",
     "ann_ivf_topk",
     "mm_media_meta",
-    "w4_spatial_rolling",
-    "j4_std_normalise",
-    "det_packed_threshold",
 ]
 
 

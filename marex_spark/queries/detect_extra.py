@@ -627,3 +627,121 @@ def mhw_episode_stats(spark, sf_dir):
         round6(F.avg(F.col("duration").cast("double"))).alias("mean_duration"),
         F.sum("n_days").cast("long").alias("total_extreme_days"),
     )
+
+
+# ------------------------------------------------- S3/S4/S5 sink round-trips
+
+@register(
+    "s3_checkpoint_roundtrip",
+    """SELECT CAST(l_returnflag AS VARCHAR) AS flag,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+       FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+       GROUP BY 1""",
+)
+def s3_checkpoint_roundtrip(spark, sf_dir):
+    """S3 (reference helper.py:642-777 checkpoint_to_zarr): the
+    materialise-and-reload lineage break. The aggregate runs on the
+    RE-READ side of the checkpoint, so the round trip (write, footer
+    discovery, schema recovery, scan) is what the hash verifies."""
+    import os
+    import tempfile
+
+    from marex_spark.functions.decimals import dsum
+    from marex_spark.sources.io import checkpoint_parquet
+
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(F.col("l_shipdate") >= F.lit("1995-01-01")).select(
+        "l_returnflag", "l_quantity"
+    )
+    path = os.path.join(tempfile.gettempdir(), "marex_s3_ckpt")
+    back = checkpoint_parquet(filtered, path)
+    return back.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").cast("long").alias("n"),
+        dsum("l_quantity", "qty"),
+    )
+
+
+@register(
+    "s4_region_overwrite",
+    """WITH base AS (
+         SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+                CAST(o_orderkey AS BIGINT) AS k,
+                CAST(o_totalprice AS DOUBLE) AS v
+         FROM orders),
+       final AS (
+         SELECT bucket, k, CASE WHEN bucket = 3 THEN v * 2.0 ELSE v END AS v
+         FROM base)
+       SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS total
+       FROM final GROUP BY bucket""",
+)
+def s4_region_overwrite(spark, sf_dir):
+    """S4 (reference track.py:4323-4328 zarr region write): dynamic
+    partition overwrite rewrites ONLY bucket 3 (doubled values) while
+    the other buckets' files stay untouched — the idempotent re-run
+    primitive. The final store state is read back and aggregated, so
+    the hash proves the overwrite replaced exactly one partition."""
+    import os
+    import shutil
+    import tempfile
+
+    from marex_spark.functions.decimals import dsum
+    from marex_spark.sources.io import write_region
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        (F.col("o_orderkey") % 8).cast("long").alias("bucket"),
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    path = os.path.join(tempfile.gettempdir(), "marex_s4_region")
+    shutil.rmtree(path, ignore_errors=True)
+    write_region(base, path, partition_col="bucket")
+    patch = base.filter(F.col("bucket") == 3).withColumn("v", F.col("v") * 2.0)
+    write_region(patch, path, partition_col="bucket")
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        dsum("v", "total"),
+    )
+
+
+@register(
+    "s5_stats_sidecar",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS acctbal_sum
+       FROM customer""",
+)
+def s5_stats_sidecar(spark, sf_dir):
+    """S5 (reference track.py:1264-1277 npz stats sink): scalar run
+    stats written to the JSON sidecar and READ BACK — the returned row
+    comes from the sidecar file, not the live aggregate, so the hash
+    verifies the sink+scan loop the archive workflow depends on."""
+    import os
+    import tempfile
+
+    from marex_spark.functions.decimals import dsum
+    from marex_spark.sources.io import read_stats_json, write_stats_json
+
+    cust = load_table(spark, sf_dir, "customer")
+    row = cust.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
+        dsum("c_acctbal", "acctbal_sum"),
+    ).first()
+    path = os.path.join(tempfile.gettempdir(), "marex_s5_stats.json")
+    write_stats_json(
+        {
+            "n_rows": row.n_rows,
+            "n_nations": row.n_nations,
+            "acctbal_sum": row.acctbal_sum,
+        },
+        path,
+    )
+    stats = read_stats_json(path)
+    return spark.createDataFrame(
+        [(stats["n_rows"], stats["n_nations"], float(stats["acctbal_sum"]))],
+        "n_rows long, n_nations long, acctbal_sum double",
+    )

@@ -80,6 +80,39 @@ def _read_small_array(array_dir: str) -> np.ndarray:
     return out
 
 
+def read_array_driver(array_dir: str) -> np.ndarray:
+    """Driver-side assembly of a METADATA-SIZED n-D zarr array (mesh
+    geometry, adjacency tables, coordinate bounds — things the driver
+    broadcasts anyway). Not for data arrays: those go through the
+    distributed ingest paths."""
+    meta = _read_meta(array_dir)
+    shape = meta["shape"]
+    chunks = meta["chunks"]
+    sep = meta.get("dimension_separator", ".")
+    fill = meta.get("fill_value")
+    fv = float(fill) if isinstance(fill, str) else fill
+    dt = np.dtype(meta["dtype"])
+    if fv is not None and dt.kind == "f":
+        out = np.full(shape, fv, dtype=dt)
+    else:
+        out = np.zeros(shape, dtype=dt)
+    grid = [range((s + c - 1) // c) for s, c in zip(shape, chunks)]
+    import itertools
+
+    for idx in itertools.product(*grid):
+        path = os.path.join(array_dir, sep.join(map(str, idx)))
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as f:
+            a = _decode_chunk(f.read(), meta)
+        sl = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, shape)
+        )
+        out[sl] = a[tuple(slice(0, s.stop - s.start) for s in sl)]
+    return out
+
+
 def ingest_zarr_gridded(
     spark,
     store: str,

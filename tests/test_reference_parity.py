@@ -163,3 +163,61 @@ class TestPercentileFrequency:
         )
         freq, n = self._frequency(det)
         assert 0.04 <= freq <= 0.06, f"frequency {freq:.4f} outside [0.04, 0.06]"
+
+
+def test_unstructured_merging_fixture_tracks(spark):
+    """The reference's mesh merging fixture (405-cell triangular mesh,
+    100 steps, engineered to produce merge events) through the full
+    unstructured merge-mode tracking chain: cell partition preserved,
+    per-(time,cell) labels unique, merges recorded, centroids inside
+    the mesh's bounding box."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.operators.track import track_events_unstructured
+    from marex_spark.sources.zarr import read_array_driver
+
+    base = os.path.join(REF_DATA, "extremes_unstructured_merging.zarr")
+    ee = read_array_driver(os.path.join(base, "extreme_events"))
+    nb = read_array_driver(os.path.join(base, "neighbours"))
+    lat = read_array_driver(os.path.join(base, "lat"))
+    lon = read_array_driver(os.path.join(base, "lon"))
+    areas = read_array_driver(os.path.join(base, "cell_areas"))
+
+    T, NC = ee.shape
+    tt, cc = np.nonzero(ee)
+    ext = spark.createDataFrame(
+        [(int(t), int(c), True) for t, c in zip(tt, cc)],
+        "time int, cell long, extreme boolean",
+    )
+    edges = spark.createDataFrame(
+        [(int(c), int(nb[k, c])) for c in range(NC) for k in range(nb.shape[0])],
+        "cell long, nbr long",
+    )
+    geo = spark.createDataFrame(
+        [
+            (int(c), float(lat[c]), float(lon[c]), float(areas[c]))
+            for c in range(NC)
+        ],
+        "cell long, lat double, lon double, area double",
+    )
+    res = track_events_unstructured(
+        ext, edges, cell_geo=geo,
+        overlap_threshold=0.3, allow_merging=True,
+    )
+    ev = res.events.collect()
+    # partition of the input cells is preserved exactly
+    assert {(r.time, r.cell) for r in ev} == {
+        (int(t), int(c)) for t, c in zip(tt, cc)
+    }
+    assert len(ev) == len(tt)  # one label per extreme cell
+    # the engineered merging scenario produces ledger entries
+    ledger = res.extras["merge_ledger"]
+    assert ledger.count() > 0
+    # linking happened: fewer events than per-slice objects
+    n_events = len({r.event_id for r in ev})
+    n_objs = len({r.obj_id for r in ev})
+    assert 0 < n_events < n_objs
+    # centroids stay inside the mesh bounding box
+    for r in res.timestep_stats.collect():
+        assert 38.9 <= r.centroid_lat <= 40.1
+        assert -40.1 <= ((r.centroid_lon + 180) % 360) - 180 <= -38.9
