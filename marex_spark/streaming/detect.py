@@ -68,3 +68,72 @@ def streaming_area_history(
             "n_cells",
         )
     )
+
+
+def write_threshold_state(
+    climatology: DataFrame,
+    thresholds: DataFrame,
+    path: str,
+    keys: tuple[str, ...] = ("y", "x"),
+) -> None:
+    """Persist the batch-built scoring state PARTITIONED BY doy — the
+    100 TB form of the stream-static state. A hobday threshold table is
+    366 × n_cells rows; at 1M cells that is ~3 GB, too big to broadcast
+    into every micro-batch task. Partitioned by doy, a micro-batch
+    (which spans a handful of calendar days) prunes to just its own
+    doy partitions — MBs, broadcastable again.
+
+    climatology (doy, *keys, clim) and thresholds ((doy,)? *keys,
+    threshold) are joined once here so scoring reads ONE state table;
+    a doy-free (global_extreme) threshold fans out to all 366
+    partitions of its climatology doy."""
+    state = climatology.join(
+        thresholds, [c for c in thresholds.columns if c != "threshold"]
+    )
+    (
+        state.repartition("doy")
+        .write.mode("overwrite")
+        .partitionBy("doy")
+        .parquet(path)
+    )
+
+
+def score_stream_partitioned(
+    stream: DataFrame,
+    state_path: str,
+    sink,
+    keys: tuple[str, ...] = ("y", "x"),
+    time_col: str = "time",
+    value_col: str = "value",
+):
+    """Scale path for :func:`score_stream`: score each micro-batch
+    against doy-PARTITIONED state with per-batch partition pruning.
+
+    ``foreachBatch`` turns every micro-batch into a normal batch job,
+    where filtering the partitioned state on the batch's own doys is
+    static partition pruning — the scan reads only those doy
+    directories, and the pruned slice (n_cells × ~2 doys) broadcasts.
+    Memory per task is bounded by cells-per-doy regardless of how many
+    doys the full state covers.
+
+    ``sink(scored_df, batch_id)`` receives the scored batch (same
+    schema as score_stream's output). Returns the started query's
+    writer (call ``.start()`` yourself for checkpoint/location opts)."""
+
+    def _score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        d = batch_df.withColumn("doy", F.dayofyear(time_col))
+        doys = [r[0] for r in d.select("doy").distinct().collect()]
+        if not doys:
+            return
+        state = spark.read.parquet(state_path).filter(F.col("doy").isin(doys))
+        scored = (
+            d.join(F.broadcast(state), ["doy", *keys])
+            .withColumn(
+                "anomaly", (F.col(value_col) - F.col("clim")).cast("double")
+            )
+            .withColumn("extreme", F.col("anomaly") >= F.col("threshold"))
+        )
+        sink(scored, batch_id)
+
+    return stream.writeStream.foreachBatch(_score_batch)

@@ -348,3 +348,47 @@ def test_stream_sessionize(spark):
         assert (1, 0, 2) in got and (2, 0, 2) in got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_partitioned_state_scoring_matches_broadcast(stream_env):
+    """The 100 TB state path: doy-partitioned threshold state +
+    per-batch partition pruning through foreachBatch must score
+    identically to the broadcast stream-static join."""
+    from marex_spark.streaming.detect import (
+        score_stream_partitioned,
+        write_threshold_state,
+    )
+
+    spark, tmp, src, clim, thr, stream_batch = stream_env
+    state_path = f"{tmp}/state_by_doy"
+    write_threshold_state(clim, thr, state_path)
+    # partition layout on disk: one directory per doy
+    import os
+
+    doydirs = [d for d in os.listdir(state_path) if d.startswith("doy=")]
+    assert len(doydirs) > 300
+
+    collected = []
+
+    def sink(df, batch_id):
+        collected.extend(
+            (r.time, r.y, r.x, r.extreme)
+            for r in df.select("time", "y", "x", "extreme").collect()
+        )
+
+    stream = spark.readStream.schema(stream_batch.schema).parquet(src)
+    q = (
+        score_stream_partitioned(stream, state_path, sink)
+        .option("checkpointLocation", f"{tmp}/ckpt_part")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    want = {
+        (r.time, r.y, r.x, r.extreme)
+        for r in score_stream(stream_batch, clim, thr)
+        .select("time", "y", "x", "extreme")
+        .collect()
+    }
+    assert set(collected) == want and len(collected) == len(want)
