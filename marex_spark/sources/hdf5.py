@@ -542,7 +542,11 @@ def _read_small_dataset(path: str, ds: dict) -> np.ndarray:
         lay = ds["layout"]
         if lay["class"] == "contiguous":
             raw = fh.read(lay["addr"], n * ds["dtype"].itemsize)
-            return np.frombuffer(raw, dtype=ds["dtype"], count=n).copy()
+            return (
+                np.frombuffer(raw, dtype=ds["dtype"], count=n)
+                .reshape(ds["dims"])
+                .copy()
+            )
         shape = tuple(ds["dims"])
         out = np.zeros(shape, dtype=ds["dtype"])
         cshape = tuple(lay["chunk"])

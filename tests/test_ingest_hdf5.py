@@ -153,3 +153,53 @@ def test_rejects_classic_magic(tmp_path):
         f.write(b"CDF\x01" + b"\x00" * 64)
     with pytest.raises(DataValidationError):
         read_hdf5_header(p)
+
+
+class TestPropertyRoundTrip:
+    """Hypothesis round-trips through the writer/reader pair: random
+    shapes, chunk geometries and filter combos must recover every
+    value (driver-side decode via the same chunk machinery)."""
+
+    def test_random_shapes_and_chunks(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from marex_spark.sources.hdf5 import (
+            _read_small_dataset,
+            read_hdf5_header,
+            write_netcdf4,
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            t=st.integers(1, 9),
+            ny=st.integers(1, 7),
+            nx=st.integers(1, 8),
+            ct=st.integers(1, 9),
+            cy=st.integers(1, 7),
+            cx=st.integers(1, 8),
+            compress=st.booleans(),
+            shuffle=st.booleans(),
+            contiguous=st.booleans(),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def prop(t, ny, nx, ct, cy, cx, compress, shuffle, contiguous, seed):
+            import tempfile
+
+            rng = np.random.default_rng(seed)
+            data = rng.normal(0, 3, size=(t, ny, nx)).astype(np.float32)
+            with tempfile.TemporaryDirectory() as td:
+                p = f"{td}/f.nc"
+                write_netcdf4(
+                    p, data, np.arange(t, dtype=np.float64),
+                    chunks=None if contiguous else (ct, cy, cx),
+                    compress=compress and not contiguous,
+                    shuffle=shuffle and not contiguous,
+                )
+                hdr = read_hdf5_header(p)
+                back = _read_small_dataset(p, hdr["datasets"]["sst"])
+                np.testing.assert_array_equal(back, data)
+                tv = _read_small_dataset(p, hdr["datasets"]["time"])
+                np.testing.assert_array_equal(tv, np.arange(t, dtype=np.float64))
+
+        prop()
