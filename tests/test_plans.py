@@ -252,3 +252,27 @@ def test_curation_pipeline_shuffle_bound(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert exchange_count(out) <= 6, exchange_count(out)
+
+
+def test_threshold_state_scan_prunes_partitions(spark, tmp_path):
+    """The streaming scale path's per-batch state read is a PRUNED
+    partitioned scan: filtering on the batch's doys must reach the
+    scan as PartitionFilters (read only those doy directories), not a
+    post-scan filter over all 366."""
+    from pyspark.sql import functions as F
+
+    state = spark.range(366 * 50).select(
+        (F.col("id") % 366 + 1).cast("int").alias("doy"),
+        (F.col("id") / 366).cast("int").alias("cell"),
+        F.lit(1.0).alias("clim"),
+        F.lit(2.0).alias("threshold"),
+    )
+    path = f"{tmp_path}/state"
+    state.repartition("doy").write.partitionBy("doy").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("doy").isin([17, 18]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the pruned scan reads 2 of 366 partition dirs
+    assert scan.select(F.countDistinct("doy")).first()[0] == 2
+    ins = [p for p in plan.splitlines() if "PartitionFilters" in p]
+    assert any("doy" in line for line in ins)
