@@ -44,6 +44,11 @@ _PRIORITY = [
     "trk_m9_split_merge",
     "trk_m9_parallel",
     "trk_j9_merge_ledger",
+    # ... and its unstructured-mesh counterpart (haversine partitioning,
+    # spherical centroids) under the same replay oracle.
+    "trk_m9u_split_merge",
+    "trk_m9u_parallel",
+    "trk_j9u_merge_ledger",
     "trk_m8_overlap_threshold",
     # mm_feature_extract: upgraded from rows-only to a byte-exact pixel
     # stats oracle; emb_project_fixed: new full oracle for the PCA
@@ -98,12 +103,9 @@ _PRIORITY = [
     "s6_catalog_scan",
     "trk_m4_label_components",
     "trk_m5_track_nomerge",
-    "trk_m6_label_unstructured",
     "trk_extend_incremental",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "decontam_ngram",
-    "ann_ivf_topk",
     "mm_media_meta",
 ]
 

@@ -772,3 +772,289 @@ def trk_m6_label_unstructured(spark, sf_dir):
     return labels.select(
         "d", "cell", F.col("obj_id").cast("long").alias("obj_id")
     )
+
+
+# --------------------------------- M9 split/merge on the unstructured mesh
+#
+# The SAME micro-step recursion as _m9_recursion_sql, re-expressed for
+# the sphere: per-day mesh labelling (trk_m6's id scheme), overlap join
+# on cell, parent centroids as mean Cartesian unit vectors
+# (degrees(atan2(mz, |mxy|)), reference track.py:2195-2230), child
+# partitioning by haversine to the parent centroid (track.py:5357-5419
+# partition_centroid_unstructured). Geometry is an irregular
+# deterministic (lat, lon) per mesh cell — integer modular arithmetic
+# scaled to doubles, bit-identical on both engines — so exact distance
+# ties (the one argmin hazard) require genuine coincidence.
+
+_M9U_LAT = "(CAST((cell * cell * 29 + cell * 13) % 167 AS DOUBLE) * 0.1 - 8.3)"
+_M9U_LON = "(CAST((cell * 173) % 3600 AS DOUBLE) * 0.1)"
+
+
+def _m9u_recursion_sql() -> str:
+    thr = _M9_THR
+    return f"""WITH RECURSIVE active AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, CAST(event_id % 120 AS BIGINT) AS cell
+  FROM events WHERE value > 60),
+ring AS (
+  SELECT CAST(g.c AS BIGINT) AS cell, CAST((g.c + 1) % 120 AS BIGINT) AS nbr
+  FROM (SELECT UNNEST(generate_series(0, 119)) AS c) g),
+rsym AS (SELECT cell, nbr FROM ring UNION SELECT nbr, cell FROM ring),
+medges AS (
+  SELECT a.d, a.cell AS u, s.nbr AS v
+  FROM active a JOIN rsym s ON s.cell = a.cell
+  JOIN active b ON b.d = a.d AND b.cell = s.nbr),
+walk(d, u, lbl) AS (
+  SELECT d, cell, cell FROM active
+  UNION
+  SELECT e.d, e.u, w.lbl FROM medges e JOIN walk w ON w.d = e.d AND w.u = e.v),
+comp AS (SELECT d, u AS cell, MIN(lbl) AS root FROM walk GROUP BY d, u),
+locals AS (
+  SELECT d, cell, DENSE_RANK() OVER (PARTITION BY d ORDER BY root) AS local_id
+  FROM comp),
+offs AS (SELECT d, MAX(local_id) AS mx FROM locals GROUP BY d),
+offs2 AS (
+  SELECT d, COALESCE(SUM(mx) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM offs),
+dayidx AS (
+  SELECT d, CAST(DENSE_RANK() OVER (ORDER BY d) - 1 AS INT) AS ti
+  FROM (SELECT DISTINCT d FROM active)),
+cells AS MATERIALIZED (
+  SELECT di.ti, l.d, l.cell, CAST(l.local_id + o.off AS BIGINT) AS id
+  FROM locals l JOIN offs2 o USING (d) JOIN dayidx di USING (d)),
+cellgeo AS MATERIALIZED (
+  SELECT g.c AS cell, {_M9U_LAT.replace('cell', 'g.c')} AS lat,
+         {_M9U_LON.replace('cell', 'g.c')} AS lon
+  FROM (SELECT CAST(UNNEST(generate_series(0, 119)) AS BIGINT) AS c) g),
+nt AS MATERIALIZED (SELECT MAX(ti) AS tmax FROM cells),
+rec(ti, j, role, d, cell, aux, id) AS (
+  SELECT c.ti, 0,
+         CASE WHEN n.tmax = 0 THEN 'final'
+              WHEN c.ti = 0 THEN 'prev' ELSE 'cur' END,
+         c.d, c.cell, CAST(0 AS BIGINT), c.id
+  FROM cells c CROSS JOIN nt n
+  WHERE c.ti <= LEAST(n.tmax, 1)
+  UNION ALL
+  (
+    WITH prev AS (SELECT * FROM rec WHERE role = 'prev'),
+    cur AS (SELECT * FROM rec WHERE role = 'cur'),
+    st AS (SELECT MAX(ti) AS ti, MAX(j) AS j FROM cur),
+    ap AS (SELECT id, COUNT(*) AS a FROM prev GROUP BY id),
+    ac AS (SELECT id, COUNT(*) AS a FROM cur GROUP BY id),
+    ov AS (
+      SELECT p.id AS pid, c.id AS cid, CAST(COUNT(*) AS BIGINT) AS o
+      FROM prev p JOIN cur c ON p.cell = c.cell
+      GROUP BY 1, 2),
+    gated AS (
+      SELECT ov.pid, ov.cid, ov.o
+      FROM ov JOIN ap ON ov.pid = ap.id JOIN ac ON ov.cid = ac.id
+      WHERE ov.o >= {thr} * LEAST(ap.a, ac.a)),
+    mp AS (SELECT cid FROM gated GROUP BY cid HAVING COUNT(*) >= 2),
+    flag AS (
+      SELECT (EXISTS (SELECT 1 FROM mp)
+              AND (SELECT j FROM st) < {_M9_MAXITER}) AS doing,
+             ((SELECT ti FROM st) = (SELECT tmax FROM nt)) AS last),
+    par AS (
+      SELECT g.cid, g.pid,
+             ROW_NUMBER() OVER (PARTITION BY g.cid ORDER BY g.pid) AS rk
+      FROM gated g JOIN mp USING (cid)),
+    cents AS (
+      SELECT p.id,
+             AVG(cos(radians(gg.lat)) * cos(radians(gg.lon))) AS mx,
+             AVG(cos(radians(gg.lat)) * sin(radians(gg.lon))) AS my,
+             AVG(sin(radians(gg.lat))) AS mz
+      FROM prev p JOIN cellgeo gg ON gg.cell = p.cell
+      GROUP BY p.id),
+    cents2 AS (
+      SELECT id,
+             degrees(atan2(mz, sqrt(mx * mx + my * my))) AS clat,
+             degrees(atan2(my, mx)) AS clon
+      FROM cents),
+    assign AS (
+      SELECT c.cell, pa.cid, pa.pid, pa.rk,
+             sin((radians(ce.clat) - radians(gg.lat)) / 2)
+               * sin((radians(ce.clat) - radians(gg.lat)) / 2)
+             + cos(radians(gg.lat)) * cos(radians(ce.clat))
+               * sin((radians(ce.clon) - radians(gg.lon)) / 2)
+               * sin((radians(ce.clon) - radians(gg.lon)) / 2) AS d2
+      FROM cur c
+      JOIN cellgeo gg ON gg.cell = c.cell
+      JOIN par pa ON pa.cid = c.id
+      JOIN cents2 ce ON ce.id = pa.pid),
+    best AS (
+      SELECT cell, cid, rk,
+             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2, rk) AS brn
+      FROM assign),
+    pieceids AS (
+      SELECT cid, rk,
+             1000000000 * CAST((SELECT ti FROM st) * 16 + (SELECT j FROM st) + 1 AS BIGINT)
+               + ROW_NUMBER() OVER (ORDER BY cid, rk) AS nid
+      FROM (SELECT DISTINCT cid, rk FROM par WHERE rk >= 2)),
+    consol AS (
+      SELECT cid, MIN(newid) AS newid
+      FROM (
+        SELECT g.cid, MIN(g.cid) OVER (PARTITION BY g.pid) AS newid
+        FROM gated g
+        WHERE g.pid IN (SELECT pid FROM gated GROUP BY pid HAVING COUNT(*) >= 2))
+      GROUP BY cid),
+    out_rows AS (
+      SELECT p.ti, 0 AS j, 'prev' AS role, p.d, p.cell, CAST(0 AS BIGINT) AS aux, p.id
+      FROM prev p WHERE (SELECT doing FROM flag)
+      UNION ALL
+      SELECT c.ti, (SELECT j FROM st) + 1, 'cur', c.d, c.cell, CAST(0 AS BIGINT),
+             COALESCE(CASE WHEN b.rk = 1 THEN b.cid ELSE pi.nid END, c.id)
+      FROM cur c
+      LEFT JOIN (SELECT * FROM best WHERE brn = 1) b ON b.cell = c.cell
+      LEFT JOIN pieceids pi ON pi.cid = b.cid AND pi.rk = b.rk
+      WHERE (SELECT doing FROM flag)
+      UNION ALL
+      SELECT (SELECT ti FROM st), (SELECT j FROM st), 'ledger',
+             (SELECT MIN(d) FROM cur), g.cid, g.pid, g.o
+      FROM gated g JOIN mp USING (cid)
+      WHERE (SELECT doing FROM flag)
+      UNION ALL
+      SELECT p.ti, 0, 'final', p.d, p.cell, CAST(0 AS BIGINT), p.id
+      FROM prev p WHERE NOT (SELECT doing FROM flag)
+      UNION ALL
+      SELECT c.ti, 0,
+             CASE WHEN (SELECT last FROM flag) THEN 'final' ELSE 'prev' END,
+             c.d, c.cell, CAST(0 AS BIGINT), COALESCE(m.newid, c.id)
+      FROM cur c LEFT JOIN consol m ON m.cid = c.id
+      WHERE NOT (SELECT doing FROM flag)
+      UNION ALL
+      SELECT c.ti, 0, 'cur', c.d, c.cell, CAST(0 AS BIGINT), c.id
+      FROM cells c
+      WHERE NOT (SELECT doing FROM flag)
+        AND NOT (SELECT last FROM flag)
+        AND c.ti = (SELECT ti FROM st) + 1)
+    SELECT * FROM out_rows
+  )
+),
+fcells AS MATERIALIZED (SELECT ti, d, cell, id FROM rec WHERE role = 'final')"""
+
+
+_M9U_SQL = f"""{_m9u_recursion_sql()},
+fareas AS (SELECT id, COUNT(*) AS a FROM fcells GROUP BY id),
+fov AS (
+  SELECT a.id AS u, b.id AS v, COUNT(*) AS o
+  FROM fcells a JOIN fcells b ON b.ti = a.ti + 1 AND a.cell = b.cell
+  GROUP BY 1, 2),
+fp AS (
+  SELECT u, v FROM fov
+  JOIN fareas fa ON fov.u = fa.id JOIN fareas fb ON fov.v = fb.id
+  WHERE fov.o >= {_M9_THR} * LEAST(fa.a, fb.a)),
+fsym AS (SELECT u, v FROM fp UNION SELECT v, u FROM fp),
+fobjs AS (SELECT DISTINCT id FROM fcells),
+ewalk(u, lbl) AS (
+  SELECT id, id FROM fobjs
+  UNION
+  SELECT s.u, w.lbl FROM fsym s JOIN ewalk w ON s.v = w.u),
+eroot AS (SELECT u AS id, MIN(lbl) AS root FROM ewalk GROUP BY u)
+SELECT MIN(f.d) AS time_start, MAX(f.d) AS time_end,
+       CAST(COUNT(DISTINCT f.d) AS BIGINT) AS n_timesteps,
+       CAST(COUNT(*) AS BIGINT) AS total_cells
+FROM fcells f JOIN eroot r USING (id)
+GROUP BY r.root"""
+
+
+_J9U_SQL = f"""{_m9u_recursion_sql()},
+merges AS (
+  SELECT ti, j, cell AS cid, d,
+         CAST(COUNT(*) AS BIGINT) AS n_parents,
+         CAST(SUM(id) AS BIGINT) AS total_overlap,
+         CAST(MAX(id) AS BIGINT) AS max_overlap
+  FROM rec WHERE role = 'ledger'
+  GROUP BY ti, j, cell, d)
+SELECT d, n_parents, total_overlap, max_overlap FROM merges"""
+
+
+def _m9u_inputs(spark, sf_dir):
+    from marex_spark.sources.parquet import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    ext = (
+        ev.filter(F.col("value") > 60)
+        .select(
+            F.col("ts").cast("date").alias("d"),
+            (F.col("event_id") % 120).cast("long").alias("cell"),
+        )
+        .distinct()
+        .withColumn("extreme", F.lit(True))
+    )
+    cells = spark.range(120).select(F.col("id").cast("long").alias("cell"))
+    edges = cells.select("cell", ((F.col("cell") + 1) % 120).alias("nbr"))
+    geo = cells.select(
+        "cell",
+        (((F.col("cell") * F.col("cell") * 29 + F.col("cell") * 13) % 167)
+         .cast("double") * 0.1 - 8.3).alias("lat"),
+        (((F.col("cell") * 173) % 3600).cast("double") * 0.1).alias("lon"),
+    )
+    return ext, edges, geo
+
+
+def _m9u_lifetime(res):
+    life = res.events.groupBy("event_id").agg(
+        F.min("d").alias("time_start"),
+        F.max("d").alias("time_end"),
+        F.countDistinct("d").cast("long").alias("n_timesteps"),
+        F.count("*").cast("long").alias("total_cells"),
+    )
+    return life.select("time_start", "time_end", "n_timesteps", "total_cells")
+
+
+@register("trk_m9u_split_merge", _M9U_SQL)
+def trk_m9u_split_merge(spark, sf_dir):
+    """Unstructured split/merge tracking (reference unstructured mode:
+    partition_centroid_unstructured track.py:5357-5419, spherical
+    centroid 2195-2230) on the ring-mesh fixture with irregular
+    deterministic geometry — the mesh counterpart of
+    trk_m9_split_merge, hash-verified by the same full resolver replay
+    with haversine partitioning. Id-free lifetime stats."""
+    from marex_spark.operators.track import track_events_unstructured
+
+    ext, edges, geo = _m9u_inputs(spark, sf_dir)
+    res = track_events_unstructured(
+        ext, edges, cell_geo=geo, time_col="d",
+        overlap_threshold=_M9_THR, allow_merging=True,
+        merge_parallel=False, compute_stats=False,
+    )
+    return _m9u_lifetime(res)
+
+
+@register("trk_m9u_parallel", _M9U_SQL)
+def trk_m9u_parallel(spark, sf_dir):
+    """The parallel (Jacobi time-block) tier on the mesh — pinned equal
+    to the serial resolver by tests; the same replay oracle gates it."""
+    from marex_spark.operators.track import track_events_unstructured
+
+    ext, edges, geo = _m9u_inputs(spark, sf_dir)
+    res = track_events_unstructured(
+        ext, edges, cell_geo=geo, time_col="d",
+        overlap_threshold=_M9_THR, allow_merging=True,
+        merge_parallel=True, merge_block_steps=8, compute_stats=False,
+    )
+    return _m9u_lifetime(res)
+
+
+@register("trk_j9u_merge_ledger", _J9U_SQL)
+def trk_j9u_merge_ledger(spark, sf_dir):
+    """Mesh merge ledger, id-free payload (time, parent count,
+    total/max overlap) — every recorded mesh merge hash-verified from
+    inside the replay's partition branch."""
+    from marex_spark.operators.track import track_events_unstructured
+
+    ext, edges, geo = _m9u_inputs(spark, sf_dir)
+    res = track_events_unstructured(
+        ext, edges, cell_geo=geo, time_col="d",
+        overlap_threshold=_M9_THR, allow_merging=True,
+        merge_parallel=False, compute_stats=False,
+    )
+    ledger = res.extras["merge_ledger"]
+    return ledger.select(
+        "d",
+        F.size("parent_ids").cast("long").alias("n_parents"),
+        F.aggregate(
+            "overlap_areas", F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("total_overlap"),
+        F.array_max("overlap_areas").cast("long").alias("max_overlap"),
+    )
