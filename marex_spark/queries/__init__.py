@@ -49,6 +49,11 @@ _PRIORITY = [
     "trk_m9u_split_merge",
     "trk_m9u_parallel",
     "trk_j9u_merge_ledger",
+    # ... and the NN-partitioning mode (nearest parent member cell,
+    # capped, centroid fallback) — every resolver mode x geometry x
+    # tier now sits under a full replay oracle.
+    "trk_m9nn_split_merge",
+    "trk_m9nn_parallel",
     "trk_m8_overlap_threshold",
     # mm_feature_extract: upgraded from rows-only to a byte-exact pixel
     # stats oracle; emb_project_fixed: new full oracle for the PCA
@@ -101,11 +106,9 @@ _PRIORITY = [
     "s1_scan_pushdown",
     "s2_netcdf_scan",
     "s6_catalog_scan",
-    "trk_m4_label_components",
     "trk_m5_track_nomerge",
     "trk_extend_incremental",
     "dedup_minhash_lsh",
-    "decontam_ngram",
     "mm_media_meta",
 ]
 

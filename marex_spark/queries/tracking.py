@@ -463,14 +463,56 @@ _M9_THR = 0.5
 _M9_MAXITER = 10
 
 
-def _m9_recursion_sql() -> str:
+def _m9_recursion_sql(nn_cap: float | None = None) -> str:
     """Shared WITH RECURSIVE prefix: labelled cells (exactly the
     trk_m4 id scheme, which hash-matches the engine's labels) + the
-    resolver micro-step recursion."""
+    resolver micro-step recursion.
+
+    ``nn_cap``: None replays centroid partitioning; a float replays the
+    NN mode (reference partition_nn_grid, track.py:4973-5113) — each
+    child cell goes to the parent with the nearest MEMBER cell
+    (squared wrapped distance, exact integers), except cells farther
+    than the cap from every parent, which fall back to the nearest
+    centroid (track.py:5224-5238). The cap is max_distance² for an
+    explicit user max_distance."""
     import math
 
     w = repr(2.0 * math.pi / NXG)       # pixel -> angle
     inv = repr(NXG / (2.0 * math.pi))   # angle -> pixel
+    if nn_cap is None:
+        best_sql = f"""best AS (
+      SELECT y, x, cid, rk,
+             ROW_NUMBER() OVER (PARTITION BY y, x
+                                ORDER BY dy * dy + dx * dx, rk) AS brn
+      FROM assign),"""
+    else:
+        best_sql = f"""nnd AS (
+      SELECT c.y AS y, c.x AS x, pa.cid, pa.pid, pa.rk,
+             MIN(CAST(c.y - p.y AS DOUBLE) * CAST(c.y - p.y AS DOUBLE)
+                 + LEAST(abs(CAST(c.x - p.x AS DOUBLE)),
+                         {{NXG}} - abs(CAST(c.x - p.x AS DOUBLE)))
+                   * LEAST(abs(CAST(c.x - p.x AS DOUBLE)),
+                           {{NXG}} - abs(CAST(c.x - p.x AS DOUBLE)))) AS nd
+      FROM cur c JOIN par pa ON pa.cid = c.id
+      JOIN prev p ON p.id = pa.pid
+      GROUP BY 1, 2, 3, 4, 5),
+    best0 AS (
+      SELECT y, x, cid, rk, nd,
+             ROW_NUMBER() OVER (PARTITION BY y, x ORDER BY nd, rk) AS brn
+      FROM nnd),
+    cbest AS (
+      SELECT y, x, cid, rk,
+             ROW_NUMBER() OVER (PARTITION BY y, x
+                                ORDER BY dy * dy + dx * dx, rk) AS brn
+      FROM assign),
+    best AS (
+      SELECT b.y, b.x, b.cid,
+             CASE WHEN b.nd > {nn_cap!r} THEN cb.rk ELSE b.rk END AS rk,
+             1 AS brn
+      FROM (SELECT * FROM best0 WHERE brn = 1) b
+      JOIN (SELECT * FROM cbest WHERE brn = 1) cb
+        ON cb.y = b.y AND cb.x = b.x),"""
+    best_sql = best_sql.replace("{NXG}", str(NXG))
     return f"""WITH RECURSIVE base AS ({_BOOL_GRID_SQL}),
 nodes AS (SELECT d, y, x, y * {BIG} + x AS id FROM base),
 gedges AS (
@@ -546,11 +588,7 @@ rec(ti, j, role, d, y, x, id) AS (
              LEAST(abs(CAST(c.x AS DOUBLE) - ce.cx),
                    {NXG} - abs(CAST(c.x AS DOUBLE) - ce.cx)) AS dx
       FROM cur c JOIN par pa ON pa.cid = c.id JOIN cents ce ON ce.id = pa.pid),
-    best AS (
-      SELECT y, x, cid, rk,
-             ROW_NUMBER() OVER (PARTITION BY y, x
-                                ORDER BY dy * dy + dx * dx, rk) AS brn
-      FROM assign),
+    {best_sql}
     pieceids AS (
       SELECT cid, rk,
              1000000000 * CAST((SELECT ti FROM st) * 16 + (SELECT j FROM st) + 1 AS BIGINT)
@@ -1058,3 +1096,68 @@ def trk_j9u_merge_ledger(spark, sf_dir):
         ).alias("total_overlap"),
         F.array_max("overlap_areas").cast("long").alias("max_overlap"),
     )
+
+
+# ----------------------------- M9 NN-partitioning mode (gridded, capped)
+
+_M9NN_DIST = 2.0  # max_distance → cap = 4.0 (forces both NN and fallback paths)
+
+_M9NN_TAIL = f""",
+fareas AS (SELECT id, COUNT(*) AS a FROM fcells GROUP BY id),
+fov AS (
+  SELECT a.id AS u, b.id AS v, COUNT(*) AS o
+  FROM fcells a JOIN fcells b ON b.ti = a.ti + 1 AND a.y = b.y AND a.x = b.x
+  GROUP BY 1, 2),
+fp AS (
+  SELECT u, v FROM fov
+  JOIN fareas fa ON fov.u = fa.id JOIN fareas fb ON fov.v = fb.id
+  WHERE fov.o >= {_M9_THR} * LEAST(fa.a, fb.a)),
+fsym AS (SELECT u, v FROM fp UNION SELECT v, u FROM fp),
+fobjs AS (SELECT DISTINCT id FROM fcells),
+ewalk(u, lbl) AS (
+  SELECT id, id FROM fobjs
+  UNION
+  SELECT s.u, w.lbl FROM fsym s JOIN ewalk w ON s.v = w.u),
+eroot AS (SELECT u AS id, MIN(lbl) AS root FROM ewalk GROUP BY u)
+SELECT MIN(f.d) AS time_start, MAX(f.d) AS time_end,
+       CAST(COUNT(DISTINCT f.d) AS BIGINT) AS n_timesteps,
+       CAST(COUNT(*) AS BIGINT) AS total_cells
+FROM fcells f JOIN eroot r USING (id)
+GROUP BY r.root"""
+
+_M9NN_SQL = _m9_recursion_sql(nn_cap=_M9NN_DIST * _M9NN_DIST) + _M9NN_TAIL
+
+
+@register("trk_m9nn_split_merge", _M9NN_SQL)
+def trk_m9nn_split_merge(spark, sf_dir):
+    """The resolver's NN-partitioning mode (reference partition_nn_grid
+    track.py:4973-5113 + the distance-cap centroid fallback 5224-5238):
+    child cells go to the parent with the nearest MEMBER cell, capped
+    at max_distance=2 pixels, beyond which the nearest-centroid rule
+    takes over. NN distances are exact integers, so this mode's replay
+    has no float hazard at all. Id-free lifetime stats."""
+    from marex_spark.operators.track import track_events
+
+    base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
+    res = track_events(
+        base, nx=NXG, time_col="d", overlap_threshold=_M9_THR,
+        compute_stats=False, allow_merging=True, merge_parallel=False,
+        nn_partitioning=True, max_distance=_M9NN_DIST,
+    )
+    return _m9_lifetime(res)
+
+
+@register("trk_m9nn_parallel", _M9NN_SQL)
+def trk_m9nn_parallel(spark, sf_dir):
+    """NN mode through the parallel Jacobi tier — same replay oracle
+    (tiers are pinned output-equal)."""
+    from marex_spark.operators.track import track_events
+
+    base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
+    res = track_events(
+        base, nx=NXG, time_col="d", overlap_threshold=_M9_THR,
+        compute_stats=False, allow_merging=True,
+        merge_parallel=True, merge_chunk_steps=8,
+        nn_partitioning=True, max_distance=_M9NN_DIST,
+    )
+    return _m9_lifetime(res)
