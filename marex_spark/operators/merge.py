@@ -157,6 +157,8 @@ def _min_dist_to_members(
 # round count of the most recent split_merge_events_parallel call —
 # introspection for tests/benchmarks (2-3 expected; n_blocks worst case)
 LAST_PARALLEL_ROUNDS = 0
+# per-round stale-block counts of the most recent parallel call
+_PARALLEL_STALE_LOG: list = []
 
 # Driver-materialisation budget for the SERIAL tiers (one-shot collects
 # the whole series; chunked pages per chunk). ~40 bytes/sparse cell in
@@ -946,26 +948,61 @@ def split_merge_events_parallel(
             zip(pdf[time_col], *[pdf[c] for c in key_cols], pdf["obj_id"])
         )
 
-    carry_in: dict[int, pd.DataFrame | None] = {b: None for b in range(n_blocks)}
-    rounds_cap = max_rounds or n_blocks
-    out = None
-    prev_out = None
-    stable = False
+    # Seed every block's carry with the UNRESOLVED last-two slices of
+    # its predecessor: a block's resolution rarely changes its own tail,
+    # so the seed is usually already the fixpoint. Round 1 then resolves
+    # all blocks against near-true carries, and each later round
+    # re-resolves ONLY the blocks whose carry-in actually changed
+    # ("stale") — typically none, so the common case is ONE full round
+    # plus a cheap stability check instead of two full rounds. The
+    # convergence argument is unchanged: a block is re-resolved whenever
+    # its desired carry differs from the one it was last resolved with,
+    # so at the fixpoint every block has been resolved against the true
+    # chain (block 0 exact after round 1, block b after <= b+1 rounds).
+    seed_cols = [time_col, *coord_cols, "obj_id", "block"]
+    if carry_times:
+        seed_pdf = (
+            cells_b.filter(F.col(time_col).isin(list(carry_times)))
+            .select(*seed_cols)
+            .toPandas()
+        )
+    else:
+        seed_pdf = pd.DataFrame(columns=seed_cols)
+    carry_in: dict[int, pd.DataFrame | None] = {0: None}
+    for b in range(n_blocks - 1):
+        g = seed_pdf[seed_pdf["block"] == b][[time_col, *coord_cols, "obj_id"]]
+        carry_in[b + 1] = g if len(g) else None
+    _UNRESOLVED = object()
+    carry_used: dict[int, object] = {b: _UNRESOLVED for b in range(n_blocks)}
+    latest: dict[int, int] = {}
+    round_dfs: list[DataFrame] = []
+    rounds_cap = max_rounds or (n_blocks + 1)
     global LAST_PARALLEL_ROUNDS
     LAST_PARALLEL_ROUNDS = 0
-    for _ in range(rounds_cap):
+    from pyspark.storagelevel import StorageLevel
+
+    def _same_carry(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        return _carry_key(a) == _carry_key(b)
+
+    stale = list(range(n_blocks))
+    _PARALLEL_STALE_LOG.clear()
+    for rnd in range(rounds_cap):
+        if not stale:
+            break
         LAST_PARALLEL_ROUNDS += 1
-        inp = cells_b.withColumn("is_carry", F.lit(0))
+        inp = cells_b.filter(F.col("block").isin(stale)).withColumn(
+            "is_carry", F.lit(0)
+        )
         carry_frames = [
-            pdf.assign(block=b)
-            for b, pdf in carry_in.items()
-            if pdf is not None and len(pdf)
+            carry_in[b].assign(block=b)
+            for b in stale
+            if carry_in[b] is not None and len(carry_in[b])
         ]
         if carry_frames:
             cdf = spark.createDataFrame(
-                pd.concat(carry_frames, ignore_index=True)[
-                    [time_col, *coord_cols, "obj_id", "block"]
-                ],
+                pd.concat(carry_frames, ignore_index=True)[seed_cols],
                 schema=(
                     f"{time_col} {time_type}, {coord_schema}, "
                     "obj_id long, block long"
@@ -975,53 +1012,54 @@ def split_merge_events_parallel(
         # explicit repartition by block: AQE would otherwise coalesce
         # the small shuffle and serialise the per-block kernels.
         # persist (not localCheckpoint): lineage does NOT grow across
-        # rounds (each round derives from cells_b + small carries), and
-        # persist lets the PREVIOUS round's full-dataset copy be freed
-        # as soon as its successor's carries are extracted.
-        n_part = max(n_blocks, spark.sparkContext.defaultParallelism)
-        from pyspark.storagelevel import StorageLevel
-
-        out = (
+        # rounds (each round derives from cells_b + small carries).
+        n_part = max(len(stale), spark.sparkContext.defaultParallelism)
+        fresh = (
             inp.repartition(n_part, "block")
             .groupBy("block")
             .applyInPandas(_block_kernel, schema=out_schema)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        co = out.filter(
-            (F.col("kind") == 0) & F.col(time_col).isin(list(carry_times))
-        ).toPandas()
-        if prev_out is not None:
-            prev_out.unpersist()
-        prev_out = out
-        new_carry: dict[int, pd.DataFrame | None] = {0: None}
-        for b in range(n_blocks - 1):
-            g = co[co["block"] == b][[time_col, *coord_cols, "obj_id"]]
-            new_carry[b + 1] = g if len(g) else None
-        stable = all(
-            (
-                (new_carry[b] is None and carry_in[b] is None)
-                or (
-                    new_carry[b] is not None
-                    and carry_in[b] is not None
-                    and _carry_key(new_carry[b]) == _carry_key(carry_in[b])
-                )
-            )
+        round_dfs.append(fresh)
+        for b in stale:
+            carry_used[b] = carry_in[b]
+            latest[b] = rnd
+        if carry_times:
+            co = fresh.filter(
+                (F.col("kind") == 0) & F.col(time_col).isin(list(carry_times))
+            ).toPandas()
+            for b in stale:
+                if b + 1 < n_blocks:
+                    g = co[co["block"] == b][[time_col, *coord_cols, "obj_id"]]
+                    carry_in[b + 1] = g if len(g) else None
+        stale = [
+            b
             for b in range(n_blocks)
-        )
-        if stable:
-            break
-        carry_in = new_carry
-    if not stable:
+            if carry_used[b] is _UNRESOLVED
+            or not _same_carry(carry_in[b], carry_used[b])
+        ]
+        _PARALLEL_STALE_LOG.append(len(stale))
+    if stale:
         # only reachable with a caller-supplied max_rounds below the
-        # guaranteed-convergence bound (#blocks) — returning silently
-        # would violate the byte-identical-to-serial contract
+        # guaranteed-convergence bound (#blocks + 1) — returning
+        # silently would violate the byte-identical-to-serial contract
         from marex_spark.exceptions import ProcessingError
 
         raise ProcessingError(
             "parallel merge resolution did not converge within max_rounds",
             details={"rounds": LAST_PARALLEL_ROUNDS, "n_blocks": n_blocks},
-            suggestions=["raise max_rounds (defaults to #blocks, which always converges)"],
+            suggestions=["raise max_rounds (defaults to #blocks + 1, which always converges)"],
         )
+
+    # stitch the final output: every block's LATEST resolution
+    from functools import reduce
+
+    parts = []
+    for rnd, df in enumerate(round_dfs):
+        blocks_r = [b for b, lr in latest.items() if lr == rnd]
+        if blocks_r:
+            parts.append(df.filter(F.col("block").isin(blocks_r)))
+    out = reduce(DataFrame.unionByName, parts)
 
     # ---- renumber block-local new ids into the serial time-order counter
     led_pdf = out.filter(F.col("kind") == 2).toPandas()
@@ -1065,7 +1103,8 @@ def split_merge_events_parallel(
     # checkpoint cuts lineage, so dropping the references lets the
     # ContextCleaner reclaim cells_b too.
     cells_out = cells_out.localCheckpoint()
-    out.unpersist()
+    for df in round_dfs:
+        df.unpersist()
     return cells_out, _ledger_df(spark, ledger, time_col, time_type)
 
 
