@@ -717,7 +717,13 @@ def split_merge_events_chunked(
                 ignore_index=True,
             )
             schema = f"{time_col} {time_type}, cell long, obj_id long"
-        out_frames.append(spark.createDataFrame(chunk_pdf, schema=schema))
+        # one pandas frame -> a couple of partitions, not
+        # defaultParallelism slices: the final union of C chunks would
+        # otherwise carry C x 32 tiny partitions through every
+        # downstream stage
+        out_frames.append(
+            spark.createDataFrame(chunk_pdf, schema=schema).coalesce(2)
+        )
         carry = [(stimes[i], slices[i]) for i in range(len(stimes))][-2:]
 
     from functools import reduce

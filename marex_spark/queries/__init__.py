@@ -108,8 +108,10 @@ _PRIORITY = [
     "s6_catalog_scan",
     "trk_m5_track_nomerge",
     "trk_extend_incremental",
+    # mesh incremental append (new r4): oracle = full no-merge mesh
+    # chain replay, proving mesh-incremental == mesh-from-scratch
+    "trk_extendu_incremental",
     "dedup_minhash_lsh",
-    "mm_media_meta",
 ]
 
 

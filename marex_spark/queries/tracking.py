@@ -1161,3 +1161,83 @@ def trk_m9nn_parallel(spark, sf_dir):
         nn_partitioning=True, max_distance=_M9NN_DIST,
     )
     return _m9_lifetime(res)
+
+
+# ----------------------------- mesh incremental append (extend, no-merge)
+
+_M6X_SQL = """WITH RECURSIVE active AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, CAST(event_id % 120 AS BIGINT) AS cell
+  FROM events WHERE value > 60),
+ring AS (
+  SELECT CAST(g.c AS BIGINT) AS cell, CAST((g.c + 1) % 120 AS BIGINT) AS nbr
+  FROM (SELECT UNNEST(generate_series(0, 119)) AS c) g),
+rsym AS (SELECT cell, nbr FROM ring UNION SELECT nbr, cell FROM ring),
+medges AS (
+  SELECT a.d, a.cell AS u, s.nbr AS v
+  FROM active a JOIN rsym s ON s.cell = a.cell
+  JOIN active b ON b.d = a.d AND b.cell = s.nbr),
+walk(d, u, lbl) AS (
+  SELECT d, cell, cell FROM active
+  UNION
+  SELECT e.d, e.u, w.lbl FROM medges e JOIN walk w ON w.d = e.d AND w.u = e.v),
+comp AS (SELECT d, u AS cell, MIN(lbl) AS root FROM walk GROUP BY d, u),
+locals AS (
+  SELECT d, cell, DENSE_RANK() OVER (PARTITION BY d ORDER BY root) AS local_id
+  FROM comp),
+offs AS (SELECT d, MAX(local_id) AS mx FROM locals GROUP BY d),
+offs2 AS (
+  SELECT d, COALESCE(SUM(mx) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM offs),
+dayidx AS (
+  SELECT d, DENSE_RANK() OVER (ORDER BY d) AS ti
+  FROM (SELECT DISTINCT d FROM active)),
+cells AS (
+  SELECT di.ti, l.d, l.cell, CAST(l.local_id + o.off AS BIGINT) AS id
+  FROM locals l JOIN offs2 o USING (d) JOIN dayidx di USING (d)),
+pairs0 AS (
+  SELECT DISTINCT a.id AS u, b.id AS v
+  FROM cells a JOIN cells b ON b.ti = a.ti + 1 AND a.cell = b.cell),
+psym AS (SELECT u, v FROM pairs0 UNION SELECT v, u FROM pairs0),
+objs AS (SELECT DISTINCT id FROM cells),
+ewalk(u, lbl) AS (
+  SELECT id, id FROM objs
+  UNION
+  SELECT s.u, w.lbl FROM psym s JOIN ewalk w ON s.v = w.u),
+eroot AS (SELECT u AS id, MIN(lbl) AS root FROM ewalk GROUP BY u)
+SELECT MIN(c.d) AS time_start, MAX(c.d) AS time_end,
+       CAST(COUNT(DISTINCT c.d) AS BIGINT) AS n_timesteps,
+       CAST(COUNT(*) AS BIGINT) AS total_cells
+FROM cells c JOIN eroot r USING (id)
+GROUP BY r.root"""
+
+
+@register("trk_extendu_incremental", _M6X_SQL)
+def trk_extendu_incremental(spark, sf_dir):
+    """Mesh incremental append (operators/track.py
+    extend_track_events_unstructured): track the first half of the ring
+    mesh series, extend with the second half — the combined run must
+    equal a from-scratch mesh tracking. The oracle replays the full
+    no-merge mesh chain in SQL (M6 labelling, consecutive-day cell
+    overlap graph, min-root closure, id-free lifetime stats) — so a
+    green row proves mesh-incremental == mesh-from-scratch on the
+    driver's own gate."""
+    from marex_spark.operators.track import (
+        extend_track_events_unstructured,
+        track_events_unstructured,
+    )
+
+    ext, edges, geo = _m9u_inputs(spark, sf_dir)
+    days = sorted(r[0] for r in ext.select("d").distinct().collect())
+    cutoff = days[len(days) // 2]
+    prior = track_events_unstructured(
+        ext.filter(F.col("d") <= F.lit(cutoff)), edges,
+        time_col="d", compute_stats=False,
+    )
+    res = extend_track_events_unstructured(
+        prior.events,
+        ext.filter(F.col("d") > F.lit(cutoff)),
+        edges,
+        time_col="d", compute_stats=False,
+    )
+    return _m9u_lifetime(res)
