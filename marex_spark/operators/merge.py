@@ -757,6 +757,7 @@ def split_merge_events_parallel(
     labels_materialized: bool = False,
     geometry: str = "grid",
     cell_geo: DataFrame | None = None,
+    max_driver_cells: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Wall-clock-parallel merge resolution (the reference's batched
     iteration tier, track.py:3804-4814, re-expressed for Spark).
@@ -819,6 +820,7 @@ def split_merge_events_parallel(
                 max_distance=max_distance,
                 max_iter_per_step=max_iter_per_step,
                 labels_materialized=True,
+                max_driver_cells=max_driver_cells,
             )
         return split_merge_events_unstructured(
             labels_raw,
@@ -827,6 +829,7 @@ def split_merge_events_parallel(
             time_col=time_col,
             nn_partitioning=nn_partitioning,
             max_distance=max_distance,
+            max_driver_cells=max_driver_cells,
         )
 
     block_of = {t: i // block_steps for i, t in enumerate(times)}
@@ -1121,16 +1124,21 @@ def split_merge_events_unstructured(
     time_col: str = "time",
     nn_partitioning: bool = False,
     max_distance: float | None = None,
+    max_driver_cells: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Unstructured-mesh form of :func:`split_merge_events`
     (track.py:3804+ semantics, serial tier): spherical centroids +
-    haversine partitioning. ``cell_geo``: (cell, lat, lon)."""
+    haversine partitioning. ``cell_geo``: (cell, lat, lon). Fails fast
+    past ``max_driver_cells`` (default :data:`SERIAL_CELL_BUDGET`)
+    instead of OOMing the driver."""
     spark = labels.sparkSession
-    pdf = (
-        labels.select(time_col, "cell", "obj_id")
-        .join(F.broadcast(cell_geo.select("cell", "lat", "lon")), "cell")
-        .toPandas()
+    joined = labels.select(time_col, "cell", "obj_id").join(
+        F.broadcast(cell_geo.select("cell", "lat", "lon")), "cell"
+    ).localCheckpoint()
+    _guard_serial_cells(
+        joined.count(), max_driver_cells, "split_merge_events_unstructured"
     )
+    pdf = joined.toPandas()
     out, ledger = split_merge_serial(
         pdf,
         overlap_threshold=overlap_threshold,

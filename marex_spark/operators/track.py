@@ -144,6 +144,7 @@ def track_events(
     compact_ids: bool = False,
     labels: DataFrame | None = None,
     cell_areas: DataFrame | None = None,
+    max_driver_cells: int | None = None,
 ) -> TrackResult:
     """Boolean extreme field → globally labelled events with stats.
 
@@ -215,6 +216,7 @@ def track_events(
                 nn_partitioning=nn_partitioning,
                 max_distance=max_distance,
                 labels_materialized=True,
+                max_driver_cells=max_driver_cells,
             )
         elif merge_chunk_steps:
             labels, ledger = split_merge_events_chunked(
@@ -227,6 +229,7 @@ def track_events(
                 nn_partitioning=nn_partitioning,
                 max_distance=max_distance,
                 labels_materialized=True,  # label_components checkpoints
+                max_driver_cells=max_driver_cells,
             )
         else:
             labels, ledger = split_merge_events(
@@ -237,6 +240,7 @@ def track_events(
                 time_col=time_col,
                 nn_partitioning=nn_partitioning,
                 max_distance=max_distance,
+                max_driver_cells=max_driver_cells,
             )
         labels = labels.localCheckpoint()
         extras["merge_ledger"] = ledger
@@ -315,6 +319,7 @@ def track_events_unstructured(
     merge_block_steps: int = 64,
     compact_ids: bool = False,
     labels: DataFrame | None = None,
+    max_driver_cells: int | None = None,
 ) -> TrackResult:
     """Unstructured-mesh tracking (reference unstructured path,
     track.py:1023-1117 setup + M6/M2 kernels): boolean (time, cell)
@@ -364,6 +369,7 @@ def track_events_unstructured(
                 max_distance=max_distance,
                 geometry="sphere",
                 cell_geo=cell_geo,
+                max_driver_cells=max_driver_cells,
             )
         else:
             labels, ledger = split_merge_events_unstructured(
@@ -373,6 +379,7 @@ def track_events_unstructured(
                 time_col=time_col,
                 nn_partitioning=nn_partitioning,
                 max_distance=max_distance,
+                max_driver_cells=max_driver_cells,
             )
         labels = labels.localCheckpoint()
         extras["merge_ledger"] = ledger

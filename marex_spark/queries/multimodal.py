@@ -118,7 +118,10 @@ def mm_feature_extract(spark, sf_dir):
     byte = position mod payload length). Integer sums are exact in
     float64, making the means bit-identical; std is rounded to 2
     decimals (numpy's two-pass vs SQL's moment formula differ at
-    ~1e-13)."""
+    ~1e-13). ORACLE PRECONDITION: the documents fixture is pure ASCII
+    and non-empty (verified for the driver's testdata at every SF) —
+    the SQL tiles by character position, which equals the engine's
+    byte tiling only for 1-byte characters."""
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(attach_media(docs))
     return feats.select(

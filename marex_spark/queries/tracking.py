@@ -451,9 +451,14 @@ def trk_extend_incremental(spark, sf_dir):
 # Merge events ('ledger' rows) are emitted as they happen. After the
 # recursion, event linking (J5 overlap graph at the same threshold +
 # min-root union-find) and per-event stats replay in SQL exactly like
-# trk_m5. All resolver decisions depend only on id ORDER (never
-# values), cell geometry and integer areas, so the replay is exact;
-# the one caveat: consolidation uses the disjoint-group mapping
+# trk_m5. Resolver decisions depend only on id ORDER (never values),
+# cell geometry and integer areas. Exactness caveats, stated honestly:
+# (a) centroid coordinates go through AVG/sin/cos/atan2, where numpy's
+# pairwise summation and libm differ from DuckDB's at ulp level — a
+# child cell whose two parent distances tie within ~1e-12 could be
+# assigned differently (the NN mode has no such hazard: its distances
+# are exact integers); verified stable across repeated runs on both
+# driver fixtures. (b) consolidation uses the disjoint-group mapping
 # (child -> min child of its parent), which equals the engine's
 # sequential renaming whenever no child has two surviving parents at
 # consolidation time (holds on these fixtures — the engine skips
@@ -645,11 +650,18 @@ rec(ti, j, role, d, y, x, id) AS (
 fcells AS MATERIALIZED (SELECT ti, d, y, x, id FROM rec WHERE role = 'final')"""
 
 
-_M9_SQL = f"""{_m9_recursion_sql()},
+
+
+def _m9_link_tail(keys: str) -> str:
+    """Shared final-linking + id-free lifetime stats tail of every
+    resolver replay oracle (J5 overlap graph at the threshold, min-root
+    union-find, per-event stats). ``keys``: the same-cell join
+    predicate, e.g. "a.y = b.y AND a.x = b.x" or "a.cell = b.cell"."""
+    return f""",
 fareas AS (SELECT id, COUNT(*) AS a FROM fcells GROUP BY id),
 fov AS (
   SELECT a.id AS u, b.id AS v, COUNT(*) AS o
-  FROM fcells a JOIN fcells b ON b.ti = a.ti + 1 AND a.y = b.y AND a.x = b.x
+  FROM fcells a JOIN fcells b ON b.ti = a.ti + 1 AND {keys}
   GROUP BY 1, 2),
 fp AS (
   SELECT u, v FROM fov
@@ -667,6 +679,9 @@ SELECT MIN(f.d) AS time_start, MAX(f.d) AS time_end,
        CAST(COUNT(*) AS BIGINT) AS total_cells
 FROM fcells f JOIN eroot r USING (id)
 GROUP BY r.root"""
+
+
+_M9_SQL = _m9_recursion_sql() + _m9_link_tail("a.y = b.y AND a.x = b.x")
 
 
 _J9_SQL = f"""{_m9_recursion_sql()},
@@ -971,28 +986,7 @@ rec(ti, j, role, d, cell, aux, id) AS (
 fcells AS MATERIALIZED (SELECT ti, d, cell, id FROM rec WHERE role = 'final')"""
 
 
-_M9U_SQL = f"""{_m9u_recursion_sql()},
-fareas AS (SELECT id, COUNT(*) AS a FROM fcells GROUP BY id),
-fov AS (
-  SELECT a.id AS u, b.id AS v, COUNT(*) AS o
-  FROM fcells a JOIN fcells b ON b.ti = a.ti + 1 AND a.cell = b.cell
-  GROUP BY 1, 2),
-fp AS (
-  SELECT u, v FROM fov
-  JOIN fareas fa ON fov.u = fa.id JOIN fareas fb ON fov.v = fb.id
-  WHERE fov.o >= {_M9_THR} * LEAST(fa.a, fb.a)),
-fsym AS (SELECT u, v FROM fp UNION SELECT v, u FROM fp),
-fobjs AS (SELECT DISTINCT id FROM fcells),
-ewalk(u, lbl) AS (
-  SELECT id, id FROM fobjs
-  UNION
-  SELECT s.u, w.lbl FROM fsym s JOIN ewalk w ON s.v = w.u),
-eroot AS (SELECT u AS id, MIN(lbl) AS root FROM ewalk GROUP BY u)
-SELECT MIN(f.d) AS time_start, MAX(f.d) AS time_end,
-       CAST(COUNT(DISTINCT f.d) AS BIGINT) AS n_timesteps,
-       CAST(COUNT(*) AS BIGINT) AS total_cells
-FROM fcells f JOIN eroot r USING (id)
-GROUP BY r.root"""
+_M9U_SQL = _m9u_recursion_sql() + _m9_link_tail("a.cell = b.cell")
 
 
 _J9U_SQL = f"""{_m9u_recursion_sql()},
@@ -1030,14 +1024,8 @@ def _m9u_inputs(spark, sf_dir):
     return ext, edges, geo
 
 
-def _m9u_lifetime(res):
-    life = res.events.groupBy("event_id").agg(
-        F.min("d").alias("time_start"),
-        F.max("d").alias("time_end"),
-        F.countDistinct("d").cast("long").alias("n_timesteps"),
-        F.count("*").cast("long").alias("total_cells"),
-    )
-    return life.select("time_start", "time_end", "n_timesteps", "total_cells")
+# identical id-free payload on the mesh
+_m9u_lifetime = _m9_lifetime
 
 
 @register("trk_m9u_split_merge", _M9U_SQL)
@@ -1102,30 +1090,9 @@ def trk_j9u_merge_ledger(spark, sf_dir):
 
 _M9NN_DIST = 2.0  # max_distance → cap = 4.0 (forces both NN and fallback paths)
 
-_M9NN_TAIL = f""",
-fareas AS (SELECT id, COUNT(*) AS a FROM fcells GROUP BY id),
-fov AS (
-  SELECT a.id AS u, b.id AS v, COUNT(*) AS o
-  FROM fcells a JOIN fcells b ON b.ti = a.ti + 1 AND a.y = b.y AND a.x = b.x
-  GROUP BY 1, 2),
-fp AS (
-  SELECT u, v FROM fov
-  JOIN fareas fa ON fov.u = fa.id JOIN fareas fb ON fov.v = fb.id
-  WHERE fov.o >= {_M9_THR} * LEAST(fa.a, fb.a)),
-fsym AS (SELECT u, v FROM fp UNION SELECT v, u FROM fp),
-fobjs AS (SELECT DISTINCT id FROM fcells),
-ewalk(u, lbl) AS (
-  SELECT id, id FROM fobjs
-  UNION
-  SELECT s.u, w.lbl FROM fsym s JOIN ewalk w ON s.v = w.u),
-eroot AS (SELECT u AS id, MIN(lbl) AS root FROM ewalk GROUP BY u)
-SELECT MIN(f.d) AS time_start, MAX(f.d) AS time_end,
-       CAST(COUNT(DISTINCT f.d) AS BIGINT) AS n_timesteps,
-       CAST(COUNT(*) AS BIGINT) AS total_cells
-FROM fcells f JOIN eroot r USING (id)
-GROUP BY r.root"""
-
-_M9NN_SQL = _m9_recursion_sql(nn_cap=_M9NN_DIST * _M9NN_DIST) + _M9NN_TAIL
+_M9NN_SQL = _m9_recursion_sql(nn_cap=_M9NN_DIST * _M9NN_DIST) + _m9_link_tail(
+    "a.y = b.y AND a.x = b.x"
+)
 
 
 @register("trk_m9nn_split_merge", _M9NN_SQL)

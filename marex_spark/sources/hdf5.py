@@ -491,12 +491,14 @@ def ingest_netcdf4(
         dt = np.dtype(dtype_str)
         for b in batches:
             frames = []
-            for t0, y0, x0, addr, nbytes, fmask, filtered in zip(
-                b["t0"], b["y0"], b["x0"], b["addr"], b["nbytes"], b["fmask"], b["filtered"]
-            ):
-                with open(path, "rb") as f:
+            with open(path, "rb") as f:  # one handle per Arrow batch
+                raws = []
+                for addr, nbytes in zip(b["addr"], b["nbytes"]):
                     f.seek(int(addr))
-                    raw = f.read(int(nbytes))
+                    raws.append(f.read(int(nbytes)))
+            for raw, t0, y0, x0, fmask, filtered in zip(
+                raws, b["t0"], b["y0"], b["x0"], b["fmask"], b["filtered"]
+            ):
                 a = _decode_chunk(
                     raw, filters if filtered else [], int(fmask), dt, chunk_shape
                 )

@@ -78,9 +78,16 @@ def ingest_netcdf(
 
         return ingest_netcdf_classic(spark, nc_path, var, time_var=time_dim)
     if magic == b"\x89HDF\r\n\x1a\n":
+        from marex_spark.exceptions import DataValidationError
         from marex_spark.sources.hdf5 import ingest_netcdf4
 
-        return ingest_netcdf4(spark, nc_path, var, time_var=time_dim)
+        try:
+            return ingest_netcdf4(spark, nc_path, var, time_var=time_dim)
+        except (DataValidationError, NotImplementedError):
+            # outside the stdlib subset (new-style groups, superblock
+            # v2+, exotic filters) — fall through to the xarray path
+            # below rather than regressing files that used to ingest
+            pass
     try:
         import xarray as xr  # noqa: F401
     except ImportError as e:  # pragma: no cover
@@ -307,7 +314,19 @@ def extend_track_run(
                 details={"path": path},
             )
     else:
-        track_kwargs.pop("compact_ids", None)
+        explicit = track_kwargs.pop("compact_ids", None)
+        if explicit is True:
+            # archive records compact_ids=False — honouring the request
+            # is impossible (extension requires root-stable ids), and
+            # silently ignoring it would hand back non-compact ids the
+            # caller believes are compacted
+            raise ConfigurationError(
+                "compact_ids=True conflicts with the archive's recorded "
+                "compact_ids=False — extension cannot produce compacted "
+                "ids; re-run tracking with compact_ids=True if dense ids "
+                "are required",
+                details={"path": path},
+            )
     if "overlap_threshold" not in track_kwargs and "overlap_threshold" in attrs:
         track_kwargs["overlap_threshold"] = float(attrs["overlap_threshold"])
     # a merge-mode archive must resume the resolver: extending with the

@@ -92,8 +92,13 @@ def read_array_driver(array_dir: str) -> np.ndarray:
     fill = meta.get("fill_value")
     fv = float(fill) if isinstance(fill, str) else fill
     dt = np.dtype(meta["dtype"])
-    if fv is not None and dt.kind == "f":
-        out = np.full(shape, fv, dtype=dt)
+    if fv is not None and (
+        dt.kind == "f" or (np.isfinite(fv) and float(fv) == int(fv))
+    ):
+        # integer arrays honour the fill too (e.g. a neighbours table
+        # padded with -1 and written with write_empty_chunks=False —
+        # zero-filling would fabricate VALID cell index 0)
+        out = np.full(shape, dt.type(fv), dtype=dt)
     else:
         out = np.zeros(shape, dtype=dt)
     grid = [range((s + c - 1) // c) for s, c in zip(shape, chunks)]

@@ -74,7 +74,6 @@ def write_threshold_state(
     climatology: DataFrame,
     thresholds: DataFrame,
     path: str,
-    keys: tuple[str, ...] = ("y", "x"),
 ) -> None:
     """Persist the batch-built scoring state PARTITIONED BY doy — the
     100 TB form of the stream-static state. A hobday threshold table is
@@ -83,10 +82,12 @@ def write_threshold_state(
     (which spans a handful of calendar days) prunes to just its own
     doy partitions — MBs, broadcastable again.
 
-    climatology (doy, *keys, clim) and thresholds ((doy,)? *keys,
-    threshold) are joined once here so scoring reads ONE state table;
-    a doy-free (global_extreme) threshold fans out to all 366
-    partitions of its climatology doy."""
+    Join contract: EVERY non-``threshold`` column of ``thresholds``
+    is a join key against ``climatology`` (doy, *keys, clim) — the
+    same convention :func:`score_stream` uses. The two are joined once
+    here so scoring reads ONE state table; a doy-free (global_extreme)
+    threshold fans out to all 366 partitions of its climatology
+    doy."""
     state = climatology.join(
         thresholds, [c for c in thresholds.columns if c != "threshold"]
     )

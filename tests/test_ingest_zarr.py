@@ -183,3 +183,30 @@ def test_zattrs_calendar_decode(spark, tmp_path):
         F.year("time").alias("y"), F.dayofyear("time").alias("d")
     ).first()
     assert (d365.y, d365.d) == (2001, 1)  # noleap: no Feb 29 slot
+
+
+def test_read_array_driver_integer_fill(tmp_path):
+    """Missing chunks of an INTEGER array must read back as the store's
+    fill_value (e.g. -1 'no neighbour' padding), not fabricated zeros."""
+    import json
+    import os
+    import zlib
+
+    import numpy as np
+
+    from marex_spark.sources.zarr import read_array_driver
+
+    d = tmp_path / "arr"
+    os.makedirs(d)
+    meta = {
+        "zarr_format": 2, "shape": [4, 3], "chunks": [2, 3],
+        "dtype": "<i4", "order": "C", "fill_value": -1,
+        "compressor": {"id": "zlib", "level": 1}, "filters": None,
+    }
+    (d / ".zarray").write_text(json.dumps(meta))
+    # write ONLY chunk 0.0; chunk 1.0 is omitted (all-fill)
+    a = np.arange(6, dtype="<i4").reshape(2, 3)
+    (d / "0.0").write_bytes(zlib.compress(a.tobytes()))
+    out = read_array_driver(str(d))
+    np.testing.assert_array_equal(out[:2], a)
+    assert (out[2:] == -1).all()

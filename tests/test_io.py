@@ -468,3 +468,27 @@ def test_rewind_merge_mode_event_level(spark, tmp_path):
     b = partitions(spark.read.parquet(f"{tmp_path}/mrw/events"))
     assert a == b
     assert len(a) == 2  # the tail-only merge split back apart
+
+
+def test_extend_compact_conflict_raises(spark, tmp_path):
+    """An explicit compact_ids=True against a compact_ids=False archive
+    must fail loudly, not silently hand back non-compact ids."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.exceptions import ConfigurationError
+    from marex_spark.operators.track import track_events
+    from marex_spark.sources.io import extend_track_run, write_track_result
+    from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+    ext = synthetic_extremes_gridded(spark, n_time=4, ny=8, nx=16, seed=7)
+    times = sorted(r[0] for r in ext.select("time").distinct().collect())
+    prior = track_events(
+        ext.filter(F.col("time") <= F.lit(times[1])), nx=16, compute_stats=False
+    )
+    write_track_result(prior, f"{tmp_path}/cc")
+    with pytest.raises(ConfigurationError, match="conflicts"):
+        extend_track_run(
+            spark, f"{tmp_path}/cc",
+            ext.filter(F.col("time") > F.lit(times[1])),
+            nx=16, compute_stats=False, compact_ids=True,
+        )

@@ -332,3 +332,29 @@ class TestSerialBudgetGuard:
             split_merge_events_chunked(
                 labels, nx=16, chunk_steps=2, max_driver_cells=10
             )
+
+
+def test_parallel_rounds_are_stale_only(spark):
+    """The seeded Jacobi loop must NOT re-resolve every block every
+    round: after round 1 (all blocks, seeded carries), later rounds
+    touch only blocks whose carry-in changed — pinned via the stale
+    log so the scale property can't silently regress."""
+    import marex_spark.operators.merge as M
+    from marex_spark.operators.label import label_components
+    from marex_spark.sources.synthetic import synthetic_extremes_gridded
+
+    ext = synthetic_extremes_gridded(spark, n_time=40, ny=16, nx=32, seed=13)
+    labels = label_components(ext, nx=32)
+    out, _ = M.split_merge_events_parallel(
+        labels, nx=32, block_steps=5, overlap_threshold=0.5,
+        labels_materialized=True,
+    )
+    out.count()
+    log = list(M._PARALLEL_STALE_LOG)
+    assert log, "no rounds recorded"
+    n_blocks = 8  # 40 steps / 5
+    # round 1 resolves everything; every later round strictly fewer
+    for later in log[:-1][1:] if len(log) > 2 else []:
+        assert later < n_blocks
+    # the final stability check found nothing stale
+    assert log[-1] == 0 or M.LAST_PARALLEL_ROUNDS <= 2
