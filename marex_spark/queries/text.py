@@ -900,3 +900,130 @@ def txt_bigram_logprob(spark, sf_dir):
             ).alias("avg_bigram_logprob")
         )
     )
+
+
+# ------------------------------------------- classifier evaluation (AUC)
+
+def _auc_oracle() -> str:
+    base = _logreg_oracle(_LR_DIM, _LR_ITER, _LR_RATE)
+    return f"""WITH scored AS (SELECT * FROM ({base}) t),
+lab2 AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+jj AS (SELECT s.p AS s, l.y FROM scored s JOIN lab2 l USING (doc_id)),
+rk AS (
+  SELECT s, y,
+         RANK() OVER (ORDER BY s) AS mr,
+         COUNT(*) OVER (PARTITION BY s) AS ties
+  FROM jj),
+agg AS (
+  SELECT SUM(CASE WHEN y = 1.0 THEN mr + (ties - 1) / 2.0 END) AS rsum,
+         SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
+         COUNT(*) AS n
+  FROM rk)
+SELECT CAST(np AS BIGINT) AS n_pos,
+       CAST(n - np AS BIGINT) AS n_neg,
+       ROUND((rsum - CAST(np AS DOUBLE) * (np + 1) / 2.0)
+             / (CAST(np AS DOUBLE) * (n - np)), 6) AS auc
+FROM agg"""
+
+
+@register("txt_lr_auc", _auc_oracle())
+def txt_lr_auc(spark, sf_dir):
+    """Exact ROC-AUC of the in-engine logistic-regression quality
+    model via the Mann-Whitney rank statistic with average ranks for
+    ties — the evaluation half of a train/eval quality-filter loop.
+    Ranks are taken over the round6'd scores (which hash-match the
+    oracle's), so tie groups are identical on both engines and the
+    half-integer rank sums are exact in float64. One corpus-sized
+    window + one aggregate; at 100 TB the rank computes with the same
+    two-level (partition rank + broadcast offsets) pattern as W6."""
+    from pyspark.sql import Window as W
+
+    from marex_spark.operators.classify import (
+        hashed_bow_features,
+        logreg_fit,
+        logreg_predict,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_bow_features(docs, dim=_LR_DIM).localCheckpoint()
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    wts = logreg_fit(
+        feats, labels, dim=_LR_DIM, n_iter=_LR_ITER, lr=_LR_RATE,
+        features_materialized=True,
+    )
+    scored = logreg_predict(feats, wts).select(
+        "doc_id", round6(F.col("p")).alias("s")
+    )
+    j = scored.join(labels, "doc_id")
+    ranked = j.withColumn("mr", F.rank().over(W.orderBy("s"))).withColumn(
+        "ties", F.count("*").over(W.partitionBy("s"))
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.when(F.col("y") == 1.0, F.col("mr") + (F.col("ties") - 1) / 2.0)
+        ).alias("rsum"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("np"),
+        F.count("*").alias("n"),
+    )
+    return agg.select(
+        F.col("np").cast("long").alias("n_pos"),
+        (F.col("n") - F.col("np")).cast("long").alias("n_neg"),
+        round6(
+            (F.col("rsum") - F.col("np").cast("double") * (F.col("np") + 1) / 2.0)
+            / (F.col("np").cast("double") * (F.col("n") - F.col("np")))
+        ).alias("auc"),
+    )
+
+
+# ------------------------------------------- sequence packing for training
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "pipe_sequence_packing",
+    f"""WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents),
+    cum AS (
+      SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM toks),
+    binned AS (
+      SELECT CAST(before // {_PACK_BUDGET} AS BIGINT) AS bin, doc_id, n
+      FROM cum)
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS tok_sum,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM binned GROUP BY bin""",
+)
+def pipe_sequence_packing(spark, sf_dir):
+    """Concatenation-style sequence packing — the standard LM
+    training-data layout: documents concatenate in deterministic
+    (doc_id) order and split at context-window boundaries
+    ({budget} tokens); each document is attributed to the bin its
+    FIRST token lands in. Output: per-bin document count, token sum
+    and first doc. The exclusive prefix sum is the W6 pattern — at
+    100 TB it runs as per-partition sums + broadcast offsets instead
+    of the single-partition window used at this fixture size."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    cum = toks.withColumn("before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    binned = cum.withColumn(
+        "bin", (F.col("before") / _PACK_BUDGET).cast("long")
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("tok_sum"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
