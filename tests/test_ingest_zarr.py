@@ -210,3 +210,39 @@ def test_read_array_driver_integer_fill(tmp_path):
     out = read_array_driver(str(d))
     np.testing.assert_array_equal(out[:2], a)
     assert (out[2:] == -1).all()
+
+
+class TestBloscDecoders:
+    """Spec-derived vectors for the pure-Python codec primitives
+    (sources/blosc.py) — the lz4 path is also validated end-to-end
+    against the reference's real stores in test_reference_parity."""
+
+    def test_blosclz_vectors(self):
+        from marex_spark.sources.blosc import _blosclz_decompress
+
+        # ctrl=0x01 -> 2 literals; ctrl=0x40 -> match len 4, ofs 1
+        # (overlapping copy from dst[-2]) -> "ababab"
+        s = bytes([0x01]) + b"ab" + bytes([0x40, 0x01])
+        assert _blosclz_decompress(s, 6) == b"ababab"
+        assert _blosclz_decompress(bytes([0x04]) + b"hello", 5) == b"hello"
+
+    def test_lz4_vectors(self):
+        from marex_spark.sources.blosc import lz4_block_decompress
+
+        assert lz4_block_decompress(bytes([0x50]) + b"hello", 5) == b"hello"
+        # 2 literals + overlapping match (len 6, offset 2)
+        l2 = bytes([0x22]) + b"ab" + bytes([0x02, 0x00])
+        assert lz4_block_decompress(l2, 8) == b"abababab"
+        # long literal run (>=15 -> extension byte)
+        payload = bytes(range(20))
+        l3 = bytes([0xF0, 0x05]) + payload
+        assert lz4_block_decompress(l3, 20) == payload
+
+    def test_unshuffle(self):
+        import numpy as np
+
+        from marex_spark.sources.blosc import _unshuffle
+
+        a = np.arange(12, dtype="<i4")
+        shuf = a.view(np.uint8).reshape(12, 4).T.tobytes()
+        assert _unshuffle(shuf, 4) == a.tobytes()
