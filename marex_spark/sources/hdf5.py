@@ -387,26 +387,9 @@ def _decode_chunk(
 # ---------------------------------------------------------------------------
 
 
-def ingest_netcdf4(
-    spark,
-    path: str,
-    var: str,
-    time_var: str = "time",
-    layout: str = "long",
-):
-    """3-D (time, y, x) variable in a NetCDF-4/HDF5 file → Spark
-    DataFrame, same output contract as
-    :func:`marex_spark.sources.netcdf.ingest_netcdf_classic` (long rows
-    filtered of fill, or ``layout="packed"`` for the blocked kernel).
-
-    The driver reads only metadata: the chunk index becomes a
-    DataFrame of (chunk offsets, file address, byte count) descriptors
-    and each executor opens the file itself to read, inflate and
-    unshuffle its own chunks — the natural parallel unit for chunked
-    HDF5, one task per chunk batch, scaling with chunk count rather
-    than driver memory."""
-    from pyspark.sql import functions as F
-
+def _plan_file(path: str, var: str, time_var: str) -> dict:
+    """Driver-side ingest plan for ONE file: chunk descriptors + decode
+    parameters + decoded time coordinate. Metadata-sized."""
     from marex_spark.sources.netcdf import _decode_time_units
 
     header = read_hdf5_header(path)
@@ -415,7 +398,8 @@ def ingest_netcdf4(
         from marex_spark.exceptions import CoordinateError
 
         raise CoordinateError(
-            f"variable '{var}' not in file", details={"have": sorted(dsets)}
+            f"variable '{var}' not in file",
+            details={"have": sorted(dsets), "path": path},
         )
     v = dsets[var]
     if len(v["dims"]) != 3:
@@ -423,7 +407,7 @@ def ingest_netcdf4(
 
         raise CoordinateError(
             "expected a 3-D (time, y, x) variable",
-            details={"ndims": len(v["dims"]), "var": var},
+            details={"ndims": len(v["dims"]), "var": var, "path": path},
         )
     T, NY, NX = v["dims"]
     dtype = v["dtype"]
@@ -436,7 +420,6 @@ def ingest_netcdf4(
     offset = attrs.get("add_offset", [0.0])
     offset = float(offset[0] if isinstance(offset, list) else offset)
 
-    # time coordinate: driver-side, metadata-sized
     tv = dsets.get(time_var)
     if tv is not None and len(tv["dims"]) == 1 and tv["dims"][0] == T:
         raw_t = _read_small_dataset(path, tv)
@@ -473,50 +456,153 @@ def ingest_netcdf4(
             for c in v["chunks"]
         ]
     if not descs:
-        _err("dataset has no stored chunks", var=var)
-
-    keys_df = spark.createDataFrame(
-        descs, "t0 int, y0 int, x0 int, addr long, nbytes long, fmask int, filtered boolean"
-    ).repartition(
-        min(len(descs), spark.sparkContext.defaultParallelism * 4)
-    )
-    dtype_str = dtype.str
+        _err("dataset has no stored chunks", var=var, path=path)
     # compare the fill in the VARIABLE's precision: a float64 _FillValue
     # attribute (or one from a writer that widened it) must still match
     # the float32-rounded stored values
     fill_val = None if fill is None else float(np.asarray(fill).astype(dtype))
-    times_local = list(times)
+    return {
+        "path": path,
+        "descs": descs,
+        "chunk_shape": chunk_shape,
+        "dtype_str": dtype.str,
+        "filters": filters,
+        "fill_val": fill_val,
+        "scale": scale,
+        "offset": offset,
+        "times": list(times),
+        "T": T,
+        "NY": NY,
+        "NX": NX,
+    }
+
+
+def ingest_netcdf4(
+    spark,
+    path: str,
+    var: str,
+    time_var: str = "time",
+    layout: str = "long",
+):
+    """3-D (time, y, x) variable in a NetCDF-4/HDF5 file → Spark
+    DataFrame, same output contract as
+    :func:`marex_spark.sources.netcdf.ingest_netcdf_classic` (long rows
+    filtered of fill, or ``layout="packed"`` for the blocked kernel).
+
+    The driver reads only metadata: the chunk index becomes a
+    DataFrame of (chunk offsets, file address, byte count) descriptors
+    and each executor opens the file itself to read, inflate and
+    unshuffle its own chunks — the natural parallel unit for chunked
+    HDF5, one task per chunk batch, scaling with chunk count rather
+    than driver memory."""
+    return ingest_netcdf4_archive(
+        spark, [path], var, time_var=time_var, layout=layout
+    )
+
+
+def ingest_netcdf4_archive(
+    spark,
+    paths,
+    var: str,
+    time_var: str = "time",
+    layout: str = "long",
+    max_workers: int = 16,
+):
+    """A MULTI-FILE NetCDF-4 archive (the common one-file-per-year
+    layout) as ONE DataFrame: every file's chunk index is parsed on the
+    driver (thread pool — header parses are tiny random reads), all
+    descriptors land in a single chunk-descriptor DataFrame tagged by
+    file id, and one ``mapInPandas`` kernel decodes everything. Per-file
+    decode parameters (chunk geometry, filters, fill/scale, time
+    coordinate) ride a broadcast, so files may differ in chunking and
+    compression — only the (y, x) grid must match.
+
+    Scaling unit = the chunk across the WHOLE archive: a 1000-file
+    century is one DataFrame of ~10⁶ descriptor rows, not 1000 unioned
+    plans."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    paths = list(paths)
+    if not paths:
+        _err("empty path list")
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:
+        plans = list(ex.map(lambda p: _plan_file(p, var, time_var), paths))
+    NY, NX = plans[0]["NY"], plans[0]["NX"]
+    for pl in plans[1:]:
+        if (pl["NY"], pl["NX"]) != (NY, NX):
+            _err(
+                "archive files disagree on the (y, x) grid",
+                path=pl["path"], grid=(pl["NY"], pl["NX"]), want=(NY, NX),
+            )
+
+    rows = [
+        (fid, t0, y0, x0, addr, nbytes, fmask, filtered)
+        for fid, pl in enumerate(plans)
+        for (t0, y0, x0, addr, nbytes, fmask, filtered) in pl["descs"]
+    ]
+    keys_df = spark.createDataFrame(
+        rows,
+        "fid int, t0 int, y0 int, x0 int, addr long, nbytes long, "
+        "fmask int, filtered boolean",
+    ).repartition(
+        min(len(rows), spark.sparkContext.defaultParallelism * 4)
+    )
+    meta_bc = spark.sparkContext.broadcast(
+        {
+            fid: {
+                k: pl[k]
+                for k in (
+                    "path", "chunk_shape", "dtype_str", "filters",
+                    "fill_val", "scale", "offset", "times", "T",
+                )
+            }
+            for fid, pl in enumerate(plans)
+        }
+    )
 
     def _decode(batches):
-        dt = np.dtype(dtype_str)
+        meta = meta_bc.value
         for b in batches:
             frames = []
-            with open(path, "rb") as f:  # one handle per Arrow batch
+            handles: dict[int, object] = {}
+            try:
                 raws = []
-                for addr, nbytes in zip(b["addr"], b["nbytes"]):
+                for fid, addr, nbytes in zip(b["fid"], b["addr"], b["nbytes"]):
+                    fid = int(fid)
+                    f = handles.get(fid)
+                    if f is None:
+                        f = handles[fid] = open(meta[fid]["path"], "rb")
                     f.seek(int(addr))
                     raws.append(f.read(int(nbytes)))
-            for raw, t0, y0, x0, fmask, filtered in zip(
-                raws, b["t0"], b["y0"], b["x0"], b["fmask"], b["filtered"]
+            finally:
+                for f in handles.values():
+                    f.close()
+            for raw, fid, t0, y0, x0, fmask, filtered in zip(
+                raws, b["fid"], b["t0"], b["y0"], b["x0"], b["fmask"], b["filtered"]
             ):
+                m = meta[int(fid)]
+                chunk_shape = m["chunk_shape"]
+                dt = np.dtype(m["dtype_str"])
                 a = _decode_chunk(
-                    raw, filters if filtered else [], int(fmask), dt, chunk_shape
+                    raw, m["filters"] if filtered else [], int(fmask), dt, chunk_shape
                 )
                 # trim edge chunks (stored full-size, padded past the grid)
-                nt = min(chunk_shape[0], T - int(t0))
+                nt = min(chunk_shape[0], m["T"] - int(t0))
                 ny = min(chunk_shape[1], NY - int(y0))
                 nx = min(chunk_shape[2], NX - int(x0))
                 a = a[:nt, :ny, :nx].astype(np.float64)
-                if fill_val is not None:
-                    a = np.where(a == fill_val, np.nan, a)
-                a = a * scale + offset
+                if m["fill_val"] is not None:
+                    a = np.where(a == m["fill_val"], np.nan, a)
+                a = a * m["scale"] + m["offset"]
                 tt, yy, xx = np.meshgrid(
                     np.arange(nt), np.arange(ny), np.arange(nx), indexing="ij"
                 )
                 frames.append(
                     pd.DataFrame(
                         {
-                            "time": [times_local[int(t0) + k] for k in tt.ravel()],
+                            "time": [m["times"][int(t0) + k] for k in tt.ravel()],
                             "y": (yy.ravel() + int(y0)).astype(np.int32),
                             "x": (xx.ravel() + int(x0)).astype(np.int32),
                             "value": a.ravel().astype(np.float32),

@@ -203,3 +203,42 @@ class TestPropertyRoundTrip:
                 np.testing.assert_array_equal(tv, np.arange(t, dtype=np.float64))
 
         prop()
+
+
+def test_archive_multi_file_equals_single(spark, tmp_path, field):
+    """One-file-per-'year' archive: three files with DIFFERENT chunking
+    and compression must ingest as one DataFrame equal to the
+    single-file ingest of the whole series."""
+    from marex_spark.sources.hdf5 import ingest_netcdf4_archive
+
+    tvals = np.arange(6, dtype=np.float64)
+    whole = str(tmp_path / "whole.nc")
+    write_netcdf4(whole, field, tvals)
+    parts = []
+    configs = [
+        dict(chunks=(1, 2, 3), compress=True, shuffle=True),
+        dict(chunks=None),
+        dict(chunks=(2, 5, 7), compress=True, shuffle=False),
+    ]
+    for i, (sl, cfg) in enumerate(zip([(0, 2), (2, 4), (4, 6)], configs)):
+        p = str(tmp_path / f"part{i}.nc")
+        write_netcdf4(
+            p, field[sl[0] : sl[1]], tvals[sl[0] : sl[1]],
+            time_units="days since 2020-01-01", **cfg,
+        )
+        parts.append(p)
+    a = _collect(ingest_netcdf4(spark, whole, "sst"))
+    b = _collect(ingest_netcdf4_archive(spark, parts, "sst"))
+    assert a == b
+
+
+def test_archive_grid_mismatch_rejected(spark, tmp_path, field):
+    from marex_spark.exceptions import DataValidationError
+    from marex_spark.sources.hdf5 import ingest_netcdf4_archive
+
+    p1 = str(tmp_path / "g1.nc")
+    p2 = str(tmp_path / "g2.nc")
+    write_netcdf4(p1, field, np.arange(6, dtype=np.float64))
+    write_netcdf4(p2, field[:, :3, :4], np.arange(6, dtype=np.float64))
+    with pytest.raises(DataValidationError, match="grid"):
+        ingest_netcdf4_archive(spark, [p1, p2], "sst")
