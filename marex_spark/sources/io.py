@@ -108,6 +108,53 @@ def ingest_netcdf(
     )
 
 
+def ingest_netcdf_archive(
+    spark: SparkSession,
+    paths,
+    var: str,
+    time_dim: str = "time",
+    layout: str = "long",
+) -> DataFrame:
+    """A multi-file NetCDF archive (the standard one-file-per-year
+    layout) as one DataFrame. ``paths`` is a list or a glob pattern.
+
+    All-HDF5 archives take the single-plan path
+    (:func:`marex_spark.sources.hdf5.ingest_netcdf4_archive` — every
+    file's chunks in ONE descriptor DataFrame); mixed or classic
+    archives union the per-file plans, which is fine for the dozens-of-
+    files case and degrades gracefully (each classic file is already
+    one record-range plan)."""
+    import glob as _glob
+    from functools import reduce
+
+    if isinstance(paths, str):
+        paths = sorted(_glob.glob(paths))
+    paths = list(paths)
+    if not paths:
+        from marex_spark.exceptions import DataValidationError
+
+        raise DataValidationError("ingest_netcdf_archive: no input files")
+
+    def _magic(p):
+        with open(p, "rb") as f:
+            return f.read(8)
+
+    if all(_magic(p) == b"\x89HDF\r\n\x1a\n" for p in paths):
+        from marex_spark.sources.hdf5 import ingest_netcdf4_archive
+
+        return ingest_netcdf4_archive(
+            spark, paths, var, time_var=time_dim, layout=layout
+        )
+    dfs = [ingest_netcdf(spark, p, var, time_dim=time_dim) for p in paths]
+    out = reduce(DataFrame.unionByName, dfs)
+    if layout == "long":
+        return out
+    from marex_spark.operators.detect_blocked import pack_gridded
+
+    nx = 1 + out.agg(F.max("x")).first()[0]
+    return pack_gridded(out, nx=nx)
+
+
 def add_time_bucket(df: DataFrame, time_col: str = "time", fmt: str = "yyyy-MM") -> DataFrame:
     """Month-bucket partition key for S4-style layouts (SURVEY §7.0:
     parquet partitioned by time bucket)."""

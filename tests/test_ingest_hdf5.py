@@ -242,3 +242,33 @@ def test_archive_grid_mismatch_rejected(spark, tmp_path, field):
     write_netcdf4(p2, field[:, :3, :4], np.arange(6, dtype=np.float64))
     with pytest.raises(DataValidationError, match="grid"):
         ingest_netcdf4_archive(spark, [p1, p2], "sst")
+
+
+def test_io_archive_dispatch_glob(spark, tmp_path, field):
+    """io.ingest_netcdf_archive: glob of HDF5 files takes the
+    single-plan archive path; mixed classic+HDF5 unions per-file."""
+    from marex_spark.sources.io import ingest_netcdf_archive
+    from marex_spark.sources.netcdf import write_netcdf_classic
+
+    tvals = np.arange(6, dtype=np.float64)
+    for i, sl in enumerate([(0, 3), (3, 6)]):
+        write_netcdf4(
+            str(tmp_path / f"y{i}.nc"), field[sl[0] : sl[1]],
+            tvals[sl[0] : sl[1]], time_units="days since 2020-01-01",
+            chunks=(2, 3, 4), compress=True,
+        )
+    out = ingest_netcdf_archive(spark, f"{tmp_path}/y*.nc", "sst")
+    assert out.count() == field.size
+
+    # mixed-format archive: classic + HDF5
+    write_netcdf_classic(
+        str(tmp_path / "m0.nc"), field[:3], tvals[:3]
+    )
+    write_netcdf4(
+        str(tmp_path / "m1.nc"), field[3:], tvals[3:],
+        time_units="days since 2020-01-01",
+    )
+    mixed = ingest_netcdf_archive(
+        spark, [str(tmp_path / "m0.nc"), str(tmp_path / "m1.nc")], "sst"
+    )
+    assert mixed.count() == field.size
