@@ -153,9 +153,21 @@ class Catalog:
 
             return ingest_zarr_gridded(spark, path, **args)
         if driver == "netcdf":
-            from marex_spark.sources.netcdf import ingest_netcdf_classic
+            # magic-dispatched (classic → record-range reader, HDF5 →
+            # chunk-index reader); a glob or list entry becomes a
+            # multi-file archive read
+            from marex_spark.sources.io import (
+                ingest_netcdf,
+                ingest_netcdf_archive,
+            )
 
-            return ingest_netcdf_classic(spark, path, **args)
+            if "time_var" in args:  # classic-reader arg name accepted too
+                args["time_dim"] = args.pop("time_var")
+            if isinstance(path, (list, tuple)) or any(
+                ch in str(path) for ch in "*?["
+            ):
+                return ingest_netcdf_archive(spark, path, **args)
+            return ingest_netcdf(spark, path, **args)
         raise DataValidationError(  # driver == "catalog" with no rest
             f"'{name}' is a sub-catalog, not a dataset",
             details={"datasets": self._sub(head).names()},

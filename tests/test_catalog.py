@@ -85,3 +85,35 @@ def test_error_surface(tmp_path, star_cat):
     )
     with pytest.raises(DataValidationError):
         Catalog(str(tmp_path / "noargs.json")).read(None, "a")
+
+
+def test_catalog_netcdf_glob_archive(spark, tmp_path):
+    """A netcdf catalog entry with a glob urlpath reads the whole
+    multi-file archive through the HDF5 single-plan path."""
+    import json
+
+    import numpy as np
+
+    from marex_spark.sources.catalog import open_catalog
+    from marex_spark.sources.hdf5 import write_netcdf4
+
+    rng = np.random.default_rng(5)
+    field = rng.normal(10, 1, size=(4, 3, 5)).astype(np.float32)
+    for i, sl in enumerate([(0, 2), (2, 4)]):
+        write_netcdf4(
+            str(tmp_path / f"year{i}.nc"), field[sl[0] : sl[1]],
+            np.arange(sl[0], sl[1], dtype=np.float64),
+            time_units="days since 2020-01-01", chunks=(1, 3, 5),
+        )
+    spec = {
+        "sources": {
+            "sst_archive": {
+                "driver": "netcdf",
+                "args": {"urlpath": "year*.nc", "var": "sst"},
+            }
+        }
+    }
+    (tmp_path / "cat.json").write_text(json.dumps(spec))
+    cat = open_catalog(str(tmp_path / "cat.json"))
+    df = cat.read(spark, "sst_archive")
+    assert df.count() == field.size
