@@ -224,3 +224,221 @@ def ingest_zarr_gridded(
     return pack_gridded(long_df, nx=NX)
 
 
+# --------------------------------------------------------------- zarr WRITE
+
+def _encode_chunk(a: np.ndarray, compressor: dict | None) -> bytes:
+    raw = np.ascontiguousarray(a).tobytes()
+    if compressor is None:
+        return raw
+    if compressor.get("id") in ("zlib", "gzip"):
+        return zlib.compress(raw, compressor.get("level", 1))
+    from marex_spark.exceptions import ConfigurationError
+
+    raise ConfigurationError(
+        f"unsupported zarr write compressor {compressor.get('id')!r}",
+        suggestions=["use compressor={'id': 'zlib', 'level': 1} or None"],
+    )
+
+
+def _write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _write_small_array(
+    array_dir: str,
+    a: np.ndarray,
+    dims: list[str],
+    attrs: dict | None = None,
+    compressor: dict | None = None,
+) -> None:
+    """Driver-side write of a small coordinate array as ONE chunk."""
+    os.makedirs(array_dir, exist_ok=True)
+    a = np.ascontiguousarray(a)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(a.shape),
+        "chunks": list(a.shape) or [1],
+        "dtype": a.dtype.str,
+        "compressor": compressor,
+        "fill_value": None,
+        "order": "C",
+        "filters": None,
+        "dimension_separator": ".",
+    }
+    _write_json(os.path.join(array_dir, ".zarray"), meta)
+    _write_json(
+        os.path.join(array_dir, ".zattrs"),
+        {"_ARRAY_DIMENSIONS": dims, **(attrs or {})},
+    )
+    key = ".".join(["0"] * max(1, a.ndim))
+    tmp = os.path.join(array_dir, key + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(_encode_chunk(a, compressor))
+    os.replace(tmp, os.path.join(array_dir, key))
+
+
+def write_zarr_gridded(
+    df,
+    store: str,
+    var: str = "value",
+    value_col: str = "value",
+    ny: int | None = None,
+    nx: int | None = None,
+    chunks: tuple[int, int, int] = (64, 180, 360),
+    compressor: dict | None = None,
+    attrs: dict | None = None,
+    write_empty_chunks: bool = False,
+):
+    """Long-format (time, y, x, value) DataFrame → a zarr-v2 store any
+    zarr/xarray client can open (reference writes its detect/track
+    output to zarr: helper.py:642-777, track.py:4323-4328; this is the
+    symmetric sink to :func:`ingest_zarr_gridded`).
+
+    Spark-first and driver-light: the driver writes only the tiny JSON
+    metadata and the 1-D coordinate arrays; every DATA chunk file is
+    assembled, compressed and written by the executor that owns that
+    chunk's rows (``groupBy(chunk key).applyInPandas``) — exactly one
+    task per chunk, atomic ``os.replace`` publishes, so a 100 TB write
+    is as wide as the cluster and retry-safe. Absent cells become NaN
+    (``fill_value``); with ``write_empty_chunks=False`` (xarray's
+    steady-state default) all-NaN chunks write no file at all, which
+    the reader round-trips as fill.
+
+    Returns a small receipts DataFrame (one row per written chunk:
+    ``it, iy, ix, n_values, n_bytes``) AFTER the write has executed.
+    The time dimension is the sorted distinct timestamps of ``df``
+    (days-since-epoch int64 with CF attrs, like the reference's CF
+    time encoding); ``ny``/``nx`` default to ``max+1`` over the input.
+    """
+    from pyspark.sql import functions as F
+
+    if compressor is None:
+        compressor = {"id": "zlib", "level": 1}
+    elif compressor == {}:  # explicit "raw"
+        compressor = None
+
+    sdf = df.select(
+        F.col("time").cast("timestamp").alias("time"),
+        F.col("y").cast("int").alias("y"),
+        F.col("x").cast("int").alias("x"),
+        F.col(value_col).cast("float").alias("value"),
+    )
+    spark = sdf.sparkSession
+
+    # -- dimensions (driver-side, bounded by #timesteps / grid extent)
+    times = [
+        r[0] for r in sdf.select("time").distinct().orderBy("time").collect()
+    ]
+    if not times:
+        from marex_spark.exceptions import DataValidationError
+
+        raise DataValidationError("write_zarr_gridded: empty input")
+    if ny is None or nx is None:
+        mx = sdf.agg(F.max("y"), F.max("x")).first()
+        ny = ny if ny is not None else int(mx[0]) + 1
+        nx = nx if nx is not None else int(mx[1]) + 1
+    T = len(times)
+    ct = min(chunks[0], T)
+    cy = min(chunks[1], ny)
+    cx = min(chunks[2], nx)
+
+    # -- driver metadata: group, data array, coordinates
+    array_dir = os.path.join(store, var)
+    os.makedirs(array_dir, exist_ok=True)
+    _write_json(os.path.join(store, ".zgroup"), {"zarr_format": 2})
+    _write_json(os.path.join(store, ".zattrs"), dict(attrs or {}))
+    _write_json(
+        os.path.join(array_dir, ".zarray"),
+        {
+            "zarr_format": 2,
+            "shape": [T, ny, nx],
+            "chunks": [ct, cy, cx],
+            "dtype": "<f4",
+            "compressor": compressor,
+            "fill_value": "NaN",
+            "order": "C",
+            "filters": None,
+            "dimension_separator": ".",
+        },
+    )
+    _write_json(
+        os.path.join(array_dir, ".zattrs"),
+        {"_ARRAY_DIMENSIONS": ["time", "y", "x"]},
+    )
+    epoch = pd.Timestamp("1970-01-01")
+    tdays = np.asarray(
+        [(pd.Timestamp(t) - epoch).days for t in times], dtype=np.int64
+    )
+    _write_small_array(
+        os.path.join(store, "time"),
+        tdays,
+        ["time"],
+        attrs={"units": "days since 1970-01-01", "calendar": "proleptic_gregorian"},
+    )
+    _write_small_array(os.path.join(store, "y"), np.arange(ny, dtype=np.int64), ["y"])
+    _write_small_array(os.path.join(store, "x"), np.arange(nx, dtype=np.int64), ["x"])
+
+    # -- distributed chunk writes: map each row to its chunk key JVM-side
+    # via a broadcast time-index join, then one applyInPandas group per
+    # chunk file.
+    tindex = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(times)], "time timestamp, t_idx int"
+    )
+    keyed = (
+        sdf.join(F.broadcast(tindex), "time")
+        .select(
+            (F.col("t_idx") / ct).cast("int").alias("it"),
+            (F.col("y") / cy).cast("int").alias("iy"),
+            (F.col("x") / cx).cast("int").alias("ix"),
+            (F.col("t_idx") % ct).alias("ot"),
+            (F.col("y") % cy).alias("oy"),
+            (F.col("x") % cx).alias("ox"),
+            "value",
+        )
+    )
+
+    def _write_chunk(key, pdf):
+        it, iy, ix = int(key[0]), int(key[1]), int(key[2])
+        a = np.full((ct, cy, cx), np.nan, dtype=np.float32)
+        vals = pdf["value"].to_numpy(dtype=np.float32)
+        a[
+            pdf["ot"].to_numpy(dtype=np.int64),
+            pdf["oy"].to_numpy(dtype=np.int64),
+            pdf["ox"].to_numpy(dtype=np.int64),
+        ] = vals
+        n_finite = int(np.isfinite(vals).sum())
+        if n_finite == 0 and not write_empty_chunks:
+            return pd.DataFrame(
+                {"it": [it], "iy": [iy], "ix": [ix], "n_values": [0], "n_bytes": [0]}
+            )
+        payload = _encode_chunk(a, compressor)
+        path = os.path.join(array_dir, f"{it}.{iy}.{ix}")
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "it": [it],
+                "iy": [iy],
+                "ix": [ix],
+                "n_values": [n_finite],
+                "n_bytes": [len(payload)],
+            }
+        )
+
+    receipts = (
+        keyed.groupBy("it", "iy", "ix")
+        .applyInPandas(
+            _write_chunk,
+            "it int, iy int, ix int, n_values long, n_bytes long",
+        )
+        .cache()
+    )
+    receipts.count()  # execute the write NOW; receipts stay queryable
+    return receipts
+
+

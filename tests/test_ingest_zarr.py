@@ -246,3 +246,117 @@ class TestBloscDecoders:
         a = np.arange(12, dtype="<i4")
         shuf = a.view(np.uint8).reshape(12, 4).T.tobytes()
         assert _unshuffle(shuf, 4) == a.tobytes()
+
+
+# --------------------------------------------------------------- writer
+
+
+class TestWriteZarr:
+    def _long_df(self, spark):
+        """Deterministic 7-day 5x9 grid with two NaN holes."""
+        from pyspark.sql import functions as F
+
+        df = (
+            spark.range(7 * 5 * 9)
+            .select(
+                F.expr("date_add(DATE '2001-03-01', CAST(id / 45 AS INT))")
+                .cast("timestamp")
+                .alias("time"),
+                (F.col("id") % 45 / 9).cast("int").alias("y"),
+                (F.col("id") % 9).cast("int").alias("x"),
+                (F.col("id") * 2).cast("float").alias("value"),
+            )
+            # punch two holes: absent rows must round-trip as NaN/absent
+            .filter("NOT (y = 1 AND x = 2)")
+        )
+        return df
+
+    def test_roundtrip_through_reader(self, spark, tmp_path):
+        from marex_spark.sources.zarr import ingest_zarr_gridded, write_zarr_gridded
+
+        store = str(tmp_path / "w.zarr")
+        df = self._long_df(spark)
+        receipts = write_zarr_gridded(
+            df, store, var="sst", chunks=(3, 2, 4)
+        )
+        # every chunk wrote exactly once, with plausible payload sizes
+        rec = {(r.it, r.iy, r.ix): r for r in receipts.collect()}
+        assert len(rec) == 3 * 3 * 3  # ceil(7/3) x ceil(5/2) x ceil(9/4)
+        assert all(r.n_bytes > 0 for r in rec.values())
+
+        back = ingest_zarr_gridded(spark, store, "sst", layout="long")
+        a = {(r.time, r.y, r.x): r.value for r in df.collect()}
+        b = {(r.time, r.y, r.x): r.value for r in back.collect()}
+        assert a == b
+
+    def test_metadata_is_xarray_compatible(self, spark, tmp_path):
+        from marex_spark.sources.zarr import write_zarr_gridded
+
+        store = str(tmp_path / "m.zarr")
+        write_zarr_gridded(self._long_df(spark), store, var="sst")
+        meta = json.load(open(os.path.join(store, "sst", ".zarray")))
+        assert meta["zarr_format"] == 2
+        assert meta["shape"] == [7, 5, 9]
+        assert meta["dtype"] == "<f4"
+        assert meta["fill_value"] == "NaN"
+        zattrs = json.load(open(os.path.join(store, "sst", ".zattrs")))
+        assert zattrs["_ARRAY_DIMENSIONS"] == ["time", "y", "x"]
+        tmeta = json.load(open(os.path.join(store, "time", ".zattrs")))
+        assert tmeta["units"].startswith("days since 1970")
+        # coordinate values decode driver-side
+        from marex_spark.sources.zarr import _read_small_array
+
+        t = _read_small_array(os.path.join(store, "time"))
+        assert t[0] == (np.datetime64("2001-03-01") - np.datetime64("1970-01-01")).astype(int)
+        assert len(t) == 7
+
+    def test_empty_chunks_skipped_and_refilled(self, spark, tmp_path):
+        """An all-NaN chunk writes no file; the reader treats the
+        missing file as fill (round-trips to absence)."""
+        from pyspark.sql import functions as F
+
+        from marex_spark.sources.zarr import ingest_zarr_gridded, write_zarr_gridded
+
+        store = str(tmp_path / "e.zarr")
+        # values only in y<2: with cy=2 the iy=1 stripe (y 2..3) is empty
+        df = (
+            spark.range(4 * 4)
+            .select(
+                F.lit("2001-01-01").cast("timestamp").alias("time"),
+                (F.col("id") / 4).cast("int").alias("y"),
+                (F.col("id") % 4).cast("int").alias("x"),
+                F.col("id").cast("float").alias("value"),
+            )
+            .filter("y < 2")
+        )
+        receipts = write_zarr_gridded(
+            df, store, var="v", ny=4, nx=4, chunks=(1, 2, 4)
+        )
+        rec = {(r.it, r.iy, r.ix): r.n_bytes for r in receipts.collect()}
+        # the empty stripe has no rows, hence no group, no receipt, no file
+        assert (0, 1, 0) not in rec
+        assert not os.path.exists(os.path.join(store, "v", "0.1.0"))
+        back = ingest_zarr_gridded(spark, store, "v", layout="long")
+        assert back.count() == 8
+        assert back.agg({"y": "max"}).first()[0] == 1
+
+    def test_raw_compressor_and_driver_read(self, spark, tmp_path):
+        from marex_spark.sources.zarr import read_array_driver, write_zarr_gridded
+
+        store = str(tmp_path / "r.zarr")
+        write_zarr_gridded(
+            self._long_df(spark), store, var="sst", compressor={}, ny=5, nx=9
+        )
+        a = read_array_driver(os.path.join(store, "sst"))
+        assert a.shape == (7, 5, 9)
+        assert a[0, 0, 0] == 0.0
+        assert np.isnan(a[0, 1, 2])  # the punched hole
+        assert a[6, 4, 8] == float((7 * 45 - 1) * 2)
+
+    def test_empty_input_refused(self, spark, tmp_path):
+        from marex_spark.exceptions import DataValidationError
+        from marex_spark.sources.zarr import write_zarr_gridded
+
+        df = self._long_df(spark).filter("1 = 0")
+        with pytest.raises(DataValidationError):
+            write_zarr_gridded(df, str(tmp_path / "x.zarr"))
