@@ -277,6 +277,40 @@ def read_track_result(spark, path: str):
     )
 
 
+def export_events_zarr(
+    events: DataFrame,
+    store: str,
+    ny: int | None = None,
+    nx: int | None = None,
+    var: str = "ID_field",
+    chunks: tuple[int, int, int] = (64, 180, 360),
+    attrs: dict | None = None,
+):
+    """Export a gridded events table (time, y, x, event_id) as the
+    reference's int event-ID zarr field (track.py:4323-4328: `ID_field`
+    int array, background 0) so xarray/zarr consumers of the reference's
+    output can read this engine's tracking results unchanged.
+
+    Cells not covered by any event are the implicit 0 background
+    (all-background chunks write no file). Distributed executor-side
+    chunk writes — see :func:`marex_spark.sources.zarr.write_zarr_gridded`.
+    Returns the per-chunk receipts DataFrame."""
+    from marex_spark.sources.zarr import write_zarr_gridded
+
+    return write_zarr_gridded(
+        events,
+        store,
+        var=var,
+        value_col="event_id",
+        ny=ny,
+        nx=nx,
+        chunks=chunks,
+        attrs=attrs,
+        dtype="<i4",
+        fill_value=0,
+    )
+
+
 def _check_distinct_out_path(path: str, out_path: str) -> None:
     """Refuse writing an archive over its own lazy input; resolved to
     real absolute paths so relative spellings and symlink aliases of

@@ -291,6 +291,8 @@ def write_zarr_gridded(
     compressor: dict | None = None,
     attrs: dict | None = None,
     write_empty_chunks: bool = False,
+    dtype: str = "<f4",
+    fill_value: float | int | None = None,
 ):
     """Long-format (time, y, x, value) DataFrame → a zarr-v2 store any
     zarr/xarray client can open (reference writes its detect/track
@@ -312,6 +314,11 @@ def write_zarr_gridded(
     The time dimension is the sorted distinct timestamps of ``df``
     (days-since-epoch int64 with CF attrs, like the reference's CF
     time encoding); ``ny``/``nx`` default to ``max+1`` over the input.
+
+    ``dtype`` selects the on-disk array type: ``"<f4"`` (default,
+    ``fill_value`` NaN — anomaly/intensity fields) or an integer type
+    like ``"<i4"`` (``fill_value`` 0 — the reference's event-ID field,
+    track.py:4323-4328 writes `ID_field` as int zarr with background 0).
     """
     from pyspark.sql import functions as F
 
@@ -320,11 +327,17 @@ def write_zarr_gridded(
     elif compressor == {}:  # explicit "raw"
         compressor = None
 
+    np_dtype = np.dtype(dtype)
+    is_float = np_dtype.kind == "f"
+    if fill_value is None:
+        fill_value = float("nan") if is_float else 0
+    spark_t = "float" if is_float else "long"
+
     sdf = df.select(
         F.col("time").cast("timestamp").alias("time"),
         F.col("y").cast("int").alias("y"),
         F.col("x").cast("int").alias("x"),
-        F.col(value_col).cast("float").alias("value"),
+        F.col(value_col).cast(spark_t).alias("value"),
     )
     spark = sdf.sparkSession
 
@@ -356,9 +369,12 @@ def write_zarr_gridded(
             "zarr_format": 2,
             "shape": [T, ny, nx],
             "chunks": [ct, cy, cx],
-            "dtype": "<f4",
+            "dtype": np_dtype.str,
             "compressor": compressor,
-            "fill_value": "NaN",
+            # zarr-v2 JSON spells a float NaN fill as the string "NaN"
+            "fill_value": "NaN"
+            if (is_float and np.isnan(fill_value))
+            else fill_value,
             "order": "C",
             "filters": None,
             "dimension_separator": ".",
@@ -402,14 +418,16 @@ def write_zarr_gridded(
 
     def _write_chunk(key, pdf):
         it, iy, ix = int(key[0]), int(key[1]), int(key[2])
-        a = np.full((ct, cy, cx), np.nan, dtype=np.float32)
-        vals = pdf["value"].to_numpy(dtype=np.float32)
+        a = np.full((ct, cy, cx), fill_value, dtype=np_dtype)
+        vals = pdf["value"].to_numpy(dtype=np_dtype)
         a[
             pdf["ot"].to_numpy(dtype=np.int64),
             pdf["oy"].to_numpy(dtype=np.int64),
             pdf["ox"].to_numpy(dtype=np.int64),
         ] = vals
-        n_finite = int(np.isfinite(vals).sum())
+        n_finite = (
+            int(np.isfinite(vals).sum()) if is_float else int(len(vals))
+        )
         if n_finite == 0 and not write_empty_chunks:
             return pd.DataFrame(
                 {"it": [it], "iy": [iy], "ix": [ix], "n_values": [0], "n_bytes": [0]}

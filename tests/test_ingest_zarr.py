@@ -360,3 +360,36 @@ class TestWriteZarr:
         df = self._long_df(spark).filter("1 = 0")
         with pytest.raises(DataValidationError):
             write_zarr_gridded(df, str(tmp_path / "x.zarr"))
+
+    def test_int_id_field_export(self, spark, tmp_path):
+        """Integer dtype path: the reference-style event-ID field
+        (int32, background fill 0) round-trips through driver read and
+        the distributed reader (background dropped as fill)."""
+        from pyspark.sql import functions as F
+
+        from marex_spark.sources.io import export_events_zarr
+        from marex_spark.sources.zarr import ingest_zarr_gridded, read_array_driver
+
+        events = (
+            spark.range(6)
+            .select(
+                F.lit("2002-06-01").cast("timestamp").alias("time"),
+                (F.col("id") / 3).cast("int").alias("y"),
+                (F.col("id") % 3).cast("int").alias("x"),
+                (F.col("id") + 10).cast("long").alias("event_id"),
+                F.lit(1).alias("obj_id"),
+            )
+        )
+        store = str(tmp_path / "ids.zarr")
+        export_events_zarr(events, store, ny=3, nx=4, chunks=(1, 2, 2))
+        meta = json.load(open(os.path.join(store, "ID_field", ".zarray")))
+        assert meta["dtype"] == "<i4"
+        assert meta["fill_value"] == 0
+        a = read_array_driver(os.path.join(store, "ID_field"))
+        assert a.shape == (1, 3, 4)
+        assert a.dtype == np.int32
+        assert a[0, 0, 0] == 10 and a[0, 1, 2] == 15
+        assert a[0, 2, 0] == 0 and a[0, 0, 3] == 0  # background
+        back = ingest_zarr_gridded(spark, store, "ID_field", layout="long")
+        got = {(r.y, r.x): int(r.value) for r in back.collect()}
+        assert got == {(i // 3, i % 3): i + 10 for i in range(6)}
