@@ -1,5 +1,5 @@
-"""Zarr-v2 gridded ingestion (reference helper.py:733-736 native input,
-track.py:1258-1262).
+"""Zarr gridded ingestion — v2 (.zarray) and v3 (zarr.json) stores —
+(reference helper.py:733-736 native input, track.py:1258-1262).
 
 Spark-first: the driver reads only the tiny store metadata; the chunk
 grid becomes a DataFrame of chunk keys and executors decode their own
@@ -21,9 +21,101 @@ import numpy as np
 import pandas as pd
 
 
+# zarr-v3 core data types → numpy struct strings (v3 spec: names are
+# endian-free; the "bytes" codec fixes the byte order, little here)
+_V3_DTYPES = {
+    "bool": "|b1",
+    "int8": "|i1", "int16": "<i2", "int32": "<i4", "int64": "<i8",
+    "uint8": "|u1", "uint16": "<u2", "uint32": "<u4", "uint64": "<u8",
+    "float32": "<f4", "float64": "<f8",
+}
+
+
 def _read_meta(array_dir: str) -> dict:
-    with open(os.path.join(array_dir, ".zarray")) as f:
-        return json.load(f)
+    """Array metadata, normalised to the v2 shape the decode path
+    consumes. Reads `.zarray` (zarr v2) or `zarr.json` (zarr v3 — the
+    default format of zarr-python 3.x, which xarray/the reference's
+    ecosystem now writes); v3 codecs bytes/gzip/zlib/blosc map onto the
+    existing decoders, anything else (sharding, transpose, zstd without
+    numcodecs) refuses loudly."""
+    p2 = os.path.join(array_dir, ".zarray")
+    if os.path.exists(p2):
+        with open(p2) as f:
+            meta = json.load(f)
+        meta["_sep"] = meta.get("dimension_separator", ".")
+        meta["_prefix"] = ""
+        return meta
+    p3 = os.path.join(array_dir, "zarr.json")
+    if not os.path.exists(p3):
+        from marex_spark.exceptions import CoordinateError
+
+        raise CoordinateError(
+            "no zarr array metadata (.zarray / zarr.json) found",
+            details={"array_dir": array_dir},
+        )
+    with open(p3) as f:
+        m = json.load(f)
+    if m.get("node_type") != "array":
+        from marex_spark.exceptions import CoordinateError
+
+        raise CoordinateError(
+            f"zarr.json is not an array node (node_type="
+            f"{m.get('node_type')!r})",
+            details={"array_dir": array_dir},
+        )
+    comp = None
+    for c in m.get("codecs") or []:
+        name = c.get("name")
+        cfg = c.get("configuration") or {}
+        if name == "bytes":
+            if cfg.get("endian", "little") != "little":
+                raise NotImplementedError(
+                    "zarr v3 big-endian bytes codec is not supported"
+                )
+        elif name in ("gzip", "zlib"):
+            comp = {"id": "zlib"}  # zlib.decompress(raw, 47) autodetects
+        elif name == "blosc":
+            comp = {"id": "blosc"}
+        elif name == "zstd":
+            comp = {"id": "zstd"}  # numcodecs route (typed error if absent)
+        else:
+            # sharding_indexed / transpose / crc32c / … change the byte
+            # layout — decoding around them would corrupt silently
+            raise NotImplementedError(
+                f"zarr v3 codec {name!r} is not implemented in the "
+                "stdlib reader"
+            )
+    dt = m["data_type"]
+    cke = m.get("chunk_key_encoding") or {"name": "default"}
+    kind = cke.get("name", "default")
+    sep = (cke.get("configuration") or {}).get(
+        "separator", "/" if kind == "default" else "."
+    )
+    return {
+        "zarr_format": 3,
+        "shape": m["shape"],
+        "chunks": m["chunk_grid"]["configuration"]["chunk_shape"],
+        "dtype": _V3_DTYPES.get(dt, dt),
+        "order": "C",
+        "compressor": comp,
+        "filters": None,
+        "fill_value": m.get("fill_value"),
+        "_sep": sep,
+        "_prefix": "c" if kind == "default" else "",
+    }
+
+
+def _chunk_path(array_dir: str, meta: dict, idx) -> str:
+    """Chunk file path for grid index ``idx`` under either format's key
+    encoding (v2: '0.1.2' with the store separator; v3 default:
+    'c/0/1/2')."""
+    parts = [str(i) for i in idx]
+    sep = meta.get("_sep", ".")
+    if meta.get("_prefix"):
+        key = sep.join([meta["_prefix"], *parts])
+    else:
+        key = sep.join(parts) if parts else "0"
+    return os.path.join(array_dir, key)
 
 
 def _decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
@@ -71,10 +163,9 @@ def _read_small_array(array_dir: str) -> np.ndarray:
     meta = _read_meta(array_dir)
     (n,) = meta["shape"]
     (cs,) = meta["chunks"]
-    sep = meta.get("dimension_separator", ".")
     out = np.empty(n, dtype=np.dtype(meta["dtype"]))
     for c in range((n + cs - 1) // cs):
-        with open(os.path.join(array_dir, sep.join([str(c)])), "rb") as f:
+        with open(_chunk_path(array_dir, meta, (c,)), "rb") as f:
             chunk = _decode_chunk(f.read(), meta)
         out[c * cs : min((c + 1) * cs, n)] = chunk[: min(cs, n - c * cs)]
     return out
@@ -88,7 +179,6 @@ def read_array_driver(array_dir: str) -> np.ndarray:
     meta = _read_meta(array_dir)
     shape = meta["shape"]
     chunks = meta["chunks"]
-    sep = meta.get("dimension_separator", ".")
     fill = meta.get("fill_value")
     fv = float(fill) if isinstance(fill, str) else fill
     dt = np.dtype(meta["dtype"])
@@ -105,7 +195,7 @@ def read_array_driver(array_dir: str) -> np.ndarray:
     import itertools
 
     for idx in itertools.product(*grid):
-        path = os.path.join(array_dir, sep.join(map(str, idx)))
+        path = _chunk_path(array_dir, meta, idx)
         if not os.path.exists(path):
             continue
         with open(path, "rb") as f:
@@ -143,29 +233,38 @@ def ingest_zarr_gridded(
         )
     T, NY, NX = meta["shape"]
     ct, cy, cx = meta["chunks"]
-    sep = meta.get("dimension_separator", ".")
     fill = meta.get("fill_value")
 
     # timestamps: small driver-side coordinate read (optional)
     tdir = os.path.join(store, time_array)
-    if os.path.isdir(tdir) and os.path.exists(os.path.join(tdir, ".zarray")):
+    if os.path.isdir(tdir) and (
+        os.path.exists(os.path.join(tdir, ".zarray"))
+        or os.path.exists(os.path.join(tdir, "zarr.json"))
+    ):
         tvals = _read_small_array(tdir).astype(np.int64)
     else:
         tvals = np.arange(T, dtype=np.int64)
-    # if the time array carries CF attrs (.zattrs), they win over the
-    # keyword defaults; fixed-length model calendars decode by
-    # (year, doy) arithmetic (see netcdf._decode_time_units)
+    # if the time array carries CF attrs (v2 .zattrs, or the v3
+    # zarr.json "attributes" object), they win over the keyword
+    # defaults; fixed-length model calendars decode by (year, doy)
+    # arithmetic (see netcdf._decode_time_units)
     units_str = f"{time_units} since {time_base}"
+    atts = {}
     zattrs_path = os.path.join(tdir, ".zattrs")
     if os.path.exists(zattrs_path):
-        import json
-
         try:
             atts = json.loads(open(zattrs_path).read())
-            units_str = atts.get("units", units_str)
-            calendar = calendar or atts.get("calendar", "")
         except (OSError, ValueError):
-            pass
+            atts = {}
+    elif os.path.exists(os.path.join(tdir, "zarr.json")):
+        try:
+            atts = json.loads(
+                open(os.path.join(tdir, "zarr.json")).read()
+            ).get("attributes", {})
+        except (OSError, ValueError):
+            atts = {}
+    units_str = atts.get("units", units_str)
+    calendar = calendar or atts.get("calendar", "")
     from marex_spark.sources.netcdf import _decode_time_units
 
     times = _decode_time_units(units_str, tvals, calendar)
@@ -184,7 +283,7 @@ def ingest_zarr_gridded(
     def _decode(batches):
         for b in batches:
             for it, iy, ix in zip(b["it"], b["iy"], b["ix"]):
-                path = os.path.join(array_dir, sep.join(map(str, (it, iy, ix))))
+                path = _chunk_path(array_dir, meta, (it, iy, ix))
                 if not os.path.exists(path):
                     continue  # missing chunk = all fill_value
                 with open(path, "rb") as f:

@@ -393,3 +393,123 @@ class TestWriteZarr:
         back = ingest_zarr_gridded(spark, store, "ID_field", layout="long")
         got = {(r.y, r.x): int(r.value) for r in back.collect()}
         assert got == {(i // 3, i % 3): i + 10 for i in range(6)}
+
+
+class TestZarrV3:
+    """zarr-v3 (zarr.json) stores — the default format of zarr-python
+    3.x — through the same distributed reader."""
+
+    def _make_store(self, root, codecs, cke=None):
+        """3x2x4 (t,y,x) float32 v3 store, chunks (2,2,2), value
+        t*100+y*10+x, fill NaN, one missing chunk (t-chunk 1, x-chunk 1)."""
+        T, NY, NX = 3, 2, 4
+        ct, cy, cx = 2, 2, 2
+        a = (
+            np.arange(T)[:, None, None] * 100.0
+            + np.arange(NY)[None, :, None] * 10.0
+            + np.arange(NX)[None, None, :]
+        ).astype(np.float32)
+        var = root / "sst"
+        var.mkdir(parents=True)
+        meta = {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": [T, NY, NX],
+            "data_type": "float32",
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {"chunk_shape": [ct, cy, cx]},
+            },
+            "chunk_key_encoding": cke or {"name": "default"},
+            "fill_value": "NaN",
+            "codecs": codecs,
+            "dimension_names": ["time", "y", "x"],
+        }
+        (var / "zarr.json").write_text(json.dumps(meta))
+        kind = (cke or {"name": "default"})["name"]
+        for it in range(2):
+            for iy in range(1):
+                for ix in range(2):
+                    if (it, ix) == (1, 1):
+                        continue  # missing chunk → fill
+                    chunk = np.full((ct, cy, cx), np.nan, dtype=np.float32)
+                    ts = a[it * ct:(it + 1) * ct, :, ix * cx:(ix + 1) * cx]
+                    chunk[: ts.shape[0], : ts.shape[1], : ts.shape[2]] = ts
+                    raw = chunk.tobytes()
+                    if any(c["name"] == "gzip" for c in codecs):
+                        raw = zlib.compress(raw, 1)
+                    if kind == "default":
+                        p = var / "c" / str(it) / str(iy) / str(ix)
+                        p.parent.mkdir(parents=True, exist_ok=True)
+                    else:
+                        p = var / f"{it}.{iy}.{ix}"
+                    p.write_bytes(raw)
+        # v3 time coordinate with CF attributes inside zarr.json
+        tdir = root / "time"
+        tdir.mkdir()
+        (tdir / "zarr.json").write_text(json.dumps({
+            "zarr_format": 3, "node_type": "array", "shape": [T],
+            "data_type": "int64",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [T]}},
+            "chunk_key_encoding": {"name": "default"},
+            "fill_value": 0,
+            "codecs": [{"name": "bytes",
+                        "configuration": {"endian": "little"}}],
+            "attributes": {"units": "days since 2010-01-01"},
+        }))
+        (tdir / "c").mkdir()
+        (tdir / "c" / "0").write_bytes(
+            np.arange(T, dtype=np.int64).tobytes()
+        )
+        return a
+
+    def test_v3_gzip_default_keys(self, spark, tmp_path):
+        from marex_spark.sources.zarr import ingest_zarr_gridded
+
+        root = tmp_path / "v3.zarr"
+        a = self._make_store(
+            root,
+            [{"name": "bytes", "configuration": {"endian": "little"}},
+             {"name": "gzip", "configuration": {"level": 1}}],
+        )
+        df = ingest_zarr_gridded(spark, str(root), "sst", layout="long")
+        got = {(r.time, r.y, r.x): r.value for r in df.collect()}
+        import pandas as pd
+
+        # CF attrs from zarr.json: day 0 = 2010-01-01
+        assert (pd.Timestamp("2010-01-02"), 1, 3) in got
+        assert got[(pd.Timestamp("2010-01-02"), 1, 3)] == float(a[1, 1, 3])
+        # missing chunk (t=2, x in {2,3}) absent
+        assert (pd.Timestamp("2010-01-03"), 0, 2) not in got
+        assert len(got) == 3 * 2 * 4 - 1 * 2 * 2
+
+    def test_v3_raw_v2_keys_driver_read(self, tmp_path):
+        from marex_spark.sources.zarr import read_array_driver
+
+        root = tmp_path / "v3b.zarr"
+        a = self._make_store(
+            root,
+            [{"name": "bytes", "configuration": {"endian": "little"}}],
+            cke={"name": "v2", "configuration": {"separator": "."}},
+        )
+        out = read_array_driver(str(root / "sst"))
+        assert out.shape == (3, 2, 4)
+        np.testing.assert_allclose(out[0], a[0])
+        assert np.isnan(out[2, 0, 2])  # missing chunk → NaN fill
+
+    def test_v3_sharding_refused(self, tmp_path):
+        from marex_spark.sources.zarr import _read_meta
+
+        var = tmp_path / "s"
+        var.mkdir()
+        (var / "zarr.json").write_text(json.dumps({
+            "zarr_format": 3, "node_type": "array", "shape": [4],
+            "data_type": "float32",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [2]}},
+            "fill_value": 0.0,
+            "codecs": [{"name": "sharding_indexed", "configuration": {}}],
+        }))
+        with pytest.raises(NotImplementedError, match="sharding"):
+            _read_meta(str(var))
