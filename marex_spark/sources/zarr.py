@@ -217,9 +217,18 @@ def ingest_zarr_gridded(
     time_base: str = "1970-01-01",
     layout: str = "packed",
     calendar: str = "",
+    time_min=None,
+    time_max=None,
 ):
     """3-D (time, y, x) zarr array → Spark DataFrame in the requested
-    layout. Distributed: one task per zarr chunk file."""
+    layout. Distributed: one task per zarr chunk file.
+
+    ``time_min``/``time_max`` (inclusive; timestamps or parseable
+    strings) prune whole CHUNKS on the driver before any task launches
+    — the partition-pruning analogue for the append cycle: a daily
+    `extend_track_run` re-reads only the time-chunks carrying new
+    slices, not the archive. Residual per-row trimming inside boundary
+    chunks is an ordinary Catalyst filter."""
     from pyspark.sql import functions as F
 
     array_dir = os.path.join(store, var)
@@ -269,12 +278,39 @@ def ingest_zarr_gridded(
 
     times = _decode_time_units(units_str, tvals, calendar)
 
+    # driver-side time-chunk pruning: only t-chunk indices whose slice
+    # range intersects [time_min, time_max] become tasks
+    it_lo, it_hi = 0, (T + ct - 1) // ct
+    tmin_ts = pd.Timestamp(time_min) if time_min is not None else None
+    tmax_ts = pd.Timestamp(time_max) if time_max is not None else None
+    if tmin_ts is not None or tmax_ts is not None:
+        tarr = pd.DatetimeIndex([pd.Timestamp(t) for t in times])
+        keep = np.ones(len(tarr), dtype=bool)
+        if tmin_ts is not None:
+            keep &= tarr >= tmin_ts
+        if tmax_ts is not None:
+            keep &= tarr <= tmax_ts
+        idx = np.nonzero(keep)[0]
+        if len(idx) == 0:
+            it_lo = it_hi = 0  # empty selection → zero tasks
+        else:
+            it_lo, it_hi = int(idx[0]) // ct, int(idx[-1]) // ct + 1
+
     keys = [
         (it, iy, ix)
-        for it in range((T + ct - 1) // ct)
+        for it in range(it_lo, it_hi)
         for iy in range((NY + cy - 1) // cy)
         for ix in range((NX + cx - 1) // cx)
     ]
+    if not keys:
+        empty = spark.createDataFrame(
+            [], "time timestamp, y int, x int, value float"
+        )
+        if layout == "long":
+            return empty
+        from marex_spark.operators.detect_blocked import pack_gridded
+
+        return pack_gridded(empty, nx=NX)
     keys_df = spark.createDataFrame(keys, "it int, iy int, ix int").repartition(
         min(len(keys), spark.sparkContext.defaultParallelism * 4)
     )
@@ -316,6 +352,10 @@ def ingest_zarr_gridded(
     ).filter(F.col("value").isNotNull() & ~F.isnan("value"))
     # (NaN written from pandas arrives as NULL through Arrow, and Spark's
     # isnan(NULL) is false — both forms must be dropped)
+    if tmin_ts is not None:
+        long_df = long_df.filter(F.col("time") >= F.lit(tmin_ts))
+    if tmax_ts is not None:
+        long_df = long_df.filter(F.col("time") <= F.lit(tmax_ts))
     if layout == "long":
         return long_df
     from marex_spark.operators.detect_blocked import pack_gridded

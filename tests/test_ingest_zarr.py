@@ -513,3 +513,60 @@ class TestZarrV3:
         }))
         with pytest.raises(NotImplementedError, match="sharding"):
             _read_meta(str(var))
+
+
+class TestTimePruning:
+    def test_chunk_pruning_never_opens_out_of_range(self, spark, tmp_path):
+        """time_min/time_max prune whole t-chunks on the driver: an
+        out-of-range chunk file is corrupted on disk, and the pruned
+        read still succeeds with exact in-range rows (would crash on
+        decode if the chunk were opened)."""
+        from pyspark.sql import functions as F
+
+        from marex_spark.sources.zarr import ingest_zarr_gridded, write_zarr_gridded
+
+        store = str(tmp_path / "p.zarr")
+        df = (
+            spark.range(10 * 2 * 2)
+            .select(
+                F.expr("date_add(DATE '2020-01-01', CAST(id / 4 AS INT))")
+                .cast("timestamp")
+                .alias("time"),
+                (F.col("id") % 4 / 2).cast("int").alias("y"),
+                (F.col("id") % 2).cast("int").alias("x"),
+                F.col("id").cast("float").alias("value"),
+            )
+        )
+        write_zarr_gridded(df, store, var="v", chunks=(2, 2, 2))
+        # corrupt the first t-chunk (days 0-1) — out of requested range
+        with open(os.path.join(store, "v", "0.0.0"), "wb") as f:
+            f.write(b"\x00garbage not zlib")
+        back = ingest_zarr_gridded(
+            spark, store, "v", layout="long",
+            time_min="2020-01-05", time_max="2020-01-08",
+        )
+        rows = back.collect()
+        days = sorted({r.time.day for r in rows})
+        assert days == [5, 6, 7, 8]
+        assert len(rows) == 4 * 4
+        # boundary trim: day 5 sits mid-chunk (t-chunk 2 covers days 5-6)
+        got = {(r.time.day, r.y, r.x): r.value for r in rows}
+        assert got[(5, 0, 0)] == 16.0
+
+    def test_empty_selection(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from marex_spark.sources.zarr import ingest_zarr_gridded, write_zarr_gridded
+
+        store = str(tmp_path / "q.zarr")
+        df = spark.range(4).select(
+            F.lit("2020-01-01").cast("timestamp").alias("time"),
+            F.lit(0).alias("y"),
+            F.col("id").cast("int").alias("x"),
+            F.col("id").cast("float").alias("value"),
+        )
+        write_zarr_gridded(df, store, var="v")
+        back = ingest_zarr_gridded(
+            spark, store, "v", layout="long", time_min="2031-01-01"
+        )
+        assert back.count() == 0
