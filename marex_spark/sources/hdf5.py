@@ -483,6 +483,8 @@ def ingest_netcdf4(
     var: str,
     time_var: str = "time",
     layout: str = "long",
+    time_min=None,
+    time_max=None,
 ):
     """3-D (time, y, x) variable in a NetCDF-4/HDF5 file → Spark
     DataFrame, same output contract as
@@ -496,7 +498,8 @@ def ingest_netcdf4(
     HDF5, one task per chunk batch, scaling with chunk count rather
     than driver memory."""
     return ingest_netcdf4_archive(
-        spark, [path], var, time_var=time_var, layout=layout
+        spark, [path], var, time_var=time_var, layout=layout,
+        time_min=time_min, time_max=time_max,
     )
 
 
@@ -507,6 +510,8 @@ def ingest_netcdf4_archive(
     time_var: str = "time",
     layout: str = "long",
     max_workers: int = 16,
+    time_min=None,
+    time_max=None,
 ):
     """A MULTI-FILE NetCDF-4 archive (the common one-file-per-year
     layout) as ONE DataFrame: every file's chunk index is parsed on the
@@ -537,11 +542,40 @@ def ingest_netcdf4_archive(
                 path=pl["path"], grid=(pl["NY"], pl["NX"]), want=(NY, NX),
             )
 
+    # driver-side time pruning over the chunk index: descriptors whose
+    # time-slice range misses [time_min, time_max] never become tasks —
+    # in the one-file-per-year layout this drops whole files' chunk
+    # sets, so a daily append re-reads only the newest file's tail
+    tmin_ts = pd.Timestamp(time_min) if time_min is not None else None
+    tmax_ts = pd.Timestamp(time_max) if time_max is not None else None
+
+    def _in_range(pl, t0):
+        if tmin_ts is None and tmax_ts is None:
+            return True
+        ct = pl["chunk_shape"][0]  # contiguous planes are (1, NY, NX)
+        lo = pd.Timestamp(pl["times"][int(t0)])
+        hi = pd.Timestamp(pl["times"][min(int(t0) + ct, pl["T"]) - 1])
+        if tmin_ts is not None and hi < tmin_ts:
+            return False
+        if tmax_ts is not None and lo > tmax_ts:
+            return False
+        return True
+
     rows = [
         (fid, t0, y0, x0, addr, nbytes, fmask, filtered)
         for fid, pl in enumerate(plans)
         for (t0, y0, x0, addr, nbytes, fmask, filtered) in pl["descs"]
+        if _in_range(pl, t0)
     ]
+    if not rows:
+        empty = spark.createDataFrame(
+            [], "time timestamp, y int, x int, value float"
+        )
+        if layout == "long":
+            return empty
+        from marex_spark.operators.detect_blocked import pack_gridded
+
+        return pack_gridded(empty, nx=NX)
     keys_df = spark.createDataFrame(
         rows,
         "fid int, t0 int, y0 int, x0 int, addr long, nbytes long, "
@@ -615,6 +649,10 @@ def ingest_netcdf4_archive(
     long_df = keys_df.mapInPandas(
         _decode, schema="time timestamp, y int, x int, value float"
     ).filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    if tmin_ts is not None:
+        long_df = long_df.filter(F.col("time") >= F.lit(tmin_ts))
+    if tmax_ts is not None:
+        long_df = long_df.filter(F.col("time") <= F.lit(tmax_ts))
     if layout == "long":
         return long_df
     from marex_spark.operators.detect_blocked import pack_gridded

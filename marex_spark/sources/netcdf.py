@@ -306,10 +306,14 @@ def ingest_netcdf_classic(
     time_var: str = "time",
     layout: str = "long",
     target_chunk_bytes: int = 16 << 20,
+    time_min=None,
+    time_max=None,
 ):
     """3-D (time, y, x) variable in a NetCDF classic file → Spark
     DataFrame (S2; the stdlib mirror of sources/zarr.ingest_zarr_gridded).
-    ``layout="packed"`` lands the blocked-kernel layout directly."""
+    ``layout="packed"`` lands the blocked-kernel layout directly.
+    ``time_min``/``time_max`` prune record ranges on the driver before
+    any task launches (see zarr.ingest_zarr_gridded)."""
     from pyspark.sql import functions as F
 
     header = read_header(path)
@@ -372,7 +376,30 @@ def ingest_netcdf_classic(
         times = _decode_time_units("", np.arange(T))
 
     ct = max(1, min(T, target_chunk_bytes // max(plane, 1)))
-    keys = [(t0, min(ct, T - t0)) for t0 in range(0, T, ct)]
+    tmin_ts = pd.Timestamp(time_min) if time_min is not None else None
+    tmax_ts = pd.Timestamp(time_max) if time_max is not None else None
+
+    def _in_range(t0: int, nt: int) -> bool:
+        if tmin_ts is not None and pd.Timestamp(times[t0 + nt - 1]) < tmin_ts:
+            return False
+        if tmax_ts is not None and pd.Timestamp(times[t0]) > tmax_ts:
+            return False
+        return True
+
+    keys = [
+        (t0, min(ct, T - t0))
+        for t0 in range(0, T, ct)
+        if _in_range(t0, min(ct, T - t0))
+    ]
+    if not keys:
+        empty = spark.createDataFrame(
+            [], "time timestamp, y int, x int, value float"
+        )
+        if layout == "long":
+            return empty
+        from marex_spark.operators.detect_blocked import pack_gridded
+
+        return pack_gridded(empty, nx=NX)
     keys_df = spark.createDataFrame(keys, "t0 int, nt int").repartition(
         min(len(keys), spark.sparkContext.defaultParallelism * 4)
     )
@@ -411,6 +438,10 @@ def ingest_netcdf_classic(
     long_df = keys_df.mapInPandas(
         _decode, schema="time timestamp, y int, x int, value float"
     ).filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    if tmin_ts is not None:
+        long_df = long_df.filter(F.col("time") >= F.lit(tmin_ts))
+    if tmax_ts is not None:
+        long_df = long_df.filter(F.col("time") <= F.lit(tmax_ts))
     if layout == "long":
         return long_df
     from marex_spark.operators.detect_blocked import pack_gridded

@@ -272,3 +272,52 @@ def test_io_archive_dispatch_glob(spark, tmp_path, field):
         spark, [str(tmp_path / "m0.nc"), str(tmp_path / "m1.nc")], "sst"
     )
     assert mixed.count() == field.size
+
+
+def test_time_pruning_skips_chunks_and_files(spark, tmp_path, field):
+    """time_min/time_max drop out-of-range chunk descriptors on the
+    driver. Two one-per-'year' files; the out-of-range file's data
+    bytes are corrupted after header parse — the pruned read must not
+    touch them."""
+    import pandas as pd
+
+    from marex_spark.sources.hdf5 import ingest_netcdf4_archive
+
+    p1 = str(tmp_path / "y1990.nc")
+    p2 = str(tmp_path / "y1990b.nc")
+    # file 1: days 0-5, file 2: days 6-11 (same grid)
+    write_netcdf4(p1, field, np.arange(6, dtype=np.float64),
+                  chunks=(2, 5, 7), compress=True)
+    write_netcdf4(p2, field + 100.0, np.arange(6, 12, dtype=np.float64),
+                  chunks=(2, 5, 7), compress=True)
+    # corrupt exactly file 1's chunk PAYLOADS (addresses from the
+    # header; B-tree and metadata stay intact, so planning succeeds
+    # and any actual read of these chunks would fail to inflate)
+    hdr = read_hdf5_header(p1)
+    with open(p1, "r+b") as f:
+        for c in hdr["datasets"]["sst"]["chunks"]:
+            f.seek(c["addr"])
+            f.write(b"\xff" * min(16, c["nbytes"]))
+    # writer epoch is 2020-01-01: file 1 = Jan 1-6, file 2 = Jan 7-12
+    df = ingest_netcdf4_archive(
+        spark, [p1, p2], "sst",
+        time_min="2020-01-08",  # only file 2's chunks survive pruning
+    )
+    got = {(r.time, r.y, r.x): r.value for r in df.collect()}
+    days = sorted({k[0].day for k in got})
+    assert days == [8, 9, 10, 11, 12]
+    # boundary trim: file 2's first chunk covers Jan 7-8 — chunk kept,
+    # Jan 7 rows trimmed by the residual filter
+    assert len(got) == 5 * 5 * 7
+    want = float(np.float32(field[3, 2, 4] + 100.0))
+    key = (pd.Timestamp("2020-01-10"), 2, 4)
+    assert abs(got[key] - want) < 1e-5
+
+
+def test_time_pruning_empty_selection(spark, tmp_path, field):
+    from marex_spark.sources.hdf5 import ingest_netcdf4
+
+    p = str(tmp_path / "e.nc")
+    write_netcdf4(p, field, np.arange(6, dtype=np.float64))
+    df = ingest_netcdf4(spark, p, "sst", time_min="2044-01-01")
+    assert df.count() == 0
