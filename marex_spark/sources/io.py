@@ -62,6 +62,8 @@ def ingest_netcdf(
     time_dim: str = "time",
     y_dim: str = "lat",
     x_dim: str = "lon",
+    time_min=None,
+    time_max=None,
 ) -> DataFrame:
     """S2 (detect.py:409 ``xr.open_dataset``): NetCDF → long-format
     DataFrame ingestion. Classic-format files (CDF-1/CDF-2) go through
@@ -76,13 +78,19 @@ def ingest_netcdf(
     if magic[:3] == b"CDF" and magic[3] in (1, 2):
         from marex_spark.sources.netcdf import ingest_netcdf_classic
 
-        return ingest_netcdf_classic(spark, nc_path, var, time_var=time_dim)
+        return ingest_netcdf_classic(
+            spark, nc_path, var, time_var=time_dim,
+            time_min=time_min, time_max=time_max,
+        )
     if magic == b"\x89HDF\r\n\x1a\n":
         from marex_spark.exceptions import DataValidationError
         from marex_spark.sources.hdf5 import ingest_netcdf4
 
         try:
-            return ingest_netcdf4(spark, nc_path, var, time_var=time_dim)
+            return ingest_netcdf4(
+                spark, nc_path, var, time_var=time_dim,
+                time_min=time_min, time_max=time_max,
+            )
         except (DataValidationError, NotImplementedError):
             # outside the stdlib subset (new-style groups, superblock
             # v2+, exotic filters) — fall through to the xarray path
@@ -114,6 +122,8 @@ def ingest_netcdf_archive(
     var: str,
     time_dim: str = "time",
     layout: str = "long",
+    time_min=None,
+    time_max=None,
 ) -> DataFrame:
     """A multi-file NetCDF archive (the standard one-file-per-year
     layout) as one DataFrame. ``paths`` is a list or a glob pattern.
@@ -143,9 +153,16 @@ def ingest_netcdf_archive(
         from marex_spark.sources.hdf5 import ingest_netcdf4_archive
 
         return ingest_netcdf4_archive(
-            spark, paths, var, time_var=time_dim, layout=layout
+            spark, paths, var, time_var=time_dim, layout=layout,
+            time_min=time_min, time_max=time_max,
         )
-    dfs = [ingest_netcdf(spark, p, var, time_dim=time_dim) for p in paths]
+    dfs = [
+        ingest_netcdf(
+            spark, p, var, time_dim=time_dim,
+            time_min=time_min, time_max=time_max,
+        )
+        for p in paths
+    ]
     out = reduce(DataFrame.unionByName, dfs)
     if layout == "long":
         return out

@@ -117,3 +117,32 @@ def test_catalog_netcdf_glob_archive(spark, tmp_path):
     cat = open_catalog(str(tmp_path / "cat.json"))
     df = cat.read(spark, "sst_archive")
     assert df.count() == field.size
+
+
+def test_catalog_time_range_override(spark, tmp_path):
+    """time_min/time_max ride catalog read() overrides into the
+    netcdf and zarr drivers (driver-side chunk pruning end to end)."""
+    import json
+
+    import numpy as np
+
+    from marex_spark.sources.catalog import open_catalog
+    from marex_spark.sources.netcdf import write_netcdf_classic
+
+    T, NY, NX = 8, 2, 2
+    t, y, x = np.meshgrid(np.arange(T), np.arange(NY), np.arange(NX),
+                          indexing="ij")
+    data = (t * 100 + y * 10 + x).astype(np.float32)
+    nc = str(tmp_path / "c.nc")
+    write_netcdf_classic(nc, data, np.arange(T, dtype=np.float64))
+    cat_path = str(tmp_path / "cat.json")
+    with open(cat_path, "w") as f:
+        json.dump(
+            {"sources": {"sst": {"driver": "netcdf",
+                                 "args": {"urlpath": nc, "var": "sst"}}}},
+            f,
+        )
+    cat = open_catalog(cat_path)
+    df = cat.read(spark, "sst", time_min="2020-01-03", time_max="2020-01-04")
+    days = sorted({r.time.day for r in df.collect()})
+    assert days == [3, 4]
