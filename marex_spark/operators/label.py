@@ -107,6 +107,7 @@ def label_components(
     connectivity: int = 8,
     wrap_x: bool = True,
     extreme_col: str = "extreme",
+    materialize: bool = True,
 ) -> DataFrame:
     """Boolean field → per-time labelled objects, globally unique IDs.
 
@@ -114,6 +115,10 @@ def label_components(
     labels come from the grouped-UDF kernel; global uniqueness via the
     W6 cumulative-max-offset window (track.py:2762-2766) — IDs stay
     dense and deterministic.
+
+    ``materialize=False`` returns the un-checkpointed logical plan
+    (plan pins in tests/test_plans.py inspect the join shape, which a
+    checkpoint's LogicalRDD would hide).
     """
     pts = extremes.filter(F.col(extreme_col)).select(time_col, "y", "x")
 
@@ -154,12 +159,20 @@ def label_components(
 
     per_time_max = labelled.groupBy(time_col).agg(F.max("local_id").alias("max_id"))
     offsets = cumulative_offsets(per_time_max, time_col, "max_id")
-    return labelled.join(F.broadcast(offsets), time_col).select(
+    out = labelled.join(F.broadcast(offsets), time_col).select(
         time_col,
         "y",
         "x",
         (F.col("local_id") + F.col("id_offset")).cast("long").alias("obj_id"),
     )
+    # Checkpoint the FINAL output, not just the kernel's: every consumer
+    # (overlap self-join, object areas, and especially the serial
+    # resolver's per-chunk paging loop) would otherwise re-execute the
+    # offsets agg + broadcast join suffix per action — the chunked merge
+    # tier paid that suffix once PER CHUNK (≈0.6 s × 18 chunks at the
+    # sf0.1 bench). The intermediate checkpoint's blocks are released by
+    # the ContextCleaner once `labelled` is unreachable.
+    return out.localCheckpoint() if materialize else out
 
 
 def label_components_unstructured(
@@ -233,11 +246,12 @@ def label_components_unstructured(
 
     per_time_max = per_time.groupBy(time_col).agg(F.max("local_id").alias("max_id"))
     offsets = cumulative_offsets(per_time_max, time_col, "max_id")
+    # final-output checkpoint: same rationale as label_components
     return per_time.join(F.broadcast(offsets), time_col).select(
         time_col,
         "cell",
         (F.col("local_id") + F.col("id_offset")).cast("long").alias("obj_id"),
-    )
+    ).localCheckpoint()
 
 
 def _label_unstructured_kernel(
@@ -296,8 +310,9 @@ def _label_unstructured_kernel(
 
     per_time_max = per_time.groupBy(time_col).agg(F.max("local_id").alias("max_id"))
     offsets = cumulative_offsets(per_time_max, time_col, "max_id")
+    # final-output checkpoint: same rationale as label_components
     return per_time.join(F.broadcast(offsets), time_col).select(
         time_col,
         "cell",
         (F.col("local_id") + F.col("id_offset")).cast("long").alias("obj_id"),
-    )
+    ).localCheckpoint()

@@ -334,10 +334,12 @@ def track_events_unstructured(
     from marex_spark.operators.label import label_components_unstructured
 
     if labels is None:
+        # label_components_unstructured checkpoints its final output
         labels = label_components_unstructured(
             extremes, edges, time_col=time_col, extreme_col=extreme_col
         )
-    labels = labels.localCheckpoint()
+    else:
+        labels = labels.localCheckpoint()
 
     extras: dict = {
         # linking provenance — rewind_track_run re-links with the

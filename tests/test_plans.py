@@ -97,7 +97,9 @@ def test_labelling_is_single_shuffle_per_pass(spark):
     from marex_spark.sources.synthetic import synthetic_extremes_gridded
 
     ext = synthetic_extremes_gridded(spark, n_time=8, ny=8, nx=16)
-    out = label_components(ext, nx=16)
+    # materialize=False: pin the logical plan, not the checkpoint's
+    # LogicalRDD (the production path checkpoints this exact plan)
+    out = label_components(ext, nx=16, materialize=False)
     # post-checkpoint plan: the W6 offset table costs one map-side-
     # combined agg (1 row/time out) + metadata-sized exchanges for the
     # two-level bucketed prefix sum; the labelled cells themselves join
