@@ -632,3 +632,88 @@ def dedup_substring_spans(spark, sf_dir):
             ).alias("dup_ratio"),
         )
     )
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+_PARA_W = 10  # words per pseudo-paragraph segment
+
+
+@register(
+    "dedup_paragraphs",
+    f"""WITH segs AS (
+          SELECT doc_id, i AS seg_idx,
+                 md5(array_to_string(
+                     w[(i * {_PARA_W} + 1):((i + 1) * {_PARA_W})], ' ')) AS h,
+                 len(w[(i * {_PARA_W} + 1):((i + 1) * {_PARA_W})]) AS seg_words
+          FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+               UNNEST(generate_series(
+                   0, CAST(ceil(len(w) / {_PARA_W}.0) AS BIGINT) - 1)) AS t(i)
+        ),
+        owners AS (
+          SELECT h, MIN(doc_id * 1000000 + seg_idx) AS owner_key
+          FROM segs GROUP BY h
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(CASE WHEN s.doc_id * 1000000 + s.seg_idx = o.owner_key
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               {round6_sql(
+                   "SUM(CASE WHEN s.doc_id * 1000000 + s.seg_idx = o.owner_key "
+                   "THEN s.seg_words ELSE 0 END) * 1.0 / SUM(s.seg_words)"
+               )} AS kept_ratio
+        FROM segs s JOIN owners o USING (h)
+        GROUP BY s.doc_id""",
+)
+def dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level corpus dedup (CCNet-style: Wenzek et al. 2020
+    drop duplicated paragraphs across shards, keeping one copy; the
+    reference corpus here is single-line word soup, so "paragraph" =
+    consecutive 10-word segment — same operator shape, deterministic
+    unit).
+
+    Plan: explode docs into hashed segments (narrow), ONE map-side-
+    combinable shuffle for the global first-owner per segment hash
+    (min (doc_id, seg_idx) key — keep-first semantics), a hash join
+    back (AQE skew-join splits hot boilerplate segments), and a final
+    per-doc agg. No all-pairs stage at any point, so the shape holds at
+    corpus scale; the owners table is NOT broadcast because its
+    cardinality is O(distinct segments)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(float(_PARA_W))).cast("long")
+    segs = (
+        docs.select("doc_id", words.alias("w"), n_seg.alias("ns"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("ns") - 1)).alias("seg_idx"),
+            F.col("w"),
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.md5(
+                F.array_join(
+                    F.slice("w", F.col("seg_idx") * _PARA_W + 1, _PARA_W), " "
+                )
+            ).alias("h"),
+            F.size(
+                F.slice("w", F.col("seg_idx") * _PARA_W + 1, _PARA_W)
+            ).alias("seg_words"),
+        )
+    )
+    key = F.col("doc_id") * 1000000 + F.col("seg_idx")
+    owners = segs.groupBy("h").agg(F.min(key).alias("owner_key"))
+    kept = F.when(key == F.col("owner_key"), 1).otherwise(0)
+    return (
+        segs.join(owners, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            round6(
+                F.sum(kept * F.col("seg_words")).cast("double")
+                / F.sum("seg_words")
+            ).alias("kept_ratio"),
+        )
+    )
