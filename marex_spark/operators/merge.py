@@ -589,6 +589,7 @@ def split_merge_events_chunked(
     geometry: str = "grid",
     cell_geo: DataFrame | None = None,
     max_driver_cells: int | None = None,
+    page_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Memory-bounded variant of :func:`split_merge_events` — the
     reference's chunk loop (track.py:3377-3420): pull ``chunk_steps``
@@ -612,7 +613,18 @@ def split_merge_events_chunked(
     declares it already materialised (``labels_materialized=True``,
     e.g. track_events passes label_components' checkpointed output) —
     otherwise a direct caller with a raw labelling plan would silently
-    recompute the whole labelling per chunk."""
+    recompute the whole labelling per chunk.
+
+    Paging is partition-pruned: with ≥4 chunks the sparse labels are
+    spilled ONCE to parquet partitioned by chunk index, and each page
+    fetch reads only its own chunk directory. Filtering the in-memory
+    labels per chunk instead would scan every label partition per
+    chunk — at a daily century with 64-step chunks that is 560 chunks
+    × the full partition count in scheduled tasks, the dominant cost
+    of the loop. ``page_dir`` roots the spill (default: the local tmp
+    dir — pass a shared-FS scratch path on a real cluster, same
+    contract as ``Tracker.temp_dir``); the directory is deleted before
+    returning."""
     grid = geometry == "grid"
     spark = labels.sparkSession
     if not grid:
@@ -670,61 +682,104 @@ def split_merge_events_chunked(
             resolver.next_new_id, int(resume_state["next_new_id"])
         )
 
-    for start in range(0, len(times), chunk_steps):
-        chunk_times = times[start : start + chunk_steps]
-        cols = [time_col, "y", "x", "obj_id"] if grid else [
-            time_col, "cell", "lat", "lon", "obj_id"
-        ]
-        pdf = (
-            labels.filter(
-                (F.col(time_col) >= chunk_times[0])
-                & (F.col(time_col) <= chunk_times[-1])
-            )
-            .select(*cols)
-            .toPandas()
-        )
-        slices, stimes = resolver.build_slices(pdf, time_col)
-        _resolve_block(resolver, carry, slices, stimes)
+    cols = [time_col, "y", "x", "obj_id"] if grid else [
+        time_col, "cell", "lat", "lon", "obj_id"
+    ]
+    n_chunks = (len(times) + chunk_steps - 1) // chunk_steps
+    pages = None
+    page_path = None
+    if n_chunks >= 4:
+        import tempfile
+        import uuid
 
-        if grid:
-            chunk_pdf = pd.concat(
-                [
-                    pd.DataFrame(
-                        {
-                            time_col: stimes[i],
-                            "y": slices[i]["c1"],
-                            "x": slices[i]["c2"],
-                            "obj_id": slices[i]["id"],
-                        }
-                    )
-                    for i in range(len(stimes))
-                ],
-                ignore_index=True,
-            )
-            schema = f"{time_col} {time_type}, y long, x long, obj_id long"
-        else:
-            chunk_pdf = pd.concat(
-                [
-                    pd.DataFrame(
-                        {
-                            time_col: stimes[i],
-                            "cell": slices[i]["key"],
-                            "obj_id": slices[i]["id"],
-                        }
-                    )
-                    for i in range(len(stimes))
-                ],
-                ignore_index=True,
-            )
-            schema = f"{time_col} {time_type}, cell long, obj_id long"
-        # one pandas frame -> a couple of partitions, not
-        # defaultParallelism slices: the final union of C chunks would
-        # otherwise carry C x 32 tiny partitions through every
-        # downstream stage
-        out_frames.append(
-            spark.createDataFrame(chunk_pdf, schema=schema).coalesce(2)
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        root = page_dir or tempfile.gettempdir()
+        page_path = f"{root}/marex_chunk_pages_{uuid.uuid4().hex}"
+        ctab = spark.createDataFrame(
+            [(t, i // chunk_steps) for i, t in enumerate(times)],
+            schema=StructType(
+                [labels.schema[time_col], StructField("__chunk", IntegerType())]
+            ),
         )
-        carry = [(stimes[i], slices[i]) for i in range(len(stimes))][-2:]
+        (
+            labels.join(F.broadcast(ctab), time_col)
+            .repartition(n_chunks, "__chunk")
+            .select(*cols, "__chunk")
+            .write.partitionBy("__chunk")
+            .mode("overwrite")
+            .parquet(page_path)
+        )
+        pages = spark.read.parquet(page_path)
+
+    try:
+        for start in range(0, len(times), chunk_steps):
+            chunk_times = times[start : start + chunk_steps]
+            if pages is not None:
+                pdf = (
+                    pages.filter(F.col("__chunk") == start // chunk_steps)
+                    .select(*cols)
+                    .toPandas()
+                )
+            else:
+                pdf = (
+                    labels.filter(
+                        (F.col(time_col) >= chunk_times[0])
+                        & (F.col(time_col) <= chunk_times[-1])
+                    )
+                    .select(*cols)
+                    .toPandas()
+                )
+            slices, stimes = resolver.build_slices(pdf, time_col)
+            _resolve_block(resolver, carry, slices, stimes)
+
+            if grid:
+                chunk_pdf = pd.concat(
+                    [
+                        pd.DataFrame(
+                            {
+                                time_col: stimes[i],
+                                "y": slices[i]["c1"],
+                                "x": slices[i]["c2"],
+                                "obj_id": slices[i]["id"],
+                            }
+                        )
+                        for i in range(len(stimes))
+                    ],
+                    ignore_index=True,
+                )
+                schema = f"{time_col} {time_type}, y long, x long, obj_id long"
+            else:
+                chunk_pdf = pd.concat(
+                    [
+                        pd.DataFrame(
+                            {
+                                time_col: stimes[i],
+                                "cell": slices[i]["key"],
+                                "obj_id": slices[i]["id"],
+                            }
+                        )
+                        for i in range(len(stimes))
+                    ],
+                    ignore_index=True,
+                )
+                schema = f"{time_col} {time_type}, cell long, obj_id long"
+            # one pandas frame -> a couple of partitions, not
+            # defaultParallelism slices: the final union of C chunks would
+            # otherwise carry C x 32 tiny partitions through every
+            # downstream stage
+            out_frames.append(
+                spark.createDataFrame(chunk_pdf, schema=schema).coalesce(2)
+            )
+            carry = [(stimes[i], slices[i]) for i in range(len(stimes))][-2:]
+    finally:
+        if page_path is not None:
+            # the output frames are driver-built pandas uploads — nothing
+            # downstream references the spill files, so drop them now
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(page_path)
+            jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
+                jpath, True
+            )
 
     from functools import reduce
 
