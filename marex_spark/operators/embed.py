@@ -152,6 +152,107 @@ def pca_fit(
     }
 
 
+def _seqfold(vals) -> float:
+    """Sequential left fold starting at 0.0 — the exact IEEE-double
+    op sequence a SQL ``SUM(x ORDER BY i)`` performs (0.0 + x0 == x0
+    bit-for-bit), so driver-side folds replay in any ANSI engine."""
+    acc = 0.0
+    for v in vals:
+        acc += v
+    return acc
+
+
+def pca_power_fit(
+    df: DataFrame, k: int = 4, n_iter: int = 10, vec_col: str = "embedding"
+) -> dict:
+    """Deterministic top-k subspace (orthogonal/power) iteration PCA.
+
+    The throughput tier is :func:`pca_fit` (mapInArrow float partials +
+    driver ``eigh``); this variant makes every arithmetic step
+    cross-engine bit-exact, which gives the full distributed
+    covariance → fit → project pipeline a value-hash oracle
+    (queries/similarity.py::emb_pca_power — ``pca_fit``'s eigh is not
+    SQL-expressible, so emb_pca_project is rows-only):
+
+    - mean and X'X accumulate through exact DECIMAL(38,6) sums in ONE
+      map-side-combinable aggregation (the shuffle carries at most
+      d²+d partial rows per task, never the vectors — scale-safe), so
+      the covariance matrix is order-independent and identical in any
+      engine;
+    - the iteration runs driver-side over plain Python floats (IEEE
+      doubles) with explicit ascending-index folds, mirroring ordered
+      SQL SUMs; fixed quasi-random seeds and a fixed round count keep
+      the op sequence engine-independent (no convergence test);
+    - classical Gram-Schmidt re-orthonormalises the block each round;
+      signs fix to largest-|coefficient|-positive (lowest index wins
+      ties).
+
+    With near-isotropic spectra a fixed small round count does not
+    converge to the eigenbasis — the value here is that the *machinery*
+    (covariance pass, iteration arithmetic, projection fold) is
+    hash-verified end-to-end; production fits use :func:`pca_fit`.
+    Returns the same model dict shape as :func:`pca_fit`.
+    """
+    import math
+
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_power_fit on an empty DataFrame")
+    d = len(first[0])
+    n = df.count()
+    vdbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    prods = F.flatten(
+        F.transform(vdbl, lambda xi: F.transform(vdbl, lambda xj: xi * xj))
+    )
+    sums = (
+        df.select(F.posexplode(F.concat(vdbl, prods)).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("val").cast("decimal(38,6)")).cast("double").alias("s"))
+        .collect()
+    )
+    smap = {r["pos"]: r["s"] for r in sums}
+    nf = float(n)
+    mean = [smap[j] / nf for j in range(d)]
+    cov = [
+        [smap[d + i * d + j] / nf - mean[i] * mean[j] for j in range(d)]
+        for i in range(d)
+    ]
+
+    # fixed quasi-random seeds (same formula as emb_project_fixed's basis)
+    q = [
+        [(((c * 37 + j * 11) % 13) - 6) / 7.0 for j in range(d)]
+        for c in range(k)
+    ]
+    for _ in range(n_iter):
+        w = [
+            [_seqfold(cov[i][j] * q[c][j] for j in range(d)) for i in range(d)]
+            for c in range(k)
+        ]
+        newq: list[list[float]] = []
+        for c in range(k):
+            u = list(w[c])
+            if c:
+                dps = [
+                    _seqfold(w[c][j] * newq[p][j] for j in range(d))
+                    for p in range(c)
+                ]
+                adj = [
+                    _seqfold(dps[p] * newq[p][j] for p in range(c))
+                    for j in range(d)
+                ]
+                u = [u[j] - adj[j] for j in range(d)]
+            nrm = math.sqrt(_seqfold(x * x for x in u))
+            newq.append([x / nrm for x in u])
+        q = newq
+
+    comps = []
+    for c in range(k):
+        jmax = max(range(d), key=lambda j: (abs(q[c][j]), -j))
+        s = -1.0 if q[c][jmax] < 0 else 1.0
+        comps.append([x * s for x in q[c]])
+    return {"mean": np.array(mean), "components": np.array(comps)}
+
+
 def _kmeans_dist2(vec_col, centroid: list[float]):
     """Exact decimal-fold squared L2 distance to one centroid.
 

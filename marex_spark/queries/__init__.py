@@ -61,6 +61,11 @@ _PRIORITY = [
     "mm_feature_extract",
     "emb_project_fixed",
     "emb_pca_project",
+    # new r4: subspace-iteration PCA with a FULL replay oracle — the
+    # exact-decimal covariance pass + fixed-round driver iteration +
+    # projection, hash-verified end-to-end (closes the eigh gap from
+    # the verification side; emb_pca_project stays the eigh tier).
+    "emb_pca_power",
     # §2 rows window-starved since r1 (local oracle green all rounds).
     "f4_haversine",
     "f6_interpolation",

@@ -577,6 +577,124 @@ def emb_pca_project(spark, sf_dir):
     )
 
 
+_PW_K = 4
+_PW_T = 10
+
+
+def _power_ctes(k: int, t_iter: int) -> str:
+    """WITH-clause body replaying pca_power_fit + projection: exact
+    DECIMAL covariance, then ``t_iter`` unrolled subspace-iteration
+    rounds (matvec → classical Gram-Schmidt → normalise), every
+    cross-row double sum an ordered SUM so the fold order matches the
+    driver's sequential Python folds bit-for-bit."""
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+mu AS MATERIALIZED (
+  SELECT idx AS j, {dec_sql('comp')} / (SELECT n FROM nn) AS m
+  FROM e GROUP BY idx),
+xx AS (
+  SELECT a.idx AS i, b.idx AS j, {dec_sql('a.comp * b.comp')} AS s
+  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+cov AS MATERIALIZED (
+  SELECT xx.i, xx.j, xx.s / (SELECT n FROM nn) - mi.m * mj.m AS a
+  FROM xx JOIN mu mi ON mi.j = xx.i JOIN mu mj ON mj.j = xx.j),
+q0 AS (
+  SELECT c.c, j.j,
+         CAST((c.c * 37 + j.j * 11) % 13 - 6 AS DOUBLE) / 7.0 AS v
+  FROM range({k}) c(c), (SELECT DISTINCT idx AS j FROM e) j)"""
+    ]
+    for t in range(t_iter):
+        parts.append(f""",
+w{t} AS MATERIALIZED (
+  SELECT q.c, cov.i AS j, SUM(cov.a * q.v ORDER BY cov.j) AS w
+  FROM cov JOIN q{t} q ON q.j = cov.j
+  GROUP BY q.c, cov.i)""")
+        for c in range(k):
+            if c == 0:
+                parts.append(f""",
+g{t}_0 AS MATERIALIZED (
+  SELECT 0 AS c, j,
+         w / (SELECT sqrt(SUM(w * w ORDER BY j)) FROM w{t} WHERE c = 0) AS v
+  FROM w{t} WHERE c = 0)""")
+            else:
+                prev = " UNION ALL ".join(
+                    f"SELECT * FROM g{t}_{p}" for p in range(c)
+                )
+                parts.append(f""",
+d{t}_{c} AS (
+  SELECT g.c AS pc, SUM(w.w * g.v ORDER BY w.j) AS dp
+  FROM w{t} w JOIN ({prev}) g USING (j)
+  WHERE w.c = {c} GROUP BY g.c),
+a{t}_{c} AS (
+  SELECT g.j, SUM(d.dp * g.v ORDER BY d.pc) AS adj
+  FROM d{t}_{c} d JOIN ({prev}) g ON g.c = d.pc
+  GROUP BY g.j),
+u{t}_{c} AS MATERIALIZED (
+  SELECT w.j, w.w - a.adj AS u
+  FROM w{t} w JOIN a{t}_{c} a USING (j) WHERE w.c = {c}),
+g{t}_{c} AS MATERIALIZED (
+  SELECT {c} AS c, j,
+         u / (SELECT sqrt(SUM(u * u ORDER BY j)) FROM u{t}_{c}) AS v
+  FROM u{t}_{c})""")
+        union = " UNION ALL ".join(f"SELECT * FROM g{t}_{c}" for c in range(k))
+        parts.append(f""",
+q{t + 1} AS MATERIALIZED ({union})""")
+    tq = f"q{t_iter}"
+    parts.append(f""",
+sgp AS (
+  SELECT c, v, ROW_NUMBER() OVER (PARTITION BY c ORDER BY abs(v) DESC, j) AS rn
+  FROM {tq}),
+sg AS (SELECT c, CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+       FROM sgp WHERE rn = 1),
+qf AS (SELECT q.c, q.j, q.v * sg.s AS v FROM {tq} q JOIN sg USING (c)),
+proj AS (
+  SELECT e.vec_id, q.c, SUM((e.comp - mu.m) * q.v ORDER BY e.idx) AS p
+  FROM e JOIN mu ON mu.j = e.idx JOIN qf q ON q.j = e.idx
+  GROUP BY 1, 2)""")
+    return "".join(parts)
+
+
+def _power_oracle(k: int, t_iter: int) -> str:
+    pcs = ",\n       ".join(
+        round6_sql(f"MAX(CASE WHEN c = {c} THEN p END)") + f" AS pc{c}"
+        for c in range(k)
+    )
+    return (
+        _power_ctes(k, t_iter)
+        + f"""
+SELECT vec_id,
+       {pcs}
+FROM proj GROUP BY vec_id"""
+    )
+
+
+@register("emb_pca_power", _power_oracle(_PW_K, _PW_T))
+def emb_pca_power(spark, sf_dir):
+    """Top-k PCA via deterministic subspace iteration with a FULL
+    value-hash oracle — the companion to emb_pca_project (driver eigh,
+    rows-only) that puts the whole distributed pipeline under the
+    gate: exact-decimal covariance pass (one map-side-combinable
+    shuffle of ≤ d²+d partial rows), fixed-round driver iteration with
+    sequential folds, JVM-side projection. The oracle unrolls the
+    rounds as chained CTEs with ordered SUMs, so the double arithmetic
+    is bit-identical before round6."""
+    from marex_spark.operators.embed import pca_power_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_power_fit(emb, k=_PW_K, n_iter=_PW_T)
+    proj = pca_project(emb, model)
+    return proj.select(
+        "vec_id",
+        *[
+            round6(F.col("projected")[i]).alias(f"pc{i}")
+            for i in range(_PW_K)
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distributed k-means (IVF centroid training) — operators/embed.py
 # ---------------------------------------------------------------------------

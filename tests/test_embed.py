@@ -74,6 +74,44 @@ def test_pca_project_matches_numpy_and_is_partition_invariant(vecs):
     )
 
 
+class TestPcaPower:
+    """Deterministic subspace-iteration fit (the fully SQL-replayable
+    tier backing the emb_pca_power oracle, queries/similarity.py)."""
+
+    def test_orthonormal_and_aligned_with_eigh(self, vecs):
+        from marex_spark.operators.embed import pca_power_fit
+
+        df, X = vecs
+        m = pca_power_fit(df, k=2, n_iter=10)
+        Q = m["components"]
+        np.testing.assert_allclose(Q @ Q.T, np.eye(2), atol=1e-9)
+        # the planted fixture has a strong eigengap, so 10 rounds
+        # converge: components match the eigh tier up to sign (signs
+        # are fixed the same way on both paths)
+        ref = pca_fit(df, k=2)["components"]
+        np.testing.assert_allclose(np.abs(Q @ ref.T), np.eye(2), atol=1e-3)
+        np.testing.assert_allclose(m["mean"], X.mean(axis=0), atol=1e-6)
+
+    def test_bit_identical_across_partitionings(self, vecs):
+        from marex_spark.operators.embed import pca_power_fit
+
+        df, _ = vecs
+        m1 = pca_power_fit(df.coalesce(1), k=3, n_iter=6)
+        m2 = pca_power_fit(df.repartition(17), k=3, n_iter=6)
+        # decimal sums make the covariance order-independent, and the
+        # driver iteration is a fixed op sequence — EXACT equality,
+        # not allclose (this is what lets the DuckDB oracle hash-match)
+        assert m1["mean"].tolist() == m2["mean"].tolist()
+        assert m1["components"].tolist() == m2["components"].tolist()
+
+    def test_empty_raises(self, spark):
+        from marex_spark.operators.embed import pca_power_fit
+
+        df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError):
+            pca_power_fit(df, k=2)
+
+
 class TestKMeans:
     """Lloyd's k-means: recovers planted blobs, is partition-invariant,
     and keeps empty clusters at their previous centroid."""
