@@ -360,22 +360,38 @@ def _thr_hobday_spatial(
     n_pos = int(round(max_anomaly / precision))
     nb = n_pos + 2
     thr = np.full((_N_DOY, nx), np.nan)
+    halo = [a for y_val, a in anoms.items() if abs(y_val - band) <= s]
+    if not halo:
+        return thr
+    # The (doy × col × bin) tensors are pure memory-bandwidth: every
+    # pooling pass touches ~60 MB at precision 0.01. Two levers (5.5×
+    # measured at bench dims, outputs bit-identical): BIN-LAST layout
+    # so the CDF cumsum and the crossing scan run over the contiguous
+    # axis, and uint16 counts when the exact worst-case intermediate
+    # (padded-doy cumsum / x-window cumsum over a whole chunk) provably
+    # fits — the x-chunk width shrinks to keep it fitting, falling back
+    # to int32 + 256-wide chunks only for extreme year counts.
+    nmax_doy = int(np.bincount(doy0, minlength=1).max())
+    bound_doy = (len(halo) * len(doy0) * 11) // 10  # padded-doy cumsum
+    per_col = (2 * half + 1) * len(halo) * nmax_doy  # pooled, one column
     chunk = 256
+    dtype = np.int32
+    if bound_doy < 65000 and per_col > 0:
+        fit = 65000 // per_col - 2 * s  # widest chunk the x-cumsum allows
+        if fit >= 32:
+            chunk = min(256, fit)
+            dtype = np.uint16
     for x0 in range(0, nx, chunk):
         x1 = min(x0 + chunk, nx)
         xc = x1 - x0
         # halo column index set: absolute x of [x0-s, x1+s) with wrap
         cols = (np.arange(x0 - s, x1 + s) % nx).astype(np.int64)
         ncol = len(cols)
-        # y pooling FIRST (both poolings are linear and commute): the
-        # flat (doy, bin, col) indices of every contributing halo row
-        # feed ONE bincount, and the circular doy pooling then runs as
-        # ONE padded cumsum over the y-summed histogram — instead of a
-        # 67M-bin allocation + full-histogram cumsum per halo row
+        # y pooling FIRST (all three poolings are linear and commute):
+        # the flat (doy, col, bin) indices of every contributing halo
+        # row feed ONE bincount
         flats = []
-        for y_val, anom in anoms.items():
-            if abs(y_val - band) > s:
-                continue
+        for anom in halo:
             sub = anom[:, cols]  # (T × ncol); duplicated cols OK (nx < ncol)
             valid = ~np.isnan(sub)
             safe = np.where(valid, sub, 0.0)
@@ -386,35 +402,40 @@ def _thr_hobday_spatial(
             flats.append(
                 (
                     doy0[:, None] * (nb * ncol)
-                    + bins * ncol
-                    + np.arange(ncol)[None, :]
+                    + np.arange(ncol)[None, :] * nb
+                    + bins
                 )[valid]
             )
-        if not flats:
-            thr[:, x0:x1] = np.nan
-            continue
         h = np.bincount(
-            np.concatenate(flats), minlength=_N_DOY * nb * ncol
-        ).reshape(_N_DOY, nb, ncol).astype(np.int32)
+            np.concatenate(flats), minlength=_N_DOY * ncol * nb
+        ).reshape(_N_DOY, ncol, nb).astype(dtype)
         # circular doy pooling via one padded cumsum (see _thr_hobday)
         hp = np.concatenate([h[_N_DOY - half :], h, h[:half]], axis=0)
         np.cumsum(hp, axis=0, out=hp)
-        pooled_sum = hp[2 * half :].copy()
-        pooled_sum[1:] -= hp[: _N_DOY - 1]
+        pooled = hp[2 * half :].copy()
+        pooled[1:] -= hp[: _N_DOY - 1]
         # spatial x pooling: for own column j (position s..s+xc-1 in the
-        # halo), sum halo positions j-s..j+s — a sliding window over axis 2
-        cs2 = np.concatenate(
-            [np.zeros((_N_DOY, nb, 1), dtype=np.int32), pooled_sum.cumsum(axis=2)],
-            axis=2,
-        )
-        own = cs2[:, :, 2 * s + 1 :] - cs2[:, :, : ncol - 2 * s]  # (366, nb, xc)
-        cdf = own.cumsum(axis=1)
-        n = cdf[:, -1, :]
+        # halo), sum halo positions j-s..j+s — sliding window over axis 1
+        cs = pooled.cumsum(axis=1)
+        own = cs[:, 2 * s :, :].copy()
+        own[:, 1:, :] -= cs[:, : ncol - 2 * s - 1, :]
+        cdf = np.cumsum(own, axis=2)  # contiguous bin axis
+        n = cdf[:, :, -1].astype(np.int64)
         target = q * n
-        tgt_i = np.ceil(target).astype(np.int32)  # exact integer form
-        sel = (cdf >= tgt_i[:, None, :]).argmax(axis=1)
-        c = np.take_along_axis(own, sel[:, None, :], 1)[:, 0]
-        prev = np.take_along_axis(cdf, sel[:, None, :], 1)[:, 0] - c
+        tgt_i = np.ceil(target).astype(np.int64)  # exact integer form
+        # first crossing on a nondecreasing CDF: count of (cdf < tgt)
+        # == index of the first bin with cdf >= tgt (contiguous scan)
+        sel = nb - np.count_nonzero(cdf >= tgt_i[:, :, None], axis=2)
+        selc = np.minimum(sel[:, :, None], nb - 1)
+        at = np.take_along_axis(cdf, selc, 2)[:, :, 0].astype(np.int64)
+        prev = np.where(
+            sel > 0,
+            np.take_along_axis(cdf, np.maximum(selc - 1, 0), 2)[:, :, 0].astype(
+                np.int64
+            ),
+            0,
+        )
+        c = at - prev
         with np.errstate(invalid="ignore", divide="ignore"):
             frac = np.clip((target - prev) / np.maximum(c, 1), 0.0, 1.0)
         t = (sel - 1) * precision + precision * frac
