@@ -117,24 +117,29 @@ def binary_erode(
 
 def _dilate_np(g, offsets, wrap_x: bool):
     """Dense dilation by shift-OR over the SE offsets: zero padding in
-    y (and x when not wrapping), np.roll for the periodic x."""
+    y (and x when not wrapping), np.roll for the periodic x. ``g`` is
+    (ny, nx) or a (T, ny, nx) stack — rolls apply to the trailing two
+    axes, so a whole partition of slices dilates in one pass (per-slice
+    rolls were the preprocess stage's dominant Python overhead)."""
     import numpy as np
 
     R = max(max(abs(dy), abs(dx)) for dy, dx in offsets)
-    ny, nx = g.shape
+    ny, nx = g.shape[-2:]
+    lead = g.shape[:-2]
+    ax = (g.ndim - 2, g.ndim - 1)
     if wrap_x:
-        p = np.zeros((ny + 2 * R, nx), dtype=bool)
-        p[R : R + ny] = g
+        p = np.zeros(lead + (ny + 2 * R, nx), dtype=bool)
+        p[..., R : R + ny, :] = g
         acc = np.zeros_like(p)
         for dy, dx in offsets:
-            acc |= np.roll(p, (dy, dx), axis=(0, 1))
-        return acc[R : R + ny]
-    p = np.zeros((ny + 2 * R, nx + 2 * R), dtype=bool)
-    p[R : R + ny, R : R + nx] = g
+            acc |= np.roll(p, (dy, dx), axis=ax)
+        return acc[..., R : R + ny, :]
+    p = np.zeros(lead + (ny + 2 * R, nx + 2 * R), dtype=bool)
+    p[..., R : R + ny, R : R + nx] = g
     acc = np.zeros_like(p)
     for dy, dx in offsets:
-        acc |= np.roll(p, (dy, dx), axis=(0, 1))
-    return acc[R : R + ny, R : R + nx]
+        acc |= np.roll(p, (dy, dx), axis=ax)
+    return acc[..., R : R + ny, R : R + nx]
 
 
 def _erode_np(g, offsets, wrap_x: bool):
@@ -182,18 +187,26 @@ def morph_close_open_blocked(
         ts = tbl[time_col].cast(pa.int64()).to_numpy()
         ys = tbl["y"].to_numpy()
         xs = tbl["x"].to_numpy()
-        for t in np.unique(ts):
-            m = ts == t
-            g = np.zeros((ny, nx), dtype=bool)
-            g[ys[m], xs[m]] = True
+        ut, t_inv = np.unique(ts, return_inverse=True)
+        # Stacked (T, ny, nx) kernel: the 4 morphology stages roll the
+        # whole sub-batch of slices at once instead of per-timestep
+        # (49 rolls/stage at R=4 — per-slice loops were pure overhead).
+        # Sub-batches bound peak memory to ~3×64 MB of bools at any
+        # grid size; slices remain fully independent.
+        per = max(1, 64_000_000 // (ny * nx))
+        for lo in range(0, len(ut), per):
+            hi = min(lo + per, len(ut))
+            sel = (t_inv >= lo) & (t_inv < hi)
+            g = np.zeros((hi - lo, ny, nx), dtype=bool)
+            g[t_inv[sel] - lo, ys[sel], xs[sel]] = True
             closed = _erode_np(_dilate_np(g, offsets, wrap_x), offsets, wrap_x)
             opened = _dilate_np(
                 _erode_np(closed, offsets, wrap_x), offsets, wrap_x
             )
-            yy, xx = np.nonzero(opened)
+            tt, yy, xx = np.nonzero(opened)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.full(len(yy), t)).cast(ts_type),
+                    pa.array(ut[tt + lo]).cast(ts_type),
                     pa.array(yy.astype(np.int32)),
                     pa.array(xx.astype(np.int32)),
                 ],
