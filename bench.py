@@ -353,19 +353,40 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
     guarded("episode_stats_10x", _episode_stats_10x)
 
     # split/merge resolution tiers on the same grid: chunked (default)
-    # vs the wall-clock-parallel Jacobi time-block tier
-    def _merge_bench(parallel: bool) -> int:
-        from marex_spark.operators.detect_blocked import detect_extremes_blocked
-        from marex_spark.operators.track import track_events
-        from marex_spark.sources.synthetic import synthetic_sst_gridded
+    # vs the wall-clock-parallel Jacobi time-block tier. The extreme
+    # cells land on parquet ONCE in warmup (fixture generation is not
+    # engine cost — same rule as the packed datasets above); the timed
+    # region is scan → labelling → resolver → renumber, the pipeline a
+    # tracking run actually executes over archived detect output.
+    merge_ext_path = f"{tmp}/marex_bench_merge_ext_sf{sf}"
+    merge_nx = {"nx": 0}
+
+    def _merge_warmup() -> None:
         from pyspark.sql import functions as Fx
+
+        from marex_spark.operators.detect_blocked import detect_extremes_blocked
+        from marex_spark.sources.synthetic import synthetic_sst_gridded
 
         n_years = max(2, int(round(30 * sf)))
         ny, nx = (40, 80) if sf >= 0.05 else (20, 40)
+        merge_nx["nx"] = nx
         series = synthetic_sst_gridded(spark, n_years=n_years, ny=ny, nx=nx)
         ext = detect_extremes_blocked(series).withColumn("extreme", Fx.lit(True))
+        ext.write.mode("overwrite").parquet(merge_ext_path)
+        spark.catalog.clearCache()
+
+    try:
+        _merge_warmup()
+    except Exception as e:
+        errors["__merge_warmup__"] = f"{type(e).__name__}: {e}"
+        note(f"merge warmup: ERROR {type(e).__name__}")
+
+    def _merge_bench(parallel: bool) -> int:
+        from marex_spark.operators.track import track_events
+
+        ext = spark.read.parquet(merge_ext_path)
         res = track_events(
-            ext, nx=nx, overlap_threshold=0.5, compute_stats=False,
+            ext, nx=merge_nx["nx"], overlap_threshold=0.5, compute_stats=False,
             allow_merging=True, merge_parallel=parallel,
         )
         res.events.write.mode("overwrite").format("noop").save()
