@@ -100,6 +100,68 @@ def label_slice(
     return (rank[inv] + 1).astype(np.int32)
 
 
+def label_slices_batch(
+    tidx: np.ndarray,
+    ys: np.ndarray,
+    xs: np.ndarray,
+    nx: int,
+    connectivity: int = 8,
+    wrap_x: bool = True,
+) -> np.ndarray:
+    """Vectorized multi-slice :func:`label_slice`: cells from MANY time
+    slices labelled in one numpy pipeline (``tidx`` = dense slice
+    codes). The slice index prefixes the sort key, so neighbour lookups
+    never cross slices and one union-find covers the whole batch;
+    per-slice ids (1..k ordered by min flat key within the slice) come
+    out identical to the per-slice kernel (pinned in tests/test_label.py).
+    Replaces the per-timestep Python loop that dominated the labelling
+    stage (~10k tiny groupby iterations per century partition)."""
+    n = len(ys)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    BIG = nx + 2
+    t64 = tidx.astype(np.int64)
+    flat = ys.astype(np.int64) * BIG + xs.astype(np.int64)
+    M = (int(ys.max()) + 2) * BIG  # strictly > any (y+dy)*BIG + x key
+    key = t64 * M + flat
+    order = np.argsort(key)
+    skey = key[order]
+    offsets = [(0, 1), (1, 0)]
+    if connectivity == 8:
+        offsets += [(1, 1), (1, -1)]
+    us, vs = [], []
+    for dy, dx in offsets:
+        ny2 = ys + dy
+        if wrap_x:
+            nx2 = (xs + dx) % nx
+        else:
+            nx2 = xs + dx
+            valid_x = (nx2 >= 0) & (nx2 < nx)
+        nkey = t64 * M + ny2.astype(np.int64) * BIG + nx2.astype(np.int64)
+        pos = np.searchsorted(skey, nkey)
+        pos_c = np.clip(pos, 0, n - 1)
+        hit = skey[pos_c] == nkey
+        if not wrap_x:
+            hit &= valid_x
+        us.append(np.nonzero(hit)[0])
+        vs.append(order[pos_c[hit]])
+    roots = _cc_edges(n, np.concatenate(us), np.concatenate(vs))
+    uniq, inv = np.unique(roots, return_inverse=True)
+    comp_min = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(comp_min, inv, key)
+    # rank components within their slice by min key (comp_min sorts by
+    # slice first — the t*M prefix dominates)
+    sidx = np.argsort(comp_min)
+    t_sorted = comp_min[sidx] // M
+    first = np.r_[True, t_sorted[1:] != t_sorted[:-1]]
+    starts = np.nonzero(first)[0]
+    run_id = np.cumsum(first) - 1
+    within = np.arange(len(uniq)) - starts[run_id]
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[sidx] = within
+    return (rank[inv] + 1).astype(np.int32)
+
+
 def label_components(
     extremes: DataFrame,
     nx: int,
@@ -124,24 +186,39 @@ def label_components(
 
     def _label_partition(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         # One partition holds many COMPLETE time slices (hash-partitioned
-        # by time below); label each with a pandas groupby. A daily
-        # century is ~36k slices — per-slice Arrow groups would pay the
-        # grouped-UDF batch overhead 36k times (measured: ~10 ms/group,
-        # i.e. the labelling stage cost 5× the detect stage); one stream
-        # per partition pays it ~once per core.
+        # by time below), labelled by the VECTORIZED multi-slice kernel —
+        # one numpy pipeline per sub-batch instead of a Python loop over
+        # ~10 ms pandas groups (a daily century is ~36k slices; the loop
+        # form made labelling cost 5× the detect stage). Sub-batches of
+        # whole slices cap the working set at ~16M cells.
         frames = [b for b in batches if len(b)]
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        for _, g in pdf.groupby(time_col, sort=False):
-            ys = g["y"].to_numpy()
-            xs = g["x"].to_numpy()
-            ids = label_slice(
-                ys, xs, nx=nx, connectivity=connectivity, wrap_x=wrap_x
+        tvals = pdf[time_col].to_numpy()
+        ys_all = pdf["y"].to_numpy()
+        xs_all = pdf["x"].to_numpy()
+        tcodes, _ = pd.factorize(tvals, sort=False)
+        ord_t = np.argsort(tcodes, kind="stable")
+        ts_sorted = tcodes[ord_t]
+        bounds = np.r_[0, np.nonzero(np.diff(ts_sorted))[0] + 1, len(ts_sorted)]
+        cap = 16_000_000
+        lo = 0
+        while lo < len(bounds) - 1:
+            hi = lo + 1
+            while hi < len(bounds) - 1 and bounds[hi + 1] - bounds[lo] <= cap:
+                hi += 1
+            sel = ord_t[bounds[lo] : bounds[hi]]
+            ys = ys_all[sel]
+            xs = xs_all[sel]
+            ids = label_slices_batch(
+                ts_sorted[bounds[lo] : bounds[hi]], ys, xs,
+                nx=nx, connectivity=connectivity, wrap_x=wrap_x,
             )
             yield pd.DataFrame(
-                {time_col: g[time_col].to_numpy(), "y": ys, "x": xs, "local_id": ids}
+                {time_col: tvals[sel], "y": ys, "x": xs, "local_id": ids}
             )
+            lo = hi
 
     # Explicit partition count: an AQE-coalesced shuffle would funnel all
     # time groups into one task and serialise the Python kernel; pinning

@@ -97,3 +97,34 @@ def test_label_components_spark(spark):
     assert by_cell[(1, 5, 5)] == 2
     # t1 ids offset by max of t0 (=2)
     assert by_cell[(2, 1, 2)] == by_cell[(2, 1, 3)] == 3
+
+
+def test_batch_kernel_matches_per_slice():
+    """label_slices_batch == label_slice per slice, for random sparse
+    multi-slice fields across both connectivities and wrap modes."""
+    import numpy as np
+
+    from marex_spark.operators.label import label_slice, label_slices_batch
+
+    rng = np.random.default_rng(3)
+    nx, ny_g = 12, 9
+    for conn in (4, 8):
+        for wrap in (True, False):
+            ts, ys, xs = [], [], []
+            for t in range(7):
+                k = rng.integers(0, 30)
+                cells = rng.choice(ny_g * nx, size=k, replace=False)
+                ts += [t] * k
+                ys += list(cells // nx)
+                xs += list(cells % nx)
+            tidx = np.array(ts, dtype=np.int64)
+            ya = np.array(ys, dtype=np.int64)
+            xa = np.array(xs, dtype=np.int64)
+            # shuffle input order — ids must not depend on row order
+            p = rng.permutation(len(tidx))
+            tidx, ya, xa = tidx[p], ya[p], xa[p]
+            got = label_slices_batch(tidx, ya, xa, nx=nx, connectivity=conn, wrap_x=wrap)
+            for t in np.unique(tidx):
+                m = tidx == t
+                want = label_slice(ya[m], xa[m], nx=nx, connectivity=conn, wrap_x=wrap)
+                assert got[m].tolist() == want.tolist(), (conn, wrap, t)
