@@ -70,6 +70,10 @@ def _time_parts(
 
 
 _N_DOY = 366  # circular doy modulus, fixed like the relational mod-366
+# uint16 head-room for the spatial-hobday count tensors (65535 minus
+# slack); tests pin that the int32 fallback path is value-identical by
+# forcing this to 0
+_U16_BUDGET = 65000
 
 
 def _anomaly_fixed(
@@ -376,8 +380,8 @@ def _thr_hobday_spatial(
     per_col = (2 * half + 1) * len(halo) * nmax_doy  # pooled, one column
     chunk = 256
     dtype = np.int32
-    if bound_doy < 65000 and per_col > 0:
-        fit = 65000 // per_col - 2 * s  # widest chunk the x-cumsum allows
+    if bound_doy < _U16_BUDGET and per_col > 0:
+        fit = _U16_BUDGET // per_col - 2 * s  # widest chunk the x-cumsum fits
         if fit >= 32:
             chunk = min(256, fit)
             dtype = np.uint16

@@ -504,3 +504,29 @@ def test_pack_gridded_integer_values(spark):
     packed = pack_gridded(df, nx=4)
     row = packed.first()
     assert row.vals == [0.0, 10.0, 20.0, 30.0]
+
+
+def test_spatial_hobday_int32_fallback_matches_uint16(monkeypatch):
+    """The spatial threshold kernel picks uint16 counts only when the
+    exact worst-case intermediates fit; the int32 + 256-chunk fallback
+    (very long series) must be value-identical. Force the fallback by
+    zeroing the uint16 budget and compare on the same inputs."""
+    import numpy as np
+
+    from marex_spark.operators import detect_blocked as db
+
+    T, NX = 3 * 365, 16
+    rng = np.random.default_rng(5)
+    ts = np.arange(T, dtype=np.int64) * 86_400_000_000
+    doy0, _, _ = db._time_parts(ts, "us", False, "UTC")
+    anoms = {
+        y: np.where(
+            rng.random((T, NX)) < 0.05, np.nan, rng.normal(scale=1.1, size=(T, NX))
+        )
+        for y in range(5)
+    }
+    args = (anoms, 2, doy0, 0.9, 11, 5, 0.01, 5.0, NX)
+    fast = db._thr_hobday_spatial(*args)
+    monkeypatch.setattr(db, "_U16_BUDGET", 0)
+    slow = db._thr_hobday_spatial(*args)
+    assert np.array_equal(fast, slow, equal_nan=True)
