@@ -100,23 +100,27 @@ _PRIORITY = [
     "det_packed_unstructured",
     "mhw_episode_stats",
     # New this round: NetCDF-4/HDF5 ingestion through the stdlib chunk
-    # B-tree reader, and the S3/S4/S5 sink round-trips (checkpoint,
-    # dynamic-partition region overwrite, stats sidecar) — none ever
-    # driver-evaluated.
+    # B-tree reader, the S3/S4/S5 sink round-trips (checkpoint,
+    # dynamic-partition region overwrite, stats sidecar), and the zarr
+    # sink round-trip — none ever driver-evaluated.
     "s2_netcdf4_scan",
     "s3_checkpoint_roundtrip",
     "s4_region_overwrite",
     "s5_stats_sidecar",
-    # ---- green sentinels: regression cover across every suite ----
-    "s1_scan_pushdown",
-    "s2_netcdf_scan",
-    "s6_catalog_scan",
-    "trk_m5_track_nomerge",
-    "trk_extend_incremental",
+    "s7_zarr_roundtrip",
     # mesh incremental append (new r4): oracle = full no-merge mesh
     # chain replay, proving mesh-incremental == mesh-from-scratch
     "trk_extendu_incremental",
-    "dedup_minhash_lsh",
+    # r4-late additions, never driver-evaluated: CCNet-style paragraph
+    # dedup, the classifier AUC gate, and sequence packing — with these
+    # five in the window, EVERY registry entry has been inside a driver
+    # window at least once after this round.
+    "dedup_paragraphs",
+    "txt_lr_auc",
+    "pipe_sequence_packing",
+    # ---- green sentinels: regression cover across the suites ----
+    "s1_scan_pushdown",
+    "trk_m5_track_nomerge",
 ]
 
 
