@@ -278,3 +278,26 @@ def test_threshold_state_scan_prunes_partitions(spark, tmp_path):
     assert scan.select(F.countDistinct("doy")).first()[0] == 2
     ins = [p for p in plan.splitlines() if "PartitionFilters" in p]
     assert any("doy" in line for line in ins)
+
+
+def test_pca_power_covariance_is_partial_agg_single_shuffle(spark):
+    """emb_pca_power's covariance pass: ONE hash exchange whose input
+    is already partially aggregated (partial_sum before the Exchange),
+    so the shuffle carries <= d^2+d decimal partials per task — never
+    the exploded products — and the scan prunes to the vector column."""
+    df = load_table(spark, SF, "embeddings")
+    vdbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    prods = F.flatten(
+        F.transform(vdbl, lambda xi: F.transform(vdbl, lambda xj: xi * xj))
+    )
+    agg = (
+        df.select(F.posexplode(F.concat(vdbl, prods)).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("val").cast("decimal(38,6)")).cast("double").alias("s"))
+    )
+    assert exchange_count(agg) == 1
+    plan = agg._sc._jvm.PythonSQLUtils.explainString(
+        agg._jdf.queryExecution(), "formatted"
+    )
+    assert "partial_sum" in plan
+    assert scan_columns(agg) == ["embedding"]
