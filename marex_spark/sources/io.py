@@ -302,6 +302,7 @@ def export_events_zarr(
     var: str = "ID_field",
     chunks: tuple[int, int, int] = (64, 180, 360),
     attrs: dict | None = None,
+    zarr_format: int = 2,
 ):
     """Export a gridded events table (time, y, x, event_id) as the
     reference's int event-ID zarr field (track.py:4323-4328: `ID_field`
@@ -325,6 +326,7 @@ def export_events_zarr(
         attrs=attrs,
         dtype="<i4",
         fill_value=0,
+        zarr_format=zarr_format,
     )
 
 

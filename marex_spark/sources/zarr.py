@@ -365,11 +365,19 @@ def ingest_zarr_gridded(
 
 # --------------------------------------------------------------- zarr WRITE
 
-def _encode_chunk(a: np.ndarray, compressor: dict | None) -> bytes:
+def _encode_chunk(
+    a: np.ndarray, compressor: dict | None, zarr_format: int = 2
+) -> bytes:
     raw = np.ascontiguousarray(a).tobytes()
     if compressor is None:
         return raw
     if compressor.get("id") in ("zlib", "gzip"):
+        if zarr_format == 3:
+            # the v3 "gzip" codec is RFC-1952 gzip framing (what
+            # zarr-python's GzipCodec emits), not raw zlib
+            import gzip
+
+            return gzip.compress(raw, compressor.get("level", 1))
         return zlib.compress(raw, compressor.get("level", 1))
     from marex_spark.exceptions import ConfigurationError
 
@@ -377,6 +385,64 @@ def _encode_chunk(a: np.ndarray, compressor: dict | None) -> bytes:
         f"unsupported zarr write compressor {compressor.get('id')!r}",
         suggestions=["use compressor={'id': 'zlib', 'level': 1} or None"],
     )
+
+
+def _v3_dtype_name(np_dtype: np.dtype) -> str:
+    """numpy dtype → zarr-v3 core data type name."""
+    inv = {v.lstrip("|<"): k for k, v in _V3_DTYPES.items()}
+    key = np_dtype.str.lstrip("|<")
+    if np_dtype.str.startswith(">") or key not in inv:
+        from marex_spark.exceptions import ConfigurationError
+
+        raise ConfigurationError(
+            f"dtype {np_dtype.str!r} has no zarr-v3 core data type",
+            suggestions=["use a little-endian integer or float dtype"],
+        )
+    return inv[key]
+
+
+def _v3_fill_json(fill_value, np_dtype: np.dtype):
+    """v3 JSON encoding of a fill value (non-finite floats spell as
+    strings per the spec)."""
+    if np_dtype.kind == "f":
+        f = float(fill_value)
+        if np.isnan(f):
+            return "NaN"
+        if np.isinf(f):
+            return "Infinity" if f > 0 else "-Infinity"
+        return f
+    return int(fill_value)
+
+
+def _v3_array_meta(
+    shape, chunk_shape, np_dtype, fill_value, compressor, dims, attrs=None
+) -> dict:
+    codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if compressor is not None:
+        codecs.append(
+            {
+                "name": "gzip",
+                "configuration": {"level": compressor.get("level", 1)},
+            }
+        )
+    return {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(shape),
+        "data_type": _v3_dtype_name(np_dtype),
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(chunk_shape)},
+        },
+        "chunk_key_encoding": {
+            "name": "default",
+            "configuration": {"separator": "/"},
+        },
+        "fill_value": _v3_fill_json(fill_value, np_dtype),
+        "codecs": codecs,
+        "dimension_names": list(dims),
+        "attributes": dict(attrs or {}),
+    }
 
 
 def _write_json(path: str, obj: dict) -> None:
@@ -392,30 +458,43 @@ def _write_small_array(
     dims: list[str],
     attrs: dict | None = None,
     compressor: dict | None = None,
+    zarr_format: int = 2,
 ) -> None:
     """Driver-side write of a small coordinate array as ONE chunk."""
     os.makedirs(array_dir, exist_ok=True)
     a = np.ascontiguousarray(a)
-    meta = {
-        "zarr_format": 2,
-        "shape": list(a.shape),
-        "chunks": list(a.shape) or [1],
-        "dtype": a.dtype.str,
-        "compressor": compressor,
-        "fill_value": None,
-        "order": "C",
-        "filters": None,
-        "dimension_separator": ".",
-    }
-    _write_json(os.path.join(array_dir, ".zarray"), meta)
-    _write_json(
-        os.path.join(array_dir, ".zattrs"),
-        {"_ARRAY_DIMENSIONS": dims, **(attrs or {})},
-    )
-    key = ".".join(["0"] * max(1, a.ndim))
+    if zarr_format == 3:
+        _write_json(
+            os.path.join(array_dir, "zarr.json"),
+            _v3_array_meta(
+                a.shape, a.shape or (1,), a.dtype,
+                0 if a.dtype.kind != "f" else float("nan"),
+                compressor, dims, attrs,
+            ),
+        )
+        key = os.path.join("c", *(["0"] * max(1, a.ndim)))
+        os.makedirs(os.path.dirname(os.path.join(array_dir, key)), exist_ok=True)
+    else:
+        meta = {
+            "zarr_format": 2,
+            "shape": list(a.shape),
+            "chunks": list(a.shape) or [1],
+            "dtype": a.dtype.str,
+            "compressor": compressor,
+            "fill_value": None,
+            "order": "C",
+            "filters": None,
+            "dimension_separator": ".",
+        }
+        _write_json(os.path.join(array_dir, ".zarray"), meta)
+        _write_json(
+            os.path.join(array_dir, ".zattrs"),
+            {"_ARRAY_DIMENSIONS": dims, **(attrs or {})},
+        )
+        key = ".".join(["0"] * max(1, a.ndim))
     tmp = os.path.join(array_dir, key + ".tmp")
     with open(tmp, "wb") as f:
-        f.write(_encode_chunk(a, compressor))
+        f.write(_encode_chunk(a, compressor, zarr_format))
     os.replace(tmp, os.path.join(array_dir, key))
 
 
@@ -432,11 +511,17 @@ def write_zarr_gridded(
     write_empty_chunks: bool = False,
     dtype: str = "<f4",
     fill_value: float | int | None = None,
+    zarr_format: int = 2,
 ):
-    """Long-format (time, y, x, value) DataFrame → a zarr-v2 store any
+    """Long-format (time, y, x, value) DataFrame → a zarr store any
     zarr/xarray client can open (reference writes its detect/track
     output to zarr: helper.py:642-777, track.py:4323-4328; this is the
     symmetric sink to :func:`ingest_zarr_gridded`).
+
+    ``zarr_format=3`` emits the v3 layout (``zarr.json`` metadata,
+    ``c/t/y/x`` chunk keys, bytes+gzip codec chain) — what zarr-python
+    3.x writes natively; 2 (default) stays bit-compatible with the
+    v2 ecosystem. Both round-trip through :func:`ingest_zarr_gridded`.
 
     Spark-first and driver-light: the driver writes only the tiny JSON
     metadata and the 1-D coordinate arrays; every DATA chunk file is
@@ -498,31 +583,55 @@ def write_zarr_gridded(
     cx = min(chunks[2], nx)
 
     # -- driver metadata: group, data array, coordinates
+    if zarr_format not in (2, 3):
+        from marex_spark.exceptions import ConfigurationError
+
+        raise ConfigurationError(
+            "zarr_format must be 2 or 3", details={"got": zarr_format}
+        )
+    v3 = zarr_format == 3
     array_dir = os.path.join(store, var)
     os.makedirs(array_dir, exist_ok=True)
-    _write_json(os.path.join(store, ".zgroup"), {"zarr_format": 2})
-    _write_json(os.path.join(store, ".zattrs"), dict(attrs or {}))
-    _write_json(
-        os.path.join(array_dir, ".zarray"),
-        {
-            "zarr_format": 2,
-            "shape": [T, ny, nx],
-            "chunks": [ct, cy, cx],
-            "dtype": np_dtype.str,
-            "compressor": compressor,
-            # zarr-v2 JSON spells a float NaN fill as the string "NaN"
-            "fill_value": "NaN"
-            if (is_float and np.isnan(fill_value))
-            else fill_value,
-            "order": "C",
-            "filters": None,
-            "dimension_separator": ".",
-        },
-    )
-    _write_json(
-        os.path.join(array_dir, ".zattrs"),
-        {"_ARRAY_DIMENSIONS": ["time", "y", "x"]},
-    )
+    if v3:
+        _write_json(
+            os.path.join(store, "zarr.json"),
+            {
+                "zarr_format": 3,
+                "node_type": "group",
+                "attributes": dict(attrs or {}),
+            },
+        )
+        _write_json(
+            os.path.join(array_dir, "zarr.json"),
+            _v3_array_meta(
+                [T, ny, nx], [ct, cy, cx], np_dtype, fill_value,
+                compressor, ["time", "y", "x"],
+            ),
+        )
+    else:
+        _write_json(os.path.join(store, ".zgroup"), {"zarr_format": 2})
+        _write_json(os.path.join(store, ".zattrs"), dict(attrs or {}))
+        _write_json(
+            os.path.join(array_dir, ".zarray"),
+            {
+                "zarr_format": 2,
+                "shape": [T, ny, nx],
+                "chunks": [ct, cy, cx],
+                "dtype": np_dtype.str,
+                "compressor": compressor,
+                # zarr-v2 JSON spells a float NaN fill as the string "NaN"
+                "fill_value": "NaN"
+                if (is_float and np.isnan(fill_value))
+                else fill_value,
+                "order": "C",
+                "filters": None,
+                "dimension_separator": ".",
+            },
+        )
+        _write_json(
+            os.path.join(array_dir, ".zattrs"),
+            {"_ARRAY_DIMENSIONS": ["time", "y", "x"]},
+        )
     epoch = pd.Timestamp("1970-01-01")
     tdays = np.asarray(
         [(pd.Timestamp(t) - epoch).days for t in times], dtype=np.int64
@@ -532,9 +641,16 @@ def write_zarr_gridded(
         tdays,
         ["time"],
         attrs={"units": "days since 1970-01-01", "calendar": "proleptic_gregorian"},
+        zarr_format=zarr_format,
     )
-    _write_small_array(os.path.join(store, "y"), np.arange(ny, dtype=np.int64), ["y"])
-    _write_small_array(os.path.join(store, "x"), np.arange(nx, dtype=np.int64), ["x"])
+    _write_small_array(
+        os.path.join(store, "y"), np.arange(ny, dtype=np.int64), ["y"],
+        zarr_format=zarr_format,
+    )
+    _write_small_array(
+        os.path.join(store, "x"), np.arange(nx, dtype=np.int64), ["x"],
+        zarr_format=zarr_format,
+    )
 
     # -- distributed chunk writes: map each row to its chunk key JVM-side
     # via a broadcast time-index join, then one applyInPandas group per
@@ -571,8 +687,12 @@ def write_zarr_gridded(
             return pd.DataFrame(
                 {"it": [it], "iy": [iy], "ix": [ix], "n_values": [0], "n_bytes": [0]}
             )
-        payload = _encode_chunk(a, compressor)
-        path = os.path.join(array_dir, f"{it}.{iy}.{ix}")
+        payload = _encode_chunk(a, compressor, zarr_format)
+        if v3:
+            path = os.path.join(array_dir, "c", str(it), str(iy), str(ix))
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+        else:
+            path = os.path.join(array_dir, f"{it}.{iy}.{ix}")
         tmp = path + f".tmp-{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(payload)

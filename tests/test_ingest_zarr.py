@@ -570,3 +570,58 @@ class TestTimePruning:
             spark, store, "v", layout="long", time_min="2031-01-01"
         )
         assert back.count() == 0
+
+
+class TestWriteZarrV3:
+    def test_v3_roundtrip_and_metadata(self, spark, tmp_path):
+        """zarr_format=3 emits zarr.json + c/t/y/x gzip chunks and
+        round-trips through the v3 reader; values identical to the v2
+        write of the same frame."""
+        from marex_spark.sources.zarr import ingest_zarr_gridded, write_zarr_gridded
+
+        df = TestWriteZarr()._long_df(spark)
+        s3 = str(tmp_path / "w3.zarr")
+        s2 = str(tmp_path / "w2.zarr")
+        receipts = write_zarr_gridded(df, s3, var="sst", chunks=(3, 2, 4), zarr_format=3)
+        write_zarr_gridded(df, s2, var="sst", chunks=(3, 2, 4))
+        assert all(r.n_bytes > 0 for r in receipts.collect())
+
+        meta = json.load(open(os.path.join(s3, "sst", "zarr.json")))
+        assert meta["zarr_format"] == 3 and meta["node_type"] == "array"
+        assert meta["data_type"] == "float32"
+        assert meta["chunk_grid"]["configuration"]["chunk_shape"] == [3, 2, 4]
+        assert meta["fill_value"] == "NaN"
+        assert [c["name"] for c in meta["codecs"]] == ["bytes", "gzip"]
+        assert meta["dimension_names"] == ["time", "y", "x"]
+        root = json.load(open(os.path.join(s3, "zarr.json")))
+        assert root["node_type"] == "group"
+        # default chunk-key encoding: c/<t>/<y>/<x>
+        assert os.path.exists(os.path.join(s3, "sst", "c", "0", "0", "0"))
+        # gzip framing (RFC 1952 magic), not raw zlib
+        with open(os.path.join(s3, "sst", "c", "0", "0", "0"), "rb") as f:
+            assert f.read(2) == b"\x1f\x8b"
+
+        b3 = {(r.time, r.y, r.x): r.value
+              for r in ingest_zarr_gridded(spark, s3, "sst", layout="long").collect()}
+        b2 = {(r.time, r.y, r.x): r.value
+              for r in ingest_zarr_gridded(spark, s2, "sst", layout="long").collect()}
+        assert b3 == b2
+        a = {(r.time, r.y, r.x): r.value for r in df.collect()}
+        assert b3 == a
+
+    def test_v3_integer_ids_and_coord_arrays(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from marex_spark.sources.zarr import read_array_driver, write_zarr_gridded
+
+        df = TestWriteZarr()._long_df(spark).withColumn(
+            "value", (F.col("value") / 2).cast("long")
+        )
+        store = str(tmp_path / "ids3.zarr")
+        write_zarr_gridded(
+            df, store, var="ID_field", dtype="<i4", zarr_format=3,
+        )
+        meta = json.load(open(os.path.join(store, "ID_field", "zarr.json")))
+        assert meta["data_type"] == "int32" and meta["fill_value"] == 0
+        t = read_array_driver(os.path.join(store, "time"))
+        assert len(t) == 7  # v3 coordinate array reads driver-side too
