@@ -590,6 +590,7 @@ def split_merge_events_chunked(
     cell_geo: DataFrame | None = None,
     max_driver_cells: int | None = None,
     page_dir: str | None = None,
+    target_chunk_cells: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Memory-bounded variant of :func:`split_merge_events` — the
     reference's chunk loop (track.py:3377-3420): pull ``chunk_steps``
@@ -646,11 +647,31 @@ def split_merge_events_chunked(
     # paged to the driver (fail fast, never OOM mid-series)
     tcounts = labels.groupBy(time_col).count().orderBy(time_col).collect()
     times = [r[0] for r in tcounts]
-    for start in range(0, len(times), chunk_steps):
+    counts = [int(r[1]) for r in tcounts]
+    if target_chunk_cells:
+        # cell-budget chunking: the tier's true driver-memory bound is
+        # CELLS paged per chunk, not steps — a sparse series collapses
+        # into few pages (each paging job costs more than the resolve),
+        # a dense one still splits. Boundaries never change the output
+        # (chunked == one-shot for ANY chunking, tests/test_merge.py).
+        bounds = [0]
+        acc = 0
+        for i, c in enumerate(counts):
+            if acc and acc + c > target_chunk_cells:
+                bounds.append(i)
+                acc = 0
+            acc += c
+        bounds.append(len(counts))
+    else:
+        bounds = list(range(0, len(counts), chunk_steps)) + [len(counts)]
+        if len(bounds) >= 2 and bounds[-2] == bounds[-1]:
+            bounds.pop()
+    chunk_spans = list(zip(bounds[:-1], bounds[1:]))
+    for a, b in chunk_spans:
         _guard_serial_cells(
-            sum(int(r[1]) for r in tcounts[start : start + chunk_steps]),
+            sum(counts[a:b]),
             max_driver_cells,
-            f"split_merge_events_chunked (chunk at {times[start]})",
+            f"split_merge_events_chunked (chunk at {times[a]})",
         )
     time_type = labels.schema[time_col].dataType.simpleString()
     resolver = _Resolver(
@@ -685,7 +706,7 @@ def split_merge_events_chunked(
     cols = [time_col, "y", "x", "obj_id"] if grid else [
         time_col, "cell", "lat", "lon", "obj_id"
     ]
-    n_chunks = (len(times) + chunk_steps - 1) // chunk_steps
+    n_chunks = len(chunk_spans)
     pages = None
     page_path = None
     if n_chunks >= 4:
@@ -694,10 +715,14 @@ def split_merge_events_chunked(
 
         from pyspark.sql.types import IntegerType, StructField, StructType
 
+        chunk_of = [0] * len(times)
+        for j, (a, b) in enumerate(chunk_spans):
+            for i in range(a, b):
+                chunk_of[i] = j
         root = page_dir or tempfile.gettempdir()
         page_path = f"{root}/marex_chunk_pages_{uuid.uuid4().hex}"
         ctab = spark.createDataFrame(
-            [(t, i // chunk_steps) for i, t in enumerate(times)],
+            [(t, chunk_of[i]) for i, t in enumerate(times)],
             schema=StructType(
                 [labels.schema[time_col], StructField("__chunk", IntegerType())]
             ),
@@ -713,11 +738,11 @@ def split_merge_events_chunked(
         pages = spark.read.parquet(page_path)
 
     try:
-        for start in range(0, len(times), chunk_steps):
-            chunk_times = times[start : start + chunk_steps]
+        for j, (a, b) in enumerate(chunk_spans):
+            chunk_times = times[a:b]
             if pages is not None:
                 pdf = (
-                    pages.filter(F.col("__chunk") == start // chunk_steps)
+                    pages.filter(F.col("__chunk") == j)
                     .select(*cols)
                     .toPandas()
                 )

@@ -223,6 +223,7 @@ def track_events(
                 labels,
                 nx=nx,
                 chunk_steps=merge_chunk_steps,
+                target_chunk_cells=2_000_000,
                 overlap_threshold=overlap_threshold,
                 wrap_x=wrap_x,
                 time_col=time_col,
@@ -633,6 +634,7 @@ def _extend_resume_merge(
         labels_new,
         nx=nx,
         chunk_steps=merge_chunk_steps,
+        target_chunk_cells=2_000_000,
         overlap_threshold=overlap_threshold,
         wrap_x=wrap_x if grid else False,
         time_col=time_col,
