@@ -524,7 +524,7 @@ def split_merge_events(
             "child_ids array<long>, overlap_areas array<long>"
         ),
     )
-    return out_df, ledger_df
+    return out_df.localCheckpoint(), ledger_df
 
 
 def _resolve_block(resolver: "_Resolver", carry: list, slices: dict, stimes: list) -> None:
@@ -812,7 +812,7 @@ def split_merge_events_chunked(
         time_col, "cell", "obj_id"
     ]
     out_df = (
-        reduce(DataFrame.unionByName, out_frames)
+        reduce(DataFrame.unionByName, out_frames).localCheckpoint()
         if out_frames
         else labels.limit(0).select(*empty_cols)
     )

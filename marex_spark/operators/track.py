@@ -243,7 +243,10 @@ def track_events(
                 max_distance=max_distance,
                 max_driver_cells=max_driver_cells,
             )
-        labels = labels.localCheckpoint()
+        # every resolver tier returns MATERIALIZED labels (the parallel
+        # tier's cells_out localCheckpoint, the chunked/one-shot tiers'
+        # own checkpoints) — re-checkpointing here paid a second full
+        # materialization of the cell set per tracking run
         extras["merge_ledger"] = ledger
 
     pairs = overlap_pairs(labels, keys=("y", "x"), time_col=time_col)
@@ -384,7 +387,10 @@ def track_events_unstructured(
                 max_distance=max_distance,
                 max_driver_cells=max_driver_cells,
             )
-        labels = labels.localCheckpoint()
+        # every resolver tier returns MATERIALIZED labels (the parallel
+        # tier's cells_out localCheckpoint, the chunked/one-shot tiers'
+        # own checkpoints) — re-checkpointing here paid a second full
+        # materialization of the cell set per tracking run
         extras["merge_ledger"] = ledger
 
     pairs = overlap_pairs(labels, keys=("cell",), time_col=time_col)
@@ -645,7 +651,6 @@ def _extend_resume_merge(
         geometry="grid" if grid else "sphere",
         cell_geo=cell_geo,
     )
-    resolved = resolved.localCheckpoint()
     ledger = (
         prior_merge_ledger.unionByName(
             new_ledger.withColumn(
