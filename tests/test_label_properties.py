@@ -91,3 +91,43 @@ def test_wrap_shift_isomorphism(cells, shift):
     # bijection between label sets
     assert all(len(v) == 1 for v in pairs_a.values())
     assert len({next(iter(v)) for v in pairs_a.values()}) == len(pairs_a)
+
+
+multi_slice_strategy = st.lists(
+    st.sets(
+        st.tuples(st.integers(0, NY - 1), st.integers(0, NX - 1)),
+        min_size=0,
+        max_size=25,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(slices=multi_slice_strategy, conn=st.sampled_from([4, 8]),
+       wrap=st.booleans(), seed=st.integers(0, 2**16))
+def test_batch_kernel_property(slices, conn, wrap, seed):
+    """label_slices_batch == per-slice label_slice on random multi-slice
+    fields in random row order (the batched kernel's slice-key prefix
+    must never leak labels or edges across slices)."""
+    from marex_spark.operators.label import label_slices_batch
+
+    ts, ys, xs = [], [], []
+    for t, cells in enumerate(slices):
+        for y, x in sorted(cells):
+            ts.append(t)
+            ys.append(y)
+            xs.append(x)
+    if not ts:
+        return
+    tidx = np.array(ts, dtype=np.int64)
+    ya = np.array(ys, dtype=np.int64)
+    xa = np.array(xs, dtype=np.int64)
+    p = np.random.default_rng(seed).permutation(len(tidx))
+    tidx, ya, xa = tidx[p], ya[p], xa[p]
+    got = label_slices_batch(tidx, ya, xa, nx=NX, connectivity=conn, wrap_x=wrap)
+    for t in np.unique(tidx):
+        m = tidx == t
+        want = label_slice(ya[m], xa[m], nx=NX, connectivity=conn, wrap_x=wrap)
+        assert got[m].tolist() == want.tolist()

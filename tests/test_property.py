@@ -271,3 +271,41 @@ class TestEpisodeStatsProperty:
             assert got[k][1] == model[k][1]
             assert abs(got[k][2] - model[k][2]) < 1e-9
             assert got[k][3] == model[k][3]
+
+
+@given(
+    data=st.data(),
+    wd=st.sampled_from([5, 11]),
+    nx=st.integers(6, 20),
+)
+@settings(max_examples=40, deadline=None)
+def test_spatial_hobday_dtype_paths_agree(data, wd, nx):
+    """The spatial hobday threshold's uint16 fast path and the int32
+    fallback are value-identical on random anomalies, halo sizes and
+    window widths (the dtype/chunk choice is a pure optimisation)."""
+    import numpy as np
+
+    from marex_spark.operators import detect_blocked as db
+
+    T = data.draw(st.sampled_from([200, 366, 500]))
+    halo = data.draw(st.integers(1, 5))
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**16)))
+    ts = np.arange(T, dtype=np.int64) * 86_400_000_000
+    doy0, _, _ = db._time_parts(ts, "us", False, "UTC")
+    anoms = {
+        y: np.where(
+            rng.random((T, nx)) < 0.1,
+            np.nan,
+            rng.normal(scale=1.3, size=(T, nx)),
+        )
+        for y in range(halo)
+    }
+    args = (anoms, halo // 2, doy0, 0.9, wd, 5, 0.05, 2.0, nx)
+    fast = db._thr_hobday_spatial(*args)
+    budget = db._U16_BUDGET
+    try:
+        db._U16_BUDGET = 0
+        slow = db._thr_hobday_spatial(*args)
+    finally:
+        db._U16_BUDGET = budget
+    assert np.array_equal(fast, slow, equal_nan=True)
