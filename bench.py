@@ -299,6 +299,62 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
 
     guarded("detect_only_shifting_hobday_spatial", _spatial_bench)
 
+    # the unstructured (mesh) fast path at the same 10x volume: 3200
+    # cells x 30y daily ≈ 35M cell-days through pack_unstructured's
+    # block layout + the identical band kernel (fixed + hobday). The
+    # packed mesh lands on parquet in warmup (same rule as the gridded
+    # packed sets); the timed region is scan -> kernel -> noop.
+    packed_mesh_path = f"{tmp}/marex_bench_packed_mesh_10x"
+
+    def _mesh_warmup() -> None:
+        from pyspark.sql import functions as Fx
+
+        from marex_spark.operators.detect_blocked import pack_unstructured
+        from marex_spark.sources.synthetic import synthetic_sst_gridded
+
+        series = synthetic_sst_gridded(spark, n_years=30, ny=40, nx=80)
+        mesh = series.select(
+            "time",
+            (Fx.col("y").cast("long") * 80 + Fx.col("x")).alias("cell"),
+            "value",
+        )
+        pack_unstructured(mesh, block_cells=100).write.mode(
+            "overwrite"
+        ).parquet(packed_mesh_path)
+        spark.catalog.clearCache()
+
+    try:
+        _mesh_warmup()
+    except Exception as e:
+        errors["__mesh_warmup__"] = f"{type(e).__name__}: {e}"
+        note(f"mesh warmup: ERROR {type(e).__name__}")
+
+    def _mesh_bench() -> int:
+        from marex_spark.operators.detect_blocked import (
+            detect_extremes_blocked_packed,
+        )
+
+        from pyspark.sql import functions as Fx
+
+        cells = detect_extremes_blocked_packed(
+            spark.read.parquet(packed_mesh_path),
+            method_percentile="histogram",
+            method_anomaly="detrend_fixed_baseline",
+            method_extreme="hobday_extreme",
+        )
+        # map block coordinates back to mesh cell ids (the unmap step
+        # detect_extremes_unstructured_packed performs)
+        _force(
+            cells.select(
+                "time",
+                (Fx.col("y").cast("long") * 100 + Fx.col("x")).alias("cell"),
+            )
+        )
+        spark.catalog.clearCache()
+        return 0
+
+    guarded("detect_only_unstructured_10x", _mesh_bench)
+
     # the reference's tracker.run() parity path: morphological
     # preprocessing (closing/opening kernel + temporal gap fill +
     # small-object filter) BEFORE tracking — the stage the r2 bench
