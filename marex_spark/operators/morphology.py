@@ -116,30 +116,68 @@ def binary_erode(
 
 
 def _dilate_np(g, offsets, wrap_x: bool):
-    """Dense dilation by shift-OR over the SE offsets: zero padding in
-    y (and x when not wrapping), np.roll for the periodic x. ``g`` is
-    (ny, nx) or a (T, ny, nx) stack — rolls apply to the trailing two
-    axes, so a whole partition of slices dilates in one pass (per-slice
-    rolls were the preprocess stage's dominant Python overhead)."""
+    """Dense dilation by the SE offsets: zero padding in y (and x when
+    not wrapping), np.roll for the periodic x. ``g`` is (ny, nx) or a
+    (T, ny, nx) stack — rolls apply to the trailing two axes, so a
+    whole partition of slices dilates in one pass (per-slice rolls were
+    the preprocess stage's dominant Python overhead).
+
+    A disk SE is row-separable: each dy contributes the contiguous dx
+    run [-w(dy), +w(dy)], so the dilation is (shared incremental
+    horizontal run-ORs) ∘ (one y-roll per dy) — ~16 array passes at
+    R=4 instead of 49 offset rolls (and 38 vs 197 at the reference's
+    default R=8), for the identical set union. Non-separable offset
+    sets (never produced by disk_offsets) fall back to the plain
+    shift-OR loop."""
     import numpy as np
 
     R = max(max(abs(dy), abs(dx)) for dy, dx in offsets)
     ny, nx = g.shape[-2:]
     lead = g.shape[:-2]
-    ax = (g.ndim - 2, g.ndim - 1)
+    ax_y, ax_x = g.ndim - 2, g.ndim - 1
     if wrap_x:
         p = np.zeros(lead + (ny + 2 * R, nx), dtype=bool)
         p[..., R : R + ny, :] = g
-        acc = np.zeros_like(p)
-        for dy, dx in offsets:
-            acc |= np.roll(p, (dy, dx), axis=ax)
-        return acc[..., R : R + ny, :]
-    p = np.zeros(lead + (ny + 2 * R, nx + 2 * R), dtype=bool)
-    p[..., R : R + ny, R : R + nx] = g
-    acc = np.zeros_like(p)
+    else:
+        p = np.zeros(lead + (ny + 2 * R, nx + 2 * R), dtype=bool)
+        p[..., R : R + ny, R : R + nx] = g
+
+    by_dy: dict[int, set] = {}
     for dy, dx in offsets:
-        acc |= np.roll(p, (dy, dx), axis=ax)
-    return acc[..., R : R + ny, R : R + nx]
+        by_dy.setdefault(dy, set()).add(dx)
+    separable = all(
+        dxs == set(range(-max(dxs), max(dxs) + 1)) for dxs in by_dy.values()
+    )
+    if separable:
+        widths = {dy: max(dxs) for dy, dxs in by_dy.items()}
+        need = sorted(set(widths.values()))
+        # horizontal run dilations, built incrementally: H[w] = p OR'd
+        # with its x-shifts up to ±w (each width reuses the previous)
+        H: dict[int, np.ndarray] = {}
+        if need == [0]:
+            H[0] = p
+        else:
+            acc = p.copy()
+            if 0 in need:
+                H[0] = p
+            for w in range(1, need[-1] + 1):
+                acc |= np.roll(p, w, axis=ax_x)
+                acc |= np.roll(p, -w, axis=ax_x)
+                if w in need:
+                    H[w] = acc.copy() if w != need[-1] else acc
+        out = np.zeros_like(p)
+        for dy, w in widths.items():
+            if dy == 0:
+                out |= H[w]
+            else:
+                out |= np.roll(H[w], dy, axis=ax_y)
+    else:
+        out = np.zeros_like(p)
+        for dy, dx in offsets:
+            out |= np.roll(p, (dy, dx), axis=(ax_y, ax_x))
+    if wrap_x:
+        return out[..., R : R + ny, :]
+    return out[..., R : R + ny, R : R + nx]
 
 
 def _erode_np(g, offsets, wrap_x: bool):
@@ -284,6 +322,49 @@ def fill_time_gaps(
     return d.withColumn(
         extreme_col, F.col(extreme_col) | gap_ok
     ).drop("_prev", "_next")
+
+
+def fill_time_gaps_true_set(
+    trues: DataFrame,
+    t_fill: int,
+    timesteps: DataFrame,
+    time_col: str = "time",
+    keys: tuple[str, ...] = ("y", "x"),
+) -> DataFrame:
+    """M3 temporal closing on a sparse True set (track.py:1675-1726):
+    per cell, GENERATE rows for the ≤ ``t_fill`` missing days strictly
+    between consecutive True days. Output = trues ∪ generated rows.
+
+    Equivalent to :func:`fill_time_gaps` on the densified field — for a
+    day d between nearest True days p < d < n, the dense form flips the
+    row iff n − p − 1 ≤ t_fill, and (p, n) is exactly the consecutive
+    True pair whose gap this form explodes — but without materialising
+    a single False row, which makes it the correct temporal closing for
+    sparse-True pipelines (the dense form can only flip rows that
+    exist, so on sparse input it silently skips any gap day with no
+    row). ``timesteps`` supplies the day → time-value mapping (distinct
+    times of the ORIGINAL series); generated days with no timestep
+    anywhere in the data are dropped, matching the dense form, which
+    has no row to flip there either. One shuffle (the per-cell window
+    over True rows) + a broadcast join with the tiny timestep table."""
+    day = epoch_day(time_col)
+    tsteps = timesteps.select(day.alias("_d"), time_col).distinct()
+    w = Window.partitionBy(*keys).orderBy("_d")
+    gaps = (
+        trues.select(*keys, day.alias("_d"))
+        .withColumn("_n", F.lead("_d").over(w))
+        .filter(
+            F.col("_n").isNotNull()
+            & (F.col("_n") - F.col("_d") > 1)
+            & (F.col("_n") - F.col("_d") - 1 <= t_fill)
+        )
+        .select(
+            *keys,
+            F.explode(F.sequence(F.col("_d") + 1, F.col("_n") - 1)).alias("_d"),
+        )
+    )
+    gap_rows = gaps.join(F.broadcast(tsteps), "_d").select(time_col, *keys)
+    return trues.select(time_col, *keys).unionByName(gap_rows)
 
 
 def dilate_unstructured(

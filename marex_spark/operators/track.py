@@ -51,7 +51,10 @@ def preprocess_extremes(
     (``area_filter_absolute``, the reference's regional-mode knob;
     mutually exclusive with a non-zero quartile, and must be positive —
     reference tests/test_track_edge_cases.py:551-605). Output: cleaned
-    boolean field with the input schema.
+    boolean field; rows = input rows ∪ surviving cells. The input may
+    be a dense boolean field OR a sparse True-only set — the chain
+    runs on the True set and temporal gaps are GENERATED, not flipped,
+    so both densities produce the same surviving cells.
 
     ``return_labels=True`` returns LABELLED surviving cells
     (time, y, x, obj_id) instead — the area filter already labels the
@@ -61,9 +64,9 @@ def preprocess_extremes(
     from the two-pass form)."""
     from marex_spark.exceptions import ConfigurationError
     from marex_spark.operators.morphology import (
-        fill_holes,
-        fill_time_gaps,
+        fill_time_gaps_true_set,
         filter_small_objects,
+        morph_close_open_blocked,
     )
 
     if area_filter_absolute is not None:
@@ -82,36 +85,59 @@ def preprocess_extremes(
                 },
             )
 
-    d = extremes
+    # The whole chain runs on the TRUE SET only — closing/opening,
+    # temporal gap GENERATION (fill_time_gaps_true_set: gap rows are
+    # created, not flipped, so a sparse-True input gets the same
+    # temporal closing a dense field does) and the area filter are all
+    # fully determined by the True cells. No full-field joins between
+    # stages (the boolean form paid one per stage); the dense boolean
+    # output is reassembled once at the end when asked for.
+    d_true = extremes.filter(F.col(extreme_col)).select(time_col, "y", "x")
     if r_fill > 0:
-        d = fill_holes(d, r_fill, ny, nx, wrap_x, time_col, extreme_col)
+        d_true = morph_close_open_blocked(
+            d_true, r_fill, ny, nx, wrap_x, time_col
+        )
     if t_fill > 0:
-        d = fill_time_gaps(d, t_fill, time_col, extreme_col)
+        d_true = fill_time_gaps_true_set(
+            d_true, t_fill, extremes, time_col, keys=("y", "x")
+        )
         # re-fill spatial holes opened by the temporal closing with R/2
         # (track.py:1717-1726)
         if r_fill > 1:
-            d = fill_holes(d, r_fill // 2, ny, nx, wrap_x, time_col, extreme_col)
+            d_true = morph_close_open_blocked(
+                d_true, r_fill // 2, ny, nx, wrap_x, time_col
+            )
+    field = d_true.withColumn(extreme_col, F.lit(True))
+    labels = None
     if area_filter_absolute is not None:
-        d = d.localCheckpoint()
-        d = filter_small_objects(
-            d, nx, 0.0, time_col, extreme_col, wrap_x,
-            min_area=area_filter_absolute, return_labels=return_labels,
+        labels = filter_small_objects(
+            field, nx, 0.0, time_col, extreme_col, wrap_x,
+            min_area=area_filter_absolute, return_labels=True,
             connectivity=connectivity,
         )
     elif area_quartile > 0:
-        d = d.localCheckpoint()
-        d = filter_small_objects(
-            d, nx, area_quartile, time_col, extreme_col, wrap_x,
-            return_labels=return_labels, connectivity=connectivity,
+        labels = filter_small_objects(
+            field, nx, area_quartile, time_col, extreme_col, wrap_x,
+            return_labels=True, connectivity=connectivity,
         )
     elif return_labels:
         from marex_spark.operators.label import label_components
 
-        d = label_components(
-            d, nx=nx, time_col=time_col, extreme_col=extreme_col,
+        labels = label_components(
+            field, nx=nx, time_col=time_col, extreme_col=extreme_col,
             wrap_x=wrap_x, connectivity=connectivity,
         )
-    return d
+    if return_labels:
+        return labels
+    kept = labels.select(time_col, "y", "x") if labels is not None else d_true
+    return (
+        extremes.drop(extreme_col)
+        .join(
+            kept.withColumn("_t", F.lit(True)), [time_col, "y", "x"], "full"
+        )
+        .withColumn(extreme_col, F.coalesce(F.col("_t"), F.lit(False)))
+        .drop("_t")
+    )
 
 
 @dataclass

@@ -254,7 +254,7 @@ class Tracker:
         from marex_spark.operators.morphology import (
             dilate_unstructured,
             erode_unstructured,
-            fill_time_gaps,
+            fill_time_gaps_true_set,
         )
         from marex_spark.operators.overlap import object_areas
 
@@ -273,21 +273,15 @@ class Tracker:
                 self.time_col,
             )
             cells = opened
-        dense = (
-            d.select(self.time_col, "cell")
-            .join(
-                cells.withColumn("_t", F.lit(True)),
-                [self.time_col, "cell"],
-                "left",
-            )
-            .withColumn(self.extreme_col, F.coalesce(F.col("_t"), F.lit(False)))
-            .drop("_t")
-        )
+        # True-set chain (mirrors preprocess_extremes): gap rows are
+        # GENERATED from consecutive True days, so a sparse-True input
+        # gets the same temporal closing a dense field does, and the
+        # dense-field join the old form paid per run disappears.
         if self.T_fill > 0:
-            dense = fill_time_gaps(
-                dense, self.T_fill, self.time_col, self.extreme_col, keys=("cell",)
+            cells = fill_time_gaps_true_set(
+                cells, self.T_fill, d, self.time_col, keys=("cell",)
             )
-        dense = dense.localCheckpoint()
+        dense = cells.withColumn(self.extreme_col, F.lit(True)).localCheckpoint()
 
         quartile = self.area_filter_quartile
         absolute = self.area_filter_absolute
@@ -299,7 +293,18 @@ class Tracker:
                     dense, self.edges, time_col=self.time_col,
                     extreme_col=self.extreme_col,
                 )
-            return dense
+            return (
+                d.drop(self.extreme_col)
+                .join(
+                    dense.select(self.time_col, "cell", self.extreme_col),
+                    [self.time_col, "cell"],
+                    "full",
+                )
+                .withColumn(
+                    self.extreme_col,
+                    F.coalesce(F.col(self.extreme_col), F.lit(False)),
+                )
+            )
 
         labels = label_components_unstructured(
             dense, self.edges, time_col=self.time_col, extreme_col=self.extreme_col
@@ -326,12 +331,14 @@ class Tracker:
             # components keeps the remaining labels valid tracking input
             return kept.select(self.time_col, "cell", "obj_id")
         kept = kept.withColumn("_k", F.lit(True))
+        # boolean form: rows = input rows ∪ surviving cells (the True
+        # set no longer carries the input's False rows)
         return (
-            dense.drop(self.extreme_col)
+            d.drop(self.extreme_col)
             .join(
                 kept.select(self.time_col, "cell", "_k"),
                 [self.time_col, "cell"],
-                "left",
+                "full",
             )
             .withColumn(self.extreme_col, F.coalesce(F.col("_k"), F.lit(False)))
             .drop("_k")

@@ -143,3 +143,48 @@ def test_fill_holes_sparse_input_keeps_fillins(spark):
     out = fill_holes(df, 1, 6, 6, wrap_x=False)
     cells = {(r.y, r.x) for r in out.filter("extreme").collect()}
     assert (2, 2) in cells
+
+
+def test_preprocess_sparse_equals_dense(spark):
+    """preprocess_extremes is density-agnostic: a sparse True-only
+    input produces the same surviving cells as the densified field —
+    in particular, temporal gap days with NO input row are still
+    filled (fill_time_gaps_true_set GENERATES the rows; the dense-form
+    flip can only touch rows that exist)."""
+    from marex_spark.operators.track import preprocess_extremes
+
+    ny = nx = 12
+    blob = {(y, x) for y in range(3, 9) for x in range(3, 9)}
+    days = [0, 1, 4, 5]  # gap of 2 (days 2, 3) between runs
+    rows_sparse = [
+        (T0 + datetime.timedelta(days=d), y, x, True)
+        for d in days
+        for (y, x) in blob
+    ]
+    # every timestep must exist somewhere for the day→time lookup:
+    # give days 2 and 3 one unrelated distant True cell
+    rows_sparse += [(T0 + datetime.timedelta(days=d), 0, 0, True) for d in (2, 3)]
+    schema = "time timestamp, y int, x int, extreme boolean"
+    sparse = spark.createDataFrame(rows_sparse, schema)
+    dense = spark.createDataFrame(
+        [
+            (T0 + datetime.timedelta(days=d), y, x, (y, x) in blob or ((y, x) == (0, 0) and d in (2, 3)))
+            for d in range(6)
+            for y in range(ny)
+            for x in range(nx)
+        ],
+        schema,
+    )
+    kw = dict(ny=ny, nx=nx, r_fill=2, t_fill=2, area_quartile=0.5, wrap_x=False)
+    out_sparse = preprocess_extremes(sparse, **kw)
+    out_dense = preprocess_extremes(dense, **kw)
+    got_sparse = {
+        (r.time, r.y, r.x) for r in out_sparse.filter("extreme").collect()
+    }
+    got_dense = {
+        (r.time, r.y, r.x) for r in out_dense.filter("extreme").collect()
+    }
+    assert got_sparse == got_dense
+    # the blob now persists through the gap days
+    gap_day = T0 + datetime.timedelta(days=2)
+    assert any(t == gap_day and (y, x) in blob for t, y, x in got_sparse)
