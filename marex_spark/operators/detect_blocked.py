@@ -294,27 +294,31 @@ def _thr_hobday(
     bins = np.clip(1 + np.floor(safe / precision).astype(np.int64), 1, n_pos + 1)
     bins[safe < 0] = 0
     thr = np.full((_N_DOY, NX), np.nan)
-    # x-chunked so the (366 × bins × x) histogram stays bounded
-    # (~190 MB per 256-column chunk at precision 0.01) however wide
-    # the band is at real scale.
+    # BIN-LAST layout, same two levers as _thr_hobday_spatial: the CDF
+    # cumsum and the crossing scan run over the contiguous bin axis,
+    # and counts drop to uint16 when the exact worst-case intermediate
+    # (the padded-doy cumsum: ≤ T + 2·half·max-samples-per-doy at any
+    # (x, bin) cell) provably fits — these tensors are pure memory
+    # bandwidth, so halving the bytes ≈ halves the threshold cost.
+    # x-chunked so the (366 × x × bins) histogram stays bounded
+    # (~95 MB per 256-column chunk at precision 0.01 in uint16)
+    # however wide the band is at real scale.
+    nmax_doy = int(np.bincount(doy0, minlength=1).max()) if T else 0
+    bound_doy = T + 2 * half * nmax_doy
+    dtype = np.uint16 if 0 < bound_doy < _U16_BUDGET else np.int32
     chunk = 256
-    col = np.arange(NX)
     for x0 in range(0, NX, chunk):
         x1 = min(x0 + chunk, NX)
         xc = x1 - x0
         sel_cols = slice(x0, x1)
         flat = (
-            doy0[:, None] * (nb * xc)
-            + bins[:, sel_cols] * xc
-            + (col[sel_cols] - x0)[None, :]
+            doy0[:, None] * (xc * nb)
+            + np.arange(xc)[None, :] * nb
+            + bins[:, sel_cols]
         )[valid[:, sel_cols]]
-        # int32 throughout: counts are < T·window ≪ 2³¹ and the
-        # (366 × bins × x) tensors are memory-bandwidth-bound — int64
-        # doubled every cumsum/compare pass (measured ~2× the whole
-        # threshold cost at production band width)
-        h = np.bincount(flat.ravel(), minlength=_N_DOY * nb * xc).reshape(
-            _N_DOY, nb, xc
-        ).astype(np.int32)
+        h = np.bincount(flat.ravel(), minlength=_N_DOY * xc * nb).reshape(
+            _N_DOY, xc, nb
+        ).astype(dtype)
         # circular ±half pooling via one cumsum pass (an 11-term roll
         # loop re-touches the whole histogram per offset — ~5× the
         # memory traffic; this was the shifting+hobday kernel's
@@ -323,15 +327,22 @@ def _thr_hobday(
         np.cumsum(hp, axis=0, out=hp)
         pooled = hp[2 * half :].copy()
         pooled[1:] -= hp[: _N_DOY - 1]
-        cdf = np.cumsum(pooled, axis=1)
-        n = cdf[:, -1, :]
+        # explicit dtype: numpy's cumsum otherwise promotes uint16 to
+        # uint64 (4× the bytes of the kernel's hottest pass); the CDF
+        # maximum is the window total ≤ bound_doy, so the count dtype
+        # provably holds it
+        cdf = np.cumsum(pooled, axis=2, dtype=dtype)  # contiguous bin axis
+        n = cdf[:, :, -1].astype(np.int64)
         target = q * n
         # integer compare: for integer cdf, (cdf >= t) ⇔ (cdf >= ⌈t⌉)
         # for any float t — skips upcasting the whole tensor to float64
-        tgt_i = np.ceil(target).astype(np.int32)
-        sel = (cdf >= tgt_i[:, None, :]).argmax(axis=1)
-        c = np.take_along_axis(pooled, sel[:, None, :], 1)[:, 0]
-        prev = np.take_along_axis(cdf, sel[:, None, :], 1)[:, 0] - c
+        # (⌈t⌉ ≤ n, so it fits the count dtype and the compare stays
+        # in-width)
+        tgt_i = np.ceil(target).astype(np.int64)
+        sel = (cdf >= tgt_i.astype(dtype)[:, :, None]).argmax(axis=2)
+        selc = sel[:, :, None]
+        c = np.take_along_axis(pooled, selc, 2)[:, :, 0].astype(np.int64)
+        prev = np.take_along_axis(cdf, selc, 2)[:, :, 0].astype(np.int64) - c
         with np.errstate(invalid="ignore", divide="ignore"):
             frac = np.clip((target - prev) / np.maximum(c, 1), 0.0, 1.0)
         t = (sel - 1) * precision + precision * frac
@@ -419,17 +430,22 @@ def _thr_hobday_spatial(
         pooled = hp[2 * half :].copy()
         pooled[1:] -= hp[: _N_DOY - 1]
         # spatial x pooling: for own column j (position s..s+xc-1 in the
-        # halo), sum halo positions j-s..j+s — sliding window over axis 1
-        cs = pooled.cumsum(axis=1)
+        # halo), sum halo positions j-s..j+s — sliding window over axis 1.
+        # Explicit dtype: cumsum otherwise promotes uint16 to uint64
+        # (4× the bytes); the chunk width was chosen so the x-cumsum
+        # provably fits the count dtype, and the bin CDF max (one
+        # pooled window ≤ per_col·(2s+1)) is below the same bound.
+        cs = pooled.cumsum(axis=1, dtype=dtype)
         own = cs[:, 2 * s :, :].copy()
         own[:, 1:, :] -= cs[:, : ncol - 2 * s - 1, :]
-        cdf = np.cumsum(own, axis=2)  # contiguous bin axis
+        cdf = np.cumsum(own, axis=2, dtype=dtype)  # contiguous bin axis
         n = cdf[:, :, -1].astype(np.int64)
         target = q * n
         tgt_i = np.ceil(target).astype(np.int64)  # exact integer form
         # first crossing on a nondecreasing CDF: count of (cdf < tgt)
-        # == index of the first bin with cdf >= tgt (contiguous scan)
-        sel = nb - np.count_nonzero(cdf >= tgt_i[:, :, None], axis=2)
+        # == index of the first bin with cdf >= tgt (contiguous scan;
+        # ⌈t⌉ ≤ n fits the count dtype, so the compare stays in-width)
+        sel = nb - np.count_nonzero(cdf >= tgt_i.astype(dtype)[:, :, None], axis=2)
         selc = np.minimum(sel[:, :, None], nb - 1)
         at = np.take_along_axis(cdf, selc, 2)[:, :, 0].astype(np.int64)
         prev = np.where(

@@ -530,3 +530,25 @@ def test_spatial_hobday_int32_fallback_matches_uint16(monkeypatch):
     monkeypatch.setattr(db, "_U16_BUDGET", 0)
     slow = db._thr_hobday_spatial(*args)
     assert np.array_equal(fast, slow, equal_nan=True)
+
+
+def test_hobday_int32_fallback_matches_uint16(monkeypatch):
+    """Same dtype guarantee for the NON-spatial hobday histogram
+    kernel (bin-last layout): uint16 counts only when the padded-doy
+    cumsum provably fits; the int32 fallback is value-identical."""
+    import numpy as np
+
+    from marex_spark.operators import detect_blocked as db
+
+    T, NX = 4 * 365, 40
+    rng = np.random.default_rng(11)
+    ts = np.arange(T, dtype=np.int64) * 86_400_000_000
+    doy0, _, _ = db._time_parts(ts, "us", False, "UTC")
+    anom = np.where(
+        rng.random((T, NX)) < 0.07, np.nan, rng.normal(scale=1.2, size=(T, NX))
+    )
+    args = (anom, doy0, 0.95, False, 11, 0.01, 5.0)
+    fast = db._thr_hobday(*args)
+    monkeypatch.setattr(db, "_U16_BUDGET", 0)
+    slow = db._thr_hobday(*args)
+    assert np.array_equal(fast, slow, equal_nan=True)
