@@ -316,9 +316,12 @@ def _thr_hobday(
             + np.arange(xc)[None, :] * nb
             + bins[:, sel_cols]
         )[valid[:, sel_cols]]
-        h = np.bincount(flat.ravel(), minlength=_N_DOY * xc * nb).reshape(
-            _N_DOY, xc, nb
-        ).astype(dtype)
+        # unbuffered scatter-add straight into the count dtype: the
+        # samples are sparse relative to the tensor, so bincount's
+        # int64 zero-init + downcast copy costs more than the adds
+        h = np.zeros(_N_DOY * xc * nb, dtype=dtype)
+        np.add.at(h, flat.ravel(), 1)
+        h = h.reshape(_N_DOY, xc, nb)
         # circular ±half pooling via one cumsum pass (an 11-term roll
         # loop re-touches the whole histogram per offset — ~5× the
         # memory traffic; this was the shifting+hobday kernel's
@@ -421,9 +424,11 @@ def _thr_hobday_spatial(
                     + bins
                 )[valid]
             )
-        h = np.bincount(
-            np.concatenate(flats), minlength=_N_DOY * ncol * nb
-        ).reshape(_N_DOY, ncol, nb).astype(dtype)
+        # unbuffered scatter-add straight into the count dtype (see
+        # _thr_hobday: beats bincount's int64 zero-init + downcast)
+        h = np.zeros(_N_DOY * ncol * nb, dtype=dtype)
+        np.add.at(h, np.concatenate(flats), 1)
+        h = h.reshape(_N_DOY, ncol, nb)
         # circular doy pooling via one padded cumsum (see _thr_hobday)
         hp = np.concatenate([h[_N_DOY - half :], h, h[:half]], axis=0)
         np.cumsum(hp, axis=0, out=hp)
