@@ -118,9 +118,12 @@ _PRIORITY = [
     "dedup_paragraphs",
     "txt_lr_auc",
     "pipe_sequence_packing",
-    # ---- green sentinels: regression cover across the suites ----
-    "s1_scan_pushdown",
-    "trk_m5_track_nomerge",
+    # r4 fifth-session additions (full oracles, never driver-evaluated):
+    # DSIR importance resampling and CCNet perplexity buckets — they
+    # take the two sentinel slots (the 48 rows above already exercise
+    # every shared code path the sentinels covered).
+    "pipe_dsir_resample",
+    "pipe_ccnet_buckets",
 ]
 
 

@@ -1027,3 +1027,200 @@ def pipe_sequence_packing(spark, sf_dir):
         F.sum("n").cast("long").alias("tok_sum"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+# ------------------------------------- DSIR importance resampling
+
+_DSIR_B = 64  # hashed-bigram feature buckets
+_DSIR_LANG = "en"  # the target distribution: English docs
+_DSIR_TAU = 50.0  # acceptance temperature on the per-doc log-ratio
+
+
+@register(
+    "pipe_dsir_resample",
+    f"""WITH tok AS MATERIALIZED (
+      SELECT doc_id, lang, t.i AS pos, ws[t.i] AS w
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(generate_series(1, len(ws))) AS t(i)),
+    bg AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(w || ' ' || w2), 1, 8)) AS BIGINT)
+               % {_DSIR_B} AS b
+      FROM (SELECT doc_id, lang, w,
+                   LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM tok)
+      WHERE w2 IS NOT NULL),
+    raw AS MATERIALIZED (SELECT b, COUNT(*) AS c_r FROM bg GROUP BY 1),
+    tgt AS MATERIALIZED (
+      SELECT b, COUNT(*) AS c_t FROM bg WHERE lang = '{_DSIR_LANG}' GROUP BY 1),
+    tots AS MATERIALIZED (
+      SELECT (SELECT SUM(c_r) FROM raw) AS n_r,
+             (SELECT COALESCE(SUM(c_t), 0) FROM tgt) AS n_t),
+    ltab AS MATERIALIZED (
+      SELECT raw.b,
+             CAST({round6_sql(
+                 f"ln((COALESCE(tgt.c_t, 0) + 1) / (tots.n_t + {_DSIR_B}.0))"
+                 f" - ln((raw.c_r + 1) / (tots.n_r + {_DSIR_B}.0))")}
+               AS DECIMAL(38,6)) AS l
+      FROM raw LEFT JOIN tgt USING (b), tots),
+    docb AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    wts AS (
+      SELECT doc_id,
+             CAST(SUM(c * l) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS avg_lr
+      FROM docb JOIN ltab USING (b) GROUP BY 1)
+    SELECT doc_id, {round6_sql('avg_lr')} AS dsir_logratio
+    FROM wts
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0
+          < LEAST(1.0, exp({_DSIR_TAU} * avg_lr))""",
+)
+def pipe_dsir_resample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed word-bigram
+    features into B=64 buckets, add-1-smoothed bucket unigram models
+    for the target distribution (English docs) vs the raw corpus,
+    per-doc importance = length-normalised log-likelihood ratio, then
+    deterministic acceptance u < min(1, exp(tau*ratio)) with the
+    corpus's md5-uniform u (re-runs select the same docs; tau sharpens
+    the length-normalised ratio back to a selective acceptance rate).
+
+    Scale shape: the bucket model tables are B-sized broadcasts and
+    every aggregation is map-side combinable over the token explode —
+    no all-pairs stage, no driver materialisation; the per-doc weight
+    is an exact DECIMAL sum (order-independent), so the selection is
+    reproducible across partitionings. This is the standard
+    cheap-featurised alternative to classifier-based quality filtering
+    (txt_quality_lr) for steering a 100 TB raw crawl toward a target
+    domain."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("w2", F.lead("w").over(win))
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(" ", "w", "w2")), 1, 8), 16, 10
+                ).cast("long")
+                % _DSIR_B
+            ).alias("b"),
+        )
+    )
+    raw = bg.groupBy("b").agg(F.count("*").alias("c_r"))
+    tgt = bg.filter(F.col("lang") == _DSIR_LANG).groupBy("b").agg(
+        F.count("*").alias("c_t")
+    )
+    tots = raw.agg(F.sum("c_r").alias("n_r")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
+    )
+    ltab = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            round6(
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                    / (F.col("n_t") + F.lit(float(_DSIR_B)))
+                )
+                - F.log((F.col("c_r") + 1) / (F.col("n_r") + F.lit(float(_DSIR_B))))
+            )
+            .cast("decimal(38,6)")
+            .alias("l"),
+        )
+    )
+    docb = bg.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    wts = (
+        docb.join(F.broadcast(ltab), "b")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("c") * F.col("l")).cast("double")
+                / F.sum("c").cast("double")
+            ).alias("avg_lr")
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        wts.withColumn("u", u)
+        .filter(
+            F.col("u")
+            < F.least(F.lit(1.0), F.exp(F.lit(_DSIR_TAU) * F.col("avg_lr")))
+        )
+        .select("doc_id", round6(F.col("avg_lr")).alias("dsir_logratio"))
+    )
+
+
+# --------------------------------- CCNet perplexity buckets
+
+_CCNET_SQL = f"""WITH tok AS (
+      SELECT doc_id, t.i AS pos, ws[t.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(generate_series(1, len(ws))) AS t(i)),
+    bi AS (
+      SELECT doc_id, w AS w1, LEAD(w) OVER win AS w2
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+    b AS MATERIALIZED (SELECT doc_id, w1, w1 || ' ' || w2 AS bg FROM bi
+          WHERE w2 IS NOT NULL),
+    bfreq AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY 1),
+    ufreq AS (SELECT w AS w1, COUNT(*) AS c1 FROM tok GROUP BY 1),
+    lp AS (
+      SELECT doc_id,
+             {round6_sql('AVG(ln(c2 / CAST(c1 AS DOUBLE)))')} AS logprob
+      FROM b JOIN bfreq USING (bg) JOIN ufreq USING (w1)
+      GROUP BY 1),
+    tiled AS (
+      SELECT d.doc_id, d.lang, lp.logprob,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY lp.logprob DESC, d.doc_id) AS t3
+      FROM lp JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, logprob,
+           CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+    FROM tiled"""
+
+
+@register("pipe_ccnet_buckets", _CCNET_SQL)
+def pipe_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every doc with the corpus bigram LM (txt_bigram_logprob's model),
+    then split each language into head/middle/tail terciles by score —
+    the standard curation signal for keeping the fluent third of a
+    crawl per language. NTILE over (lang, rounded score, doc_id) is
+    deterministic across engines.
+
+    Scale shape: the LM tables are vocabulary-sized broadcast joins;
+    the tercile window partitions by language, so no global sort —
+    per-language ordering is the same work CCNet's per-shard
+    perplexity sort does, expressed as one window."""
+    from pyspark.sql import Window as W
+
+    lp = txt_bigram_logprob(spark, sf_dir).withColumnRenamed(
+        "avg_bigram_logprob", "logprob"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy(F.desc("logprob"), F.asc("doc_id"))
+    t3 = F.ntile(3).over(w)
+    return (
+        lp.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "logprob",
+            F.when(t3 == 1, "head")
+            .when(t3 == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
