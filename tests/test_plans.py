@@ -301,3 +301,29 @@ def test_pca_power_covariance_is_partial_agg_single_shuffle(spark):
     )
     assert "partial_sum" in plan
     assert scan_columns(agg) == ["embedding"]
+
+
+def test_dsir_models_broadcast_no_pair_join(spark):
+    """DSIR's bucket-model tables are B-sized and must broadcast; the
+    per-doc weighting join must never become a pair expansion. The
+    single-row totals crossJoin is the only permitted nested-loop
+    (1 × B rows)."""
+    from marex_spark.plans import plan_string
+    from marex_spark.queries.text import pipe_dsir_resample
+
+    out = pipe_dsir_resample(spark, SF)
+    plan = plan_string(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # docb ⋈ ltab stays broadcast
+
+
+def test_ccnet_buckets_no_global_sort(spark):
+    """CCNet bucketing partitions its tercile window by language —
+    a plan with a SinglePartition window (global sort) would not
+    survive a 100 TB corpus."""
+    from marex_spark.plans import plan_string
+    from marex_spark.queries.text import pipe_ccnet_buckets
+
+    out = pipe_ccnet_buckets(spark, SF)
+    plan = plan_string(out)
+    assert "SinglePartition" not in plan, plan
