@@ -926,3 +926,154 @@ def ann_ivf_kmeans_recall(spark, sf_dir):
             ).alias("recall")
         )
     )
+
+
+# ------------------------------------ product quantization (PQ) ANN
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (d = 64)
+_PQ_K = 8  # codewords per subspace
+_PQ_ITER = 1  # Lloyd's rounds per subspace codebook
+_PQ_TOPK = 20
+
+
+def _pq_oracle() -> str:
+    """Unrolled replay of the full PQ pipeline: per-subspace k-means
+    codebooks (same CTE machine as _kmeans_ctes, restricted to the
+    subspace's idx range), corpus encoding under the final codebooks,
+    the query's decimal distance LUT, and the exact-decimal ADC sum —
+    so the top-k ordering is engine-identical."""
+    from marex_spark.functions.decimals import davg_sql
+
+    k, n_iter, m, sub = _PQ_K, _PQ_ITER, _PQ_M, _PQ_SUB
+    parts = [f"""WITH e AS MATERIALIZED (
+      SELECT vec_id, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+    seed_ids AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cent_id
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {k})"""]
+    for j in range(m):
+        lo, hi = j * sub, j * sub + sub - 1
+        ej = f"(SELECT * FROM e WHERE idx BETWEEN {lo} AND {hi})"
+        parts.append(f""",
+    s{j}c0 AS MATERIALIZED (
+      SELECT s.cent_id, e.idx, e.comp AS m
+      FROM seed_ids s JOIN {ej} e ON e.vec_id = s.vec_id)""")
+        for i in range(n_iter + 1):
+            parts.append(f""",
+    s{j}d{i} AS (
+      SELECT e.vec_id, c.cent_id,
+             {dec_sql('(e.comp - c.m) * (e.comp - c.m)')} AS dist2
+      FROM {ej} e JOIN s{j}c{i} c ON c.idx = e.idx
+      GROUP BY 1, 2),
+    s{j}a{i} AS MATERIALIZED (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, cent_id) AS rn
+      FROM s{j}d{i})""")
+            if i < n_iter:
+                parts.append(f""",
+    s{j}u{i} AS (
+      SELECT a.cent_id, e.idx, {davg_sql('e.comp')} AS m
+      FROM s{j}a{i} a JOIN {ej} e ON e.vec_id = a.vec_id
+      WHERE a.rn = 1
+      GROUP BY 1, 2),
+    s{j}c{i + 1} AS MATERIALIZED (
+      SELECT c.cent_id, c.idx, COALESCE(u.m, c.m) AS m
+      FROM s{j}c{i} c LEFT JOIN s{j}u{i} u
+        ON u.cent_id = c.cent_id AND u.idx = c.idx)""")
+        parts.append(f""",
+    s{j}lut AS MATERIALIZED (
+      SELECT c.cent_id,
+             SUM(CAST((q.comp - c.m) * (q.comp - c.m) AS DECIMAL(38,6))) AS l
+      FROM s{j}c{n_iter} c
+      JOIN {ej} q ON q.idx = c.idx
+       AND q.vec_id = (SELECT vec_id FROM seed_ids WHERE cent_id = 0)
+      GROUP BY 1)""")
+    joins = []
+    lsum = " + ".join(f"l{j}.l" for j in range(m))
+    for j in range(m):
+        joins.append(
+            f"(SELECT vec_id, cent_id FROM s{j}a{n_iter} WHERE rn = 1) a{j}"
+            + ("" if j == 0 else f" ON a{j}.vec_id = a0.vec_id")
+        )
+        joins.append(f"s{j}lut l{j} ON l{j}.cent_id = a{j}.cent_id")
+    from_sql = joins[0] + " JOIN " + " JOIN ".join(joins[1:])
+    parts.append(f""",
+    adc AS (
+      SELECT a0.vec_id, {lsum} AS adc
+      FROM {from_sql})
+    SELECT vec_id, {round6_sql('CAST(adc AS DOUBLE)')} AS adc_dist2
+    FROM adc
+    WHERE vec_id != (SELECT vec_id FROM seed_ids WHERE cent_id = 0)
+    ORDER BY adc, vec_id
+    LIMIT {_PQ_TOPK}""")
+    return "".join(parts)
+
+
+def _dec_dist2_col(vec_expr, centroid):
+    """Exact decimal-fold squared L2 distance of a (possibly literal)
+    array column to a centroid literal — operators.embed._kmeans_dist2
+    without the final double cast, so ADC sums stay exact decimals."""
+    carr = F.array(*[F.lit(float(v)) for v in centroid])
+    diffsq = F.zip_with(
+        vec_expr, carr, lambda x, v: (x.cast("double") - v) * (x.cast("double") - v)
+    )
+    return F.aggregate(
+        diffsq,
+        F.lit(0).cast("decimal(38,6)"),
+        lambda acc, v: acc + v.cast("decimal(38,6)"),
+    )
+
+
+@register("ann_pq_adc", _pq_oracle())
+def ann_pq_adc(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011): the embedding splits into m=4 subspaces, each
+    with its own k=8-codeword Lloyd's codebook (kmeans_fit per slice);
+    the corpus encodes to m small codes, and a query scores every
+    vector as the sum of m LUT lookups — top-k by that estimate.
+
+    Scale shape (the reason PQ exists): the codebooks and the query
+    LUT are literals, so encoding AND scoring are one shuffle-free
+    codegen pass over the corpus — no join, no UDF; at 100 TB the
+    corpus can persist as m uint8 codes (d×4-byte floats → m bytes,
+    64× compression here) and re-scoring any query is a scan of the
+    code table. The LUT distances fold DECIMAL(38,6) exactly like the
+    codebook training, so ranking ties are engine-identical and the
+    whole pipeline (training → encoding → ADC top-k) replays as one
+    DuckDB SQL chain."""
+    from marex_spark.operators.embed import kmeans_assign_cols, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.select("vec_id", "embedding")
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .first()
+    )
+    q = [float(x) for x in qrow["embedding"]]
+    qid = int(qrow["vec_id"])
+    adc = None
+    for j in range(_PQ_M):
+        sl = F.slice("embedding", j * _PQ_SUB + 1, _PQ_SUB)
+        sub = emb.select("vec_id", sl.alias("embedding"))
+        cents = kmeans_fit(sub, k=_PQ_K, n_iter=_PQ_ITER)
+        code, _ = kmeans_assign_cols(sl, cents)
+        qsub = F.array(
+            *[F.lit(v) for v in q[j * _PQ_SUB : (j + 1) * _PQ_SUB]]
+        )
+        lut = F.array(*[_dec_dist2_col(qsub, c) for c in cents])
+        term = F.element_at(lut, code + F.lit(1))
+        adc = term if adc is None else adc + term
+    return (
+        emb.select("vec_id", adc.alias("adc"))
+        .filter(F.col("vec_id") != qid)
+        .orderBy("adc", "vec_id")
+        .limit(_PQ_TOPK)
+        .select(
+            "vec_id", round6(F.col("adc").cast("double")).alias("adc_dist2")
+        )
+    )

@@ -327,3 +327,13 @@ def test_ccnet_buckets_no_global_sort(spark):
     out = pipe_ccnet_buckets(spark, SF)
     plan = plan_string(out)
     assert "SinglePartition" not in plan, plan
+
+
+def test_pq_adc_scan_is_shuffle_free(spark):
+    """PQ's reason to exist: codebooks and the query LUT are literals,
+    so corpus encoding + ADC scoring must be ONE codegen scan — no
+    exchange anywhere (top-k is TakeOrdered, not a sort shuffle)."""
+    from marex_spark.queries.similarity import ann_pq_adc
+
+    out = ann_pq_adc(spark, SF)
+    assert exchange_count(out) == 0, out._jdf.queryExecution().executedPlan().toString()
