@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_exact",
     "ann_cosine_topk_fast",
+    "ann_pq_adc",
+    "pipe_dsir_resample",
     "txt_quality_score",
     "sess_sessionize",
 ]

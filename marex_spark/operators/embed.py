@@ -347,6 +347,81 @@ def kmeans_fit(
     return cents
 
 
+def pq_fit(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: one k-codeword Lloyd's codebook
+    per contiguous d/m-dim subspace. Output is EXACTLY
+    ``[kmeans_fit(slice_j) for j in range(m)]`` (pinned in
+    tests/test_embed.py) — same md5-seeding (seed rows depend only on
+    ids, so all subspaces share them), same assignment expression,
+    same decimal update means — but all m codebooks train in ONE job
+    per iteration: the m subspace assignments posexplode into a single
+    unioned aggregate keyed (subspace, centroid, position), so the
+    driver pays 1 + n_iter collects total instead of m·(1 + n_iter)
+    (measured 4x wall at m=4 — each collect's whole-stage codegen of
+    the literal-centroid fold dominates at bench scale)."""
+    from functools import reduce
+
+    from marex_spark.functions.decimals import davg
+
+    if m <= 0 or k <= 0 or n_iter < 0:
+        raise ValueError("pq_fit needs m > 0, k > 0 and n_iter >= 0")
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("pq_fit on an empty DataFrame")
+    d = len(seed_rows[0][vec_col])
+    if d % m:
+        raise ValueError(f"vector dim {d} not divisible by m={m}")
+    sd = d // m
+    books = [
+        [[float(x) for x in r[vec_col]][j * sd : (j + 1) * sd] for r in seed_rows]
+        for j in range(m)
+    ]
+    for _ in range(n_iter):
+        parts = []
+        for j in range(m):
+            sl = F.slice(vec_col, j * sd + 1, sd)
+            code, _ = kmeans_assign_cols(sl, books[j])
+            parts.append(
+                df.select(
+                    F.lit(j).alias("sub"),
+                    code.alias("cent_id"),
+                    F.posexplode(sl).alias("pos", "x"),
+                )
+            )
+        upd = (
+            reduce(DataFrame.unionByName, parts)
+            .groupBy("sub", "cent_id", "pos")
+            .agg(davg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by: dict[tuple[int, int], dict[int, float]] = {}
+        for r in upd:
+            by.setdefault((r.sub, r.cent_id), {})[r.pos] = float(r.m)
+        books = [
+            [
+                [by[(j, c)][p] for p in range(sd)]
+                if (j, c) in by
+                else books[j][c]  # empty cluster: keep previous centroid
+                for c in range(k)
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids: list[list[float]],

@@ -1045,7 +1045,7 @@ def ann_pq_adc(spark, sf_dir):
     codebook training, so ranking ties are engine-identical and the
     whole pipeline (training → encoding → ADC top-k) replays as one
     DuckDB SQL chain."""
-    from marex_spark.operators.embed import kmeans_assign_cols, kmeans_fit
+    from marex_spark.operators.embed import kmeans_assign_cols, pq_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = (
@@ -1056,11 +1056,11 @@ def ann_pq_adc(spark, sf_dir):
     )
     q = [float(x) for x in qrow["embedding"]]
     qid = int(qrow["vec_id"])
+    books = pq_fit(emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER)
     adc = None
     for j in range(_PQ_M):
         sl = F.slice("embedding", j * _PQ_SUB + 1, _PQ_SUB)
-        sub = emb.select("vec_id", sl.alias("embedding"))
-        cents = kmeans_fit(sub, k=_PQ_K, n_iter=_PQ_ITER)
+        cents = books[j]
         code, _ = kmeans_assign_cols(sl, cents)
         qsub = F.array(
             *[F.lit(v) for v in q[j * _PQ_SUB : (j + 1) * _PQ_SUB]]

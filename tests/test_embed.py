@@ -182,3 +182,40 @@ class TestKMeans:
             kmeans_fit(df, k=0)
         with pytest.raises(ValueError):
             kmeans_fit(df.filter("vec_id < 0"), k=2)
+
+
+class TestPQFit:
+    def test_pq_fit_equals_per_subspace_kmeans(self, spark):
+        """The batched trainer must be value-identical to running
+        kmeans_fit on each subspace slice independently — the batching
+        only fuses the m update aggregations into one job."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from marex_spark.operators.embed import kmeans_fit, pq_fit
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (int(i), [float(x) for x in rng.normal(size=32)]) for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        books = pq_fit(df, m=4, k=5, n_iter=2)
+        for j in range(4):
+            sub = df.select(
+                "vec_id", F.slice("embedding", j * 8 + 1, 8).alias("embedding")
+            )
+            expect = kmeans_fit(sub, k=5, n_iter=2)
+            assert books[j] == expect, f"subspace {j}"
+
+    def test_pq_fit_validation(self, spark):
+        import pytest
+
+        from marex_spark.operators.embed import pq_fit
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError):
+            pq_fit(df, m=2)  # 3 dims not divisible
+        with pytest.raises(ValueError):
+            pq_fit(df.limit(0), m=1)
