@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Training-data document pipeline over the synthetic corpus: quality
 gates (Gopher rules), PII redaction, exact + MinHash-LSH dedup,
-benchmark decontamination, and temperature-weighted source mixing.
+benchmark decontamination, temperature-weighted source mixing, DSIR
+importance resampling toward the target language, and CCNet
+perplexity bucketing.
 
 Run: python examples/run_document_pipeline.py [sf_dir]
 """
@@ -27,6 +29,8 @@ def main():
         "dedup_minhash_lsh",
         "decontam_ngram",
         "pipe_source_mix_temperature",
+        "pipe_dsir_resample",
+        "pipe_ccnet_buckets",
     ):
         df = QUERIES[name](spark, sf)
         print(f"{name}: {df.count()} rows")
