@@ -1077,3 +1077,143 @@ def ann_pq_adc(spark, sf_dir):
             "vec_id", round6(F.col("adc").cast("double")).alias("adc_dist2")
         )
     )
+
+
+# -------------------------------- IVF-PQ composite ANN (Faiss shape)
+
+_IVFPQ_NPROBE = 2
+_IVFPQ_TOPK = 10
+
+
+def _ivfpq_oracle() -> str:
+    """PQ oracle + a coarse k-means chain (full-vector codebook), a
+    decimal probe ranking, and candidate pruning to the probed coarse
+    buckets before the ADC top-k."""
+    from marex_spark.functions.decimals import davg_sql
+
+    k, n_iter, m = _PQ_K, _PQ_ITER, _PQ_M
+    base = _pq_oracle()
+    # strip the PQ oracle's final SELECT (everything from ",\n    adc AS")
+    body = base[: base.rindex(",\n    adc AS")]
+    parts = [body]
+    # coarse chain over the FULL vector (idx unbounded) — g* names
+    parts.append(""",
+    gc0 AS MATERIALIZED (
+      SELECT s.cent_id, e.idx, e.comp AS m
+      FROM seed_ids s JOIN e ON e.vec_id = s.vec_id)""")
+    for i in range(n_iter + 1):
+        parts.append(f""",
+    gd{i} AS (
+      SELECT e.vec_id, c.cent_id,
+             {dec_sql('(e.comp - c.m) * (e.comp - c.m)')} AS dist2
+      FROM e JOIN gc{i} c ON c.idx = e.idx
+      GROUP BY 1, 2),
+    ga{i} AS MATERIALIZED (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, cent_id) AS rn
+      FROM gd{i})""")
+        if i < n_iter:
+            parts.append(f""",
+    gu{i} AS (
+      SELECT a.cent_id, e.idx, {davg_sql('e.comp')} AS m
+      FROM ga{i} a JOIN e ON e.vec_id = a.vec_id
+      WHERE a.rn = 1
+      GROUP BY 1, 2),
+    gc{i + 1} AS MATERIALIZED (
+      SELECT c.cent_id, c.idx, COALESCE(u.m, c.m) AS m
+      FROM gc{i} c LEFT JOIN gu{i} u
+        ON u.cent_id = c.cent_id AND u.idx = c.idx)""")
+    parts.append(f""",
+    probe AS MATERIALIZED (
+      SELECT c.cent_id,
+             SUM(CAST((q.comp - c.m) * (q.comp - c.m) AS DECIMAL(38,6))) AS d2
+      FROM gc{n_iter} c
+      JOIN e q ON q.idx = c.idx
+       AND q.vec_id = (SELECT vec_id FROM seed_ids WHERE cent_id = 0)
+      GROUP BY 1
+      ORDER BY d2, cent_id
+      LIMIT {_IVFPQ_NPROBE})""")
+    joins = []
+    lsum = " + ".join(f"l{j}.l" for j in range(m))
+    for j in range(m):
+        joins.append(
+            f"(SELECT vec_id, cent_id FROM s{j}a{n_iter} WHERE rn = 1) a{j}"
+            + ("" if j == 0 else f" ON a{j}.vec_id = a0.vec_id")
+        )
+        joins.append(f"s{j}lut l{j} ON l{j}.cent_id = a{j}.cent_id")
+    from_sql = joins[0] + " JOIN " + " JOIN ".join(joins[1:])
+    parts.append(f""",
+    cand AS (
+      SELECT g.vec_id
+      FROM (SELECT vec_id, cent_id FROM ga{n_iter} WHERE rn = 1) g
+      JOIN probe p ON p.cent_id = g.cent_id),
+    adc AS (
+      SELECT a0.vec_id, {lsum} AS adc
+      FROM {from_sql}
+      JOIN cand ON cand.vec_id = a0.vec_id)
+    SELECT vec_id, {round6_sql('CAST(adc AS DOUBLE)')} AS adc_dist2
+    FROM adc
+    WHERE vec_id != (SELECT vec_id FROM seed_ids WHERE cent_id = 0)
+    ORDER BY adc, vec_id
+    LIMIT {_IVFPQ_TOPK}""")
+    return "".join(parts)
+
+
+@register("ann_ivfpq_topk", _ivfpq_oracle())
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composite ANN — the Faiss index architecture re-expressed
+    relationally: a coarse full-vector k-means quantizer prunes the
+    corpus to the query's nprobe=2 nearest buckets, and only those
+    candidates are scored with the PQ codebooks' ADC estimate.
+
+    Scale shape: at 100 TB the corpus persists PARTITIONED BY the
+    coarse code with m uint8 PQ codes per row — a query reads nprobe
+    partitions (partition pruning at the scan) and scores them with
+    literal LUTs, i.e. I/O shrinks by k/nprobe AND bytes-per-row by
+    ~64×, still zero shuffles. Here the coarse filter + ADC run in the
+    same shuffle-free codegen pass; training → pruning → scoring
+    replays as one DuckDB chain (hash match)."""
+    from marex_spark.operators.embed import kmeans_assign_cols, kmeans_fit, pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.select("vec_id", "embedding")
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .first()
+    )
+    q = [float(x) for x in qrow["embedding"]]
+    qid = int(qrow["vec_id"])
+    coarse = kmeans_fit(emb, k=_PQ_K, n_iter=_PQ_ITER)
+    books = pq_fit(emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER)
+    # probe ranking under Spark's own decimal-fold semantics: constant
+    # expressions evaluated once on a 1-row frame (no driver float
+    # arithmetic to keep in sync with the engines)
+    qarr = F.array(*[F.lit(v) for v in q])
+    dist_cols = [
+        _dec_dist2_col(qarr, c).alias(f"d{i}") for i, c in enumerate(coarse)
+    ]
+    drow = spark.range(1).select(*dist_cols).first()
+    ranked = sorted((drow[f"d{i}"], i) for i in range(_PQ_K))
+    probe_ids = [i for _, i in ranked[:_IVFPQ_NPROBE]]
+    gcode, _ = kmeans_assign_cols("embedding", coarse)
+    adc = None
+    for j in range(_PQ_M):
+        sl = F.slice("embedding", j * _PQ_SUB + 1, _PQ_SUB)
+        code, _ = kmeans_assign_cols(sl, books[j])
+        qsub = F.array(
+            *[F.lit(v) for v in q[j * _PQ_SUB : (j + 1) * _PQ_SUB]]
+        )
+        lut = F.array(*[_dec_dist2_col(qsub, c) for c in books[j]])
+        term = F.element_at(lut, code + F.lit(1))
+        adc = term if adc is None else adc + term
+    return (
+        emb.select("vec_id", gcode.alias("gc"), adc.alias("adc"))
+        .filter(F.col("gc").isin(probe_ids) & (F.col("vec_id") != qid))
+        .orderBy("adc", "vec_id")
+        .limit(_IVFPQ_TOPK)
+        .select(
+            "vec_id", round6(F.col("adc").cast("double")).alias("adc_dist2")
+        )
+    )

@@ -337,3 +337,14 @@ def test_pq_adc_scan_is_shuffle_free(spark):
 
     out = ann_pq_adc(spark, SF)
     assert exchange_count(out) == 0, out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivfpq_scan_is_shuffle_free(spark):
+    """IVF-PQ's scoring pass: coarse-bucket filter + ADC lookup are
+    all literal expressions, so the candidate scan must stay one
+    exchange-free codegen pass (at scale the coarse filter becomes
+    partition pruning on a code-partitioned layout)."""
+    from marex_spark.queries.similarity import ann_ivfpq_topk
+
+    out = ann_ivfpq_topk(spark, SF)
+    assert exchange_count(out) == 0
