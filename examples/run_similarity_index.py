@@ -38,6 +38,21 @@ def main() -> None:
     bucketed = kmeans_assign(emb, cents)
     bucketed.groupBy("cent_id").count().orderBy("cent_id").show()
 
+    print("== PQ compression + IVF-PQ query (Faiss index shape) ==")
+    from marex_spark.operators.embed import kmeans_assign_cols, pq_fit
+
+    books = pq_fit(emb, m=4, k=8, n_iter=1)
+    codes = emb.select(
+        "vec_id",
+        *[
+            kmeans_assign_cols(F.slice("embedding", j * 16 + 1, 16), books[j])[0]
+            .alias(f"code{j}")
+            for j in range(4)
+        ],
+    )
+    print("   corpus as 4 uint8 codes/vector (64x smaller than float32):")
+    codes.show(3)
+
     print("== quality classifier (hashed-BoW logistic regression) ==")
     docs = load_table(spark, sf_dir, "documents")
     feats = hashed_bow_features(docs, dim=16).localCheckpoint()
