@@ -392,3 +392,44 @@ def test_partitioned_state_scoring_matches_broadcast(stream_env):
         .collect()
     }
     assert set(collected) == want and len(collected) == len(want)
+
+
+def test_stream_pq_scoring_matches_batch(spark, tmp_path):
+    """PQ ADC scoring is a pure map expression: scoring a stream of
+    vectors must produce exactly the batch expression's values (no
+    state, no shuffle, any output mode)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from marex_spark.operators.embed import pq_fit
+    from marex_spark.streaming.embed import pq_score_stream
+
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(x) for x in rng.normal(size=16)]) for i in range(60)]
+    schema = "vec_id long, embedding array<float>"
+    batch = spark.createDataFrame(rows, schema)
+    src = f"{tmp_path}/vecs"
+    batch.write.mode("overwrite").parquet(src)
+
+    books = pq_fit(batch, m=2, k=4, n_iter=1)
+    query = [float(x) for x in rng.normal(size=16)]
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    scored = pq_score_stream(stream, books, query)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("pq_scored")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vec_id: r.adc_dist2
+        for r in spark.sql("SELECT * FROM pq_scored").collect()
+    }
+    expect = {
+        r.vec_id: r.adc_dist2
+        for r in pq_score_stream(batch, books, query).collect()
+    }
+    assert got == expect and len(got) == 60
