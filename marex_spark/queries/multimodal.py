@@ -135,3 +135,65 @@ def mm_feature_extract(spark, sf_dir):
         F.element_at("features", 7).cast("long").alias("width"),
         F.element_at("features", 8).cast("long").alias("height"),
     )
+
+
+@register(
+    "mm_scene_cuts",
+    """WITH f AS (
+      SELECT doc_id, CAST(t.f AS BIGINT) AS frame_idx,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                      CAST(t.f AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS sig
+      FROM documents,
+           UNNEST(generate_series(0, CAST(n_chars % 30 AS BIGINT), 5)) AS t(f)
+      WHERE doc_id % 3 = 2),
+    d AS (
+      SELECT doc_id, frame_idx,
+             ABS(sig - LAG(sig) OVER (PARTITION BY doc_id
+                                      ORDER BY frame_idx)) AS diff
+      FROM f)
+    SELECT doc_id, frame_idx,
+           FLOOR(diff * 1e6 + 0.5) / 1e6 AS cut_score
+    FROM d WHERE diff > 0.5""",
+)
+def mm_scene_cuts(spark, sf_dir):
+    """Video scene-cut detection plumbing: per sampled frame a
+    signature (here the deterministic stub — md5-uniform per
+    (doc, frame); a real pipeline injects a perceptual-hash or
+    embedding decoder via functions/multimodal.set_decoder), then a
+    per-video LAG window flags frames whose signature jumps past the
+    threshold. The shape is the point: frame fan-out → doc-partitioned
+    lag diff → filter, one shuffle keyed by video — at 100 TB every
+    video's frames co-locate once and the cut scan is window-local,
+    never a self-join."""
+    from pyspark.sql import Window as W
+
+    from marex_spark.queries.registry import round6
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_media(docs), stride=5)
+    sig = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("frame_idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    d = frames.select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), sig.alias("sig")
+    ).withColumn("diff", F.abs(F.col("sig") - F.lag("sig").over(w)))
+    return d.filter(F.col("diff") > 0.5).select(
+        "doc_id", "frame_idx", round6(F.col("diff")).alias("cut_score")
+    )
