@@ -38,7 +38,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_exact",
     "ann_cosine_topk_fast",
-    "ann_pq_adc",
+    "ann_pq_adc_fast",
     "pipe_dsir_resample",
     "txt_quality_score",
     "sess_sessionize",

@@ -458,3 +458,82 @@ def pca_project(
         )
         cols.append(dot.alias(f"_p{i}"))
     return df.select("*", F.array(*cols).alias(out_col))
+
+
+def pq_score_kernel(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Vectorized PQ encode + ADC scoring (the throughput tier of
+    queries/similarity.ann_pq_adc, same tiering as detect's packed
+    kernel vs its relational oracle form).
+
+    The SQL-expression form evaluates its literal-centroid folds
+    through Catalyst's interpreted higher-order functions (zip_with /
+    aggregate block whole-stage codegen), which caps per-row speed; at
+    corpus scale the right shape is one numpy pass per Arrow batch:
+    stack the batch to (n, d), per subspace compute the (n, k)
+    distance matrix in three BLAS-ish ops, argmin (ties to the lowest
+    codeword, same as array_position), LUT-gather the ADC estimate.
+
+    Bit-parity with the decimal-fold expression path: every squared
+    difference quantizes to 6 decimals exactly like the engines'
+    CAST(.. AS DECIMAL(38,6)) (floor(x·1e6 + 0.5)/1e6 on nonneg terms)
+    before summing, and the final ADC adds the m LUT doubles in
+    subspace order — pinned value-identical in
+    tests/test_embed.py::TestPQKernel on random data.
+    """
+    import pyarrow as pa
+
+    m = len(books)
+    sd = len(books[0][0])
+    k = len(books[0])
+    cents = np.asarray(books, dtype=np.float64)  # (m, k, sd)
+    q = np.asarray(query, dtype=np.float64)
+
+    def _q6i(x: np.ndarray) -> np.ndarray:
+        # decimal(38,6) cast emulation for nonnegative terms, in exact
+        # integer micro-units — summing these is the decimal sum
+        return np.floor(x * 1e6 + 0.5).astype(np.int64)
+
+    # LUT under the same exact-decimal sum the expression path uses:
+    # integer micro-unit accumulation, ONE double conversion at the end
+    # (mirrors decimal(38,6) -> double)
+    lut = np.empty((m, k))
+    for j in range(m):
+        diff = q[j * sd : (j + 1) * sd][None, :] - cents[j]  # (k, sd)
+        lut[j] = _q6i(diff * diff).sum(axis=1) / 1e6
+
+    def _run(batches):
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            ids = tbl[id_col].to_numpy()
+            col = tbl[vec_col].combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            n = len(ids)
+            if n == 0:
+                continue
+            X = flat.reshape(n, -1)
+            codes = np.empty((m, n), dtype=np.int64)
+            adc = np.zeros(n)
+            for j in range(m):
+                sub = X[:, j * sd : (j + 1) * sd]
+                d2 = _q6i(
+                    (sub[:, None, :] - cents[j][None, :, :]) ** 2
+                ).sum(axis=2)  # (n, k) exact micro-units
+                codes[j] = np.argmin(d2, axis=1)  # first min = lowest id
+                adc = adc + lut[j][codes[j]]  # subspace order, IEEE
+            arrays = [pa.array(ids), pa.array(adc)]
+            names = [id_col, "adc"]
+            for j in range(m):
+                arrays.append(pa.array(codes[j].astype(np.int32)))
+                names.append(f"code{j}")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    codes_schema = ", ".join(f"code{j} int" for j in range(m))
+    return df.select(id_col, vec_col).mapInArrow(
+        _run, schema=f"{id_col} long, adc double, {codes_schema}"
+    )

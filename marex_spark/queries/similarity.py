@@ -1217,3 +1217,65 @@ def ann_ivfpq_topk(spark, sf_dir):
             "vec_id", round6(F.col("adc").cast("double")).alias("adc_dist2")
         )
     )
+
+
+def _pq_fast_oracle() -> str:
+    """Same training/encoding replay as _pq_oracle, but the ADC total
+    mirrors the numpy kernel's fold: each decimal LUT value converts
+    to DOUBLE once, then sums left-associatively in subspace order
+    (IEEE), instead of one exact decimal sum."""
+    base = _pq_oracle()
+    body = base[: base.rindex(",\n    adc AS")]
+    m, n_iter = _PQ_M, _PQ_ITER
+    lsum = "CAST(l0.l AS DOUBLE)"
+    for j in range(1, m):
+        lsum = f"({lsum} + CAST(l{j}.l AS DOUBLE))"
+    joins = []
+    for j in range(m):
+        joins.append(
+            f"(SELECT vec_id, cent_id FROM s{j}a{n_iter} WHERE rn = 1) a{j}"
+            + ("" if j == 0 else f" ON a{j}.vec_id = a0.vec_id")
+        )
+        joins.append(f"s{j}lut l{j} ON l{j}.cent_id = a{j}.cent_id")
+    from_sql = joins[0] + " JOIN " + " JOIN ".join(joins[1:])
+    return body + f""",
+    adc AS (
+      SELECT a0.vec_id, {lsum} AS adc
+      FROM {from_sql})
+    SELECT vec_id, {round6_sql('adc')} AS adc_dist2
+    FROM adc
+    WHERE vec_id != (SELECT vec_id FROM seed_ids WHERE cent_id = 0)
+    ORDER BY adc, vec_id
+    LIMIT {_PQ_TOPK}"""
+
+
+@register("ann_pq_adc_fast", _pq_fast_oracle())
+def ann_pq_adc_fast(spark, sf_dir):
+    """Throughput tier of ann_pq_adc (same tiering as detect's packed
+    kernel vs its relational oracle form): the SQL-expression ADC path
+    evaluates its literal folds through interpreted higher-order
+    functions (zip_with/aggregate block whole-stage codegen), so the
+    scale path is operators/embed.pq_score_kernel — one numpy pass per
+    Arrow batch computing codes + LUT gather, value-identical to the
+    expression path (integer micro-unit decimal emulation; pinned in
+    tests/test_embed.py::TestPQKernel). The oracle replays the same
+    chain with the kernel's IEEE LUT fold."""
+    from marex_spark.operators.embed import pq_fit, pq_score_kernel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.select("vec_id", "embedding")
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .first()
+    )
+    q = [float(x) for x in qrow["embedding"]]
+    qid = int(qrow["vec_id"])
+    books = pq_fit(emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER)
+    scored = pq_score_kernel(emb, books, q)
+    return (
+        scored.filter(F.col("vec_id") != qid)
+        .orderBy("adc", "vec_id")
+        .limit(_PQ_TOPK)
+        .select("vec_id", round6(F.col("adc")).alias("adc_dist2"))
+    )

@@ -219,3 +219,51 @@ class TestPQFit:
             pq_fit(df, m=2)  # 3 dims not divisible
         with pytest.raises(ValueError):
             pq_fit(df.limit(0), m=1)
+
+
+class TestPQKernel:
+    def test_kernel_matches_expression_path(self, spark):
+        """The numpy ADC kernel must reproduce the decimal-fold
+        expression path value-for-value: same codes (ties to lowest
+        codeword), same quantized LUT sums."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from marex_spark.operators.embed import (
+            kmeans_assign_cols,
+            pq_fit,
+            pq_score_kernel,
+        )
+        from marex_spark.queries.similarity import _dec_dist2_col
+
+        rng = np.random.default_rng(12)
+        rows = [
+            (int(i), [float(x) for x in rng.normal(size=32)]) for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        books = pq_fit(df, m=4, k=6, n_iter=1)
+        query = [float(x) for x in rng.normal(size=32)]
+
+        adc = None
+        sel = ["vec_id"]
+        expr = df
+        for j in range(4):
+            sl = F.slice("embedding", j * 8 + 1, 8)
+            code, _ = kmeans_assign_cols(sl, books[j])
+            qsub = F.array(*[F.lit(v) for v in query[j * 8 : (j + 1) * 8]])
+            lut = F.array(*[_dec_dist2_col(qsub, c) for c in books[j]])
+            # double-cast each LUT term, sum in subspace order (the
+            # kernel's IEEE fold)
+            term = F.element_at(lut, code + F.lit(1)).cast("double")
+            adc = term if adc is None else adc + term
+            expr = expr.withColumn(f"code{j}", code)
+            sel.append(f"code{j}")
+        expect = {
+            r.vec_id: (r.adc, r.code0, r.code1, r.code2, r.code3)
+            for r in expr.withColumn("adc", adc).select(*sel, "adc").collect()
+        }
+        got = {
+            r.vec_id: (r.adc, r.code0, r.code1, r.code2, r.code3)
+            for r in pq_score_kernel(df, books, query).collect()
+        }
+        assert got == expect
