@@ -1113,22 +1113,32 @@ def pipe_dsir_resample(spark, sf_dir):
             ).alias("b"),
         )
     )
-    raw = bg.groupBy("b").agg(F.count("*").alias("c_r"))
-    tgt = bg.filter(F.col("lang") == _DSIR_LANG).groupBy("b").agg(
-        F.count("*").alias("c_t")
+    # ONE corpus pass: everything downstream (raw/target bucket models,
+    # totals, per-doc weights) aggregates the per-(doc, bucket) count
+    # table — the three consumers share an identical subtree, so the
+    # exchange is computed once and reused instead of re-running the
+    # token explode + lead window per model
+    docb = bg.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
+    # both bucket models in ONE conditional aggregation over docb (a
+    # filtered target aggregate would push the lang predicate below the
+    # shared subtree and defeat exchange reuse — the corpus explode
+    # would run once per model)
+    models = docb.groupBy("b").agg(
+        F.sum("c").alias("c_r"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_LANG, F.col("c")).otherwise(F.lit(0))
+        ).alias("c_t"),
     )
-    tots = raw.agg(F.sum("c_r").alias("n_r")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
+    tots = models.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
     )
     ltab = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tots))
+        models.crossJoin(F.broadcast(tots))
         .select(
             "b",
             round6(
                 F.log(
-                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
-                    / (F.col("n_t") + F.lit(float(_DSIR_B)))
+                    (F.col("c_t") + 1) / (F.col("n_t") + F.lit(float(_DSIR_B)))
                 )
                 - F.log((F.col("c_r") + 1) / (F.col("n_r") + F.lit(float(_DSIR_B))))
             )
@@ -1136,7 +1146,6 @@ def pipe_dsir_resample(spark, sf_dir):
             .alias("l"),
         )
     )
-    docb = bg.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
     wts = (
         docb.join(F.broadcast(ltab), "b")
         .groupBy("doc_id")
