@@ -140,7 +140,59 @@ def overlap_pairs(
     )
 
 
+def adjacency_pairs(
+    labels: DataFrame,
+    nx: int,
+    wrap_x: bool = True,
+    time_col: str = "time",
+    connectivity: int = 8,
+) -> DataFrame:
+    """Distinct (id_t, id_next) pairs of objects TOUCHING between
+    consecutive steps — the reference's no-merge tracking semantics:
+    with ``allow_merging=False`` it labels in 3-D with an all-ones
+    3x3x3 structure (track.py:2013 "edges can touch"), so two objects
+    link when any cell of one lies within the +/-1 neighbourhood
+    (diagonals included) of a cell of the other at the next step, not
+    only on exact shared cells. connectivity=4 restricts the spatial
+    reach to the von-Neumann cross (3-D 6/18-connectivity analogue).
+
+    Shape: a bounded 9x offset explode on the earlier side, dedup, then
+    the same single-shuffle lead-window pairing overlap_pairs uses —
+    fan-out is constant, everything map-side before the one exchange.
+    """
+    ti = time_index(labels, time_col)
+    lab = labels.join(F.broadcast(ti), time_col)
+    if connectivity == 8:
+        offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    else:
+        offs = [(0, 0), (0, 1), (0, -1), (1, 0), (-1, 0)]
+    halo = F.explode(
+        F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx")) for dy, dx in offs])
+    )
+    src = lab.select("t", "y", "x", F.col("obj_id").alias("id_t"), halo.alias("o"))
+    xcol = (F.col("x") + F.col("o.dx"))
+    xcol = (xcol % nx + nx) % nx if wrap_x else xcol
+    expanded = (
+        src.select(
+            "t",
+            (F.col("y") + F.col("o.dy")).alias("y"),
+            xcol.alias("x"),
+            "id_t",
+        )
+        .distinct()
+    )
+    nxt = lab.select(
+        (F.col("t") - 1).alias("t"), "y", "x", F.col("obj_id").alias("id_next")
+    )
+    return (
+        expanded.join(nxt, ["t", "y", "x"])
+        .select("id_t", "id_next")
+        .distinct()
+    )
+
+
 def object_areas(
+
     labels: DataFrame,
     time_col: str = "time",
     area_col: str | None = None,

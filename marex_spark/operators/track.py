@@ -44,6 +44,7 @@ def preprocess_extremes(
     area_filter_absolute: float | None = None,
     return_labels: bool = False,
     connectivity: int = 8,
+    mask: DataFrame | None = None,
 ) -> DataFrame:
     """The tracker's run_preprocess (track.py:1234-1368): morphological
     hole-filling (M1), temporal gap-filling (M3), then the small-object
@@ -55,6 +56,14 @@ def preprocess_extremes(
     be a dense boolean field OR a sparse True-only set — the chain
     runs on the True set and temporal gaps are GENERATED, not flipped,
     so both densities produce the same surviving cells.
+
+    ``mask`` (valid (y, x) rows): the reference applies the valid-cell
+    mask AFTER each spatial closing/opening, never to the input —
+    extremes on invalid cells (land) participate in the morphology
+    (bridging gaps, shoring up the opening) and are zeroed afterwards
+    (track.py:1671 is fill_holes' LAST step; data_bin is never
+    pre-masked). Masking the input instead measurably diverges on the
+    reference's own fixture (tests/test_reference_parity.py).
 
     ``return_labels=True`` returns LABELLED surviving cells
     (time, y, x, obj_id) instead — the area filter already labels the
@@ -92,20 +101,30 @@ def preprocess_extremes(
     # fully determined by the True cells. No full-field joins between
     # stages (the boolean form paid one per stage); the dense boolean
     # output is reassembled once at the end when asked for.
+    def _mask(df):
+        if mask is None:
+            return df
+        keys = mask.select("y", "x")
+        return df.join(F.broadcast(keys), ["y", "x"], "leftsemi")
+
     d_true = extremes.filter(F.col(extreme_col)).select(time_col, "y", "x")
     if r_fill > 0:
         d_true = morph_close_open_blocked(
             d_true, r_fill, ny, nx, wrap_x, time_col
         )
+    # fill_holes masks at its end even when R=0 skips the morphology
+    d_true = _mask(d_true)
     if t_fill > 0:
         d_true = fill_time_gaps_true_set(
             d_true, t_fill, extremes, time_col, keys=("y", "x")
         )
         # re-fill spatial holes opened by the temporal closing with R/2
-        # (track.py:1717-1726)
+        # (track.py:1717-1726), masked again at the stage's end
         if r_fill > 1:
-            d_true = morph_close_open_blocked(
-                d_true, r_fill // 2, ny, nx, wrap_x, time_col
+            d_true = _mask(
+                morph_close_open_blocked(
+                    d_true, r_fill // 2, ny, nx, wrap_x, time_col
+                )
             )
     field = d_true.withColumn(extreme_col, F.lit(True))
     labels = None
@@ -171,8 +190,18 @@ def track_events(
     labels: DataFrame | None = None,
     cell_areas: DataFrame | None = None,
     max_driver_cells: int | None = None,
+    link_adjacency: bool = False,
 ) -> TrackResult:
     """Boolean extreme field → globally labelled events with stats.
+
+    ``link_adjacency=True`` links objects that merely TOUCH between
+    consecutive steps (±1 neighbourhood incl. diagonals) instead of
+    sharing cells — the reference's no-merge semantics, whose 3-D
+    labelling uses an all-ones 3×3×3 structure ("edges can touch",
+    track.py:2013); ``overlap_threshold`` is ignored in that mode, as
+    the reference's no-merge path never gates. Mutually exclusive with
+    ``allow_merging`` (the resolver's transitions are exact-cell
+    overlap by definition, track.py:2396-2452).
 
     ``compact_ids=False`` (default) keeps event_id = the component-root
     object id: stable, deterministic, and computed with NO global-order
@@ -275,10 +304,25 @@ def track_events(
         # materialization of the cell set per tracking run
         extras["merge_ledger"] = ledger
 
-    pairs = overlap_pairs(labels, keys=("y", "x"), time_col=time_col)
-    if overlap_threshold > 0:
-        areas = object_areas(labels, time_col=time_col)
-        pairs = filter_overlap_fraction(pairs, areas, overlap_threshold)
+    if link_adjacency:
+        if allow_merging:
+            from marex_spark.exceptions import ConfigurationError
+
+            raise ConfigurationError(
+                "link_adjacency applies to no-merge tracking only "
+                "(merge-mode transitions are exact-cell overlap)",
+            )
+        from marex_spark.operators.overlap import adjacency_pairs
+
+        pairs = adjacency_pairs(
+            labels, nx=nx, wrap_x=wrap_x, time_col=time_col,
+            connectivity=connectivity,
+        )
+    else:
+        pairs = overlap_pairs(labels, keys=("y", "x"), time_col=time_col)
+        if overlap_threshold > 0:
+            areas = object_areas(labels, time_col=time_col)
+            pairs = filter_overlap_fraction(pairs, areas, overlap_threshold)
 
     mapping = connected_components_driver(pairs, labels, compact=compact_ids)
     events = remap_ids(labels, mapping)

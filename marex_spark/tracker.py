@@ -215,9 +215,22 @@ class Tracker:
     def _spatial_keys(self) -> list[str]:
         return ["cell"] if self.unstructured_grid else ["y", "x"]
 
+    def _valid_mask_df(self) -> DataFrame | None:
+        """Normalized valid-cell key table (gridded (y, x) rows), or
+        None. The GRIDDED pipeline applies it AFTER each spatial
+        closing/opening (the reference's fill_holes masks as its last
+        step, track.py:1671 — data_bin is never pre-masked, so invalid
+        cells participate in the morphology and are zeroed after)."""
+        if self.mask is None or self.unstructured_grid:
+            return None
+        m = self.mask
+        if "mask" in m.columns:
+            m = m.filter(F.col("mask"))
+        return m.select("y", "x")
+
     def _apply_mask(self, d: DataFrame) -> DataFrame:
-        """Force cells outside the valid mask to False (reference zeroes
-        invalid regions before morphology, track.py:694-700)."""
+        """Force cells outside the valid mask to False — the
+        UNSTRUCTURED pipeline's pre-clustering rule (track.py:1985)."""
         if self.mask is None:
             return d
         keys = self._spatial_keys()
@@ -374,16 +387,15 @@ class Tracker:
             log.info("Loading preprocessed data from checkpoint")
             return self.data_bin.sparkSession.read.parquet(self._checkpoint_path())
 
-        d = self._apply_mask(self.data_bin)
         with log_timing(log, "Morphological preprocessing"):
             if self.unstructured_grid:
-                out = self._preprocess_unstructured(d)
+                out = self._preprocess_unstructured(self._apply_mask(self.data_bin))
             else:
                 quartile = self.area_filter_quartile
                 if quartile is None and self.area_filter_absolute is None:
                     quartile = 0.5  # reference default
                 out = preprocess_extremes(
-                    d,
+                    self.data_bin,
                     ny=self.ny or 0,
                     nx=self.nx,
                     r_fill=self.R_fill,
@@ -394,6 +406,7 @@ class Tracker:
                     extreme_col=self.extreme_col,
                     area_filter_absolute=self.area_filter_absolute,
                     connectivity=self.connectivity,
+                    mask=self._valid_mask_df(),
                 )
         if ckpt == "save":
             from marex_spark.sources.io import checkpoint_parquet
@@ -417,18 +430,24 @@ class Tracker:
         driver."""
         from marex_spark.operators.overlap import object_areas
 
-        d = self._apply_mask(self.data_bin)
-        raw_area = d.filter(F.col(self.extreme_col)).count()
+        # raw area of the INPUT field (reference track.py:1285 —
+        # computed before fill_holes, so unmasked on the gridded path)
+        raw_src = (
+            self._apply_mask(self.data_bin)
+            if self.unstructured_grid
+            else self.data_bin
+        )
+        raw_area = raw_src.filter(F.col(self.extreme_col)).count()
 
         # hole/gap filling WITHOUT the area filter
         saved_q, saved_a = self.area_filter_quartile, self.area_filter_absolute
         self.area_filter_quartile, self.area_filter_absolute = 0.0, None
         try:
             if self.unstructured_grid:
-                filled = self._preprocess_unstructured(d)
+                filled = self._preprocess_unstructured(raw_src)
             else:
                 filled = preprocess_extremes(
-                    d,
+                    self.data_bin,
                     ny=self.ny or 0,
                     nx=self.nx,
                     r_fill=self.R_fill,
@@ -437,6 +456,7 @@ class Tracker:
                     wrap_x=not self.regional_mode,
                     time_col=self.time_col,
                     extreme_col=self.extreme_col,
+                    mask=self._valid_mask_df(),
                 )
         finally:
             self.area_filter_quartile, self.area_filter_absolute = saved_q, saved_a
@@ -547,12 +567,11 @@ class Tracker:
         labels = None
         ckpt = self.checkpoint in ("save", "load")
         if self.fuse_labelling and not ckpt:
-            d = self._apply_mask(self.data_bin)
             quartile = self.area_filter_quartile
             if quartile is None and self.area_filter_absolute is None:
                 quartile = 0.5  # reference default
             labels = preprocess_extremes(
-                d,
+                self.data_bin,
                 ny=self.ny or 0,
                 nx=self.nx,
                 r_fill=self.R_fill,
@@ -564,6 +583,7 @@ class Tracker:
                 area_filter_absolute=self.area_filter_absolute,
                 return_labels=True,
                 connectivity=self.connectivity,
+                mask=self._valid_mask_df(),
             )
             cleaned = self.data_bin.limit(0)  # unused when labels given
         else:
@@ -586,6 +606,10 @@ class Tracker:
             compact_ids=self.compact_ids,
             labels=labels,
             cell_areas=self.cell_areas if self.grid_resolution is None else None,
+            # reference no-merge tracking is 3-D labelling with an
+            # all-ones structure — objects link when they TOUCH
+            # (diagonals included), ungated (track.py:2013)
+            link_adjacency=not self.allow_merging,
         )
         return res
 

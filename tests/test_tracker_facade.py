@@ -83,8 +83,11 @@ class TestRunParity:
         cleaned = preprocess_extremes(
             ext, ny=NY, nx=NX, r_fill=2, t_fill=2, area_quartile=0.25,
         )
+        # the facade's no-merge tracking uses the reference's 3-D
+        # touch-linking semantics (link_adjacency), not the gated
+        # exact-cell overlap form
         want = track_events(
-            cleaned, nx=NX, overlap_threshold=0.5, compute_stats=False
+            cleaned, nx=NX, compute_stats=False, link_adjacency=True
         ).events
 
         g = got.groupBy("event_id").count().orderBy("event_id").collect()
