@@ -383,3 +383,71 @@ def test_filtering_parameter_scenarios_counts(spark):
         assert abs(got - n_events) <= 1, (q, got)
         results[q] = got
     assert results[0.8] <= results[0.0]
+
+
+def test_temporal_gap_filling_scenario_counts(spark):
+    """Reference test_gridded_tracking.py:262-321 on extremes_gridded:
+    R_fill=2, quartile 0.5, no merging, full fixture mask; T_fill=0 vs
+    T_fill=4. Reference pins:
+    T_fill=0 — area fraction ~ 1.1650 +/- 0.02, N_pre 1046 +/- 2,
+    N_post 522 +/- 2, N_events 54 +/- 1;
+    T_fill=4 — area fraction ~ 1.0080 +/- 0.02, N_pre 1041 +/- 2,
+    N_post 522 +/- 2, N_events 38 +/- 1; gap filling links events
+    (fewer, longer)."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.sources.zarr import (
+        _decode_chunk,
+        _read_meta,
+        ingest_zarr_gridded,
+    )
+    from marex_spark.tracker import Tracker
+
+    store = os.path.join(REF_DATA, "extremes_gridded.zarr")
+    long_df = ingest_zarr_gridded(spark, store, "extreme_events", layout="long")
+    ext = long_df.select(
+        "time", "y", "x", (F.col("value") > 0.5).alias("extreme")
+    )
+    gy, gx, lat, lon = _grid_dfs(spark, store)
+    mdir = os.path.join(store, "mask")
+    mmeta = _read_meta(mdir)
+    with open(os.path.join(mdir, "0.0"), "rb") as f:
+        mask_arr = _decode_chunk(f.read(), mmeta)
+    valid = [
+        (int(y), int(x))
+        for y in range(mask_arr.shape[0])
+        for x in range(mask_arr.shape[1])
+        if mask_arr[y, x]
+    ]
+    mask_df = spark.createDataFrame(valid, "y int, x int")
+
+    expected = {
+        0: (1.1650, 1046, 522, 54),
+        4: (1.0080, 1041, 522, 38),
+    }
+    results = {}
+    for t_fill, (frac, n_pre, n_post, n_events) in expected.items():
+        tr = Tracker(
+            data_bin=ext,
+            mask=mask_df,
+            R_fill=2,
+            T_fill=t_fill,
+            area_filter_quartile=0.5,
+            allow_merging=False,
+            grid_y=gy,
+            grid_x=gx,
+            nx=len(lon),
+            ny=len(lat),
+        )
+        stats = tr.preprocess_stats()
+        assert abs(stats["preprocessed_area_fraction"] - frac) <= 0.02, (
+            t_fill,
+            stats,
+        )
+        assert abs(stats["N_objects_prefiltered"] - n_pre) <= 2, (t_fill, stats)
+        assert abs(stats["N_objects_filtered"] - n_post) <= 2, (t_fill, stats)
+        res = tr.run()
+        got = res.events.select(F.countDistinct("event_id")).first()[0]
+        assert abs(got - n_events) <= 1, (t_fill, got)
+        results[t_fill] = got
+    assert results[4] < results[0]
