@@ -549,3 +549,88 @@ def test_unstructured_merging_scenario_counts(spark):
     # the event partition above matches the reference pin regardless
     n_merges = merges.count()
     assert 6 <= n_merges <= 20, n_merges
+
+
+def _gridded_scenario_inputs(spark, lat_clamp: bool):
+    """extremes_gridded.zarr as (ext, gy, gx, mask_df, nx, ny) — the
+    fixture every pinned gridded scenario shares; lat_clamp applies the
+    tests' -90 < lat < 85 restriction."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.sources.zarr import (
+        _decode_chunk,
+        _read_meta,
+        ingest_zarr_gridded,
+    )
+
+    store = os.path.join(REF_DATA, "extremes_gridded.zarr")
+    long_df = ingest_zarr_gridded(spark, store, "extreme_events", layout="long")
+    ext = long_df.select(
+        "time", "y", "x", (F.col("value") > 0.5).alias("extreme")
+    )
+    gy, gx, lat, lon = _grid_dfs(spark, store)
+    mdir = os.path.join(store, "mask")
+    mmeta = _read_meta(mdir)
+    with open(os.path.join(mdir, "0.0"), "rb") as f:
+        mask_arr = _decode_chunk(f.read(), mmeta)
+    valid = [
+        (int(y), int(x))
+        for y in range(mask_arr.shape[0])
+        for x in range(mask_arr.shape[1])
+        if mask_arr[y, x]
+        and (not lat_clamp or -90.0 < float(lat[y]) < 85.0)
+    ]
+    mask_df = spark.createDataFrame(valid, "y int, x int")
+    return ext, gy, gx, mask_df, len(lon), len(lat)
+
+
+def test_basic_tracking_scenario_counts(spark):
+    """Reference test_gridded_tracking.py:23-78: R_fill=4, T_fill=0,
+    quartile 0.5, NO merging, poles excluded — the no-merge
+    touch-linking path under the reference's pins:
+    area fraction ~ 0.9724 +/- 0.02, N_pre 549 +/- 2, N_post 274 +/- 2,
+    N_events 24 +/- 1."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.tracker import Tracker
+
+    ext, gy, gx, mask_df, nx, ny = _gridded_scenario_inputs(spark, True)
+    tr = Tracker(
+        data_bin=ext, mask=mask_df, R_fill=4, T_fill=0,
+        area_filter_quartile=0.5, allow_merging=False,
+        grid_y=gy, grid_x=gx, nx=nx, ny=ny,
+    )
+    stats = tr.preprocess_stats()
+    assert abs(stats["preprocessed_area_fraction"] - 0.9724) <= 0.02, stats
+    assert abs(stats["N_objects_prefiltered"] - 549) <= 2, stats
+    assert abs(stats["N_objects_filtered"] - 274) <= 2, stats
+    res = tr.run()
+    n_events = res.events.select(F.countDistinct("event_id")).first()[0]
+    assert abs(n_events - 24) <= 1, n_events
+
+
+def test_tracking_consistency_scenario_counts(spark):
+    """Reference test_gridded_tracking.py:147-204: the advanced-merging
+    configuration with CENTROID partitioning (nn_partitioning off —
+    the reference default). Pins: N_pre 516 +/- 2, N_post 258 +/- 2,
+    N_events 21 +/- 1, total_merges 15 +/- 2 — the merge-ledger pin
+    HOLDS here (16 recorded), unlike NN mode, because centroid
+    partition boundaries do not self-sustain the daily re-merge (see
+    test_advanced_merging_scenario_counts)."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.tracker import Tracker
+
+    ext, gy, gx, mask_df, nx, ny = _gridded_scenario_inputs(spark, True)
+    tr = Tracker(
+        data_bin=ext, mask=mask_df, R_fill=4, T_fill=2,
+        area_filter_quartile=0.5, allow_merging=True,
+        overlap_threshold=0.5, grid_y=gy, grid_x=gx, nx=nx, ny=ny,
+    )
+    stats = tr.preprocess_stats()
+    assert abs(stats["N_objects_prefiltered"] - 516) <= 2, stats
+    assert abs(stats["N_objects_filtered"] - 258) <= 2, stats
+    res, merges = tr.run(return_merges=True)
+    n_events = res.events.select(F.countDistinct("event_id")).first()[0]
+    assert abs(n_events - 21) <= 1, n_events
+    assert abs(merges.count() - 15) <= 2, merges.count()
