@@ -479,3 +479,106 @@ def filter_small_objects(
         .withColumn(extreme_col, F.coalesce(F.col("_k"), F.lit(False)))
         .drop("_k")
     )
+
+
+def morph_close_open_unstructured(
+    true_cells: DataFrame,
+    edges: DataFrame,
+    radius: int,
+    refill_radius: int = 0,
+    time_col: str = "time",
+    max_driver_edges: int = 50_000_000,
+) -> DataFrame:
+    """Mesh closing-then-opening as ONE kernel pass (the scale form of
+    the M2 chain; reference sparse_bool_power, track.py:5422-5468 —
+    which likewise ships the adjacency to every worker and runs the
+    boolean matvec in-process per slice).
+
+    The frontier-join form (:func:`dilate_unstructured` /
+    :func:`erode_unstructured`) pays 2-3 shuffles PER HOP — a closing +
+    opening at R hops is ~10·R shuffle stages. Here the symmetric edge
+    list collects once (mesh topology is static metadata — refuse above
+    ``max_driver_edges``), ships in the task closure, and every slice
+    runs the whole chain as E-length bincount passes: dilation adds
+    cells with any present neighbour, erosion drops cells with any
+    missing neighbour — identical sets to the join form (pinned in
+    tests/test_unstructured.py). One shuffle by time, total.
+
+    ``refill_radius`` > 0 appends a second closing+opening at that
+    radius (the reference's post-gap-fill ``fill_holes(R_fill // 2)``)
+    in the same pass.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    n_edges = edges.count()
+    if n_edges > max_driver_edges:
+        raise ValueError(
+            f"mesh edge table ({n_edges} rows) exceeds the driver budget "
+            f"({max_driver_edges}); use the frontier-join operators"
+        )
+    epdf = edges.select("cell", "nbr").toPandas()
+    u0 = epdf["cell"].to_numpy(np.int64)
+    v0 = epdf["nbr"].to_numpy(np.int64)
+    # symmetric, deduplicated
+    uu = np.concatenate([u0, v0])
+    vv = np.concatenate([v0, u0])
+    key = uu * (max(int(uu.max()), int(vv.max())) + 2) + vv
+    _, idx = np.unique(key, return_index=True)
+    uu, vv = uu[idx], vv[idx]
+    spark = true_cells.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    time_type = true_cells.schema[time_col].dataType.simpleString()
+
+    def _run(batches) -> Iterator:
+        blist = list(batches)
+        if not blist or sum(b.num_rows for b in blist) == 0:
+            return
+        tbl = pa.Table.from_batches(blist).combine_chunks()
+        ts_type = tbl.schema.field(time_col).type
+        # date32 refuses a direct int64 cast; widen via int32
+        tcol = tbl[time_col]
+        if pa.types.is_date32(ts_type):
+            tcol = tcol.cast(pa.int32())
+        ts = tcol.cast(pa.int64()).to_numpy()
+        cs = tbl["cell"].to_numpy()
+        nc = max(int(uu.max()), int(vv.max()), int(cs.max()) if len(cs) else 0) + 1
+        ut, t_inv = np.unique(ts, return_inverse=True)
+
+        def dilate(p):
+            grown = np.bincount(uu, weights=p[vv], minlength=nc) > 0
+            return p | grown
+
+        def erode(p):
+            missing = np.bincount(uu, weights=(~p)[vv], minlength=nc) > 0
+            return p & ~missing
+
+        for ti in range(len(ut)):
+            p = np.zeros(nc, dtype=bool)
+            p[cs[t_inv == ti]] = True
+            for r in (radius, refill_radius):
+                if r <= 0:
+                    continue
+                for _ in range(r):
+                    p = dilate(p)
+                for _ in range(2 * r):
+                    p = erode(p)
+                for _ in range(r):
+                    p = dilate(p)
+            (keep,) = np.nonzero(p)
+            tvals = np.full(len(keep), ut[ti])
+            if pa.types.is_date32(ts_type):
+                tarr = pa.array(tvals.astype(np.int32)).cast(ts_type)
+            else:
+                tarr = pa.array(tvals).cast(ts_type)
+            yield pa.RecordBatch.from_arrays(
+                [tarr, pa.array(keep.astype(np.int64))],
+                names=[time_col, "cell"],
+            )
+
+    out_schema = f"{time_col} {time_type}, cell long"
+    return true_cells.repartition(parallelism, time_col).mapInArrow(
+        _run, schema=out_schema
+    )

@@ -265,27 +265,22 @@ class Tracker:
         preprocess, track.py:1560-1660)."""
         from marex_spark.operators.label import label_components_unstructured
         from marex_spark.operators.morphology import (
-            dilate_unstructured,
-            erode_unstructured,
             fill_time_gaps_true_set,
+            morph_close_open_unstructured,
         )
         from marex_spark.operators.overlap import object_areas
 
         cells = d.filter(F.col(self.extreme_col)).select(self.time_col, "cell")
         if self.R_fill > 0:
-            closed = erode_unstructured(
-                dilate_unstructured(cells, self.edges, self.R_fill, self.time_col),
-                self.edges,
-                self.R_fill,
-                self.time_col,
-            )
-            opened = dilate_unstructured(
-                erode_unstructured(closed, self.edges, self.R_fill, self.time_col),
-                self.edges,
-                self.R_fill,
-                self.time_col,
-            )
-            cells = opened
+            # ONE kernel pass for the whole closing/opening chain —
+            # the frontier-join form pays 2-3 shuffles per hop and its
+            # 4·R-round plan costs minutes of Catalyst planning alone;
+            # the kernel broadcasts the (metadata-sized) edge list and
+            # runs E-length bincount rounds per slice, one shuffle
+            # total (same shape as the reference's sparse_bool_power)
+            cells = morph_close_open_unstructured(
+                cells, self.edges, self.R_fill, time_col=self.time_col
+            ).localCheckpoint()
         # True-set chain (mirrors preprocess_extremes): gap rows are
         # GENERATED from consecutive True days, so a sparse-True input
         # gets the same temporal closing a dense field does, and the
@@ -294,6 +289,17 @@ class Tracker:
             cells = fill_time_gaps_true_set(
                 cells, self.T_fill, d, self.time_col, keys=("cell",)
             )
+            # re-fill spatial holes opened by the temporal closing with
+            # R/2 — the reference's fill_time_gaps ends with
+            # fill_holes(R_fill // 2) on BOTH geometries
+            # (track.py:1724); the gridded path already mirrors it
+            if self.R_fill > 1:
+                cells = morph_close_open_unstructured(
+                    cells,
+                    self.edges,
+                    self.R_fill // 2,
+                    time_col=self.time_col,
+                )
         dense = cells.withColumn(self.extreme_col, F.lit(True)).localCheckpoint()
 
         quartile = self.area_filter_quartile
@@ -322,20 +328,25 @@ class Tracker:
         labels = label_components_unstructured(
             dense, self.edges, time_col=self.time_col, extreme_col=self.extreme_col
         )
-        if self.cell_geo is not None and "area" in self.cell_geo.columns:
-            la = labels.join(
-                F.broadcast(self.cell_geo.select("cell", "area")), "cell"
-            )
-            areas = object_areas(la, time_col=self.time_col, area_col="area")
-        else:
-            areas = object_areas(labels, time_col=self.time_col)
+        # The reference's UNSTRUCTURED filter works on CELL COUNTS and
+        # keeps strictly ABOVE the threshold; in quartile mode the
+        # percentile runs only over objects > 50 cells (its documented
+        # performance pre-filter, track.py:1812-1815 — which raises the
+        # threshold versus an all-objects percentile), > 5 in absolute
+        # mode. Mirrored exactly; the gridded branch keeps its
+        # area-based >= semantics, as the reference's does.
+        areas = object_areas(labels, time_col=self.time_col)
         if absolute is not None:
-            keep = areas.filter(F.col("area") >= float(absolute)).select("obj_id")
+            keep = areas.filter(F.col("n_cells") > float(absolute)).select(
+                "obj_id"
+            )
         else:
-            thr = areas.agg(F.percentile("area", F.lit(quartile)).alias("thr"))
+            thr = areas.filter(F.col("n_cells") > 50).agg(
+                F.percentile("n_cells", F.lit(quartile)).alias("thr")
+            )
             keep = (
                 areas.crossJoin(F.broadcast(thr))
-                .filter(F.col("area") >= F.col("thr"))
+                .filter(F.col("n_cells") > F.col("thr"))
                 .select("obj_id")
             )
         kept = labels.join(keep, "obj_id", "left_semi")
@@ -481,18 +492,52 @@ class Tracker:
         quartile = self.area_filter_quartile
         if quartile is None and self.area_filter_absolute is None:
             quartile = 0.5
-        if self.area_filter_absolute is not None:
-            thr = float(self.area_filter_absolute)
+        if self.unstructured_grid:
+            # the reference's mesh conventions (track.py:1812-1849):
+            # count-based, strictly-above threshold, percentile (and
+            # the REPORTED prefiltered count) over objects above the
+            # performance pre-filter (> 50 cells; > 5 in absolute mode)
+            prefilter = 5.0 if self.area_filter_absolute is not None else 50.0
+            eligible = areas.filter(F.col("n_cells") > prefilter)
+            if self.area_filter_absolute is not None:
+                thr = float(self.area_filter_absolute)
+            else:
+                thr = float(
+                    eligible.agg(
+                        F.percentile("n_cells", F.lit(quartile or 0.0))
+                    ).first()[0]
+                )
+            row = areas.agg(
+                F.sum(F.when(F.col("n_cells") > prefilter, 1).otherwise(0)).alias(
+                    "n_pre"
+                ),
+                F.sum("area").alias("total"),
+                F.sum(F.when(F.col("n_cells") > thr, 1).otherwise(0)).alias(
+                    "n_post"
+                ),
+                F.sum(F.when(F.col("n_cells") > thr, F.col("area"))).alias(
+                    "accepted"
+                ),
+            ).first()
         else:
-            thr = float(
-                areas.agg(F.percentile("area", F.lit(quartile or 0.0))).first()[0]
-            )
-        row = areas.agg(
-            F.count("*").alias("n_pre"),
-            F.sum("area").alias("total"),
-            F.sum(F.when(F.col("area") >= thr, 1).otherwise(0)).alias("n_post"),
-            F.sum(F.when(F.col("area") >= thr, F.col("area"))).alias("accepted"),
-        ).first()
+            if self.area_filter_absolute is not None:
+                thr = float(self.area_filter_absolute)
+            else:
+                thr = float(
+                    areas.agg(
+                        F.percentile("area", F.lit(quartile or 0.0))
+                    ).first()[0]
+                )
+            row = areas.agg(
+                F.count("*").alias("n_pre"),
+                F.sum("area").alias("total"),
+                F.sum(F.when(F.col("area") >= thr, 1).otherwise(0)).alias(
+                    "n_post"
+                ),
+                F.sum(F.when(F.col("area") >= thr, F.col("area"))).alias(
+                    "accepted"
+                ),
+            ).first()
         total = float(row.total or 0.0)
         accepted = float(row.accepted or 0.0)
         return {

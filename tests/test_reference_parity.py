@@ -634,3 +634,68 @@ def test_tracking_consistency_scenario_counts(spark):
     n_events = res.events.select(F.countDistinct("event_id")).first()[0]
     assert abs(n_events - 21) <= 1, n_events
     assert abs(merges.count() - 15) <= 2, merges.count()
+
+
+def test_unstructured_consistency_scenario_counts(spark):
+    """Reference test_unstructured_tracking.py:262-353 on its standard
+    mesh fixture: R_fill=3, quartile 0.5, T_fill=2, merging at the
+    default threshold with centroid partitioning. Reference pins:
+    area fraction ~ 2.2 +/- 20% rel, N_pre 15 +/- 5, N_post 8 +/- 2,
+    N_events 3 +/- 1."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from marex_spark.sources.zarr import read_array_driver
+    from marex_spark.tracker import Tracker
+
+    base = os.path.join(REF_DATA, "extremes_unstructured.zarr")
+    ee = read_array_driver(os.path.join(base, "extreme_events"))
+    nb = read_array_driver(os.path.join(base, "neighbours"))
+    lat = read_array_driver(os.path.join(base, "lat"))
+    lon = read_array_driver(os.path.join(base, "lon"))
+    areas = read_array_driver(os.path.join(base, "cell_areas"))
+
+    T, NC = ee.shape
+    d0 = datetime.date(2010, 1, 1)
+    present = {(int(t), int(c)) for t, c in zip(*np.nonzero(ee))}
+    rows = [
+        (d0 + datetime.timedelta(days=int(t)), int(c), (t, c) in present)
+        for t in range(T)
+        for c in range(NC)
+    ]
+    ext = spark.createDataFrame(rows, "time date, cell long, extreme boolean")
+    edges = spark.createDataFrame(
+        [
+            # 1-based neighbours, 0 = missing (track.py:1060)
+            (int(c), int(nb[k, c]) - 1)
+            for c in range(NC)
+            for k in range(nb.shape[0])
+            if nb[k, c] > 0
+        ],
+        "cell long, nbr long",
+    )
+    geo = spark.createDataFrame(
+        [
+            (int(c), float(lat[c]), float(lon[c]), float(areas[c]))
+            for c in range(NC)
+        ],
+        "cell long, lat double, lon double, area double",
+    )
+    tr = Tracker(
+        data_bin=ext,
+        unstructured_grid=True,
+        edges=edges,
+        cell_geo=geo,
+        R_fill=3,
+        T_fill=2,
+        area_filter_quartile=0.5,
+        allow_merging=True,
+    )
+    stats = tr.preprocess_stats()
+    assert abs(stats["N_objects_prefiltered"] - 15) <= 5, stats
+    assert abs(stats["N_objects_filtered"] - 8) <= 2, stats
+    assert abs(stats["preprocessed_area_fraction"] - 2.2) <= 0.2 * 2.2, stats
+    res = tr.run()
+    n_events = res.events.select(F.countDistinct("event_id")).first()[0]
+    assert abs(n_events - 3) <= 1, n_events

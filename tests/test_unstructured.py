@@ -288,3 +288,63 @@ def test_unstructured_merge_extension_idfree_parity(spark, ring, two_blob_mesh):
     )
     # the collision merge happens in the APPENDED window and is ledgered
     assert extd.extras["merge_ledger"].count() > 0
+
+
+def test_mesh_kernel_matches_join_form(spark):
+    """morph_close_open_unstructured (one kernel pass) must produce
+    exactly the frontier-join chain's surviving cells, including the
+    optional refill stage."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from marex_spark.operators.morphology import (
+        dilate_unstructured,
+        erode_unstructured,
+        morph_close_open_unstructured,
+    )
+
+    rng = np.random.default_rng(4)
+    # a ring-of-grids mesh: 12x12 grid graph
+    NC = 144
+    edges = []
+    for y in range(12):
+        for x in range(12):
+            c = y * 12 + x
+            if x < 11:
+                edges.append((c, c + 1))
+            if y < 11:
+                edges.append((c, c + 12))
+    edf = spark.createDataFrame(edges, "cell long, nbr long")
+    rows = [
+        (int(t), int(c))
+        for t in range(4)
+        for c in range(NC)
+        if rng.random() < 0.45
+    ]
+    cells = spark.createDataFrame(rows, "time int, cell long")
+
+    for r, refill in ((1, 0), (2, 1)):
+        got = {
+            (x.time, x.cell)
+            for x in morph_close_open_unstructured(
+                cells, edf, r, refill_radius=refill
+            ).collect()
+        }
+        # checkpoint between ops: the join form's value is pinned here,
+        # not its plan — an un-broken 4R-round lineage costs minutes of
+        # Catalyst planning alone (the reason the kernel form exists)
+        step = erode_unstructured(
+            dilate_unstructured(cells, edf, r, "time"), edf, r, "time"
+        ).localCheckpoint()
+        step = dilate_unstructured(
+            erode_unstructured(step, edf, r, "time"), edf, r, "time"
+        ).localCheckpoint()
+        if refill:
+            step = erode_unstructured(
+                dilate_unstructured(step, edf, refill, "time"), edf, refill, "time"
+            ).localCheckpoint()
+            step = dilate_unstructured(
+                erode_unstructured(step, edf, refill, "time"), edf, refill, "time"
+            )
+        want = {(x.time, x.cell) for x in step.collect()}
+        assert got == want, (r, refill)
