@@ -351,3 +351,20 @@ def test_ivfpq_scan_is_shuffle_free(spark):
 
     out = ann_ivfpq_topk(spark, SF)
     assert exchange_count(out) == 0
+
+
+def test_mesh_morphology_kernel_single_shuffle(spark):
+    """The mesh closing/opening kernel is one repartition-by-time pass
+    (edge list ships in the closure) — the frontier-join form's
+    2-3 exchanges PER HOP must not creep back in."""
+    from marex_spark.operators.morphology import morph_close_open_unstructured
+
+    cells = spark.createDataFrame(
+        [(t, c) for t in range(3) for c in range(0, 40, 2)],
+        "time int, cell long",
+    )
+    edges = spark.createDataFrame(
+        [(c, c + 1) for c in range(39)], "cell long, nbr long"
+    )
+    out = morph_close_open_unstructured(cells, edges, 2, refill_radius=1)
+    assert exchange_count(out) <= 1, exchange_count(out)
