@@ -171,8 +171,10 @@ def pca_power_fit(
     driver ``eigh``); this variant makes every arithmetic step
     cross-engine bit-exact, which gives the full distributed
     covariance → fit → project pipeline a value-hash oracle
-    (queries/similarity.py::emb_pca_power — ``pca_fit``'s eigh is not
-    SQL-expressible, so emb_pca_project is rows-only):
+    (queries/similarity.py::emb_pca_power full-corpus fit and
+    ::emb_pca_project sample fit — ``pca_fit``'s eigh is not
+    SQL-expressible, so the eigh tier lives outside the registry,
+    pinned against this tier in tests/test_embed.py):
 
     - mean and X'X accumulate through exact DECIMAL(38,6) sums in ONE
       map-side-combinable aggregation (the shuffle carries at most

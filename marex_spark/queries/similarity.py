@@ -533,12 +533,10 @@ FROM proj GROUP BY vec_id"""
 def emb_project_fixed(spark, sf_dir):
     """The PCA projection operator driven by a FIXED deterministic
     basis, giving the codegen projection path (zip_with + sequential
-    aggregate fold, no UDF) a full value-hash oracle — the eigh-fitted
-    variant (emb_pca_project) stays rows-only because the
-    eigendecomposition is not SQL-expressible, but the projection
-    machinery itself is hash-verified here. The oracle's ordered SUM
-    replays the fold element-sequentially, so the double arithmetic is
-    bit-identical before round6."""
+    aggregate fold, no UDF) a full value-hash oracle in isolation from
+    any fit. The oracle's ordered SUM replays the fold
+    element-sequentially, so the double arithmetic is bit-identical
+    before round6."""
     import numpy as np
 
     from marex_spark.operators.embed import pca_project
@@ -556,32 +554,16 @@ def emb_project_fixed(spark, sf_dir):
     )
 
 
-@register("emb_pca_project")
-def emb_pca_project(spark, sf_dir):
-    """Distributed PCA (rows-only: the eigendecomposition is not
-    SQL-expressible): map-side partial X'X covariance → driver eigh →
-    JVM-side aggregate/zip_with projection. Deterministic component
-    signs; invariance to partitioning pinned in tests/test_embed.py.
-    Returns (vec_id, k coordinate columns) rounded to 1e-6."""
-    from marex_spark.operators.embed import pca_fit, pca_project
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    model = pca_fit(emb, k=4)
-    proj = pca_project(emb, model)
-    return proj.select(
-        "vec_id",
-        *[
-            round6(F.col("projected")[i]).alias(f"pc{i}")
-            for i in range(4)
-        ],
-    )
-
-
 _PW_K = 4
 _PW_T = 10
 
+# Deterministic ~50% training sample for the sample-fitted PCA entry:
+# first hex digit of md5(vec_id) in 0-7. Spark's md5(cast(string)) and
+# DuckDB's md5(CAST(... AS VARCHAR)) agree byte-for-byte on integer keys.
+_PCA_TRAIN_PRED = "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'"
 
-def _power_ctes(k: int, t_iter: int) -> str:
+
+def _power_ctes(k: int, t_iter: int, train_pred: str = "TRUE") -> str:
     """WITH-clause body replaying pca_power_fit + projection: exact
     DECIMAL covariance, then ``t_iter`` unrolled subspace-iteration
     rounds (matvec → classical Gram-Schmidt → normalise), every
@@ -591,13 +573,14 @@ def _power_ctes(k: int, t_iter: int) -> str:
         f"""WITH e AS MATERIALIZED (
   SELECT vec_id, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
   FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
-nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+tr AS MATERIALIZED (SELECT * FROM e WHERE {train_pred}),
+nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) AS n FROM tr),
 mu AS MATERIALIZED (
   SELECT idx AS j, {dec_sql('comp')} / (SELECT n FROM nn) AS m
-  FROM e GROUP BY idx),
+  FROM tr GROUP BY idx),
 xx AS (
   SELECT a.idx AS i, b.idx AS j, {dec_sql('a.comp * b.comp')} AS s
-  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+  FROM tr a JOIN tr b USING (vec_id) GROUP BY 1, 2),
 cov AS MATERIALIZED (
   SELECT xx.i, xx.j, xx.s / (SELECT n FROM nn) - mi.m * mj.m AS a
   FROM xx JOIN mu mi ON mi.j = xx.i JOIN mu mj ON mj.j = xx.j),
@@ -657,17 +640,50 @@ proj AS (
     return "".join(parts)
 
 
-def _power_oracle(k: int, t_iter: int) -> str:
+def _power_oracle(k: int, t_iter: int, train_pred: str = "TRUE") -> str:
     pcs = ",\n       ".join(
         round6_sql(f"MAX(CASE WHEN c = {c} THEN p END)") + f" AS pc{c}"
         for c in range(k)
     )
     return (
-        _power_ctes(k, t_iter)
+        _power_ctes(k, t_iter, train_pred)
         + f"""
 SELECT vec_id,
        {pcs}
 FROM proj GROUP BY vec_id"""
+    )
+
+
+@register("emb_pca_project", _power_oracle(_PW_K, _PW_T, _PCA_TRAIN_PRED))
+def emb_pca_project(spark, sf_dir):
+    """Sample-fitted PCA: fit the deterministic subspace-iteration model
+    on a ~50% md5-keyed training sample, then project the FULL corpus —
+    the shape a 100 TB embedding store actually uses (the covariance
+    pass touches a bounded sample; projection is the only full scan,
+    and it is a zero-shuffle map). Fully hash-verified: the oracle
+    replays the sampled covariance + fixed-round iteration + projection
+    with ordered SUMs (bit-identical IEEE folds before round6).
+
+    The eigh throughput tier (operators/embed.py::pca_fit, driver-side
+    eigendecomposition of the d×d covariance) remains the convenience
+    API for non-replayable fits; its agreement with this tier is pinned
+    in tests/test_embed.py rather than the driver gate, because eigh is
+    not SQL-expressible. Reference analogue: detect.py:2161-2220
+    (polyfit/pinv driver step feeding a distributed transform)."""
+    from marex_spark.operators.embed import pca_power_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8"
+    )
+    model = pca_power_fit(train, k=_PW_K, n_iter=_PW_T)
+    proj = pca_project(emb, model)
+    return proj.select(
+        "vec_id",
+        *[
+            round6(F.col("projected")[i]).alias(f"pc{i}")
+            for i in range(_PW_K)
+        ],
     )
 
 
