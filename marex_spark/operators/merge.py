@@ -67,13 +67,24 @@ def _apply_threshold(pairs: np.ndarray, areas: dict, threshold: float) -> np.nda
 
 
 def _centroid(ys: np.ndarray, xs: np.ndarray, nx: int, wrap_x: bool) -> tuple[float, float]:
-    """Pixel centroid with periodic x (M11, track.py:2050-2107): circular
-    mean in x so objects straddling the seam centre correctly."""
+    """Pixel centroid with the reference's seam rule (calculate_centroid,
+    track.py:2045-2102): plain means, except x coordinates above nx//2
+    shift by -nx when the object has any cell within 100 columns of
+    either x edge (then +nx if the mean lands negative). Replaces an
+    earlier circular-mean (atan2) form: the reference's shift rule is
+    what its partitioning actually uses, and it is bit-exact to replay
+    in SQL (integer-valued sums + one division — no libm)."""
     cy = float(ys.mean())
     if not wrap_x:
         return cy, float(xs.mean())
-    ang = xs * (2 * np.pi / nx)
-    cx = float(np.arctan2(np.sin(ang).mean(), np.cos(ang).mean()) * nx / (2 * np.pi)) % nx
+    if np.any(xs < 100) and np.any(xs >= nx - 100):
+        xa = xs.astype(np.float64).copy()
+        xa[xs > nx // 2] -= nx
+        cx = float(xa.mean())
+        if cx < 0:
+            cx += nx
+    else:
+        cx = float(xs.mean())
     return cy, cx
 
 
@@ -126,12 +137,28 @@ def _min_dist_to_members(
     nx: int,
     wrap_x: bool,
     chunk: int = 4096,
+    block: int | None = None,
+    cap2: float | None = None,
 ) -> np.ndarray:
     """Distance from each child cell to the NEAREST member cell of one
     parent (the nn-partitioning metric, partition_nn_grid
     track.py:4973-5113 / partition_nn_unstructured 5117-5242).
-    Vectorised pairwise blocks — no KD-tree dependency."""
+    Vectorised pairwise blocks — no KD-tree dependency.
+
+    Grid mode replicates the reference's BLOCK-WINDOWED search
+    (track.py:5014,5040-5056): only parent points inside the 3×3
+    window of ``block``-sized grid blocks around the child's block are
+    candidates (x-blocks wrap when ``wrap_x``; the reference's y-block
+    modulo is distance-pruned whenever ny > 4·block + max_distance, so
+    it is not replicated), and candidates beyond sqrt(``cap2``) are
+    discarded (track.py:5062). Cells with no candidate return inf —
+    the caller falls back to the nearest parent CENTROID, unbounded
+    (track.py:5224-5238)."""
     out = np.full(len(c1), np.inf)
+    if grid and block is not None:
+        bc1 = c1 // block
+        bc2 = c2 // block
+        ngx = -(-nx // block)  # ceil
     for s in range(0, len(m1), chunk):
         p1 = m1[s : s + chunk]
         p2 = m2[s : s + chunk]
@@ -141,6 +168,14 @@ def _min_dist_to_members(
             if wrap_x:
                 dx = np.minimum(dx, nx - dx)
             d = dy * dy + dx * dx
+            if block is not None:
+                bdy = np.abs(bc1[:, None] - (p1[None, :] // block))
+                bdx = np.abs(bc2[:, None] - (p2[None, :] // block))
+                if wrap_x:
+                    bdx = np.minimum(bdx, ngx - bdx)
+                d = np.where((bdy <= 1) & (bdx <= 1), d, np.inf)
+            if cap2 is not None:
+                d = np.where(d <= cap2, d, np.inf)
         else:
             la1 = np.radians(c1)[:, None]
             lo1 = np.radians(c2)[:, None]
@@ -336,10 +371,41 @@ class _Resolver:
                 )
                 if self.nn_partitioning:
                     # nn mode (track.py:4973-5242): nearest parent
-                    # *member cell*, capped at max_distance; cells
-                    # beyond the cap from every parent fall back to the
-                    # nearest centroid (track.py:5224-5238)
+                    # *member cell*; cells unreachable from every parent
+                    # fall back to the nearest centroid, unbounded
+                    # (track.py:5224-5238)
                     prev_ids = sl_prev["id"]
+                    if self.grid:
+                        # reference call-site heuristic (track.py:
+                        # 3526-3535): max_distance = max(int(sqrt(max
+                        # parent area) * 3), 40) cells unless the user
+                        # overrides; partition_nn_grid then windows the
+                        # candidate search to the 3×3 neighbourhood of
+                        # grid_size = max(2, max_distance // 4) blocks
+                        # (track.py:5014) — the window, not the cap, is
+                        # what usually bounds the search.
+                        if self.max_distance is not None:
+                            md = float(self.max_distance)
+                        else:
+                            max_area = max(
+                                self.areas.get(int(p), 1) for p in parent_ids
+                            )
+                            md = float(max(int(np.sqrt(max_area) * 3.0), 40))
+                        gs = max(2, int(md) // 4)
+                        cap2 = md * md
+                    else:
+                        gs = None
+                        # Unstructured: DEGREES of great-circle arc — a
+                        # documented deviation from the reference's
+                        # mesh-hop BFS cap (hop counts are mesh-
+                        # resolution-dependent; the geodesic cap is the
+                        # same physical quantity).
+                        if self.max_distance is not None:
+                            cap2 = float(
+                                np.sin(np.radians(self.max_distance) / 2.0) ** 2
+                            )
+                        else:
+                            cap2 = None
                     nn_d = np.stack(
                         [
                             _min_dist_to_members(
@@ -350,32 +416,19 @@ class _Resolver:
                                 self.grid,
                                 self.nx,
                                 self.wrap_x,
+                                block=gs,
+                                cap2=cap2 if self.grid else None,
                             )
                             for p in parent_ids
                         ],
                         axis=1,
                     )
-                    # cap semantics (reference track.py:3526-3535 auto
-                    # heuristic, 5224-5238 fallback): user max_distance
-                    # overrides the auto cap. Grid: cells. Unstructured:
-                    # DEGREES of great-circle arc — a documented
-                    # deviation from the reference's mesh-hop BFS cap
-                    # (hop counts are mesh-resolution-dependent; the
-                    # geodesic cap is the same physical quantity).
-                    if self.max_distance is not None:
-                        if self.grid:
-                            cap = float(self.max_distance) ** 2
-                        else:
-                            cap = float(
-                                np.sin(np.radians(self.max_distance) / 2.0) ** 2
-                            )
-                    elif self.grid:
-                        max_area = max(self.areas.get(int(p), 1) for p in parent_ids)
-                        cap = float(max(np.sqrt(max_area) * 3.0, 40.0)) ** 2
-                    else:
-                        cap = np.inf
                     best = np.argmin(nn_d, axis=1)
-                    unreached = nn_d[np.arange(len(best)), best] > cap
+                    best_d = nn_d[np.arange(len(best)), best]
+                    if self.grid:
+                        unreached = ~np.isfinite(best_d)
+                    else:
+                        unreached = best_d > (np.inf if cap2 is None else cap2)
                     best[unreached] = np.argmin(cent_d[unreached], axis=1)
                 else:
                     # centroid partitioning (track.py:5357-5419): each

@@ -453,12 +453,11 @@ def trk_extend_incremental(spark, sf_dir):
 # min-root union-find) and per-event stats replay in SQL exactly like
 # trk_m5. Resolver decisions depend only on id ORDER (never values),
 # cell geometry and integer areas. Exactness caveats, stated honestly:
-# (a) centroid coordinates go through AVG/sin/cos/atan2, where numpy's
-# pairwise summation and libm differ from DuckDB's at ulp level — a
-# child cell whose two parent distances tie within ~1e-12 could be
-# assigned differently (the NN mode has no such hazard: its distances
-# are exact integers); verified stable across repeated runs on both
-# driver fixtures. (b) consolidation uses the disjoint-group mapping
+# (a) centroids use the reference's seam-shift rule (plain means of
+# integer-valued doubles — exact sums, one division, NO libm), so the
+# replay is bit-exact; genuinely tied parent distances break by rk on
+# both sides (the NN mode's distances are exact integers too).
+# (b) consolidation uses the disjoint-group mapping
 # (child -> min child of its parent), which equals the engine's
 # sequential renaming whenever no child has two surviving parents at
 # consolidation time (holds on these fixtures — the engine skips
@@ -468,29 +467,41 @@ _M9_THR = 0.5
 _M9_MAXITER = 10
 
 
-def _m9_recursion_sql(nn_cap: float | None = None) -> str:
+def _m9_recursion_sql(nn_max_distance: float | None = None) -> str:
     """Shared WITH RECURSIVE prefix: labelled cells (exactly the
     trk_m4 id scheme, which hash-matches the engine's labels) + the
     resolver micro-step recursion.
 
-    ``nn_cap``: None replays centroid partitioning; a float replays the
-    NN mode (reference partition_nn_grid, track.py:4973-5113) — each
-    child cell goes to the parent with the nearest MEMBER cell
-    (squared wrapped distance, exact integers), except cells farther
-    than the cap from every parent, which fall back to the nearest
-    centroid (track.py:5224-5238). The cap is max_distance² for an
-    explicit user max_distance."""
-    import math
-
-    w = repr(2.0 * math.pi / NXG)       # pixel -> angle
-    inv = repr(NXG / (2.0 * math.pi))   # angle -> pixel
-    if nn_cap is None:
+    ``nn_max_distance``: None replays centroid partitioning; a float
+    replays the NN mode (reference partition_nn_grid,
+    track.py:4973-5113) — each child cell goes to the parent with the
+    nearest MEMBER cell (squared wrapped distance, exact integers)
+    among candidates inside the reference's 3×3 block window of
+    grid_size = max(2, max_distance // 4) (track.py:5014; x-blocks
+    wrap) and within max_distance; cells with no candidate from any
+    parent fall back to the nearest centroid, unbounded
+    (track.py:5224-5238)."""
+    # reference seam-rule centroid (track.py:2045-2102): x above nx//2
+    # shifts by -nx when the object nears either x edge (within 100
+    # columns), +nx if the mean lands negative. Integer-valued sums +
+    # one division — bit-exact across engines with no ordered SUM.
+    adjx = (
+        f"AVG(CAST(p.x AS DOUBLE) - CASE WHEN p.x > {NXG // 2} "
+        f"THEN {NXG} ELSE 0 END)"
+    )
+    cx_sql = f"""CASE WHEN MIN(p.x) < 100 AND MAX(p.x) >= {NXG - 100}
+              THEN CASE WHEN {adjx} < 0 THEN {adjx} + {NXG} ELSE {adjx} END
+              ELSE AVG(CAST(p.x AS DOUBLE)) END"""
+    if nn_max_distance is None:
         best_sql = f"""best AS (
       SELECT y, x, cid, rk,
              ROW_NUMBER() OVER (PARTITION BY y, x
                                 ORDER BY dy * dy + dx * dx, rk) AS brn
       FROM assign),"""
     else:
+        gs = max(2, int(nn_max_distance) // 4)
+        ngx = -(-NXG // gs)  # ceil: number of x blocks
+        cap2 = float(nn_max_distance) * float(nn_max_distance)
         best_sql = f"""nnd AS (
       SELECT c.y AS y, c.x AS x, pa.cid, pa.pid, pa.rk,
              MIN(CAST(c.y - p.y AS DOUBLE) * CAST(c.y - p.y AS DOUBLE)
@@ -500,6 +511,14 @@ def _m9_recursion_sql(nn_cap: float | None = None) -> str:
                            {{NXG}} - abs(CAST(c.x - p.x AS DOUBLE)))) AS nd
       FROM cur c JOIN par pa ON pa.cid = c.id
       JOIN prev p ON p.id = pa.pid
+       AND abs(c.y // {gs} - p.y // {gs}) <= 1
+       AND LEAST(abs(c.x // {gs} - p.x // {gs}),
+                 {ngx} - abs(c.x // {gs} - p.x // {gs})) <= 1
+       AND CAST(c.y - p.y AS DOUBLE) * CAST(c.y - p.y AS DOUBLE)
+           + LEAST(abs(CAST(c.x - p.x AS DOUBLE)),
+                   {{NXG}} - abs(CAST(c.x - p.x AS DOUBLE)))
+             * LEAST(abs(CAST(c.x - p.x AS DOUBLE)),
+                     {{NXG}} - abs(CAST(c.x - p.x AS DOUBLE))) <= {cap2!r}
       GROUP BY 1, 2, 3, 4, 5),
     best0 AS (
       SELECT y, x, cid, rk, nd,
@@ -511,12 +530,12 @@ def _m9_recursion_sql(nn_cap: float | None = None) -> str:
                                 ORDER BY dy * dy + dx * dx, rk) AS brn
       FROM assign),
     best AS (
-      SELECT b.y, b.x, b.cid,
-             CASE WHEN b.nd > {nn_cap!r} THEN cb.rk ELSE b.rk END AS rk,
+      SELECT cb.y, cb.x, cb.cid,
+             COALESCE(b.rk, cb.rk) AS rk,
              1 AS brn
-      FROM (SELECT * FROM best0 WHERE brn = 1) b
-      JOIN (SELECT * FROM cbest WHERE brn = 1) cb
-        ON cb.y = b.y AND cb.x = b.x),"""
+      FROM (SELECT * FROM cbest WHERE brn = 1) cb
+      LEFT JOIN (SELECT * FROM best0 WHERE brn = 1) b
+        ON b.y = cb.y AND b.x = cb.x),"""
     best_sql = best_sql.replace("{NXG}", str(NXG))
     return f"""WITH RECURSIVE base AS ({_BOOL_GRID_SQL}),
 nodes AS (SELECT d, y, x, y * {BIG} + x AS id FROM base),
@@ -584,8 +603,7 @@ rec(ti, j, role, d, y, x, id) AS (
     cents AS (
       SELECT p.id,
              AVG(CAST(p.y AS DOUBLE)) AS cy,
-             fmod(fmod(atan2(AVG(sin(p.x * {w})), AVG(cos(p.x * {w}))) * {inv},
-                       {NXG}) + {NXG}, {NXG}) AS cx
+             {cx_sql} AS cx
       FROM prev p GROUP BY p.id),
     assign AS (
       SELECT c.y, c.x, pa.cid, pa.pid, pa.rk,
@@ -1088,9 +1106,11 @@ def trk_j9u_merge_ledger(spark, sf_dir):
 
 # ----------------------------- M9 NN-partitioning mode (gridded, capped)
 
-_M9NN_DIST = 2.0  # max_distance → cap = 4.0 (forces both NN and fallback paths)
+# max_distance=2 → block window gs=2, cap=2 px (forces NN, window AND
+# centroid-fallback paths on the fixture)
+_M9NN_DIST = 2.0
 
-_M9NN_SQL = _m9_recursion_sql(nn_cap=_M9NN_DIST * _M9NN_DIST) + _m9_link_tail(
+_M9NN_SQL = _m9_recursion_sql(nn_max_distance=_M9NN_DIST) + _m9_link_tail(
     "a.y = b.y AND a.x = b.x"
 )
 
@@ -1098,10 +1118,11 @@ _M9NN_SQL = _m9_recursion_sql(nn_cap=_M9NN_DIST * _M9NN_DIST) + _m9_link_tail(
 @register("trk_m9nn_split_merge", _M9NN_SQL)
 def trk_m9nn_split_merge(spark, sf_dir):
     """The resolver's NN-partitioning mode (reference partition_nn_grid
-    track.py:4973-5113 + the distance-cap centroid fallback 5224-5238):
-    child cells go to the parent with the nearest MEMBER cell, capped
-    at max_distance=2 pixels, beyond which the nearest-centroid rule
-    takes over. NN distances are exact integers, so this mode's replay
+    track.py:4973-5113 + the centroid fallback 5224-5238): child cells
+    go to the parent with the nearest MEMBER cell among candidates in
+    the reference's 3×3 block window (grid_size = max(2, md//4)) and
+    within max_distance=2 px; unreached cells fall back to the nearest
+    centroid. NN distances are exact integers, so this mode's replay
     has no float hazard at all. Id-free lifetime stats."""
     from marex_spark.operators.track import track_events
 

@@ -31,12 +31,116 @@ _V3_DTYPES = {
 }
 
 
+def _parse_v3_codecs(codecs: list, allow_shard: bool = False):
+    """Map a zarr-v3 codec chain onto (compressor-dict, shard-dict).
+
+    bytes/gzip/zlib/blosc/zstd map onto the existing v2 decoders;
+    ``sharding_indexed`` (the default layout zarr-python 3 writes for
+    large arrays) is parsed into a shard descriptor consumed by
+    :func:`_decode_shard` — its inner chain recurses through this same
+    parser. Anything else (transpose, big-endian bytes, …) changes the
+    byte layout, so refuse loudly rather than corrupt silently."""
+    comp = None
+    shard = None
+    for c in codecs:
+        name = c.get("name")
+        cfg = c.get("configuration") or {}
+        if name == "bytes":
+            if cfg.get("endian", "little") != "little":
+                raise NotImplementedError(
+                    "zarr v3 big-endian bytes codec is not supported"
+                )
+        elif name in ("gzip", "zlib"):
+            comp = {"id": "zlib"}  # zlib.decompress(raw, 47) autodetects
+        elif name == "blosc":
+            comp = {"id": "blosc"}
+        elif name == "zstd":
+            comp = {"id": "zstd"}  # numcodecs route (typed error if absent)
+        elif name == "sharding_indexed" and allow_shard:
+            inner_comp, _ = _parse_v3_codecs(cfg.get("codecs") or [])
+            index_codecs = cfg.get("index_codecs") or []
+            for ic in index_codecs:
+                if ic.get("name") not in ("bytes", "crc32c"):
+                    raise NotImplementedError(
+                        f"zarr v3 shard index codec {ic.get('name')!r} "
+                        "is not implemented in the stdlib reader"
+                    )
+            shard = {
+                "inner": list(cfg["chunk_shape"]),
+                "comp": inner_comp,
+                "loc": cfg.get("index_location", "end"),
+                "crc": any(
+                    ic.get("name") == "crc32c" for ic in index_codecs
+                ),
+            }
+        else:
+            # transpose / crc32c / nested sharding / … change the byte
+            # layout — decoding around them would corrupt silently
+            raise NotImplementedError(
+                f"zarr v3 codec {name!r} is not implemented in the "
+                "stdlib reader"
+            )
+    return comp, shard
+
+
+_SHARD_MISSING = (1 << 64) - 1  # v3 spec: all-ones offset/len = absent chunk
+
+
+def _decode_shard(raw: bytes, meta: dict, shard: dict) -> np.ndarray:
+    """Decode one ``sharding_indexed`` shard file into the full outer
+    chunk (v3 sharding spec): the trailing (or leading) index holds
+    little-endian (offset, nbytes) uint64 pairs, one per inner chunk in
+    C order over the intra-shard grid; absent inner chunks read as the
+    fill value. The optional crc32c on the index only appends 4 bytes —
+    layout-neutral, so it is skipped rather than verified (no stdlib
+    crc32c)."""
+    outer = meta["chunks"]
+    inner = shard["inner"]
+    grid = [-(-o // i) for o, i in zip(outer, inner)]
+    n = 1
+    for g in grid:
+        n *= int(g)
+    idx_nbytes = n * 16 + (4 if shard["crc"] else 0)
+    if len(raw) < idx_nbytes:
+        from marex_spark.exceptions import CoordinateError
+
+        raise CoordinateError(
+            "zarr shard smaller than its own index",
+            details={"nbytes": len(raw), "index_nbytes": idx_nbytes},
+        )
+    idx = raw[-idx_nbytes:] if shard["loc"] == "end" else raw[:idx_nbytes]
+    pairs = np.frombuffer(idx[: n * 16], dtype="<u8").reshape(n, 2)
+    dtype = np.dtype(meta["dtype"])
+    fill = meta.get("fill_value")
+    out = np.full(outer, 0 if fill is None else fill, dtype=dtype)
+    inner_meta = {
+        "dtype": meta["dtype"],
+        "chunks": inner,
+        "order": "C",
+        "compressor": shard["comp"],
+        "filters": None,
+    }
+    for k in range(n):
+        off, ln = int(pairs[k, 0]), int(pairs[k, 1])
+        if off == _SHARD_MISSING:
+            continue
+        sub = _decode_chunk(raw[off : off + ln], inner_meta)
+        pos = np.unravel_index(k, grid)
+        sel = tuple(
+            slice(p * i, min((p + 1) * i, o))
+            for p, i, o in zip(pos, inner, outer)
+        )
+        out[sel] = sub[tuple(slice(0, s.stop - s.start) for s in sel)]
+    return out
+
+
 def _read_meta(array_dir: str) -> dict:
     """Array metadata, normalised to the v2 shape the decode path
     consumes. Reads `.zarray` (zarr v2) or `zarr.json` (zarr v3 — the
     default format of zarr-python 3.x, which xarray/the reference's
     ecosystem now writes); v3 codecs bytes/gzip/zlib/blosc map onto the
-    existing decoders, anything else (sharding, transpose, zstd without
+    existing decoders, ``sharding_indexed`` decodes through
+    :func:`_decode_shard`, anything else (transpose, zstd without
     numcodecs) refuses loudly."""
     p2 = os.path.join(array_dir, ".zarray")
     if os.path.exists(p2):
@@ -63,28 +167,7 @@ def _read_meta(array_dir: str) -> dict:
             f"{m.get('node_type')!r})",
             details={"array_dir": array_dir},
         )
-    comp = None
-    for c in m.get("codecs") or []:
-        name = c.get("name")
-        cfg = c.get("configuration") or {}
-        if name == "bytes":
-            if cfg.get("endian", "little") != "little":
-                raise NotImplementedError(
-                    "zarr v3 big-endian bytes codec is not supported"
-                )
-        elif name in ("gzip", "zlib"):
-            comp = {"id": "zlib"}  # zlib.decompress(raw, 47) autodetects
-        elif name == "blosc":
-            comp = {"id": "blosc"}
-        elif name == "zstd":
-            comp = {"id": "zstd"}  # numcodecs route (typed error if absent)
-        else:
-            # sharding_indexed / transpose / crc32c / … change the byte
-            # layout — decoding around them would corrupt silently
-            raise NotImplementedError(
-                f"zarr v3 codec {name!r} is not implemented in the "
-                "stdlib reader"
-            )
+    comp, shard = _parse_v3_codecs(m.get("codecs") or [], allow_shard=True)
     dt = m["data_type"]
     cke = m.get("chunk_key_encoding") or {"name": "default"}
     kind = cke.get("name", "default")
@@ -102,6 +185,7 @@ def _read_meta(array_dir: str) -> dict:
         "fill_value": m.get("fill_value"),
         "_sep": sep,
         "_prefix": "c" if kind == "default" else "",
+        "_shard": shard,
     }
 
 
@@ -119,6 +203,8 @@ def _chunk_path(array_dir: str, meta: dict, idx) -> str:
 
 
 def _decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
+    if meta.get("_shard"):
+        return _decode_shard(raw, meta, meta["_shard"])
     if meta.get("filters"):
         # filter chains (delta/shuffle/quantize/…) change the byte
         # layout — decoding without applying them would silently

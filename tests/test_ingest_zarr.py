@@ -498,7 +498,7 @@ class TestZarrV3:
         np.testing.assert_allclose(out[0], a[0])
         assert np.isnan(out[2, 0, 2])  # missing chunk → NaN fill
 
-    def test_v3_sharding_refused(self, tmp_path):
+    def test_v3_transpose_refused(self, tmp_path):
         from marex_spark.sources.zarr import _read_meta
 
         var = tmp_path / "s"
@@ -509,10 +509,112 @@ class TestZarrV3:
             "chunk_grid": {"name": "regular",
                            "configuration": {"chunk_shape": [2]}},
             "fill_value": 0.0,
-            "codecs": [{"name": "sharding_indexed", "configuration": {}}],
+            "codecs": [{"name": "transpose",
+                        "configuration": {"order": [0]}}],
         }))
-        with pytest.raises(NotImplementedError, match="sharding"):
+        with pytest.raises(NotImplementedError, match="transpose"):
             _read_meta(str(var))
+
+    def _make_sharded_store(self, root):
+        """3x2x4 (t,y,x) float32 v3 SHARDED store (the default layout
+        zarr-python 3 writes for large arrays): shard shape (2,2,4),
+        inner chunks (1,2,2) gzip-encoded, index (offset,nbytes) u64
+        pairs + crc32c at the shard end. Shard t=1 is partial (t=2
+        only) and drops one inner chunk entirely → fill NaN."""
+        T, NY, NX = 3, 2, 4
+        a = (
+            np.arange(T)[:, None, None] * 100.0
+            + np.arange(NY)[None, :, None] * 10.0
+            + np.arange(NX)[None, None, :]
+        ).astype(np.float32)
+        var = root / "sst"
+        (var / "c").mkdir(parents=True)
+        (var / "zarr.json").write_text(json.dumps({
+            "zarr_format": 3, "node_type": "array",
+            "shape": [T, NY, NX], "data_type": "float32",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [2, 2, 4]}},
+            "chunk_key_encoding": {"name": "default"},
+            "fill_value": "NaN",
+            "codecs": [{
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": [1, 2, 2],
+                    "codecs": [
+                        {"name": "bytes",
+                         "configuration": {"endian": "little"}},
+                        {"name": "gzip", "configuration": {"level": 1}},
+                    ],
+                    "index_codecs": [
+                        {"name": "bytes",
+                         "configuration": {"endian": "little"}},
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": "end",
+                },
+            }],
+            "dimension_names": ["time", "y", "x"],
+        }))
+        missing = (1 << 64) - 1
+        for st in range(2):  # shard grid: 2 x 1 x 1
+            body = b""
+            index = []
+            # inner grid inside the shard: 2 (t) x 1 (y) x 2 (x), C order
+            for it in range(2):
+                for ix in range(2):
+                    t_abs = st * 2 + it
+                    if t_abs >= T or (st, it, ix) == (0, 1, 1):
+                        index.append((missing, missing))  # absent chunk
+                        continue
+                    chunk = a[t_abs:t_abs + 1, :, ix * 2:(ix + 1) * 2]
+                    enc = zlib.compress(np.ascontiguousarray(chunk).tobytes(), 1)
+                    index.append((len(body), len(enc)))
+                    body += enc
+            idx = np.array(index, dtype="<u8").tobytes() + b"\x00\x00\x00\x00"
+            p = var / "c" / str(st) / "0" / "0"
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_bytes(body + idx)
+        tdir = root / "time"
+        (tdir / "c").mkdir(parents=True)
+        (tdir / "zarr.json").write_text(json.dumps({
+            "zarr_format": 3, "node_type": "array", "shape": [T],
+            "data_type": "int64",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [T]}},
+            "chunk_key_encoding": {"name": "default"},
+            "fill_value": 0,
+            "codecs": [{"name": "bytes",
+                        "configuration": {"endian": "little"}}],
+            "attributes": {"units": "days since 2010-01-01"},
+        }))
+        (tdir / "c" / "0").write_bytes(np.arange(T, dtype=np.int64).tobytes())
+        return a
+
+    def test_v3_sharded_driver_read(self, tmp_path):
+        from marex_spark.sources.zarr import read_array_driver
+
+        a = self._make_sharded_store(tmp_path / "sh.zarr")
+        out = read_array_driver(str(tmp_path / "sh.zarr" / "sst"))
+        assert out.shape == (3, 2, 4)
+        np.testing.assert_allclose(out[0], a[0])
+        np.testing.assert_allclose(out[2], a[2])
+        # dropped inner chunk (t=1, x 2..3) → fill NaN
+        assert np.isnan(out[1, :, 2:]).all()
+        np.testing.assert_allclose(out[1, :, :2], a[1, :, :2])
+
+    def test_v3_sharded_distributed_read(self, spark, tmp_path):
+        from marex_spark.sources.zarr import ingest_zarr_gridded
+
+        a = self._make_sharded_store(tmp_path / "sh2.zarr")
+        df = ingest_zarr_gridded(
+            spark, str(tmp_path / "sh2.zarr"), "sst", layout="long"
+        )
+        got = {(r.time.day, r.y, r.x): r.value for r in df.collect()}
+        assert got[(1, 1, 3)] == float(a[0, 1, 3])
+        assert got[(3, 0, 0)] == float(a[2, 0, 0])
+        # NaN fill cells from the absent inner chunk are dropped
+        assert (2, 0, 2) not in got
+        assert len(got) == 3 * 2 * 4 - 1 * 2 * 2
 
 
 class TestTimePruning:

@@ -229,9 +229,18 @@ class TestMaxDistance:
     @pytest.mark.parametrize(
         "max_distance,expect_nn",
         [
-            (None, True),   # auto cap = max(3*sqrt(20), 40) = 40 >= 8 → NN
-            (9.0, True),    # user cap 9 >= 8 → NN reaches parent 1
-            (5.0, False),   # cap 5 < 8: unreached → centroid → parent 2
+            # auto md = max(3*sqrt(20), 40) = 40 → gs=10: the outlier's
+            # block adjoins parent 1's and d=8 <= 40 → NN
+            (None, True),
+            # md=20 → gs=5: |8//5 - 0//5| = 1, window reached, d <= 20 → NN
+            (20.0, True),
+            # md=9 → gs=2: parent 1's member at x=0 is 4 blocks away —
+            # OUTSIDE the reference's 3x3 block window even though
+            # d=8 <= 9 (the window, not the cap, bounds the search,
+            # track.py:5014,5040-5056) → centroid fallback → parent 2
+            (9.0, False),
+            # md=5 < 8: capped out everywhere → centroid → parent 2
+            (5.0, False),
         ],
     )
     def test_grid_cap(self, max_distance, expect_nn):
@@ -358,3 +367,79 @@ def test_parallel_rounds_are_stale_only(spark):
         assert later < n_blocks
     # the final stability check found nothing stale
     assert log[-1] == 0 or M.LAST_PARALLEL_ROUNDS <= 2
+
+
+# ------------------------------------------------- reference-replay parity
+
+
+def _sim():
+    """Import the faithful reference-serial-loop replay
+    (tools/ref_nn_sim.py: line-by-line numpy translation of
+    track.py:3337-3802 + partition_nn_grid 4973-5113)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import ref_nn_sim
+
+    return ref_nn_sim
+
+
+@pytest.mark.parametrize(
+    "nn,max_distance",
+    [(False, None), (True, None), (True, 6.0)],
+    ids=["centroid", "nn-auto", "nn-md6-window-binds"],
+)
+def test_resolver_equals_reference_replay(nn, max_distance):
+    """The engine's serial resolver must reproduce the reference
+    algorithm EXACTLY — same ledger rows (times, parents, children,
+    overlaps) and same relabelled field — on dense replays of the
+    reference's own serial loop. Covers centroid partitioning, NN with
+    the auto max_distance heuristic, and NN with an explicit cap small
+    enough that the 3x3 block window (grid_size = max(2, md//4))
+    actually bounds the search. Runs pandas-vs-numpy, no Spark."""
+    import numpy as np
+    import pandas as pd
+
+    sim = _sim()
+    rng = np.random.default_rng(7)
+    NYs, NXs, NT = 28, 48, 8
+    dense = np.zeros((NT, NYs, NXs), dtype=bool)
+    # two drifting blobs that collide + random clutter
+    for t in range(NT):
+        ax, bx = 10 + 2 * t, 34 - 2 * t
+        for cx in (ax, bx):
+            dense[t, 10:19, max(cx - 4, 0):cx + 5] = True
+        clutter = rng.random((NYs, NXs)) < 0.04
+        dense[t] |= clutter
+    fields = sim.label_slices(dense)
+
+    ledger_ref, fields_ref = sim.simulate(
+        fields, thr=0.5, nn=nn, max_distance=max_distance
+    )
+
+    from marex_spark.operators.merge import split_merge_serial
+
+    t_idx, ys, xs = np.nonzero(fields)
+    cells = pd.DataFrame(
+        {"time": t_idx, "y": ys, "x": xs, "obj_id": fields[t_idx, ys, xs]}
+    )
+    out, ledger = split_merge_serial(
+        cells, nx=NXs, overlap_threshold=0.5,
+        nn_partitioning=nn, max_distance=max_distance,
+    )
+
+    assert len(ledger.times) == len(ledger_ref), (
+        len(ledger.times), len(ledger_ref),
+    )
+    for i, (rt, rc, rp, ro) in enumerate(ledger_ref):
+        assert ledger.times[i] == rt
+        assert list(ledger.child_ids[i]) == list(rc)
+        assert list(ledger.parent_ids[i]) == list(rp)
+        assert list(ledger.areas[i]) == list(ro)
+
+    got = np.zeros_like(fields)
+    got[out["time"].to_numpy(), out["y"].to_numpy(), out["x"].to_numpy()] = (
+        out["obj_id"].to_numpy()
+    )
+    assert np.array_equal(got, fields_ref)
