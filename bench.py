@@ -454,6 +454,52 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
     guarded("track_merge_chunked", lambda: _merge_bench(False))
     guarded("track_merge_parallel", lambda: _merge_bench(True))
 
+    # the capstone-class row (SCALE.md "90-year merge-mode tracking"
+    # scaled to the bench budget): a 10x-longer daily series through
+    # the SAME scan → labelling → stale-only-Jacobi-parallel resolver →
+    # renumber pipeline. This is the number that demonstrates the
+    # 100x-safe design round over round — wall-clock approaches one
+    # block sweep as executors grow, rounds stay 2-3 regardless of
+    # series length.
+    merge10_path = f"{tmp}/marex_bench_merge_ext10_sf{sf}"
+    merge10_nx = {"nx": 0}
+
+    def _merge10_warmup() -> None:
+        from pyspark.sql import functions as Fx
+
+        from marex_spark.operators.detect_blocked import detect_extremes_blocked
+        from marex_spark.sources.synthetic import synthetic_sst_gridded
+
+        n_years = max(3, int(round(300 * sf)))
+        ny, nx = (40, 80) if sf >= 0.05 else (20, 40)
+        merge10_nx["nx"] = nx
+        series = synthetic_sst_gridded(spark, n_years=n_years, ny=ny, nx=nx)
+        ext = detect_extremes_blocked(series).withColumn("extreme", Fx.lit(True))
+        ext.write.mode("overwrite").parquet(merge10_path)
+        spark.catalog.clearCache()
+
+    try:
+        _merge10_warmup()
+    except Exception as e:
+        errors["__merge10_warmup__"] = f"{type(e).__name__}: {e}"
+        note(f"merge10 warmup: ERROR {type(e).__name__}")
+
+    def _merge10_bench() -> int:
+        from pyspark.sql import functions as Fx  # noqa: F401
+
+        from marex_spark.operators.track import track_events
+
+        ext = spark.read.parquet(merge10_path)
+        res = track_events(
+            ext, nx=merge10_nx["nx"], overlap_threshold=0.5,
+            compute_stats=False, allow_merging=True, merge_parallel=True,
+        )
+        res.events.write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        return 0
+
+    guarded("track_merge_parallel_10x", _merge10_bench)
+
     # incremental append: extend a finished run with the last 30 days
     # instead of recomputing the series. Prior-run materialisation is
     # warmup (it models the archived run on disk); the timed region is

@@ -626,6 +626,32 @@ def _ledger_df(spark, ledger: MergeLedger, time_col: str, time_type: str) -> Dat
     )
 
 
+def _write_chunk_parquet(
+    pdf: pd.DataFrame, out_path: str, j: int, time_col: str
+) -> None:
+    """Driver-side parquet write of one resolved chunk (pyarrow, no
+    Spark job — so no multi-MB task closures). Timestamps normalise to
+    microseconds (Spark's parquet default; ns columns would need the
+    legacy nanos flag) and integer columns widen to int64 so the read
+    schema matches the one-shot tier exactly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_path, exist_ok=True)
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    arrays = []
+    for name, col in zip(tbl.column_names, tbl.columns):
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        elif pa.types.is_integer(col.type):
+            col = col.cast(pa.int64())
+        arrays.append(col)
+    tbl = pa.table(dict(zip(tbl.column_names, arrays)))
+    pq.write_table(tbl, os.path.join(out_path, f"chunk-{j:05d}.parquet"))
+
+
 def split_merge_events_chunked(
     labels: DataFrame,
     nx: int,
@@ -762,17 +788,24 @@ def split_merge_events_chunked(
     n_chunks = len(chunk_spans)
     pages = None
     page_path = None
-    if n_chunks >= 4:
-        import tempfile
-        import uuid
+    import os as _os
+    import tempfile
+    import uuid
 
+    root = page_dir or tempfile.gettempdir()
+    # resolved chunks leave the driver as parquet FILES (pyarrow,
+    # driver-side write; one distributed read + localCheckpoint at the
+    # end) — never as createDataFrame task closures: a 64-step chunk is
+    # several MB, and closure-shipping it per task draws TaskSetManager
+    # "very large task" warnings and real scheduler pressure at scale
+    out_path = f"{root}/marex_chunk_out_{uuid.uuid4().hex}"
+    if n_chunks >= 4:
         from pyspark.sql.types import IntegerType, StructField, StructType
 
         chunk_of = [0] * len(times)
         for j, (a, b) in enumerate(chunk_spans):
             for i in range(a, b):
                 chunk_of[i] = j
-        root = page_dir or tempfile.gettempdir()
         page_path = f"{root}/marex_chunk_pages_{uuid.uuid4().hex}"
         ctab = spark.createDataFrame(
             [(t, chunk_of[i]) for i, t in enumerate(times)],
@@ -826,7 +859,6 @@ def split_merge_events_chunked(
                     ],
                     ignore_index=True,
                 )
-                schema = f"{time_col} {time_type}, y long, x long, obj_id long"
             else:
                 chunk_pdf = pd.concat(
                     [
@@ -841,34 +873,33 @@ def split_merge_events_chunked(
                     ],
                     ignore_index=True,
                 )
-                schema = f"{time_col} {time_type}, cell long, obj_id long"
-            # one pandas frame -> a couple of partitions, not
-            # defaultParallelism slices: the final union of C chunks would
-            # otherwise carry C x 32 tiny partitions through every
-            # downstream stage
-            out_frames.append(
-                spark.createDataFrame(chunk_pdf, schema=schema).coalesce(2)
-            )
+            _write_chunk_parquet(chunk_pdf, out_path, j, time_col)
+            out_frames.append(j)
             carry = [(stimes[i], slices[i]) for i in range(len(stimes))][-2:]
+
+        if grid:
+            schema = f"{time_col} {time_type}, y long, x long, obj_id long"
+        else:
+            schema = f"{time_col} {time_type}, cell long, obj_id long"
+        empty_cols = [time_col, "y", "x", "obj_id"] if grid else [
+            time_col, "cell", "obj_id"
+        ]
+        out_df = (
+            # localCheckpoint materialises into the executors' block
+            # store so the spill files can be dropped in the finally
+            spark.read.schema(schema).parquet(out_path).localCheckpoint()
+            if out_frames
+            else labels.limit(0).select(*empty_cols)
+        )
     finally:
-        if page_path is not None:
-            # the output frames are driver-built pandas uploads — nothing
-            # downstream references the spill files, so drop them now
-            jpath = spark._jvm.org.apache.hadoop.fs.Path(page_path)
-            jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
-                jpath, True
-            )
-
-    from functools import reduce
-
-    empty_cols = [time_col, "y", "x", "obj_id"] if grid else [
-        time_col, "cell", "obj_id"
-    ]
-    out_df = (
-        reduce(DataFrame.unionByName, out_frames).localCheckpoint()
-        if out_frames
-        else labels.limit(0).select(*empty_cols)
-    )
+        for path in (page_path, _os.path.exists(out_path) and out_path):
+            if path:
+                # nothing downstream references the spill files
+                # (outputs are checkpointed), so drop them now
+                jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+                jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
+                    jpath, True
+                )
     ledger = _ledger_df(spark, resolver.ledger, time_col, time_type)
     if return_state:
         state = {"carry": list(carry), "next_new_id": int(resolver.next_new_id)}

@@ -840,3 +840,57 @@ def s7_zarr_v3_roundtrip(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("value").cast("double")).alias("total"),
     )
+
+
+
+@register(
+    "s7_zarr_sharded_roundtrip",
+    """WITH g AS (
+         SELECT t.range AS t, y.range AS y, x.range AS x,
+                CAST(t.range*100 + y.range*10 + x.range AS DOUBLE) AS value
+         FROM range(6) t CROSS JOIN range(5) y CROSS JOIN range(7) x
+         WHERE NOT (y.range = 1 AND x.range = 2))
+       SELECT CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(value) AS DOUBLE) AS total
+       FROM g GROUP BY 1, 2""",
+)
+def s7_zarr_sharded_roundtrip(spark, sf_dir):
+    """S7, zarr-v3 SHARDED layout (sharding_indexed — zarr-python 3's
+    default for large arrays, and the layout that bounds object-store
+    file counts at 100 TB): the same deterministic grid out through
+    ``write_zarr_gridded(zarr_format=3, shard_shape=...)`` (one FILE
+    per shard, gzip inner chunks + u64 offset index, assembled
+    executor-side, one task per shard) and back through the shard-aware
+    reader; same oracle as the v2/v3 entries, so the hash additionally
+    pins plain-v3/sharded value equivalence."""
+    import os
+    import shutil
+    import tempfile
+
+    from marex_spark.sources.zarr import ingest_zarr_gridded, write_zarr_gridded
+
+    T, NY, NX = 6, 5, 7
+    grid = spark.range(T * NY * NX).selectExpr(
+        f"date_add(DATE '2001-03-01', CAST(id / {NY * NX} AS INT)) AS d",
+        f"CAST(id % {NY * NX} / {NX} AS INT) AS y",
+        f"CAST(id % {NX} AS INT) AS x",
+        f"CAST(CAST(id / {NY * NX} AS INT) * 100 "
+        f"   + CAST(id % {NY * NX} / {NX} AS INT) * 10 "
+        f"   + id % {NX} AS FLOAT) AS value",
+    ).filter("NOT (y = 1 AND x = 2)").selectExpr(
+        "CAST(d AS TIMESTAMP) AS time", "y", "x", "value"
+    )
+    store = os.path.join(tempfile.gettempdir(), "marex_s7_shard_store.zarr")
+    shutil.rmtree(store, ignore_errors=True)
+    write_zarr_gridded(
+        grid, store, var="sst", chunks=(2, 3, 4), zarr_format=3,
+        shard_shape=(4, 6, 8),
+    )
+    back = ingest_zarr_gridded(spark, store, "sst", layout="long")
+    return back.groupBy(
+        F.col("y").cast("int").alias("y"), F.col("x").cast("int").alias("x")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("double")).alias("total"),
+    )

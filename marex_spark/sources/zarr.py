@@ -501,7 +501,8 @@ def _v3_fill_json(fill_value, np_dtype: np.dtype):
 
 
 def _v3_array_meta(
-    shape, chunk_shape, np_dtype, fill_value, compressor, dims, attrs=None
+    shape, chunk_shape, np_dtype, fill_value, compressor, dims, attrs=None,
+    shard_shape=None,
 ) -> dict:
     codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
     if compressor is not None:
@@ -511,6 +512,24 @@ def _v3_array_meta(
                 "configuration": {"level": compressor.get("level", 1)},
             }
         )
+    if shard_shape is not None:
+        # sharding_indexed: the chunk grid is the SHARD grid; the given
+        # chunk_shape becomes the inner chunk shape. Index = raw
+        # little-endian (offset, nbytes) pairs at the shard end (the
+        # index_codecs chain declares no checksum — stdlib has no
+        # crc32c; zarr-python honours the declared chain on read).
+        codecs = [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": list(chunk_shape),
+                "codecs": codecs,
+                "index_codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}}
+                ],
+                "index_location": "end",
+            },
+        }]
+        chunk_shape = shard_shape
     return {
         "zarr_format": 3,
         "node_type": "array",
@@ -598,6 +617,7 @@ def write_zarr_gridded(
     dtype: str = "<f4",
     fill_value: float | int | None = None,
     zarr_format: int = 2,
+    shard_shape: tuple[int, int, int] | None = None,
 ):
     """Long-format (time, y, x, value) DataFrame → a zarr store any
     zarr/xarray client can open (reference writes its detect/track
@@ -608,6 +628,11 @@ def write_zarr_gridded(
     ``c/t/y/x`` chunk keys, bytes+gzip codec chain) — what zarr-python
     3.x writes natively; 2 (default) stays bit-compatible with the
     v2 ecosystem. Both round-trip through :func:`ingest_zarr_gridded`.
+    ``shard_shape`` (v3 only) switches to ``sharding_indexed``: one
+    FILE per shard holding independently-gzipped inner ``chunks`` plus
+    the u64 offset index — the layout that bounds object-store file
+    counts at 100 TB (one task per shard; task memory is bounded by
+    the shard's dense size, so pick shard_shape accordingly).
 
     Spark-first and driver-light: the driver writes only the tiny JSON
     metadata and the 1-D coordinate arrays; every DATA chunk file is
@@ -667,6 +692,30 @@ def write_zarr_gridded(
     ct = min(chunks[0], T)
     cy = min(chunks[1], ny)
     cx = min(chunks[2], nx)
+    shard = None
+    if shard_shape is not None:
+        # v3 sharding: SHARD shape must be a whole multiple of the
+        # inner chunk shape (v3 sharding spec). At 100 TB scale this is
+        # the layout that bounds object-store file counts: one file per
+        # shard, many (independently compressed) inner chunks inside.
+        if zarr_format != 3:
+            from marex_spark.exceptions import ConfigurationError
+
+            raise ConfigurationError(
+                "shard_shape requires zarr_format=3",
+                details={"zarr_format": zarr_format},
+            )
+        st = min(shard_shape[0], T)
+        sy = min(shard_shape[1], ny)
+        sx = min(shard_shape[2], nx)
+        # clip inner chunks to the (possibly clipped) shard, then snap
+        # the shard UP to a whole multiple of the inner chunk
+        ct, cy, cx = min(ct, st), min(cy, sy), min(cx, sx)
+        rt = -(-st // ct)
+        ry = -(-sy // cy)
+        rx = -(-sx // cx)
+        st, sy, sx = rt * ct, ry * cy, rx * cx
+        shard = {"dims": (st, sy, sx), "ratio": (rt, ry, rx)}
 
     # -- driver metadata: group, data array, coordinates
     if zarr_format not in (2, 3):
@@ -692,6 +741,7 @@ def write_zarr_gridded(
             _v3_array_meta(
                 [T, ny, nx], [ct, cy, cx], np_dtype, fill_value,
                 compressor, ["time", "y", "x"],
+                shard_shape=list(shard["dims"]) if shard else None,
             ),
         )
     else:
@@ -744,15 +794,16 @@ def write_zarr_gridded(
     tindex = spark.createDataFrame(
         [(t, i) for i, t in enumerate(times)], "time timestamp, t_idx int"
     )
+    gt, gy, gx = (shard["dims"] if shard else (ct, cy, cx))
     keyed = (
         sdf.join(F.broadcast(tindex), "time")
         .select(
-            (F.col("t_idx") / ct).cast("int").alias("it"),
-            (F.col("y") / cy).cast("int").alias("iy"),
-            (F.col("x") / cx).cast("int").alias("ix"),
-            (F.col("t_idx") % ct).alias("ot"),
-            (F.col("y") % cy).alias("oy"),
-            (F.col("x") % cx).alias("ox"),
+            (F.col("t_idx") / gt).cast("int").alias("it"),
+            (F.col("y") / gy).cast("int").alias("iy"),
+            (F.col("x") / gx).cast("int").alias("ix"),
+            (F.col("t_idx") % gt).alias("ot"),
+            (F.col("y") % gy).alias("oy"),
+            (F.col("x") % gx).alias("ox"),
             "value",
         )
     )
@@ -793,10 +844,77 @@ def write_zarr_gridded(
             }
         )
 
+    def _write_shard(key, pdf):
+        """One task per SHARD: scatter the shard's rows into a dense
+        (st, sy, sx) block, encode each inner chunk independently
+        (C-order over the intra-shard grid), append the (offset,
+        nbytes) u64 index, publish atomically. Task memory is bounded
+        by shard_shape — the knob that trades file count against task
+        size at 100 TB."""
+        it, iy, ix = int(key[0]), int(key[1]), int(key[2])
+        st_, sy_, sx_ = shard["dims"]
+        rt, ry, rx = shard["ratio"]
+        a = np.full((st_, sy_, sx_), fill_value, dtype=np_dtype)
+        vals = pdf["value"].to_numpy(dtype=np_dtype)
+        a[
+            pdf["ot"].to_numpy(dtype=np.int64),
+            pdf["oy"].to_numpy(dtype=np.int64),
+            pdf["ox"].to_numpy(dtype=np.int64),
+        ] = vals
+        n_finite = (
+            int(np.isfinite(vals).sum()) if is_float else int(len(vals))
+        )
+        body = b""
+        index = []
+        wrote_any = False
+        for kt in range(rt):
+            for ky in range(ry):
+                for kx in range(rx):
+                    sub = a[
+                        kt * ct:(kt + 1) * ct,
+                        ky * cy:(ky + 1) * cy,
+                        kx * cx:(kx + 1) * cx,
+                    ]
+                    empty = (
+                        not np.isfinite(sub).any()
+                        if is_float
+                        else not sub.any()
+                    )
+                    if empty and not write_empty_chunks:
+                        index.append((_SHARD_MISSING, _SHARD_MISSING))
+                        continue
+                    enc = _encode_chunk(
+                        np.ascontiguousarray(sub), compressor, 3
+                    )
+                    index.append((len(body), len(enc)))
+                    body += enc
+                    wrote_any = True
+        if not wrote_any:
+            return pd.DataFrame(
+                {"it": [it], "iy": [iy], "ix": [ix],
+                 "n_values": [0], "n_bytes": [0]}
+            )
+        payload = body + np.array(index, dtype="<u8").tobytes()
+        path = os.path.join(array_dir, "c", str(it), str(iy), str(ix))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "it": [it],
+                "iy": [iy],
+                "ix": [ix],
+                "n_values": [n_finite],
+                "n_bytes": [len(payload)],
+            }
+        )
+
     receipts = (
         keyed.groupBy("it", "iy", "ix")
         .applyInPandas(
-            _write_chunk,
+            _write_shard if shard else _write_chunk,
             "it int, iy int, ix int, n_values long, n_bytes long",
         )
         .cache()

@@ -727,3 +727,39 @@ class TestWriteZarrV3:
         assert meta["data_type"] == "int32" and meta["fill_value"] == 0
         t = read_array_driver(os.path.join(store, "time"))
         assert len(t) == 7  # v3 coordinate array reads driver-side too
+
+    def test_v3_sharded_write_roundtrip(self, spark, tmp_path):
+        """shard_shape writes sharding_indexed v3 (one FILE per shard,
+        gzip inner chunks + u64 index at the end) and round-trips
+        value-identical with the unsharded v3 write of the same frame."""
+        from marex_spark.sources.zarr import ingest_zarr_gridded, write_zarr_gridded
+
+        df = TestWriteZarr()._long_df(spark)
+        ss = str(tmp_path / "ws.zarr")
+        s3 = str(tmp_path / "wp.zarr")
+        receipts = write_zarr_gridded(
+            df, ss, var="sst", chunks=(2, 2, 2), zarr_format=3,
+            shard_shape=(4, 4, 4),
+        )
+        write_zarr_gridded(df, s3, var="sst", chunks=(2, 2, 2), zarr_format=3)
+        assert all(r.n_bytes > 0 for r in receipts.collect())
+
+        meta = json.load(open(os.path.join(ss, "sst", "zarr.json")))
+        assert meta["codecs"][0]["name"] == "sharding_indexed"
+        cfg = meta["codecs"][0]["configuration"]
+        assert cfg["chunk_shape"] == [2, 2, 2]
+        assert [c["name"] for c in cfg["codecs"]] == ["bytes", "gzip"]
+        # chunk grid = SHARD grid; shard files exist under c/
+        shard_grid = meta["chunk_grid"]["configuration"]["chunk_shape"]
+        assert all(s % c == 0 for s, c in zip(shard_grid, cfg["chunk_shape"]))
+        assert os.path.exists(os.path.join(ss, "sst", "c", "0", "0", "0"))
+
+        bs = {(r.time, r.y, r.x): r.value
+              for r in ingest_zarr_gridded(spark, ss, "sst", layout="long").collect()}
+        b3 = {(r.time, r.y, r.x): r.value
+              for r in ingest_zarr_gridded(spark, s3, "sst", layout="long").collect()}
+        assert bs == b3
+        # fewer files: shards bound the object count
+        n_shard_files = sum(len(fs) for _, _, fs in os.walk(os.path.join(ss, "sst", "c")))
+        n_chunk_files = sum(len(fs) for _, _, fs in os.walk(os.path.join(s3, "sst", "c")))
+        assert n_shard_files < n_chunk_files
