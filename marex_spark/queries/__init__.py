@@ -36,7 +36,71 @@ import marex_spark.queries.detect_extra  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # ---- r4 window: every entry the driver has NEVER hash-verified ----
+    # ---- r5 window ------------------------------------------------------
+    # Tier 1 — never inside a driver window (ann_pq*/mm_scene_cuts/
+    # ccnet were added after the r4 cutoff; ccnet sat at #50 and just
+    # missed; the two s7 entries are the v3 reader + the new sharded
+    # write path):
+    "emb_pca_project",       # re-oracled this round: sample-fit PCA
+    "pipe_ccnet_buckets",
+    "ann_pq_adc",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_fast",
+    "mm_scene_cuts",
+    "s7_zarr_v3_roundtrip",
+    "s7_zarr_sharded_roundtrip",
+    # Tier 2 — rows whose code OR oracle changed this round (block-
+    # windowed NN partitioning, reference seam-rule centroids, the
+    # sampled-covariance CTE generaliser, the chunked resolver's
+    # parquet output path):
+    "emb_pca_power",
+    "trk_m9_split_merge",
+    "trk_m9_parallel",
+    "trk_j9_merge_ledger",
+    "trk_m9nn_split_merge",
+    "trk_m9nn_parallel",
+    "trk_m9u_parallel",
+    "trk_j9u_merge_ledger",
+    "trk_extend_incremental",
+    "trk_extendu_incremental",
+    "s7_zarr_roundtrip",
+    # Tier 3 — green sentinels for regression cover:
+    "s1_scan_pushdown",
+    "trk_m5_track_nomerge",
+    # Tier 4 — oldest coverage: rows last driver-verified in ROUND 2,
+    # rotated in breadth-first across suites (the remaining r2 rows
+    # rotate in next round):
+    "tpch_q1",
+    "tpch_q5_local_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "j1_climatology_align",
+    "j5_temporal_selfjoin",
+    "j9_explode_scatter",
+    "a2_shifting_climatology",
+    "a4_histogram_2d",
+    "a5_histogram_quantile",
+    "a6_exact_quantile",
+    "a7_doy_window_percentile",
+    "a10_spherical_centroid",
+    "a11_area_percentile",
+    "a14_global_stats",
+    "w1_rolling_mean",
+    "w2_circular_doy_window",
+    "w6_cumsum_offset",
+    "w7_cdf_cumsum",
+    "wr_topk_per_group",
+    "sess_sessionize",
+    "p4_threshold_predicate",
+    "p6_semi_join",
+    "so1_union_distinct",
+    "f1_date_parts",
+    "f5_digitize",
+    "f8_pair_hash",
+    "a9_object_size",
+    "a12_max_count_distinct",
+    # ---- r4 window order below (beyond the driver's budget; kept so
+    # the full registry iteration order stays deterministic) ----------
     # The split/merge resolver family: newly oracled this round (full
     # SQL replay of the resolver, see queries/tracking.py) — the one §2
     # capability VERDICT r3 flagged as never hash-verified — plus the
