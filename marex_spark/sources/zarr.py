@@ -397,41 +397,121 @@ def ingest_zarr_gridded(
         from marex_spark.operators.detect_blocked import pack_gridded
 
         return pack_gridded(empty, nx=NX)
-    keys_df = spark.createDataFrame(keys, "it int, iy int, ix int").repartition(
-        min(len(keys), spark.sparkContext.defaultParallelism * 4)
-    )
     times_list = [pd.Timestamp(t) for t in times]
 
-    def _decode(batches):
-        for b in batches:
-            for it, iy, ix in zip(b["it"], b["iy"], b["ix"]):
-                path = _chunk_path(array_dir, meta, (it, iy, ix))
-                if not os.path.exists(path):
-                    continue  # missing chunk = all fill_value
-                with open(path, "rb") as f:
-                    a = _decode_chunk(f.read(), meta).astype(np.float64)
-                # zarr-v2 JSON encodes non-finite fills as the strings
-                # "NaN"/"Infinity"/"-Infinity" — decode before comparing,
-                # else the float==str comparison is a silent no-op
-                fv = float(fill) if isinstance(fill, str) else fill
-                if fv is not None and not np.isnan(fv):
-                    a = np.where(a == fv, np.nan, a)
-                t0, y0, x0 = it * ct, iy * cy, ix * cx
-                nt = min(ct, T - t0)
-                nyc = min(cy, NY - y0)
-                nxc = min(cx, NX - x0)
-                a = a[:nt, :nyc, :nxc]
-                tt, yy2, xx2 = np.meshgrid(
-                    np.arange(nt), np.arange(nyc), np.arange(nxc), indexing="ij"
-                )
-                yield pd.DataFrame(
-                    {
-                        "time": [times_list[t0 + k] for k in tt.ravel()],
-                        "y": (yy2.ravel() + y0).astype(np.int32),
-                        "x": (xx2.ravel() + x0).astype(np.int32),
-                        "value": a.ravel().astype(np.float32),
-                    }
-                )
+    def _emit_block(a: np.ndarray, t0: int, y0: int, x0: int):
+        """Dense block at global origin (t0, y0, x0) → long rows,
+        trimmed to the array bounds, fill → NaN (dropped downstream)."""
+        # zarr-v2 JSON encodes non-finite fills as the strings
+        # "NaN"/"Infinity"/"-Infinity" — decode before comparing,
+        # else the float==str comparison is a silent no-op
+        fv = float(fill) if isinstance(fill, str) else fill
+        if fv is not None and not np.isnan(fv):
+            a = np.where(a == fv, np.nan, a)
+        nt = min(a.shape[0], T - t0)
+        nyc = min(a.shape[1], NY - y0)
+        nxc = min(a.shape[2], NX - x0)
+        if nt <= 0 or nyc <= 0 or nxc <= 0:
+            return None
+        a = a[:nt, :nyc, :nxc]
+        tt, yy2, xx2 = np.meshgrid(
+            np.arange(nt), np.arange(nyc), np.arange(nxc), indexing="ij"
+        )
+        return pd.DataFrame(
+            {
+                "time": [times_list[t0 + k] for k in tt.ravel()],
+                "y": (yy2.ravel() + y0).astype(np.int32),
+                "x": (xx2.ravel() + x0).astype(np.int32),
+                "value": a.ravel().astype(np.float32),
+            }
+        )
+
+    shard = meta.get("_shard")
+    if shard:
+        # Sharded store: parallelise INSIDE each shard file. The shard
+        # index enables byte-range reads, so each task seeks to the
+        # index, then fetches only its own inner chunks' byte ranges —
+        # a 100 TB store with multi-GB shards never makes one task
+        # decode (or even read) a whole shard. Split each shard's inner
+        # chunks into bands sized to the session's parallelism.
+        ic = shard["inner"]
+        igrid = [-(-c // i) for c, i in zip(meta["chunks"], ic)]
+        n_inner = 1
+        for g in igrid:
+            n_inner *= int(g)
+        want = spark.sparkContext.defaultParallelism * 4
+        n_bands = max(1, min(n_inner, -(-want // max(1, len(keys)))))
+        band = -(-n_inner // n_bands)
+        keys4 = [
+            (it, iy, ix, lo, min(lo + band, n_inner))
+            for (it, iy, ix) in keys
+            for lo in range(0, n_inner, band)
+        ]
+        keys_df = spark.createDataFrame(
+            keys4, "it int, iy int, ix int, k_lo int, k_hi int"
+        ).repartition(min(len(keys4), want))
+        inner_meta = {
+            "dtype": meta["dtype"],
+            "chunks": ic,
+            "order": "C",
+            "compressor": shard["comp"],
+            "filters": None,
+        }
+        idx_nbytes = n_inner * 16 + (4 if shard["crc"] else 0)
+
+        def _decode(batches):
+            for b in batches:
+                for it, iy, ix, k_lo, k_hi in zip(
+                    b["it"], b["iy"], b["ix"], b["k_lo"], b["k_hi"]
+                ):
+                    path = _chunk_path(array_dir, meta, (it, iy, ix))
+                    if not os.path.exists(path):
+                        continue  # missing shard = all fill_value
+                    with open(path, "rb") as f:
+                        if shard["loc"] == "end":
+                            f.seek(-idx_nbytes, 2)
+                            idx = f.read(idx_nbytes)
+                        else:
+                            idx = f.read(idx_nbytes)
+                        pairs = np.frombuffer(
+                            idx[: n_inner * 16], dtype="<u8"
+                        ).reshape(n_inner, 2)
+                        for k in range(int(k_lo), int(k_hi)):
+                            off, ln = int(pairs[k, 0]), int(pairs[k, 1])
+                            if off == _SHARD_MISSING:
+                                continue
+                            f.seek(off)
+                            a = _decode_chunk(
+                                f.read(ln), inner_meta
+                            ).astype(np.float64)
+                            pos = np.unravel_index(k, igrid)
+                            out = _emit_block(
+                                a,
+                                it * ct + int(pos[0]) * ic[0],
+                                iy * cy + int(pos[1]) * ic[1],
+                                ix * cx + int(pos[2]) * ic[2],
+                            )
+                            if out is not None:
+                                yield out
+
+    else:
+        keys_df = spark.createDataFrame(
+            keys, "it int, iy int, ix int"
+        ).repartition(
+            min(len(keys), spark.sparkContext.defaultParallelism * 4)
+        )
+
+        def _decode(batches):
+            for b in batches:
+                for it, iy, ix in zip(b["it"], b["iy"], b["ix"]):
+                    path = _chunk_path(array_dir, meta, (it, iy, ix))
+                    if not os.path.exists(path):
+                        continue  # missing chunk = all fill_value
+                    with open(path, "rb") as f:
+                        a = _decode_chunk(f.read(), meta).astype(np.float64)
+                    out = _emit_block(a, it * ct, iy * cy, ix * cx)
+                    if out is not None:
+                        yield out
 
     long_df = keys_df.mapInPandas(
         _decode, schema="time timestamp, y int, x int, value float"
