@@ -53,6 +53,14 @@ def main() -> None:
     print("   corpus as 4 uint8 codes/vector (64x smaller than float32):")
     codes.show(3)
 
+    print("== PQ-ADC scoring (zero-exchange scan) + IVF-PQ top-k ==")
+    from marex_spark.queries import QUERIES
+
+    for name in ("ann_pq_adc_fast", "ann_ivfpq_topk"):
+        out = QUERIES[name](spark, sf_dir)
+        print(f"   {name}:")
+        out.show(3, truncate=40)
+
     print("== quality classifier (hashed-BoW logistic regression) ==")
     docs = load_table(spark, sf_dir, "documents")
     feats = hashed_bow_features(docs, dim=16).localCheckpoint()
