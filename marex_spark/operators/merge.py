@@ -189,6 +189,117 @@ def _min_dist_to_members(
     return out
 
 
+def _collect_mesh_adj(
+    mesh_edges, cell_geo=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side (cell, nbr) edge collect → CSR adjacency, sized by
+    the max cell id seen across edges and geometry. The edge table is
+    metadata-scale relative to the cell series (≤3 nbrs/cell on the
+    reference's triangular meshes); the same array already ships in
+    mesh-morphology task closures."""
+    rows = mesh_edges.select("cell", "nbr").collect()
+    n = None
+    if cell_geo is not None:
+        mx = cell_geo.agg({"cell": "max"}).first()[0]
+        if mx is not None:
+            n = int(mx) + 1
+    pairs = [(int(r[0]), int(r[1])) for r in rows]
+    if n is not None and pairs:
+        n = max(n, max(max(a, b) for a, b in pairs) + 1)
+    return edges_to_adjacency(pairs, n_cells=n)
+
+
+def edges_to_adjacency(
+    pairs: list[tuple[int, int]] | np.ndarray, n_cells: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cell, nbr) edge pairs → CSR adjacency (indptr, indices) over
+    cells 0..n_cells-1, for the hop-BFS NN partitioner. Symmetric input
+    expected (the engine's edge tables are)."""
+    arr = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+    if n_cells is None:
+        n_cells = int(arr.max()) + 1 if len(arr) else 0
+    order = np.argsort(arr[:, 0], kind="stable")
+    src = arr[order, 0]
+    dst = arr[order, 1]
+    indptr = np.zeros(n_cells + 1, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return indptr, dst
+
+
+def _neighbours_of(
+    cells: np.ndarray, indptr: np.ndarray, indices: np.ndarray
+) -> np.ndarray:
+    """All mesh neighbours of a cell set (CSR gather, vectorised)."""
+    starts = indptr[cells]
+    cnt = indptr[cells + 1] - starts
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    offs = np.arange(total) + np.repeat(
+        starts - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+    )
+    return indices[offs]
+
+
+def _partition_nn_mesh_hops(
+    child_cells: np.ndarray,
+    parent_cell_sets: list[np.ndarray],
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    max_hops: int,
+) -> np.ndarray:
+    """The reference's partition_nn_unstructured (track.py:5117-5242),
+    vectorised over the same semantics: per-parent BFS over MESH EDGES,
+    seeded from the parent ∩ child overlap cells (distance 0), each
+    round expanding every parent's whole visited set by one hop in
+    parent order — a cell keeps the FIRST parent that reached it at its
+    lowest hop count (strict > compare, so same-round ties go to the
+    earlier parent). Stops at ``max_hops``, when every child cell is
+    assigned, or on a round with no distance updates (the reference's
+    early break). Returns per-child-cell parent indices; -1 marks cells
+    the BFS never reached (the caller applies the reference's
+    nearest-centroid fallback, track.py:5227-5238)."""
+    n_cells = len(indptr) - 1
+    inf = np.iinfo(np.int64).max
+    dist = np.full(n_cells, inf, dtype=np.int64)
+    assign = np.full(n_cells, -1, dtype=np.int64)
+    child_mask = np.zeros(n_cells, dtype=bool)
+    child_mask[child_cells] = True
+    visited = [np.zeros(n_cells, dtype=bool) for _ in parent_cell_sets]
+    for pi, pcells in enumerate(parent_cell_sets):
+        ov = pcells[child_mask[pcells]]
+        if len(ov):
+            visited[pi][ov] = True
+            take = dist[ov] == inf
+            dist[ov[take]] = 0
+            assign[ov[take]] = pi
+    d = 0
+    while d < max_hops and np.any(child_mask & (assign == -1)):
+        d += 1
+        updates = False
+        for pi in range(len(parent_cell_sets)):
+            vm = visited[pi]
+            f = np.nonzero(vm)[0]
+            if not len(f):
+                continue
+            nbrs = _neighbours_of(f, indptr, indices)
+            if not len(nbrs):
+                continue
+            new = np.unique(nbrs[~vm[nbrs]])
+            if not len(new):
+                continue
+            visited[pi][new] = True
+            upd = dist[new] > d
+            if np.any(upd):
+                dist[new[upd]] = d
+                assign[new[upd]] = pi
+                updates = True
+        if not updates:
+            break
+    return assign[child_cells]
+
+
 # round count of the most recent split_merge_events_parallel call —
 # introspection for tests/benchmarks (2-3 expected; n_blocks worst case)
 LAST_PARALLEL_ROUNDS = 0
@@ -242,6 +353,7 @@ class _Resolver:
         grid: bool,
         nn_partitioning: bool,
         max_distance: float | None = None,
+        mesh_adj: tuple[np.ndarray, np.ndarray] | None = None,
     ):
         self.nx = nx
         self.wrap_x = wrap_x
@@ -250,6 +362,11 @@ class _Resolver:
         self.grid = grid
         self.nn_partitioning = nn_partitioning
         self.max_distance = max_distance
+        # CSR mesh adjacency (indptr, indices): when present, sphere-
+        # mode NN partitioning uses the reference's hop-BFS semantics
+        # (max_distance in HOPS); without it, the geodesic fallback
+        # (max_distance in degrees of arc) applies.
+        self.mesh_adj = mesh_adj
         self.areas: dict[int, int] = {}
         self.cents: dict[int, tuple[float, float]] = {}
         self.ledger = MergeLedger([], [], [], [])
@@ -369,7 +486,36 @@ class _Resolver:
                     [self._dist_to(c1m, c2m, self.cents[int(p)]) for p in parent_ids],
                     axis=1,
                 )
-                if self.nn_partitioning:
+                if (
+                    self.nn_partitioning
+                    and not self.grid
+                    and self.mesh_adj is not None
+                ):
+                    # reference mesh NN (partition_nn_unstructured,
+                    # track.py:5117-5242): per-parent hop-BFS over the
+                    # mesh edges, seeded from the parent ∩ child
+                    # overlap, capped at max_distance HOPS — the call
+                    # site's auto cap is max(int(sqrt(max parent
+                    # cells) * 2), 20) * 2 (track.py:3497-3509);
+                    # unreached cells fall back to nearest centroid
+                    prev_ids = sl_prev["id"]
+                    child_cells = sl["key"][mask]
+                    psets = [
+                        sl_prev["key"][prev_ids == p] for p in parent_ids
+                    ]
+                    if self.max_distance is not None:
+                        md = int(self.max_distance)
+                    else:
+                        max_area = max(
+                            self.areas.get(int(p), 1) for p in parent_ids
+                        )
+                        md = max(int(np.sqrt(max_area) * 2.0), 20) * 2
+                    best = _partition_nn_mesh_hops(
+                        child_cells, psets, *self.mesh_adj, md
+                    )
+                    unreached = best < 0
+                    best[unreached] = np.argmin(cent_d[unreached], axis=1)
+                elif self.nn_partitioning:
                     # nn mode (track.py:4973-5242): nearest parent
                     # *member cell*; cells unreachable from every parent
                     # fall back to the nearest centroid, unbounded
@@ -452,6 +598,7 @@ def split_merge_serial(
     geometry: str = "grid",
     nn_partitioning: bool = False,
     max_distance: float | None = None,
+    mesh_adj: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[pd.DataFrame, MergeLedger]:
     """Sequential merge/split resolution over sparse labelled cells.
 
@@ -476,6 +623,7 @@ def split_merge_serial(
         grid=geometry == "grid",
         nn_partitioning=nn_partitioning,
         max_distance=max_distance,
+        mesh_adj=mesh_adj,
     )
     grid = resolver.grid
     slices, times = resolver.build_slices(cells, time_col)
@@ -670,6 +818,7 @@ def split_merge_events_chunked(
     max_driver_cells: int | None = None,
     page_dir: str | None = None,
     target_chunk_cells: int | None = None,
+    mesh_adj: tuple | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Memory-bounded variant of :func:`split_merge_events` — the
     reference's chunk loop (track.py:3377-3420): pull ``chunk_steps``
@@ -761,6 +910,7 @@ def split_merge_events_chunked(
         grid=grid,
         nn_partitioning=nn_partitioning,
         max_distance=max_distance,
+        mesh_adj=mesh_adj,
     )
     resolver.next_new_id = (
         labels.agg(F.max("obj_id")).first()[0] or 0
@@ -922,6 +1072,7 @@ def split_merge_events_parallel(
     geometry: str = "grid",
     cell_geo: DataFrame | None = None,
     max_driver_cells: int | None = None,
+    mesh_edges: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Wall-clock-parallel merge resolution (the reference's batched
     iteration tier, track.py:3804-4814, re-expressed for Spark).
@@ -994,6 +1145,7 @@ def split_merge_events_parallel(
             nn_partitioning=nn_partitioning,
             max_distance=max_distance,
             max_driver_cells=max_driver_cells,
+            mesh_edges=mesh_edges,
         )
 
     block_of = {t: i // block_steps for i, t in enumerate(times)}
@@ -1008,6 +1160,13 @@ def split_merge_events_parallel(
     )
     global_max = int(labels.agg(F.max("obj_id")).first()[0] or 0)
     stride = 1 << 33
+    # hop-BFS NN adjacency, captured in the block-kernel closure (the
+    # same ship-the-edge-list pattern as mesh morphology)
+    mesh_adj = (
+        _collect_mesh_adj(mesh_edges, cell_geo)
+        if (not grid and nn_partitioning and mesh_edges is not None)
+        else None
+    )
 
     coord_cols = ["y", "x"] if grid else ["cell", "lat", "lon"]
     coord_schema = "y long, x long" if grid else "cell long, lat double, lon double"
@@ -1034,6 +1193,7 @@ def split_merge_events_parallel(
             grid=grid,
             nn_partitioning=nn_partitioning,
             max_distance=max_distance,
+            mesh_adj=mesh_adj,
         )
         resolver.next_new_id = global_max + 1 + b * stride
         carry = []
@@ -1289,12 +1449,15 @@ def split_merge_events_unstructured(
     nn_partitioning: bool = False,
     max_distance: float | None = None,
     max_driver_cells: int | None = None,
+    mesh_edges: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Unstructured-mesh form of :func:`split_merge_events`
-    (track.py:3804+ semantics, serial tier): spherical centroids +
-    haversine partitioning. ``cell_geo``: (cell, lat, lon). Fails fast
-    past ``max_driver_cells`` (default :data:`SERIAL_CELL_BUDGET`)
-    instead of OOMing the driver."""
+    (track.py:3804+ semantics, serial tier): spherical centroids;
+    NN partitioning uses the reference's hop-BFS over ``mesh_edges``
+    (cell, nbr) when given (max_distance in HOPS), else geodesic
+    nearest-member (max_distance in degrees). ``cell_geo``: (cell, lat,
+    lon). Fails fast past ``max_driver_cells`` (default
+    :data:`SERIAL_CELL_BUDGET`) instead of OOMing the driver."""
     spark = labels.sparkSession
     joined = labels.select(time_col, "cell", "obj_id").join(
         F.broadcast(cell_geo.select("cell", "lat", "lon")), "cell"
@@ -1310,6 +1473,9 @@ def split_merge_events_unstructured(
         geometry="sphere",
         nn_partitioning=nn_partitioning,
         max_distance=max_distance,
+        mesh_adj=_collect_mesh_adj(mesh_edges, cell_geo)
+        if (nn_partitioning and mesh_edges is not None)
+        else None,
     )
     time_type = labels.schema[time_col].dataType.simpleString()
     out_df = spark.createDataFrame(

@@ -446,6 +446,9 @@ def track_events_unstructured(
                 geometry="sphere",
                 cell_geo=cell_geo,
                 max_driver_cells=max_driver_cells,
+                # reference hop-BFS NN (partition_nn_unstructured):
+                # max_distance is in HOPS on the mesh path
+                mesh_edges=edges if nn_partitioning else None,
             )
         else:
             labels, ledger = split_merge_events_unstructured(
@@ -456,6 +459,7 @@ def track_events_unstructured(
                 nn_partitioning=nn_partitioning,
                 max_distance=max_distance,
                 max_driver_cells=max_driver_cells,
+                mesh_edges=edges if nn_partitioning else None,
             )
         # every resolver tier returns MATERIALIZED labels (the parallel
         # tier's cells_out localCheckpoint, the chunked/one-shot tiers'
@@ -656,6 +660,7 @@ def _extend_resume_merge(
     nx: int = 0,
     wrap_x: bool = True,
     cell_geo: DataFrame | None = None,
+    mesh_edges: DataFrame | None = None,
 ):
     """Shared merge-mode resumption for both extension paths: rebuild
     the resolver carry from the prior run's last two resolved slices
@@ -666,9 +671,18 @@ def _extend_resume_merge(
     ``cell_geo=None`` selects grid geometry; a (cell, lat, lon) table
     selects the sphere form. Returns (resolved labels, ledger)."""
     from marex_spark.exceptions import ConfigurationError
-    from marex_spark.operators.merge import _Resolver, split_merge_events_chunked
+    from marex_spark.operators.merge import (
+        _Resolver,
+        _collect_mesh_adj,
+        split_merge_events_chunked,
+    )
 
     grid = cell_geo is None
+    mesh_adj = (
+        _collect_mesh_adj(mesh_edges, cell_geo)
+        if (not grid and nn_partitioning and mesh_edges is not None)
+        else None
+    )
     tail_times = [
         r[0]
         for r in prior_events.select(time_col)
@@ -720,6 +734,7 @@ def _extend_resume_merge(
         resume_state=resume,
         geometry="grid" if grid else "sphere",
         cell_geo=cell_geo,
+        mesh_adj=mesh_adj,
     )
     ledger = (
         prior_merge_ledger.unionByName(
@@ -902,6 +917,7 @@ def extend_track_events_unstructured(
             overlap_threshold, nn_partitioning, max_distance,
             merge_chunk_steps, prior_merge_ledger,
             cell_geo=cell_geo,
+            mesh_edges=edges if nn_partitioning else None,
         )
 
     events, events_new, events_old, ev_remap = _extend_link(

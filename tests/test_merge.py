@@ -443,3 +443,45 @@ def test_resolver_equals_reference_replay(nn, max_distance):
         out["obj_id"].to_numpy()
     )
     assert np.array_equal(got, fields_ref)
+
+
+def test_mesh_nn_hop_bfs_vs_geodesic(spark):
+    """Mesh NN partitioning follows the reference's hop-BFS over mesh
+    edges (partition_nn_unstructured, track.py:5117-5242) when the edge
+    table is supplied: a chain mesh 0-1-2-3-4 whose cell 2 sits
+    geodesically nearer parent B's member but one hop from BOTH parents
+    goes to parent A (earlier parent wins equal hop counts), while the
+    geodesic fallback (no edges) assigns it to B."""
+    from marex_spark.operators.merge import split_merge_events_unstructured
+
+    # lon: cell 2 at 22 deg — geodesically nearer cell 3 (30) than 1 (10)
+    geo = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 0.0, 10.0), (2, 0.0, 22.0),
+         (3, 0.0, 30.0), (4, 0.0, 1.0)],
+        "cell long, lat double, lon double",
+    )
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in ((0, 1), (1, 2), (2, 3), (3, 4))
+         for a, b in ((a, b), (b, a))],
+        "cell long, nbr long",
+    )
+    labels = spark.createDataFrame(
+        [(0, 0, 1), (0, 1, 1), (0, 3, 2), (0, 4, 2)]
+        + [(1, c, 3) for c in range(5)],
+        "t long, cell long, obj_id long",
+    )
+    out_hop, _ = split_merge_events_unstructured(
+        labels, geo, overlap_threshold=0.5, time_col="t",
+        nn_partitioning=True, mesh_edges=edges,
+    )
+    got = {(r.t, r.cell): r.obj_id for r in out_hop.collect()}
+    assert got[(1, 2)] == got[(1, 0)], got   # hop tie -> earlier parent A
+    assert got[(1, 3)] == got[(1, 4)]
+    assert got[(1, 0)] != got[(1, 3)]
+
+    out_geo, _ = split_merge_events_unstructured(
+        labels, geo, overlap_threshold=0.5, time_col="t",
+        nn_partitioning=True,
+    )
+    got2 = {(r.t, r.cell): r.obj_id for r in out_geo.collect()}
+    assert got2[(1, 2)] == got2[(1, 3)], got2  # geodesic -> parent B

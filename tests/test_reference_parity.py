@@ -551,12 +551,12 @@ def test_unstructured_merging_scenario_counts(spark):
     res, merges = tr.run(return_merges=True)
     n_events = res.events.select(F.countDistinct("event_id")).first()[0]
     assert abs(n_events - 12) <= 2, n_events
-    # broad band for the ledger count (reference pin: 9 +/- 1; we
-    # record 15): same partition-boundary sensitivity as the gridded
-    # scenario — see test_advanced_merging_scenario_counts' docstring;
-    # the event partition above matches the reference pin regardless
+    # the reference's OWN ledger pin holds at its exact centre now that
+    # mesh NN partitioning replicates its hop-BFS over mesh edges
+    # (partition_nn_unstructured, track.py:5117-5242) — under the old
+    # geodesic nearest-member metric this fixture recorded 15
     n_merges = merges.count()
-    assert 6 <= n_merges <= 20, n_merges
+    assert abs(n_merges - 9) <= 1, n_merges
 
 
 def _gridded_scenario_inputs(spark, lat_clamp: bool):
