@@ -432,12 +432,22 @@ def filter_small_objects(
     min_area: float | None = None,
     return_labels: bool = False,
     connectivity: int = 8,
+    drop_first_object: bool = False,
 ) -> DataFrame:
     """Small-object filter (track.py:1755-1906): label per time (M4),
     object areas (A9), percentile threshold over object areas (A11) OR
     an absolute floor (the reference's ``area_filter_absolute``),
     semi-join keep (P6). Returns the boolean field with small objects
     switched off.
+
+    ``drop_first_object``: replicate the reference's structured-grid
+    quirk (track.py:1891-1892 ``object_ids_keep[0] = -1  # Don't keep
+    ID=0``): regionprops never emits background 0, so that line
+    unconditionally discards the props table's FIRST row — object ID 1,
+    a real object — from the kept set. Its test pins bake the quirk in
+    (e.g. q=0.0 filtering reports 1046 → 1045). The Tracker facade
+    passes True for drop-in parity; the engine default keeps every
+    object above threshold.
 
     ``return_labels=True`` returns the surviving LABELLED cells
     (time, y, x, obj_id) instead of the boolean field: dropping whole
@@ -467,6 +477,13 @@ def filter_small_objects(
         keep = (
             areas.crossJoin(F.broadcast(thr))
             .filter(F.col("area") >= F.col("thr"))
+            .select("obj_id")
+        )
+    if drop_first_object:
+        first = areas.agg(F.min("obj_id").alias("_first"))
+        keep = (
+            keep.crossJoin(F.broadcast(first))
+            .filter(F.col("obj_id") != F.col("_first"))
             .select("obj_id")
         )
     kept_cells = labels.join(keep, "obj_id", "left_semi")

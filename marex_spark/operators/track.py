@@ -45,6 +45,7 @@ def preprocess_extremes(
     return_labels: bool = False,
     connectivity: int = 8,
     mask: DataFrame | None = None,
+    drop_first_object: bool = False,
 ) -> DataFrame:
     """The tracker's run_preprocess (track.py:1234-1368): morphological
     hole-filling (M1), temporal gap-filling (M3), then the small-object
@@ -132,12 +133,17 @@ def preprocess_extremes(
         labels = filter_small_objects(
             field, nx, 0.0, time_col, extreme_col, wrap_x,
             min_area=area_filter_absolute, return_labels=True,
-            connectivity=connectivity,
+            connectivity=connectivity, drop_first_object=drop_first_object,
         )
-    elif area_quartile > 0:
+    elif area_quartile > 0 or drop_first_object:
+        # the reference's filter runs even at quartile 0 (threshold =
+        # min area keeps everything) — significant only for its
+        # first-object drop (track.py:1891-1892), which applies there
+        # too
         labels = filter_small_objects(
             field, nx, area_quartile, time_col, extreme_col, wrap_x,
             return_labels=True, connectivity=connectivity,
+            drop_first_object=drop_first_object,
         )
     elif return_labels:
         from marex_spark.operators.label import label_components

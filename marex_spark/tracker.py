@@ -131,6 +131,17 @@ class Tracker:
     # (tests/test_track.py::TestFusedLabelling). Disabled automatically
     # when a checkpoint strategy needs the boolean field on disk.
     fuse_labelling: bool = True
+    # Replicate the reference's structured-grid area-filter quirk
+    # (track.py:1891-1892 "object_ids_keep[0] = -1  # Don't keep
+    # ID=0"): regionprops never emits background 0, so that line
+    # unconditionally drops the FIRST props row — object ID 1, a real
+    # object. Its pinned test statistics bake this in (q=0 filtering
+    # reports 1046 -> 1045; the q=0.8 fraction pin 1.5423 only
+    # reproduces with the drop). Default True so a reference user gets
+    # identical numbers; set False for the engine's own behaviour
+    # (keep every object above threshold). Gridded path only — the
+    # reference's unstructured branch has no such line.
+    drop_first_object: bool = True
     extras: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -418,6 +429,7 @@ class Tracker:
                     area_filter_absolute=self.area_filter_absolute,
                     connectivity=self.connectivity,
                     mask=self._valid_mask_df(),
+                    drop_first_object=self.drop_first_object,
                 )
         if ckpt == "save":
             from marex_spark.sources.io import checkpoint_parquet
@@ -528,15 +540,18 @@ class Tracker:
                         F.percentile("area", F.lit(quartile or 0.0))
                     ).first()[0]
                 )
+            # reference quirk (track.py:1891-1892): the kept set and its
+            # reported stats exclude the first props row — object ID 1
+            # (see Tracker.drop_first_object)
+            kept_pred = F.col("area") >= thr
+            if self.drop_first_object:
+                first_id = areas.agg(F.min("obj_id")).first()[0]
+                kept_pred = kept_pred & (F.col("obj_id") != F.lit(first_id))
             row = areas.agg(
                 F.count("*").alias("n_pre"),
                 F.sum("area").alias("total"),
-                F.sum(F.when(F.col("area") >= thr, 1).otherwise(0)).alias(
-                    "n_post"
-                ),
-                F.sum(F.when(F.col("area") >= thr, F.col("area"))).alias(
-                    "accepted"
-                ),
+                F.sum(F.when(kept_pred, 1).otherwise(0)).alias("n_post"),
+                F.sum(F.when(kept_pred, F.col("area"))).alias("accepted"),
             ).first()
         total = float(row.total or 0.0)
         accepted = float(row.accepted or 0.0)
@@ -629,6 +644,7 @@ class Tracker:
                 return_labels=True,
                 connectivity=self.connectivity,
                 mask=self._valid_mask_df(),
+                drop_first_object=self.drop_first_object,
             )
             cleaned = self.data_bin.limit(0)  # unused when labels given
         else:
@@ -671,7 +687,10 @@ class Tracker:
         new slices only — see extend_track_events' boundary caveats
         (T_fill closing across the append boundary; a quartile area
         filter re-quantiles over the new slices alone, so prefer
-        ``area_filter_absolute`` for append workflows)."""
+        ``area_filter_absolute`` for append workflows; likewise the
+        reference's first-object drop (``drop_first_object``) applies
+        per preprocessing run — set it False for appends that must
+        equal a single full run)."""
         from marex_spark.operators.track import (
             extend_track_events,
             extend_track_events_unstructured,

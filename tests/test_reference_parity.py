@@ -239,27 +239,24 @@ def test_advanced_merging_scenario_counts(spark):
     preprocessed_area_fraction ~ 0.9143 +/- 0.02, N_objects_prefiltered
     516 +/- 2, N_objects_filtered 258 +/- 2, N_events_final 20 +/- 1.
 
-    total_merges: the engine's NN ledger is pinned at 29 — the number
-    the reference's OWN algorithm produces on this fixture, not the
-    13 +/- 2 its test file expects. Evidence (tools/ref_nn_sim.py, a
-    line-by-line numpy replay of the reference's serial loop
-    track.py:3337-3802 INCLUDING its numba partition_nn_grid's 3x3
-    block-window + found_close + centroid fallback, 4973-5113, AND its
-    exact preprocessing — wrap-padded closing/opening with zero-border
-    scipy semantics, t-closing, R//2 refill, np.percentile filter):
-    the replay yields total_merges=29 under NN and 16 under centroid
-    partitioning, row-for-row identical to this engine, whether run on
-    this engine's preprocessed field or on the reference's own. The
-    centroid-mode pin (15 +/- 2) reproduces at 16; every other pin in
-    the reference suite reproduces; only the NN ledger pin does not —
-    under footprint-NN partitioning a parent's overlap cells always
-    rejoin their own piece (distance 0), so a persistent two-object
-    contact structurally re-records daily and 13 is unreachable from
-    the shipped source on the shipped fixture (a stale pin from an
-    earlier algorithm vintage, by elimination). The EVENT-level output
-    (what downstream consumers read) matches the reference's pin
-    either way, because the re-recorded pair links into the same
-    event."""
+    total_merges: pinned at the reference's EXACT centre (13). Root
+    cause of the former divergence (29 recorded here through round 4):
+    the reference's area filter unconditionally discards the FIRST
+    object-props row — "object_ids_keep[0] = -1  # Don't keep ID=0"
+    (track.py:1891-1892) — but regionprops never emits background 0,
+    so that line deletes object ID 1, a real object... which on this
+    fixture is precisely the object that sustained an 8-day merge
+    re-record chain. With Tracker.drop_first_object (default True)
+    replicating the quirk, tools/ref_nn_sim.py — a line-by-line numpy
+    replay of the reference's serial loop (track.py:3337-3802), its
+    numba partition_nn_grid (3x3 block window + found_close + centroid
+    fallback, 4973-5113) AND its exact preprocessing (wrap-padded
+    closing/opening with zero-border scipy semantics, t-closing, R//2
+    refill, np.percentile filter, first-object drop) — yields
+    total_merges=13 under NN and 15 under centroid partitioning:
+    BOTH reference pins at their exact centres, row-for-row identical
+    to this engine (engine == replay is separately pinned in
+    tests/test_merge.py::test_resolver_equals_reference_replay)."""
     from pyspark.sql import functions as F
 
     from marex_spark.sources.zarr import (
@@ -312,9 +309,9 @@ def test_advanced_merging_scenario_counts(spark):
     n_events = res.events.select(F.countDistinct("event_id")).first()[0]
     assert abs(n_events - 20) <= 1, n_events
     rows = merges.collect()
-    # == the faithful reference-algorithm replay (see docstring); 16
-    # under centroid mode (reference pin 15 +/- 2, tested below)
-    assert len(rows) == 29, len(rows)
+    # == the reference pin's exact centre AND the faithful replay (see
+    # docstring); 15 under centroid mode (pin 15 +/- 2, tested below)
+    assert len(rows) == 13, len(rows)
     t_lo = res.events.agg(F.min("time")).first()[0]
     t_hi = res.events.agg(F.max("time")).first()[0]
     for r in rows:
@@ -331,14 +328,12 @@ def test_filtering_parameter_scenarios_counts(spark):
     q=0.8 — area fraction ~ 1.5423 +/- 0.02, N_pre 1046 +/- 2,
     N_post 209 +/- 2, N_events 21 +/- 1.
 
-    The q=0.8 area fraction is asserted at +/-0.025: the reference's
-    area percentile runs over object_props INCLUDING the background
-    row (its q=0 run reports 1046 -> 1045 — only the background drops
-    at an inclusive >= min-area threshold), which nudges its 80th
-    percentile one rank up versus this engine's objects-only
-    percentile (threshold 216 here keeps 210 objects vs its 209; the
-    slightly larger accepted area lands the fraction at 1.5218, 0.0205
-    from its pin)."""
+    The 1046 -> 1045 at q=0.0 and the 209 (not 210) at q=0.8 are the
+    reference's first-object drop (track.py:1891-1892 — see
+    test_advanced_merging_scenario_counts' docstring), which
+    Tracker.drop_first_object replicates: with it, N_post lands on the
+    reference's exact values and the q=0.8 fraction sits 0.0007 from
+    its pin (1.5416 vs 1.5423; without the drop it was 0.0205 off)."""
     from pyspark.sql import functions as F
 
     from marex_spark.sources.zarr import (
@@ -371,7 +366,7 @@ def test_filtering_parameter_scenarios_counts(spark):
         0.8: (1.5423, 1046, 209, 21),
     }
     results = {}
-    frac_tol = {0.0: 0.02, 0.8: 0.025}
+    frac_tol = {0.0: 0.02, 0.8: 0.02}
     for q, (frac, n_pre, n_post, n_events) in expected.items():
         tr = Tracker(
             data_bin=ext,

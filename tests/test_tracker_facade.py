@@ -82,6 +82,9 @@ class TestRunParity:
 
         cleaned = preprocess_extremes(
             ext, ny=NY, nx=NX, r_fill=2, t_fill=2, area_quartile=0.25,
+            # the facade defaults to the reference's first-object-drop
+            # quirk (track.py:1891-1892) — the composition must too
+            drop_first_object=True,
         )
         # the facade's no-merge tracking uses the reference's 3-D
         # touch-linking semantics (link_adjacency), not the gated
@@ -332,8 +335,11 @@ class TestReviewFixes:
                 F.coalesce(F.col("_e"), F.lit(False)).alias("extreme"),
             )
         )
+        # drop_first_object=False: the reference quirk would delete the
+        # first object outright — this test is about connectivity only
         kw = dict(ny=NY, nx=NX, R_fill=0, T_fill=0,
-                  area_filter_quartile=0.0, allow_merging=False)
+                  area_filter_quartile=0.0, allow_merging=False,
+                  drop_first_object=False)
         n8 = tracker(ext, connectivity=8, **kw).run().events.select(
             "event_id").distinct().count()
         n4 = tracker(ext, connectivity=4, **kw).run().events.select(
@@ -386,6 +392,11 @@ class TestExtendFacade:
         kw = dict(
             ny=NY, nx=NX, grid_y=gy, grid_x=gx,
             R_fill=0, T_fill=0, area_filter_quartile=0.0,
+            # the reference's first-object drop applies PER preprocessing
+            # run, so append workflows must disable it for prior+extend
+            # to equal one full run (same caveat as quartile re-quantiling
+            # — see Tracker.extend)
+            drop_first_object=False,
         )
         full = Tracker(ext, **kw).run()
         times = sorted(r[0] for r in ext.select("time").distinct().collect())

@@ -165,5 +165,8 @@ class TestDimensionsMapping:
             renamed, ny=8, nx=16, R_fill=0, T_fill=0,
             area_filter_quartile=0.0, allow_merging=False,
             dimensions={"time": "t", "extreme": "is_hot"},
+            # cell-conservation check — the reference's first-object
+            # drop (Tracker default) would delete one object
+            drop_first_object=False,
         )
         assert t.run().events.count() == ext.filter(F.col("extreme")).count()

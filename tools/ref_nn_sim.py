@@ -409,6 +409,9 @@ def preprocess_ref(
     ids, areas = np.unique(labels[labels > 0], return_counts=True)
     thr = np.percentile(areas, q * 100.0)
     keep = set(ids[areas >= thr].tolist())
+    # track.py:1891-1892 "object_ids_keep[0] = -1  # Don't keep ID=0":
+    # regionprops emits no background row, so this drops object ID 1
+    keep.discard(int(ids.min()))
     filt = np.where(np.isin(labels, list(keep)), True, False)
     return label_slices(filt)
 
