@@ -505,6 +505,7 @@ def morph_close_open_unstructured(
     refill_radius: int = 0,
     time_col: str = "time",
     max_driver_edges: int = 50_000_000,
+    symmetrize: bool = True,
 ) -> DataFrame:
     """Mesh closing-then-opening as ONE kernel pass (the scale form of
     the M2 chain; reference sparse_bool_power, track.py:5422-5468 —
@@ -524,6 +525,14 @@ def morph_close_open_unstructured(
     ``refill_radius`` > 0 appends a second closing+opening at that
     radius (the reference's post-gap-fill ``fill_holes(R_fill // 2)``)
     in the same pass.
+
+    ``symmetrize=False`` uses the edge table AS GIVEN (directed) — the
+    reference's sparse dilation matrix is built from the raw neighbour
+    lists without symmetrising (track.py:1095-1115), and real mesh
+    fixtures carry asymmetric boundary rows (~7% of edges on the
+    reference's 405-cell mesh), so the Tracker facade passes False for
+    parity. The default keeps the engine contract (one-directional
+    edge tables welcome).
     """
     from collections.abc import Iterator
 
@@ -539,9 +548,11 @@ def morph_close_open_unstructured(
     epdf = edges.select("cell", "nbr").toPandas()
     u0 = epdf["cell"].to_numpy(np.int64)
     v0 = epdf["nbr"].to_numpy(np.int64)
-    # symmetric, deduplicated
-    uu = np.concatenate([u0, v0])
-    vv = np.concatenate([v0, u0])
+    if symmetrize:
+        uu = np.concatenate([u0, v0])
+        vv = np.concatenate([v0, u0])
+    else:  # directed, as the reference's A @ p matvec uses it
+        uu, vv = u0, v0
     key = uu * (max(int(uu.max()), int(vv.max())) + 2) + vv
     _, idx = np.unique(key, return_index=True)
     uu, vv = uu[idx], vv[idx]

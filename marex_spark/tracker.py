@@ -289,8 +289,12 @@ class Tracker:
             # the kernel broadcasts the (metadata-sized) edge list and
             # runs E-length bincount rounds per slice, one shuffle
             # total (same shape as the reference's sparse_bool_power)
+            # symmetrize=False: the reference's sparse dilation matrix
+            # uses the neighbour lists AS GIVEN (directed) — real mesh
+            # fixtures carry asymmetric boundary rows
             cells = morph_close_open_unstructured(
-                cells, self.edges, self.R_fill, time_col=self.time_col
+                cells, self.edges, self.R_fill, time_col=self.time_col,
+                symmetrize=False,
             ).localCheckpoint()
         # True-set chain (mirrors preprocess_extremes): gap rows are
         # GENERATED from consecutive True days, so a sparse-True input
@@ -310,6 +314,7 @@ class Tracker:
                     self.edges,
                     self.R_fill // 2,
                     time_col=self.time_col,
+                    symmetrize=False,
                 )
         dense = cells.withColumn(self.extreme_col, F.lit(True)).localCheckpoint()
 

@@ -537,11 +537,12 @@ def test_unstructured_merging_scenario_counts(spark):
         <= stats["N_objects_prefiltered"] + 2
     ), stats
     assert abs(stats["N_objects_filtered"] - 97) <= 2, stats
-    # +/-0.03 (reference: +/-1% around 1.0): open-mesh boundary cells
-    # erode under a slightly different missing-neighbour rule
-    # (track.py:1958 masks invalid neighbours per cell) — ~2% of this
-    # 405-cell fixture sits on the mesh edge
-    assert abs(stats["preprocessed_area_fraction"] - 1.0) <= 0.03, stats
+    # inside the reference's own +/-1% band now that mesh morphology
+    # uses the neighbour lists AS GIVEN (directed, like the reference's
+    # sparse dilation matrix, track.py:1095-1115) — ~7% of this
+    # fixture's edges are asymmetric boundary rows, and symmetrising
+    # them over-eroded the mesh edge by ~2%
+    assert abs(stats["preprocessed_area_fraction"] - 1.0) <= 0.011, stats
 
     res, merges = tr.run(return_merges=True)
     n_events = res.events.select(F.countDistinct("event_id")).first()[0]
