@@ -774,6 +774,23 @@ def _ledger_df(spark, ledger: MergeLedger, time_col: str, time_type: str) -> Dat
     )
 
 
+_EXIT_PATHS: set[str] = set()
+
+
+def _cleanup_at_exit(path: str) -> None:
+    """Reclaim a spill directory at interpreter exit (the resolved
+    chunks' parquet files stay referenced by the returned lazy reader
+    for the rest of the session)."""
+    import atexit
+    import shutil
+
+    if not _EXIT_PATHS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _EXIT_PATHS]
+        )
+    _EXIT_PATHS.add(path)
+
+
 def _write_chunk_parquet(
     pdf: pd.DataFrame, out_path: str, j: int, time_col: str
 ) -> None:
@@ -1034,18 +1051,22 @@ def split_merge_events_chunked(
         empty_cols = [time_col, "y", "x", "obj_id"] if grid else [
             time_col, "cell", "obj_id"
         ]
-        out_df = (
-            # localCheckpoint materialises into the executors' block
-            # store so the spill files can be dropped in the finally
-            spark.read.schema(schema).parquet(out_path).localCheckpoint()
-            if out_frames
-            else labels.limit(0).select(*empty_cols)
-        )
+        if out_frames:
+            # the LAZY reader is the output: downstream consumers scan
+            # the spill files directly (with pushdown), no extra
+            # materialisation pass; the files are reclaimed at process
+            # exit (_cleanup_at_exit), like any Spark scratch dir
+            _cleanup_at_exit(out_path)
+            out_df = spark.read.schema(schema).parquet(out_path)
+        else:
+            out_df = labels.limit(0).select(*empty_cols)
+        ok = True
     finally:
-        for path in (page_path, _os.path.exists(out_path) and out_path):
+        doomed = [page_path]
+        if not locals().get("ok"):
+            doomed.append(_os.path.exists(out_path) and out_path)
+        for path in doomed:
             if path:
-                # nothing downstream references the spill files
-                # (outputs are checkpointed), so drop them now
                 jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
                 jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
                     jpath, True
