@@ -485,3 +485,13 @@ def test_mesh_nn_hop_bfs_vs_geodesic(spark):
     )
     got2 = {(r.t, r.cell): r.obj_id for r in out_geo.collect()}
     assert got2[(1, 2)] == got2[(1, 3)], got2  # geodesic -> parent B
+
+    # max_distance=0 hops: BFS never expands past the seeded overlap
+    # cells, so cell 2 takes the centroid fallback (track.py:5227-5238)
+    # -> parent B (nearer centroid, lon ~15.5 vs A's ~5)
+    out_fb, _ = split_merge_events_unstructured(
+        labels, geo, overlap_threshold=0.5, time_col="t",
+        nn_partitioning=True, mesh_edges=edges, max_distance=0.0,
+    )
+    got3 = {(r.t, r.cell): r.obj_id for r in out_fb.collect()}
+    assert got3[(1, 2)] == got3[(1, 3)], got3
