@@ -703,3 +703,79 @@ def test_unstructured_consistency_scenario_counts(spark):
     res = tr.run()
     n_events = res.events.select(F.countDistinct("event_id")).first()[0]
     assert abs(n_events - 3) <= 1, n_events
+
+def test_unstructured_filtering_and_gap_scenarios_counts(spark):
+    """Reference test_unstructured_tracking.py:356-448 (filtering) and
+    455-547 (temporal gap filling) on the standard mesh fixture, both
+    no-merging. Reference pins:
+    q=0.1, R_fill=2, T_fill=0 — area fraction ~ 1.4 +/- 20% rel,
+    N_pre 15 +/- 5, N_post 15 +/- 2, N_events 3 +/- 1;
+    q=0.5, R_fill=2, T_fill=0 — area fraction ~ 2.2 +/- 20% rel,
+    N_pre 15 +/- 5, N_post 7 +/- 2, N_events 2 +/- 1;
+    and with T_fill=4 both runs stay valid (>0 events)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from marex_spark.sources.zarr import read_array_driver
+    from marex_spark.tracker import Tracker
+
+    base = os.path.join(REF_DATA, "extremes_unstructured.zarr")
+    ee = read_array_driver(os.path.join(base, "extreme_events"))
+    nb = read_array_driver(os.path.join(base, "neighbours"))
+    lat = read_array_driver(os.path.join(base, "lat"))
+    lon = read_array_driver(os.path.join(base, "lon"))
+    areas = read_array_driver(os.path.join(base, "cell_areas"))
+
+    T, NC = ee.shape
+    d0 = datetime.date(2010, 1, 1)
+    present = {(int(t), int(c)) for t, c in zip(*np.nonzero(ee))}
+    rows = [
+        (d0 + datetime.timedelta(days=int(t)), int(c), (t, c) in present)
+        for t in range(T)
+        for c in range(NC)
+    ]
+    ext = spark.createDataFrame(rows, "time date, cell long, extreme boolean")
+    edges = spark.createDataFrame(
+        [
+            (int(c), int(nb[k, c]) - 1)
+            for c in range(NC)
+            for k in range(nb.shape[0])
+            if nb[k, c] > 0
+        ],
+        "cell long, nbr long",
+    )
+    geo = spark.createDataFrame(
+        [
+            (int(c), float(lat[c]), float(lon[c]), float(areas[c]))
+            for c in range(NC)
+        ],
+        "cell long, lat double, lon double, area double",
+    )
+
+    def run(q, t_fill):
+        tr = Tracker(
+            data_bin=ext, unstructured_grid=True, edges=edges, cell_geo=geo,
+            R_fill=2, T_fill=t_fill, area_filter_quartile=q,
+            allow_merging=False,
+        )
+        stats = tr.preprocess_stats()
+        n_events = tr.run().events.select(
+            F.countDistinct("event_id")
+        ).first()[0]
+        return stats, n_events
+
+    stats, n_events = run(0.1, 0)
+    assert abs(stats["N_objects_prefiltered"] - 15) <= 5, stats
+    assert abs(stats["N_objects_filtered"] - 15) <= 2, stats
+    assert abs(stats["preprocessed_area_fraction"] - 1.4) <= 0.2 * 1.4, stats
+    assert abs(n_events - 3) <= 1, n_events
+
+    stats, n_events = run(0.5, 0)
+    assert abs(stats["N_objects_prefiltered"] - 15) <= 5, stats
+    assert abs(stats["N_objects_filtered"] - 7) <= 2, stats
+    assert abs(stats["preprocessed_area_fraction"] - 2.2) <= 0.2 * 2.2, stats
+    assert abs(n_events - 2) <= 1, n_events
+
+    _, n_gaps = run(0.5, 4)
+    assert n_gaps > 0
