@@ -46,6 +46,7 @@ _PRIORITY = [
     "ann_pq_adc",
     "ann_ivfpq_topk",
     "ann_pq_adc_fast",
+    "ann_ivfpq_residual_topk",   # new r5: residual IVF-PQ (Faiss IndexIVFPQ)
     "mm_scene_cuts",
     "s7_zarr_v3_roundtrip",
     "s7_zarr_sharded_roundtrip",
@@ -98,7 +99,6 @@ _PRIORITY = [
     "f5_digitize",
     "f8_pair_hash",
     "a9_object_size",
-    "a12_max_count_distinct",
     # ---- r4 window order below (beyond the driver's budget; kept so
     # the full registry iteration order stays deterministic) ----------
     # The split/merge resolver family: newly oracled this round (full

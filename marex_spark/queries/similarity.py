@@ -1235,6 +1235,229 @@ def ann_ivfpq_topk(spark, sf_dir):
     )
 
 
+def _ivfpq_res_oracle() -> str:
+    """Residual IVF-PQ replay (the canonical Faiss IndexIVFPQ shape):
+    coarse full-vector k-means chain → per-vector RESIDUAL to its
+    coarse centroid (exact: decimal-avg centroids cast to double once,
+    one double subtraction — bit-identical in both engines) →
+    per-subspace codebooks trained on the pooled residuals → decimal
+    probe ranking → per-PROBE query-residual LUTs → ADC over the
+    probed lists, each candidate scored with ITS list's LUT."""
+    from marex_spark.functions.decimals import davg_sql
+
+    k, n_iter, m, sub = _PQ_K, _PQ_ITER, _PQ_M, _PQ_SUB
+    parts = [f"""WITH e AS MATERIALIZED (
+      SELECT vec_id, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+    seed_ids AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cent_id
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {k}),
+    gc0 AS MATERIALIZED (
+      SELECT s.cent_id, e.idx, e.comp AS m
+      FROM seed_ids s JOIN e ON e.vec_id = s.vec_id)"""]
+    for i in range(n_iter + 1):
+        parts.append(f""",
+    gd{i} AS (
+      SELECT e.vec_id, c.cent_id,
+             {dec_sql('(e.comp - c.m) * (e.comp - c.m)')} AS dist2
+      FROM e JOIN gc{i} c ON c.idx = e.idx
+      GROUP BY 1, 2),
+    ga{i} AS MATERIALIZED (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, cent_id) AS rn
+      FROM gd{i})""")
+        if i < n_iter:
+            parts.append(f""",
+    gu{i} AS (
+      SELECT a.cent_id, e.idx, {davg_sql('e.comp')} AS m
+      FROM ga{i} a JOIN e ON e.vec_id = a.vec_id
+      WHERE a.rn = 1
+      GROUP BY 1, 2),
+    gc{i + 1} AS MATERIALIZED (
+      SELECT c.cent_id, c.idx, COALESCE(u.m, c.m) AS m
+      FROM gc{i} c LEFT JOIN gu{i} u
+        ON u.cent_id = c.cent_id AND u.idx = c.idx)""")
+    parts.append(f""",
+    r AS MATERIALIZED (
+      SELECT e.vec_id, e.idx, e.comp - c.m AS comp
+      FROM e
+      JOIN (SELECT vec_id, cent_id FROM ga{n_iter} WHERE rn = 1) a
+        ON a.vec_id = e.vec_id
+      JOIN gc{n_iter} c ON c.cent_id = a.cent_id AND c.idx = e.idx)""")
+    for j in range(m):
+        lo, hi = j * sub, j * sub + sub - 1
+        rj = f"(SELECT * FROM r WHERE idx BETWEEN {lo} AND {hi})"
+        parts.append(f""",
+    s{j}c0 AS MATERIALIZED (
+      SELECT s.cent_id, e.idx, e.comp AS m
+      FROM seed_ids s JOIN {rj} e ON e.vec_id = s.vec_id)""")
+        for i in range(n_iter + 1):
+            parts.append(f""",
+    s{j}d{i} AS (
+      SELECT e.vec_id, c.cent_id,
+             {dec_sql('(e.comp - c.m) * (e.comp - c.m)')} AS dist2
+      FROM {rj} e JOIN s{j}c{i} c ON c.idx = e.idx
+      GROUP BY 1, 2),
+    s{j}a{i} AS MATERIALIZED (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, cent_id) AS rn
+      FROM s{j}d{i})""")
+            if i < n_iter:
+                parts.append(f""",
+    s{j}u{i} AS (
+      SELECT a.cent_id, e.idx, {davg_sql('e.comp')} AS m
+      FROM s{j}a{i} a JOIN {rj} e ON e.vec_id = a.vec_id
+      WHERE a.rn = 1
+      GROUP BY 1, 2),
+    s{j}c{i + 1} AS MATERIALIZED (
+      SELECT c.cent_id, c.idx, COALESCE(u.m, c.m) AS m
+      FROM s{j}c{i} c LEFT JOIN s{j}u{i} u
+        ON u.cent_id = c.cent_id AND u.idx = c.idx)""")
+    parts.append(f""",
+    probe AS MATERIALIZED (
+      SELECT c.cent_id,
+             SUM(CAST((q.comp - c.m) * (q.comp - c.m) AS DECIMAL(38,6))) AS d2
+      FROM gc{n_iter} c
+      JOIN e q ON q.idx = c.idx
+       AND q.vec_id = (SELECT vec_id FROM seed_ids WHERE cent_id = 0)
+      GROUP BY 1
+      ORDER BY d2, cent_id
+      LIMIT {_IVFPQ_NPROBE}),
+    qres AS MATERIALIZED (
+      SELECT p.cent_id AS pc, c.idx, q.comp - c.m AS rq
+      FROM probe p
+      JOIN gc{n_iter} c ON c.cent_id = p.cent_id
+      JOIN e q ON q.idx = c.idx
+       AND q.vec_id = (SELECT vec_id FROM seed_ids WHERE cent_id = 0))""")
+    for j in range(m):
+        lo, hi = j * sub, j * sub + sub - 1
+        parts.append(f""",
+    lut{j} AS MATERIALIZED (
+      SELECT qr.pc, b.cent_id AS code,
+             SUM(CAST((qr.rq - b.m) * (qr.rq - b.m) AS DECIMAL(38,6))) AS l
+      FROM qres qr JOIN s{j}c{n_iter} b ON b.idx = qr.idx
+      WHERE qr.idx BETWEEN {lo} AND {hi}
+      GROUP BY 1, 2)""")
+    lsum = " + ".join(f"l{j}.l" for j in range(m))
+    joins = []
+    for j in range(m):
+        joins.append(
+            f"JOIN (SELECT vec_id, cent_id FROM s{j}a{n_iter} WHERE rn = 1) a{j} "
+            f"ON a{j}.vec_id = g.vec_id"
+        )
+        joins.append(
+            f"JOIN lut{j} l{j} ON l{j}.pc = g.cent_id AND l{j}.code = a{j}.cent_id"
+        )
+    parts.append(f""",
+    adc AS (
+      SELECT g.vec_id, {lsum} AS adc
+      FROM (SELECT vec_id, cent_id FROM ga{n_iter} WHERE rn = 1) g
+      JOIN probe p ON p.cent_id = g.cent_id
+      {" ".join(joins)})
+    SELECT vec_id, {round6_sql('CAST(adc AS DOUBLE)')} AS adc_dist2
+    FROM adc
+    WHERE vec_id != (SELECT vec_id FROM seed_ids WHERE cent_id = 0)
+    ORDER BY adc, vec_id
+    LIMIT {_IVFPQ_TOPK}""")
+    return "".join(parts)
+
+
+@register("ann_ivfpq_residual_topk", _ivfpq_res_oracle())
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    """Residual IVF-PQ — the canonical Faiss IndexIVFPQ: PQ codebooks
+    train on the RESIDUAL (x − coarse centroid) rather than the raw
+    vector, so the m codes spend their bits on within-list variation;
+    the query builds one LUT per probed list from its own residual
+    (q − centroid_list) and each candidate scores against ITS list's
+    LUT.
+
+    Scale shape: identical to ann_ivfpq_topk — the corpus persists
+    partitioned by coarse code with m uint8 residual codes per row,
+    queries read nprobe partitions and score with literal LUTs in one
+    shuffle-free codegen pass. The residual transform itself is a
+    zip_with against an element_at over the literal centroid table —
+    no join. Fully hash-verified: the oracle replays coarse training,
+    the exact double residuals (decimal-avg centroids cast once), the
+    pooled-residual subspace codebooks, per-probe LUTs and the decimal
+    ADC."""
+    from marex_spark.operators.embed import (
+        kmeans_assign_cols,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.select("vec_id", "embedding")
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .first()
+    )
+    q = [float(x) for x in qrow["embedding"]]
+    qid = int(qrow["vec_id"])
+    coarse = kmeans_fit(emb, k=_PQ_K, n_iter=_PQ_ITER)
+    gcode, _ = kmeans_assign_cols("embedding", coarse)
+    cents_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in coarse]
+    )
+    resid = F.zip_with(
+        F.col("embedding"),
+        F.element_at(cents_arr, gcode + F.lit(1)),
+        lambda x, cm: x.cast("double") - cm,
+    )
+    base = emb.select(
+        "vec_id", gcode.alias("gc"), resid.alias("resid")
+    )
+    books = pq_fit(
+        base, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, vec_col="resid"
+    )
+    qarr = F.array(*[F.lit(v) for v in q])
+    drow = spark.range(1).select(
+        *[_dec_dist2_col(qarr, c).alias(f"d{i}") for i, c in enumerate(coarse)]
+    ).first()
+    ranked = sorted((drow[f"d{i}"], i) for i in range(_PQ_K))
+    probe_ids = [i for _, i in ranked[:_IVFPQ_NPROBE]]
+
+    def _adc_for(c: int):
+        qr = [q[i] - coarse[c][i] for i in range(len(q))]
+        total = None
+        for j in range(_PQ_M):
+            sl = F.slice("resid", j * _PQ_SUB + 1, _PQ_SUB)
+            code, _ = kmeans_assign_cols(sl, books[j])
+            qsub = F.array(
+                *[F.lit(v) for v in qr[j * _PQ_SUB : (j + 1) * _PQ_SUB]]
+            )
+            lut = F.array(*[_dec_dist2_col(qsub, b) for b in books[j]])
+            term = F.element_at(lut, code + F.lit(1))
+            total = term if total is None else total + term
+        return total
+
+    adc = None
+    for c in probe_ids:
+        branch = _adc_for(int(c))
+        adc = (
+            F.when(F.col("gc") == int(c), branch)
+            if adc is None
+            else adc.when(F.col("gc") == int(c), branch)
+        )
+    return (
+        base.filter(
+            F.col("gc").isin([int(i) for i in probe_ids])
+            & (F.col("vec_id") != qid)
+        )
+        .withColumn("adc", adc)
+        .orderBy("adc", "vec_id")
+        .limit(_IVFPQ_TOPK)
+        .select(
+            "vec_id", round6(F.col("adc").cast("double")).alias("adc_dist2")
+        )
+    )
+
+
 def _pq_fast_oracle() -> str:
     """Same training/encoding replay as _pq_oracle, but the ADC total
     mirrors the numpy kernel's fold: each decimal LUT value converts
