@@ -993,7 +993,22 @@ def split_merge_events_chunked(
     try:
         for j, (a, b) in enumerate(chunk_spans):
             chunk_times = times[a:b]
-            if pages is not None:
+            if pages is not None and _os.path.isdir(
+                f"{page_path}/__chunk={j}"
+            ):
+                # the pages are driver-consumed: read the chunk's own
+                # partition directory with pyarrow directly — zero
+                # Spark jobs per chunk (a filter+toPandas paid ~0.3 s
+                # of stage latency × #chunks, the loop's dominant cost
+                # at bench scale). Non-local page_dir (shared FS on a
+                # real cluster) falls through to the Spark read below.
+                import pyarrow.parquet as _pq
+
+                pdf = (
+                    _pq.read_table(f"{page_path}/__chunk={j}")
+                    .to_pandas()[cols]
+                )
+            elif pages is not None:
                 pdf = (
                     pages.filter(F.col("__chunk") == j)
                     .select(*cols)
