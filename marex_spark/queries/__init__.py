@@ -99,6 +99,15 @@ _PRIORITY = [
     "f5_digitize",
     "f8_pair_hash",
     "a9_object_size",
+    # r6 ROTATION PLAN: 21 rows remain whose last driver verification
+    # is round 2 — rotate them (plus anything round 5 changes) into the
+    # next window: p2_finite_filter p3_validation_audit p5_time_slice
+    # p6_anti_join p7_positive_id_cleanup p8_dtype_casts
+    # j2_doy_threshold_join j3_broadcast_threshold j6_property_lookup
+    # j8_id_remap a1_doy_climatology a3_group_std a8_conditional_sum
+    # a12_max_count_distinct a13_first_last_presence so2_except
+    # so3_union_by_name f7_conditional f9_clip w5_lead_lag
+    # wr_dense_rank_compact
     # ---- r4 window order below (beyond the driver's budget; kept so
     # the full registry iteration order stays deterministic) ----------
     # The split/merge resolver family: newly oracled this round (full
