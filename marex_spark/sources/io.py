@@ -266,6 +266,19 @@ def write_track_result(
         meta["session_tz"] = spark.conf.get(
             "spark.sql.session.timeZone", "UTC"
         )
+    if written.get("merge_ledger"):
+        # the reference's merge summary attrs (track.py:1477-1479):
+        # total_merges = ledger length, multi_parent_merges = records
+        # with more than two parents
+        led = spark.read.parquet(f"{path}/merge_ledger")
+        row = led.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.size("parent_ids") > 2).cast("long")
+            ).alias("multi"),
+        ).collect()[0]
+        meta["total_merges"] = int(row.n)
+        meta["multi_parent_merges"] = int(row.multi or 0)
     write_stats_json(meta, f"{path}/attributes.json")
     return meta
 
