@@ -353,6 +353,18 @@ def test_ivfpq_scan_is_shuffle_free(spark):
     assert exchange_count(out) == 0
 
 
+def test_ivfpq_residual_scan_is_shuffle_free(spark):
+    """Residual IVF-PQ scoring: the residual transform (zip_with
+    against an element_at over the literal centroid table), the coarse
+    filter, the per-list LUT branches and the decimal ADC are all
+    literal expressions — the candidate scan must stay one
+    exchange-free codegen pass, exactly like the non-residual form."""
+    from marex_spark.queries.similarity import ann_ivfpq_residual_topk
+
+    out = ann_ivfpq_residual_topk(spark, SF)
+    assert exchange_count(out) == 0
+
+
 def test_mesh_morphology_kernel_single_shuffle(spark):
     """The mesh closing/opening kernel is one repartition-by-time pass
     (edge list ships in the closure) — the frontier-join form's
