@@ -56,3 +56,61 @@ def pq_score_stream(
         term = F.element_at(lut, code + F.lit(1))
         adc = term if adc is None else adc + term
     return stream.withColumn(out_col, adc.cast("double"))
+
+
+def ivfpq_residual_score_stream(
+    stream: DataFrame,
+    coarse: list[list[float]],
+    books: list[list[list[float]]],
+    query: list[float],
+    probe_ids: list[int] | None = None,
+    vec_col: str = "embedding",
+    out_col: str = "adc_dist2",
+    list_col: str = "ivf_list",
+) -> DataFrame:
+    """Residual IVF-PQ gate (the streaming half of
+    queries/similarity.ann_ivfpq_residual_topk): each arriving vector
+    coarse-assigns to its IVF list, its RESIDUAL to that list's
+    centroid encodes against the pooled residual codebooks, and the
+    ADC estimate uses the query's LUT for THAT list (q − centroid_c).
+
+    Stateless map-only — every table (centroids, codebooks, one LUT
+    per list) is a plan literal, so the gate is a pure per-row codegen
+    expression at any ingest rate. ``probe_ids`` limits scoring to the
+    query's probed lists (vectors landing elsewhere emit NULL — the
+    definitely-not-near fast path); None scores every list."""
+    from marex_spark.operators.embed import kmeans_assign_cols
+    from marex_spark.queries.similarity import _dec_dist2_col
+
+    m = len(books)
+    sd = len(books[0][0])
+    gcode, _ = kmeans_assign_cols(vec_col, coarse)
+    cents_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in coarse]
+    )
+    resid = F.zip_with(
+        F.col(vec_col),
+        F.element_at(cents_arr, gcode + F.lit(1)),
+        lambda x, cm: x.cast("double") - cm,
+    )
+    lists = (
+        range(len(coarse)) if probe_ids is None else [int(c) for c in probe_ids]
+    )
+    adc = None
+    for c in lists:
+        qr = [float(query[i]) - float(coarse[c][i]) for i in range(len(query))]
+        total = None
+        for j in range(m):
+            sl = F.slice(resid, j * sd + 1, sd)
+            code, _ = kmeans_assign_cols(sl, books[j])
+            qsub = F.array(*[F.lit(v) for v in qr[j * sd : (j + 1) * sd]])
+            lut = F.array(*[_dec_dist2_col(qsub, b) for b in books[j]])
+            term = F.element_at(lut, code + F.lit(1))
+            total = term if total is None else total + term
+        branch = total.cast("double")
+        adc = (
+            F.when(gcode == c, branch)
+            if adc is None
+            else adc.when(gcode == c, branch)
+        )
+    return stream.withColumn(list_col, gcode).withColumn(out_col, adc)

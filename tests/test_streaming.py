@@ -433,3 +433,65 @@ def test_stream_pq_scoring_matches_batch(spark, tmp_path):
         for r in pq_score_stream(batch, books, query).collect()
     }
     assert got == expect and len(got) == 60
+
+
+def test_stream_ivfpq_residual_scoring_matches_batch(spark, tmp_path):
+    """The residual IVF-PQ gate is a pure map expression too: coarse
+    assignment, residual transform, per-list LUT selection and the ADC
+    must produce exactly the batch expression's values on a stream,
+    and probe restriction must NULL the unprobed lists."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from marex_spark.operators.embed import kmeans_assign_cols, kmeans_fit, pq_fit
+    from marex_spark.streaming.embed import ivfpq_residual_score_stream
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i), [float(x) for x in rng.normal(size=16)]) for i in range(60)]
+    schema = "vec_id long, embedding array<float>"
+    batch = spark.createDataFrame(rows, schema)
+    src = f"{tmp_path}/rvecs"
+    batch.write.mode("overwrite").parquet(src)
+
+    coarse = kmeans_fit(batch, k=4, n_iter=1)
+    gcode, _ = kmeans_assign_cols("embedding", coarse)
+    cents_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in coarse])
+    resid = F.zip_with(
+        F.col("embedding"), F.element_at(cents_arr, gcode + F.lit(1)),
+        lambda x, cm: x.cast("double") - cm,
+    )
+    books = pq_fit(
+        batch.select("vec_id", resid.alias("resid")), m=2, k=4, n_iter=1,
+        vec_col="resid",
+    )
+    query = [float(x) for x in rng.normal(size=16)]
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    scored = ivfpq_residual_score_stream(stream, coarse, books, query)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("ivfpqr_scored")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vec_id: (r.ivf_list, r.adc_dist2)
+        for r in spark.sql("SELECT * FROM ivfpqr_scored").collect()
+    }
+    expect = {
+        r.vec_id: (r.ivf_list, r.adc_dist2)
+        for r in ivfpq_residual_score_stream(batch, coarse, books, query).collect()
+    }
+    assert got == expect and len(got) == 60
+
+    # probe restriction: unprobed lists emit NULL, probed values unchanged
+    probed = ivfpq_residual_score_stream(
+        batch, coarse, books, query, probe_ids=[0, 2]
+    ).collect()
+    for r in probed:
+        if r.ivf_list in (0, 2):
+            assert r.adc_dist2 == expect[r.vec_id][1]
+        else:
+            assert r.adc_dist2 is None
