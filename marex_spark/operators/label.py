@@ -284,7 +284,7 @@ def label_components_unstructured(
     if method == "kernel":
         return _label_unstructured_kernel(active, edges, time_col)
     labels = active.withColumn("lbl", F.col("cell").cast("long"))
-    sym = edges.union(
+    sym = edges.select("cell", "nbr").union(
         edges.select(F.col("nbr").alias("cell"), F.col("cell").alias("nbr"))
     ).distinct()
 

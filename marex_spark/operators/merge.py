@@ -20,6 +20,7 @@ plus the small props dict in memory; a batched/iterative variant
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -139,6 +140,7 @@ def _min_dist_to_members(
     chunk: int = 4096,
     block: int | None = None,
     cap2: float | None = None,
+    ny: int = 0,
 ) -> np.ndarray:
     """Distance from each child cell to the NEAREST member cell of one
     parent (the nn-partitioning metric, partition_nn_grid
@@ -148,17 +150,22 @@ def _min_dist_to_members(
     Grid mode replicates the reference's BLOCK-WINDOWED search
     (track.py:5014,5040-5056): only parent points inside the 3×3
     window of ``block``-sized grid blocks around the child's block are
-    candidates (x-blocks wrap when ``wrap_x``; the reference's y-block
-    modulo is distance-pruned whenever ny > 4·block + max_distance, so
-    it is not replicated), and candidates beyond sqrt(``cap2``) are
-    discarded (track.py:5062). Cells with no candidate return inf —
-    the caller falls back to the nearest parent CENTROID, unbounded
-    (track.py:5224-5238)."""
+    candidates, BOTH block axes wrapping via modulo exactly like the
+    reference (``(grid + d) % n_grids``, track.py:5046/5050 — the x
+    block axis wraps even when the distance itself is unwrapped), and
+    candidates beyond sqrt(``cap2``) are discarded (track.py:5062).
+    ``ny`` (domain height) sizes the y-block ring; without it (``0``)
+    the y axis cannot wrap — callers that know the grid shape must
+    pass it, otherwise short-y domains (ny ≤ 4·block + max_distance)
+    can miss cross-edge candidates the reference admits. Cells with no
+    candidate return inf — the caller falls back to the nearest parent
+    CENTROID, unbounded (track.py:5224-5238)."""
     out = np.full(len(c1), np.inf)
     if grid and block is not None:
         bc1 = c1 // block
         bc2 = c2 // block
         ngx = -(-nx // block)  # ceil
+        ngy = -(-ny // block) if ny > 0 else 0
     for s in range(0, len(m1), chunk):
         p1 = m1[s : s + chunk]
         p2 = m2[s : s + chunk]
@@ -170,9 +177,10 @@ def _min_dist_to_members(
             d = dy * dy + dx * dx
             if block is not None:
                 bdy = np.abs(bc1[:, None] - (p1[None, :] // block))
+                if ngy:
+                    bdy = np.minimum(bdy, ngy - bdy)
                 bdx = np.abs(bc2[:, None] - (p2[None, :] // block))
-                if wrap_x:
-                    bdx = np.minimum(bdx, ngx - bdx)
+                bdx = np.minimum(bdx, ngx - bdx)
                 d = np.where((bdy <= 1) & (bdx <= 1), d, np.inf)
             if cap2 is not None:
                 d = np.where(d <= cap2, d, np.inf)
@@ -189,24 +197,106 @@ def _min_dist_to_members(
     return out
 
 
+# Driver-side mesh-adjacency budget: a CSR of E edges is ~16E bytes
+# (indices + indptr); 2e8 edges ≈ 3.2 GB — past that the collect (and
+# every task closure / broadcast carrying it) is the wrong design and
+# the resolver fails fast instead of paging the driver into the ground.
+MESH_ADJ_EDGE_BUDGET = 200_000_000
+
+
+class MeshAdj(NamedTuple):
+    """CSR mesh adjacency (+ optional per-cell physical areas) shipped
+    into resolver kernels. ``indices`` preserves the per-cell edge
+    INPUT order, so slot k of cell c is ``indices[indptr[c] + k]`` —
+    the reference's ``neighbours_int[k, c]`` (track.py:5117-5242)."""
+
+    indptr: np.ndarray
+    indices: np.ndarray
+    cell_areas: np.ndarray | None = None  # dense, indexed by cell id
+    mean_cell_area: float = 0.0  # reference self.mean_cell_area
+
+    def nbytes(self) -> int:
+        n = self.indptr.nbytes + self.indices.nbytes
+        if self.cell_areas is not None:
+            n += self.cell_areas.nbytes
+        return n
+
+
 def _collect_mesh_adj(
-    mesh_edges, cell_geo=None
-) -> tuple[np.ndarray, np.ndarray]:
+    mesh_edges, cell_geo=None, edge_budget: int | None = None
+) -> MeshAdj:
     """Driver-side (cell, nbr) edge collect → CSR adjacency, sized by
     the max cell id seen across edges and geometry. The edge table is
     metadata-scale relative to the cell series (≤3 nbrs/cell on the
-    reference's triangular meshes); the same array already ships in
-    mesh-morphology task closures."""
-    rows = mesh_edges.select("cell", "nbr").collect()
+    reference's triangular meshes — the reference itself builds the
+    same driver-side sparse matrix, track.py:1094-1117); an edge
+    budget (default :data:`MESH_ADJ_EDGE_BUDGET`) fail-fasts before a
+    production-scale mesh is paged onto the driver. When ``cell_geo``
+    carries an ``area`` column, per-cell physical areas ride along so
+    the NN hop cap can use the reference's area/mean_cell_area form
+    (track.py:3494-3497) instead of integer member counts.
+
+    When ``mesh_edges`` carries a ``slot`` column (the neighbour's
+    row index in the dataset's (n_nbr, cells) neighbours array), the
+    CSR is SLOT-PADDED: uniform stride, -1 at missing slots, so
+    ``indices[indptr[c] + k]`` is exactly the reference's
+    ``neighbours_int[k, c]`` — required for bit-exact replication of
+    the hop-BFS within-round chaining (a plain (cell, nbr) table
+    compacts missing slots, which shifts WHEN a mid-round-visited
+    cell's remaining slots expand; documented deviation)."""
+    n_edges = mesh_edges.count()
+    limit = MESH_ADJ_EDGE_BUDGET if edge_budget is None else edge_budget
+    if limit and n_edges > limit:
+        from marex_spark.exceptions import TrackingError
+
+        raise TrackingError(
+            f"mesh adjacency has {n_edges:,} edges — collecting it to "
+            f"the driver (budget {limit:,}) would capture a multi-GB "
+            "CSR in every resolver task; partition the mesh or raise "
+            "marex_spark.operators.merge.MESH_ADJ_EDGE_BUDGET if the "
+            "driver really has the memory",
+            details={"n_edges": int(n_edges), "budget": int(limit)},
+        )
+    has_slots = "slot" in mesh_edges.columns
+    if has_slots:
+        rows = mesh_edges.select("cell", "nbr", "slot").collect()
+    else:
+        rows = mesh_edges.select("cell", "nbr").collect()
     n = None
+    areas = None
+    mean_area = 0.0
     if cell_geo is not None:
         mx = cell_geo.agg({"cell": "max"}).first()[0]
         if mx is not None:
             n = int(mx) + 1
+        if "area" in cell_geo.columns:
+            geo_rows = cell_geo.select("cell", "area").collect()
+            if geo_rows:
+                n_geo = max(n or 0, max(int(r[0]) for r in geo_rows) + 1)
+                areas = np.zeros(n_geo, dtype=np.float64)
+                for r in geo_rows:
+                    areas[int(r[0])] = float(r[1])
+                mean_area = float(np.mean([float(r[1]) for r in geo_rows]))
+                n = n_geo
     pairs = [(int(r[0]), int(r[1])) for r in rows]
     if n is not None and pairs:
         n = max(n, max(max(a, b) for a, b in pairs) + 1)
-    return edges_to_adjacency(pairs, n_cells=n)
+    if has_slots and rows:
+        n_cells = n if n is not None else (
+            max(max(a, b) for a, b in pairs) + 1 if pairs else 0
+        )
+        stride = 1 + max(int(r[2]) for r in rows)
+        indptr = np.arange(
+            0, (n_cells + 1) * stride, stride, dtype=np.int64
+        )[: n_cells + 1]
+        indices = np.full(n_cells * stride, -1, dtype=np.int64)
+        for r in rows:
+            indices[int(r[0]) * stride + int(r[2])] = int(r[1])
+    else:
+        indptr, indices = edges_to_adjacency(pairs, n_cells=n)
+    if areas is not None and len(areas) < len(indptr) - 1:
+        areas = np.pad(areas, (0, len(indptr) - 1 - len(areas)))
+    return MeshAdj(indptr, indices, areas, mean_area)
 
 
 def edges_to_adjacency(
@@ -227,21 +317,6 @@ def edges_to_adjacency(
     return indptr, dst
 
 
-def _neighbours_of(
-    cells: np.ndarray, indptr: np.ndarray, indices: np.ndarray
-) -> np.ndarray:
-    """All mesh neighbours of a cell set (CSR gather, vectorised)."""
-    starts = indptr[cells]
-    cnt = indptr[cells + 1] - starts
-    total = int(cnt.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    offs = np.arange(total) + np.repeat(
-        starts - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
-    )
-    return indices[offs]
-
-
 def _partition_nn_mesh_hops(
     child_cells: np.ndarray,
     parent_cell_sets: list[np.ndarray],
@@ -252,13 +327,29 @@ def _partition_nn_mesh_hops(
     """The reference's partition_nn_unstructured (track.py:5117-5242),
     vectorised over the same semantics: per-parent BFS over MESH EDGES,
     seeded from the parent ∩ child overlap cells (distance 0), each
-    round expanding every parent's whole visited set by one hop in
-    parent order — a cell keeps the FIRST parent that reached it at its
-    lowest hop count (strict > compare, so same-round ties go to the
-    earlier parent). Stops at ``max_hops``, when every child cell is
-    assigned, or on a round with no distance updates (the reference's
-    early break). Returns per-child-cell parent indices; -1 marks cells
-    the BFS never reached (the caller applies the reference's
+    round expanding every parent's visited set in parent order — a
+    cell keeps the FIRST parent that reached it at its lowest hop
+    count (strict > compare, so same-round ties go to the earlier
+    parent). Stops at ``max_hops``, when every child cell is assigned,
+    or on a round with no distance updates (the reference's early
+    break).
+
+    Adjudicated semantics note: the reference SOURCE reads as per-slot
+    expansion against a live VIEW of ``visited[parent_idx]``
+    (track.py:5199-5216 — ``frontier_mask`` is a row view, so cells
+    visited at slot i would re-expand at slots i+1.. within the same
+    round, chaining up to 3 hops per distance increment). A faithful
+    numpy transcription of that loop, fuzz-verified equal to a slot-
+    exact vectorisation, yields total_merges = 12 on the reference's
+    own extremes_unstructured_merging fixture — but the reference's
+    OWN pinned output for that exact scenario is 9±1
+    (tests/test_unstructured_tracking.py:260), which this one-hop-
+    per-round form reproduces exactly. The observable pinned behavior
+    wins over the source reading (the jitted build evidently does not
+    chain), so each round expands every parent's whole visited set by
+    exactly ONE hop. Missing-slot entries (-1, from the slot-padded
+    CSR) are skipped. Returns per-child-cell parent indices; -1 marks
+    cells the BFS never reached (the caller applies the reference's
     nearest-centroid fallback, track.py:5227-5238)."""
     n_cells = len(indptr) - 1
     inf = np.iinfo(np.int64).max
@@ -274,22 +365,36 @@ def _partition_nn_mesh_hops(
             take = dist[ov] == inf
             dist[ov[take]] = 0
             assign[ov[take]] = pi
+    degrees = indptr[1:] - indptr[:-1]
+    deg_max = int(degrees.max()) if n_cells else 0
     d = 0
     while d < max_hops and np.any(child_mask & (assign == -1)):
         d += 1
         updates = False
         for pi in range(len(parent_cell_sets)):
             vm = visited[pi]
+            if not vm.any():
+                continue
+            # frontier FROZEN for the round: one hop per distance
+            # increment (matches the reference's pinned outputs)
             f = np.nonzero(vm)[0]
-            if not len(f):
+            frontier_new = []
+            for slot in range(deg_max):
+                has = degrees[f] > slot
+                if not has.any():
+                    continue
+                nbrs = indices[indptr[f[has]] + slot]
+                nbrs = nbrs[nbrs >= 0]  # -1 = missing slot (padded CSR)
+                if not len(nbrs):
+                    continue
+                frontier_new.append(nbrs)
+            if not frontier_new:
                 continue
-            nbrs = _neighbours_of(f, indptr, indices)
-            if not len(nbrs):
-                continue
+            nbrs = np.concatenate(frontier_new)
             new = np.unique(nbrs[~vm[nbrs]])
             if not len(new):
                 continue
-            visited[pi][new] = True
+            vm[new] = True
             upd = dist[new] > d
             if np.any(upd):
                 dist[new[upd]] = d
@@ -312,6 +417,10 @@ _PARALLEL_STALE_LOG: list = []
 # (split_merge_events_parallel, the default) never materialises more
 # than one block per executor task and has no such bound.
 SERIAL_CELL_BUDGET = 50_000_000
+
+# Mesh CSRs above this ship as a Spark broadcast variable instead of a
+# task-closure capture (once per executor vs once per task serialize).
+_MESH_ADJ_BCAST_BYTES = 8 << 20
 
 
 def _guard_serial_cells(n_cells: int, budget: int | None, what: str) -> None:
@@ -353,17 +462,23 @@ class _Resolver:
         grid: bool,
         nn_partitioning: bool,
         max_distance: float | None = None,
-        mesh_adj: tuple[np.ndarray, np.ndarray] | None = None,
+        mesh_adj: MeshAdj | None = None,
+        ny: int = 0,
     ):
         self.nx = nx
+        # domain height: sizes the NN block window's wrapped y-block
+        # ring (partition_nn_grid wraps BOTH block axes, track.py:
+        # 5046/5050). 0 = unknown → y-blocks cannot wrap; pass it
+        # whenever the grid shape is known.
+        self.ny = ny
         self.wrap_x = wrap_x
         self.overlap_threshold = overlap_threshold
         self.max_iter_per_step = max_iter_per_step
         self.grid = grid
         self.nn_partitioning = nn_partitioning
         self.max_distance = max_distance
-        # CSR mesh adjacency (indptr, indices): when present, sphere-
-        # mode NN partitioning uses the reference's hop-BFS semantics
+        # CSR mesh adjacency (MeshAdj): when present, sphere-mode NN
+        # partitioning uses the reference's hop-BFS semantics
         # (max_distance in HOPS); without it, the geodesic fallback
         # (max_distance in degrees of arc) applies.
         self.mesh_adj = mesh_adj
@@ -506,12 +621,32 @@ class _Resolver:
                     if self.max_distance is not None:
                         md = int(self.max_distance)
                     else:
-                        max_area = max(
-                            self.areas.get(int(p), 1) for p in parent_ids
-                        )
+                        adj = self.mesh_adj
+                        if (
+                            adj.cell_areas is not None
+                            and adj.mean_cell_area > 0
+                        ):
+                            # reference hop budget (track.py:3494-3509):
+                            # max parent PHYSICAL area / mean cell area
+                            # — non-integer on variable-area meshes,
+                            # so int(sqrt(...)) can differ from the
+                            # member-count form by 1 before the *2
+                            max_area = max(
+                                float(adj.cell_areas[ps].sum())
+                                for ps in psets
+                            ) / adj.mean_cell_area
+                        else:
+                            max_area = max(
+                                self.areas.get(int(p), 1)
+                                for p in parent_ids
+                            )
                         md = max(int(np.sqrt(max_area) * 2.0), 20) * 2
                     best = _partition_nn_mesh_hops(
-                        child_cells, psets, *self.mesh_adj, md
+                        child_cells,
+                        psets,
+                        self.mesh_adj.indptr,
+                        self.mesh_adj.indices,
+                        md,
                     )
                     unreached = best < 0
                     best[unreached] = np.argmin(cent_d[unreached], axis=1)
@@ -564,6 +699,7 @@ class _Resolver:
                                 self.wrap_x,
                                 block=gs,
                                 cap2=cap2 if self.grid else None,
+                                ny=self.ny,
                             )
                             for p in parent_ids
                         ],
@@ -598,7 +734,8 @@ def split_merge_serial(
     geometry: str = "grid",
     nn_partitioning: bool = False,
     max_distance: float | None = None,
-    mesh_adj: tuple[np.ndarray, np.ndarray] | None = None,
+    mesh_adj: MeshAdj | None = None,
+    ny: int = 0,
 ) -> tuple[pd.DataFrame, MergeLedger]:
     """Sequential merge/split resolution over sparse labelled cells.
 
@@ -624,6 +761,7 @@ def split_merge_serial(
         nn_partitioning=nn_partitioning,
         max_distance=max_distance,
         mesh_adj=mesh_adj,
+        ny=ny,
     )
     grid = resolver.grid
     slices, times = resolver.build_slices(cells, time_col)
@@ -679,6 +817,7 @@ def split_merge_events(
     max_distance: float | None = None,
     max_iter_per_step: int = 10,
     max_driver_cells: int | None = None,
+    ny: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed-in / distributed-out wrapper around the sequential
     resolution kernel: collect the sparse labelled cells (Arrow), run
@@ -704,6 +843,7 @@ def split_merge_events(
         nn_partitioning=nn_partitioning,
         max_distance=max_distance,
         max_iter_per_step=max_iter_per_step,
+        ny=ny,
     )
     time_type = labels.schema[time_col].dataType.simpleString()
     out_df = spark.createDataFrame(
@@ -791,6 +931,19 @@ def _cleanup_at_exit(path: str) -> None:
     _EXIT_PATHS.add(path)
 
 
+def _to_epoch_micros(t, sess_tz: str) -> int:
+    """One resume-carry time value → int64 epoch micros. Naive wall
+    times are interpreted in the SESSION timezone (what toPandas
+    produces); tz-aware values convert exactly; ints pass through
+    (a carry from a previous chunked run is already converted)."""
+    if isinstance(t, (int, np.integer)):
+        return int(t)
+    ts = pd.Timestamp(t)
+    if ts.tzinfo is None:
+        ts = ts.tz_localize(sess_tz)
+    return int(ts.value // 1000)
+
+
 def _write_chunk_parquet(
     pdf: pd.DataFrame, out_path: str, j: int, time_col: str
 ) -> None:
@@ -835,7 +988,8 @@ def split_merge_events_chunked(
     max_driver_cells: int | None = None,
     page_dir: str | None = None,
     target_chunk_cells: int | None = None,
-    mesh_adj: tuple | None = None,
+    mesh_adj: MeshAdj | None = None,
+    ny: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Memory-bounded variant of :func:`split_merge_events` — the
     reference's chunk loop (track.py:3377-3420): pull ``chunk_steps``
@@ -887,6 +1041,21 @@ def split_merge_events_chunked(
         labels_materialized = False  # the geo join is a new plan
     if not labels_materialized:
         labels = labels.localCheckpoint()
+    time_type = labels.schema[time_col].dataType.simpleString()
+    is_ts = time_type == "timestamp"
+    if is_ts:
+        # TIMESTAMP_LTZ time columns ride the whole spill pipeline as
+        # int64 epoch MICROS: the paths here disagree about what a
+        # naive wall time means (toPandas yields session-local wall,
+        # the pyarrow page fast path reads Spark-written INT96 as UTC
+        # wall, and spark.read on pyarrow-written naive micros assumes
+        # UTC instants) — under a non-UTC spark.sql.session.timeZone
+        # those mix-ups shift chunks and the ledger inconsistently.
+        # Epoch micros are representation-free; the output and ledger
+        # cast back to instants at the very end (timestamp_micros).
+        labels = labels.withColumn(
+            time_col, F.unix_micros(F.col(time_col))
+        )
     # one aggregation yields BOTH the timestep list and per-time cell
     # counts; the counts size-guard every chunk before anything is
     # paged to the driver (fail fast, never OOM mid-series)
@@ -918,7 +1087,6 @@ def split_merge_events_chunked(
             max_driver_cells,
             f"split_merge_events_chunked (chunk at {times[a]})",
         )
-    time_type = labels.schema[time_col].dataType.simpleString()
     resolver = _Resolver(
         nx=nx,
         wrap_x=wrap_x,
@@ -928,6 +1096,7 @@ def split_merge_events_chunked(
         nn_partitioning=nn_partitioning,
         max_distance=max_distance,
         mesh_adj=mesh_adj,
+        ny=ny,
     )
     resolver.next_new_id = (
         labels.agg(F.max("obj_id")).first()[0] or 0
@@ -937,6 +1106,11 @@ def split_merge_events_chunked(
     carry: list[tuple] = []  # [(time, slice)] — last two resolved slices
     if resume_state is not None:
         carry = list(resume_state["carry"])
+        if is_ts:
+            sess_tz = spark.conf.get("spark.sql.session.timeZone")
+            carry = [
+                (_to_epoch_micros(t, sess_tz), sl) for t, sl in carry
+            ]
         if carry and times and carry[-1][0] >= times[0]:
             from marex_spark.exceptions import TrackingError
 
@@ -1059,10 +1233,11 @@ def split_merge_events_chunked(
             out_frames.append(j)
             carry = [(stimes[i], slices[i]) for i in range(len(stimes))][-2:]
 
+        spill_type = "long" if is_ts else time_type
         if grid:
-            schema = f"{time_col} {time_type}, y long, x long, obj_id long"
+            schema = f"{time_col} {spill_type}, y long, x long, obj_id long"
         else:
-            schema = f"{time_col} {time_type}, cell long, obj_id long"
+            schema = f"{time_col} {spill_type}, cell long, obj_id long"
         empty_cols = [time_col, "y", "x", "obj_id"] if grid else [
             time_col, "cell", "obj_id"
         ]
@@ -1075,6 +1250,10 @@ def split_merge_events_chunked(
             out_df = spark.read.schema(schema).parquet(out_path)
         else:
             out_df = labels.limit(0).select(*empty_cols)
+        if is_ts:
+            out_df = out_df.withColumn(
+                time_col, F.timestamp_micros(F.col(time_col))
+            )
         ok = True
     finally:
         doomed = [page_path]
@@ -1086,8 +1265,16 @@ def split_merge_events_chunked(
                 jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
                     jpath, True
                 )
-    ledger = _ledger_df(spark, resolver.ledger, time_col, time_type)
+    ledger = _ledger_df(
+        spark, resolver.ledger, time_col, "long" if is_ts else time_type
+    )
+    if is_ts:
+        ledger = ledger.withColumn(
+            time_col, F.timestamp_micros(F.col(time_col))
+        )
     if return_state:
+        # timestamp carries stay in epoch micros — _to_epoch_micros
+        # passes them through unchanged on the next resume
         state = {"carry": list(carry), "next_new_id": int(resolver.next_new_id)}
         return out_df, ledger, state
     return out_df, ledger
@@ -1109,6 +1296,7 @@ def split_merge_events_parallel(
     cell_geo: DataFrame | None = None,
     max_driver_cells: int | None = None,
     mesh_edges: DataFrame | None = None,
+    ny: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Wall-clock-parallel merge resolution (the reference's batched
     iteration tier, track.py:3804-4814, re-expressed for Spark).
@@ -1172,6 +1360,7 @@ def split_merge_events_parallel(
                 max_iter_per_step=max_iter_per_step,
                 labels_materialized=True,
                 max_driver_cells=max_driver_cells,
+                ny=ny,
             )
         return split_merge_events_unstructured(
             labels_raw,
@@ -1196,13 +1385,20 @@ def split_merge_events_parallel(
     )
     global_max = int(labels.agg(F.max("obj_id")).first()[0] or 0)
     stride = 1 << 33
-    # hop-BFS NN adjacency, captured in the block-kernel closure (the
-    # same ship-the-edge-list pattern as mesh morphology)
+    # hop-BFS NN adjacency: small meshes ride in the block-kernel
+    # closure (the same ship-the-edge-list pattern as mesh
+    # morphology); past _MESH_ADJ_BCAST_BYTES the CSR ships ONCE per
+    # executor as a Spark broadcast variable instead of once per task
+    # serialization — a 10⁷-edge mesh is ~160 MB of closure otherwise
     mesh_adj = (
         _collect_mesh_adj(mesh_edges, cell_geo)
         if (not grid and nn_partitioning and mesh_edges is not None)
         else None
     )
+    mesh_adj_bc = None
+    if mesh_adj is not None and mesh_adj.nbytes() > _MESH_ADJ_BCAST_BYTES:
+        mesh_adj_bc = spark.sparkContext.broadcast(mesh_adj)
+        mesh_adj = None
 
     coord_cols = ["y", "x"] if grid else ["cell", "lat", "lon"]
     coord_schema = "y long, x long" if grid else "cell long, lat double, lon double"
@@ -1229,7 +1425,10 @@ def split_merge_events_parallel(
             grid=grid,
             nn_partitioning=nn_partitioning,
             max_distance=max_distance,
-            mesh_adj=mesh_adj,
+            mesh_adj=(
+                mesh_adj_bc.value if mesh_adj_bc is not None else mesh_adj
+            ),
+            ny=ny,
         )
         resolver.next_new_id = global_max + 1 + b * stride
         carry = []

@@ -377,7 +377,7 @@ def dilate_unstructured(
     symmetric (cell, nbr) edge table (sparse_bool_power,
     track.py:5422-5468). Each round one broadcast/shuffle join +
     distinct."""
-    sym = edges.union(
+    sym = edges.select("cell", "nbr").union(
         edges.select(F.col("nbr").alias("cell"), F.col("cell").alias("nbr"))
     ).distinct()
     out = cells.select(time_col, "cell")
@@ -399,7 +399,7 @@ def erode_unstructured(
     materialising the complement: drop cells whose R-hop neighbourhood
     has any missing member, iteratively (cells adjacent to a missing
     neighbour are removed each round)."""
-    sym = edges.union(
+    sym = edges.select("cell", "nbr").union(
         edges.select(F.col("nbr").alias("cell"), F.col("cell").alias("nbr"))
     ).distinct()
     deg = sym.groupBy("cell").agg(F.count("*").alias("deg"))

@@ -179,6 +179,7 @@ class TrackResult:
 def track_events(
     extremes: DataFrame,
     nx: int,
+    ny: int = 0,
     grid_y: DataFrame | None = None,
     grid_x: DataFrame | None = None,
     overlap_threshold: float = 0.0,
@@ -270,6 +271,7 @@ def track_events(
             labels, ledger = split_merge_events_parallel(
                 labels,
                 nx=nx,
+                ny=ny,
                 block_steps=merge_chunk_steps or 64,
                 overlap_threshold=overlap_threshold,
                 wrap_x=wrap_x,
@@ -283,6 +285,7 @@ def track_events(
             labels, ledger = split_merge_events_chunked(
                 labels,
                 nx=nx,
+                ny=ny,
                 chunk_steps=merge_chunk_steps,
                 target_chunk_cells=2_000_000,
                 overlap_threshold=overlap_threshold,
@@ -297,6 +300,7 @@ def track_events(
             labels, ledger = split_merge_events(
                 labels,
                 nx=nx,
+                ny=ny,
                 overlap_threshold=overlap_threshold,
                 wrap_x=wrap_x,
                 time_col=time_col,
@@ -494,6 +498,7 @@ def extend_track_events(
     prior_events: DataFrame,
     new_extremes: DataFrame,
     nx: int,
+    ny: int = 0,
     grid_y: DataFrame | None = None,
     grid_x: DataFrame | None = None,
     prior_timestep_stats: DataFrame | None = None,
@@ -587,7 +592,7 @@ def extend_track_events(
             prior_events, labels_new, prior_max_id, time_col,
             overlap_threshold, nn_partitioning, max_distance,
             merge_chunk_steps, prior_merge_ledger,
-            nx=nx, wrap_x=wrap_x, cell_geo=None,
+            nx=nx, ny=ny, wrap_x=wrap_x, cell_geo=None,
         )
 
     events, events_new, events_old, ev_remap = _extend_link(
@@ -664,6 +669,7 @@ def _extend_resume_merge(
     merge_chunk_steps: int,
     prior_merge_ledger: DataFrame | None,
     nx: int = 0,
+    ny: int = 0,
     wrap_x: bool = True,
     cell_geo: DataFrame | None = None,
     mesh_edges: DataFrame | None = None,
@@ -729,6 +735,7 @@ def _extend_resume_merge(
     resolved, new_ledger = split_merge_events_chunked(
         labels_new,
         nx=nx,
+        ny=ny,
         chunk_steps=merge_chunk_steps,
         target_chunk_cells=2_000_000,
         overlap_threshold=overlap_threshold,

@@ -477,8 +477,8 @@ def _m9_recursion_sql(nn_max_distance: float | None = None) -> str:
     track.py:4973-5113) — each child cell goes to the parent with the
     nearest MEMBER cell (squared wrapped distance, exact integers)
     among candidates inside the reference's 3×3 block window of
-    grid_size = max(2, max_distance // 4) (track.py:5014; x-blocks
-    wrap) and within max_distance; cells with no candidate from any
+    grid_size = max(2, max_distance // 4) (track.py:5014; BOTH block
+    axes wrap via modulo) and within max_distance; cells with no candidate from any
     parent fall back to the nearest centroid, unbounded
     (track.py:5224-5238)."""
     # reference seam-rule centroid (track.py:2045-2102): x above nx//2
@@ -501,6 +501,7 @@ def _m9_recursion_sql(nn_max_distance: float | None = None) -> str:
     else:
         gs = max(2, int(nn_max_distance) // 4)
         ngx = -(-NXG // gs)  # ceil: number of x blocks
+        ngy = -(-NYG // gs)  # ceil: number of y blocks
         cap2 = float(nn_max_distance) * float(nn_max_distance)
         best_sql = f"""nnd AS (
       SELECT c.y AS y, c.x AS x, pa.cid, pa.pid, pa.rk,
@@ -511,7 +512,8 @@ def _m9_recursion_sql(nn_max_distance: float | None = None) -> str:
                            {{NXG}} - abs(CAST(c.x - p.x AS DOUBLE)))) AS nd
       FROM cur c JOIN par pa ON pa.cid = c.id
       JOIN prev p ON p.id = pa.pid
-       AND abs(c.y // {gs} - p.y // {gs}) <= 1
+       AND LEAST(abs(c.y // {gs} - p.y // {gs}),
+                 {ngy} - abs(c.y // {gs} - p.y // {gs})) <= 1
        AND LEAST(abs(c.x // {gs} - p.x // {gs}),
                  {ngx} - abs(c.x // {gs} - p.x // {gs})) <= 1
        AND CAST(c.y - p.y AS DOUBLE) * CAST(c.y - p.y AS DOUBLE)
@@ -1128,7 +1130,7 @@ def trk_m9nn_split_merge(spark, sf_dir):
 
     base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
     res = track_events(
-        base, nx=NXG, time_col="d", overlap_threshold=_M9_THR,
+        base, nx=NXG, ny=NYG, time_col="d", overlap_threshold=_M9_THR,
         compute_stats=False, allow_merging=True, merge_parallel=False,
         nn_partitioning=True, max_distance=_M9NN_DIST,
     )
@@ -1143,7 +1145,7 @@ def trk_m9nn_parallel(spark, sf_dir):
 
     base = _bool_grid(spark, sf_dir).withColumn("extreme", F.lit(True))
     res = track_events(
-        base, nx=NXG, time_col="d", overlap_threshold=_M9_THR,
+        base, nx=NXG, ny=NYG, time_col="d", overlap_threshold=_M9_THR,
         compute_stats=False, allow_merging=True,
         merge_parallel=True, merge_chunk_steps=8,
         nn_partitioning=True, max_distance=_M9NN_DIST,

@@ -657,6 +657,7 @@ class Tracker:
         res = track_events(
             cleaned,
             nx=self.nx,
+            ny=self.ny or 0,
             grid_y=gy,
             grid_x=self.grid_x,
             overlap_threshold=self.overlap_threshold,
@@ -739,6 +740,7 @@ class Tracker:
             events,
             cleaned,
             nx=self.nx,
+            ny=self.ny or 0,
             grid_y=gy,
             grid_x=self.grid_x,
             prior_timestep_stats=prior_timestep_stats,

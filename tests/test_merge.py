@@ -495,3 +495,103 @@ def test_mesh_nn_hop_bfs_vs_geodesic(spark):
     )
     got3 = {(r.t, r.cell): r.obj_id for r in out_fb.collect()}
     assert got3[(1, 2)] == got3[(1, 3)], got3
+
+
+def test_chunked_timestamp_tz_safe(spark, two_blob_field):
+    """Non-UTC session timezone: the chunked tier's parquet spill paths
+    must not shift timestamp time columns (toPandas yields session-
+    local wall times, pyarrow reads Spark INT96 as UTC wall — mixing
+    them shifted output by the tz offset). Times ride the spill as
+    epoch micros; output, ledger and one-shot equality all hold."""
+    from marex_spark.operators.merge import (
+        split_merge_events,
+        split_merge_events_chunked,
+    )
+    from marex_spark.operators.label import label_components
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        labels = label_components(
+            two_blob_field, nx=NX, time_col="time"
+        ).localCheckpoint()
+        one, led_one = split_merge_events(
+            labels, nx=NX, overlap_threshold=0.5
+        )
+        # chunk_steps=2 over 10 steps -> 5 chunks >= 4: pyarrow page
+        # fast path engaged
+        chk, led_chk = split_merge_events_chunked(
+            labels, nx=NX, chunk_steps=2, overlap_threshold=0.5,
+            labels_materialized=True,
+        )
+        assert chk.schema["time"].dataType.simpleString() == "timestamp"
+        a = sorted(map(tuple, one.collect()))
+        b = sorted(map(tuple, chk.collect()))
+        assert a == b
+        la = sorted(map(tuple, led_one.collect()))
+        lb = sorted(map(tuple, led_chk.collect()))
+        assert la == lb
+        # and the times are the INPUT instants, not shifted copies
+        in_times = {r[0] for r in two_blob_field.select("time").distinct().collect()}
+        out_times = {r[0] for r in chk.select("time").distinct().collect()}
+        assert out_times <= in_times
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_mesh_adj_edge_budget_guard(spark):
+    from marex_spark.exceptions import TrackingError
+    from marex_spark.operators.merge import _collect_mesh_adj
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "cell long, nbr long"
+    )
+    with pytest.raises(TrackingError):
+        _collect_mesh_adj(edges, edge_budget=2)
+    adj = _collect_mesh_adj(edges)  # default budget passes
+    assert len(adj.indptr) == 4
+    assert adj.cell_areas is None
+
+
+def test_mesh_adj_slot_padded(spark):
+    """A slot column produces the reference's padded (n_nbr, cells)
+    layout: uniform stride, -1 at missing slots, slot positions kept."""
+    from marex_spark.operators.merge import _collect_mesh_adj
+
+    edges = spark.createDataFrame(
+        # cell 0: slots (1, -, 2); cell 1: slot (0); cell 2: slots (-, 0)
+        [(0, 1, 0), (0, 2, 2), (1, 0, 0), (2, 0, 1)],
+        "cell long, nbr long, slot long",
+    )
+    adj = _collect_mesh_adj(edges)
+    assert list(adj.indptr) == [0, 3, 6, 9]
+    assert list(adj.indices) == [1, -1, 2, 0, -1, -1, -1, 0, -1]
+
+
+def test_nn_grid_block_window_wraps_y():
+    """partition_nn_grid wraps BOTH block axes via modulo
+    (track.py:5046/5050): on a short-y domain a parent member across
+    the y edge is a candidate. ny=8, block=2 -> 4 y-blocks; child at
+    y=0 (block 0), parent at y=7 (block 3): |bdy|=3 wraps to 1 -> in
+    window; unwrapped distance 49 <= cap 64 -> finite. Without ny the
+    wrap cannot apply (documented fallback)."""
+    import numpy as np
+
+    from marex_spark.operators.merge import _min_dist_to_members
+
+    c1 = np.array([0])   # child y
+    c2 = np.array([0])   # child x
+    m1 = np.array([7])   # parent y (opposite edge)
+    m2 = np.array([0])
+    kw = dict(grid=True, nx=8, wrap_x=False, block=2, cap2=64.0)
+    with_ny = _min_dist_to_members(c1, c2, m1, m2, ny=8, **kw)
+    assert with_ny[0] == 49.0
+    without_ny = _min_dist_to_members(c1, c2, m1, m2, ny=0, **kw)
+    assert not np.isfinite(without_ny[0])
+    # the x block axis wraps even when wrap_x=False (reference modulo
+    # is unconditional; only the DISTANCE stays unwrapped)
+    far_x = _min_dist_to_members(
+        np.array([0]), np.array([0]), np.array([0]), np.array([7]),
+        grid=True, nx=8, wrap_x=False, block=2, cap2=64.0, ny=8,
+    )
+    assert far_x[0] == 49.0

@@ -191,13 +191,15 @@ def test_unstructured_merging_fixture_tracks(spark):
     )
     edges = spark.createDataFrame(
         [
-            # 1-based neighbours, 0 = missing (track.py:1060)
-            (int(c), int(nb[k, c]) - 1)
+            # 1-based neighbours, 0 = missing (track.py:1060); slot =
+            # the row index in the (n_nbr, cells) neighbours array so
+            # the hop-BFS replays the reference's per-slot expansion
+            (int(c), int(nb[k, c]) - 1, int(k))
             for c in range(NC)
             for k in range(nb.shape[0])
             if nb[k, c] > 0
         ],
-        "cell long, nbr long",
+        "cell long, nbr long, slot long",
     )
     geo = spark.createDataFrame(
         [
@@ -499,12 +501,12 @@ def test_unstructured_merging_scenario_counts(spark):
     # (track.py:1060 subtracts 1 and treats -1 as no-neighbour)
     edges = spark.createDataFrame(
         [
-            (int(c), int(nb[k, c]) - 1)
+            (int(c), int(nb[k, c]) - 1, int(k))
             for c in range(NC)
             for k in range(nb.shape[0])
             if nb[k, c] > 0
         ],
-        "cell long, nbr long",
+        "cell long, nbr long, slot long",
     )
     geo = spark.createDataFrame(
         [
@@ -671,13 +673,15 @@ def test_unstructured_consistency_scenario_counts(spark):
     ext = spark.createDataFrame(rows, "time date, cell long, extreme boolean")
     edges = spark.createDataFrame(
         [
-            # 1-based neighbours, 0 = missing (track.py:1060)
-            (int(c), int(nb[k, c]) - 1)
+            # 1-based neighbours, 0 = missing (track.py:1060); slot =
+            # the row index in the (n_nbr, cells) neighbours array so
+            # the hop-BFS replays the reference's per-slot expansion
+            (int(c), int(nb[k, c]) - 1, int(k))
             for c in range(NC)
             for k in range(nb.shape[0])
             if nb[k, c] > 0
         ],
-        "cell long, nbr long",
+        "cell long, nbr long, slot long",
     )
     geo = spark.createDataFrame(
         [
@@ -738,12 +742,12 @@ def test_unstructured_filtering_and_gap_scenarios_counts(spark):
     ext = spark.createDataFrame(rows, "time date, cell long, extreme boolean")
     edges = spark.createDataFrame(
         [
-            (int(c), int(nb[k, c]) - 1)
+            (int(c), int(nb[k, c]) - 1, int(k))
             for c in range(NC)
             for k in range(nb.shape[0])
             if nb[k, c] > 0
         ],
-        "cell long, nbr long",
+        "cell long, nbr long, slot long",
     )
     geo = spark.createDataFrame(
         [
