@@ -1,8 +1,10 @@
-"""Pure-Python Blosc-1 frame decoder (LZ4 + blosclz-free subset) so the
-stdlib zarr reader (sources/zarr.py) can ingest REAL marEx stores —
-xarray/zarr's default compressor is blosc(cname='lz4', shuffle=1),
-which is exactly what the reference's own test fixtures and every
-field-deployed marEx output use. No C extension, no numcodecs.
+"""Pure-Python Blosc-1 frame decoder so the stdlib zarr reader
+(sources/zarr.py) can ingest REAL marEx stores — xarray/zarr's default
+compressor is blosc(cname='lz4', shuffle=1), which is exactly what the
+reference's own test fixtures and every field-deployed marEx output
+use. Inner codecs: blosclz and lz4 decoded natively, zlib via the
+stdlib, zstd and snappy via pyarrow's bundled codecs (already a hard
+dependency). No C blosc, no numcodecs.
 
 Format reference: the public c-blosc1 format documentation
 (https://github.com/Blosc/c-blosc/blob/main/README_CHUNK_FORMAT.rst)
@@ -76,6 +78,47 @@ def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
     return bytes(dst)
 
 
+def _stream_codec(codec: int):
+    """Per-stream decompressor for a blosc codec id (flags bits 5-7):
+    0 blosclz / 1 lz4 are the pure-Python decoders; 3 zlib is stdlib;
+    4 zstd and 2 snappy route through pyarrow's bundled codecs (a hard
+    dependency of this engine already — no numcodecs needed for
+    ``Blosc(cname='zstd')`` stores, which xarray/zarr defaults write
+    on many real climate archives). Unknown ids raise
+    NotImplementedError, which the zarr reader turns into a numcodecs
+    fallback / typed DependencyError."""
+    if codec == 0:
+        return _blosclz_decompress
+    if codec == 1:
+        return lz4_block_decompress
+    if codec == 3:
+        import zlib
+
+        # c-blosc zlib streams are whole zlib-wrapped buffers
+        return lambda payload, size: zlib.decompress(payload)
+    if codec in (2, 4):
+        name = {2: "snappy", 4: "zstd"}[codec]
+        try:
+            import pyarrow as pa
+
+            pa_codec = pa.Codec(name)
+        except Exception as e:  # pragma: no cover - pyarrow w/o codec
+            raise NotImplementedError(
+                f"blosc codec '{name}' needs pyarrow built with {name}"
+            ) from e
+
+        def _pa_decomp(payload, size, _c=pa_codec):
+            return _c.decompress(
+                payload, decompressed_size=size
+            ).to_pybytes()
+
+        return _pa_decomp
+    raise NotImplementedError(
+        f"blosc codec id {codec} unsupported "
+        "(blosclz/lz4/snappy/zlib/zstd only)"
+    )
+
+
 def _unshuffle(buf: bytes, typesize: int) -> bytes:
     if typesize <= 1:
         return buf
@@ -104,23 +147,21 @@ def blosc_decompress(frame: bytes) -> bytes:
     if flags & 0x4:
         raise NotImplementedError("blosc bit-shuffle is not supported")
     codec = (flags >> 5) & 0x7
-    if codec not in (0, 1):
-        raise NotImplementedError(
-            f"blosc codec id {codec} unsupported (blosclz/lz4 only)"
-        )
-    if codec == 0:
-        _decomp = _blosclz_decompress
-    else:
-        _decomp = lz4_block_decompress
+    _decomp = _stream_codec(codec)
     shuffled = bool(flags & 0x1) and typesize > 1
     nblocks = (nbytes + blocksize - 1) // blocksize if blocksize else 1
     bstarts = struct.unpack_from(f"<{nblocks}I", frame, 16)
     out = bytearray()
     for bi in range(nblocks):
         bsize = min(blocksize, nbytes - bi * blocksize)
-        # c-blosc splits shuffled lz4/blosclz blocks into one stream
-        # per byte lane; unshuffled blocks are a single stream
-        nstreams = typesize if shuffled and bsize % typesize == 0 else 1
+        # c-blosc splits shuffled blosclz/lz4 blocks into one stream
+        # per byte lane (split_block in blosc.c — zlib/zstd/snappy
+        # blocks are NEVER split); unshuffled blocks are one stream
+        nstreams = (
+            typesize
+            if codec in (0, 1) and shuffled and bsize % typesize == 0
+            else 1
+        )
         neblock = bsize // nstreams
         pos = bstarts[bi]
         block = bytearray()

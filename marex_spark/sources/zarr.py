@@ -223,10 +223,32 @@ def _decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
         buf = zlib.decompress(raw, 47)  # auto-detect zlib/gzip headers
     elif comp.get("id") == "blosc":
         # zarr/xarray's DEFAULT compressor — pure-Python frame decoder
-        # (sources/blosc.py) so real marEx stores read without numcodecs
+        # (sources/blosc.py; inner codecs blosclz/lz4 native, zlib via
+        # stdlib, zstd/snappy via pyarrow) so real marEx stores read
+        # without numcodecs
         from marex_spark.sources.blosc import blosc_decompress
 
-        buf = blosc_decompress(raw)
+        try:
+            buf = blosc_decompress(raw)
+        except NotImplementedError as nie:
+            # variants the frame decoder refuses (bit-shuffle, exotic
+            # inner codecs): route through numcodecs' real blosc when
+            # installed, typed DependencyError otherwise — mirroring
+            # the generic-codec branch below
+            try:
+                import numcodecs
+
+                buf = numcodecs.get_codec(comp).decode(raw)
+            except ImportError:
+                from marex_spark.exceptions import DependencyError
+
+                raise DependencyError(
+                    f"blosc variant not decodable without numcodecs: {nie}",
+                    suggestions=[
+                        "pip install numcodecs",
+                        "re-write the store with blosc(cname='lz4'|'zstd', shuffle=1)",
+                    ],
+                ) from nie
     else:
         try:  # real codec stack, if installed
             import numcodecs
