@@ -69,6 +69,7 @@ def main():
         overlap_threshold=0.5,
         grid_y=gy, grid_x=gx,
         grid_resolution=360.0 / NX,  # true spherical km^2 cell areas
+        coordinate_units="degrees",  # demo grid too coarse to auto-detect
     )
     print("preprocess stats:", t.preprocess_stats())
     res = t.run()

@@ -84,6 +84,7 @@ def main():
         T_fill=2,
         area_filter_quartile=0.0,
         allow_merging=True,
+        coordinate_units="degrees",  # regional mesh: no auto-detect
     )
     res = trk.run()
     events = res.events

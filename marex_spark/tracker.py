@@ -220,6 +220,58 @@ class Tracker:
                     "and ny when R_fill > 0 (dense morphology kernel shape)",
                     details={"nx": self.nx, "ny": self.ny},
                 )
+        self._normalize_coordinate_units()
+
+    def _normalize_coordinate_units(self) -> None:
+        """Reference _validate_coordinates (track.py:905-977): global
+        runs AUTO-DETECT coordinate units from the longitude RANGE
+        (≈360 ±1 → degrees, ≈2π ±0.02 → radians, anything else is a
+        coordinate error); radian coordinates convert to degrees in
+        place (track.py:974-977) so every downstream consumer —
+        haversine partitioning, spherical centroids, cos(lat) areas —
+        sees degrees. ``coordinate_units`` keeps the DETECTED value
+        (the reference's attribute does too). Regional runs must state
+        units explicitly (validated above); index-only runs with no
+        coordinate tables skip detection entirely."""
+        import math
+
+        geo = self.cell_geo if self.unstructured_grid else self.grid_x
+        if geo is None or "lon" not in geo.columns:
+            return
+        if self.coordinate_units is None:
+            mn, mx = geo.agg(F.min("lon"), F.max("lon")).first()
+            rng = float(mx) - float(mn)
+            if abs(rng - 360.0) <= 1.0:
+                self.coordinate_units = "degrees"
+            elif abs(rng - 2 * math.pi) <= 0.02:
+                self.coordinate_units = "radians"
+            else:
+                raise ConfigurationError(
+                    f"Cannot auto-detect coordinate units from range {rng:.3f}",
+                    details={
+                        "detected_range": rng,
+                        "expected": f"~360 degrees or ~{2 * math.pi:.3f} radians",
+                    },
+                    suggestions=[
+                        "Use regional_mode=True with coordinate_units specified for regional data",
+                        "Specify coordinate_units='degrees' or coordinate_units='radians' explicitly",
+                        "Check that your coordinate values are correct",
+                    ],
+                )
+        if self.coordinate_units == "radians":
+            deg = 180.0 / math.pi
+            if self.unstructured_grid:
+                self.cell_geo = self.cell_geo.withColumn(
+                    "lat", F.col("lat") * F.lit(deg)
+                ).withColumn("lon", F.col("lon") * F.lit(deg))
+            else:
+                self.grid_x = self.grid_x.withColumn(
+                    "lon", F.col("lon") * F.lit(deg)
+                )
+                if self.grid_y is not None and "lat" in self.grid_y.columns:
+                    self.grid_y = self.grid_y.withColumn(
+                        "lat", F.col("lat") * F.lit(deg)
+                    )
 
     # -- internals ---------------------------------------------------
 

@@ -527,6 +527,10 @@ def test_unstructured_merging_scenario_counts(spark):
         allow_merging=True,
         overlap_threshold=0.8,
         nn_partitioning=True,
+        # the reference test passes coordinate_units explicitly — its
+        # 1-degree-wide mesh cannot auto-detect
+        # (tests/test_unstructured_tracking.py:186)
+        coordinate_units="degrees",
     )
     stats = tr.preprocess_stats()
     # the reference's unstructured N_pre counts only objects ABOVE its
@@ -699,6 +703,7 @@ def test_unstructured_consistency_scenario_counts(spark):
         T_fill=2,
         area_filter_quartile=0.5,
         allow_merging=True,
+        coordinate_units="degrees",
     )
     stats = tr.preprocess_stats()
     assert abs(stats["N_objects_prefiltered"] - 15) <= 5, stats
@@ -761,7 +766,7 @@ def test_unstructured_filtering_and_gap_scenarios_counts(spark):
         tr = Tracker(
             data_bin=ext, unstructured_grid=True, edges=edges, cell_geo=geo,
             R_fill=2, T_fill=t_fill, area_filter_quartile=q,
-            allow_merging=False,
+            allow_merging=False, coordinate_units="degrees",
         )
         stats = tr.preprocess_stats()
         n_events = tr.run().events.select(
@@ -783,3 +788,124 @@ def test_unstructured_filtering_and_gap_scenarios_counts(spark):
 
     _, n_gaps = run(0.5, 4)
     assert n_gaps > 0
+
+
+# ---------------------------------------------------------------------------
+# Edge-case scenario replays (reference tests/test_track_edge_cases.py)
+
+
+def test_empty_overlap_minimal_run(spark):
+    """Reference test_empty_overlap_list_return (edge_cases:234-252):
+    two timesteps of extremes_gridded at area quartile 0.9 (very few
+    surviving objects, minimal/no temporal overlaps) must still track
+    to a valid result — the overlap graph may be EMPTY and every
+    object becomes its own event."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.tracker import Tracker
+
+    ext, gy, gx, mask_df, nx, ny = _gridded_scenario_inputs(spark, False)
+    t2 = [
+        r[0]
+        for r in ext.select("time").distinct().orderBy("time").limit(2).collect()
+    ]
+    two = ext.filter(F.col("time") <= F.lit(max(t2)))
+    res = Tracker(
+        data_bin=two, ny=ny, nx=nx, mask=mask_df,
+        area_filter_quartile=0.9, R_fill=0, T_fill=0,
+        allow_merging=False, grid_y=gy, grid_x=gx,
+    ).run()
+    assert res.events is not None
+    n_events = res.events.select("event_id").distinct().count()
+    assert n_events >= 0  # valid result, possibly zero objects
+    # every event spans at most the 2 timesteps present
+    if res.lifetime_stats is not None and n_events:
+        mx = res.lifetime_stats.agg(F.max("n_timesteps")).first()[0]
+        assert mx <= 2  # noqa: F821
+
+
+def test_single_timestep_run(spark):
+    """Reference test_single_timestep_data (edge_cases:748-778): a
+    1-timestep field constructs and runs; with no second slice there
+    is nothing to link, so each surviving object is its own event."""
+    import datetime as _dt
+
+    from marex_spark.tracker import Tracker
+
+    rows = []
+    d0 = _dt.date(2020, 1, 1)
+    for y in range(10):
+        for x in range(10):
+            v = (2 <= y <= 4 and 2 <= x <= 4) or (5 <= y <= 9 and 5 <= x <= 9)
+            rows.append((d0, y, x, v))
+    ext = spark.createDataFrame(rows, "time date, y int, x int, extreme boolean")
+    tr = Tracker(
+        data_bin=ext, ny=10, nx=10, R_fill=0, T_fill=0,
+        area_filter_quartile=0.5, regional_mode=True,
+        coordinate_units="degrees", allow_merging=False,
+        drop_first_object=False,
+    )
+    res = tr.run()
+    n_events = res.events.select("event_id").distinct().count()
+    assert n_events == 1  # quartile 0.5 over two objects keeps the larger
+
+
+def test_radians_auto_detection_and_conversion(spark):
+    """Reference test_radians_auto_detection + conversion
+    (edge_cases:645-702): a global grid whose lon spans ~2π is
+    auto-detected as radians and converted to degrees in place; a
+    ~360-degree span detects degrees; anything else is a typed
+    coordinate error (track.py:947-971)."""
+    import datetime
+    import math
+
+    from marex_spark.exceptions import ConfigurationError
+    from marex_spark.tracker import Tracker
+
+    NYg, NXg = 5, 4
+    ext = spark.createDataFrame(
+        [(datetime.date(2020, 1, 1), 0, 0, True)],
+        "time date, y int, x int, extreme boolean",
+    )
+    def _gx(vals):
+        return spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "x int, lon double"
+        )
+    def _gy(vals):
+        return spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "y int, lat double"
+        )
+
+    lat_rad = np.linspace(-math.pi / 2, math.pi / 2, NYg)
+    lon_rad = np.linspace(0, 2 * math.pi, NXg)
+    tr = Tracker(
+        data_bin=ext, ny=NYg, nx=NXg, R_fill=0, T_fill=0,
+        area_filter_quartile=0.0, grid_y=_gy(lat_rad), grid_x=_gx(lon_rad),
+        drop_first_object=False,
+    )
+    assert tr.coordinate_units == "radians"
+    lats = [r.lat for r in tr.grid_y.orderBy("y").collect()]
+    lons = [r.lon for r in tr.grid_x.orderBy("x").collect()]
+    assert max(abs(v) for v in lats) > 10  # ~90 deg, not pi/2
+    assert max(abs(v) for v in lons) > 10  # ~360 deg, not 2*pi
+    assert lats[-1] == pytest.approx(90.0)
+    assert lons[-1] == pytest.approx(360.0)
+
+    tr_deg = Tracker(
+        data_bin=ext, ny=NYg, nx=NXg, R_fill=0, T_fill=0,
+        area_filter_quartile=0.0,
+        grid_y=_gy(np.linspace(-90, 90, NYg)),
+        grid_x=_gx(np.linspace(0, 360, NXg)),
+        drop_first_object=False,
+    )
+    assert tr_deg.coordinate_units == "degrees"
+    assert [r.lon for r in tr_deg.grid_x.orderBy("x").collect()][-1] == 360.0
+
+    with pytest.raises(ConfigurationError, match="auto-detect"):
+        Tracker(
+            data_bin=ext, ny=NYg, nx=NXg, R_fill=0, T_fill=0,
+            area_filter_quartile=0.0,
+            grid_y=_gy(np.linspace(-10, 10, NYg)),
+            grid_x=_gx(np.linspace(0, 20, NXg)),  # ambiguous regional span
+            drop_first_object=False,
+        )

@@ -155,6 +155,7 @@ class TestRunParity:
             ext, ny=NY, nx=NX, R_fill=0, T_fill=0,
             area_filter_quartile=0.0, allow_merging=False,
             grid_y=gy, grid_x=gx, grid_resolution=360.0 / NX,
+            coordinate_units="degrees",
         )
         res = t.run()
         assert res.lifetime_stats is not None
@@ -360,6 +361,7 @@ class TestReviewFixes:
             ext, ny=NY, nx=NX, R_fill=0, T_fill=0,
             area_filter_quartile=0.0, allow_merging=False,
             grid_y=gy, grid_x=gx, cell_areas=areas,
+            coordinate_units="degrees",
         ).run()
         one_cell = res.timestep_stats.filter(F.col("n_cells") == 1).first()
         if one_cell is not None:
@@ -392,6 +394,7 @@ class TestExtendFacade:
         kw = dict(
             ny=NY, nx=NX, grid_y=gy, grid_x=gx,
             R_fill=0, T_fill=0, area_filter_quartile=0.0,
+            coordinate_units="degrees",
             # the reference's first-object drop applies PER preprocessing
             # run, so append workflows must disable it for prior+extend
             # to equal one full run (same caveat as quartile re-quantiling
