@@ -36,167 +36,75 @@ import marex_spark.queries.detect_extra  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # ---- r5 window ------------------------------------------------------
-    # Tier 1 — never inside a driver window (ann_pq*/mm_scene_cuts/
-    # ccnet were added after the r4 cutoff; ccnet sat at #50 and just
-    # missed; the two s7 entries are the v3 reader + the new sharded
-    # write path):
-    "emb_pca_project",       # re-oracled this round: sample-fit PCA
-    "pipe_ccnet_buckets",
-    "ann_pq_adc",
-    "ann_ivfpq_topk",
-    "ann_pq_adc_fast",
-    "ann_ivfpq_residual_topk",   # new r5: residual IVF-PQ (Faiss IndexIVFPQ)
-    "mm_scene_cuts",
-    "s7_zarr_v3_roundtrip",
-    "s7_zarr_sharded_roundtrip",
-    # Tier 2 — rows whose code OR oracle changed this round (block-
-    # windowed NN partitioning, reference seam-rule centroids, the
-    # sampled-covariance CTE generaliser, the chunked resolver's
-    # parquet output path):
-    "emb_pca_power",
-    "trk_m9_split_merge",
-    "trk_m9_parallel",
-    "trk_j9_merge_ledger",
+    # ---- r6 window (50 = driver budget) ---------------------------------
+    # Tier 1 — the 21 rows whose last driver verification is ROUND 2
+    # (the rotation the r5 verdict ranked #1; every row is green in the
+    # local sf0.001/sf0.01 sweeps all rounds):
+    "p2_finite_filter",
+    "p3_validation_audit",
+    "p5_time_slice",
+    "p6_anti_join",
+    "p7_positive_id_cleanup",
+    "p8_dtype_casts",
+    "j2_doy_threshold_join",
+    "j3_broadcast_threshold",
+    "j6_property_lookup",
+    "j8_id_remap",
+    "a1_doy_climatology",
+    "a3_group_std",
+    "a8_conditional_sum",
+    "a12_max_count_distinct",
+    "a13_first_last_presence",
+    "so2_except",
+    "so3_union_by_name",
+    "f7_conditional",
+    "f9_clip",
+    "w5_lead_lag",
+    "wr_dense_rank_compact",
+    # Tier 2 — rows whose engine AND oracle changed this round (grid NN
+    # block window now wraps the y-block axis via modulo like the
+    # reference partition_nn_grid; the SQL replay mirrors it):
     "trk_m9nn_split_merge",
     "trk_m9nn_parallel",
-    "trk_m9u_parallel",
-    "trk_j9u_merge_ledger",
-    "trk_extend_incremental",
-    "trk_extendu_incremental",
-    "s7_zarr_roundtrip",
     # Tier 3 — green sentinels for regression cover:
     "s1_scan_pushdown",
     "trk_m5_track_nomerge",
-    # Tier 4 — oldest coverage: rows last driver-verified in ROUND 2,
-    # rotated in breadth-first across suites (the remaining r2 rows
-    # rotate in next round):
-    "tpch_q1",
-    "tpch_q5_local_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "j1_climatology_align",
-    "j5_temporal_selfjoin",
-    "j9_explode_scatter",
-    "a2_shifting_climatology",
-    "a4_histogram_2d",
-    "a5_histogram_quantile",
-    "a6_exact_quantile",
-    "a7_doy_window_percentile",
-    "a10_spherical_centroid",
-    "a11_area_percentile",
-    "a14_global_stats",
-    "w1_rolling_mean",
-    "w2_circular_doy_window",
-    "w6_cumsum_offset",
-    "w7_cdf_cumsum",
-    "wr_topk_per_group",
-    "sess_sessionize",
-    "p4_threshold_predicate",
-    "p6_semi_join",
-    "so1_union_distinct",
-    "f1_date_parts",
-    "f5_digitize",
-    "f8_pair_hash",
-    "a9_object_size",
-    # r6 ROTATION PLAN: 21 rows remain whose last driver verification
-    # is round 2 — rotate them (plus anything round 5 changes) into the
-    # next window: p2_finite_filter p3_validation_audit p5_time_slice
-    # p6_anti_join p7_positive_id_cleanup p8_dtype_casts
-    # j2_doy_threshold_join j3_broadcast_threshold j6_property_lookup
-    # j8_id_remap a1_doy_climatology a3_group_std a8_conditional_sum
-    # a12_max_count_distinct a13_first_last_presence so2_except
-    # so3_union_by_name f7_conditional f9_clip w5_lead_lag
-    # wr_dense_rank_compact
-    # ---- r4 window order below (beyond the driver's budget; kept so
-    # the full registry iteration order stays deterministic) ----------
-    # The split/merge resolver family: newly oracled this round (full
-    # SQL replay of the resolver, see queries/tracking.py) — the one §2
-    # capability VERDICT r3 flagged as never hash-verified — plus the
-    # trk_m8 row that was red on an oracle HUGEINT cast (now fixed).
-    "trk_m9_split_merge",
-    "trk_m9_parallel",
-    "trk_j9_merge_ledger",
-    # ... and its unstructured-mesh counterpart (haversine partitioning,
-    # spherical centroids) under the same replay oracle.
-    "trk_m9u_split_merge",
-    "trk_m9u_parallel",
-    "trk_j9u_merge_ledger",
-    # ... and the NN-partitioning mode (nearest parent member cell,
-    # capped, centroid fallback) — every resolver mode x geometry x
-    # tier now sits under a full replay oracle.
-    "trk_m9nn_split_merge",
-    "trk_m9nn_parallel",
-    "trk_m8_overlap_threshold",
-    # mm_feature_extract: upgraded from rows-only to a byte-exact pixel
-    # stats oracle; emb_project_fixed: new full oracle for the PCA
-    # projection path (eigh-fitted variant stays rows-only, next row).
-    "mm_feature_extract",
-    "emb_project_fixed",
-    "emb_pca_project",
-    # new r4: subspace-iteration PCA with a FULL replay oracle — the
-    # exact-decimal covariance pass + fixed-round driver iteration +
-    # projection, hash-verified end-to-end (closes the eigh gap from
-    # the verification side; emb_pca_project stays the eigh tier).
-    "emb_pca_power",
-    # §2 rows window-starved since r1 (local oracle green all rounds).
-    "f4_haversine",
-    "f6_interpolation",
-    # Dedup suite additions never inside a driver window.
-    "dedup_lsh_star_capped",
-    "dedup_cross_source",
-    "dedup_substring_spans",
-    # Text-analysis / pipeline suites added in r3 (local green, never
-    # driver-evaluated).
-    "txt_repetition_ratio",
-    "txt_chunk_windows",
-    "txt_token_count_bpe",
-    "txt_pii_redact",
-    "txt_gopher_rules",
-    "txt_tfidf_search",
-    "txt_quality_lr",
-    "txt_bpe_train",
-    "txt_bigram_logprob",
-    "pipe_stratified_sample",
-    "pipe_source_mix_temperature",
-    "pipe_corpus_curation",
-    "pipe_token_budget_mix",
-    # Embedding / ANN additions (in-engine k-means training included).
-    "ann_ivf_seeded_topk",
-    "emb_quantize_int8",
-    "emb_kmeans_assign",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_kmeans_recall",
-    # Event-analytics + detect additions.
-    "evt_funnel",
-    "evt_retention_cohorts",
-    "det_packed_unstructured",
-    "mhw_episode_stats",
-    # New this round: NetCDF-4/HDF5 ingestion through the stdlib chunk
-    # B-tree reader, the S3/S4/S5 sink round-trips (checkpoint,
-    # dynamic-partition region overwrite, stats sidecar), and the zarr
-    # sink round-trip — none ever driver-evaluated.
-    "s2_netcdf4_scan",
-    "s3_checkpoint_roundtrip",
-    "s4_region_overwrite",
-    "s5_stats_sidecar",
-    "s7_zarr_roundtrip",
-    # mesh incremental append (new r4): oracle = full no-merge mesh
-    # chain replay, proving mesh-incremental == mesh-from-scratch
-    "trk_extendu_incremental",
-    # r4-late additions, never driver-evaluated: CCNet-style paragraph
-    # dedup, the classifier AUC gate, and sequence packing — with these
-    # five in the window, EVERY registry entry has been inside a driver
-    # window at least once after this round.
-    "dedup_paragraphs",
-    "txt_lr_auc",
-    "pipe_sequence_packing",
-    # r4 fifth-session additions (full oracles, never driver-evaluated):
-    # DSIR importance resampling and CCNet perplexity buckets — they
-    # take the two sentinel slots (the 48 rows above already exercise
-    # every shared code path the sentinels covered).
-    "pipe_dsir_resample",
-    "pipe_ccnet_buckets",
+    # Tier 4 — oldest remaining coverage: 25 of the 42 rows last
+    # verified in ROUND 3, breadth-first across suites (tracking/
+    # morphology + ingestion + detect first, then one-per-family LLM
+    # rows). REMAINDER RULE: the 17 r3 rows not listed here
+    # (ann_cosine_topk_fast, ann_ivf_recall/topk, decontam_ngram,
+    # dedup_cluster_canonical/_embedding_cosine/_ngram_jaccard/
+    # _simhash, mm_frame_sample/_media_meta/_resize_plan,
+    # ops_range_join/_rollup_hier, txt_fingerprint/_quality_score/
+    # _source_stats/_unigram_logprob) plus the r4 cohort rotate into
+    # the r7 window, keeping every row's last driver verification
+    # within ~3 rounds.
+    "trk_m1_morph_close",
+    "trk_m2_dilate_unstructured",
+    "trk_m3_time_gap_fill",
+    "trk_m4_label_components",
+    "trk_m6_label_unstructured",
+    "trk_m7_connected_components",
+    "m11_circular_centroid",
+    "p1_mask_filter",
+    "j4_std_normalise",
+    "w3_circular_std_smooth",
+    "w4_spatial_rolling",
+    "f2_harmonics",
+    "f3_linear_detrend",
+    "s2_netcdf_scan",
+    "s6_catalog_scan",
+    "det_packed_threshold",
+    "viz_clim_robust",
+    "viz_trajectory_unwrap",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "ann_lsh_bucket",
+    "txt_token_count",
+    "txt_langid",
+    "ops_asof_join",
 ]
 
 
