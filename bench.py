@@ -301,6 +301,47 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
 
     guarded("detect_only_shifting_hobday_spatial", _spatial_bench)
 
+    # scale rehearsal (VERDICT r5 #5): ≥1e9 cell-days DISTRIBUTED —
+    # 30 y daily × 240×480 (0.75° global) ≈ 1.26e9 cell-days, ~5 GB
+    # packed parquet, through the BASELINE row-1 config
+    # (detrend_harmonic + global threshold). The fixture lands once in
+    # warmup via the numpy packed generator and is REUSED across bench
+    # runs (row-count check); the timed region is the scan-bound
+    # steady state the 100 TB design claims: parquet scan → one band
+    # shuffle → mapInArrow detrend+threshold kernel → noop.
+    band_path = f"{tmp}/marex_bench_band_100x"
+    band_cfg = {"n_years": 30, "ny": 240, "nx": 480}
+    if sf < 0.05:
+        band_cfg = None  # skip the 5 GB fixture on the quick local SFs
+    try:
+        from marex_spark.operators.detect_blocked import (
+            materialize_packed_band_fixture,
+        )
+
+        if band_cfg is not None:
+            materialize_packed_band_fixture(spark, band_path, **band_cfg)
+    except Exception as e:
+        errors["__band_warmup__"] = f"{type(e).__name__}: {e}"
+        note(f"band warmup: ERROR {type(e).__name__}")
+
+    def _band_bench() -> int:
+        from marex_spark.operators.detect_blocked import (
+            detect_extremes_blocked_packed,
+        )
+
+        cells = detect_extremes_blocked_packed(
+            spark.read.parquet(band_path),
+            method_percentile="histogram",
+            method_anomaly="detrend_harmonic",
+            method_extreme="global_extreme",
+        )
+        cells.write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        return 0
+
+    if band_cfg is not None:
+        guarded("detect_only_band_100x", _band_bench)
+
     # the unstructured (mesh) fast path at the same 10x volume: 3200
     # cells x 30y daily ≈ 35M cell-days through pack_unstructured's
     # block layout + the identical band kernel (fixed + hobday). The

@@ -1056,6 +1056,85 @@ def materialize_packed_bench(
     return path
 
 
+def materialize_packed_band_fixture(
+    spark,
+    path: str,
+    n_years: int = 30,
+    ny: int = 240,
+    nx: int = 480,
+    seed: int = 42,
+    reuse: bool = True,
+) -> str:
+    """Billion-cell-day packed bench fixture (default 30 y daily ×
+    240×480 ≈ 1.26e9 cell-days, ~5 GB parquet) for the scan-bound
+    scale rehearsal rows. Rows are generated DIRECTLY in the packed
+    layout by a numpy ``mapInArrow`` kernel — same statistical shape
+    as :func:`synthetic_sst_gridded` (latitude base + seasonal cycle +
+    trend + bounded noise) but with Philox counter-based noise seeded
+    per Arrow batch, which generates ~50× faster than the per-cell
+    hash-expression chain (fixture generation is not engine cost, but
+    warmup wall-clock is still bench wall-clock; the noise is
+    batch-layout-dependent — fine for a throughput fixture, use the
+    expression generators for value-pinned parity). ``reuse=True`` skips
+    generation when the parquet already exists with a matching row
+    count, so repeated bench passes pay nothing."""
+    import os
+
+    n_days = n_years * 365
+    expected = n_days * ny
+    if reuse and os.path.isdir(path):
+        try:
+            if spark.read.parquet(path).count() == expected:
+                return path
+        except Exception:
+            pass
+
+    def _gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("id").to_numpy()
+            t = (ids // ny).astype(np.int64)
+            y = (ids % ny).astype(np.int64)
+            lat = -85.0 + y * (170.0 / max(ny - 1, 1))
+            base = 18.0 - 0.25 * np.abs(lat)
+            seasonal = (
+                8.0
+                * np.cos(2 * np.pi * (t % 365) / 365.0)
+                * np.sign(-lat - 1e-12)
+            )
+            trend = 0.02 * (t / 365.0)
+            rows = base + seasonal + trend  # (n,)
+            n = len(ids)
+            rng = np.random.Generator(
+                np.random.Philox(key=seed, counter=[0, 0, 0, int(ids[0])])
+            )
+            noise = rng.uniform(-1.0, 1.0, size=(n, nx)).astype(np.float32)
+            vals = (rows[:, None] + noise).astype(np.float32)
+            arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(vals.ravel(), type=pa.float32()), nx
+            ).cast(pa.list_(pa.float32()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(t), pa.array(y), arr], ["t", "y", "vals"]
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    packed = (
+        spark.range(expected).repartition(par * 4)
+        .mapInArrow(_gen, "t long, y long, vals array<float>")
+        .select(
+            F.timestamp_add(
+                "DAY", F.col("t").cast("int"),
+                F.lit("2000-01-01").cast("timestamp"),
+            ).alias("time"),
+            F.col("y").cast("int").alias("y"),
+            "vals",
+        )
+    )
+    packed.write.mode("overwrite").parquet(path)
+    return path
+
+
 def detect_track_packed(
     spark,
     sf: float,

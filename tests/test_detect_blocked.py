@@ -552,3 +552,53 @@ def test_hobday_int32_fallback_matches_uint16(monkeypatch):
     monkeypatch.setattr(db, "_U16_BUDGET", 0)
     slow = db._thr_hobday(*args)
     assert np.array_equal(fast, slow, equal_nan=True)
+
+
+def test_band_fixture_generator(spark, tmp_path):
+    """The numpy packed bench fixture: correct packed schema and row
+    count, values finite and latitude-shaped, reuse path hits (second
+    call leaves the files untouched), and the blocked detect kernel
+    consumes it end-to-end."""
+    import os
+
+    from marex_spark.operators.detect_blocked import (
+        detect_extremes_blocked_packed,
+        materialize_packed_band_fixture,
+    )
+
+    path = str(tmp_path / "band")
+    materialize_packed_band_fixture(
+        spark, path, n_years=1, ny=6, nx=8
+    )
+    df = spark.read.parquet(path)
+    assert df.schema.simpleString() == (
+        "struct<time:timestamp,y:int,vals:array<float>>"
+    )
+    assert df.count() == 365 * 6
+    row = df.filter("y = 0").first()
+    assert len(row.vals) == 8
+    assert all(abs(v) < 100 for v in row.vals)
+    # polar band (y=0 -> lat -85) is colder than the equator band
+    import pyspark.sql.functions as F
+    m = (
+        df.select("y", F.explode("vals").alias("v"))
+        .groupBy("y").agg(F.avg("v").alias("m"))
+        .orderBy("y").collect()
+    )
+    assert m[0].m < m[2].m + 5  # latitude gradient present
+
+    mtimes = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    materialize_packed_band_fixture(spark, path, n_years=1, ny=6, nx=8)
+    for f, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(path, f)) == t  # reused
+
+    cells = detect_extremes_blocked_packed(
+        df, method_anomaly="detrend_harmonic",
+        method_extreme="global_extreme",
+    )
+    n = cells.count()
+    assert n > 0
+    assert n < 365 * 6 * 8 * 0.2  # ~5% extremes, loose bound
