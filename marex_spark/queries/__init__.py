@@ -63,9 +63,12 @@ _PRIORITY = [
     "wr_dense_rank_compact",
     # Tier 2 — rows whose engine AND oracle changed this round (grid NN
     # block window now wraps the y-block axis via modulo like the
-    # reference partition_nn_grid; the SQL replay mirrors it):
+    # reference partition_nn_grid; the SQL replay mirrors it), plus
+    # the two operators ADDED this round (never driver-verified):
     "trk_m9nn_split_merge",
     "trk_m9nn_parallel",
+    "decontam_bloom",
+    "dedup_semdedup",
     # Tier 3 — green sentinels for regression cover:
     "s1_scan_pushdown",
     "trk_m5_track_nomerge",
@@ -103,8 +106,8 @@ _PRIORITY = [
     "ann_cosine_topk",
     "ann_lsh_bucket",
     "txt_token_count",
-    "txt_langid",
-    "ops_asof_join",
+    # (txt_langid and ops_asof_join yielded their slots to the two new
+    # r6 operators; they join the r7 remainder)
 ]
 
 

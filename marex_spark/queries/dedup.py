@@ -717,3 +717,121 @@ def dedup_paragraphs(spark, sf_dir):
             ).alias("kept_ratio"),
         )
     )
+
+
+# ----------------------------------------- Bloom-filter decontamination
+
+# Bitset geometry: m = 2^14 bits, k = 3 salted-md5 probes. At real
+# benchmark sizes (10^5-10^6 shingles) production uses m ~ 2^27+, but
+# the mechanics — and the false-positive behaviour the operator
+# exists to bound — are scale-free.
+_BLOOM_M = 16384
+_BLOOM_K = 3
+
+
+def _bloom_pos(col, i: int):
+    """Probe i's bit position for a shingle: salted md5 → 15 hex
+    digits → int64 → mod m (the md5/conv convention every cross-engine
+    hash in this module uses)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f"#{i}"))), 1, 15), 16, 10
+        ).cast("long")
+        % _BLOOM_M
+    )
+
+
+def _bloom_pos_sql(expr: str, i: int) -> str:
+    return (
+        f"CAST(CONCAT('0x', SUBSTRING(md5({expr} || '#{i}'), 1, 15)) "
+        f"AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+_DECONTAM_BLOOM_SQL = f"""WITH sh AS ({_shingles_sql(5)}),
+    s AS (
+      SELECT sh.doc_id, sh.shingle, d.source
+      FROM sh JOIN documents d USING (doc_id)),
+    bench AS (SELECT DISTINCT shingle FROM s WHERE source = 'src0'),
+    bits AS (
+      SELECT DISTINCT p FROM (
+        {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('shingle', i)} AS p FROM bench" for i in range(_BLOOM_K))}
+      )),
+    tr AS (SELECT doc_id, shingle FROM s WHERE source <> 'src0'),
+    probes AS (
+      {" UNION ALL ".join(f"SELECT doc_id, shingle, {i} AS i, {_bloom_pos_sql('shingle', i)} AS p FROM tr" for i in range(_BLOOM_K))}
+    ),
+    hits AS (
+      SELECT doc_id, shingle
+      FROM probes JOIN bits USING (p)
+      GROUP BY doc_id, shingle
+      HAVING COUNT(DISTINCT i) = {_BLOOM_K}),
+    tot AS (SELECT doc_id, COUNT(*) AS n FROM tr GROUP BY doc_id),
+    hf AS (SELECT doc_id, COUNT(*) AS nh FROM hits GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_flagged,
+           {round6_sql('COALESCE(h.nh, 0) / CAST(t.n AS DOUBLE)')} AS contamination_bloom
+    FROM tot t LEFT JOIN hf h ON t.doc_id = h.doc_id"""
+
+
+@register("decontam_bloom", _DECONTAM_BLOOM_SQL)
+def decontam_bloom(spark, sf_dir):
+    """Bloom-filter benchmark decontamination — the constant-space form
+    of :func:`decontam_ngram`: the held-out benchmark's 5-gram shingles
+    (source 'src0') are folded into an m-bit Bloom bitset (k salted-md5
+    probes), and every TRAINING shingle is probed against it — flagged
+    iff all k bits are set, so contamination_bloom ⊇ the exact fraction
+    (false positives possible, false negatives impossible — the
+    property that makes Bloom the right gate before an exact check).
+
+    Scale shape: the bitset is built once from the benchmark side
+    (bounded by m bits — 2 KB here, a few hundred MB for a 2^31-bit
+    production filter) and embedded as a PLAIN ARRAY LITERAL, so the
+    100 TB corpus side is a map-only membership probe inside
+    whole-stage codegen — no join, no shuffle against the benchmark,
+    unlike decontam_ngram's broadcast semi-probe. The only exchanges
+    left are the shingle distinct and the per-doc aggregate
+    (plan-pinned in tests/test_plans.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, 5).join(docs.select("doc_id", "source"), "doc_id")
+    bench = (
+        sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    )
+    pos_rows = (
+        bench.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col("shingle"), i) for i in range(_BLOOM_K)]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = [False] * _BLOOM_M
+    for r in pos_rows:
+        bits[int(r[0])] = True
+    bitset = F.lit(bits)  # the Bloom filter, as a literal in the plan
+    tr = sh.filter(F.col("source") != "src0")
+    flagged = None
+    for i in range(_BLOOM_K):
+        probe = F.element_at(
+            bitset, (_bloom_pos(F.col("shingle"), i) + 1).cast("int")
+        )
+        flagged = probe if flagged is None else (flagged & probe)
+    return (
+        tr.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(flagged.cast("long")).alias("nh"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_shingles"),
+            F.col("nh").cast("long").alias("n_flagged"),
+            round6(F.col("nh") / F.col("n").cast("double")).alias(
+                "contamination_bloom"
+            ),
+        )
+    )

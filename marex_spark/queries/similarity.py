@@ -1518,3 +1518,133 @@ def ann_pq_adc_fast(spark, sf_dir):
         .limit(_PQ_TOPK)
         .select("vec_id", round6(F.col("adc")).alias("adc_dist2"))
     )
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+# Synthetic embeddings are near-orthogonal; the same threshold the
+# embedding-cosine dedup uses keeps the operator non-trivial here
+# (real corpora run ~0.95+).
+_SEM_TAU = 0.25
+
+
+def _semdedup_oracle(k: int, n_iter: int) -> str:
+    a = f"a{n_iter}"
+    return (
+        _kmeans_ctes(k, n_iter)
+        + f""",
+    asg AS (SELECT vec_id, cent_id, dist2 FROM {a} WHERE rn = 1),
+    ec AS (
+      SELECT e.vec_id, e.idx, e.comp, g.cent_id
+      FROM e JOIN asg g ON g.vec_id = e.vec_id),
+    dots AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             {dec_sql('x.comp * y.comp')} AS dot
+      FROM ec x JOIN ec y
+        ON x.idx = y.idx AND x.cent_id = y.cent_id
+       AND x.vec_id < y.vec_id
+      GROUP BY 1, 2),
+    nrm AS (
+      SELECT vec_id, sqrt({dec_sql('comp * comp')}) AS nrm
+      FROM e GROUP BY vec_id),
+    dup AS (
+      SELECT d.id_a, d.id_b
+      FROM dots d
+      JOIN nrm na ON na.vec_id = d.id_a
+      JOIN nrm nb ON nb.vec_id = d.id_b
+      WHERE d.dot / (na.nrm * nb.nrm) >= {_SEM_TAU!r}),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM dup
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM dup),
+    dropped AS (
+      SELECT DISTINCT s.v AS vec_id
+      FROM sym s
+      JOIN asg da ON da.vec_id = s.u
+      JOIN asg db ON db.vec_id = s.v
+      WHERE da.dist2 > db.dist2
+         OR (da.dist2 = db.dist2 AND s.u < s.v))
+    SELECT g.vec_id, CAST(g.cent_id AS BIGINT) AS cent_id,
+           (d.vec_id IS NULL) AS keep
+    FROM asg g LEFT JOIN dropped d ON d.vec_id = g.vec_id"""
+    )
+
+
+@register("dedup_semdedup", _semdedup_oracle(_KM_K, _KM_ITER))
+def dedup_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means over the embedding corpus (the
+    in-engine Lloyd's trainer), exact pairwise cosine WITHIN each
+    learned cluster only, then a one-pass keep rule — a vector is
+    dropped when some τ-neighbour in its cluster ranks earlier in
+    (dist2-to-centroid DESC, vec_id ASC) priority, i.e. the kept
+    representative of each near-duplicate neighbourhood is the one
+    FARTHEST from its centroid (the paper's low-centroid-similarity
+    preference), deterministic tie-break by id. One pass, not the
+    iterative greedy variant — droppers may themselves be dropped;
+    the rule is stated here and replayed exactly by the oracle.
+
+    Scale shape: pair generation is O(n²/k) via the cluster block key
+    (exactly the IVF-bucket candidate structure), centroids are k×d
+    literals, and the keep rule is two broadcast-sized joins of the
+    pair list against the assignment — the corpus is never joined
+    against itself unblocked."""
+    from marex_spark.operators.embed import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=_KM_K, n_iter=_KM_ITER)
+    asg = kmeans_assign(emb, cents).select("vec_id", "cent_id", "dist2")
+    e = (
+        emb.select("vec_id", F.posexplode("embedding").alias("idx", "comp"))
+        .withColumn("comp", F.col("comp").cast("double"))
+        .join(asg.select("vec_id", "cent_id"), "vec_id")
+    )
+    x, y = e.alias("x"), e.alias("y")
+    dots = (
+        x.join(
+            y,
+            (F.col("x.idx") == F.col("y.idx"))
+            & (F.col("x.cent_id") == F.col("y.cent_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .groupBy(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+        .agg(dsum(F.col("x.comp") * F.col("y.comp"), "dot"))
+    )
+    nrm = e.groupBy("vec_id").agg(
+        F.sqrt(dsum(F.col("comp") * F.col("comp"))).alias("nrm")
+    )
+    dup = (
+        dots.join(
+            F.broadcast(nrm.select(F.col("vec_id").alias("id_a"),
+                                   F.col("nrm").alias("na"))), "id_a")
+        .join(
+            F.broadcast(nrm.select(F.col("vec_id").alias("id_b"),
+                                   F.col("nrm").alias("nb"))), "id_b")
+        .filter(F.col("dot") / (F.col("na") * F.col("nb")) >= _SEM_TAU)
+        .select("id_a", "id_b")
+    )
+    sym = dup.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionAll(dup.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    da = asg.select(F.col("vec_id").alias("u"), F.col("dist2").alias("du"))
+    db = asg.select(F.col("vec_id").alias("v"), F.col("dist2").alias("dv"))
+    dropped = (
+        sym.join(F.broadcast(da), "u")
+        .join(F.broadcast(db), "v")
+        .filter(
+            (F.col("du") > F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select(F.col("v").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        asg.join(dropped.withColumn("_d", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cent_id").cast("long").alias("cent_id"),
+            F.col("_d").isNull().alias("keep"),
+        )
+    )

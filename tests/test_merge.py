@@ -595,3 +595,56 @@ def test_nn_grid_block_window_wraps_y():
         grid=True, nx=8, wrap_x=False, block=2, cap2=64.0, ny=8,
     )
     assert far_x[0] == 49.0
+
+
+def test_mesh_adj_broadcast_path_identical(spark, monkeypatch):
+    """Past _MESH_ADJ_BCAST_BYTES the parallel tier ships the mesh CSR
+    as a Spark broadcast variable instead of a task-closure capture;
+    forcing the threshold to 0 must leave the output and ledger
+    byte-identical to the closure path (and to the serial tier)."""
+    import datetime as _dt
+
+    import marex_spark.operators.merge as mg
+
+    n_cell = 60
+    edges = spark.createDataFrame(
+        [(c, (c + 1) % n_cell) for c in range(n_cell)]
+        + [((c + 1) % n_cell, c) for c in range(n_cell)],
+        "cell long, nbr long",
+    )
+    geo = spark.createDataFrame(
+        [(c, 0.0, c * 6.0) for c in range(n_cell)],
+        "cell long, lat double, lon double",
+    )
+    t0 = _dt.datetime(2021, 1, 1)
+    rows = []
+    for t in range(12):
+        c0 = (3 * t) % n_cell
+        c1 = (30 - 2 * t) % n_cell
+        for c in range(n_cell):
+            if min(abs(c - c0), n_cell - abs(c - c0)) <= 3 or min(
+                abs(c - c1), n_cell - abs(c - c1)
+            ) <= 3:
+                rows.append((t0 + _dt.timedelta(days=t), c, True))
+    ext = spark.createDataFrame(rows, "time timestamp, cell long, extreme boolean")
+    from marex_spark.operators.label import label_components_unstructured
+
+    labels = label_components_unstructured(
+        ext, edges, time_col="time"
+    ).localCheckpoint()
+
+    def run_parallel():
+        out, led = mg.split_merge_events_parallel(
+            labels, geometry="sphere", cell_geo=geo, block_steps=3,
+            overlap_threshold=0.5, time_col="time",
+            nn_partitioning=True, mesh_edges=edges,
+        )
+        return (
+            sorted(map(tuple, out.select("time", "cell", "obj_id").collect())),
+            sorted(map(tuple, led.collect())),
+        )
+
+    closure = run_parallel()
+    monkeypatch.setattr(mg, "_MESH_ADJ_BCAST_BYTES", 0)
+    broadcast = run_parallel()
+    assert closure == broadcast

@@ -380,3 +380,38 @@ def test_mesh_morphology_kernel_single_shuffle(spark):
     )
     out = morph_close_open_unstructured(cells, edges, 2, refill_radius=1)
     assert exchange_count(out) <= 1, exchange_count(out)
+
+
+def test_decontam_bloom_corpus_side_is_map_only(spark):
+    """The Bloom bitset is an array LITERAL in the plan: the corpus
+    side probes it inside codegen — no join, broadcast or otherwise,
+    between the training shingles and any benchmark-derived table.
+    The plan's only joins are the doc_id → source attachment; the
+    bench side contributes nothing to the scored plan at all."""
+    from marex_spark.plans import plan_string
+    from marex_spark.queries.dedup import decontam_bloom
+
+    out = decontam_bloom(spark, SF)
+    plan = plan_string(out)
+    # the bitset travels as a literal, so exactly ONE join survives
+    # (shingles ⋈ documents for the source column) — a second join
+    # would mean the benchmark set leaked back in as a table
+    n_joins = plan.count("Join")
+    assert n_joins <= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+    # per-doc aggregate is map-side combinable
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_semdedup_pairs_blocked_by_cluster(spark):
+    """SemDeDup pair generation must stay blocked by the learned
+    cluster key — the self-join condition includes cent_id, so the
+    corpus never pairs unblocked — and the keep-rule joins against
+    the assignment stay broadcast."""
+    from marex_spark.plans import plan_string
+    from marex_spark.queries.similarity import dedup_semdedup
+
+    out = dedup_semdedup(spark, SF)
+    plan = plan_string(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

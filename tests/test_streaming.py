@@ -495,3 +495,47 @@ def test_stream_ivfpq_residual_scoring_matches_batch(spark, tmp_path):
             assert r.adc_dist2 == expect[r.vec_id][1]
         else:
             assert r.adc_dist2 is None
+
+
+def test_stream_bloom_decontaminate_matches_batch(doc_stream_env):
+    """The streaming Bloom gate is a pure map pass over an array-
+    literal bitset; its per-doc flag counts must equal a batch
+    evaluation of the SAME expression, and every exact-contaminated
+    doc (decontaminate_stream's join) must also be Bloom-flagged (no
+    false negatives — the defining Bloom property)."""
+    from marex_spark.queries.dedup import _BLOOM_K, _BLOOM_M, _bloom_pos
+    from marex_spark.streaming.documents import (
+        bloom_decontaminate_stream,
+        decontaminate_stream,
+    )
+
+    spark, tmp, src, df = doc_stream_env
+    bench_ws = df.filter(F.col("doc_id") == 0).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.split("text", " ")) - 5),
+                lambda i: F.array_join(F.slice(F.split("text", " "), i + 1, 5), " "),
+            )
+        ).alias("shingle")
+    ).distinct()
+    pos = bench_ws.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("shingle"), i) for i in range(_BLOOM_K)])
+        ).alias("p")
+    ).distinct().collect()
+    bits = [False] * _BLOOM_M
+    for r in pos:
+        bits[int(r[0])] = True
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = _drain(
+        bloom_decontaminate_stream(stream, bits), spark, tmp, "bloom_out"
+    )
+    batch = bloom_decontaminate_stream(df, bits)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    bloom_flagged = {r.doc_id for r in out.filter("n_flagged > 0").collect()}
+    exact = decontaminate_stream(df, bench_ws)
+    exact_flagged = {r.doc_id for r in exact.select("doc_id").distinct().collect()}
+    assert exact_flagged <= bloom_flagged  # no false negatives
