@@ -6,8 +6,9 @@ grid becomes a DataFrame of chunk keys and executors decode their own
 chunk files in parallel via mapInPandas — no driver-side array
 materialisation, so a 100 TB store ingests as wide as the cluster.
 
-Codecs: stdlib zlib/gzip/raw built in; anything else (blosc, zstd)
-routes through numcodecs when installed, else raises a typed
+Codecs: stdlib zlib/gzip/raw built in; blosc via the pure-Python
+frame decoder (sources/blosc.py), raw zstd via pyarrow's bundled
+codec; anything else routes through numcodecs when installed, else raises a typed
 DependencyError.
 """
 
@@ -55,7 +56,7 @@ def _parse_v3_codecs(codecs: list, allow_shard: bool = False):
         elif name == "blosc":
             comp = {"id": "blosc"}
         elif name == "zstd":
-            comp = {"id": "zstd"}  # numcodecs route (typed error if absent)
+            comp = {"id": "zstd"}  # pyarrow bundled codec
         elif name == "sharding_indexed" and allow_shard:
             inner_comp, _ = _parse_v3_codecs(cfg.get("codecs") or [])
             index_codecs = cfg.get("index_codecs") or []
@@ -140,8 +141,8 @@ def _read_meta(array_dir: str) -> dict:
     default format of zarr-python 3.x, which xarray/the reference's
     ecosystem now writes); v3 codecs bytes/gzip/zlib/blosc map onto the
     existing decoders, ``sharding_indexed`` decodes through
-    :func:`_decode_shard`, anything else (transpose, zstd without
-    numcodecs) refuses loudly."""
+    :func:`_decode_shard`, zstd decodes via pyarrow; anything else
+    (transpose, exotic codecs) refuses loudly."""
     p2 = os.path.join(array_dir, ".zarray")
     if os.path.exists(p2):
         with open(p2) as f:
@@ -249,6 +250,14 @@ def _decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
                         "re-write the store with blosc(cname='lz4'|'zstd', shuffle=1)",
                     ],
                 ) from nie
+    elif comp.get("id") == "zstd":
+        # raw zstd frames (zarr v3's common default codec; also the
+        # v2 numcodecs Zstd id) via pyarrow's bundled codec — exact
+        # decompressed size is known from the chunk geometry
+        import pyarrow as pa
+
+        n = int(np.prod(meta["chunks"])) * np.dtype(meta["dtype"]).itemsize
+        buf = pa.Codec("zstd").decompress(raw, decompressed_size=n).to_pybytes()
     else:
         try:  # real codec stack, if installed
             import numcodecs
@@ -567,11 +576,21 @@ def _encode_chunk(
 
             return gzip.compress(raw, compressor.get("level", 1))
         return zlib.compress(raw, compressor.get("level", 1))
+    if compressor.get("id") == "zstd":
+        # standard zstd frames via pyarrow's bundled codec — readable
+        # by numcodecs Zstd (v2) and zarr-python's ZstdCodec (v3)
+        import pyarrow as pa
+
+        codec = pa.Codec("zstd", compression_level=compressor.get("level", 1))
+        return codec.compress(raw).to_pybytes()
     from marex_spark.exceptions import ConfigurationError
 
     raise ConfigurationError(
         f"unsupported zarr write compressor {compressor.get('id')!r}",
-        suggestions=["use compressor={'id': 'zlib', 'level': 1} or None"],
+        suggestions=[
+            "use compressor={'id': 'zlib', 'level': 1}, "
+            "{'id': 'zstd', 'level': 3}, or None"
+        ],
     )
 
 
@@ -608,12 +627,23 @@ def _v3_array_meta(
 ) -> dict:
     codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
     if compressor is not None:
-        codecs.append(
-            {
-                "name": "gzip",
-                "configuration": {"level": compressor.get("level", 1)},
-            }
-        )
+        if compressor.get("id") == "zstd":
+            codecs.append(
+                {
+                    "name": "zstd",
+                    "configuration": {
+                        "level": compressor.get("level", 1),
+                        "checksum": False,
+                    },
+                }
+            )
+        else:
+            codecs.append(
+                {
+                    "name": "gzip",
+                    "configuration": {"level": compressor.get("level", 1)},
+                }
+            )
     if shard_shape is not None:
         # sharding_indexed: the chunk grid is the SHARD grid; the given
         # chunk_shape becomes the inner chunk shape. Index = raw

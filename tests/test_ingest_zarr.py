@@ -882,3 +882,70 @@ class TestBloscZstd:
             pass
         with pytest.raises(DependencyError):
             read_array_driver(str(var))
+
+
+class TestZstdCodec:
+    """Raw-zstd codec paths (pyarrow bundled, no numcodecs): v2 store
+    with numcodecs' Zstd id, v3 with the spec's zstd codec, and
+    sharded v3 with zstd inner chunks — write and read both ways."""
+
+    def _df(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.range(6 * 4 * 5).select(
+            F.expr("date_add(DATE '2012-06-01', CAST(id / 20 AS INT))")
+            .cast("timestamp").alias("time"),
+            (F.col("id") % 20 / 5).cast("int").alias("y"),
+            (F.col("id") % 5).cast("int").alias("x"),
+            (F.col("id") * 1.5).cast("float").alias("value"),
+        ).filter("NOT (y = 2 AND x = 3)")
+
+    def _roundtrip(self, spark, tmp_path, name, **kw):
+        from marex_spark.sources.zarr import (
+            ingest_zarr_gridded,
+            write_zarr_gridded,
+        )
+
+        store = str(tmp_path / name)
+        df = self._df(spark)
+        write_zarr_gridded(
+            df, store, var="v", chunks=(2, 2, 3),
+            compressor={"id": "zstd", "level": 3}, **kw,
+        )
+        back = ingest_zarr_gridded(spark, store, "v", layout="long")
+        a = {(r.time, r.y, r.x): r.value for r in df.collect()}
+        b = {(r.time, r.y, r.x): r.value for r in back.collect()}
+        assert a == b
+        return store
+
+    def test_v2_zstd_roundtrip(self, spark, tmp_path):
+        store = self._roundtrip(spark, tmp_path, "z2.zarr")
+        meta = json.loads((tmp_path / "z2.zarr" / "v" / ".zarray").read_text())
+        assert meta["compressor"]["id"] == "zstd"
+        # frames are real zstd (magic 0xFD2FB528 little-endian)
+        chunk = next(
+            p for p in (tmp_path / "z2.zarr" / "v").iterdir()
+            if p.name[0].isdigit()
+        )
+        assert chunk.read_bytes()[:4] == b"\x28\xb5\x2f\xfd"
+
+    def test_v3_zstd_roundtrip(self, spark, tmp_path):
+        self._roundtrip(spark, tmp_path, "z3.zarr", zarr_format=3)
+        meta = json.loads(
+            (tmp_path / "z3.zarr" / "v" / "zarr.json").read_text()
+        )
+        names = [c["name"] for c in meta["codecs"]]
+        assert names == ["bytes", "zstd"]
+        assert meta["codecs"][1]["configuration"]["checksum"] is False
+
+    def test_v3_sharded_zstd_roundtrip(self, spark, tmp_path):
+        self._roundtrip(
+            spark, tmp_path, "z3s.zarr", zarr_format=3,
+            shard_shape=(4, 4, 6),
+        )
+        meta = json.loads(
+            (tmp_path / "z3s.zarr" / "v" / "zarr.json").read_text()
+        )
+        assert meta["codecs"][0]["name"] == "sharding_indexed"
+        inner = meta["codecs"][0]["configuration"]["codecs"]
+        assert [c["name"] for c in inner] == ["bytes", "zstd"]
