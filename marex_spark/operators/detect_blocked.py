@@ -1084,7 +1084,14 @@ def materialize_packed_band_fixture(
     expected = n_days * ny
     if reuse and os.path.isdir(path):
         try:
-            if spark.read.parquet(path).count() == expected:
+            prior = spark.read.parquet(path)
+            # row count pins (n_years, ny); the vals width pins nx —
+            # without it a re-parameterised run could silently reuse a
+            # fixture of the wrong x extent
+            if (
+                prior.count() == expected
+                and len(prior.select("vals").first()[0]) == nx
+            ):
                 return path
         except Exception:
             pass

@@ -240,10 +240,12 @@ def _collect_mesh_adj(
     row index in the dataset's (n_nbr, cells) neighbours array), the
     CSR is SLOT-PADDED: uniform stride, -1 at missing slots, so
     ``indices[indptr[c] + k]`` is exactly the reference's
-    ``neighbours_int[k, c]`` — required for bit-exact replication of
-    the hop-BFS within-round chaining (a plain (cell, nbr) table
-    compacts missing slots, which shifts WHEN a mid-round-visited
-    cell's remaining slots expand; documented deviation)."""
+    ``neighbours_int[k, c]``. Under the adjudicated ONE-HOP-per-round
+    BFS (see :func:`_partition_nn_mesh_hops`) padded and compact CSRs
+    give identical assignments — the padding's value is the 1:1
+    layout mapping for diagnostics against the reference arrays, and
+    it is what a chained-expansion variant would need if the
+    adjudication ever flips."""
     n_edges = mesh_edges.count()
     limit = MESH_ADJ_EDGE_BUDGET if edge_budget is None else edge_budget
     if limit and n_edges > limit:
@@ -258,10 +260,13 @@ def _collect_mesh_adj(
             details={"n_edges": int(n_edges), "budget": int(limit)},
         )
     has_slots = "slot" in mesh_edges.columns
-    if has_slots:
-        rows = mesh_edges.select("cell", "nbr", "slot").collect()
-    else:
-        rows = mesh_edges.select("cell", "nbr").collect()
+    # Arrow collect + vectorised numpy: a row-object .collect() of 1e8
+    # edges costs ~20x the CSR in boxed Python objects — the budget
+    # above sizes the ARRAYS, so the transfer has to stay array-shaped
+    cols = ("cell", "nbr", "slot") if has_slots else ("cell", "nbr")
+    epdf = mesh_edges.select(*cols).toPandas()
+    src = epdf["cell"].to_numpy(np.int64)
+    dst = epdf["nbr"].to_numpy(np.int64)
     n = None
     areas = None
     mean_area = 0.0
@@ -270,30 +275,31 @@ def _collect_mesh_adj(
         if mx is not None:
             n = int(mx) + 1
         if "area" in cell_geo.columns:
-            geo_rows = cell_geo.select("cell", "area").collect()
-            if geo_rows:
-                n_geo = max(n or 0, max(int(r[0]) for r in geo_rows) + 1)
+            gpdf = cell_geo.select("cell", "area").toPandas()
+            if len(gpdf):
+                gcell = gpdf["cell"].to_numpy(np.int64)
+                n_geo = max(n or 0, int(gcell.max()) + 1)
                 areas = np.zeros(n_geo, dtype=np.float64)
-                for r in geo_rows:
-                    areas[int(r[0])] = float(r[1])
-                mean_area = float(np.mean([float(r[1]) for r in geo_rows]))
+                areas[gcell] = gpdf["area"].to_numpy(np.float64)
+                mean_area = float(gpdf["area"].to_numpy(np.float64).mean())
                 n = n_geo
-    pairs = [(int(r[0]), int(r[1])) for r in rows]
-    if n is not None and pairs:
-        n = max(n, max(max(a, b) for a, b in pairs) + 1)
-    if has_slots and rows:
+    if n is not None and len(src):
+        n = max(n, int(max(src.max(), dst.max())) + 1)
+    if has_slots and len(src):
+        slots = epdf["slot"].to_numpy(np.int64)
         n_cells = n if n is not None else (
-            max(max(a, b) for a, b in pairs) + 1 if pairs else 0
+            int(max(src.max(), dst.max())) + 1
         )
-        stride = 1 + max(int(r[2]) for r in rows)
+        stride = int(slots.max()) + 1
         indptr = np.arange(
             0, (n_cells + 1) * stride, stride, dtype=np.int64
         )[: n_cells + 1]
         indices = np.full(n_cells * stride, -1, dtype=np.int64)
-        for r in rows:
-            indices[int(r[0]) * stride + int(r[2])] = int(r[1])
+        indices[src * stride + slots] = dst
     else:
-        indptr, indices = edges_to_adjacency(pairs, n_cells=n)
+        indptr, indices = edges_to_adjacency(
+            np.stack([src, dst], axis=1), n_cells=n
+        )
     if areas is not None and len(areas) < len(indptr) - 1:
         areas = np.pad(areas, (0, len(indptr) - 1 - len(areas)))
     return MeshAdj(indptr, indices, areas, mean_area)
@@ -935,12 +941,21 @@ def _to_epoch_micros(t, sess_tz: str) -> int:
     """One resume-carry time value → int64 epoch micros. Naive wall
     times are interpreted in the SESSION timezone (what toPandas
     produces); tz-aware values convert exactly; ints pass through
-    (a carry from a previous chunked run is already converted)."""
+    (a carry from a previous chunked run is already converted).
+
+    DST edges resolve the way the JVM does when Spark parses a naive
+    wall time: an AMBIGUOUS fall-back hour takes the EARLIER offset
+    (``ambiguous=True`` = the DST interpretation) and a nonexistent
+    spring-forward time shifts forward — so a resumed carry lands on
+    the same instant Spark itself would have produced, instead of
+    raising AmbiguousTimeError mid-resume."""
     if isinstance(t, (int, np.integer)):
         return int(t)
     ts = pd.Timestamp(t)
     if ts.tzinfo is None:
-        ts = ts.tz_localize(sess_tz)
+        ts = ts.tz_localize(
+            sess_tz, ambiguous=True, nonexistent="shift_forward"
+        )
     return int(ts.value // 1000)
 
 

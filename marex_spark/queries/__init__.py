@@ -72,17 +72,17 @@ _PRIORITY = [
     # Tier 3 — green sentinels for regression cover:
     "s1_scan_pushdown",
     "trk_m5_track_nomerge",
-    # Tier 4 — oldest remaining coverage: 25 of the 42 rows last
+    # Tier 4 — oldest remaining coverage: 23 of the 42 rows last
     # verified in ROUND 3, breadth-first across suites (tracking/
     # morphology + ingestion + detect first, then one-per-family LLM
-    # rows). REMAINDER RULE: the 17 r3 rows not listed here
+    # rows). REMAINDER RULE: the 19 r3 rows not listed here
     # (ann_cosine_topk_fast, ann_ivf_recall/topk, decontam_ngram,
     # dedup_cluster_canonical/_embedding_cosine/_ngram_jaccard/
     # _simhash, mm_frame_sample/_media_meta/_resize_plan,
     # ops_range_join/_rollup_hier, txt_fingerprint/_quality_score/
-    # _source_stats/_unigram_logprob) plus the r4 cohort rotate into
-    # the r7 window, keeping every row's last driver verification
-    # within ~3 rounds.
+    # _source_stats/_unigram_logprob, txt_langid, ops_asof_join)
+    # plus the r4 cohort rotate into the r7 window, keeping every
+    # row's last driver verification within ~3 rounds.
     "trk_m1_morph_close",
     "trk_m2_dilate_unstructured",
     "trk_m3_time_gap_fill",

@@ -729,15 +729,36 @@ _BLOOM_M = 16384
 _BLOOM_K = 3
 
 
-def _bloom_pos(col, i: int):
+def _bloom_pos(col, i: int, m: int = _BLOOM_M):
     """Probe i's bit position for a shingle: salted md5 → 15 hex
     digits → int64 → mod m (the md5/conv convention every cross-engine
-    hash in this module uses)."""
+    hash in this module uses). THE single definition of the probe
+    family — the batch operator and the streaming gate
+    (streaming/documents.py bloom_decontaminate_stream) both call
+    this, so a bitset built by one is probed identically by the
+    other."""
     return (
         F.conv(
             F.substring(F.md5(F.concat(col, F.lit(f"#{i}"))), 1, 15), 16, 10
         ).cast("long")
-        % _BLOOM_M
+        % m
+    )
+
+
+def shingle_array(text_col, n: int = 5):
+    """Distinct n-word shingles of one document as an ARRAY column —
+    the per-row (map-only) counterpart of :func:`_shingles`' exploded
+    table, shared with the streaming gates so stream and batch
+    shingle identically."""
+    ws = F.split(text_col, " ")
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+                lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+            ),
+            lambda sh: F.size(F.split(sh, " ")) >= n,
+        )
     )
 
 

@@ -262,41 +262,27 @@ def bloom_decontaminate_stream(
 
     ``bloom_bits`` is the m-length boolean bitset built in batch from
     the benchmark's shingles (queries/dedup.py decontam_bloom builds
-    exactly this — same m, same salted-md5 probe family, so a doc
-    flagged here is flagged there). The bitset rides the plan as an
+    exactly this). The probe family and the shingle construction are
+    IMPORTED from that module — one definition, so a doc flagged here
+    is flagged there by construction. The bitset rides the plan as an
     array literal: every micro-batch is a pure map pass — no
     stream-static join, no broadcast exchange, no watermark
     requirement — the cheapest possible first gate in front of the
     exact decontamination join. Emits the per-document shingle counts
     ``(id_col, n_shingles, n_flagged)`` per micro-batch row (one row
     per input doc; append-safe)."""
+    from marex_spark.queries.dedup import _bloom_pos, shingle_array
+
     m = len(bloom_bits)
-    ws = F.split(text_col, " ")
-    shingles = F.array_distinct(
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
-                lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
-            ),
-            lambda s: F.size(F.split(s, " ")) >= n,
-        )
-    )
+    shingles = shingle_array(text_col, n)
     bitset = F.lit(list(bloom_bits))
 
     def _hit(s):
         probe = None
         for i in range(k):
-            pos = (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(s, F.lit(f"#{i}"))), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % m
+            p = F.element_at(
+                bitset, (_bloom_pos(s, i, m) + 1).cast("int")
             )
-            p = F.element_at(bitset, (pos + 1).cast("int"))
             probe = p if probe is None else (probe & p)
         return probe
 

@@ -585,7 +585,10 @@ def test_band_fixture_generator(spark, tmp_path):
         .groupBy("y").agg(F.avg("v").alias("m"))
         .orderBy("y").collect()
     )
-    assert m[0].m < m[2].m + 5  # latitude gradient present
+    # closed-form band means: base(lat) = 18 - 0.25|lat|; y=0 is
+    # lat -85 (mean ≈ -3.25 + trend), y=2 is lat -17 (≈ 13.75) — the
+    # ~17-degree gap must survive noise and seasonality by a margin
+    assert m[0].m < m[2].m - 10  # latitude gradient binds
 
     mtimes = {
         f: os.path.getmtime(os.path.join(path, f))

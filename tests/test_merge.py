@@ -648,3 +648,23 @@ def test_mesh_adj_broadcast_path_identical(spark, monkeypatch):
     monkeypatch.setattr(mg, "_MESH_ADJ_BCAST_BYTES", 0)
     broadcast = run_parallel()
     assert closure == broadcast
+
+
+def test_to_epoch_micros_dst_edges():
+    """Resume-carry conversion must not raise on DST-ambiguous or
+    nonexistent wall times: ambiguous hours take the earlier (DST)
+    offset like the JVM's naive-time parse; spring-forward gaps shift
+    forward; already-converted ints pass through."""
+    import pandas as pd
+
+    from marex_spark.operators.merge import _to_epoch_micros
+
+    amb = _to_epoch_micros(
+        pd.Timestamp("2025-11-02 01:30"), "America/New_York"
+    )
+    assert amb == int(pd.Timestamp("2025-11-02 05:30", tz="UTC").value // 1000)
+    gap = _to_epoch_micros(
+        pd.Timestamp("2025-03-09 02:30"), "America/New_York"
+    )
+    assert gap == int(pd.Timestamp("2025-03-09 07:00", tz="UTC").value // 1000)
+    assert _to_epoch_micros(123, "UTC") == 123

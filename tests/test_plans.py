@@ -397,7 +397,7 @@ def test_decontam_bloom_corpus_side_is_map_only(spark):
     # (shingles ⋈ documents for the source column) — a second join
     # would mean the benchmark set leaked back in as a table
     n_joins = plan.count("Join")
-    assert n_joins <= 2, plan[:2000]
+    assert n_joins == 1, plan[:2000]
     assert "CartesianProduct" not in plan
     # per-doc aggregate is map-side combinable
     assert "partial_count" in plan or "partial_sum" in plan
