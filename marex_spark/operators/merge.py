@@ -532,8 +532,53 @@ class _Resolver:
         return _haversine2(c1, c2, cent[0], cent[1])
 
     def register_slice(self, sl: dict, only_ids=None) -> None:
-        """(Re)compute area + centroid props (A9/A10) for a slice."""
+        """(Re)compute area + centroid props (A9/A10) for a slice.
+
+        The full-slice GRID path is vectorised (one np.unique + a few
+        bincount segment sums instead of a mask+mean per object — the
+        per-object loop was ~80% of the resolver kernel's profile).
+        Bit-identical to the loop: y/x sums are integer-valued in
+        float64 (exact below 2^53), so summation order cannot change
+        the quotient, and the seam conditions reduce to per-object
+        boolean bincounts. The sphere path keeps the loop — its
+        cos/sin means are true float sums where pairwise vs sequential
+        accumulation differ in the last ulp."""
         ids = sl["id"]
+        if only_ids is None and self.grid and len(ids):
+            uniq, inv = np.unique(ids, return_inverse=True)
+            cnt = np.bincount(inv).astype(np.float64)
+            c1 = sl["c1"].astype(np.float64)
+            c2 = sl["c2"]
+            cy = np.bincount(inv, weights=c1) / cnt
+            if self.wrap_x:
+                has_low = (
+                    np.bincount(inv, weights=(c2 < 100).astype(np.float64))
+                    > 0
+                )
+                has_high = (
+                    np.bincount(
+                        inv,
+                        weights=(c2 >= self.nx - 100).astype(np.float64),
+                    )
+                    > 0
+                )
+                near = has_low & has_high
+                cx_plain = (
+                    np.bincount(inv, weights=c2.astype(np.float64)) / cnt
+                )
+                xa = np.where(c2 > self.nx // 2, c2 - self.nx, c2).astype(
+                    np.float64
+                )
+                cx_adj = np.bincount(inv, weights=xa) / cnt
+                cx = np.where(near, cx_adj, cx_plain)
+                cx = np.where(near & (cx < 0), cx + self.nx, cx)
+            else:
+                cx = np.bincount(inv, weights=c2.astype(np.float64)) / cnt
+            for k in range(len(uniq)):
+                o = int(uniq[k])
+                self.areas[o] = int(cnt[k])
+                self.cents[o] = (float(cy[k]), float(cx[k]))
+            return
         targets = np.unique(ids) if only_ids is None else np.asarray(list(only_ids))
         for oid in targets:
             m = ids == oid
