@@ -193,6 +193,7 @@ def track_events(
     max_distance: float | None = None,
     merge_chunk_steps: int | None = 64,
     merge_parallel: bool = True,
+    merge_block_steps: int | None = None,
     compact_ids: bool = False,
     labels: DataFrame | None = None,
     cell_areas: DataFrame | None = None,
@@ -229,13 +230,15 @@ def track_events(
     fragments are re-consolidated (M10) before event linking.
 
     The wall-clock-parallel time-block resolver is the DEFAULT
-    (``merge_parallel=True``: blocks of ``merge_chunk_steps`` timesteps
-    resolved concurrently with a Jacobi carry fixpoint — 3× the chunked
-    tier's throughput at sf0.1, byte-identical output per
-    tests/test_merge.py::test_parallel_matches_oneshot). Fallbacks:
-    ``merge_parallel=False`` for the serial chunked resolver (driver
-    memory O(chunk)), plus ``merge_chunk_steps=None`` for the one-shot
-    collect.
+    (``merge_parallel=True``: time blocks resolved concurrently with a
+    Jacobi carry fixpoint — byte-identical output for ANY block size
+    per tests/test_merge.py::test_parallel_matches_oneshot).
+    ``merge_block_steps`` sets the block size; ``None`` (default)
+    auto-sizes it from parallelism and a per-block cell budget (see
+    split_merge_events_parallel). Fallbacks: ``merge_parallel=False``
+    for the serial chunked resolver (driver memory O(chunk), paged by
+    ``merge_chunk_steps`` / its cell budget), plus
+    ``merge_chunk_steps=None`` there for the one-shot collect.
     """
     if labels is None:
         labels = label_components(
@@ -272,7 +275,7 @@ def track_events(
                 labels,
                 nx=nx,
                 ny=ny,
-                block_steps=merge_chunk_steps or 64,
+                block_steps=merge_block_steps,
                 overlap_threshold=overlap_threshold,
                 wrap_x=wrap_x,
                 time_col=time_col,
@@ -400,7 +403,7 @@ def track_events_unstructured(
     nn_partitioning: bool = False,
     max_distance: float | None = None,
     merge_parallel: bool = True,
-    merge_block_steps: int = 64,
+    merge_block_steps: int | None = None,
     compact_ids: bool = False,
     labels: DataFrame | None = None,
     max_driver_cells: int | None = None,

@@ -761,7 +761,7 @@ def trk_m9_parallel(spark, sf_dir):
     res = track_events(
         base, nx=NXG, time_col="d", overlap_threshold=_M9_THR,
         compute_stats=False, allow_merging=True,
-        merge_parallel=True, merge_chunk_steps=8,
+        merge_parallel=True, merge_block_steps=8,
     )
     return _m9_lifetime(res)
 
@@ -1147,7 +1147,7 @@ def trk_m9nn_parallel(spark, sf_dir):
     res = track_events(
         base, nx=NXG, ny=NYG, time_col="d", overlap_threshold=_M9_THR,
         compute_stats=False, allow_merging=True,
-        merge_parallel=True, merge_chunk_steps=8,
+        merge_parallel=True, merge_block_steps=8,
         nn_partitioning=True, max_distance=_M9NN_DIST,
     )
     return _m9_lifetime(res)
