@@ -414,7 +414,9 @@ def _partition_nn_mesh_hops(
 # round count of the most recent split_merge_events_parallel call —
 # introspection for tests/benchmarks (2-3 expected; n_blocks worst case)
 LAST_PARALLEL_ROUNDS = 0
-# per-round stale-block counts of the most recent parallel call
+# POST-round stale-block counts of the most recent parallel call:
+# entry r is how many blocks round r+1 would re-resolve, so [9, 3, 0]
+# means rounds processed [all, 9, 3] blocks
 _PARALLEL_STALE_LOG: list = []
 
 # Driver-materialisation budget for the SERIAL tiers (one-shot collects
