@@ -267,3 +267,34 @@ class TestPQKernel:
             for r in pq_score_kernel(df, books, query).collect()
         }
         assert got == expect
+
+
+class TestSemDeDup:
+    def test_exact_duplicates_drop_one_side(self, spark):
+        from marex_spark.operators.embed import semdedup
+
+        # two identical pairs + two singletons; cosine(dup pair) = 1
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = semdedup(df, tau=0.99, k=2, n_iter=1).collect()
+        assert {r.vec_id for r in out} == {1, 2, 3, 4}
+        keep = {r.vec_id: r.keep for r in out}
+        # exactly one of the identical pair is dropped; singletons kept
+        assert sorted([keep[1], keep[2]]) == [False, True]
+        assert keep[3] and keep[4]
+
+    def test_k_derived_from_corpus_count(self, spark):
+        from marex_spark.operators.embed import semdedup
+
+        rows = [(i, [float(i % 3), 1.0]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        # 20 vectors / target 5 = 4 clusters, floored at 8 → k=8
+        out = semdedup(df, tau=0.999, k=None, n_iter=1, target_cluster_size=5)
+        got = out.select("cent_id").distinct().count()
+        assert got <= 8  # k = max(8, ceil(20/5)) = 8 centroids trained
+        assert out.count() == 20

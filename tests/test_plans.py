@@ -403,15 +403,27 @@ def test_decontam_bloom_corpus_side_is_map_only(spark):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
-def test_semdedup_pairs_blocked_by_cluster(spark):
+def test_semdedup_pairs_blocked_by_cluster_no_corpus_broadcast(spark):
     """SemDeDup pair generation must stay blocked by the learned
-    cluster key — the self-join condition includes cent_id, so the
-    corpus never pairs unblocked — and the keep-rule joins against
-    the assignment stay broadcast."""
+    cluster key (no unblocked corpus pairing), and — r6 verdict
+    Wrong #1 — the corpus-sized assignment/norm tables must NOT be
+    force-broadcast. With auto-broadcast disabled, any surviving
+    BroadcastHashJoin would be a forced hint: assert there are none,
+    so every corpus-scale join shuffles on its key instead."""
     from marex_spark.plans import plan_string
     from marex_spark.queries.similarity import dedup_semdedup
 
-    out = dedup_semdedup(spark, SF)
-    plan = plan_string(out)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = dedup_semdedup(spark, SF)
+        plan = plan_string(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the corpus joins hash-shuffle on their keys
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # pair join blocked by the cluster key
+    assert "cent_id" in plan
