@@ -36,78 +36,78 @@ import marex_spark.queries.detect_extra  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # ---- r6 window (50 = driver budget) ---------------------------------
-    # Tier 1 — the 21 rows whose last driver verification is ROUND 2
-    # (the rotation the r5 verdict ranked #1; every row is green in the
-    # local sf0.001/sf0.01 sweeps all rounds):
-    "p2_finite_filter",
-    "p3_validation_audit",
-    "p5_time_slice",
-    "p6_anti_join",
-    "p7_positive_id_cleanup",
-    "p8_dtype_casts",
-    "j2_doy_threshold_join",
-    "j3_broadcast_threshold",
-    "j6_property_lookup",
-    "j8_id_remap",
-    "a1_doy_climatology",
-    "a3_group_std",
-    "a8_conditional_sum",
-    "a12_max_count_distinct",
-    "a13_first_last_presence",
-    "so2_except",
-    "so3_union_by_name",
-    "f7_conditional",
-    "f9_clip",
-    "w5_lead_lag",
-    "wr_dense_rank_compact",
-    # Tier 2 — rows whose engine AND oracle changed this round (grid NN
-    # block window now wraps the y-block axis via modulo like the
-    # reference partition_nn_grid; the SQL replay mirrors it), plus
-    # the two operators ADDED this round (never driver-verified):
-    "trk_m9nn_split_merge",
-    "trk_m9nn_parallel",
-    "decontam_bloom",
+    # ---- r7 window (50 = driver budget) ---------------------------------
+    # Computed from CORRECTNESS_r0{1..6}.json: after r6, 19 rows were
+    # last driver-verified in ROUND 3 and 39 in ROUND 4 (everything else
+    # is r5/r6). 58 candidates > 50 slots, so: all 19 r3 rows, 27 of the
+    # 39 r4 rows, the 2 rows whose ENGINE changed this round, and 2
+    # sentinels. Tier 1 — the full r3 cohort, led by the two rows that
+    # yielded their r6 slots to the then-new operators:
+    "txt_langid",
+    "ops_asof_join",
+    "ann_cosine_topk_fast",
+    "ann_ivf_recall",
+    "ann_ivf_topk",
+    "decontam_ngram",
+    "dedup_cluster_canonical",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "mm_frame_sample",
+    "mm_media_meta",
+    "mm_resize_plan",
+    "ops_range_join",
+    "ops_rollup_hier",
+    "txt_fingerprint",
+    "txt_quality_score",
+    "txt_source_stats",
+    "txt_unigram_logprob",
+    # Tier 2 — rows whose engine changed THIS round (semdedup keep rule
+    # restructured join-free / un-broadcast; Bloom m,k now derived from
+    # the benchmark size):
     "dedup_semdedup",
+    "decontam_bloom",
     # Tier 3 — green sentinels for regression cover:
     "s1_scan_pushdown",
     "trk_m5_track_nomerge",
-    # Tier 4 — oldest remaining coverage: 23 of the 42 rows last
-    # verified in ROUND 3, breadth-first across suites (tracking/
-    # morphology + ingestion + detect first, then one-per-family LLM
-    # rows). REMAINDER RULE: the 19 r3 rows not listed here
-    # (ann_cosine_topk_fast, ann_ivf_recall/topk, decontam_ngram,
-    # dedup_cluster_canonical/_embedding_cosine/_ngram_jaccard/
-    # _simhash, mm_frame_sample/_media_meta/_resize_plan,
-    # ops_range_join/_rollup_hier, txt_fingerprint/_quality_score/
-    # _source_stats/_unigram_logprob, txt_langid, ops_asof_join)
-    # plus the r4 cohort rotate into the r7 window, keeping every
-    # row's last driver verification within ~3 rounds.
-    "trk_m1_morph_close",
-    "trk_m2_dilate_unstructured",
-    "trk_m3_time_gap_fill",
-    "trk_m4_label_components",
-    "trk_m6_label_unstructured",
-    "trk_m7_connected_components",
-    "m11_circular_centroid",
-    "p1_mask_filter",
-    "j4_std_normalise",
-    "w3_circular_std_smooth",
-    "w4_spatial_rolling",
-    "f2_harmonics",
-    "f3_linear_detrend",
-    "s2_netcdf_scan",
-    "s6_catalog_scan",
-    "det_packed_threshold",
-    "viz_clim_robust",
-    "viz_trajectory_unwrap",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "ann_cosine_topk",
-    "ann_lsh_bucket",
-    "txt_token_count",
-    # (txt_langid and ops_asof_join yielded their slots to the two new
-    # r6 operators; they join the r7 remainder)
+    # Tier 4 — 27 of the 39 r4-era rows, breadth-first. The 12 deferred
+    # to r8 each have an in-window family sibling covering the same code
+    # path: ann_ivf_kmeans_recall + ann_ivf_seeded_topk (ann_ivf_kmeans_
+    # topk stays), dedup_cross_source (dedup_paragraphs), emb_project_
+    # fixed (emb_kmeans_assign/emb_quantize_int8), evt_retention_cohorts
+    # (evt_funnel), pipe_stratified_sample + pipe_token_budget_mix
+    # (pipe_corpus_curation/pipe_source_mix_temperature), s5_stats_
+    # sidecar (s3/s4), txt_bigram_logprob (txt_unigram_logprob),
+    # txt_chunk_windows + txt_quality_lr + txt_token_count_bpe
+    # (txt_repetition_ratio/txt_lr_auc/txt_bpe_train). REMAINDER RULE:
+    # those 12 + the 46-row r5 cohort lead the r8 window.
+    "ann_ivf_kmeans_topk",
+    "dedup_lsh_star_capped",
+    "dedup_paragraphs",
+    "dedup_substring_spans",
+    "det_packed_unstructured",
+    "emb_kmeans_assign",
+    "emb_quantize_int8",
+    "evt_funnel",
+    "f4_haversine",
+    "f6_interpolation",
+    "mhw_episode_stats",
+    "mm_feature_extract",
+    "pipe_corpus_curation",
+    "pipe_dsir_resample",
+    "pipe_sequence_packing",
+    "pipe_source_mix_temperature",
+    "s2_netcdf4_scan",
+    "s3_checkpoint_roundtrip",
+    "s4_region_overwrite",
+    "trk_m8_overlap_threshold",
+    "trk_m9u_split_merge",
+    "txt_bpe_train",
+    "txt_gopher_rules",
+    "txt_lr_auc",
+    "txt_pii_redact",
+    "txt_repetition_ratio",
+    "txt_tfidf_search",
 ]
 
 

@@ -252,17 +252,19 @@ def sessionize_stream(
 def bloom_decontaminate_stream(
     stream: DataFrame,
     bloom_bits: list,
+    k: int,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
-    k: int = 3,
 ) -> DataFrame:
     """Bloom-filter contamination gate for a document stream — the
     ZERO-state, zero-join form of :func:`decontaminate_stream`.
 
     ``bloom_bits`` is the m-length boolean bitset built in batch from
-    the benchmark's shingles (queries/dedup.py decontam_bloom builds
-    exactly this). The probe family and the shingle construction are
+    the benchmark's shingles and ``k`` the probe count that built it —
+    both sides of the geometry queries/dedup.py bloom_geometry derives
+    from the benchmark size (pass the same k; a mismatched k changes
+    the flag set). The probe family and the shingle construction are
     IMPORTED from that module — one definition, so a doc flagged here
     is flagged there by construction. The bitset rides the plan as an
     array literal: every micro-batch is a pure map pass — no

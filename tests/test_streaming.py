@@ -503,7 +503,7 @@ def test_stream_bloom_decontaminate_matches_batch(doc_stream_env):
     evaluation of the SAME expression, and every exact-contaminated
     doc (decontaminate_stream's join) must also be Bloom-flagged (no
     false negatives — the defining Bloom property)."""
-    from marex_spark.queries.dedup import _BLOOM_K, _BLOOM_M, _bloom_pos
+    from marex_spark.queries.dedup import _bloom_pos, bloom_geometry
     from marex_spark.streaming.documents import (
         bloom_decontaminate_stream,
         decontaminate_stream,
@@ -518,20 +518,21 @@ def test_stream_bloom_decontaminate_matches_batch(doc_stream_env):
             )
         ).alias("shingle")
     ).distinct()
+    m, k = bloom_geometry(bench_ws.count())
     pos = bench_ws.select(
         F.explode(
-            F.array(*[_bloom_pos(F.col("shingle"), i) for i in range(_BLOOM_K)])
+            F.array(*[_bloom_pos(F.col("shingle"), i, m) for i in range(k)])
         ).alias("p")
     ).distinct().collect()
-    bits = [False] * _BLOOM_M
+    bits = [False] * m
     for r in pos:
         bits[int(r[0])] = True
 
     stream = spark.readStream.schema(df.schema).parquet(src)
     out = _drain(
-        bloom_decontaminate_stream(stream, bits), spark, tmp, "bloom_out"
+        bloom_decontaminate_stream(stream, bits, k=k), spark, tmp, "bloom_out"
     )
-    batch = bloom_decontaminate_stream(df, bits)
+    batch = bloom_decontaminate_stream(df, bits, k=k)
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, batch.collect())
     )
