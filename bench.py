@@ -25,6 +25,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 HEADLINE = [
@@ -83,6 +84,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "reps": N_PASSES,  # each timing is the min over this many passes
         }
         if errors:
             out["errors"] = errors
@@ -108,17 +110,18 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
 
     spark = holder["spark"] = get_spark(app_name="marex-bench", cores=int(CPUS))
 
-    # Two INTERLEAVED passes over the whole suite, min per query: the
-    # box's external load is bursty and time-correlated, so back-to-back
-    # samples of one query land in the same burst — spreading a query's
-    # two samples a full pass apart decorrelates them.
+    # Three INTERLEAVED passes over the whole suite, min per query
+    # (r6 verdict #6: single captures on this shared box swing 2-3×
+    # ambient; best-of-3 with the passes spread a full suite apart
+    # decorrelates a query's samples from load bursts). The rep count
+    # rides the JSON so the capture's provenance is explicit.
     plan: list = []  # (name, fn), in suite order
 
     def guarded(name, fn) -> None:
         plan.append((name, fn))
 
     def _execute_plan() -> None:
-        for _pass in range(2):
+        for _pass in range(N_PASSES):
             for name, fn in plan:
                 if name in errors:
                     continue
@@ -608,6 +611,54 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
         return 0
 
     guarded("track_extend_append_30d", _extend_bench)
+
+    # dedup-side scale rehearsal (r6 verdict #4) — the LLM-pipeline
+    # mirror of detect_only_band_100x: the SAME registered queries the
+    # correctness gate hash-verifies at sf0.01, pointed at synthetic
+    # corpora 1000×/200× the sf0.1 documents table (fixture generation
+    # is warmup; reuse across runs by row-count check).
+    #   decontam_bloom over 5M docs — scan-bound: shingle explode +
+    #   k literal-bitset probes + one per-doc aggregate (m,k derived
+    #   from the ~12k-shingle benchmark side);
+    #   dedup_minhash_lsh over 1M docs — shuffle-bound: shingle
+    #   distinct + minhash agg + banded candidate join (~10k true
+    #   dup pairs planted at 1/100).
+    corpus5m_dir = f"{tmp}/marex_bench_corpus5m"
+    corpus1m_dir = f"{tmp}/marex_bench_corpus1m"
+    corpus_ok = {"5m": False, "1m": False}
+    if sf >= 0.05:
+        try:
+            from marex_spark.sources.synthetic import (
+                materialize_corpus_fixture,
+            )
+
+            materialize_corpus_fixture(spark, corpus5m_dir, 5_000_000)
+            materialize_corpus_fixture(spark, corpus1m_dir, 1_000_000)
+            corpus_ok["5m"] = corpus_ok["1m"] = True
+            # prewarm reused fixtures into page cache (same rule as the
+            # band fixture: cold virtual-disk scans measure the shared
+            # box's IO weather, not the engine)
+            import pathlib
+
+            for d in (corpus5m_dir, corpus1m_dir):
+                for f in pathlib.Path(d).glob("documents.parquet/*.parquet"):
+                    with open(f, "rb") as fh:
+                        while fh.read(1 << 24):
+                            pass
+        except Exception as e:
+            errors["__corpus_warmup__"] = f"{type(e).__name__}: {e}"
+            note(f"corpus warmup: ERROR {type(e).__name__}")
+
+    if corpus_ok["5m"]:
+        guarded(
+            "decontam_bloom_5m_docs",
+            lambda: _force(QUERIES["decontam_bloom"](spark, corpus5m_dir)),
+        )
+    if corpus_ok["1m"]:
+        guarded(
+            "dedup_lsh_1m_docs",
+            lambda: _force(QUERIES["dedup_minhash_lsh"](spark, corpus1m_dir)),
+        )
 
     _execute_plan()
 

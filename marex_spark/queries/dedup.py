@@ -844,20 +844,30 @@ def decontam_bloom(spark, sf_dir):
     Scale shape: (m, k) are DERIVED from the benchmark's distinct-
     shingle count via :func:`bloom_geometry` (a fixed m would saturate
     on a 10^6-shingle production benchmark and flag everything), the
-    bitset is built once from the benchmark side and embedded as a
-    PLAIN ARRAY LITERAL, so the 100 TB corpus side is a map-only
-    membership probe inside whole-stage codegen — no join, no shuffle
-    against the benchmark, unlike decontam_ngram's broadcast
-    semi-probe. The only exchanges left are the shingle distinct and
-    the per-doc aggregate (plan-pinned in tests/test_plans.py). When
-    the derived m exceeds ~8M bits the literal would bloat the plan:
-    a warning is logged and the probe falls back to a broadcast
-    bit-table semi-join (decontam_ngram's shape) with identical flag
-    semantics."""
+    bitset is built once from the benchmark side and embedded as ONE
+    '0'/'1' BINARY LITERAL (a boolean-array literal crosses py4j
+    element by element — minutes at 2^20 bits; one bytes value is a
+    single call — and binary substring is BYTE-indexed O(1), where
+    string substr is code-point indexed and scans O(position) per
+    probe; the probe references the literal once via forall over the
+    k-position array, not k literal copies), so the 100 TB corpus
+    side is a map-only membership probe inside whole-stage codegen —
+    NO join at all (the benchmark/training split is a pushed-down
+    source filter, so not even the source attach survives). The only
+    exchanges left are the shingle distinct and the per-doc aggregate
+    (plan-pinned in tests/test_plans.py). When the derived m exceeds
+    ~8M bits the literal would bloat the plan: a warning is logged
+    and the probe falls back to a broadcast bit-table semi-join
+    (decontam_ngram's shape) with identical flag semantics."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs, 5).join(docs.select("doc_id", "source"), "doc_id")
+    # source is a doc-level column, so the src0 split commutes past
+    # shingling: shingle the 10^3-doc benchmark and the corpus
+    # SEPARATELY instead of shingling everything then joining source
+    # back on (the oracle's equivalent-but-joined form).
     bench = (
-        sh.filter(F.col("source") == "src0").select("shingle").distinct()
+        _shingles(docs.filter(F.col("source") == "src0"), 5)
+        .select("shingle")
+        .distinct()
     )
     m, k = bloom_geometry(bench.count())
     pos = (
@@ -870,18 +880,23 @@ def decontam_bloom(spark, sf_dir):
         )
         .distinct()
     )
-    tr = sh.filter(F.col("source") != "src0")
+    tr = _shingles(docs.filter(F.col("source") != "src0"), 5)
     if m <= _BLOOM_MAX_LITERAL_BITS:
-        bits = [False] * m
-        for r in pos.collect():
-            bits[int(r[0])] = True
-        bitset = F.lit(bits)  # the Bloom filter, as a literal in the plan
-        flagged = None
-        for i in range(k):
-            probe = F.element_at(
-                bitset, (_bloom_pos(F.col("shingle"), i, m) + 1).cast("int")
-            )
-            flagged = probe if flagged is None else (flagged & probe)
+        bits = bytearray(b"0") * m
+        for p in pos.toPandas()["p"]:
+            bits[int(p)] = 0x31  # '1'
+        # the Bloom filter: one m-byte plan literal, referenced once
+        bitset = F.lit(bytes(bits))
+        pos_arr = F.array(
+            *[
+                (_bloom_pos(F.col("shingle"), i, m) + 1).cast("int")
+                for i in range(k)
+            ]
+        )
+        flagged = F.forall(
+            pos_arr,
+            lambda p: F.substring(bitset, p, F.lit(1)) == F.lit(b"1"),
+        )
         agg = tr.groupBy("doc_id").agg(
             F.count("*").alias("n"),
             F.sum(flagged.cast("long")).alias("nh"),

@@ -200,3 +200,116 @@ def synthetic_extremes_gridded(
     jitter = _uniform([F.col("t"), F.col("y"), F.col("x")], 0.0, 1.0, seed + 1)
     extreme = (block < density * 2.5) & (jitter < 0.8)
     return df.select(time.alias("time"), "y", "x", extreme.alias("extreme"))
+
+
+def synthetic_documents(
+    spark: SparkSession,
+    n_docs: int,
+    words_per_doc: int = 16,
+    vocab_size: int = 8192,
+    dup_every: int = 100,
+    n_sources: int = 5,
+    partitions: int = 64,
+) -> DataFrame:
+    """Synthetic document corpus for the dedup scale-rehearsal rows —
+    the text analogue of the packed band fixture: rows are generated
+    by a numpy ``mapInArrow`` kernel (splitmix64-style word draws, no
+    driver loops), so a multi-million-doc corpus lands in seconds.
+
+    Every ``dup_every``-th doc copies the NEXT doc's text verbatim, so
+    exact/near-dup operators have a known ~1/dup_every duplicate rate
+    to find; everything else is near-orthogonal under 3-gram shingles.
+    Schema matches the testdata ``documents`` table's columns the
+    dedup suite reads: ``(doc_id long, source string, text string)``.
+    Source ``src0`` — the held-out benchmark side decontamination
+    queries probe against — is assigned to ~1/1000 docs (a benchmark
+    is small relative to a training corpus); the rest spread over
+    ``src1..src{n_sources-1}``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    vocab = np.array([f"tok{i}" for i in range(vocab_size)])
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy().astype(np.uint64)
+            n = np.uint64(n_docs)
+            seed = np.where(
+                (ids % np.uint64(dup_every) == 0) & (ids + np.uint64(1) < n),
+                ids + np.uint64(1),
+                ids,
+            )
+            # splitmix64 word draws: deterministic, batch-layout-free
+            pos = np.arange(words_per_doc, dtype=np.uint64)
+            z = (
+                seed[:, None] * np.uint64(0x9E3779B97F4A7C15)
+                + (pos + np.uint64(1)) * np.uint64(0xBF58476D1CE4E5B9)
+            )
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xD6E8FEB86659FD93)
+            z = z ^ (z >> np.uint64(27))
+            w = vocab[(z % np.uint64(vocab_size)).astype(np.int64)]
+            text = w[:, 0]
+            for j in range(1, words_per_doc):
+                text = np.char.add(np.char.add(text, " "), w[:, j])
+            # source keys off the RAW id (seed redirection would make
+            # src0 unsatisfiable: ids≡0 mod 1000 are all dup-redirected).
+            # A src0 doc that is also a dup (id≡0 mod 1000) duplicates
+            # training doc id+1's text — i.e. the corpus contains REAL
+            # contamination for the decontam operators to find.
+            src = np.where(
+                ids % np.uint64(1000) == 0,
+                "src0",
+                np.char.add(
+                    "src",
+                    (
+                        np.uint64(1) + ids % np.uint64(max(1, n_sources - 1))
+                    ).astype(str),
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64)),
+                    pa.array(src.tolist()),
+                    pa.array(text.tolist()),
+                ],
+                names=["doc_id", "source", "text"],
+            )
+
+    return spark.range(n_docs, numPartitions=partitions).mapInArrow(
+        _gen, schema="doc_id long, source string, text string"
+    )
+
+
+def materialize_corpus_fixture(
+    spark: SparkSession,
+    corpus_dir: str,
+    n_docs: int,
+    words_per_doc: int = 16,
+    reuse: bool = True,
+) -> str:
+    """Land :func:`synthetic_documents` as ``{corpus_dir}/documents.
+    parquet`` — the layout ``load_table`` reads, so every registered
+    dedup/text query runs unchanged against the scale corpus by
+    passing ``corpus_dir`` as its ``sf_dir``. ``reuse=True`` skips
+    generation when the parquet already exists with a matching row
+    count and word width (same reuse contract as the packed band
+    fixture)."""
+    import os
+
+    path = os.path.join(corpus_dir, "documents.parquet")
+    if reuse and os.path.isdir(path):
+        try:
+            prior = spark.read.parquet(path)
+            first = prior.select("text").first()
+            if (
+                prior.count() == n_docs
+                and len(first[0].split(" ")) == words_per_doc
+            ):
+                return corpus_dir
+        except Exception:
+            pass
+    synthetic_documents(
+        spark, n_docs, words_per_doc=words_per_doc
+    ).write.mode("overwrite").parquet(path)
+    return corpus_dir

@@ -383,21 +383,21 @@ def test_mesh_morphology_kernel_single_shuffle(spark):
 
 
 def test_decontam_bloom_corpus_side_is_map_only(spark):
-    """The Bloom bitset is an array LITERAL in the plan: the corpus
+    """The Bloom bitset is a string LITERAL in the plan: the corpus
     side probes it inside codegen — no join, broadcast or otherwise,
-    between the training shingles and any benchmark-derived table.
-    The plan's only joins are the doc_id → source attachment; the
-    bench side contributes nothing to the scored plan at all."""
+    between the training shingles and any benchmark-derived table,
+    and the benchmark/training split is a pushed-down source filter;
+    the bench side contributes nothing to the scored plan at all."""
     from marex_spark.plans import plan_string
     from marex_spark.queries.dedup import decontam_bloom
 
     out = decontam_bloom(spark, SF)
     plan = plan_string(out)
-    # the bitset travels as a literal, so exactly ONE join survives
-    # (shingles ⋈ documents for the source column) — a second join
+    # the bitset travels as a literal and the benchmark/training split
+    # is a pushed-down source filter, so ZERO joins survive — any join
     # would mean the benchmark set leaked back in as a table
     n_joins = plan.count("Join")
-    assert n_joins == 1, plan[:2000]
+    assert n_joins == 0, plan[:2000]
     assert "CartesianProduct" not in plan
     # per-doc aggregate is map-side combinable
     assert "partial_count" in plan or "partial_sum" in plan
