@@ -511,13 +511,32 @@ class Tracker:
         from marex_spark.operators.overlap import object_areas
 
         # raw area of the INPUT field (reference track.py:1285 —
-        # computed before fill_holes, so unmasked on the gridded path)
+        # computed before fill_holes, so unmasked on the gridded path).
+        # The reference's unstructured compute_area (track.py:1513-1514)
+        # weights by PHYSICAL cell_areas — counts and physical areas
+        # differ on variable-resolution meshes (ICON), so use the
+        # cell_geo area column when it is available.
         raw_src = (
             self._apply_mask(self.data_bin)
             if self.unstructured_grid
             else self.data_bin
         )
-        raw_area = raw_src.filter(F.col(self.extreme_col)).count()
+        phys = (
+            self.unstructured_grid
+            and self.cell_geo is not None
+            and "area" in self.cell_geo.columns
+        )
+        if phys:
+            cell_area = self.cell_geo.select("cell", F.col("area").alias("_ca"))
+            raw_area = float(
+                raw_src.filter(F.col(self.extreme_col))
+                .join(cell_area, "cell")
+                .agg(F.sum("_ca"))
+                .first()[0]
+                or 0.0
+            )
+        else:
+            raw_area = raw_src.filter(F.col(self.extreme_col)).count()
 
         # hole/gap filling WITHOUT the area filter
         saved_q, saved_a = self.area_filter_quartile, self.area_filter_absolute
@@ -556,7 +575,15 @@ class Tracker:
                 filled, nx=self.nx, time_col=self.time_col,
                 extreme_col=self.extreme_col, wrap_x=not self.regional_mode,
             )
-        areas = object_areas(labels, time_col=self.time_col)
+        if phys:
+            # physical per-object areas ride alongside the counts; the
+            # filter thresholds stay COUNT-based (reference cluster_sizes,
+            # track.py:1786-1843) — only the preprocessed-area fraction
+            # is physically weighted (compute_area, track.py:1513-1514)
+            labels = labels.join(cell_area, "cell")
+            areas = object_areas(labels, time_col=self.time_col, area_col="_ca")
+        else:
+            areas = object_areas(labels, time_col=self.time_col)
 
         quartile = self.area_filter_quartile
         if quartile is None and self.area_filter_absolute is None:
@@ -576,18 +603,26 @@ class Tracker:
                         F.percentile("n_cells", F.lit(quartile or 0.0))
                     ).first()[0]
                 )
+            # total_area_IDed / accepted_area_fraction are COUNT-based
+            # like the reference's cluster_sizes (track.py:1838-1841);
+            # the physically-weighted kept-cell area feeds only the
+            # preprocessed fraction's denominator
             row = areas.agg(
                 F.sum(F.when(F.col("n_cells") > prefilter, 1).otherwise(0)).alias(
                     "n_pre"
                 ),
-                F.sum("area").alias("total"),
+                F.sum("n_cells").cast("double").alias("total"),
                 F.sum(F.when(F.col("n_cells") > thr, 1).otherwise(0)).alias(
                     "n_post"
                 ),
+                F.sum(
+                    F.when(F.col("n_cells") > thr, F.col("n_cells"))
+                ).cast("double").alias("accepted"),
                 F.sum(F.when(F.col("n_cells") > thr, F.col("area"))).alias(
-                    "accepted"
+                    "accepted_phys"
                 ),
             ).first()
+            accepted_phys = float(row.accepted_phys or 0.0)
         else:
             if self.area_filter_absolute is not None:
                 thr = float(self.area_filter_absolute)
@@ -610,6 +645,7 @@ class Tracker:
                 F.sum(F.when(kept_pred, 1).otherwise(0)).alias("n_post"),
                 F.sum(F.when(kept_pred, F.col("area"))).alias("accepted"),
             ).first()
+            accepted_phys = float(row.accepted or 0.0)  # gridded = pixels
         total = float(row.total or 0.0)
         accepted = float(row.accepted or 0.0)
         return {
@@ -619,7 +655,7 @@ class Tracker:
             "area_threshold": thr,
             "accepted_area_fraction": accepted / total if total else float("nan"),
             "preprocessed_area_fraction": (
-                raw_area / accepted if accepted else float("nan")
+                raw_area / accepted_phys if accepted_phys else float("nan")
             ),
         }
 

@@ -543,12 +543,21 @@ def test_unstructured_merging_scenario_counts(spark):
         <= stats["N_objects_prefiltered"] + 2
     ), stats
     assert abs(stats["N_objects_filtered"] - 97) <= 2, stats
-    # inside the reference's own +/-1% band now that mesh morphology
-    # uses the neighbour lists AS GIVEN (directed, like the reference's
-    # sparse dilation matrix, track.py:1095-1115) — ~7% of this
-    # fixture's edges are asymmetric boundary rows, and symmetrising
-    # them over-eroded the mesh edge by ~2%
-    assert abs(stats["preprocessed_area_fraction"] - 1.0) <= 0.011, stats
+    # the reference's own +/-1% band, at its exact tolerance. The r4-era
+    # ~2% "open-mesh erosion divergence" was symmetrisation (fixed r5:
+    # the reference's sparse dilation matrix uses the neighbour lists AS
+    # GIVEN, track.py:1095-1115, and ~7% of this fixture's edges are
+    # asymmetric boundary rows). The residual +0.53% offset from the pin
+    # CENTRE is the reference's own value on this fixture: a numpy
+    # replay of its exact chain (sparse_bool_power closing/opening,
+    # padded time-closing, >5-cell filter) lands at 1.005282 and N_pre
+    # 98 — bit-identical to this engine's stats — so the "1.0" centre is
+    # a rounded test constant, not a divergence (r7 adjudication; the
+    # fraction is physically cell_area-weighted like compute_area,
+    # track.py:1513-1514, which on this near-uniform mesh shifts it by
+    # only ~1e-5).
+    assert abs(stats["preprocessed_area_fraction"] - 1.0) <= 0.01, stats
+    assert abs(stats["preprocessed_area_fraction"] - 1.005270) <= 1e-4, stats
 
     res, merges = tr.run(return_merges=True)
     n_events = res.events.select(F.countDistinct("event_id")).first()[0]
