@@ -1,0 +1,209 @@
+"""Bloom-filter benchmark decontamination — parameterised operator tier.
+
+The registered query ``decontam_bloom`` (queries/dedup.py) and the
+streaming gate ``bloom_decontaminate_stream`` (streaming/documents.py)
+are thin pins over these functions, so batch, stream, and any
+user-parameterised call share ONE probe family and ONE geometry rule —
+a bitset built by one is probed identically by the others.
+
+Scale shape: the benchmark side is small by definition (an eval set),
+so it collapses to an (m,k)-derived bitset on the driver; the corpus
+side is a pure map pass — per-row ``array_distinct`` shingling (no
+corpus-wide distinct shuffle), k salted-md5 probes against ONE binary
+plan literal inside whole-stage codegen, then a single map-side-
+combined per-doc aggregate. Zero joins at any corpus size while the
+bitset fits the literal budget; above it, a broadcast bit-table
+semi-join with identical flag semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+# Geometry: m = next power of two ≥ 10·n (10 bits/element ≈ the
+# −ln p/ln²2 optimum at p=1% FP), k = round(m/n·ln 2) clamped to
+# [1, _BLOOM_K_MAX]. Deriving from the benchmark size matters: a fixed
+# m saturates on a real 10^6-shingle benchmark and flags everything.
+_BLOOM_K_MAX = 14  # static probe-branch count in the replay oracle SQL
+_BLOOM_M_MIN = 1024
+# Past this the binary literal is ~8 MB+ of plan: warn and fall back to
+# the broadcast bit-table semi-join.
+_BLOOM_MAX_LITERAL_BITS = 1 << 23
+_LN2 = 0.6931471805599453
+
+
+def bloom_geometry(n: int) -> tuple[int, int]:
+    """(m, k) for a benchmark with ``n`` distinct shingles — integer-
+    exact and replicated verbatim by the oracle's bloom_geom CTE:
+    ``m = 2^ceil(log2(max(10n, 1024)))``, ``k = floor(m·ln2/n + 0.5)``
+    clamped to [1, 14]. 10 bits/element holds the false-positive rate
+    ≈ 0.8% before the power-of-two round-up improves it further."""
+    v = max(10 * max(n, 1), _BLOOM_M_MIN)
+    m = 1 << (v - 1).bit_length()
+    k = min(_BLOOM_K_MAX, max(1, math.floor(m * _LN2 / max(n, 1) + 0.5)))
+    return m, k
+
+
+def bloom_pos(col, i: int, m: int):
+    """Probe i's bit position for a shingle: salted md5 → 15 hex
+    digits → int64 → mod m (the md5/conv convention every cross-engine
+    hash in queries/dedup.py uses). THE single definition of the probe
+    family — batch operator, streaming gate, and oracle replay all
+    derive from it."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f"#{i}"))), 1, 15), 16, 10
+        ).cast("long")
+        % m
+    )
+
+
+def shingle_array(text_col, n: int = 5):
+    """Distinct n-word shingles of one document as an ARRAY column —
+    per-row (map-only, no shuffle) shingling; the exploded form equals
+    queries/dedup._shingles' distinct table row-for-row."""
+    ws = F.split(text_col, " ")
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+                lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+            ),
+            lambda sh: F.size(F.split(sh, " ")) >= n,
+        )
+    )
+
+
+def bloom_fit(
+    bench_docs: DataFrame, text_col: str = "text", n: int = 5
+) -> tuple[bytes, int, int]:
+    """Fold a benchmark corpus into a Bloom bitset: distinct n-gram
+    shingles → derived (m, k) → k salted probes per shingle → one
+    m-byte '0'/'1' bitset. Returns ``(bits, m, k)`` — ``bits`` is a
+    plain bytes value usable as a plan literal (batch) or handed to
+    the streaming gate. Two small jobs over the benchmark side only;
+    the corpus is never touched."""
+    sh = (
+        bench_docs.select(
+            F.explode(shingle_array(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    m, k = bloom_geometry(sh.count())
+    pos = sh.select(
+        F.explode(
+            F.array(*[bloom_pos(F.col("shingle"), i, m) for i in range(k)])
+        ).alias("p")
+    ).distinct()
+    bits = bytearray(b"0") * m
+    for p in pos.toPandas()["p"]:
+        bits[int(p)] = 0x31  # '1'
+    return bytes(bits), m, k
+
+
+def bloom_flag_column(bits: bytes, k: int, shingle_col) -> "F.Column":
+    """Boolean Column: all k probe bits set for ``shingle_col``. The
+    bitset rides as ONE binary literal (a boolean-array literal crosses
+    py4j element by element — minutes at 2^20 bits; bytes is a single
+    call — and binary substring is BYTE-indexed O(1), where string
+    substr is code-point indexed and scans O(position) per probe);
+    referenced once via forall over the k-position array, not k
+    literal copies."""
+    m = len(bits)
+    bitset = F.lit(bits)
+    pos_arr = F.array(
+        *[(bloom_pos(shingle_col, i, m) + 1).cast("int") for i in range(k)]
+    )
+    return F.forall(
+        pos_arr, lambda p: F.substring(bitset, p, F.lit(1)) == F.lit(b"1")
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    out_col: str = "contamination_bloom",
+    max_literal_bits: int | None = None,
+) -> DataFrame:
+    """Per-document Bloom contamination over ``docs`` against the
+    ``bench_docs`` benchmark: ``(id_col, n_shingles, n_flagged,
+    out_col)`` with flagged ⊇ exact containment (false positives
+    bounded by the derived geometry, false negatives impossible — the
+    property that makes Bloom the right gate before an exact check).
+
+    Corpus plan: map-only shingle arrays → k codegen probes → one
+    aggregate; ZERO joins while ``m ≤ max_literal_bits``. Above the
+    budget a warning is logged and the probe becomes a broadcast
+    bit-table semi-join (same flag set, one broadcast join)."""
+    if max_literal_bits is None:
+        max_literal_bits = _BLOOM_MAX_LITERAL_BITS
+    bits, m, k = bloom_fit(bench_docs, text_col=text_col, n=n)
+    shingles = shingle_array(F.col(text_col), n)
+    if m <= max_literal_bits:
+        flagged = bloom_flag_column(bits, k, F.col("shingle"))
+        agg = (
+            docs.select(id_col, F.explode(shingles).alias("shingle"))
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(flagged.cast("long")).alias("nh"),
+            )
+        )
+    else:
+        from marex_spark.logging_config import get_logger
+
+        get_logger(__name__).warning(
+            "bloom_decontaminate: derived bitset m=%d exceeds the %d-bit "
+            "literal budget; falling back to a broadcast bit-table "
+            "semi-join (same flag semantics, one extra join)",
+            m,
+            max_literal_bits,
+        )
+        import numpy as np
+        import pandas as pd
+
+        spark = docs.sparkSession
+        pos_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "p": np.flatnonzero(
+                        np.frombuffer(bits, dtype=np.uint8) == 0x31
+                    ).astype("int64")
+                }
+            )
+        )
+        tr = docs.select(id_col, F.explode(shingles).alias("shingle"))
+        probes = tr.select(
+            id_col,
+            "shingle",
+            F.posexplode(
+                F.array(
+                    *[bloom_pos(F.col("shingle"), i, m) for i in range(k)]
+                )
+            ).alias("i", "p"),
+        )
+        hits = (
+            probes.join(F.broadcast(pos_df), "p")
+            .groupBy(id_col, "shingle")
+            .agg(F.count_distinct("i").alias("ki"))
+            .filter(F.col("ki") == k)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("nh"))
+        )
+        agg = (
+            tr.groupBy(id_col)
+            .agg(F.count("*").alias("n"))
+            .join(hits, id_col, "left")
+            .withColumn("nh", F.coalesce("nh", F.lit(0)))
+        )
+    return agg.select(
+        id_col,
+        F.col("n").cast("long").alias("n_shingles"),
+        F.col("nh").cast("long").alias("n_flagged"),
+        (F.col("nh") / F.col("n").cast("double")).alias(out_col),
+    )

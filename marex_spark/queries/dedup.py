@@ -721,69 +721,21 @@ def dedup_paragraphs(spark, sf_dir):
 
 # ----------------------------------------- Bloom-filter decontamination
 
-# Bitset geometry is DERIVED from the benchmark's distinct-shingle
-# count (r6 verdict Missing #2: a fixed m=2^14 saturates on a real
-# 10^6-shingle benchmark and flags everything): m = next power of two
-# ≥ 10·n (10 bits/element ≈ the −ln p/ln²2 optimum at p=1% FP),
-# k = round(m/n·ln 2) clamped to [1, _BLOOM_K_MAX]. The oracle SQL
-# derives the SAME geometry from the same data in its bloom_geom CTE,
-# so both engines agree at every benchmark size.
-_BLOOM_K_MAX = 14  # static probe-branch count in the oracle SQL
-_BLOOM_M_MIN = 1024
-# Past this the array literal is ~8 MB+ of plan: warn and fall back to
-# a broadcast bit-table semi-join (decontam_ngram's shape, identical
-# flag semantics).
-_BLOOM_MAX_LITERAL_BITS = 1 << 23
-_LN2 = 0.6931471805599453
-
-
-def bloom_geometry(n: int) -> tuple[int, int]:
-    """(m, k) for a benchmark with ``n`` distinct shingles — integer-
-    exact and replicated verbatim by the oracle's bloom_geom CTE:
-    ``m = 2^ceil(log2(max(10n, 1024)))``, ``k = floor(m·ln2/n + 0.5)``
-    clamped to [1, 14]. 10 bits/element holds the false-positive rate
-    ≈ 0.8% before the power-of-two round-up improves it further."""
-    v = max(10 * max(n, 1), _BLOOM_M_MIN)
-    m = 1 << (v - 1).bit_length()
-    import math
-
-    k = min(
-        _BLOOM_K_MAX, max(1, math.floor(m * _LN2 / max(n, 1) + 0.5))
-    )
-    return m, k
-
-
-def _bloom_pos(col, i: int, m: int):
-    """Probe i's bit position for a shingle: salted md5 → 15 hex
-    digits → int64 → mod m (the md5/conv convention every cross-engine
-    hash in this module uses). THE single definition of the probe
-    family — the batch operator and the streaming gate
-    (streaming/documents.py bloom_decontaminate_stream) both call
-    this, so a bitset built by one is probed identically by the
-    other."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(col, F.lit(f"#{i}"))), 1, 15), 16, 10
-        ).cast("long")
-        % m
-    )
-
-
-def shingle_array(text_col, n: int = 5):
-    """Distinct n-word shingles of one document as an ARRAY column —
-    the per-row (map-only) counterpart of :func:`_shingles`' exploded
-    table, shared with the streaming gates so stream and batch
-    shingle identically."""
-    ws = F.split(text_col, " ")
-    return F.array_distinct(
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
-                lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
-            ),
-            lambda sh: F.size(F.split(sh, " ")) >= n,
-        )
-    )
+# The operator tier lives in operators/dedup.py (geometry derivation,
+# probe family, per-row shingle arrays, literal/fallback probe plans);
+# this module pins the registered query over it and generates the
+# DuckDB replay oracle. Names re-exported for the streaming gate and
+# the test suite (one probe family everywhere).
+from marex_spark.operators.dedup import (  # noqa: E402,F401
+    _BLOOM_K_MAX,
+    _BLOOM_M_MIN,
+    _BLOOM_MAX_LITERAL_BITS,
+    _LN2,
+    bloom_decontaminate,
+    bloom_geometry,
+    shingle_array,
+)
+from marex_spark.operators.dedup import bloom_pos as _bloom_pos  # noqa: E402,F401
 
 
 def _bloom_pos_sql(expr: str, i: int) -> str:
@@ -841,104 +793,25 @@ def decontam_bloom(spark, sf_dir):
     (false positives possible, false negatives impossible — the
     property that makes Bloom the right gate before an exact check).
 
-    Scale shape: (m, k) are DERIVED from the benchmark's distinct-
-    shingle count via :func:`bloom_geometry` (a fixed m would saturate
-    on a 10^6-shingle production benchmark and flag everything), the
-    bitset is built once from the benchmark side and embedded as ONE
-    '0'/'1' BINARY LITERAL (a boolean-array literal crosses py4j
-    element by element — minutes at 2^20 bits; one bytes value is a
-    single call — and binary substring is BYTE-indexed O(1), where
-    string substr is code-point indexed and scans O(position) per
-    probe; the probe references the literal once via forall over the
-    k-position array, not k literal copies), so the 100 TB corpus
-    side is a map-only membership probe inside whole-stage codegen —
-    NO join at all (the benchmark/training split is a pushed-down
-    source filter, so not even the source attach survives). The only
-    exchanges left are the shingle distinct and the per-doc aggregate
-    (plan-pinned in tests/test_plans.py). When the derived m exceeds
-    ~8M bits the literal would bloat the plan: a warning is logged
-    and the probe falls back to a broadcast bit-table semi-join
-    (decontam_ngram's shape) with identical flag semantics."""
+    Pins :func:`marex_spark.operators.dedup.bloom_decontaminate` at
+    today's constants (5-gram shingles, benchmark = source 'src0',
+    corpus = everything else; round6 on the fraction for the hash
+    gate). Scale shape lives with the operator: derived (m, k), ONE
+    binary bitset literal probed in codegen, per-row array_distinct
+    shingling (no corpus-wide distinct shuffle), ZERO joins on the
+    corpus side (plan-pinned in tests/test_plans.py — the
+    benchmark/training split is a pushed-down source filter); above
+    the ~8M-bit literal budget the operator logs a warning and falls
+    back to a broadcast bit-table semi-join with identical flags."""
     docs = load_table(spark, sf_dir, "documents")
-    # source is a doc-level column, so the src0 split commutes past
-    # shingling: shingle the 10^3-doc benchmark and the corpus
-    # SEPARATELY instead of shingling everything then joining source
-    # back on (the oracle's equivalent-but-joined form).
-    bench = (
-        _shingles(docs.filter(F.col("source") == "src0"), 5)
-        .select("shingle")
-        .distinct()
+    out = bloom_decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=5,
     )
-    m, k = bloom_geometry(bench.count())
-    pos = (
-        bench.select(
-            F.explode(
-                F.array(
-                    *[_bloom_pos(F.col("shingle"), i, m) for i in range(k)]
-                )
-            ).alias("p")
-        )
-        .distinct()
-    )
-    tr = _shingles(docs.filter(F.col("source") != "src0"), 5)
-    if m <= _BLOOM_MAX_LITERAL_BITS:
-        bits = bytearray(b"0") * m
-        for p in pos.toPandas()["p"]:
-            bits[int(p)] = 0x31  # '1'
-        # the Bloom filter: one m-byte plan literal, referenced once
-        bitset = F.lit(bytes(bits))
-        pos_arr = F.array(
-            *[
-                (_bloom_pos(F.col("shingle"), i, m) + 1).cast("int")
-                for i in range(k)
-            ]
-        )
-        flagged = F.forall(
-            pos_arr,
-            lambda p: F.substring(bitset, p, F.lit(1)) == F.lit(b"1"),
-        )
-        agg = tr.groupBy("doc_id").agg(
-            F.count("*").alias("n"),
-            F.sum(flagged.cast("long")).alias("nh"),
-        )
-    else:
-        from marex_spark.logging_config import get_logger
-
-        get_logger(__name__).warning(
-            "decontam_bloom: derived bitset m=%d exceeds the %d-bit "
-            "literal budget; falling back to a broadcast bit-table "
-            "semi-join (same flag semantics, one extra join)",
-            m,
-            _BLOOM_MAX_LITERAL_BITS,
-        )
-        probes = tr.select(
-            "doc_id",
-            "shingle",
-            F.posexplode(
-                F.array(
-                    *[_bloom_pos(F.col("shingle"), i, m) for i in range(k)]
-                )
-            ).alias("i", "p"),
-        )
-        hits = (
-            probes.join(F.broadcast(pos), "p")
-            .groupBy("doc_id", "shingle")
-            .agg(F.count_distinct("i").alias("ki"))
-            .filter(F.col("ki") == k)
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("nh"))
-        )
-        agg = (
-            tr.groupBy("doc_id")
-            .agg(F.count("*").alias("n"))
-            .join(hits, "doc_id", "left")
-            .withColumn("nh", F.coalesce("nh", F.lit(0)))
-        )
-    return agg.select(
+    return out.select(
         "doc_id",
-        F.col("n").cast("long").alias("n_shingles"),
-        F.col("nh").cast("long").alias("n_flagged"),
-        round6(F.col("nh") / F.col("n").cast("double")).alias(
-            "contamination_bloom"
-        ),
+        "n_shingles",
+        "n_flagged",
+        round6(F.col("contamination_bloom")).alias("contamination_bloom"),
     )

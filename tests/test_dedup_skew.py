@@ -163,9 +163,10 @@ def test_decontam_bloom_fallback_join_matches_literal(spark, monkeypatch):
     assert it produces exactly the literal path's rows — the guarantee
     that the >8M-bit warning path is a plan change, not a semantics
     change."""
+    import marex_spark.operators.dedup as od
     import marex_spark.queries.dedup as dq
 
     lit = {tuple(r) for r in dq.decontam_bloom(spark, SF).collect()}
-    monkeypatch.setattr(dq, "_BLOOM_MAX_LITERAL_BITS", 0)
+    monkeypatch.setattr(od, "_BLOOM_MAX_LITERAL_BITS", 0)
     fb = {tuple(r) for r in dq.decontam_bloom(spark, SF).collect()}
     assert lit == fb

@@ -401,6 +401,11 @@ def test_decontam_bloom_corpus_side_is_map_only(spark):
     assert "CartesianProduct" not in plan
     # per-doc aggregate is map-side combinable
     assert "partial_count" in plan or "partial_sum" in plan
+    # per-row array_distinct shingling: the ONLY shuffle left is the
+    # per-doc aggregate (no corpus-wide shingle distinct)
+    from marex_spark.plans import exchange_count
+
+    assert exchange_count(out) == 1, exchange_count(out)
 
 
 def test_semdedup_pairs_blocked_by_cluster_no_corpus_broadcast(spark):
