@@ -136,10 +136,20 @@ def bloom_decontaminate(
     bounded by the derived geometry, false negatives impossible — the
     property that makes Bloom the right gate before an exact check).
 
-    Corpus plan: map-only shingle arrays → k codegen probes → one
-    aggregate; ZERO joins while ``m ≤ max_literal_bits``. Above the
-    budget a warning is logged and the probe becomes a broadcast
-    bit-table semi-join (same flag set, one broadcast join)."""
+    Corpus plan tiers, all ZERO joins and one exchange:
+
+    - ``m ≤ max_literal_bits`` (default 2^23 ≈ 1M-shingle benchmarks):
+      the bitset rides as a binary PLAN LITERAL and the probe is pure
+      whole-stage codegen.
+    - larger ``m``: probe positions still compute JVM-side (codegen
+      md5), the bitset PACKS 8:1 into a numpy uint8 array shipped as
+      a broadcast VARIABLE (m/8 bytes — 16 MB at m=2^27, where the
+      literal would be 16 MB of plan per reference and the old
+      bit-table join broadcast ~10^8 positions ≈ 1 GB), and one
+      vectorised mapInArrow gather checks all k bits per shingle.
+
+    Both tiers are equality-pinned against each other in
+    tests/test_dedup_skew.py."""
     if max_literal_bits is None:
         max_literal_bits = _BLOOM_MAX_LITERAL_BITS
     bits, m, k = bloom_fit(bench_docs, text_col=text_col, n=n)
@@ -159,47 +169,58 @@ def bloom_decontaminate(
 
         get_logger(__name__).warning(
             "bloom_decontaminate: derived bitset m=%d exceeds the %d-bit "
-            "literal budget; falling back to a broadcast bit-table "
-            "semi-join (same flag semantics, one extra join)",
+            "literal budget; shipping it packed (%d bytes) as a "
+            "broadcast variable with a mapInArrow probe kernel "
+            "(same flag semantics, still zero joins)",
             m,
             max_literal_bits,
+            m // 8,
         )
-        import numpy as np
-        import pandas as pd
+        from collections.abc import Iterator
 
-        spark = docs.sparkSession
-        pos_df = spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "p": np.flatnonzero(
-                        np.frombuffer(bits, dtype=np.uint8) == 0x31
-                    ).astype("int64")
-                }
-            )
+        import numpy as np
+        import pyarrow as pa
+
+        packed = np.packbits(
+            np.frombuffer(bits, dtype=np.uint8) == 0x31, bitorder="little"
         )
-        tr = docs.select(id_col, F.explode(shingles).alias("shingle"))
-        probes = tr.select(
-            id_col,
-            "shingle",
-            F.posexplode(
-                F.array(
-                    *[bloom_pos(F.col("shingle"), i, m) for i in range(k)]
+        bc = docs.sparkSession.sparkContext.broadcast(packed.tobytes())
+        id_type = docs.schema[id_col].dataType.simpleString()
+        pos_arr = F.array(
+            *[bloom_pos(F.col("shingle"), i, m) for i in range(k)]
+        )
+        mid = docs.select(
+            id_col, F.explode(shingles).alias("shingle")
+        ).select(id_col, pos_arr.alias("ps"))
+
+        def _probe(batches) -> Iterator:
+            pb = np.frombuffer(bc.value, dtype=np.uint8)
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                tbl = pa.Table.from_batches([batch]).combine_chunks()
+                ps_col = tbl["ps"].chunk(0)
+                # fixed k positions per row, never null → flat reshape
+                # (list_flatten respects offsets, unlike .values)
+                import pyarrow.compute as pc
+
+                flat = pc.list_flatten(ps_col).to_numpy().astype(np.int64)
+                ps = flat.reshape(-1, k)
+                hit = ((pb[ps >> 3] >> (ps & 7).astype(np.uint8)) & 1).all(
+                    axis=1
                 )
-            ).alias("i", "p"),
-        )
-        hits = (
-            probes.join(F.broadcast(pos_df), "p")
-            .groupBy(id_col, "shingle")
-            .agg(F.count_distinct("i").alias("ki"))
-            .filter(F.col("ki") == k)
-            .groupBy(id_col)
-            .agg(F.count("*").alias("nh"))
-        )
+                yield pa.RecordBatch.from_arrays(
+                    [tbl[id_col].chunk(0), pa.array(hit.astype(np.int64))],
+                    names=[id_col, "flagged"],
+                )
+
         agg = (
-            tr.groupBy(id_col)
-            .agg(F.count("*").alias("n"))
-            .join(hits, id_col, "left")
-            .withColumn("nh", F.coalesce("nh", F.lit(0)))
+            mid.mapInArrow(_probe, schema=f"{id_col} {id_type}, flagged long")
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("flagged").alias("nh"),
+            )
         )
     return agg.select(
         id_col,

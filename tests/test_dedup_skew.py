@@ -159,10 +159,10 @@ class TestBloomGeometry:
 
 
 def test_decontam_bloom_fallback_join_matches_literal(spark, monkeypatch):
-    """Force the broadcast bit-table fallback (literal budget → 0) and
-    assert it produces exactly the literal path's rows — the guarantee
-    that the >8M-bit warning path is a plan change, not a semantics
-    change."""
+    """Force the packed-bitset broadcast-kernel tier (literal budget →
+    0) and assert it produces exactly the literal path's rows — the
+    guarantee that the >8M-bit warning path is a plan change, not a
+    semantics change."""
     import marex_spark.operators.dedup as od
     import marex_spark.queries.dedup as dq
 
