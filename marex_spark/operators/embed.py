@@ -643,3 +643,106 @@ def semdedup(
             F.col("_d").isNull().alias("keep"),
         )
     )
+
+
+def semdedup_kernel(
+    df: DataFrame,
+    tau: float = 0.95,
+    k: int | None = None,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_cluster_size: int = 4096,
+    pair_block_elems: int = 1 << 24,
+) -> DataFrame:
+    """Throughput tier of :func:`semdedup` (same tiering as
+    ``ann_pq_adc_fast`` vs ``ann_pq_adc``): one ``applyInPandas`` per
+    learned cluster computes the within-cluster pairwise cosines in
+    numpy instead of a component-exploded self-join — the exploded
+    form shuffles n·d rows and evaluates interpreted decimal folds,
+    the kernel moves each cluster's vectors ONCE and runs BLAS-shaped
+    batched products.
+
+    Value-identical to :func:`semdedup` (and therefore to its DuckDB
+    oracle) by integer micro-unit decimal emulation: every pairwise
+    product rounds to int64 micro-units with Spark's HALF_UP
+    (``sign·floor(|v|·1e6 + 0.5)`` — away from zero, covering negative
+    components, where the PQ kernel's nonneg distances needed plain
+    floor), sums exactly in int64, and converts to double once — the
+    same value chain as ``SUM(CAST(x*y AS DECIMAL(38,6)))::DOUBLE``.
+    Pair blocks are tiled to ``pair_block_elems`` floats so a
+    4096-vector cluster never materialises an n²·d cube.
+
+    Scale shape: one shuffle by ``cent_id`` (bounded groups by
+    construction — ``k`` derives from the corpus count), no pair
+    explosion leaves the kernel, output is one row per vector."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if k is None:
+        n = df.count()
+        k = max(8, -(-n // max(1, target_cluster_size)))
+    cents = kmeans_fit(df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+    asg = kmeans_assign(df, cents).select(
+        F.col(id_col).alias("vec_id"), vec_col, "cent_id", "dist2"
+    )
+    tau_f = float(tau)
+
+    def _micro(v: "np.ndarray") -> "np.ndarray":
+        # Spark CAST(double AS DECIMAL(38,6)): HALF_UP, away from zero
+        return (np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)).astype(np.int64)
+
+    def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()[order]]
+        )
+        d2 = pdf["dist2"].to_numpy()[order]
+        n_c = len(ids)
+        keep = np.ones(n_c, dtype=bool)
+        if n_c > 1:
+            na2 = _micro(X * X).sum(axis=1)  # exact per-vector norm micros
+            nrm = np.sqrt(na2.astype(np.float64) / 1e6)
+            dropped = np.zeros(n_c, dtype=bool)
+            d = X.shape[1]
+            rows_per_block = max(1, pair_block_elems // max(1, n_c * d))
+            for a0 in range(0, n_c - 1, rows_per_block):
+                a1 = min(a0 + rows_per_block, n_c - 1)
+                # products for pairs (a, b) with a in [a0,a1), b > a
+                prod = _micro(X[a0:a1, None, :] * X[None, :, :]).sum(axis=2)
+                dots = prod.astype(np.float64) / 1e6
+                for ai in range(a0, a1):
+                    bs = np.arange(ai + 1, n_c)
+                    if len(bs) == 0:
+                        continue
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dots[ai - a0, bs] / (nrm[ai] * nrm[bs])
+                    dup = cos >= tau_f
+                    if not dup.any():
+                        continue
+                    bdup = bs[dup]
+                    # keep rule, per pair (a<b): drop b when da >= db
+                    # (ties keep the lower id's priority), else drop a
+                    da = d2[ai]
+                    drop_b = da >= d2[bdup]
+                    dropped[bdup[drop_b]] = True
+                    if (~drop_b).any():
+                        dropped[ai] = True
+            keep = ~dropped
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cent_id": pdf["cent_id"].to_numpy()[order].astype("int64"),
+                "keep": keep,
+            }
+        )
+
+    out_schema = "vec_id long, cent_id long, keep boolean"
+    out = asg.groupBy("cent_id").applyInPandas(_run, schema=out_schema)
+    if id_col != "vec_id":
+        out = out.withColumnRenamed("vec_id", id_col)
+    return out

@@ -39,10 +39,11 @@ _PRIORITY = [
     # ---- r7 window (50 = driver budget) ---------------------------------
     # Computed from CORRECTNESS_r0{1..6}.json: after r6, 19 rows were
     # last driver-verified in ROUND 3 and 39 in ROUND 4 (everything else
-    # is r5/r6). 58 candidates > 50 slots, so: all 19 r3 rows, 27 of the
-    # 39 r4 rows, the 2 rows whose ENGINE changed this round, and 2
-    # sentinels. Tier 1 — the full r3 cohort, led by the two rows that
-    # yielded their r6 slots to the then-new operators:
+    # is r5/r6). 58 candidates > 50 slots, so: all 19 r3 rows, 26 of the
+    # 39 r4 rows, the 2 engine-changed rows + 1 new operator from this
+    # round, and 2 sentinels (19+26+3+2 = 50). Tier 1 — the full r3
+    # cohort, led by the two rows that yielded their r6 slots to the
+    # then-new operators:
     "txt_langid",
     "ops_asof_join",
     "ann_cosine_topk_fast",
@@ -64,9 +65,11 @@ _PRIORITY = [
     "txt_unigram_logprob",
     # Tier 2 — rows whose engine changed THIS round (semdedup keep rule
     # restructured join-free / un-broadcast; Bloom m,k now derived from
-    # the benchmark size):
+    # the benchmark size) plus the round's new operator (the numpy
+    # within-cluster semdedup tier — never driver-verified):
     "dedup_semdedup",
     "decontam_bloom",
+    "dedup_semdedup_fast",
     # Tier 3 — green sentinels for regression cover:
     "s1_scan_pushdown",
     "trk_m5_track_nomerge",
@@ -79,8 +82,11 @@ _PRIORITY = [
     # (pipe_corpus_curation/pipe_source_mix_temperature), s5_stats_
     # sidecar (s3/s4), txt_bigram_logprob (txt_unigram_logprob),
     # txt_chunk_windows + txt_quality_lr + txt_token_count_bpe
-    # (txt_repetition_ratio/txt_lr_auc/txt_bpe_train). REMAINDER RULE:
-    # those 12 + the 46-row r5 cohort lead the r8 window.
+    # (txt_repetition_ratio/txt_lr_auc/txt_bpe_train), and
+    # txt_repetition_ratio itself yielded its slot to the new
+    # dedup_semdedup_fast (txt_gopher_rules covers the quality-rule
+    # family). REMAINDER RULE: those 13 + the 46-row r5 cohort lead
+    # the r8 window.
     "ann_ivf_kmeans_topk",
     "dedup_lsh_star_capped",
     "dedup_paragraphs",
@@ -106,7 +112,6 @@ _PRIORITY = [
     "txt_gopher_rules",
     "txt_lr_auc",
     "txt_pii_redact",
-    "txt_repetition_ratio",
     "txt_tfidf_search",
 ]
 

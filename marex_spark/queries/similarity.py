@@ -1593,3 +1593,21 @@ def dedup_semdedup(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup(emb, tau=_SEM_TAU, k=_KM_K, n_iter=_KM_ITER)
+
+
+@register("dedup_semdedup_fast", _semdedup_oracle(_KM_K, _KM_ITER))
+def dedup_semdedup_fast(spark, sf_dir):
+    """Throughput tier of :func:`dedup_semdedup` — identical semantics,
+    identical oracle: :func:`marex_spark.operators.embed.semdedup_kernel`
+    computes each learned cluster's pairwise cosines in ONE numpy
+    applyInPandas group instead of the component-exploded self-join
+    (which shuffles n·d rows and folds decimals interpreted).
+    Value-identical by integer micro-unit decimal emulation with
+    HALF_UP away-from-zero rounding (negative components — the signed
+    extension of the PQ kernel's trick), so the SAME DuckDB oracle
+    hash-verifies both tiers. One shuffle by cent_id, bounded groups,
+    no pair rows leave the kernel."""
+    from marex_spark.operators.embed import semdedup_kernel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_kernel(emb, tau=_SEM_TAU, k=_KM_K, n_iter=_KM_ITER)

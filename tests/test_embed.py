@@ -298,3 +298,41 @@ class TestSemDeDup:
         got = out.select("cent_id").distinct().count()
         assert got <= 8  # k = max(8, ceil(20/5)) = 8 centroids trained
         assert out.count() == 20
+
+
+class TestSemDeDupKernel:
+    def test_kernel_equals_expression_tier_on_fixture(self, spark):
+        """The applyInPandas kernel must reproduce the exploded-join
+        tier row-for-row on the real fixture (same micro-unit decimal
+        chain — this is the pin that lets both tiers share one
+        oracle)."""
+        from marex_spark.queries.similarity import (
+            dedup_semdedup,
+            dedup_semdedup_fast,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        a = {tuple(r) for r in dedup_semdedup(spark, sf).collect()}
+        b = {tuple(r) for r in dedup_semdedup_fast(spark, sf).collect()}
+        assert a == b
+
+    def test_kernel_handles_negative_components_and_ties(self, spark):
+        """Negative products exercise the HALF_UP away-from-zero
+        micro rounding; identical vectors exercise the dist2 tie
+        (drop the higher id)."""
+        from marex_spark.operators.embed import semdedup, semdedup_kernel
+
+        rows = [
+            (1, [-1.0, 0.5, -0.25]),
+            (2, [-1.0, 0.5, -0.25]),   # exact dup of 1 (tie on dist2)
+            (3, [1.0, -0.5, 0.25]),    # anti-parallel to 1 (cos = -1)
+            (4, [0.0, 0.0, 1.0]),
+            (5, [0.1, 0.1, 0.98]),     # near-dup of 4
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = {tuple(r) for r in semdedup(df, tau=0.9, k=2, n_iter=1).collect()}
+        b = {tuple(r) for r in semdedup_kernel(df, tau=0.9, k=2, n_iter=1).collect()}
+        assert a == b
+        keep = {r[0]: r[2] for r in a}
+        assert sorted([keep[1], keep[2]]) == [False, True]  # one dup dropped
+        assert keep[3]  # anti-parallel is NOT a near-dup
