@@ -330,10 +330,19 @@ def kmeans_fit(
         raise ValueError("kmeans_fit on an empty DataFrame")
     cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
     for _ in range(n_iter):
-        cent_col, _ = kmeans_assign_cols(vec_col, cents)
+        if k * len(cents[0]) > _ASSIGN_LITERAL_BUDGET:
+            # large-k tier: assignment via the Arrow kernel (value-
+            # identical), update aggregate unchanged
+            assigned = kmeans_assign_kernel(
+                df.select(vec_col), cents, vec_col=vec_col
+            ).select("cent_id", F.posexplode(vec_col).alias("pos", "x"))
+        else:
+            cent_col, _ = kmeans_assign_cols(vec_col, cents)
+            assigned = df.select(
+                cent_col.alias("cent_id"), F.posexplode(vec_col).alias("pos", "x")
+            )
         upd = (
-            df.select(cent_col.alias("cent_id"), F.posexplode(vec_col).alias("pos", "x"))
-            .groupBy("cent_id", "pos")
+            assigned.groupBy("cent_id", "pos")
             .agg(davg(F.col("x").cast("double")).alias("m"))
             .collect()
         )
@@ -430,10 +439,23 @@ def kmeans_assign(
     vec_col: str = "embedding",
     cent_col: str = "cent_id",
     dist_col: str = "dist2",
+    kernel: bool | None = None,
 ) -> DataFrame:
     """Attach (cent_id, dist2) for a fitted centroid list — the IVF
     bucketing step: partition/bucket the corpus by ``cent_id`` and ANN
-    probes read only their bucket."""
+    probes read only their bucket. ``kernel=None`` auto-selects the
+    Arrow tier when k×d exceeds ``_ASSIGN_LITERAL_BUDGET`` (literal
+    plans and codegen stop scaling past ~10^3 centroids); both tiers
+    are value-identical (equality-pinned)."""
+    if kernel is None:
+        kernel = (
+            len(centroids) * (len(centroids[0]) if centroids else 0)
+            > _ASSIGN_LITERAL_BUDGET
+        )
+    if kernel:
+        return kmeans_assign_kernel(
+            df, centroids, vec_col=vec_col, cent_col=cent_col, dist_col=dist_col
+        )
     cent, dist = kmeans_assign_cols(vec_col, centroids)
     return df.withColumn(cent_col, cent).withColumn(dist_col, dist)
 
@@ -577,10 +599,10 @@ def semdedup(
     one small left anti-style join against the (dup-bounded) dropped
     set, which AQE may broadcast when it is actually small.
 
-    Tier bound: :func:`kmeans_assign_cols` ships centroids as plan
-    literals, which holds to ~10^3 centroids; past that (true 10^9-
-    vector corpora) assignment should move to an Arrow kernel tier,
-    same tiering as :func:`pq_score_kernel`.
+    Tier bound: closed — :func:`kmeans_assign` auto-selects the
+    Arrow kernel tier (:func:`kmeans_assign_kernel`, value-identical)
+    when k×d exceeds the literal budget, so derived k from a true
+    10^9-vector corpus assigns at kernel speed.
     """
     from marex_spark.functions.decimals import dsum
 
@@ -746,3 +768,69 @@ def semdedup_kernel(
     if id_col != "vec_id":
         out = out.withColumnRenamed("vec_id", id_col)
     return out
+
+
+# Literal-centroid assignment embeds k×d doubles in the plan and k
+# decimal folds in codegen — fine to ~10^3 centroids, pathological
+# past it (plan bloat + Janino limits). Above this element budget,
+# assignment moves to the Arrow kernel tier automatically.
+_ASSIGN_LITERAL_BUDGET = 32768  # k*d
+
+
+def kmeans_assign_kernel(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cent_col: str = "cent_id",
+    dist_col: str = "dist2",
+) -> DataFrame:
+    """Arrow-kernel tier of :func:`kmeans_assign` for large centroid
+    counts (true SemDeDup k≈50k, IVF nlist≈√n): centroids ride the
+    task closure once, each batch computes all k exact micro-unit
+    distances vectorised and takes the first argmin — value-identical
+    to the literal-expression tier (same ``floor(d²·1e6+0.5)`` int64
+    sums as the decimal folds, same lowest-index tie-break), pinned in
+    tests/test_embed.py. All input columns pass through."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def _run(batches) -> Iterator:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            col = tbl[vec_col].chunk(0)
+            flat = pc.list_flatten(col).to_numpy().astype(np.float64)
+            X = flat.reshape(batch.num_rows, -1)
+            best = np.full(X.shape[0], np.iinfo(np.int64).max, np.int64)
+            arg = np.zeros(X.shape[0], np.int32)
+            for j in range(C.shape[0]):
+                diff = X - C[j]
+                # exact micro-unit decimal sum (diffs² are nonneg)
+                micro = (
+                    np.floor(diff * diff * 1e6 + 0.5).astype(np.int64).sum(axis=1)
+                )
+                upd = micro < best  # strict: first argmin wins ties
+                best = np.where(upd, micro, best)
+                arg = np.where(upd, j, arg)
+            arrays = [tbl.column(i).chunk(0) for i in range(tbl.num_columns)]
+            arrays += [
+                pa.array(arg, pa.int32()),
+                pa.array(best.astype(np.float64) / 1e6),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=list(tbl.column_names) + [cent_col, dist_col]
+            )
+
+    in_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInArrow(
+        _run, schema=f"{in_schema}, {cent_col} int, {dist_col} double"
+    )

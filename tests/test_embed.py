@@ -336,3 +336,43 @@ class TestSemDeDupKernel:
         keep = {r[0]: r[2] for r in a}
         assert sorted([keep[1], keep[2]]) == [False, True]  # one dup dropped
         assert keep[3]  # anti-parallel is NOT a near-dup
+
+
+class TestKMeansAssignKernel:
+    def test_kernel_equals_literal_tier(self, spark):
+        """The Arrow assignment kernel must reproduce the literal-
+        expression tier exactly — same micro-unit decimal distances,
+        same first-argmin tie-break — on real fixture embeddings."""
+        from marex_spark.operators.embed import (
+            kmeans_assign,
+            kmeans_fit,
+        )
+        from marex_spark.sources.parquet import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = kmeans_fit(emb, k=8, n_iter=1)
+        lit = {
+            (r.vec_id, r.cent_id, r.dist2)
+            for r in kmeans_assign(emb, cents, kernel=False)
+            .select("vec_id", "cent_id", "dist2")
+            .collect()
+        }
+        ker = {
+            (r.vec_id, r.cent_id, r.dist2)
+            for r in kmeans_assign(emb, cents, kernel=True)
+            .select("vec_id", "cent_id", "dist2")
+            .collect()
+        }
+        assert lit == ker
+
+    def test_fit_kernel_tier_equals_literal(self, spark, monkeypatch):
+        """Forcing the fit's assignment through the kernel (budget →
+        0) must yield identical centroids."""
+        import marex_spark.operators.embed as em
+        from marex_spark.sources.parquet import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        a = em.kmeans_fit(emb, k=4, n_iter=2)
+        monkeypatch.setattr(em, "_ASSIGN_LITERAL_BUDGET", 0)
+        b = em.kmeans_fit(emb, k=4, n_iter=2)
+        assert a == b
