@@ -660,6 +660,35 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
             lambda: _force(QUERIES["dedup_minhash_lsh"](spark, corpus1m_dir)),
         )
 
+    # SemDeDup at 500× the sf0.1 embeddings table: corpus-derived k
+    # (1M/4096 = 245 clusters), BLAS mode (exact=False — the
+    # production tier; the decimal-exact tier is what the oracle
+    # hash-verifies at sf0.01). Finds exactly the 10k planted dups.
+    emb1m_dir = f"{tmp}/marex_bench_emb1m"
+    emb_ok = {"ok": False}
+    if sf >= 0.05:
+        try:
+            from marex_spark.sources.synthetic import (
+                materialize_embedding_fixture,
+            )
+
+            materialize_embedding_fixture(spark, emb1m_dir, 1_000_000)
+            emb_ok["ok"] = True
+        except Exception as e:
+            errors["__emb_warmup__"] = f"{type(e).__name__}: {e}"
+            note(f"emb warmup: ERROR {type(e).__name__}")
+
+    def _semdedup_1m() -> int:
+        from marex_spark.operators.embed import semdedup_kernel
+
+        emb = spark.read.parquet(f"{emb1m_dir}/embeddings.parquet")
+        _force(semdedup_kernel(emb, tau=0.95, k=None, n_iter=1, exact=False))
+        spark.catalog.clearCache()
+        return 0
+
+    if emb_ok["ok"]:
+        guarded("semdedup_1m_vectors", _semdedup_1m)
+
     _execute_plan()
 
 

@@ -295,6 +295,7 @@ def kmeans_fit(
     n_iter: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    exact: bool = True,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means for IVF centroid training.
 
@@ -330,20 +331,29 @@ def kmeans_fit(
         raise ValueError("kmeans_fit on an empty DataFrame")
     cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
     for _ in range(n_iter):
-        if k * len(cents[0]) > _ASSIGN_LITERAL_BUDGET:
+        if not exact:
+            # BLAS throughput mode (no oracle determinism contract):
+            # matmul-argmin assignment + plain float mean update
+            assigned = kmeans_assign_kernel(
+                df.select(vec_col), cents, vec_col=vec_col, exact=False
+            ).select("cent_id", F.posexplode(vec_col).alias("pos", "x"))
+            mean_agg = F.avg(F.col("x").cast("double")).alias("m")
+        elif k * len(cents[0]) > _ASSIGN_LITERAL_BUDGET:
             # large-k tier: assignment via the Arrow kernel (value-
             # identical), update aggregate unchanged
             assigned = kmeans_assign_kernel(
                 df.select(vec_col), cents, vec_col=vec_col
             ).select("cent_id", F.posexplode(vec_col).alias("pos", "x"))
+            mean_agg = davg(F.col("x").cast("double")).alias("m")
         else:
             cent_col, _ = kmeans_assign_cols(vec_col, cents)
             assigned = df.select(
                 cent_col.alias("cent_id"), F.posexplode(vec_col).alias("pos", "x")
             )
+            mean_agg = davg(F.col("x").cast("double")).alias("m")
         upd = (
             assigned.groupBy("cent_id", "pos")
-            .agg(davg(F.col("x").cast("double")).alias("m"))
+            .agg(mean_agg)
             .collect()
         )
         by_cent: dict[int, dict[int, float]] = {}
@@ -676,6 +686,7 @@ def semdedup_kernel(
     id_col: str = "vec_id",
     target_cluster_size: int = 4096,
     pair_block_elems: int = 1 << 24,
+    exact: bool = True,
 ) -> DataFrame:
     """Throughput tier of :func:`semdedup` (same tiering as
     ``ann_pq_adc_fast`` vs ``ann_pq_adc``): one ``applyInPandas`` per
@@ -684,6 +695,12 @@ def semdedup_kernel(
     form shuffles n·d rows and evaluates interpreted decimal folds,
     the kernel moves each cluster's vectors ONCE and runs BLAS-shaped
     batched products.
+
+    ``exact=False`` is the production mode for corpora where the
+    oracle-replay determinism contract doesn't apply: float64 BLAS
+    matmuls end to end (matmul-argmin assignment, normalised X·Xᵀ
+    cosine blocks) — same keep rule, decisions identical except on
+    razor-edge τ ties. The 1M-vector bench row runs this mode.
 
     Value-identical to :func:`semdedup` (and therefore to its DuckDB
     oracle) by integer micro-unit decimal emulation: every pairwise
@@ -706,10 +723,14 @@ def semdedup_kernel(
     if k is None:
         n = df.count()
         k = max(8, -(-n // max(1, target_cluster_size)))
-    cents = kmeans_fit(df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
-    asg = kmeans_assign(df, cents).select(
-        F.col(id_col).alias("vec_id"), vec_col, "cent_id", "dist2"
+    cents = kmeans_fit(
+        df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col, exact=exact
     )
+    if exact:
+        asg = kmeans_assign(df, cents, vec_col=vec_col)
+    else:
+        asg = kmeans_assign_kernel(df, cents, vec_col=vec_col, exact=False)
+    asg = asg.select(F.col(id_col).alias("vec_id"), vec_col, "cent_id", "dist2")
     tau_f = float(tau)
 
     def _micro(v: "np.ndarray") -> "np.ndarray":
@@ -727,16 +748,26 @@ def semdedup_kernel(
         n_c = len(ids)
         keep = np.ones(n_c, dtype=bool)
         if n_c > 1:
-            na2 = _micro(X * X).sum(axis=1)  # exact per-vector norm micros
-            nrm = np.sqrt(na2.astype(np.float64) / 1e6)
+            if exact:
+                na2 = _micro(X * X).sum(axis=1)  # exact per-vector norms
+                nrm = np.sqrt(na2.astype(np.float64) / 1e6)
+            else:
+                nrm = np.sqrt((X * X).sum(axis=1))
             dropped = np.zeros(n_c, dtype=bool)
             d = X.shape[1]
-            rows_per_block = max(1, pair_block_elems // max(1, n_c * d))
+            if exact:
+                rows_per_block = max(1, pair_block_elems // max(1, n_c * d))
+            else:
+                # BLAS blocks: (rows × d) @ (d × n_c), no n²·d cube
+                rows_per_block = max(1, pair_block_elems // max(1, n_c))
             for a0 in range(0, n_c - 1, rows_per_block):
                 a1 = min(a0 + rows_per_block, n_c - 1)
                 # products for pairs (a, b) with a in [a0,a1), b > a
-                prod = _micro(X[a0:a1, None, :] * X[None, :, :]).sum(axis=2)
-                dots = prod.astype(np.float64) / 1e6
+                if exact:
+                    prod = _micro(X[a0:a1, None, :] * X[None, :, :]).sum(axis=2)
+                    dots = prod.astype(np.float64) / 1e6
+                else:
+                    dots = X[a0:a1] @ X.T
                 for ai in range(a0, a1):
                     bs = np.arange(ai + 1, n_c)
                     if len(bs) == 0:
@@ -783,6 +814,7 @@ def kmeans_assign_kernel(
     vec_col: str = "embedding",
     cent_col: str = "cent_id",
     dist_col: str = "dist2",
+    exact: bool = True,
 ) -> DataFrame:
     """Arrow-kernel tier of :func:`kmeans_assign` for large centroid
     counts (true SemDeDup k≈50k, IVF nlist≈√n): centroids ride the
@@ -790,7 +822,13 @@ def kmeans_assign_kernel(
     distances vectorised and takes the first argmin — value-identical
     to the literal-expression tier (same ``floor(d²·1e6+0.5)`` int64
     sums as the decimal folds, same lowest-index tie-break), pinned in
-    tests/test_embed.py. All input columns pass through."""
+    tests/test_embed.py. All input columns pass through.
+
+    ``exact=False`` is the BLAS throughput mode: one float64 matmul
+    argmin (``|x|² − 2x·C + |C|²``) per batch — O(nkd) fused flops
+    instead of a python loop over k with per-element rounding; assign-
+    ments agree with the exact tier except on razor-edge ties (same
+    contract as the reference's own float kernels)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -801,6 +839,7 @@ def kmeans_assign_kernel(
     def _run(batches) -> Iterator:
         import pyarrow.compute as pc
 
+        c2 = (C * C).sum(axis=1)
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -808,22 +847,27 @@ def kmeans_assign_kernel(
             col = tbl[vec_col].chunk(0)
             flat = pc.list_flatten(col).to_numpy().astype(np.float64)
             X = flat.reshape(batch.num_rows, -1)
-            best = np.full(X.shape[0], np.iinfo(np.int64).max, np.int64)
-            arg = np.zeros(X.shape[0], np.int32)
-            for j in range(C.shape[0]):
-                diff = X - C[j]
-                # exact micro-unit decimal sum (diffs² are nonneg)
-                micro = (
-                    np.floor(diff * diff * 1e6 + 0.5).astype(np.int64).sum(axis=1)
-                )
-                upd = micro < best  # strict: first argmin wins ties
-                best = np.where(upd, micro, best)
-                arg = np.where(upd, j, arg)
+            if exact:
+                best = np.full(X.shape[0], np.iinfo(np.int64).max, np.int64)
+                arg = np.zeros(X.shape[0], np.int32)
+                for j in range(C.shape[0]):
+                    diff = X - C[j]
+                    # exact micro-unit decimal sum (diffs² are nonneg)
+                    micro = (
+                        np.floor(diff * diff * 1e6 + 0.5)
+                        .astype(np.int64)
+                        .sum(axis=1)
+                    )
+                    upd = micro < best  # strict: first argmin wins ties
+                    best = np.where(upd, micro, best)
+                    arg = np.where(upd, j, arg)
+                dists = best.astype(np.float64) / 1e6
+            else:
+                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2
+                arg = d2.argmin(axis=1).astype(np.int32)  # first min wins
+                dists = np.maximum(d2[np.arange(len(arg)), arg], 0.0)
             arrays = [tbl.column(i).chunk(0) for i in range(tbl.num_columns)]
-            arrays += [
-                pa.array(arg, pa.int32()),
-                pa.array(best.astype(np.float64) / 1e6),
-            ]
+            arrays += [pa.array(arg, pa.int32()), pa.array(dists)]
             yield pa.RecordBatch.from_arrays(
                 arrays, names=list(tbl.column_names) + [cent_col, dist_col]
             )

@@ -313,3 +313,81 @@ def materialize_corpus_fixture(
         spark, n_docs, words_per_doc=words_per_doc
     ).write.mode("overwrite").parquet(path)
     return corpus_dir
+
+
+def synthetic_embeddings(
+    spark: SparkSession,
+    n_vecs: int,
+    dim: int = 64,
+    dup_every: int = 100,
+    partitions: int = 64,
+) -> DataFrame:
+    """Synthetic embedding corpus for the similarity/semdedup scale
+    rows — numpy ``mapInArrow`` splitmix64 draws in [-0.5, 0.5), so
+    random pairs sit near cosine 0 at any real dimension. Every
+    ``dup_every``-th vector copies the NEXT vector verbatim (cosine
+    1.0): the planted ~1/dup_every near-duplicate rate semantic dedup
+    must find. Schema ``(vec_id long, embedding array<float>)``."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy().astype(np.uint64)
+            n = np.uint64(n_vecs)
+            seed = np.where(
+                (ids % np.uint64(dup_every) == 0) & (ids + np.uint64(1) < n),
+                ids + np.uint64(1),
+                ids,
+            )
+            pos = np.arange(dim, dtype=np.uint64)
+            z = (
+                seed[:, None] * np.uint64(0x9E3779B97F4A7C15)
+                + (pos + np.uint64(1)) * np.uint64(0xD1B54A32D192ED03)
+            )
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = z ^ (z >> np.uint64(27))
+            vals = (z % np.uint64(1 << 24)).astype(np.float64) / float(1 << 24) - 0.5
+            emb = vals.astype(np.float32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64)),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(emb.reshape(-1)), dim
+                    ).cast(pa.list_(pa.float32())),
+                ],
+                names=["vec_id", "embedding"],
+            )
+
+    return spark.range(n_vecs, numPartitions=partitions).mapInArrow(
+        _gen, schema="vec_id long, embedding array<float>"
+    )
+
+
+def materialize_embedding_fixture(
+    spark: SparkSession,
+    corpus_dir: str,
+    n_vecs: int,
+    dim: int = 64,
+    reuse: bool = True,
+) -> str:
+    """Land :func:`synthetic_embeddings` as ``{corpus_dir}/embeddings.
+    parquet`` (the load_table layout) with the packed-fixture reuse
+    contract (row count + dim pin)."""
+    import os
+
+    path = os.path.join(corpus_dir, "embeddings.parquet")
+    if reuse and os.path.isdir(path):
+        try:
+            prior = spark.read.parquet(path)
+            if (
+                prior.count() == n_vecs
+                and len(prior.select("embedding").first()[0]) == dim
+            ):
+                return corpus_dir
+        except Exception:
+            pass
+    synthetic_embeddings(spark, n_vecs, dim=dim).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return corpus_dir

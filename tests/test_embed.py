@@ -376,3 +376,29 @@ class TestKMeansAssignKernel:
         monkeypatch.setattr(em, "_ASSIGN_LITERAL_BUDGET", 0)
         b = em.kmeans_fit(emb, k=4, n_iter=2)
         assert a == b
+
+    def test_blas_mode_finds_planted_dups(self, spark):
+        """exact=False (float64 BLAS end to end) is the approximate
+        production mode: the float k-means fit can block borderline
+        vectors into different clusters than the decimal fit (observed:
+        1/500 flips on the fixture), so it carries no exact-equality
+        contract. What it MUST do: find every planted exact duplicate
+        (cos 1.0 pairs land in the same cluster — identical vectors
+        have identical assignments) and keep the rest of a
+        near-orthogonal corpus, agreeing with the exact tier on ≥99%
+        of decisions."""
+        from marex_spark.operators.embed import semdedup_kernel
+        from marex_spark.sources.synthetic import synthetic_embeddings
+
+        emb = synthetic_embeddings(spark, 2000, dim=32, dup_every=100)
+        a = semdedup_kernel(emb, tau=0.95, k=8, n_iter=1).collect()
+        b = semdedup_kernel(emb, tau=0.95, k=8, n_iter=1, exact=False).collect()
+        ka = {r.vec_id: r.keep for r in a}
+        kb = {r.vec_id: r.keep for r in b}
+        # every planted dup pair (i, i+1 for i % 100 == 0) loses
+        # exactly one member, in BOTH modes
+        for mode in (ka, kb):
+            for i in range(0, 2000, 100):
+                assert sorted([mode[i], mode[i + 1]]) == [False, True], i
+        n_disagree = sum(1 for v in ka if ka[v] != kb[v])
+        assert n_disagree <= 20, n_disagree  # ≥99% agreement
