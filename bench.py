@@ -633,8 +633,9 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
             )
 
             materialize_corpus_fixture(spark, corpus5m_dir, 5_000_000)
+            corpus_ok["5m"] = True
             materialize_corpus_fixture(spark, corpus1m_dir, 1_000_000)
-            corpus_ok["5m"] = corpus_ok["1m"] = True
+            corpus_ok["1m"] = True
             # prewarm reused fixtures into page cache (same rule as the
             # band fixture: cold virtual-disk scans measure the shared
             # box's IO weather, not the engine)

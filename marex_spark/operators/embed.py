@@ -622,7 +622,7 @@ def semdedup(
         n = df.count()
         k = max(8, -(-n // max(1, target_cluster_size)))
     cents = kmeans_fit(df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
-    asg = kmeans_assign(df, cents).select(
+    asg = kmeans_assign(df, cents, vec_col=vec_col).select(
         F.col(id_col).alias("vec_id"), "cent_id", "dist2"
     )
     e = (
@@ -715,8 +715,6 @@ def semdedup_kernel(
     Scale shape: one shuffle by ``cent_id`` (bounded groups by
     construction — ``k`` derives from the corpus count), no pair
     explosion leaves the kernel, output is one row per vector."""
-    import math
-
     import numpy as np
     import pandas as pd
 
@@ -774,7 +772,10 @@ def semdedup_kernel(
                         continue
                     with np.errstate(divide="ignore", invalid="ignore"):
                         cos = dots[ai - a0, bs] / (nrm[ai] * nrm[bs])
-                    dup = cos >= tau_f
+                    # Spark/DuckDB order NaN above every value, so a
+                    # 0/0 cosine (zero-norm vector) satisfies >= tau
+                    # in the SQL tiers — replicate, don't diverge
+                    dup = (cos >= tau_f) | np.isnan(cos)
                     if not dup.any():
                         continue
                     bdup = bs[dup]
@@ -794,7 +795,8 @@ def semdedup_kernel(
             }
         )
 
-    out_schema = "vec_id long, cent_id long, keep boolean"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"vec_id {id_type}, cent_id long, keep boolean"
     out = asg.groupBy("cent_id").applyInPandas(_run, schema=out_schema)
     if id_col != "vec_id":
         out = out.withColumnRenamed("vec_id", id_col)

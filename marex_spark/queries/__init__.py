@@ -73,7 +73,7 @@ _PRIORITY = [
     # Tier 3 — green sentinels for regression cover:
     "s1_scan_pushdown",
     "trk_m5_track_nomerge",
-    # Tier 4 — 27 of the 39 r4-era rows, breadth-first. The 12 deferred
+    # Tier 4 — 26 of the 39 r4-era rows, breadth-first. The 13 deferred
     # to r8 each have an in-window family sibling covering the same code
     # path: ann_ivf_kmeans_recall + ann_ivf_seeded_topk (ann_ivf_kmeans_
     # topk stays), dedup_cross_source (dedup_paragraphs), emb_project_

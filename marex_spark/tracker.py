@@ -527,11 +527,14 @@ class Tracker:
             and "area" in self.cell_geo.columns
         )
         if phys:
+            # LEFT join + coalesce(0): cells missing from a user-supplied
+            # cell_geo must not drop rows (that would corrupt the
+            # count-based stats the reference defines over ALL cells)
             cell_area = self.cell_geo.select("cell", F.col("area").alias("_ca"))
             raw_area = float(
                 raw_src.filter(F.col(self.extreme_col))
-                .join(cell_area, "cell")
-                .agg(F.sum("_ca"))
+                .join(cell_area, "cell", "left")
+                .agg(F.sum(F.coalesce("_ca", F.lit(0.0))))
                 .first()[0]
                 or 0.0
             )
@@ -580,7 +583,9 @@ class Tracker:
             # filter thresholds stay COUNT-based (reference cluster_sizes,
             # track.py:1786-1843) — only the preprocessed-area fraction
             # is physically weighted (compute_area, track.py:1513-1514)
-            labels = labels.join(cell_area, "cell")
+            labels = labels.join(cell_area, "cell", "left").withColumn(
+                "_ca", F.coalesce("_ca", F.lit(0.0))
+            )
             areas = object_areas(labels, time_col=self.time_col, area_col="_ca")
         else:
             areas = object_areas(labels, time_col=self.time_col)
