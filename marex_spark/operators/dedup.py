@@ -47,17 +47,38 @@ def bloom_geometry(n: int) -> tuple[int, int]:
 
 
 def bloom_pos(col, i: int, m: int):
-    """Probe i's bit position for a shingle: salted md5 → 15 hex
-    digits → int64 → mod m (the md5/conv convention every cross-engine
-    hash in queries/dedup.py uses). THE single definition of the probe
-    family — batch operator, streaming gate, and oracle replay all
-    derive from it."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(col, F.lit(f"#{i}"))), 1, 15), 16, 10
-        ).cast("long")
-        % m
-    )
+    """Probe i's bit position for a shingle — Kirsch–Mitzenmacher
+    double hashing: ``(h1 + i·h2) mod m`` where h1/h2 are the two
+    60-bit halves of ONE md5 (hex chars 1-15 and 17-31, the md5/conv
+    convention every cross-engine hash in queries/dedup.py uses),
+    each reduced mod m first so ``i·h2`` stays far from int64
+    overflow. K-M (2006) shows two hashes preserve the Bloom
+    false-positive asymptotics; one md5 instead of k salted md5s is
+    ~12× fewer hash evaluations on the corpus hot path (measured: the
+    k-salted form spent 43 s of the 5M-doc row's 56 s computing md5).
+    THE single definition of the probe family — batch operator,
+    streaming gate, and oracle replay all derive from it. Callers
+    probing k positions should materialise h1/h2 as projected columns
+    once via :func:`bloom_hash_cols` (HOF lambdas and repeated array
+    elements re-evaluate subtrees), then combine with
+    :func:`bloom_pos_from_hashes`."""
+    h1, h2 = bloom_hash_cols(col, m)
+    return bloom_pos_from_hashes(h1, h2, i, m)
+
+
+def bloom_hash_cols(col, m: int):
+    """(h1 mod m, h2 mod m) from one md5 of ``col`` — the two halves
+    every probe position derives from."""
+    h = F.md5(col)
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m
+    h2 = F.conv(F.substring(h, 17, 15), 16, 10).cast("long") % m
+    return h1, h2
+
+
+def bloom_pos_from_hashes(h1, h2, i: int, m: int):
+    """Probe i from pre-reduced hash halves: ``(h1 + i·h2) mod m``.
+    i ≤ 14 and h2 < m ≤ 2^31, so the product stays in int64."""
+    return (h1 + F.lit(i) * h2) % m
 
 
 def shingle_array(text_col, n: int = 5):
@@ -92,9 +113,18 @@ def bloom_fit(
         .distinct()
     )
     m, k = bloom_geometry(sh.count())
-    pos = sh.select(
+    h1, h2 = bloom_hash_cols(F.col("shingle"), m)
+    hs = sh.select(h1.alias("_h1"), h2.alias("_h2"))
+    pos = hs.select(
         F.explode(
-            F.array(*[bloom_pos(F.col("shingle"), i, m) for i in range(k)])
+            F.array(
+                *[
+                    bloom_pos_from_hashes(
+                        F.col("_h1"), F.col("_h2"), i, m
+                    )
+                    for i in range(k)
+                ]
+            )
         ).alias("p")
     ).distinct()
     bits = bytearray(b"0") * m
@@ -103,22 +133,33 @@ def bloom_fit(
     return bytes(bits), m, k
 
 
-def bloom_flag_column(bits: bytes, k: int, shingle_col) -> "F.Column":
-    """Boolean Column: all k probe bits set for ``shingle_col``. The
-    bitset rides as ONE binary literal (a boolean-array literal crosses
-    py4j element by element — minutes at 2^20 bits; bytes is a single
-    call — and binary substring is BYTE-indexed O(1), where string
-    substr is code-point indexed and scans O(position) per probe);
-    referenced once via forall over the k-position array, not k
-    literal copies."""
+def bloom_flag_from_hashes(bits: bytes, k: int, h1, h2) -> "F.Column":
+    """Boolean Column: all k probe bits set, from pre-materialised
+    hash halves (project them as plain columns first — repeated array
+    elements re-evaluate expression subtrees). The bitset rides as ONE
+    binary literal (a boolean-array literal crosses py4j element by
+    element — minutes at 2^20 bits; bytes is a single call — and
+    binary substring is BYTE-indexed O(1), where string substr is
+    code-point indexed and scans O(position) per probe); referenced
+    once via forall over the k-position array, not k literal copies."""
     m = len(bits)
     bitset = F.lit(bits)
     pos_arr = F.array(
-        *[(bloom_pos(shingle_col, i, m) + 1).cast("int") for i in range(k)]
+        *[
+            (bloom_pos_from_hashes(h1, h2, i, m) + 1).cast("int")
+            for i in range(k)
+        ]
     )
     return F.forall(
         pos_arr, lambda p: F.substring(bitset, p, F.lit(1)) == F.lit(b"1")
     )
+
+
+def bloom_flag_column(bits: bytes, k: int, shingle_col) -> "F.Column":
+    """:func:`bloom_flag_from_hashes` with the hashes inline — fine
+    for one-off expressions; hot paths should project the halves."""
+    h1, h2 = bloom_hash_cols(shingle_col, len(bits))
+    return bloom_flag_from_hashes(bits, k, h1, h2)
 
 
 def bloom_decontaminate(
@@ -154,15 +195,19 @@ def bloom_decontaminate(
         max_literal_bits = _BLOOM_MAX_LITERAL_BITS
     bits, m, k = bloom_fit(bench_docs, text_col=text_col, n=n)
     shingles = shingle_array(F.col(text_col), n)
+    h1, h2 = bloom_hash_cols(F.col("shingle"), m)
+    # ONE md5 per shingle (K-M double hashing), materialised as plain
+    # columns so the k probe positions are integer arithmetic
+    probed = docs.select(id_col, F.explode(shingles).alias("shingle")).select(
+        id_col, h1.alias("_h1"), h2.alias("_h2")
+    )
     if m <= max_literal_bits:
-        flagged = bloom_flag_column(bits, k, F.col("shingle"))
-        agg = (
-            docs.select(id_col, F.explode(shingles).alias("shingle"))
-            .groupBy(id_col)
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(flagged.cast("long")).alias("nh"),
-            )
+        flagged = bloom_flag_from_hashes(
+            bits, k, F.col("_h1"), F.col("_h2")
+        )
+        agg = probed.groupBy(id_col).agg(
+            F.count("*").alias("n"),
+            F.sum(flagged.cast("long")).alias("nh"),
         )
     else:
         from marex_spark.logging_config import get_logger
@@ -187,11 +232,12 @@ def bloom_decontaminate(
         bc = docs.sparkSession.sparkContext.broadcast(packed.tobytes())
         id_type = docs.schema[id_col].dataType.simpleString()
         pos_arr = F.array(
-            *[bloom_pos(F.col("shingle"), i, m) for i in range(k)]
+            *[
+                bloom_pos_from_hashes(F.col("_h1"), F.col("_h2"), i, m)
+                for i in range(k)
+            ]
         )
-        mid = docs.select(
-            id_col, F.explode(shingles).alias("shingle")
-        ).select(id_col, pos_arr.alias("ps"))
+        mid = probed.select(id_col, pos_arr.alias("ps"))
 
         def _probe(batches) -> Iterator:
             pb = np.frombuffer(bc.value, dtype=np.uint8)

@@ -733,16 +733,19 @@ from marex_spark.operators.dedup import (  # noqa: E402,F401
     _LN2,
     bloom_decontaminate,
     bloom_geometry,
+    bloom_hash_cols,
+    bloom_pos_from_hashes,
     shingle_array,
 )
 from marex_spark.operators.dedup import bloom_pos as _bloom_pos  # noqa: E402,F401
 
 
-def _bloom_pos_sql(expr: str, i: int) -> str:
-    # m comes from the bloom_geom CTE, so the oracle adapts to the
-    # benchmark size exactly like bloom_geometry() does.
+def _bloom_hash_sql(expr: str, start: int) -> str:
+    # one md5, two 60-bit halves (hex 1-15 and 17-31) — the engine's
+    # bloom_hash_cols; m comes from the bloom_geom CTE, so the oracle
+    # adapts to the benchmark size exactly like bloom_geometry() does.
     return (
-        f"CAST(CONCAT('0x', SUBSTRING(md5({expr} || '#{i}'), 1, 15)) "
+        f"CAST(CONCAT('0x', SUBSTRING(md5({expr}), {start}, 15)) "
         f"AS BIGINT) % (SELECT m FROM bloom_geom)"
     )
 
@@ -760,14 +763,23 @@ _DECONTAM_BLOOM_SQL = f"""WITH sh AS ({_shingles_sql(5)}),
                POWER(2, CAST(CEIL(LOG2(GREATEST(10 * CAST(n AS BIGINT), {_BLOOM_M_MIN}))) AS INT))
                * {_LN2!r} / GREATEST(n, 1) + 0.5) AS INT))) AS k
       FROM (SELECT COUNT(*) AS n FROM bench)),
+    bench_h AS MATERIALIZED (
+      SELECT {_bloom_hash_sql('shingle', 1)} AS h1,
+             {_bloom_hash_sql('shingle', 17)} AS h2
+      FROM bench),
     bits AS (
       SELECT DISTINCT p FROM (
-        {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('shingle', i)} AS p FROM bench WHERE {i} < (SELECT k FROM bloom_geom)" for i in range(_BLOOM_K_MAX))}
+        {" UNION ALL ".join(f"SELECT (h1 + {i} * h2) % (SELECT m FROM bloom_geom) AS p FROM bench_h WHERE {i} < (SELECT k FROM bloom_geom)" for i in range(_BLOOM_K_MAX))}
       )),
     tr AS MATERIALIZED (
       SELECT doc_id, shingle FROM s WHERE source <> 'src0'),
+    tr_h AS MATERIALIZED (
+      SELECT doc_id, shingle,
+             {_bloom_hash_sql('shingle', 1)} AS h1,
+             {_bloom_hash_sql('shingle', 17)} AS h2
+      FROM tr),
     probes AS (
-      {" UNION ALL ".join(f"SELECT doc_id, shingle, {i} AS i, {_bloom_pos_sql('shingle', i)} AS p FROM tr WHERE {i} < (SELECT k FROM bloom_geom)" for i in range(_BLOOM_K_MAX))}
+      {" UNION ALL ".join(f"SELECT doc_id, shingle, {i} AS i, (h1 + {i} * h2) % (SELECT m FROM bloom_geom) AS p FROM tr_h WHERE {i} < (SELECT k FROM bloom_geom)" for i in range(_BLOOM_K_MAX))}
     ),
     hits AS (
       SELECT doc_id, shingle
@@ -787,8 +799,9 @@ _DECONTAM_BLOOM_SQL = f"""WITH sh AS ({_shingles_sql(5)}),
 def decontam_bloom(spark, sf_dir):
     """Bloom-filter benchmark decontamination — the constant-space form
     of :func:`decontam_ngram`: the held-out benchmark's 5-gram shingles
-    (source 'src0') are folded into an m-bit Bloom bitset (k salted-md5
-    probes), and every TRAINING shingle is probed against it — flagged
+    (source 'src0') are folded into an m-bit Bloom bitset (K-M double
+    hashing — ONE md5 per shingle, k positions (h1 + i·h2) mod m), and
+    every TRAINING shingle is probed against it — flagged
     iff all k bits are set, so contamination_bloom ⊇ the exact fraction
     (false positives possible, false negatives impossible — the
     property that makes Bloom the right gate before an exact check).

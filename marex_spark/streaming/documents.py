@@ -262,34 +262,46 @@ def bloom_decontaminate_stream(
 
     ``bloom_bits`` is the m-length boolean bitset built in batch from
     the benchmark's shingles and ``k`` the probe count that built it —
-    both sides of the geometry queries/dedup.py bloom_geometry derives
+    both sides of the geometry operators/dedup.bloom_geometry derives
     from the benchmark size (pass the same k; a mismatched k changes
-    the flag set). The probe family and the shingle construction are
-    IMPORTED from that module — one definition, so a doc flagged here
-    is flagged there by construction. The bitset rides the plan as an
-    array literal: every micro-batch is a pure map pass — no
-    stream-static join, no broadcast exchange, no watermark
-    requirement — the cheapest possible first gate in front of the
-    exact decontamination join. Emits the per-document shingle counts
-    ``(id_col, n_shingles, n_flagged)`` per micro-batch row (one row
-    per input doc; append-safe)."""
-    from marex_spark.queries.dedup import _bloom_pos, shingle_array
+    the flag set). The probe family (Kirsch–Mitzenmacher double
+    hashing: one md5 per shingle, positions ``(h1 + i·h2) mod m``) and
+    the shingle construction are IMPORTED from that module — one
+    definition, so a doc flagged here is flagged there by
+    construction; the hash halves materialise per shingle via one
+    ``transform`` pass so the HOF lambda never recomputes the md5 per
+    probe. The bitset rides the plan as an array literal: every
+    micro-batch is a pure map pass — no stream-static join, no
+    broadcast exchange, no watermark requirement — the cheapest
+    possible first gate in front of the exact decontamination join.
+    Emits the per-document shingle counts ``(id_col, n_shingles,
+    n_flagged)`` per micro-batch row (one row per input doc;
+    append-safe)."""
+    from marex_spark.operators.dedup import (
+        bloom_hash_cols,
+        bloom_pos_from_hashes,
+        shingle_array,
+    )
 
     m = len(bloom_bits)
     shingles = shingle_array(text_col, n)
     bitset = F.lit(list(bloom_bits))
 
-    def _hit(s):
+    def _hashes(s):
+        h1, h2 = bloom_hash_cols(s, m)
+        return F.struct(h1.alias("h1"), h2.alias("h2"))
+
+    def _hit(hs):
         probe = None
         for i in range(k):
-            p = F.element_at(
-                bitset, (_bloom_pos(s, i, m) + 1).cast("int")
-            )
+            pos = bloom_pos_from_hashes(hs["h1"], hs["h2"], i, m)
+            p = F.element_at(bitset, (pos + 1).cast("int"))
             probe = p if probe is None else (probe & p)
         return probe
 
+    hashed = F.transform(shingles, _hashes)
     return stream.select(
         id_col,
         F.size(shingles).cast("long").alias("n_shingles"),
-        F.size(F.filter(shingles, _hit)).cast("long").alias("n_flagged"),
+        F.size(F.filter(hashed, _hit)).cast("long").alias("n_flagged"),
     )
