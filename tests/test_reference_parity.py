@@ -918,3 +918,99 @@ def test_radians_auto_detection_and_conversion(spark):
             grid_x=_gx(np.linspace(0, 20, NXg)),  # ambiguous regional span
             drop_first_object=False,
         )
+
+
+def test_complex_merging_scenario_completes(spark):
+    """Reference test_complex_merging_scenario (edge_cases:257-278):
+    aggressive merging — quartile 0.4, R_fill=8 (the largest radius
+    any reference test uses: exercises the separable-disk kernel and
+    the R//2=4 post-gap-fill refill), T_fill=2, overlap threshold
+    0.15, poles clamped. The reference asserts completion with
+    N_events_final > 0 and merging recorded on."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.tracker import Tracker
+
+    ext, gy, gx, mask_df, nx, ny = _gridded_scenario_inputs(spark, True)
+    res = Tracker(
+        data_bin=ext, ny=ny, nx=nx, mask=mask_df,
+        area_filter_quartile=0.4, R_fill=8, T_fill=2,
+        allow_merging=True, overlap_threshold=0.15,
+        grid_y=gy, grid_x=gx,
+    ).run()
+    n_events = res.events.select(F.countDistinct("event_id")).first()[0]
+    assert n_events > 0
+    assert res.extras["merge_ledger"] is not None
+
+
+def test_merging_with_temporal_fill_completes(spark):
+    """Reference test_merging_with_temporal_fill (edge_cases:280-297):
+    quartile 0.4, R_fill=4, T_fill=2, overlap 0.2, FULL mask (no pole
+    clamp — unlike the pinned advanced scenario). Completion +
+    merging-on is the reference's own assertion level."""
+    from pyspark.sql import functions as F
+
+    from marex_spark.tracker import Tracker
+
+    ext, gy, gx, mask_df, nx, ny = _gridded_scenario_inputs(spark, False)
+    res = Tracker(
+        data_bin=ext, ny=ny, nx=nx, mask=mask_df,
+        area_filter_quartile=0.4, R_fill=4, T_fill=2,
+        allow_merging=True, overlap_threshold=0.2,
+        grid_y=gy, grid_x=gx,
+    ).run()
+    n_events = res.events.select(F.countDistinct("event_id")).first()[0]
+    assert n_events > 0
+
+
+def test_unstructured_merging_q04_completes(spark):
+    """Reference test_unstructured_tracking_with_merging
+    (edge_cases:304-340): the standard mesh fixture at quartile 0.4,
+    R_fill=2, T_fill=2, merging at overlap 0.2 — a config none of the
+    pinned mesh scenarios cover. Completion with N_events_final > 0."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from marex_spark.sources.zarr import read_array_driver
+    from marex_spark.tracker import Tracker
+
+    base = os.path.join(REF_DATA, "extremes_unstructured.zarr")
+    ee = read_array_driver(os.path.join(base, "extreme_events"))
+    nb = read_array_driver(os.path.join(base, "neighbours"))
+    lat = read_array_driver(os.path.join(base, "lat"))
+    lon = read_array_driver(os.path.join(base, "lon"))
+    areas = read_array_driver(os.path.join(base, "cell_areas"))
+    T, NC = ee.shape
+    d0 = datetime.date(2010, 1, 1)
+    present = {(int(t), int(c)) for t, c in zip(*np.nonzero(ee))}
+    rows = [
+        (d0 + datetime.timedelta(days=int(t)), int(c), (t, c) in present)
+        for t in range(T)
+        for c in range(NC)
+    ]
+    ext = spark.createDataFrame(rows, "time date, cell long, extreme boolean")
+    edges = spark.createDataFrame(
+        [
+            (int(c), int(nb[k, c]) - 1, int(k))
+            for c in range(NC)
+            for k in range(nb.shape[0])
+            if nb[k, c] > 0
+        ],
+        "cell long, nbr long, slot long",
+    )
+    geo = spark.createDataFrame(
+        [
+            (int(c), float(lat[c]), float(lon[c]), float(areas[c]))
+            for c in range(NC)
+        ],
+        "cell long, lat double, lon double, area double",
+    )
+    res = Tracker(
+        data_bin=ext, unstructured_grid=True, edges=edges, cell_geo=geo,
+        R_fill=2, T_fill=2, area_filter_quartile=0.4,
+        allow_merging=True, overlap_threshold=0.2,
+        coordinate_units="degrees",
+    ).run()
+    n_events = res.events.select(F.countDistinct("event_id")).first()[0]
+    assert n_events > 0
