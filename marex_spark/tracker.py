@@ -191,6 +191,21 @@ class Tracker:
                 "area_filter_quartile must be in [0, 1)",
                 details={"area_filter_quartile": self.area_filter_quartile},
             )
+        if self.area_filter_absolute is not None and self.area_filter_absolute <= 0:
+            # reference edge_cases:551-574 — negative/zero absolute
+            # thresholds are configuration errors, not silent no-ops
+            raise ConfigurationError(
+                "area_filter_absolute must be positive",
+                details={"area_filter_absolute": self.area_filter_absolute},
+            )
+        if self.grid_resolution is not None and self.unstructured_grid:
+            # reference edge_cases:523-546 — mesh cell areas come from
+            # cell_geo, not a regular-grid resolution
+            raise DataValidationError(
+                "grid_resolution parameter is not supported for "
+                "unstructured grids (pass areas via cell_geo)",
+                details={"grid_resolution": self.grid_resolution},
+            )
         if self.regional_mode:
             if self.unstructured_grid:
                 # reference track.py:501-502 raises NotImplementedError

@@ -49,6 +49,24 @@ class TestValidation:
                 area_filter_quartile=0.5, area_filter_absolute=10,
             )
 
+    def test_negative_area_filter_absolute(self, spark):
+        # reference edge_cases:551-574
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        with pytest.raises(ConfigurationError, match="must be positive"):
+            Tracker(ext, ny=NY, nx=NX, area_filter_absolute=-100.0)
+
+    def test_grid_resolution_rejected_on_mesh(self, spark):
+        # reference edge_cases:523-546
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        edges = ext.sparkSession.createDataFrame(
+            [(0, 1)], "cell long, nbr long"
+        )
+        with pytest.raises(DataValidationError, match="not supported for"):
+            Tracker(
+                ext.selectExpr("time", "CAST(y*8+x AS LONG) AS cell", "extreme"),
+                unstructured_grid=True, edges=edges, grid_resolution=0.1,
+            )
+
     def test_regional_needs_units(self, spark):
         ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
         with pytest.raises(ConfigurationError, match="coordinate_units"):
