@@ -414,6 +414,10 @@ def _partition_nn_mesh_hops(
 # round count of the most recent split_merge_events_parallel call —
 # introspection for tests/benchmarks (2-3 expected; n_blocks worst case)
 LAST_PARALLEL_ROUNDS = 0
+# section wall-times of the most recent parallel call (name → seconds),
+# populated unconditionally (a dict assignment per section is free) —
+# tools/profile_merge10.py reads it to attribute resolver cost
+LAST_PARALLEL_TIMINGS: dict = {}
 # POST-round stale-block counts of the most recent parallel call:
 # entry r is how many blocks round r+1 would re-resolve, so [9, 3, 0]
 # means rounds processed [all, 9, 3] blocks
@@ -433,6 +437,17 @@ _MESH_ADJ_BCAST_BYTES = 8 << 20
 # Auto-sized parallel blocks cap their sparse-cell count here — the
 # per-task materialisation bound (~40 bytes/cell in pandas → ~80 MB).
 TARGET_BLOCK_CELLS = 2_000_000
+
+# Stale re-resolution rounds (Jacobi rounds ≥ 1, typically a handful of
+# blocks) whose total cell count fits this budget run their block
+# kernels ON THE DRIVER instead of paying a full shuffle →
+# applyInPandas → persist → collect cycle per round (measured ~4-8 s
+# of fixed Spark overhead per round vs ~0.3 s/block of kernel). ~40
+# bytes/cell in pandas → 4M cells ≈ 160 MB, far below the serial-tier
+# ceiling, so the parallel tier's driver-memory story is unchanged; at
+# production block sizes a stale round exceeding the budget simply
+# stays distributed.
+PARALLEL_STALE_DRIVER_CELLS = 4_000_000
 
 
 def _guard_serial_cells(n_cells: int, budget: int | None, what: str) -> None:
@@ -1378,7 +1393,14 @@ def split_merge_events_parallel(
     rounds, so ≤ #blocks rounds — in practice 2-3, because a block's
     resolution rarely changes its final two slices). Per round the
     driver holds only the carries and ledgers (small); the cells stay
-    distributed. Block-local new ids live in disjoint namespaces
+    distributed. Stale rounds (≥ 2) whose few stale blocks total ≤
+    ``PARALLEL_STALE_DRIVER_CELLS`` run the SAME block kernel on the
+    driver instead — one collect replaces a full shuffle → kernel →
+    persist → collect cycle, and processing the stale blocks in time
+    order propagates each new carry within the round (Gauss–Seidel),
+    typically converging one round earlier; convergence is still
+    certified by the same carry-fixpoint check, and oversized stale
+    rounds stay distributed. Block-local new ids live in disjoint namespaces
     (``global_max + 1 + block·2^33``) and are renumbered afterwards in
     (block, creation-order) order — exactly the serial counter's time
     order — so output and ledger match ``split_merge_events`` exactly
@@ -1404,12 +1426,38 @@ def split_merge_events_parallel(
             F.broadcast(cell_geo.select("cell", "lat", "lon")), "cell"
         )
         labels_materialized = False  # the geo join is a new plan
+    import time as _time
+
+    LAST_PARALLEL_TIMINGS.clear()
+    _t0 = _time.time()
+
+    def _mark(section: str) -> None:
+        nonlocal _t0
+        now = _time.time()
+        LAST_PARALLEL_TIMINGS[section] = round(
+            LAST_PARALLEL_TIMINGS.get(section, 0.0) + now - _t0, 3
+        )
+        _t0 = now
+
     if not labels_materialized:
         labels = labels.localCheckpoint()
-    times = [
-        r[0]
-        for r in labels.select(time_col).distinct().orderBy(time_col).collect()
-    ]
+    _mark("input_checkpoint")
+    # ONE pre-pass job: per-time cell counts + running max id give the
+    # distinct times, the total cell count, AND global_max together
+    # (they used to be three separate jobs — distinct().collect(),
+    # count(), agg(max) — each paying the fixed stage latency).
+    time_stats = (
+        labels.groupBy(time_col)
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("obj_id").alias("_mx"))
+        .collect()
+    )
+    time_stats.sort(key=lambda r: r[0])
+    times = [r[0] for r in time_stats]
+    n_cells_total = int(sum(r["_n"] for r in time_stats))
+    global_max = int(
+        max((r["_mx"] for r in time_stats if r["_mx"] is not None), default=0)
+    )
+    _mark("prepass_agg")
     time_type = labels.schema[time_col].dataType.simpleString()
     if block_steps is None and times:
         # AUTO block size, two binding constraints:
@@ -1424,7 +1472,6 @@ def split_merge_events_parallel(
         #   blocks stay task-memory-sized (and numerous, which also
         #   restores cluster-wide parallelism).
         par = max(1, spark.sparkContext.defaultParallelism)
-        n_cells_total = labels.count()
         avg = max(1.0, n_cells_total / len(times))
         bs_mem = max(1, int(TARGET_BLOCK_CELLS / avg))
         block_steps = max(1, min(max(64, -(-len(times) // par)), bs_mem))
@@ -1459,6 +1506,11 @@ def split_merge_events_parallel(
         )
 
     block_of = {t: i // block_steps for i, t in enumerate(times)}
+    # per-block cell counts (from the pre-pass per-time counts) — sizes
+    # the stale-round driver fast path
+    block_cells = [0] * n_blocks
+    for i, r in enumerate(time_stats):
+        block_cells[i // block_steps] += int(r["_n"])
     carry_times = set()  # last two times of every non-final block
     for b in range(n_blocks - 1):
         carry_times.update(times[: (b + 1) * block_steps][-2:])
@@ -1468,8 +1520,7 @@ def split_merge_events_parallel(
             schema=f"{time_col} {time_type}, block long",
         )
     )
-    global_max = int(labels.agg(F.max("obj_id")).first()[0] or 0)
-    stride = 1 << 33
+    stride = 1 << 33  # global_max computed in the pre-pass above
     # hop-BFS NN adjacency: small meshes ride in the block-kernel
     # closure (the same ship-the-edge-list pattern as mesh
     # morphology); past _MESH_ADJ_BCAST_BYTES the CSR ships ONCE per
@@ -1487,11 +1538,14 @@ def split_merge_events_parallel(
 
     coord_cols = ["y", "x"] if grid else ["cell", "lat", "lon"]
     coord_schema = "y long, x long" if grid else "cell long, lat double, lon double"
-    cells_b = (
-        labels.select(time_col, *coord_cols, "obj_id")
-        .join(blocks_df, time_col)
-        .localCheckpoint()
+    # NOT checkpointed: labels is already materialised (input checkpoint
+    # or label_components' own), so re-running the broadcast block-tag
+    # join per round is a cheap map-side scan — a localCheckpoint here
+    # paid a second full materialisation of the cell set per call.
+    cells_b = labels.select(time_col, *coord_cols, "obj_id").join(
+        blocks_df, time_col
     )
+    _mark("cells_b_plan")
 
     out_schema = (
         f"block long, kind int, seq long, k long, {time_col} {time_type}, "
@@ -1635,6 +1689,7 @@ def split_merge_events_parallel(
         )
     else:
         seed_pdf = pd.DataFrame(columns=seed_cols)
+    _mark("seed_collect")
     carry_in: dict[int, pd.DataFrame | None] = {0: None}
     for b in range(n_blocks - 1):
         g = seed_pdf[seed_pdf["block"] == b][[time_col, *coord_cols, "obj_id"]]
@@ -1655,10 +1710,53 @@ def split_merge_events_parallel(
 
     stale = list(range(n_blocks))
     _PARALLEL_STALE_LOG.clear()
+    driver_latest: dict[int, pd.DataFrame] = {}
+    input_cols = [time_col, *coord_cols, "obj_id", "block", "is_carry"]
     for rnd in range(rounds_cap):
         if not stale:
             break
         LAST_PARALLEL_ROUNDS += 1
+        if (
+            rnd > 0
+            and sum(block_cells[b] for b in stale) <= PARALLEL_STALE_DRIVER_CELLS
+        ):
+            # stale-round driver fast path: one collect job, then the
+            # SAME block kernel runs locally per stale block — same
+            # inputs, same carries, byte-identical output frames
+            stale_pdf = (
+                cells_b.filter(F.col("block").isin(stale))
+                .withColumn("is_carry", F.lit(0))
+                .select(*input_cols)
+                .toPandas()
+            )
+            for b in stale:
+                pieces = [stale_pdf[stale_pdf["block"] == b]]
+                c = carry_in[b]
+                if c is not None and len(c):
+                    pieces.append(c.assign(block=b, is_carry=1)[input_cols])
+                pdf = pd.concat(pieces, ignore_index=True)
+                carry_used[b] = carry_in[b]
+                if len(pdf):
+                    out_pdf = _block_kernel(pdf)
+                    driver_latest[b] = out_pdf
+                    latest.pop(b, None)
+                    g = out_pdf[
+                        (out_pdf["kind"] == 0)
+                        & out_pdf[time_col].isin(carry_times)
+                    ][[time_col, *coord_cols, "obj_id"]]
+                else:  # block with no cells AND no carry (groupBy would
+                    g = pdf  # never have called the kernel either)
+                if b + 1 < n_blocks and carry_times:
+                    carry_in[b + 1] = g if len(g) else None
+            stale = [
+                b
+                for b in range(n_blocks)
+                if carry_used[b] is _UNRESOLVED
+                or not _same_carry(carry_in[b], carry_used[b])
+            ]
+            _PARALLEL_STALE_LOG.append(len(stale))
+            _mark(f"round{rnd}_driver")
+            continue
         inp = cells_b.filter(F.col("block").isin(stale)).withColumn(
             "is_carry", F.lit(0)
         )
@@ -1691,6 +1789,7 @@ def split_merge_events_parallel(
         for b in stale:
             carry_used[b] = carry_in[b]
             latest[b] = rnd
+            driver_latest.pop(b, None)
         if carry_times:
             co = fresh.filter(
                 (F.col("kind") == 0) & F.col(time_col).isin(list(carry_times))
@@ -1706,6 +1805,7 @@ def split_merge_events_parallel(
             or not _same_carry(carry_in[b], carry_used[b])
         ]
         _PARALLEL_STALE_LOG.append(len(stale))
+        _mark(f"round{rnd}")
     if stale:
         # only reachable with a caller-supplied max_rounds below the
         # guaranteed-convergence bound (#blocks + 1) — returning
@@ -1718,7 +1818,9 @@ def split_merge_events_parallel(
             suggestions=["raise max_rounds (defaults to #blocks + 1, which always converges)"],
         )
 
-    # stitch the final output: every block's LATEST resolution
+    # stitch the final output: every block's LATEST resolution —
+    # distributed rounds from their persisted frames, driver-resolved
+    # blocks re-shipped as ONE Arrow createDataFrame
     from functools import reduce
 
     parts = []
@@ -1726,23 +1828,50 @@ def split_merge_events_parallel(
         blocks_r = [b for b, lr in latest.items() if lr == rnd]
         if blocks_r:
             parts.append(df.filter(F.col("block").isin(blocks_r)))
+    if driver_latest:
+        parts.append(
+            spark.createDataFrame(
+                pd.concat(driver_latest.values(), ignore_index=True),
+                schema=out_schema,
+            )
+        )
     out = reduce(DataFrame.unionByName, parts)
 
+    _mark("stitch_union")
     # ---- renumber block-local new ids into the serial time-order counter
     led_pdf = out.filter(F.col("kind") == 2).toPandas()
+    _mark("ledger_collect")
     led_pdf = led_pdf.sort_values(["block", "seq", "k"]).reset_index(drop=True)
-    created = sorted(
-        {int(i) for i in led_pdf["obj_id"] if int(i) > global_max}
-    )  # block offsets are ascending with block, local ids ascending with
+    child_arr = led_pdf["obj_id"].to_numpy(np.int64)
+    # block offsets are ascending with block, local ids ascending with
     # creation order → ascending sort IS serial creation order
-    renum = {old: global_max + 1 + i for i, old in enumerate(created)}
+    created = np.unique(child_arr)
+    created = created[created > global_max]
+
+    def _renum_arr(a: np.ndarray) -> np.ndarray:
+        """created[i] → global_max+1+i, everything else unchanged
+        (vectorised form of the old per-element dict .get loop)."""
+        if not len(created) or not len(a):
+            return a
+        idx = np.searchsorted(created, a)
+        idx_c = np.minimum(idx, len(created) - 1)
+        hit = created[idx_c] == a
+        out_a = a.copy()
+        out_a[hit] = global_max + 1 + idx_c[hit]
+        return out_a
 
     out_cols = [time_col, *key_cols, "obj_id"]
     cells_out = out.filter(F.col("kind") == 0).select(*out_cols)
-    if renum:
+    if len(created):
         map_df = F.broadcast(
             spark.createDataFrame(
-                list(renum.items()), schema="old long, new long"
+                pd.DataFrame(
+                    {
+                        "old": created,
+                        "new": global_max + 1 + np.arange(len(created)),
+                    }
+                ),
+                schema="old long, new long",
             )
         )
         cells_out = (
@@ -1752,16 +1881,20 @@ def split_merge_events_parallel(
         )
 
     ledger = MergeLedger([], [], [], [])
-    for (_, _), grp in led_pdf.groupby(["block", "seq"], sort=True):
-        grp = grp.sort_values("k")
-        ledger.times.append(grp[time_col].iloc[0])
-        ledger.child_ids.append(
-            np.array([renum.get(int(i), int(i)) for i in grp["obj_id"]], dtype=np.int64)
-        )
-        ledger.parent_ids.append(
-            np.array([renum.get(int(i), int(i)) for i in grp["parent"]], dtype=np.int64)
-        )
-        ledger.areas.append(grp["overlap"].to_numpy(np.int64))
+    if len(led_pdf):
+        child_ren = _renum_arr(child_arr)
+        parent_ren = _renum_arr(led_pdf["parent"].to_numpy(np.int64))
+        areas_arr = led_pdf["overlap"].to_numpy(np.int64)
+        keys = led_pdf[["block", "seq"]].to_numpy(np.int64)
+        brk = np.flatnonzero(np.any(np.diff(keys, axis=0) != 0, axis=1)) + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [len(led_pdf)]))
+        tvals = led_pdf[time_col]
+        for s, e in zip(starts, ends):
+            ledger.times.append(tvals.iloc[s])
+            ledger.child_ids.append(child_ren[s:e])
+            ledger.parent_ids.append(parent_ren[s:e])
+            ledger.areas.append(areas_arr[s:e])
     # Materialise the output NOW, then release the round caches: the
     # final round's persisted `out` and the `cells_b` checkpoint would
     # otherwise stay resident for the whole session, accumulating
@@ -1769,7 +1902,9 @@ def split_merge_events_parallel(
     # DetectResult.unpersist addresses in detect.py). The eager
     # checkpoint cuts lineage, so dropping the references lets the
     # ContextCleaner reclaim cells_b too.
+    _mark("renumber_plan")
     cells_out = cells_out.localCheckpoint()
+    _mark("final_checkpoint")
     for df in round_dfs:
         df.unpersist()
     return cells_out, _ledger_df(spark, ledger, time_col, time_type)
