@@ -296,6 +296,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exact: bool = True,
+    kernel: bool = False,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means for IVF centroid training.
 
@@ -331,6 +332,14 @@ def kmeans_fit(
         raise ValueError("kmeans_fit on an empty DataFrame")
     cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
     for _ in range(n_iter):
+        if exact and kernel:
+            # full-Arrow iteration (assignment AND update sums in one
+            # numpy pass — a k-means is a 1-subspace PQ): bit-identical
+            # to the expression iteration, pinned in tests/test_embed.py
+            cents = _pq_fit_kernel_iter(
+                df, [cents], 1, k, len(cents[0]), vec_col
+            )[0]
+            continue
         if not exact:
             # BLAS throughput mode (no oracle determinism contract):
             # matmul-argmin assignment + plain float mean update
@@ -375,6 +384,7 @@ def pq_fit(
     n_iter: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    kernel: bool = False,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: one k-codeword Lloyd's codebook
     per contiguous d/m-dim subspace. Output is EXACTLY
@@ -386,7 +396,19 @@ def pq_fit(
     unioned aggregate keyed (subspace, centroid, position), so the
     driver pays 1 + n_iter collects total instead of m·(1 + n_iter)
     (measured 4x wall at m=4 — each collect's whole-stage codegen of
-    the literal-centroid fold dominates at bench scale)."""
+    the literal-centroid fold dominates at bench scale).
+
+    ``kernel=True`` runs each iteration as ONE ``mapInArrow`` pass
+    (the throughput tier, same tiering as :func:`pq_score_kernel`):
+    numpy computes the exact micro-unit subspace assignments and
+    per-(subspace, centroid, position) integer partial sums per batch,
+    and the driver finishes the decimal-exact means — value-identical
+    to the expression path (same ``floor(|x|·1e6+0.5)·sign`` HALF_UP
+    decimal emulation, order-independent integer sums, one double
+    conversion then one double division; pinned in
+    tests/test_embed.py::TestPQKernel::test_pq_fit_kernel_equals_expression).
+    The interpreted zip_with/aggregate folds the expression path pays
+    were ~90% of the ann_pq_adc_fast bench row."""
     from functools import reduce
 
     from marex_spark.functions.decimals import davg
@@ -411,6 +433,9 @@ def pq_fit(
         for j in range(m)
     ]
     for _ in range(n_iter):
+        if kernel:
+            books = _pq_fit_kernel_iter(df, books, m, k, sd, vec_col)
+            continue
         parts = []
         for j in range(m):
             sl = F.slice(vec_col, j * sd + 1, sd)
@@ -441,6 +466,91 @@ def pq_fit(
             for j in range(m)
         ]
     return books
+
+
+def _pq_fit_kernel_iter(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    m: int,
+    k: int,
+    sd: int,
+    vec_col: str,
+) -> list[list[list[float]]]:
+    """One Lloyd iteration of :func:`pq_fit` as a single Arrow pass.
+
+    Each batch emits the m·k·sd grid of exact integer micro-unit
+    partial sums + assignment counts; summing int64 micro-units is the
+    DECIMAL(38,6) sum (order-independent), so the driver-side finish
+    ``float(total)/1e6/count`` reproduces davg's
+    ``CAST(decimal-sum AS DOUBLE)/COUNT`` bit for bit (int→double is
+    exact below 2^53 and both engines do the same two IEEE ops)."""
+    import pyarrow as pa
+
+    cents = np.asarray(books, dtype=np.float64)  # (m, k, sd)
+
+    def _run(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            col = tbl[vec_col].chunk(0)
+            flat = pc.list_flatten(col).to_numpy().astype(np.float64)
+            X = flat.reshape(batch.num_rows, -1)
+            sums = np.zeros((m, k, sd), dtype=np.int64)
+            cnts = np.zeros((m, k), dtype=np.int64)
+            for j in range(m):
+                sub = X[:, j * sd : (j + 1) * sd]
+                d2 = (
+                    np.floor(
+                        (sub[:, None, :] - cents[j][None, :, :]) ** 2 * 1e6
+                        + 0.5
+                    )
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )  # (n, k) exact micro-units, same as the decimal folds
+                code = np.argmin(d2, axis=1)  # first min = lowest cent_id
+                # x cast to decimal(38,6): HALF_UP = away-from-zero
+                xm = (
+                    np.floor(np.abs(sub) * 1e6 + 0.5) * np.sign(sub)
+                ).astype(np.int64)
+                np.add.at(sums[j], code, xm)
+                cnts[j] += np.bincount(code, minlength=k)
+            subs, cs = np.meshgrid(np.arange(m), np.arange(k), indexing="ij")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(subs.ravel().astype(np.int32)),
+                    pa.array(cs.ravel().astype(np.int32)),
+                    pa.array(
+                        sums.reshape(m * k, sd).tolist(),
+                        type=pa.list_(pa.int64()),
+                    ),
+                    pa.array(cnts.ravel()),
+                ],
+                names=["sub", "cent_id", "s", "n"],
+            )
+
+    rows = df.select(vec_col).mapInArrow(
+        _run, schema="sub int, cent_id int, s array<long>, n long"
+    ).collect()
+    tot_s = np.zeros((m, k, sd), dtype=np.int64)
+    tot_n = np.zeros((m, k), dtype=np.int64)
+    for r in rows:
+        tot_s[r.sub, r.cent_id] += np.asarray(r.s, dtype=np.int64)
+        tot_n[r.sub, r.cent_id] += r.n
+    return [
+        [
+            [
+                float(tot_s[j, c, p]) / 1e6 / float(tot_n[j, c])
+                for p in range(sd)
+            ]
+            if tot_n[j, c]
+            else books[j][c]  # empty cluster: keep previous centroid
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]
 
 
 def kmeans_assign(

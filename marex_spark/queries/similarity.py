@@ -1399,7 +1399,7 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
     )
     q = [float(x) for x in qrow["embedding"]]
     qid = int(qrow["vec_id"])
-    coarse = kmeans_fit(emb, k=_PQ_K, n_iter=_PQ_ITER)
+    coarse = kmeans_fit(emb, k=_PQ_K, n_iter=_PQ_ITER, kernel=True)
     gcode, _ = kmeans_assign_cols("embedding", coarse)
     cents_arr = F.array(
         *[F.array(*[F.lit(float(v)) for v in c]) for c in coarse]
@@ -1412,8 +1412,10 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
     base = emb.select(
         "vec_id", gcode.alias("gc"), resid.alias("resid")
     )
+    # kernel training tier (bit-identical, pinned); the residual column
+    # itself is computed by the same zip_with either way
     books = pq_fit(
-        base, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, vec_col="resid"
+        base, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, vec_col="resid", kernel=True
     )
     qarr = F.array(*[F.lit(v) for v in q])
     drow = spark.range(1).select(
@@ -1510,7 +1512,10 @@ def ann_pq_adc_fast(spark, sf_dir):
     )
     q = [float(x) for x in qrow["embedding"]]
     qid = int(qrow["vec_id"])
-    books = pq_fit(emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER)
+    # kernel=True: training through the Arrow tier too (bit-identical
+    # codebooks, pinned) — the interpreted decimal folds were ~90% of
+    # this row's wall
+    books = pq_fit(emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, kernel=True)
     scored = pq_score_kernel(emb, books, q)
     return (
         scored.filter(F.col("vec_id") != qid)

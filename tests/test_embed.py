@@ -268,6 +268,44 @@ class TestPQKernel:
         }
         assert got == expect
 
+    def test_pq_fit_kernel_equals_expression(self, spark):
+        """pq_fit's Arrow tier must reproduce the expression path's
+        codebooks bit-for-bit — same micro-unit assignments, same
+        decimal-exact update means — including across iterations
+        (divergence compounds) and with negative elements (HALF_UP is
+        away-from-zero)."""
+        import numpy as np
+
+        from marex_spark.operators.embed import pq_fit
+
+        rng = np.random.default_rng(77)
+        rows = [
+            (int(i), [float(x) for x in rng.normal(size=24) * 3.0])
+            for i in range(150)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        for n_iter in (1, 2):
+            expr_books = pq_fit(df, m=3, k=5, n_iter=n_iter)
+            kern_books = pq_fit(df, m=3, k=5, n_iter=n_iter, kernel=True)
+            assert kern_books == expr_books
+
+    def test_kmeans_fit_kernel_equals_expression(self, spark):
+        """kmeans_fit's full-Arrow iteration (a 1-subspace PQ fit) must
+        reproduce the expression iteration bit-for-bit."""
+        import numpy as np
+
+        from marex_spark.operators.embed import kmeans_fit
+
+        rng = np.random.default_rng(31)
+        rows = [
+            (int(i), [float(x) for x in rng.normal(size=16) * 2.0])
+            for i in range(130)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        expr_c = kmeans_fit(df, k=6, n_iter=2)
+        kern_c = kmeans_fit(df, k=6, n_iter=2, kernel=True)
+        assert kern_c == expr_c
+
 
 class TestSemDeDup:
     def test_exact_duplicates_drop_one_side(self, spark):
