@@ -33,16 +33,21 @@ _V3_DTYPES = {
 
 
 def _parse_v3_codecs(codecs: list, allow_shard: bool = False):
-    """Map a zarr-v3 codec chain onto (compressor-dict, shard-dict).
+    """Map a zarr-v3 codec chain onto (compressor-dict, shard-dict,
+    transpose-order).
 
     bytes/gzip/zlib/blosc/zstd map onto the existing v2 decoders;
+    ``transpose`` (v3 spec: permute axes BEFORE the bytes codec) is
+    recorded as the permutation and inverted at decode;
     ``sharding_indexed`` (the default layout zarr-python 3 writes for
     large arrays) is parsed into a shard descriptor consumed by
     :func:`_decode_shard` — its inner chain recurses through this same
-    parser. Anything else (transpose, big-endian bytes, …) changes the
-    byte layout, so refuse loudly rather than corrupt silently."""
+    parser. Anything else (big-endian bytes, nested sharding, …)
+    changes the byte layout, so refuse loudly rather than corrupt
+    silently."""
     comp = None
     shard = None
+    transpose = None
     for c in codecs:
         name = c.get("name")
         cfg = c.get("configuration") or {}
@@ -57,8 +62,18 @@ def _parse_v3_codecs(codecs: list, allow_shard: bool = False):
             comp = {"id": "blosc"}
         elif name == "zstd":
             comp = {"id": "zstd"}  # pyarrow bundled codec
+        elif name == "transpose":
+            order = list(cfg.get("order") or [])
+            if sorted(order) != list(range(len(order))):
+                raise NotImplementedError(
+                    f"zarr v3 transpose order {order!r} is not a "
+                    "permutation"
+                )
+            transpose = order
         elif name == "sharding_indexed" and allow_shard:
-            inner_comp, _ = _parse_v3_codecs(cfg.get("codecs") or [])
+            inner_comp, _, inner_tr = _parse_v3_codecs(
+                cfg.get("codecs") or []
+            )
             index_codecs = cfg.get("index_codecs") or []
             for ic in index_codecs:
                 if ic.get("name") not in ("bytes", "crc32c"):
@@ -69,19 +84,20 @@ def _parse_v3_codecs(codecs: list, allow_shard: bool = False):
             shard = {
                 "inner": list(cfg["chunk_shape"]),
                 "comp": inner_comp,
+                "transpose": inner_tr,
                 "loc": cfg.get("index_location", "end"),
                 "crc": any(
                     ic.get("name") == "crc32c" for ic in index_codecs
                 ),
             }
         else:
-            # transpose / crc32c / nested sharding / … change the byte
-            # layout — decoding around them would corrupt silently
+            # crc32c / nested sharding / … change the byte layout —
+            # decoding around them would corrupt silently
             raise NotImplementedError(
                 f"zarr v3 codec {name!r} is not implemented in the "
                 "stdlib reader"
             )
-    return comp, shard
+    return comp, shard, transpose
 
 
 _SHARD_MISSING = (1 << 64) - 1  # v3 spec: all-ones offset/len = absent chunk
@@ -120,6 +136,7 @@ def _decode_shard(raw: bytes, meta: dict, shard: dict) -> np.ndarray:
         "order": "C",
         "compressor": shard["comp"],
         "filters": None,
+        "_transpose": shard.get("transpose"),
     }
     for k in range(n):
         off, ln = int(pairs[k, 0]), int(pairs[k, 1])
@@ -168,7 +185,9 @@ def _read_meta(array_dir: str) -> dict:
             f"{m.get('node_type')!r})",
             details={"array_dir": array_dir},
         )
-    comp, shard = _parse_v3_codecs(m.get("codecs") or [], allow_shard=True)
+    comp, shard, transpose = _parse_v3_codecs(
+        m.get("codecs") or [], allow_shard=True
+    )
     dt = m["data_type"]
     cke = m.get("chunk_key_encoding") or {"name": "default"}
     kind = cke.get("name", "default")
@@ -187,6 +206,7 @@ def _read_meta(array_dir: str) -> dict:
         "_sep": sep,
         "_prefix": "c" if kind == "default" else "",
         "_shard": shard,
+        "_transpose": transpose,
     }
 
 
@@ -203,20 +223,82 @@ def _chunk_path(array_dir: str, meta: dict, idx) -> str:
     return os.path.join(array_dir, key)
 
 
+def _filter_decode(buf: bytes, f: dict) -> bytes:
+    """Decode ONE zarr-v2 filter stage (the numcodecs array-to-array
+    codecs real climate stores actually use as ``filters``). Each
+    implementation replays the published numcodecs decode formula
+    exactly — these are simple, fully-specified numpy transforms
+    (numcodecs docs: Delta, FixedScaleOffset, Quantize, Shuffle,
+    AsType, PackBits), so no numcodecs install is needed:
+
+    - ``delta``: cumulative sum of the stored diffs in the target
+      dtype (``np.cumsum(enc.view(astype), dtype=dtype)``).
+    - ``fixedscaleoffset``: ``enc / scale + offset`` cast to dtype.
+    - ``quantize``: lossy on encode only; decode is a dtype cast.
+    - ``shuffle``: byte-lane transpose (same layout as blosc's
+      byte shuffle, with ``elementsize`` as the lane width).
+    - ``astype``: cast from encode_dtype back to decode_dtype.
+    - ``packbits``: header byte = padded-bit count, then
+      ``np.unpackbits`` (bool arrays).
+    - ``zlib``/``gzip``: stdlib decompress (any compressor is legal
+      in a v2 filter slot).
+    """
+    fid = f.get("id")
+    if fid == "delta":
+        dtype = np.dtype(f["dtype"])
+        astype = np.dtype(f.get("astype") or f["dtype"])
+        enc = np.frombuffer(buf, dtype=astype)
+        return np.cumsum(enc, dtype=dtype).tobytes()
+    if fid == "fixedscaleoffset":
+        dtype = np.dtype(f["dtype"])
+        astype = np.dtype(f.get("astype") or f["dtype"])
+        enc = np.frombuffer(buf, dtype=astype)
+        dec = enc / f["scale"] + f["offset"]
+        return dec.astype(dtype, copy=False).tobytes()
+    if fid == "quantize":
+        dtype = np.dtype(f["dtype"])
+        astype = np.dtype(f.get("astype") or f["dtype"])
+        enc = np.frombuffer(buf, dtype=astype)
+        return enc.astype(dtype, copy=False).tobytes()
+    if fid == "shuffle":
+        es = int(f.get("elementsize", 4))
+        if es <= 1:
+            return buf
+        n = len(buf) // es
+        return (
+            np.frombuffer(buf[: n * es], dtype=np.uint8)
+            .reshape(es, n)
+            .T.tobytes()
+            + buf[n * es :]
+        )
+    if fid == "astype":
+        enc = np.frombuffer(buf, dtype=np.dtype(f["encode_dtype"]))
+        return enc.astype(np.dtype(f["decode_dtype"]), copy=False).tobytes()
+    if fid == "packbits":
+        enc = np.frombuffer(buf, dtype=np.uint8)
+        n_padded = int(enc[0])
+        dec = np.unpackbits(enc[1:])
+        if n_padded:
+            dec = dec[:-n_padded]
+        return dec.astype(bool).tobytes()
+    if fid in ("zlib", "gzip"):
+        return zlib.decompress(buf, 47)
+    # anything else (lossless codecs we can't replay byte-exactly)
+    # changes the byte layout — decoding around it would silently
+    # corrupt every value, so refuse loudly with ONE error type and
+    # an actually-actionable suggestion (ADVICE r2: the old path
+    # suggested installing numcodecs, then raised anyway when it
+    # was present — the error type depended on an irrelevant import)
+    raise NotImplementedError(
+        f"zarr v2 filter {fid!r} is not implemented in the stdlib "
+        "reader (delta/fixedscaleoffset/quantize/shuffle/astype/"
+        "packbits/zlib supported); re-write the store without it"
+    )
+
+
 def _decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
     if meta.get("_shard"):
         return _decode_shard(raw, meta, meta["_shard"])
-    if meta.get("filters"):
-        # filter chains (delta/shuffle/quantize/…) change the byte
-        # layout — decoding without applying them would silently
-        # corrupt every value, so refuse loudly with ONE error type and
-        # an actually-actionable suggestion (ADVICE r2: the old path
-        # suggested installing numcodecs, then raised anyway when it
-        # was present — the error type depended on an irrelevant import)
-        raise NotImplementedError(
-            "zarr filter chains are not implemented in the stdlib reader; "
-            f"re-write the store without filters (filters={meta['filters']!r})"
-        )
     comp = meta.get("compressor")
     if comp is None:
         buf = raw
@@ -270,8 +352,21 @@ def _decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
                 f"zarr compressor '{comp.get('id')}' needs numcodecs",
                 suggestions=["pip install zarr numcodecs", "re-write store with zlib"],
             ) from e
+    # v2 filter chains apply AFTER decompression, in reverse
+    # registration order (zarr v2 spec: encode runs filters first,
+    # then the compressor)
+    for f in reversed(meta.get("filters") or []):
+        buf = _filter_decode(buf, f)
     a = np.frombuffer(buf, dtype=np.dtype(meta["dtype"]))
     order = meta.get("order", "C")
+    tr = meta.get("_transpose")
+    if tr:
+        # v3 transpose codec: the serialized buffer is the PERMUTED
+        # chunk in C order — reshape to the permuted shape, then
+        # invert the permutation back to the logical chunk shape
+        perm_shape = [meta["chunks"][i] for i in tr]
+        a = a.reshape(perm_shape, order=order)
+        return np.ascontiguousarray(a.transpose(np.argsort(tr)))
     return a.reshape(meta["chunks"], order=order)
 
 

@@ -90,19 +90,177 @@ def test_zarr_long_roundtrip(spark, store):
     assert all(abs(got[k] - expect[k]) < 1e-5 for k in expect)
 
 
-def test_zarr_filters_refused():
-    """Stores with filter chains must refuse loudly — decoding without
-    applying filters would silently corrupt every value (r2 review)."""
+def test_zarr_unknown_filter_refused():
+    """Stores with filter stages we can't replay byte-exactly must
+    refuse loudly — decoding around them would silently corrupt every
+    value (r2 review). Known numcodecs filters now decode natively."""
     from marex_spark.sources.zarr import _decode_chunk
 
     meta = {
         "chunks": [1],
         "dtype": "<f4",
         "compressor": None,
-        "filters": [{"id": "delta", "dtype": "<f4"}],
+        "filters": [{"id": "categorize", "labels": ["a"], "dtype": "<U1"}],
     }
-    with pytest.raises(Exception, match="filter"):
+    with pytest.raises(NotImplementedError, match="filter"):
         _decode_chunk(b"\x00\x00\x00\x00", meta)
+
+
+class TestZarrV2Filters:
+    """The stdlib reader replays numcodecs' documented decode formulas
+    for the array-to-array filters real climate stores use (Delta,
+    FixedScaleOffset, Quantize, Shuffle, AsType, PackBits). Each test
+    ENCODES with the published numcodecs encode formula — that formula
+    IS the spec — and asserts the reader inverts it exactly."""
+
+    @staticmethod
+    def _decode(buf, filters, dtype, n):
+        from marex_spark.sources.zarr import _decode_chunk
+
+        meta = {
+            "chunks": [n],
+            "dtype": dtype,
+            "compressor": None,
+            "filters": filters,
+        }
+        return _decode_chunk(buf, meta)
+
+    def test_delta(self):
+        rng = np.random.default_rng(7)
+        arr = np.cumsum(rng.integers(0, 50, 64)).astype("<i8")
+        # numcodecs Delta.encode: enc[0]=arr[0]; enc[1:]=np.diff(arr)
+        enc = np.empty_like(arr, dtype="<i4")
+        enc[0] = arr[0]
+        enc[1:] = np.diff(arr)
+        got = self._decode(
+            enc.tobytes(),
+            [{"id": "delta", "dtype": "<i8", "astype": "<i4"}],
+            "<i8",
+            arr.size,
+        )
+        np.testing.assert_array_equal(got, arr)
+
+    def test_fixedscaleoffset(self):
+        rng = np.random.default_rng(8)
+        arr = (1000 + rng.random(48) * 10).astype("<f8")
+        offset, scale = 1000.0, 100.0  # 2 decimal digits kept
+        # numcodecs FixedScaleOffset.encode: round((x-offset)*scale)
+        enc = np.around((arr - offset) * scale).astype("<i2")
+        got = self._decode(
+            enc.tobytes(),
+            [
+                {
+                    "id": "fixedscaleoffset",
+                    "offset": offset,
+                    "scale": scale,
+                    "dtype": "<f8",
+                    "astype": "<i2",
+                }
+            ],
+            "<f8",
+            arr.size,
+        )
+        # decode formula: enc/scale + offset (lossy to 1/scale)
+        np.testing.assert_allclose(got, arr, atol=0.5 / scale + 1e-12)
+        np.testing.assert_array_equal(
+            got, enc.astype("<f8") / scale + offset
+        )
+
+    def test_quantize_and_astype(self):
+        rng = np.random.default_rng(9)
+        arr = rng.random(32).astype("<f8")
+        # numcodecs Quantize.encode keeps `digits` bits; decode is a
+        # pure dtype cast from astype back to dtype
+        digits = 3
+        precision = 10.0 ** -digits
+        exp = np.floor(np.log10(precision))
+        bits = np.ceil(np.log2(10.0 ** -exp))
+        scale = 2.0 ** bits
+        q = (np.around(scale * arr) / scale).astype("<f4")
+        got = self._decode(
+            q.tobytes(),
+            [{"id": "quantize", "digits": digits, "dtype": "<f8", "astype": "<f4"}],
+            "<f8",
+            arr.size,
+        )
+        np.testing.assert_array_equal(got, q.astype("<f8"))
+        np.testing.assert_allclose(got, arr, atol=2 * precision)
+        # astype: encode_dtype -> decode_dtype cast
+        small = np.arange(20, dtype="<i2")
+        got2 = self._decode(
+            small.tobytes(),
+            [{"id": "astype", "encode_dtype": "<i2", "decode_dtype": "<i8"}],
+            "<i8",
+            small.size,
+        )
+        np.testing.assert_array_equal(got2, small.astype("<i8"))
+
+    def test_shuffle(self):
+        arr = np.arange(24, dtype="<f4")
+        # numcodecs Shuffle.encode: byte-lane transpose (lane-major)
+        es = 4
+        enc = (
+            np.frombuffer(arr.tobytes(), dtype=np.uint8)
+            .reshape(arr.size, es)
+            .T.tobytes()
+        )
+        got = self._decode(
+            enc, [{"id": "shuffle", "elementsize": es}], "<f4", arr.size
+        )
+        np.testing.assert_array_equal(got, arr)
+
+    def test_packbits(self):
+        arr = np.array([True, False, True, True, False] * 3, dtype=bool)
+        # numcodecs PackBits.encode: header byte = padded-bit count
+        n_leftover = arr.size % 8
+        header = np.uint8(0 if n_leftover == 0 else 8 - n_leftover)
+        enc = np.concatenate([[header], np.packbits(arr)]).astype("u1")
+        got = self._decode(
+            enc.tobytes(), [{"id": "packbits"}], "|b1", arr.size
+        )
+        np.testing.assert_array_equal(got, arr)
+
+    def test_chain_order_and_store_roundtrip(self, tmp_path):
+        """Filters apply encode-order first-to-last, decode in reverse;
+        a delta+shuffle chain under zlib must read back exactly through
+        the public driver-side reader."""
+        import zlib as _zlib
+
+        from marex_spark.sources.zarr import read_array_driver
+
+        rng = np.random.default_rng(10)
+        arr = np.cumsum(rng.integers(-3, 9, 40)).astype("<i4")
+        # encode: delta first, then shuffle, then the compressor
+        enc = np.empty_like(arr)
+        enc[0] = arr[0]
+        enc[1:] = np.diff(arr)
+        shuffled = (
+            np.frombuffer(enc.tobytes(), dtype=np.uint8)
+            .reshape(arr.size, 4)
+            .T.tobytes()
+        )
+        var = tmp_path / "v"
+        var.mkdir(parents=True)
+        (var / ".zarray").write_text(
+            json.dumps(
+                {
+                    "zarr_format": 2,
+                    "shape": [40],
+                    "chunks": [40],
+                    "dtype": "<i4",
+                    "order": "C",
+                    "compressor": {"id": "zlib", "level": 1},
+                    "filters": [
+                        {"id": "delta", "dtype": "<i4"},
+                        {"id": "shuffle", "elementsize": 4},
+                    ],
+                    "fill_value": 0,
+                }
+            )
+        )
+        (var / "0").write_bytes(_zlib.compress(shuffled, 1))
+        got = read_array_driver(str(var))
+        np.testing.assert_array_equal(got, arr)
 
 
 def test_zarr_string_fill_value(tmp_path, spark):
@@ -498,7 +656,40 @@ class TestZarrV3:
         np.testing.assert_allclose(out[0], a[0])
         assert np.isnan(out[2, 0, 2])  # missing chunk → NaN fill
 
-    def test_v3_transpose_refused(self, tmp_path):
+    def test_v3_transpose_decodes(self, tmp_path):
+        """v3 ``transpose`` codec (spec: permute axes BEFORE the bytes
+        codec): the stored chunk is the permuted array in C order; the
+        reader must invert the permutation back to the logical shape."""
+        from marex_spark.sources.zarr import read_array_driver
+
+        var = tmp_path / "s"
+        var.mkdir()
+        a = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+        order = [2, 0, 1]
+        (var / "zarr.json").write_text(json.dumps({
+            "zarr_format": 3, "node_type": "array", "shape": [2, 3, 4],
+            "data_type": "float32",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [2, 3, 4]}},
+            "fill_value": 0.0,
+            "codecs": [
+                {"name": "transpose", "configuration": {"order": order}},
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "gzip", "configuration": {"level": 1}},
+            ],
+        }))
+        (var / "c").mkdir()
+        enc = zlib.compress(
+            np.ascontiguousarray(a.transpose(order)).tobytes(), 1
+        )
+        (var / "c" / "0").mkdir()
+        (var / "c" / "0" / "0").mkdir()
+        with open(var / "c" / "0" / "0" / "0", "wb") as f:
+            f.write(enc)
+        out = read_array_driver(str(var))
+        np.testing.assert_array_equal(out, a)
+
+    def test_v3_bad_transpose_refused(self, tmp_path):
         from marex_spark.sources.zarr import _read_meta
 
         var = tmp_path / "s"
@@ -510,7 +701,7 @@ class TestZarrV3:
                            "configuration": {"chunk_shape": [2]}},
             "fill_value": 0.0,
             "codecs": [{"name": "transpose",
-                        "configuration": {"order": [0]}}],
+                        "configuration": {"order": [0, 0]}}],
         }))
         with pytest.raises(NotImplementedError, match="transpose"):
             _read_meta(str(var))
