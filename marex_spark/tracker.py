@@ -334,6 +334,35 @@ class Tracker:
             return cell_areas_from_resolution(self.grid_y, self.grid_resolution)
         return self.grid_y
 
+    @property
+    def mean_cell_area(self) -> float:
+        """Mean of the physical cell-area table, 1.0 when the tracker
+        defaults to unit areas / cell counts — the reference exposes
+        the same attribute (track.py:481-484: ``self.mean_cell_area =
+        float(cell_areas.mean())``) and its tests pin it.
+
+        Gridded: a user ``cell_areas`` (y, x, area) table averages
+        directly; a ``grid_resolution``-derived per-band table averages
+        unweighted, which equals the full-grid mean because every
+        latitude band holds the same ``nx`` cells. Unstructured: the
+        ``cell_geo`` area column. One scalar agg; only runs when
+        called (diagnostic, not on ``run()``'s path)."""
+        if self.unstructured_grid:
+            if self.cell_geo is not None and "area" in self.cell_geo.columns:
+                v = self.cell_geo.agg(F.avg("area")).first()[0]
+                return float(v) if v is not None else 1.0
+            return 1.0
+        if self.grid_resolution is not None:
+            ga = self._grid_y_with_area()
+            if ga is not None:
+                v = ga.agg(F.avg("cell_area")).first()[0]
+                return float(v) if v is not None else 1.0
+            return 1.0
+        if self.cell_areas is not None and "area" in self.cell_areas.columns:
+            v = self.cell_areas.agg(F.avg("area")).first()[0]
+            return float(v) if v is not None else 1.0
+        return 1.0
+
     def _preprocess_unstructured(
         self, d: DataFrame, return_labels: bool = False
     ) -> DataFrame:

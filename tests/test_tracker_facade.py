@@ -390,6 +390,58 @@ class TestReviewFixes:
         ).count()
         assert bad == 0
 
+    def test_physical_area_vs_counts(self, spark):
+        """Reference test_gridded_tracking.py:748
+        (test_physical_area_functionality) at the upstream assertion
+        level: cos-lat physical areas in km² make event areas much
+        larger than unit cell counts, ``mean_cell_area`` equals the
+        table mean, and the default (no cell_areas) tracker reports
+        mean_cell_area == 1.0."""
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        gy, gx = _grid_dims(spark)
+        # reference: 111320² · cos(lat) "km² per degree" proxy areas
+        areas = (
+            gy.crossJoin(spark.range(NX).select(F.col("id").cast("int").alias("x")))
+            .withColumn("area", F.lit(111.32 * 111.32) * F.cos(F.radians("lat")))
+            .select("y", "x", "area")
+        )
+        kw = dict(
+            ny=NY, nx=NX, R_fill=0, T_fill=0,
+            area_filter_quartile=0.5, allow_merging=False,
+            grid_y=gy, grid_x=gx, coordinate_units="degrees",
+        )
+        t_phys = tracker(ext, cell_areas=areas, **kw)
+        t_counts = tracker(ext, **kw)
+        mean_phys = (
+            t_phys.run().timestep_stats.agg(F.avg("area")).first()[0]
+        )
+        mean_counts = (
+            t_counts.run().timestep_stats.agg(F.avg("area")).first()[0]
+        )
+        assert mean_phys > mean_counts  # km² ≫ cell counts
+        expected = areas.agg(F.avg("area")).first()[0]
+        assert abs(t_phys.mean_cell_area - expected) < 1e-6
+        assert t_counts.mean_cell_area == 1.0
+
+    def test_mean_cell_area_grid_resolution(self, spark):
+        """grid_resolution-derived spherical areas: the per-band table
+        mean equals the full-grid mean (every band holds nx cells)."""
+        ext = synthetic_extremes_gridded(spark, n_time=2, ny=NY, nx=NX)
+        gy, gx = _grid_dims(spark)
+        t = tracker(
+            ext, ny=NY, nx=NX, R_fill=0, T_fill=0,
+            area_filter_quartile=0.0, allow_merging=False,
+            grid_y=gy, grid_x=gx, grid_resolution=360.0 / NX,
+            coordinate_units="degrees",
+        )
+        expected = (
+            cell_areas_from_resolution(gy, 360.0 / NX)
+            .agg(F.avg("cell_area"))
+            .first()[0]
+        )
+        assert abs(t.mean_cell_area - expected) < 1e-9
+        assert t.mean_cell_area > 1000.0  # true km² cells, not counts
+
     def test_run_checkpoint_override_validated(self, spark):
         ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
         t = tracker(ext, ny=NY, nx=NX, allow_merging=False)
