@@ -582,6 +582,7 @@ def ingest_zarr_gridded(
             "order": "C",
             "compressor": shard["comp"],
             "filters": None,
+            "_transpose": shard.get("transpose"),
         }
         idx_nbytes = n_inner * 16 + (4 if shard["crc"] else 0)
 

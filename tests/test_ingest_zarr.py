@@ -689,6 +689,41 @@ class TestZarrV3:
         out = read_array_driver(str(var))
         np.testing.assert_array_equal(out, a)
 
+    def test_v3_sharded_inner_transpose(self):
+        """transpose inside a sharding_indexed inner chain must thread
+        through to every inner-chunk decode."""
+        import struct
+
+        from marex_spark.sources.zarr import _decode_shard, _parse_v3_codecs
+
+        a = np.arange(12, dtype=np.float32).reshape(1, 3, 4)
+        payload = zlib.compress(
+            np.ascontiguousarray(a.transpose([2, 0, 1])).tobytes(), 1
+        )
+        index = struct.pack("<QQ", 0, len(payload))
+        raw = payload + index
+        _, shard, _ = _parse_v3_codecs(
+            [{
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": [1, 3, 4],
+                    "codecs": [
+                        {"name": "transpose",
+                         "configuration": {"order": [2, 0, 1]}},
+                        {"name": "bytes",
+                         "configuration": {"endian": "little"}},
+                        {"name": "gzip", "configuration": {"level": 1}},
+                    ],
+                    "index_codecs": [{"name": "bytes"}],
+                    "index_location": "end",
+                },
+            }],
+            allow_shard=True,
+        )
+        meta = {"chunks": [1, 3, 4], "dtype": "<f4", "fill_value": 0.0}
+        out = _decode_shard(raw, meta, shard)
+        np.testing.assert_array_equal(out, a)
+
     def test_v3_bad_transpose_refused(self, tmp_path):
         from marex_spark.sources.zarr import _read_meta
 
