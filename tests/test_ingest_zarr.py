@@ -263,6 +263,26 @@ class TestZarrV2Filters:
         np.testing.assert_array_equal(got, arr)
 
 
+def test_zarr_v2_big_endian_dtype(tmp_path):
+    """v2 stores may declare big-endian dtypes ('>f4'); the reader
+    passes the declared dtype straight to numpy, so values must round
+    byte order correctly."""
+    from marex_spark.sources.zarr import read_array_driver
+
+    var = tmp_path / "v"
+    var.mkdir()
+    a = (np.arange(12, dtype="<f4").reshape(3, 4) * 1.5).astype(">f4")
+    (var / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [3, 4], "chunks": [3, 4],
+        "dtype": ">f4", "order": "C",
+        "compressor": {"id": "zlib", "level": 1},
+        "filters": None, "fill_value": 0,
+    }))
+    (var / "0.0").write_bytes(zlib.compress(a.tobytes(), 1))
+    out = read_array_driver(str(var))
+    np.testing.assert_array_equal(out.astype("f8"), a.astype("f8"))
+
+
 def test_zarr_string_fill_value(tmp_path, spark):
     """zarr-v2 JSON string-encoded fill ('Infinity') must be decoded
     before the fill comparison, not silently compared as a string."""
