@@ -251,7 +251,7 @@ def sessionize_stream(
 
 def bloom_decontaminate_stream(
     stream: DataFrame,
-    bloom_bits: list,
+    bloom_bits: "bytes | list",
     k: int,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -260,44 +260,48 @@ def bloom_decontaminate_stream(
     """Bloom-filter contamination gate for a document stream — the
     ZERO-state, zero-join form of :func:`decontaminate_stream`.
 
-    ``bloom_bits`` is the m-length boolean bitset built in batch from
-    the benchmark's shingles and ``k`` the probe count that built it —
-    both sides of the geometry operators/dedup.bloom_geometry derives
-    from the benchmark size (pass the same k; a mismatched k changes
-    the flag set). The probe family (Kirsch–Mitzenmacher double
-    hashing: one md5 per shingle, positions ``(h1 + i·h2) mod m``) and
-    the shingle construction are IMPORTED from that module — one
+    ``bloom_bits`` is the m-length bitset built in batch from the
+    benchmark's shingles — pass operators/dedup.bloom_fit's ``bytes``
+    (b"0"/b"1" per bit) directly, or any boolean sequence (normalised
+    to the same bytes form here) — and ``k`` the probe count that
+    built it; both sides of the geometry
+    operators/dedup.bloom_geometry derives from the benchmark size
+    (pass the same k; a mismatched k changes the flag set). The probe
+    family (Kirsch–Mitzenmacher double hashing: one md5 per shingle,
+    positions ``(h1 + i·h2) mod m``), the shingle construction, AND
+    the flag expression are IMPORTED from that module — one
     definition, so a doc flagged here is flagged there by
     construction; the hash halves materialise per shingle via one
     ``transform`` pass so the HOF lambda never recomputes the md5 per
-    probe. The bitset rides the plan as an array literal: every
-    micro-batch is a pure map pass — no stream-static join, no
-    broadcast exchange, no watermark requirement — the cheapest
-    possible first gate in front of the exact decontamination join.
-    Emits the per-document shingle counts ``(id_col, n_shingles,
-    n_flagged)`` per micro-batch row (one row per input doc;
-    append-safe)."""
+    probe. The bitset rides the plan as ONE binary literal probed by
+    byte-indexed O(1) substring — a Python list literal crosses py4j
+    element by element (minutes at 2^20 bits) and array element_at on
+    a 2^20-slot literal was the same trap the batch tier already
+    documents — so every micro-batch is a pure map pass: no
+    stream-static join, no broadcast exchange, no watermark
+    requirement — the cheapest possible first gate in front of the
+    exact decontamination join. Emits the per-document shingle counts
+    ``(id_col, n_shingles, n_flagged)`` per micro-batch row (one row
+    per input doc; append-safe)."""
     from marex_spark.operators.dedup import (
+        bloom_flag_from_hashes,
         bloom_hash_cols,
-        bloom_pos_from_hashes,
         shingle_array,
     )
 
-    m = len(bloom_bits)
+    if isinstance(bloom_bits, (bytes, bytearray)):
+        bits = bytes(bloom_bits)
+    else:
+        bits = bytes(bytearray(49 if v else 48 for v in bloom_bits))
+    m = len(bits)
     shingles = shingle_array(text_col, n)
-    bitset = F.lit(list(bloom_bits))
 
     def _hashes(s):
         h1, h2 = bloom_hash_cols(s, m)
         return F.struct(h1.alias("h1"), h2.alias("h2"))
 
     def _hit(hs):
-        probe = None
-        for i in range(k):
-            pos = bloom_pos_from_hashes(hs["h1"], hs["h2"], i, m)
-            p = F.element_at(bitset, (pos + 1).cast("int"))
-            probe = p if probe is None else (probe & p)
-        return probe
+        return bloom_flag_from_hashes(bits, k, hs["h1"], hs["h2"])
 
     hashed = F.transform(shingles, _hashes)
     return stream.select(

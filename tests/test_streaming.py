@@ -536,6 +536,13 @@ def test_stream_bloom_decontaminate_matches_batch(doc_stream_env):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, batch.collect())
     )
+    # bloom_fit's bytes bitset (b"0"/b"1" per bit) is accepted directly
+    # and must flag identically to the boolean-list form
+    as_bytes = bytes(bytearray(49 if v else 48 for v in bits))
+    batch_bytes = bloom_decontaminate_stream(df, as_bytes, k=k)
+    assert sorted(map(tuple, batch_bytes.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
     bloom_flagged = {r.doc_id for r in out.filter("n_flagged > 0").collect()}
     exact = decontaminate_stream(df, bench_ws)
     exact_flagged = {r.doc_id for r in exact.select("doc_id").distinct().collect()}
