@@ -256,6 +256,7 @@ def bloom_decontaminate_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
+    max_literal_bits: int | None = None,
 ) -> DataFrame:
     """Bloom-filter contamination gate for a document stream — the
     ZERO-state, zero-join form of :func:`decontaminate_stream`.
@@ -282,10 +283,21 @@ def bloom_decontaminate_stream(
     requirement — the cheapest possible first gate in front of the
     exact decontamination join. Emits the per-document shingle counts
     ``(id_col, n_shingles, n_flagged)`` per micro-batch row (one row
-    per input doc; append-safe)."""
+    per input doc; append-safe).
+
+    Above ``max_literal_bits`` (default: the batch tier's
+    ``_BLOOM_MAX_LITERAL_BITS``; real decontamination benchmarks reach
+    m=2^24, a 16 MB literal re-embedded in every micro-batch plan) the
+    bitset instead ships PACKED 8:1 ONCE as a broadcast variable and a
+    per-row ``mapInArrow`` kernel gathers the k JVM-computed positions
+    per shingle — same flag semantics (equality-pinned in the tests),
+    same one-row-per-doc append-safe shape, still zero joins and zero
+    state at any m."""
     from marex_spark.operators.dedup import (
+        _BLOOM_MAX_LITERAL_BITS,
         bloom_flag_from_hashes,
         bloom_hash_cols,
+        bloom_pos_from_hashes,
         shingle_array,
     )
 
@@ -293,6 +305,8 @@ def bloom_decontaminate_stream(
         bits = bytes(bloom_bits)
     else:
         bits = bytes(bytearray(49 if v else 48 for v in bloom_bits))
+    if max_literal_bits is None:
+        max_literal_bits = _BLOOM_MAX_LITERAL_BITS
     m = len(bits)
     shingles = shingle_array(text_col, n)
 
@@ -300,12 +314,78 @@ def bloom_decontaminate_stream(
         h1, h2 = bloom_hash_cols(s, m)
         return F.struct(h1.alias("h1"), h2.alias("h2"))
 
-    def _hit(hs):
-        return bloom_flag_from_hashes(bits, k, hs["h1"], hs["h2"])
-
     hashed = F.transform(shingles, _hashes)
-    return stream.select(
-        id_col,
-        F.size(shingles).cast("long").alias("n_shingles"),
-        F.size(F.filter(hashed, _hit)).cast("long").alias("n_flagged"),
+
+    if m <= max_literal_bits:
+
+        def _hit(hs):
+            return bloom_flag_from_hashes(bits, k, hs["h1"], hs["h2"])
+
+        return stream.select(
+            id_col,
+            F.size(shingles).cast("long").alias("n_shingles"),
+            F.size(F.filter(hashed, _hit)).cast("long").alias("n_flagged"),
+        )
+
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    packed = np.packbits(
+        np.frombuffer(bits, dtype=np.uint8) == 0x31, bitorder="little"
+    )
+    bc = stream.sparkSession.sparkContext.broadcast(packed.tobytes())
+    id_type = stream.schema[id_col].dataType.simpleString()
+    # k positions per shingle, computed JVM-side from the materialised
+    # hash halves → array<array<long>> per doc; the kernel only gathers
+    poss = F.transform(
+        hashed,
+        lambda hs: F.array(
+            *[
+                bloom_pos_from_hashes(hs["h1"], hs["h2"], i, m)
+                for i in range(k)
+            ]
+        ),
+    )
+    mid = stream.select(id_col, poss.alias("_ps"))
+
+    def _probe(batches) -> Iterator:
+        pb = np.frombuffer(bc.value, dtype=np.uint8)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            outer = tbl["_ps"].chunk(0)
+            offs = np.asarray(outer.offsets)  # per-doc shingle counts
+            counts = np.diff(offs).astype(np.int64)
+            # inner lists are fixed k, never null → flat reshape
+            # (list_flatten respects offsets/slices, unlike .values)
+            flat = (
+                pc.list_flatten(pc.list_flatten(outer))
+                .to_numpy()
+                .astype(np.int64)
+            )
+            if flat.size:
+                ps = flat.reshape(-1, k)
+                hit = (
+                    (pb[ps >> 3] >> (ps & 7).astype(np.uint8)) & 1
+                ).all(axis=1)
+            else:
+                hit = np.zeros(0, dtype=bool)
+            cum = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
+            o = offs - offs[0]
+            flagged = cum[o[1:]] - cum[o[:-1]]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl[id_col].chunk(0),
+                    pa.array(counts),
+                    pa.array(flagged.astype(np.int64)),
+                ],
+                names=[id_col, "n_shingles", "n_flagged"],
+            )
+
+    return mid.mapInArrow(
+        _probe, schema=f"{id_col} {id_type}, n_shingles long, n_flagged long"
     )

@@ -547,3 +547,22 @@ def test_stream_bloom_decontaminate_matches_batch(doc_stream_env):
     exact = decontaminate_stream(df, bench_ws)
     exact_flagged = {r.doc_id for r in exact.select("doc_id").distinct().collect()}
     assert exact_flagged <= bloom_flagged  # no false negatives
+
+    # above the literal budget the packed-broadcast mapInArrow tier
+    # must produce the identical per-doc counts — batch evaluation AND
+    # a real micro-batch drain (mapInArrow on a streaming DataFrame)
+    packed_batch = bloom_decontaminate_stream(
+        df, as_bytes, k=k, max_literal_bits=0
+    )
+    assert sorted(map(tuple, packed_batch.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    packed_out = _drain(
+        bloom_decontaminate_stream(stream, as_bytes, k=k, max_literal_bits=0),
+        spark,
+        tmp,
+        "bloom_packed_out",
+    )
+    assert sorted(map(tuple, packed_out.collect())) == sorted(
+        map(tuple, out.collect())
+    )
