@@ -1014,3 +1014,41 @@ def test_unstructured_merging_q04_completes(spark):
     ).run()
     n_events = res.events.select(F.countDistinct("event_id")).first()[0]
     assert n_events > 0
+
+
+def test_enforce_overlap_threshold_edge_cases(spark):
+    """Reference enforce_overlap_threshold edge cases
+    (tests/test_track_edge_cases.py:869-906 and 908-958, against
+    track.py:2506-2552): (a) pairs whose IDs are absent from the props
+    table are DROPPED — the DataFrame form's inner area joins are the
+    valid_mask filter — so an all-unknown pair list filters to empty;
+    (b) an overlap fraction > 1.0 (overlap 150 vs min-area 100) is
+    KEPT when it clears the threshold — the reference only warns, it
+    never clips — so [[1,2,150],[3,4,80]] at threshold 0.1 keeps both
+    pairs, exactly the reference's asserted outcome."""
+    from marex_spark.operators.overlap import filter_overlap_fraction
+
+    areas = spark.createDataFrame(
+        [(1, 100.0), (2, 120.0), (3, 200.0), (4, 300.0)],
+        "obj_id long, area double",
+    )
+
+    # (a) unknown-ID pairs → empty result (edge_cases:894-906)
+    unknown = spark.createDataFrame(
+        [(999, 1000, 50.0), (1001, 1002, 60.0)],
+        "id_t long, id_next long, overlap_area double",
+    )
+    assert filter_overlap_fraction(unknown, areas, threshold=0.1).count() == 0
+
+    # (b) fraction > 1 retained at threshold 0.1 (edge_cases:925-958)
+    pairs = spark.createDataFrame(
+        [(1, 2, 150.0), (3, 4, 80.0)],
+        "id_t long, id_next long, overlap_area double",
+    )
+    kept = filter_overlap_fraction(pairs, areas, threshold=0.1)
+    rows = {(r.id_t, r.id_next) for r in kept.collect()}
+    assert rows == {(1, 2), (3, 4)}  # 1.5 and 0.4 both >= 0.1
+
+    # and the threshold still bites: at 0.5 only the >1 pair survives
+    kept_hi = filter_overlap_fraction(pairs, areas, threshold=0.5)
+    assert {(r.id_t, r.id_next) for r in kept_hi.collect()} == {(1, 2)}
