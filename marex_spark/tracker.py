@@ -228,6 +228,25 @@ class Tracker:
                     "unstructured_grid=True needs the (cell, nbr) edge table",
                     details={"edges": None},
                 )
+            if self.cell_geo is not None:
+                # reference test_missing_coordinates_unstructured
+                # (tests/test_track_edge_cases.py:198-228): a geometry
+                # table without the named spatial coordinates must fail
+                # LOUDLY at construction, not as an unresolved-column
+                # AnalysisException deep inside the stats plan
+                missing = {"cell", "lat", "lon"} - set(self.cell_geo.columns)
+                if missing:
+                    raise DataValidationError(
+                        "Missing required coordinates on cell_geo: "
+                        + ", ".join(sorted(missing)),
+                        details={
+                            "missing": sorted(missing),
+                            "columns": list(self.cell_geo.columns),
+                        },
+                        suggestions=[
+                            "cell_geo needs (cell, lat, lon[, area]) columns",
+                        ],
+                    )
         else:
             if self.nx is None or (self.R_fill > 0 and self.ny is None):
                 raise DataValidationError(

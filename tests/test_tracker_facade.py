@@ -67,6 +67,24 @@ class TestValidation:
                 unstructured_grid=True, edges=edges, grid_resolution=0.1,
             )
 
+    def test_missing_coordinates_on_cell_geo(self, spark):
+        # reference edge_cases:198-228: a geometry table without the
+        # named spatial coordinates fails loudly at construction
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        edges = ext.sparkSession.createDataFrame(
+            [(0, 1)], "cell long, nbr long"
+        )
+        bad_geo = ext.sparkSession.createDataFrame(
+            [(0, 1.0)], "cell long, weight double"
+        )
+        with pytest.raises(
+            DataValidationError, match="Missing required coordinates"
+        ):
+            Tracker(
+                ext.selectExpr("time", "CAST(y*8+x AS LONG) AS cell", "extreme"),
+                unstructured_grid=True, edges=edges, cell_geo=bad_geo,
+            )
+
     def test_regional_needs_units(self, spark):
         ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
         with pytest.raises(ConfigurationError, match="coordinate_units"):
