@@ -668,3 +668,48 @@ def test_to_epoch_micros_dst_edges():
     )
     assert gap == int(pd.Timestamp("2025-03-09 07:00", tz="UTC").value // 1000)
     assert _to_epoch_micros(123, "UTC") == 123
+
+
+def test_wrapped_distance_helper_parity():
+    """Reference wrapped-distance helper pins (tests/
+    test_track_helpers.py:16-133, against track.py:4827-4884) replayed
+    on the engine's `_wrapped_dist2` NN kernel: basic unwrapped
+    distance, seam wrapping, NO wrap at exactly half the grid width,
+    the y axis never wrapping inside the distance, zero at the
+    centroid itself, and point↔centroid symmetry."""
+    import numpy as np
+
+    from marex_spark.operators.merge import _wrapped_dist2
+
+    def d(y, x, cy, cx, nx, wrap=True):
+        return float(
+            np.sqrt(
+                _wrapped_dist2(
+                    np.array([y], dtype=float),
+                    np.array([x], dtype=float),
+                    cy,
+                    cx,
+                    nx,
+                    wrap,
+                )[0]
+            )
+        )
+
+    # basic (helpers:16-30): (5,5) vs centroid (3,3) → sqrt(8)
+    assert np.isclose(d(5, 5, 3.0, 3.0, 10), np.sqrt(8), atol=1e-6)
+    # wrapping (helpers:32-46): (5,9) vs (5,1) on nx=10 → 2, not 8
+    assert np.isclose(d(5, 9, 5.0, 1.0, 10), 2.0, atol=1e-6)
+    # exact half (helpers:123-130): x-gap of 5 on nx=10 does NOT wrap
+    assert np.isclose(d(0, 0, 0.0, 5.0, 10), 5.0, atol=1e-6)
+    # the y axis never wraps in the distance (helpers:115-121)
+    assert np.isclose(d(9, 0, 0.0, 0.0, 10), 9.0, atol=1e-6)
+    # zero at the centroid; never negative (helpers:68-85, 401)
+    assert d(2, 2, 2.0, 2.0, 5) == 0.0
+    # symmetry (helpers:370-383): swap point and centroid, same value
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        y1, y2 = rng.uniform(0, 30, 2)
+        x1, x2 = rng.uniform(0, 80, 2)
+        assert np.isclose(
+            d(y1, x1, y2, x2, 80), d(y2, x2, y1, x1, 80), atol=1e-9
+        )
