@@ -181,3 +181,36 @@ def test_std_normalise_outputs(spark):
     frac0 = det.extremes.filter("extreme").count() / n_total
     assert 0.03 <= frac0 <= 0.07, frac0
     det.unpersist()
+
+
+def test_decimal_year_reference_pins(spark):
+    """Reference add_decimal_year pins (tests/test_detect_helpers.py:
+    20-72, against detect.py:2031-2058): Jan 1 is exactly the integer
+    year, Dec 31 of leap 2020 is 2020 + 365/366, Dec 31 of non-leap
+    2021 is 2021 + 364/365, and mid-year lands in (year+0.4,
+    year+0.5) — evaluated through the SQL decimal_year the harmonic
+    design matrix uses, and cross-checked bit-for-bit against the
+    blocked kernel's numpy _decimal_year."""
+    import numpy as np
+
+    from marex_spark.functions.temporal import decimal_year
+    from marex_spark.operators.detect_blocked import _decimal_year
+
+    df = spark.createDataFrame(
+        [("2020-01-01",), ("2020-06-01",), ("2020-12-31",),
+         ("2021-01-01",), ("2021-12-31",), ("1900-12-31",)],
+        "d string",
+    ).select(decimal_year(F.to_date("d")).alias("dy"))
+    vals = [r.dy for r in df.collect()]
+    assert np.isclose(vals[0], 2020.0, atol=1e-9)
+    assert np.isclose(vals[2], 2020.0 + 365 / 366, atol=1e-9)
+    assert 2020.4 < vals[1] < 2020.5
+    assert np.isclose(vals[3], 2021.0, atol=1e-9)
+    assert np.isclose(vals[4], 2021.0 + 364 / 365, atol=1e-9)
+    # 1900: divisible by 100, not 400 → NOT leap → 364/365
+    assert np.isclose(vals[5], 1900.0 + 364 / 365, atol=1e-9)
+
+    # SQL form == blocked-kernel numpy form, same inputs
+    doy0 = np.array([0, 152, 365, 0, 364, 364], dtype=float)
+    years = np.array([2020, 2020, 2020, 2021, 2021, 1900], dtype=float)
+    np.testing.assert_allclose(_decimal_year(doy0, years), vals, rtol=0, atol=1e-12)
