@@ -132,6 +132,7 @@ def preprocess_data(
     ny: int | None = None,
     reference_period: tuple[int, int] | None = None,
     dimensions: dict | None = None,
+    validate_data: bool = False,
 ) -> DetectResult:
     """Raw series → boolean extremes. Drops null/NaN values first
     (P2 validity predicate, detect.py:222).
@@ -222,6 +223,36 @@ def preprocess_data(
 
     clean = df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col))
     clean = partition_by_cells(clean, keys)
+
+    if validate_data and method_anomaly == "shifting_baseline":
+        # reference sufficiency check (detect.py:614-636): the dataset
+        # must span at least window_year_baseline years or every year
+        # is trimmed as baseline warm-up and the output is empty.
+        # Opt-in here (validate_data=True) because the reference reads
+        # the in-memory time axis for free while this is an eager
+        # Spark job over the time column; the default stays lazy —
+        # short inputs then yield the same empty-after-trim result the
+        # shifting-climatology filter produces.
+        from marex_spark.exceptions import DataValidationError
+
+        yr = F.year(time_col)
+        mn, mx = clean.agg(F.min(yr), F.max(yr)).first()
+        total_years = 0 if mn is None else int(mx) - int(mn) + 1
+        if total_years < window_year_baseline:
+            raise DataValidationError(
+                "Insufficient data for shifting_baseline method",
+                details={
+                    "available_years": total_years,
+                    "required_years": window_year_baseline,
+                },
+                suggestions=[
+                    "Use more years of data to meet minimum requirement",
+                    f"Reduce window_year_baseline parameter "
+                    f"(currently {window_year_baseline})",
+                    "Consider using detrend_fixed_baseline or "
+                    "detrend_harmonic method instead",
+                ],
+            )
 
     if method_anomaly == "fixed_baseline":
         anom = anomaly_fixed_baseline(

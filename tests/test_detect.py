@@ -214,3 +214,30 @@ def test_decimal_year_reference_pins(spark):
     doy0 = np.array([0, 152, 365, 0, 364, 364], dtype=float)
     years = np.array([2020, 2020, 2020, 2021, 2021, 1900], dtype=float)
     np.testing.assert_allclose(_decimal_year(doy0, years), vals, rtol=0, atol=1e-12)
+
+
+def test_shifting_baseline_insufficient_data(spark, sst):
+    """Reference test_shifting_baseline_insufficient_data
+    (tests/test_error_handling.py:137-166, detect.py:614-636): with
+    validate_data=True a dataset spanning fewer years than
+    window_year_baseline raises DataValidationError naming both
+    counts; the lazy default instead yields the reference's same
+    empty-after-trim result."""
+    from marex_spark.exceptions import DataValidationError
+
+    with pytest.raises(DataValidationError, match="Insufficient data"):
+        preprocess_data(
+            sst,
+            method_anomaly="shifting_baseline",
+            method_extreme="global_extreme",
+            window_year_baseline=15,  # 3-year fixture
+            validate_data=True,
+        )
+    # lazy default: no error, empty extremes (all years are warm-up)
+    res = preprocess_data(
+        sst,
+        method_anomaly="shifting_baseline",
+        method_extreme="global_extreme",
+        window_year_baseline=15,
+    )
+    assert res.extremes.count() == 0
