@@ -432,3 +432,24 @@ def test_semdedup_pairs_blocked_by_cluster_no_corpus_broadcast(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     # pair join blocked by the cluster key
     assert "cent_id" in plan
+
+
+def test_stream_bloom_gate_both_tiers_map_only(spark):
+    """The streaming Bloom gate must stay a pure map pass in BOTH
+    tiers (streaming/documents.py): the literal tier probes a binary
+    literal inside codegen; the packed tier above the literal budget
+    is one MapInArrow over JVM-computed positions with the bitset as
+    a broadcast VARIABLE — zero joins and zero exchanges either way,
+    so every micro-batch is stateless and append-safe."""
+    from marex_spark.plans import exchange_count, plan_string
+    from marex_spark.streaming.documents import bloom_decontaminate_stream
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    bits = bytes(b"0" * 128)
+    for max_bits in (1 << 20, 0):  # literal tier, then packed tier
+        out = bloom_decontaminate_stream(docs, bits, k=3, max_literal_bits=max_bits)
+        plan = plan_string(out)
+        assert plan.count("Join") == 0, plan[:1500]
+        assert exchange_count(out) == 0, (max_bits, exchange_count(out))
