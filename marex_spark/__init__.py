@@ -120,6 +120,12 @@ def __getattr__(name):
         "is_verbose_mode": "marex_spark.logging_config",
         "is_quiet_mode": "marex_spark.logging_config",
         "log_timing": "marex_spark.logging_config",
+        # LLM-pipeline operators promoted to parameterised API (round 7)
+        "bloom_geometry": "marex_spark.operators.dedup",
+        "bloom_fit": "marex_spark.operators.dedup",
+        "bloom_decontaminate": "marex_spark.operators.dedup",
+        "semdedup": "marex_spark.operators.embed",
+        "bloom_decontaminate_stream": "marex_spark.streaming.documents",
     }
     if name in api:
         return getattr(import_module(api[name]), name)
