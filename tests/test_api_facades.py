@@ -122,3 +122,18 @@ def test_top_level_all_parity():
             getattr(marex_spark, n)
         except AttributeError:
             assert hasattr(exc, n), f"missing top-level name: {n}"
+
+
+def test_top_level_pipeline_operator_exports():
+    """The round-7 parameterised LLM-pipeline operators are first-class
+    top-level API (lazy map in marex_spark/__init__.py)."""
+    import marex_spark
+
+    for n in (
+        "bloom_geometry",
+        "bloom_fit",
+        "bloom_decontaminate",
+        "semdedup",
+        "bloom_decontaminate_stream",
+    ):
+        assert callable(getattr(marex_spark, n)), n
