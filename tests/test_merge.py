@@ -713,3 +713,44 @@ def test_wrapped_distance_helper_parity():
         assert np.isclose(
             d(y1, x1, y2, x2, 80), d(y2, x2, y1, x1, 80), atol=1e-9
         )
+
+
+def test_parallel_stale_driver_path_equals_distributed(
+    spark, two_blob_field, monkeypatch
+):
+    """The stale-round driver fast path (rounds >= 1 under
+    PARALLEL_STALE_DRIVER_CELLS run the block kernel driver-side,
+    Gauss-Seidel in time order) must be byte-identical to keeping
+    every stale round distributed (Jacobi). Fixture-sized runs always
+    take the driver path, so force the distributed path by zeroing the
+    budget and A/B the events AND the ledger."""
+    from marex_spark.operators import merge as M
+    from marex_spark.operators.label import label_components
+
+    labels = label_components(two_blob_field, nx=NX)
+    drv, ledger_drv = M.split_merge_events_parallel(
+        labels, nx=NX, block_steps=3, overlap_threshold=0.5
+    )
+    drv_rows = {(r.time, r.y, r.x, r.obj_id) for r in drv.collect()}
+    drv_ledger = [
+        (r.time, tuple(r.parent_ids), tuple(r.child_ids), tuple(r.overlap_areas))
+        for r in ledger_drv.collect()
+    ]
+    stale_log_drv = list(M._PARALLEL_STALE_LOG)
+
+    monkeypatch.setattr(M, "PARALLEL_STALE_DRIVER_CELLS", 0)
+    dist, ledger_dist = M.split_merge_events_parallel(
+        labels, nx=NX, block_steps=3, overlap_threshold=0.5
+    )
+    dist_rows = {(r.time, r.y, r.x, r.obj_id) for r in dist.collect()}
+    dist_ledger = [
+        (r.time, tuple(r.parent_ids), tuple(r.child_ids), tuple(r.overlap_areas))
+        for r in ledger_dist.collect()
+    ]
+
+    assert drv_rows == dist_rows
+    assert drv_ledger == dist_ledger
+    # the fixture must actually exercise a stale round on BOTH paths,
+    # or this test silently compares two single-round runs
+    assert len(stale_log_drv) >= 2, stale_log_drv
+    assert len(M._PARALLEL_STALE_LOG) >= 2, M._PARALLEL_STALE_LOG
