@@ -65,11 +65,16 @@ _PRIORITY = [
     "txt_unigram_logprob",
     # Tier 2 — rows whose engine changed THIS round (semdedup keep rule
     # restructured join-free / un-broadcast; Bloom m,k now derived from
-    # the benchmark size) plus the round's new operator (the numpy
-    # within-cluster semdedup tier — never driver-verified):
+    # the benchmark size) plus the round's new operators (the numpy
+    # within-cluster semdedup tier, BM25 search, the skew-proof
+    # per-domain cap, and the theta distinct sketch — never
+    # driver-verified, so the policy puts them first):
     "dedup_semdedup",
     "decontam_bloom",
     "dedup_semdedup_fast",
+    "txt_bm25_search",
+    "pipe_domain_cap",
+    "sketch_theta_distinct",
     # Tier 3 — green sentinels for regression cover:
     "s1_scan_pushdown",
     "trk_m5_track_nomerge",
@@ -85,8 +90,12 @@ _PRIORITY = [
     # (txt_repetition_ratio/txt_lr_auc/txt_bpe_train), and
     # txt_repetition_ratio itself yielded its slot to the new
     # dedup_semdedup_fast (txt_gopher_rules covers the quality-rule
-    # family). REMAINDER RULE: those 13 + the 46-row r5 cohort lead
-    # the r8 window.
+    # family). Three more yielded to this round's late new operators:
+    # txt_tfidf_search (txt_bm25_search shares the filtered-posting
+    # skeleton in the same file), txt_pii_redact (txt_gopher_rules,
+    # same regex-rule family), s4_region_overwrite (s3_checkpoint_
+    # roundtrip, same sources/io.py path). REMAINDER RULE: those 16 +
+    # the 46-row r5 cohort lead the r8 window.
     "ann_ivf_kmeans_topk",
     "dedup_lsh_star_capped",
     "dedup_paragraphs",
@@ -105,14 +114,11 @@ _PRIORITY = [
     "pipe_source_mix_temperature",
     "s2_netcdf4_scan",
     "s3_checkpoint_roundtrip",
-    "s4_region_overwrite",
     "trk_m8_overlap_threshold",
     "trk_m9u_split_merge",
     "txt_bpe_train",
     "txt_gopher_rules",
     "txt_lr_auc",
-    "txt_pii_redact",
-    "txt_tfidf_search",
 ]
 
 

@@ -828,3 +828,68 @@ def decontam_bloom(spark, sf_dir):
         "n_flagged",
         round6(F.col("contamination_bloom")).alias("contamination_bloom"),
     )
+
+
+# ----------------------------------- hash-threshold distinct sketch (theta)
+
+# md5's first 15 hex chars are a uniform 60-bit integer; keeping only
+# hashes below 2^60 / _THETA_SCALE is a fixed-threshold theta sketch:
+# the survivor count is Binomial(D, 1/scale), so survivors * scale is
+# an unbiased estimate of the distinct count D with relative stderr
+# ~ sqrt(scale / D). Unlike approx_count_distinct (whose HLL register
+# layout no other engine replays), this sketch is exact arithmetic on
+# md5 — bit-identical in any engine, so the oracle verifies it.
+_THETA_SCALE = 16
+_THETA_THRESHOLD = (1 << 60) // _THETA_SCALE
+
+
+@register(
+    "sketch_theta_distinct",
+    f"""WITH sh AS (
+      SELECT source, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+      FROM (SELECT source, {_WORDS_SQL} AS w FROM documents),
+           UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)),
+    hv AS (
+      SELECT DISTINCT source,
+             CAST(CONCAT('0x', SUBSTRING(md5(shingle), 1, 15)) AS BIGINT) AS h
+      FROM sh
+      WHERE CAST(CONCAT('0x', SUBSTRING(md5(shingle), 1, 15)) AS BIGINT)
+            < {_THETA_THRESHOLD})
+    SELECT source, COUNT(*) AS n_sample,
+           CAST(COUNT(*) * {_THETA_SCALE} AS BIGINT) AS est_distinct
+    FROM hv GROUP BY 1""",
+)
+def sketch_theta_distinct(spark, sf_dir):
+    """Distinct 3-gram-shingle count per source via a fixed-threshold
+    theta sketch (the KMV/theta family, Dasgupta et al. 2016): hash
+    every shingle to a uniform 60-bit md5 integer, keep only hashes
+    under 2^60/{_THETA_SCALE}, count the distinct survivors, scale up.
+
+    Scale shape: the threshold filter runs map-side BEFORE the distinct,
+    so the exchange carries ~1/{_THETA_SCALE} of the distinct mass and
+    the estimate is mergeable across any partitioning (survivor sets
+    union). This is how a 100 TB corpus profiles per-domain vocabulary
+    without paying a full-cardinality distinct shuffle — and unlike
+    approx_count_distinct's HLL it is deterministic and replayable in
+    any md5-capable engine, which is what lets the DuckDB oracle
+    hash-verify it."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    parts = [F.element_at(F.col("w"), F.col("i") + j) for j in range(3)]
+    sh = docs.select(
+        "source", words.alias("w"), F.explode(idx).alias("i")
+    ).select("source", F.concat_ws(" ", *parts).alias("shingle"))
+    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    return (
+        sh.select("source", h.alias("h"))
+        .filter(F.col("h") < _THETA_THRESHOLD)
+        .distinct()
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sample"),
+            (F.count("*") * _THETA_SCALE).cast("long").alias("est_distinct"),
+        )
+    )

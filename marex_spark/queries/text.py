@@ -1233,3 +1233,163 @@ def pipe_ccnet_buckets(spark, sf_dir):
             .alias("bucket"),
         )
     )
+
+
+# --------------------------------------------------------- BM25 search
+
+_BM25_TERMS = ("spark", "merge", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 25
+# Precomputed constants so both engines evaluate the identical literal
+# arithmetic: tf*(k1+1) and (1-b) + b*(dl/avgdl).
+_BM25_K1P1 = 2.2
+_BM25_1MB = 0.25
+
+
+@register(
+    "txt_bm25_search",
+    f"""WITH base AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      FROM documents),
+    avgdl AS (
+      SELECT {round6_sql('CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(dl)')} AS v
+      FROM base),
+    w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT w.doc_id, w.term, CAST(COUNT(*) AS DOUBLE) AS tf, MAX(base.dl) AS dl
+      FROM w JOIN base ON base.doc_id = w.doc_id
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY 1, 2),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    idf AS (
+      SELECT term,
+             {round6_sql('ln(((SELECT n FROM nd) - CAST(COUNT(DISTINCT doc_id) AS DOUBLE) + 0.5) / (CAST(COUNT(DISTINCT doc_id) AS DOUBLE) + 0.5) + 1.0)')} AS idf
+      FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             {dec_sql(f'idf.idf * ((tf.tf * {_BM25_K1P1}) / (tf.tf + {_BM25_K1} * ({_BM25_1MB} + {_BM25_B} * (tf.dl / (SELECT v FROM avgdl)))))')} AS score
+      FROM tf JOIN idf USING (term)
+      GROUP BY 1),
+    ranked AS (
+      SELECT doc_id, {round6_sql('score')} AS score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+    SELECT doc_id, score, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= {_BM25_K}""",
+)
+def txt_bm25_search(spark, sf_dir):
+    """Okapi BM25 keyword search (Lucene idf form): per query term,
+    idf(t) = ln((N - df + .5)/(df + .5) + 1), weight = idf * tf*(k1+1) /
+    (tf + k1*(1 - b + b*dl/avgdl)), summed per doc, top-{_BM25_K}.
+
+    Scale shape (same skeleton as txt_tfidf_search): the explode
+    filters to the query terms BEFORE any shuffle, so the aggregation
+    touches only query-term postings; idf is a terms-sized broadcast;
+    avgdl / N are index-level stats a real engine precomputes once —
+    here one decimal-exact agg job each. One corpus scan for postings.
+    Determinism: idf and avgdl are round6'd so libm's ln and the
+    division feed identical doubles; the per-posting weight is a fixed
+    double op sequence (identical literals both engines); per-doc sums
+    fold in DECIMAL."""
+    from marex_spark.functions.decimals import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    dl = F.size(F.split("text", " ")).cast("double")
+    base = docs.select("doc_id", dl.alias("dl"))
+    avgdl = float(
+        base.agg(round6(davg("dl")).alias("v")).first()["v"]
+    )
+    w = docs.select(
+        "doc_id", dl.alias("dl"), F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = w.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf"), F.max("dl").alias("dl")
+    )
+    df_d = F.count_distinct(F.col("doc_id")).cast("double")
+    idf = tf.groupBy("term").agg(
+        round6(
+            F.log(
+                (F.lit(n_docs) - df_d + F.lit(0.5))
+                / (df_d + F.lit(0.5))
+                + F.lit(1.0)
+            )
+        ).alias("idf")
+    )
+    weight = F.col("idf") * (
+        (F.col("tf") * F.lit(_BM25_K1P1))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(_BM25_1MB) + F.lit(_BM25_B) * (F.col("dl") / F.lit(avgdl)))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(dsum(weight, "score"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.orderBy(F.desc("score"), "doc_id"))
+    return (
+        scored.select("doc_id", round6(F.col("score")).alias("score"))
+        .withColumn("rn", rn.cast("int"))
+        .filter(F.col("rn") <= _BM25_K)
+    )
+
+
+# ------------------------------------------------- per-domain quality cap
+
+_DOMAIN_CAP_N = 15
+_DOMAIN_CAP_SALTS = 8
+
+
+@register(
+    "pipe_domain_cap",
+    f"""WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents)
+    SELECT source, doc_id, n_chars, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_DOMAIN_CAP_N}""",
+)
+def pipe_domain_cap(spark, sf_dir):
+    """Per-domain document cap (the FineWeb / RefinedWeb curation rule:
+    at most N docs per registered domain, preferring higher-quality
+    ones — here the exact integer key n_chars DESC, doc_id tiebreak).
+
+    Scale shape: a naive window over (PARTITION BY source) shuffles the
+    ENTIRE corpus by domain and dies on the one domain with 10^9 docs.
+    This runs the skew-proof two-phase top-N: phase 1 ranks within
+    (source, doc_id mod {_DOMAIN_CAP_SALTS}) salted sub-partitions and
+    keeps ≤N per salt — any doc in a domain's global top-N is in its
+    salt bucket's top-N, so no candidate is lost — then phase 2 ranks
+    the ≤N*{_DOMAIN_CAP_SALTS} survivors per domain. The second shuffle
+    carries O(domains * N) rows regardless of skew. Oracle is the
+    single-window form; results are identical by construction."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    salted = docs.withColumn(
+        "salt", F.pmod(F.col("doc_id"), F.lit(_DOMAIN_CAP_SALTS))
+    )
+    w1 = W.partitionBy("source", "salt").orderBy(F.desc("n_chars"), "doc_id")
+    cand = (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _DOMAIN_CAP_N)
+        .drop("salt", "r1")
+    )
+    w2 = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= _DOMAIN_CAP_N)
+        .select("source", "doc_id", "n_chars", "rank")
+    )

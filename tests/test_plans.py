@@ -453,3 +453,62 @@ def test_stream_bloom_gate_both_tiers_map_only(spark):
         plan = plan_string(out)
         assert plan.count("Join") == 0, plan[:1500]
         assert exchange_count(out) == 0, (max_bits, exchange_count(out))
+
+
+def test_domain_cap_is_skew_proof_two_phase(spark):
+    """pipe_domain_cap must rank within SALTED (source, salt) groups
+    first so one hot domain never lands on one task: the first window
+    exchange hash-partitions on BOTH keys, and only the ≤N-per-salt
+    survivors reach the per-source window."""
+    from marex_spark.plans import plan_string
+    from marex_spark.queries.text import pipe_domain_cap
+
+    plan = plan_string(pipe_domain_cap(spark, SF))
+    assert "salt" in plan, plan[:2000]
+    # phase-1 partitioning carries the salt alongside source
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("salt" in p and "source" in p for p in parts), parts
+
+
+def test_bm25_terms_filter_before_shuffle_and_idf_broadcasts(spark):
+    """txt_bm25_search: the query-term filter must sit under the
+    generator (only query-term postings reach the tf aggregation) and
+    the 3-row idf table must broadcast, never shuffle the postings."""
+    from marex_spark.plans import plan_string
+    from marex_spark.queries.text import txt_bm25_search
+
+    out = txt_bm25_search(spark, SF)
+    plan = plan_string(out)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_theta_sketch_filters_before_distinct_exchange(spark):
+    """sketch_theta_distinct: the hash-threshold filter must run
+    map-side BEFORE the distinct's exchange (the whole point of the
+    sketch — the shuffle carries ~1/scale of the distinct mass), and
+    the plan stays join-free with exactly the two aggregation
+    exchanges (distinct + per-source count)."""
+    from marex_spark.plans import exchange_count, plan_string
+    from marex_spark.queries.dedup import _THETA_THRESHOLD, sketch_theta_distinct
+
+    out = sketch_theta_distinct(spark, SF)
+    plan = plan_string(out)
+    assert "Join" not in plan
+    assert exchange_count(out) <= 2, plan[:2000]
+    # the threshold predicate appears below the first Exchange in the
+    # plan tree (explain prints operators top-down, sinks first: the
+    # LAST Filter line is the deepest — it must mention the threshold
+    # and sit after the last Exchange line textually)
+    lines = plan.splitlines()
+    filt = [
+        i
+        for i, ln in enumerate(lines)
+        if "Filter" in ln and str(_THETA_THRESHOLD) in ln
+    ]
+    exch = [i for i, ln in enumerate(lines) if "Exchange" in ln]
+    assert filt, plan[:2000]
+    assert max(filt) > max(exch), (filt, exch)
