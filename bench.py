@@ -690,6 +690,35 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
     if emb_ok["ok"]:
         guarded("semdedup_1m_vectors", _semdedup_1m)
 
+    # per-domain cap at 5M docs under a REAL skew histogram (90% of the
+    # corpus in one derived hot domain): domain_top_n (the registered
+    # pipe_domain_cap's engine) rides Catalyst's InferWindowGroupLimit —
+    # map-side ≤N-per-domain pruning before the shuffle — so the hot
+    # domain never sorts on one task. SCALE.md records the measured
+    # comparison vs the hand-rolled salted two-phase (8× slower here).
+    def _domain_cap_5m() -> int:
+        from pyspark.sql import functions as Fx
+
+        from marex_spark.operators.curation import domain_top_n
+
+        docs = spark.read.parquet(f"{corpus5m_dir}/documents.parquet")
+        skewed = docs.select(
+            "doc_id",
+            Fx.when(Fx.pmod("doc_id", Fx.lit(10)) < 9, Fx.lit("bulk"))
+            .otherwise(Fx.col("source"))
+            .alias("source"),
+            Fx.length("text").alias("n_chars"),
+        )
+        out = domain_top_n(
+            skewed, "source", [Fx.desc("n_chars"), Fx.col("doc_id")], 100
+        )
+        _force(out)
+        spark.catalog.clearCache()
+        return 0
+
+    if corpus_ok["5m"]:
+        guarded("domain_cap_5m_skewed", _domain_cap_5m)
+
     _execute_plan()
 
 

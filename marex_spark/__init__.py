@@ -126,6 +126,7 @@ def __getattr__(name):
         "bloom_decontaminate": "marex_spark.operators.dedup",
         "semdedup": "marex_spark.operators.embed",
         "bloom_decontaminate_stream": "marex_spark.streaming.documents",
+        "domain_top_n": "marex_spark.operators.curation",
     }
     if name in api:
         return getattr(import_module(api[name]), name)

@@ -135,5 +135,6 @@ def test_top_level_pipeline_operator_exports():
         "bloom_decontaminate",
         "semdedup",
         "bloom_decontaminate_stream",
+        "domain_top_n",
     ):
         assert callable(getattr(marex_spark, n)), n

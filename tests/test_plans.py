@@ -455,21 +455,26 @@ def test_stream_bloom_gate_both_tiers_map_only(spark):
         assert exchange_count(out) == 0, (max_bits, exchange_count(out))
 
 
-def test_domain_cap_is_skew_proof_two_phase(spark):
-    """pipe_domain_cap must rank within SALTED (source, salt) groups
-    first so one hot domain never lands on one task: the first window
-    exchange hash-partitions on BOTH keys, and only the ≤N-per-salt
-    survivors reach the per-source window."""
-    from marex_spark.plans import plan_string
+def test_domain_cap_group_limit_prunes_map_side(spark):
+    """pipe_domain_cap's skew guarantee is Catalyst's
+    InferWindowGroupLimit: the Partial WindowGroupLimit must sit BELOW
+    the exchange (each map task forwards ≤N rows per domain, so the
+    hottest domain never sorts its full row set on one reducer), with
+    exactly one corpus exchange. If an operator rewrite breaks the
+    filter-on-row_number pattern the rule needs, this fails."""
+    from marex_spark.plans import exchange_count, plan_string
     from marex_spark.queries.text import pipe_domain_cap
 
-    plan = plan_string(pipe_domain_cap(spark, SF))
-    assert "salt" in plan, plan[:2000]
-    # phase-1 partitioning carries the salt alongside source
-    import re
-
-    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
-    assert any("salt" in p and "source" in p for p in parts), parts
+    out = pipe_domain_cap(spark, SF)
+    plan = plan_string(out)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert exchange_count(out) == 1, plan[:2000]
+    lines = plan.splitlines()
+    partial = [i for i, ln in enumerate(lines) if "WindowGroupLimit" in ln and "Partial" in ln]
+    exch = [i for i, ln in enumerate(lines) if "Exchange" in ln]
+    # explain prints sinks first: deeper operators appear LATER, so the
+    # map-side Partial limit must print after the exchange
+    assert partial and exch and max(partial) > max(exch), (partial, exch)
 
 
 def test_bm25_terms_filter_before_shuffle_and_idf_broadcasts(spark):
