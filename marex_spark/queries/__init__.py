@@ -75,6 +75,9 @@ _PRIORITY = [
     "txt_bm25_search",
     "pipe_domain_cap",
     "sketch_theta_distinct",
+    # engine-changed late r7 (global top-k re-shaped from the
+    # unpartitioned rank window to TakeOrderedAndProject + k-row rank):
+    "txt_tfidf_search",
     # Tier 3 — green sentinels for regression cover:
     "s1_scan_pushdown",
     "trk_m5_track_nomerge",
@@ -111,7 +114,9 @@ _PRIORITY = [
     "pipe_corpus_curation",
     "pipe_dsir_resample",
     "pipe_sequence_packing",
-    "pipe_source_mix_temperature",
+    # pipe_source_mix_temperature yielded its slot to the re-shaped
+    # txt_tfidf_search (pipe_corpus_curation covers the mix family) —
+    # it joins the r8 remainder cohort.
     "s2_netcdf4_scan",
     "s3_checkpoint_roundtrip",
     "trk_m8_overlap_threshold",

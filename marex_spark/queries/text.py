@@ -557,14 +557,26 @@ def txt_tfidf_search(spark, sf_dir):
         .groupBy("doc_id")
         .agg(dsum(F.col("tf") * F.col("idf"), "score"))
     )
+    return _global_topk(scored, _TFIDF_K)
+
+
+def _global_topk(scored, k: int):
+    """Global top-k with ranks, scale-shaped: a row_number window with
+    NO partitionBy would shuffle the whole scored table to one task
+    (and InferWindowGroupLimit does not fire on an empty partition
+    spec) — so take the top k via orderBy+limit, which Spark executes
+    as TakeOrderedAndProject (each task keeps a k-row heap; only
+    k·tasks rows ever move), then rank the k survivors with the tiny
+    window. Value-identical: rank over the global order, first k."""
     from pyspark.sql import Window as W
 
-    rn = F.row_number().over(W.orderBy(F.desc("score"), "doc_id"))
-    return (
+    top = (
         scored.select("doc_id", round6(F.col("score")).alias("score"))
-        .withColumn("rn", rn.cast("int"))
-        .filter(F.col("rn") <= _TFIDF_K)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
     )
+    rn = F.row_number().over(W.orderBy(F.desc("score"), "doc_id"))
+    return top.withColumn("rn", rn.cast("int"))
 
 
 # ------------------------------------- logistic-regression quality model
@@ -1332,14 +1344,7 @@ def txt_bm25_search(spark, sf_dir):
         .groupBy("doc_id")
         .agg(dsum(weight, "score"))
     )
-    from pyspark.sql import Window as W
-
-    rn = F.row_number().over(W.orderBy(F.desc("score"), "doc_id"))
-    return (
-        scored.select("doc_id", round6(F.col("score")).alias("score"))
-        .withColumn("rn", rn.cast("int"))
-        .filter(F.col("rn") <= _BM25_K)
-    )
+    return _global_topk(scored, _BM25_K)
 
 
 # ------------------------------------------------- per-domain quality cap

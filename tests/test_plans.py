@@ -479,16 +479,19 @@ def test_domain_cap_group_limit_prunes_map_side(spark):
 
 def test_bm25_terms_filter_before_shuffle_and_idf_broadcasts(spark):
     """txt_bm25_search: the query-term filter must sit under the
-    generator (only query-term postings reach the tf aggregation) and
-    the 3-row idf table must broadcast, never shuffle the postings."""
+    generator (only query-term postings reach the tf aggregation), the
+    3-row idf table must broadcast, and the global top-k must run as
+    TakeOrderedAndProject (per-task k-row heaps), NOT an unpartitioned
+    rank window that would single-task the whole scored table."""
     from marex_spark.plans import plan_string
-    from marex_spark.queries.text import txt_bm25_search
+    from marex_spark.queries.text import txt_bm25_search, txt_tfidf_search
 
-    out = txt_bm25_search(spark, SF)
-    plan = plan_string(out)
-    assert "BroadcastHashJoin" in plan, plan[:2000]
-    assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan
+    for fn in (txt_bm25_search, txt_tfidf_search):
+        plan = plan_string(fn(spark, SF))
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "TakeOrderedAndProject" in plan, plan[:2000]
 
 
 def test_theta_sketch_filters_before_distinct_exchange(spark):
