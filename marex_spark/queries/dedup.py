@@ -171,7 +171,17 @@ def _lsh_bands(docs):
     """(doc_id, band, band_key) LSH banding table: one md5 per shingle
     → int64, universal-hash permutations (integer multiply-add mod
     2^31-1), _BAND_ROWS rows per band. Shared by the clique- and
-    star-expansion candidate generators."""
+    star-expansion candidate generators.
+
+    Shape: ONE map-side-combined aggregation computes all {_N_HASH}
+    signature minima as columns of a single groupBy(doc_id) — no
+    posexplode row blowup before the shuffle and no second
+    per-(doc, band) exchange (the earlier form paid both: 8× the
+    pre-agg rows, then a groupBy(doc_id, h) AND a groupBy(doc_id,
+    band)). Band keys are then pure codegen over the minima columns,
+    and the 4-rows-per-doc band explode happens POST-aggregation.
+    Value-identical to the oracle's two-step replay: same minima,
+    same 'm_{{2b}},m_{{2b+1}}' md5 input strings."""
     sh = _shingles(docs, 3)
     si = sh.select(
         "doc_id",
@@ -180,29 +190,32 @@ def _lsh_bands(docs):
             % _MH_P
         ).alias("s"),
     )
-    perms = F.array(
+    mins = si.groupBy("doc_id").agg(
         *[
-            ((F.col("s") * _MH_A[h] + _MH_B[h]) % _MH_P).alias(f"p{h}")
+            F.min((F.col("s") * _MH_A[h] + _MH_B[h]) % _MH_P).alias(f"m{h}")
             for h in range(_N_HASH)
         ]
     )
-    hashed = (
-        si.select("doc_id", F.posexplode(perms).alias("h", "hh"))
-        .groupBy("doc_id", "h")
-        .agg(F.min("hh").alias("minhash"))
-    )
-    return hashed.groupBy(
-        "doc_id", (F.col("h") / _BAND_ROWS).cast("long").alias("band")
-    ).agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("h", "minhash"))).minhash,
-                    lambda m: m.cast("string"),
-                ),
+    n_bands = _N_HASH // _BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{b * _BAND_ROWS + r}").cast("string")
+                            for r in range(_BAND_ROWS)
+                        ],
+                    )
+                ).alias("band_key"),
             )
-        ).alias("band_key")
+            for b in range(n_bands)
+        ]
+    )
+    return mins.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
     )
 
 
