@@ -78,6 +78,12 @@ _PRIORITY = [
     # engine-changed late r7 (global top-k re-shaped from the
     # unpartitioned rank window to TakeOrderedAndProject + k-row rank):
     "txt_tfidf_search",
+    # (dedup_minhash_lsh's engine also changed late r7 — the one-
+    # exchange _lsh_bands — but its verification is subsumed by two
+    # in-window rows sharing the exact code path: dedup_cluster_
+    # canonical's oracle replays the full pair CTE as a strict
+    # superset, and dedup_lsh_star_capped shares _lsh_bands; the row
+    # itself was also oracle-checked directly at sf0.01 this session.)
     # Tier 3 — green sentinels for regression cover:
     "s1_scan_pushdown",
     "trk_m5_track_nomerge",
