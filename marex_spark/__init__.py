@@ -127,6 +127,9 @@ def __getattr__(name):
         "semdedup": "marex_spark.operators.embed",
         "bloom_decontaminate_stream": "marex_spark.streaming.documents",
         "domain_top_n": "marex_spark.operators.curation",
+        "theta_distinct": "marex_spark.operators.sketch",
+        "theta_survivors": "marex_spark.operators.sketch",
+        "theta_estimate": "marex_spark.operators.sketch",
     }
     if name in api:
         return getattr(import_module(api[name]), name)

@@ -1,0 +1,98 @@
+"""Theta-sketch distinct counting — parameterised operator tier.
+
+The registered query ``sketch_theta_distinct`` (queries/dedup.py) pins
+this module's constants. The sketch is the fixed-threshold member of
+the KMV/theta family (Dasgupta et al., "Theta sketches", 2016): hash
+every item to a uniform 60-bit integer (md5's first 15 hex chars),
+keep only hashes below ``2^60 / scale``, and estimate the distinct
+count as ``survivors · scale`` — unbiased with relative stderr
+~ ``sqrt(scale / D)``.
+
+Why this over ``approx_count_distinct``: Spark's HLL++ registers are
+engine-private (no other system replays them, so no oracle can verify
+the value, and two engines never agree bit-for-bit), while the theta
+survivor set is exact arithmetic on md5 — deterministic in ANY engine.
+And unlike a plain ``COUNT(DISTINCT x)`` the exchange carries ~1/scale
+of the distinct mass: the threshold filter runs map-side.
+
+Mergeability (the 100 TB property): a survivor set is a uniform
+hash-sample of the distinct values, so the sketch of a UNION of
+corpora is exactly the union of their survivor sets re-deduplicated —
+profiles can be maintained incrementally per partition/day/source and
+merged without touching raw data. ``theta_survivors`` returns the set;
+``theta_estimate`` folds survivor sets (any number, any overlap) into
+per-group estimates. Both stay pure DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_THETA_BITS = 60  # md5's first 15 hex chars
+
+
+def theta_threshold(scale: int) -> int:
+    """Survivor threshold for a 1/scale keep-rate. ``scale`` must be a
+    positive power of two so the threshold divides the hash range
+    exactly (keeps the estimate's scale factor integer-exact)."""
+    if scale <= 0 or scale & (scale - 1):
+        raise ValueError(f"scale must be a positive power of two, got {scale}")
+    return (1 << _THETA_BITS) // scale
+
+
+def theta_hash(item: Column) -> Column:
+    """Uniform 60-bit integer from any string expression — the exact
+    arithmetic any md5-capable engine replays (conv on 15 hex chars)."""
+    return F.conv(F.substring(F.md5(item), 1, 15), 16, 10).cast("long")
+
+
+def theta_survivors(
+    df: DataFrame,
+    group_cols: list[str],
+    item: Column,
+    scale: int,
+) -> DataFrame:
+    """(group_cols…, h) survivor rows: hash ``item``, keep hashes under
+    the threshold MAP-SIDE, then distinct. The exchange carries
+    ~1/scale of the distinct mass. Survivor sets are the mergeable
+    representation — union any number of them and re-distinct."""
+    t = theta_threshold(scale)
+    h = theta_hash(item)
+    return (
+        df.select(*group_cols, h.alias("h"))
+        .filter(F.col("h") < t)
+        .distinct()
+    )
+
+
+def theta_estimate(
+    survivors: DataFrame,
+    group_cols: list[str],
+    scale: int,
+    n_name: str = "n_sample",
+    est_name: str = "est_distinct",
+) -> DataFrame:
+    """Fold survivor rows (possibly a union of several sketches with
+    arbitrary overlap — duplicates collapse in the distinct) into
+    ``(group_cols…, n_sample, est_distinct)``."""
+    return (
+        survivors.distinct()
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias(n_name),
+            (F.count("*") * scale).cast("long").alias(est_name),
+        )
+    )
+
+
+def theta_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    item: Column,
+    scale: int,
+) -> DataFrame:
+    """One-shot convenience: survivors → per-group estimate."""
+    return theta_estimate(
+        theta_survivors(df, group_cols, item, scale), group_cols, scale
+    )

@@ -20,18 +20,22 @@ from marex_spark.sources.parquet import load_table
 _WORDS_SQL = "string_split(text, ' ')"
 
 
-def _shingles(df, n: int = 3):
-    """Distinct n-word shingles per doc (1-based element_at on both sides)."""
+def _shingles(df, n: int = 3, distinct: bool = True):
+    """n-word shingles per doc (1-based element_at on both sides).
+    ``distinct=True`` is the set semantics Jaccard-style consumers
+    need — it costs a corpus-wide (doc_id, shingle) exchange. Pass
+    ``distinct=False`` when the consumer is invariant to duplicates
+    (idempotent aggregates like MinHash's ``min``): the explode then
+    feeds the next aggregation map-side with NO exchange of its own."""
     words = F.split(F.col("text"), " ")
     idx = F.when(
         F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     parts = [F.element_at(F.col("w"), F.col("i") + j) for j in range(n)]
-    return (
-        df.select("doc_id", words.alias("w"), F.explode(idx).alias("i"))
-        .select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
-        .distinct()
+    out = df.select("doc_id", words.alias("w"), F.explode(idx).alias("i")).select(
+        "doc_id", F.concat_ws(" ", *parts).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 def _shingles_sql(n: int = 3) -> str:
@@ -181,8 +185,12 @@ def _lsh_bands(docs):
     band)). Band keys are then pure codegen over the minima columns,
     and the 4-rows-per-doc band explode happens POST-aggregation.
     Value-identical to the oracle's two-step replay: same minima,
-    same 'm_{{2b}},m_{{2b+1}}' md5 input strings."""
-    sh = _shingles(docs, 3)
+    same 'm_{{2b}},m_{{2b+1}}' md5 input strings. The shingles are NOT
+    pre-deduplicated: ``min`` is idempotent, so duplicate shingles
+    cannot change any signature minimum, and skipping the set-building
+    removes the (doc_id, shingle) exchange entirely — the whole
+    banding is scan → project → ONE exchange."""
+    sh = _shingles(docs, 3, distinct=False)
     si = sh.select(
         "doc_id",
         (
@@ -886,6 +894,8 @@ def sketch_theta_distinct(spark, sf_dir):
     approx_count_distinct's HLL it is deterministic and replayable in
     any md5-capable engine, which is what lets the DuckDB oracle
     hash-verify it."""
+    from marex_spark.operators.sketch import theta_distinct
+
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     idx = F.when(
@@ -895,14 +905,4 @@ def sketch_theta_distinct(spark, sf_dir):
     sh = docs.select(
         "source", words.alias("w"), F.explode(idx).alias("i")
     ).select("source", F.concat_ws(" ", *parts).alias("shingle"))
-    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-    return (
-        sh.select("source", h.alias("h"))
-        .filter(F.col("h") < _THETA_THRESHOLD)
-        .distinct()
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_sample"),
-            (F.count("*") * _THETA_SCALE).cast("long").alias("est_distinct"),
-        )
-    )
+    return theta_distinct(sh, ["source"], F.col("shingle"), _THETA_SCALE)

@@ -136,5 +136,8 @@ def test_top_level_pipeline_operator_exports():
         "semdedup",
         "bloom_decontaminate_stream",
         "domain_top_n",
+        "theta_distinct",
+        "theta_survivors",
+        "theta_estimate",
     ):
         assert callable(getattr(marex_spark, n)), n

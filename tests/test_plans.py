@@ -520,3 +520,16 @@ def test_theta_sketch_filters_before_distinct_exchange(spark):
     exch = [i for i, ln in enumerate(lines) if "Exchange" in ln]
     assert filt, plan[:2000]
     assert max(filt) > max(exch), (filt, exch)
+
+
+def test_lsh_banding_is_single_exchange(spark):
+    """_lsh_bands end-to-end: scan → shingle project → ONE exchange
+    (the groupBy(doc_id) signature aggregation, map-side combined).
+    No (doc_id, shingle) distinct exchange (min is idempotent) and no
+    second per-(doc, band) exchange (band keys are expression work)."""
+    from marex_spark.plans import exchange_count
+    from marex_spark.queries.dedup import _lsh_bands
+    from marex_spark.sources.parquet import load_table
+
+    bands = _lsh_bands(load_table(spark, SF, "documents"))
+    assert exchange_count(bands) == 1

@@ -1,0 +1,70 @@
+"""Theta-sketch operator tier: mergeability (the 100 TB property),
+estimate accuracy on a known-cardinality corpus, and the geometry
+guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from marex_spark.operators.sketch import (
+    theta_distinct,
+    theta_estimate,
+    theta_survivors,
+    theta_threshold,
+)
+
+
+def _items(spark, lo, hi, grp="g"):
+    """Distinct items lo..hi-1, each duplicated 3× (sketch must be
+    frequency-blind)."""
+    return (
+        spark.range(lo, hi)
+        .select(F.concat(F.lit("item"), F.col("id")).alias("v"))
+        .withColumn("dup", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        .select(F.lit(grp).alias("g"), "v")
+    )
+
+
+def test_merge_of_sketches_equals_sketch_of_union(spark):
+    """Survivor sets union: sketch(A ∪ B) == estimate over
+    (survivors(A) ∪ survivors(B)), with A and B OVERLAPPING so the
+    distinct in the merge is load-bearing."""
+    a = _items(spark, 0, 6000)
+    b = _items(spark, 4000, 10000)  # 2000 items overlap
+    scale = 16
+    direct = theta_distinct(
+        a.unionByName(b), ["g"], F.col("v"), scale
+    ).collect()
+    merged = theta_estimate(
+        theta_survivors(a, ["g"], F.col("v"), scale).unionByName(
+            theta_survivors(b, ["g"], F.col("v"), scale)
+        ),
+        ["g"],
+        scale,
+    ).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, merged))
+
+
+def test_estimate_accuracy_known_cardinality(spark):
+    """10k distinct items at scale=16: stderr ~ sqrt(16/10000) = 4%,
+    so a 20% band is a ~5-sigma test — deterministic anyway (md5)."""
+    est = theta_distinct(_items(spark, 0, 10000), ["g"], F.col("v"), 16).first()
+    assert 8000 <= est["est_distinct"] <= 12000
+    assert est["n_sample"] * 16 == est["est_distinct"]
+
+
+def test_duplicates_do_not_move_the_estimate(spark):
+    one_copy = (
+        spark.range(0, 3000)
+        .select(F.lit("g").alias("g"), F.concat(F.lit("item"), F.col("id")).alias("v"))
+    )
+    est_dup = theta_distinct(_items(spark, 0, 3000), ["g"], F.col("v"), 16).first()
+    est_one = theta_distinct(one_copy, ["g"], F.col("v"), 16).first()
+    assert est_dup["est_distinct"] == est_one["est_distinct"]
+
+
+def test_scale_must_be_power_of_two():
+    with pytest.raises(ValueError):
+        theta_threshold(10)
+    with pytest.raises(ValueError):
+        theta_threshold(0)
+    assert theta_threshold(16) == (1 << 60) // 16
