@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Training-data document pipeline over the synthetic corpus: quality
 gates (Gopher rules), PII redaction, exact + MinHash-LSH dedup,
-benchmark decontamination, temperature-weighted source mixing, DSIR
+benchmark decontamination (n-gram semi-join AND derived-geometry Bloom
+bitset), per-domain capping, BM25 search, theta-sketch per-source
+vocabulary profiling, temperature-weighted source mixing, DSIR
 importance resampling toward the target language, and CCNet
 perplexity bucketing.
 
@@ -28,6 +30,10 @@ def main():
         "dedup_exact",
         "dedup_minhash_lsh",
         "decontam_ngram",
+        "decontam_bloom",
+        "pipe_domain_cap",
+        "txt_bm25_search",
+        "sketch_theta_distinct",
         "pipe_source_mix_temperature",
         "pipe_dsir_resample",
         "pipe_ccnet_buckets",
