@@ -279,6 +279,10 @@ def write_track_result(
         ).collect()[0]
         meta["total_merges"] = int(row.n)
         meta["multi_parent_merges"] = int(row.multi or 0)
+    # input-data attributes update LAST — the reference's precedence
+    # (events_ds.attrs.update(self.data_attrs), track.py:1484): on a
+    # key collision the user's data attrs win over the run summary
+    meta.update(res.extras.get("data_attrs") or {})
     write_stats_json(meta, f"{path}/attributes.json")
     return meta
 

@@ -142,9 +142,18 @@ class Tracker:
     # (keep every object above threshold). Gridded path only — the
     # reference's unstructured branch has no such line.
     drop_first_object: bool = True
+    # Input-data attributes carried verbatim onto the run output (the
+    # reference copies data_bin.attrs at construction — track.py:
+    # 428-430, empty dict when the input has none — and updates them
+    # onto events_ds.attrs LAST, after the run-summary attrs, at
+    # track.py:1484). DataFrames carry no attrs, so the caller passes
+    # them explicitly (e.g. from the NetCDF/zarr ingestion's attribute
+    # dict); write_track_result applies them with the same precedence.
+    data_attrs: dict | None = None
     extras: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
+        self.data_attrs = dict(self.data_attrs or {})
         if self.dimensions is not None:
             # reference track.py:119-127 dimensions mapping; canonical
             # names drive everything downstream
@@ -755,6 +764,8 @@ class Tracker:
                 self.checkpoint = saved
             return res
         res = self._run_impl()
+        if self.data_attrs:
+            res.extras.setdefault("data_attrs", dict(self.data_attrs))
         if return_merges:
             return res, res.extras.get("merge_ledger")
         return res

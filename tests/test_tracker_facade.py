@@ -536,3 +536,43 @@ class TestExtendFacade:
         assert sorted(
             map(tuple, full.events.select(*cols).collect())
         ) == sorted(map(tuple, extd.events.select(*cols).collect()))
+
+
+class TestDataAttrs:
+    """Input-attribute carry-through (reference edge_cases:181-196,
+    459-521 empty/missing attrs; track.py:428-430 copy-or-empty and
+    1484 update-last precedence)."""
+
+    def test_missing_and_empty_attrs_normalise_to_empty_dict(self, spark):
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        assert Tracker(ext, ny=NY, nx=NX).data_attrs == {}
+        assert Tracker(ext, ny=NY, nx=NX, data_attrs={}).data_attrs == {}
+
+    def test_attrs_copied_not_aliased(self, spark):
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        src = {"title": "sst", "institution": "x"}
+        trk = Tracker(ext, ny=NY, nx=NX, data_attrs=src)
+        src["title"] = "mutated"
+        assert trk.data_attrs["title"] == "sst"
+
+    def test_attrs_flow_to_written_metadata_with_reference_precedence(
+        self, spark, tmp_path
+    ):
+        from marex_spark.sources.io import write_track_result
+
+        ext = synthetic_extremes_gridded(spark, n_time=4, ny=NY, nx=NX)
+        trk = Tracker(
+            ext,
+            ny=NY,
+            nx=NX,
+            data_attrs={"title": "sst", "N_events_final": "user-wins"},
+        )
+        res = trk.run()
+        assert res.extras["data_attrs"] == {
+            "title": "sst",
+            "N_events_final": "user-wins",
+        }
+        meta = write_track_result(res, str(tmp_path / "attrs_run"))
+        assert meta["title"] == "sst"
+        # reference precedence: data attrs update LAST (track.py:1484)
+        assert meta["N_events_final"] == "user-wins"
