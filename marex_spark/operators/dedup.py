@@ -127,10 +127,14 @@ def bloom_fit(
             )
         ).alias("p")
     ).distinct()
-    bits = bytearray(b"0") * m
-    for p in pos.toPandas()["p"]:
-        bits[int(p)] = 0x31  # '1'
-    return bytes(bits), m, k
+    # vectorised scatter: a real benchmark sets ~10^7 positions
+    # (m=2^24), where a Python per-element loop costs seconds
+    import numpy as np
+
+    bits = np.full(m, ord("0"), dtype=np.uint8)
+    p = pos.toPandas()["p"].to_numpy(dtype=np.int64)
+    bits[p] = ord("1")
+    return bits.tobytes(), m, k
 
 
 def bloom_flag_from_hashes(bits: bytes, k: int, h1, h2) -> "F.Column":
