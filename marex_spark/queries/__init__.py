@@ -76,8 +76,16 @@ _PRIORITY = [
     "pipe_domain_cap",
     "sketch_theta_distinct",
     # engine-changed late r7 (global top-k re-shaped from the
-    # unpartitioned rank window to TakeOrderedAndProject + k-row rank):
+    # unpartitioned rank window to TakeOrderedAndProject + k-row rank;
+    # trigram/bigram construction re-shaped from doc-partitioned LEAD
+    # windows to array-indexed explodes — no corpus shuffle before the
+    # aggregations):
     "txt_tfidf_search",
+    "txt_repetition_ratio",
+    "txt_bigram_logprob",
+    # (pipe_dsir_resample below shares the array-bigram rewrite and is
+    # already in-window; pipe_ccnet_buckets consumes txt_bigram_logprob
+    # and was oracle-checked directly at sf0.01 this session.)
     # (dedup_minhash_lsh's engine also changed late r7 — the one-
     # exchange _lsh_bands — but its verification is subsumed by two
     # in-window rows sharing the exact code path: dedup_cluster_
@@ -111,12 +119,15 @@ _PRIORITY = [
     "dedup_substring_spans",
     "det_packed_unstructured",
     "emb_kmeans_assign",
-    "emb_quantize_int8",
+    # emb_quantize_int8 (map-only; emb_kmeans_assign covers the emb
+    # family) and mm_feature_extract (mm_frame_sample/_media_meta/
+    # _resize_plan are all in-window from the same file) yielded their
+    # slots to the engine-changed txt_repetition_ratio and
+    # txt_bigram_logprob — both join the r8 remainder cohort.
     "evt_funnel",
     "f4_haversine",
     "f6_interpolation",
     "mhw_episode_stats",
-    "mm_feature_extract",
     "pipe_corpus_curation",
     "pipe_dsir_resample",
     "pipe_sequence_packing",

@@ -201,24 +201,28 @@ def txt_unigram_logprob(spark, sf_dir):
 def txt_repetition_ratio(spark, sf_dir):
     """Repetition quality signal (the Gopher-rule family: heavily
     repeated n-grams mark boilerplate/spam): per doc, the fraction of
-    duplicate word 3-grams. Trigrams via two LEADs over the doc's
-    token positions — the window partitions by doc_id, so the whole
-    computation is one corpus-wide shuffle keyed by document, no
-    token-level join."""
-    from pyspark.sql import Window as W
-
+    duplicate word 3-grams. Trigrams are built by INDEXING the split
+    array in the projection (no window): the token order is already in
+    the row, so a doc-partitioned LEAD window — which costs a full
+    corpus shuffle+sort before any aggregation — is pure overhead.
+    The only exchange left is the per-doc aggregate itself. (The
+    oracle keeps the LEAD form; the trigram multiset is identical.)"""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    tri = tok.select(
+    words = F.split("text", " ")
+    idx = F.when(
+        F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    tri = docs.select(
+        "doc_id", words.alias("ws"), F.explode(idx).alias("i")
+    ).select(
         "doc_id",
         F.concat_ws(
-            " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+            " ",
+            F.element_at("ws", F.col("i")),
+            F.element_at("ws", F.col("i") + 1),
+            F.element_at("ws", F.col("i") + 2),
         ).alias("g"),
-        F.lead("w", 2).over(win).alias("_has3"),
-    ).filter(F.col("_has3").isNotNull())
+    )
     return tri.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_trigrams"),
         round6(
@@ -880,25 +884,28 @@ def txt_bigram_logprob(spark, sf_dir):
     form (txt_unigram_logprob): shuffled-word salad keeps its unigram
     score but collapses here.
 
-    Scale shape: bigram extraction is a doc-partitioned LEAD window
-    (no global order); the bigram/unigram frequency tables are
-    vocabulary-sized broadcasts, so the corpus pays the token explode
-    plus map-side-combinable aggregations only."""
-    from pyspark.sql import Window as W
-
+    Scale shape: bigrams are built by indexing the split array in the
+    projection — NO doc-partitioned window, so the corpus never
+    shuffles before the vocabulary aggregations; the bigram/unigram
+    frequency tables are vocabulary-sized broadcasts, so the corpus
+    pays the token explode plus map-side-combinable aggregations
+    only."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    b = (
-        tok.withColumn("w2", F.lead("w").over(win))
-        .filter(F.col("w2").isNotNull())
-        .select(
-            "doc_id",
-            F.col("w").alias("w1"),
-            F.concat_ws(" ", "w", "w2").alias("bg"),
-        )
+    words = F.split("text", " ")
+    tok = docs.select("doc_id", F.explode(words).alias("w"))
+    idx = F.when(
+        F.size(words) >= 2, F.sequence(F.lit(1), F.size(words) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    b = docs.select(
+        "doc_id", words.alias("ws"), F.explode(idx).alias("i")
+    ).select(
+        "doc_id",
+        F.element_at("ws", F.col("i")).alias("w1"),
+        F.concat_ws(
+            " ",
+            F.element_at("ws", F.col("i")),
+            F.element_at("ws", F.col("i") + 1),
+        ).alias("bg"),
     )
     bfreq = b.groupBy("bg").agg(F.count("*").alias("c2"))
     ufreq = tok.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("c1"))
@@ -1104,32 +1111,42 @@ def pipe_dsir_resample(spark, sf_dir):
     cheap-featurised alternative to classifier-based quality filtering
     (txt_quality_lr) for steering a 100 TB raw crawl toward a target
     domain."""
-    from pyspark.sql import Window as W
-
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        tok.withColumn("w2", F.lead("w").over(win))
-        .filter(F.col("w2").isNotNull())
-        .select(
-            "doc_id",
-            "lang",
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat_ws(" ", "w", "w2")), 1, 8), 16, 10
-                ).cast("long")
-                % _DSIR_B
-            ).alias("b"),
-        )
+    words = F.split("text", " ")
+    idx = F.when(
+        F.size(words) >= 2, F.sequence(F.lit(1), F.size(words) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    # bigrams by array indexing in the projection — no doc-partitioned
+    # LEAD window, so the corpus never shuffles before the bucket agg
+    bg = docs.select(
+        "doc_id", "lang", words.alias("ws"), F.explode(idx).alias("i")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("ws", F.col("i")),
+                            F.element_at("ws", F.col("i") + 1),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _DSIR_B
+        ).alias("b"),
     )
     # ONE corpus pass: everything downstream (raw/target bucket models,
     # totals, per-doc weights) aggregates the per-(doc, bucket) count
     # table — the three consumers share an identical subtree, so the
-    # exchange is computed once and reused instead of re-running the
-    # token explode + lead window per model
+    # (map-side-combined, bucket-count-sized) exchange is computed once
+    # and reused instead of re-running the bigram explode per model
     docb = bg.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
     # both bucket models in ONE conditional aggregation over docb (a
     # filtered target aggregate would push the lang predicate below the
