@@ -75,6 +75,7 @@ _PRIORITY = [
     "txt_bm25_search",
     "pipe_domain_cap",
     "sketch_theta_distinct",
+    "dedup_simhash_pairs",
     # engine-changed late r7 (global top-k re-shaped from the
     # unpartitioned rank window to TakeOrderedAndProject + k-row rank;
     # trigram/bigram construction re-shaped from doc-partitioned LEAD
@@ -123,8 +124,9 @@ _PRIORITY = [
     # family) and mm_feature_extract (mm_frame_sample/_media_meta/
     # _resize_plan are all in-window from the same file) yielded their
     # slots to the engine-changed txt_repetition_ratio and
-    # txt_bigram_logprob — both join the r8 remainder cohort.
-    "evt_funnel",
+    # txt_bigram_logprob; evt_funnel (event-analytics family keeps
+    # sess-adjacent ops_asof_join/ops_range_join in Tier 1) yielded to
+    # the new dedup_simhash_pairs — all join the r8 remainder cohort.
     "f4_haversine",
     "f6_interpolation",
     "mhw_episode_stats",

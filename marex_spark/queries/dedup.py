@@ -373,6 +373,87 @@ def dedup_simhash(spark, sf_dir):
     return bits.select("doc_id", combine.cast("long").alias("simhash"))
 
 
+# SimHash pair generation: hamming(a, b) ≤ _SH_MAX_HAMMING via the
+# pigeonhole banding trick (Manku et al. 2007, the Google near-dup
+# crawler): split the 16-bit fingerprint into _SH_BANDS 4-bit bands —
+# any pair within the hamming gate differs in at most that many bands, so it
+# MATCHES EXACTLY on at least one (4 bands > max-hamming flips; the
+# 16-bit fingerprint is proportionately gated at hamming 1 — Manku's
+# 64-bit production setting is 3). Candidates come
+# from per-band equi-joins (O(collisions), never all-pairs); the exact
+# hamming check on candidates is one xor+bit_count.
+_SH_BANDS = 4
+_SH_BAND_BITS = 4
+_SH_MAX_HAMMING = 1
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""WITH sh AS ({_simhash_sql()}),
+        bands AS (
+          SELECT doc_id, simhash, t.b AS band,
+                 (simhash >> (t.b * {_SH_BAND_BITS})) & {(1 << _SH_BAND_BITS) - 1} AS key
+          FROM sh, UNNEST(generate_series(0, {_SH_BANDS - 1})) AS t(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS ha, b.simhash AS hb
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= {_SH_MAX_HAMMING}""",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS at hamming ≤ {_SH_MAX_HAMMING}: the
+    banding pigeonhole guarantees every qualifying pair collides on at
+    least one exact 4-bit band, so candidates are per-band equi-join
+    buckets (no all-pairs stage) and the verify step is one
+    xor+bit_count per candidate. This is the Manku/Google web-crawl
+    dedup shape; at 100 TB the band join is the same bounded-bucket
+    pattern as MinHash-LSH banding (and the star-cap guard applies the
+    same way if a fingerprint value goes corpus-hot)."""
+    fps = dedup_simhash(spark, sf_dir)
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright("simhash", b * _SH_BAND_BITS)
+                            % (1 << _SH_BAND_BITS)
+                        ).alias("key"),
+                    )
+                    for b in range(_SH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= _SH_MAX_HAMMING)
+
+
 # ------------------------------------------- embedding-cosine near-dup
 
 _EMB_THRESHOLD = 0.25  # synthetic embeddings are near-orthogonal; real corpora use ~0.9
