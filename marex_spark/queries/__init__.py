@@ -76,6 +76,7 @@ _PRIORITY = [
     "pipe_domain_cap",
     "sketch_theta_distinct",
     "dedup_simhash_pairs",
+    "sketch_source_overlap",
     # engine-changed late r7 (global top-k re-shaped from the
     # unpartitioned rank window to TakeOrderedAndProject + k-row rank;
     # trigram/bigram construction re-shaped from doc-partitioned LEAD
@@ -129,7 +130,9 @@ _PRIORITY = [
     # the new dedup_simhash_pairs — all join the r8 remainder cohort.
     "f4_haversine",
     "f6_interpolation",
-    "mhw_episode_stats",
+    # mhw_episode_stats yielded to the new sketch_source_overlap (its
+    # operator code runs under the bench's episode_stats_10x row and
+    # a dedicated unit suite) — r8 remainder cohort.
     "pipe_corpus_curation",
     "pipe_dsir_resample",
     "pipe_sequence_packing",

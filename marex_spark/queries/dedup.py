@@ -987,3 +987,97 @@ def sketch_theta_distinct(spark, sf_dir):
         "source", words.alias("w"), F.explode(idx).alias("i")
     ).select("source", F.concat_ws(" ", *parts).alias("shingle"))
     return theta_distinct(sh, ["source"], F.col("shingle"), _THETA_SCALE)
+
+
+# --------------------------------- corpus-overlap audit (source MinHash)
+
+# Dataset-overlap estimation between sources: per-source MinHash
+# signatures (64 permutations over the same universal family as LSH),
+# estimated Jaccard = fraction of matching minima — the standard
+# signature estimator (E[match] = J). This is how two corpora are
+# audited for overlap/contamination WITHOUT a cross-corpus shingle
+# join: each corpus folds to a 64-int signature in one combined pass.
+_SO_K = 64
+_SO_A = [(1_103_515_245 * (h + 1) + 12_345) % _MH_P for h in range(_SO_K)]
+_SO_B = [(22_695_477 * h + 1) % _MH_P for h in range(_SO_K)]
+
+_SO_PARAMS_SQL = ", ".join(
+    f"({h}, {a}, {b})" for h, (a, b) in enumerate(zip(_SO_A, _SO_B))
+)
+
+
+@register(
+    "sketch_source_overlap",
+    f"""WITH sh AS (
+      SELECT source, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+      FROM (SELECT source, {_WORDS_SQL} AS w FROM documents),
+           UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)),
+    si AS (
+      SELECT source,
+             CAST(CONCAT('0x', SUBSTRING(md5(shingle), 1, 15)) AS BIGINT)
+               % {_MH_P} AS s
+      FROM sh),
+    params(h, a, b) AS (VALUES {_SO_PARAMS_SQL}),
+    sig AS (
+      SELECT source, h, MIN((s * a + b) % {_MH_P}) AS m
+      FROM si, params GROUP BY 1, 2),
+    pairs AS (
+      SELECT sa.source AS source_a, sb.source AS source_b,
+             CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match
+      FROM sig sa JOIN sig sb
+        ON sa.h = sb.h AND sa.source < sb.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, n_match,
+           {round6_sql(f'n_match / {float(_SO_K)}')} AS est_jaccard
+    FROM pairs""",
+)
+def sketch_source_overlap(spark, sf_dir):
+    """Pairwise shingle-set overlap between sources, estimated from
+    {_SO_K}-permutation MinHash signatures: est_jaccard = fraction of
+    matching minima (unbiased, stderr ~ sqrt(J(1-J)/{_SO_K})).
+
+    Scale shape: each source's signature comes out of ONE map-side-
+    combined groupBy (the {_SO_K} minima as columns — same shape as
+    _lsh_bands, no shingle distinct needed because min is idempotent);
+    the pair comparison then runs on the sources-sized signature table
+    (k ints per corpus). Auditing two 100 TB corpora for overlap costs
+    one pass over each — no cross-corpus join ever touches shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    parts = [F.element_at(F.col("w"), F.col("i") + j) for j in range(3)]
+    sh = docs.select(
+        "source", words.alias("w"), F.explode(idx).alias("i")
+    ).select("source", F.concat_ws(" ", *parts).alias("shingle"))
+    si = sh.select(
+        "source",
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % _MH_P
+        ).alias("s"),
+    )
+    sig = si.groupBy("source").agg(
+        *[
+            F.min((F.col("s") * _SO_A[h] + _SO_B[h]) % _MH_P).alias(f"m{h}")
+            for h in range(_SO_K)
+        ]
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    n_match = None
+    for h in range(_SO_K):
+        t = F.when(F.col(f"a.m{h}") == F.col(f"b.m{h}"), 1).otherwise(0)
+        n_match = t if n_match is None else n_match + t
+    return (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            n_match.cast("long").alias("n_match"),
+        )
+        .withColumn(
+            "est_jaccard", round6(F.col("n_match") / F.lit(float(_SO_K)))
+        )
+    )

@@ -68,3 +68,43 @@ def test_scale_must_be_power_of_two():
     with pytest.raises(ValueError):
         theta_threshold(0)
     assert theta_threshold(16) == (1 << 60) // 16
+
+
+def test_source_overlap_estimates_planted_jaccard(spark):
+    """Two sources with a planted shingle-set overlap: the signature
+    estimator must land near the true Jaccard (64 perms → stderr
+    ~ sqrt(J(1-J)/64) ≈ 0.06 at J=0.5; assert a generous band —
+    deterministic anyway)."""
+    from marex_spark.queries.dedup import sketch_source_overlap
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    # 300 docs: src_x = docs 0..199, src_y = docs 100..299 → doc sets
+    # overlap 100/300; 12-word docs from a doc-unique token stream so
+    # shingle sets inherit the doc overlap (Jaccard ≈ 1/3)
+    base = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit("t"), F.col("id") * 20 + j) for j in range(12)]
+        ).alias("text"),
+    )
+    docs = (
+        base.filter("k < 200")
+        .select((F.col("k")).alias("doc_id"), F.lit("src_x").alias("source"), "text")
+        .unionByName(
+            base.filter("k >= 100").select(
+                (F.col("k") + 1000).alias("doc_id"),
+                F.lit("src_y").alias("source"),
+                "text",
+            )
+        )
+        .withColumn("lang", F.lit("en"))
+        .withColumn("n_chars", F.length("text"))
+    )
+    d = tempfile.mkdtemp(prefix="mx_overlap_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    est = sketch_source_overlap(spark, d).first()
+    true_j = 1.0 / 3.0
+    assert abs(est["est_jaccard"] - true_j) < 0.2, est["est_jaccard"]
