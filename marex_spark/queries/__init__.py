@@ -77,6 +77,7 @@ _PRIORITY = [
     "sketch_theta_distinct",
     "dedup_simhash_pairs",
     "sketch_source_overlap",
+    "pipe_bottomk_sample",
     # engine-changed late r7 (global top-k re-shaped from the
     # unpartitioned rank window to TakeOrderedAndProject + k-row rank;
     # trigram/bigram construction re-shaped from doc-partitioned LEAD
@@ -128,7 +129,9 @@ _PRIORITY = [
     # txt_bigram_logprob; evt_funnel (event-analytics family keeps
     # sess-adjacent ops_asof_join/ops_range_join in Tier 1) yielded to
     # the new dedup_simhash_pairs — all join the r8 remainder cohort.
-    "f4_haversine",
+    # f4_haversine yielded to the new pipe_bottomk_sample (pure-function
+    # row: r4 driver-green AND ✓ in the r6 verdict's independent re-run;
+    # geometry unit tests cover the formula) — r8 remainder cohort.
     "f6_interpolation",
     # mhw_episode_stats yielded to the new sketch_source_overlap (its
     # operator code runs under the bench's episode_stats_10x row and

@@ -1401,3 +1401,51 @@ def pipe_domain_cap(spark, sf_dir):
     return domain_top_n(
         docs, "source", [F.desc("n_chars"), F.col("doc_id")], _DOMAIN_CAP_N
     ).select("source", "doc_id", "n_chars", "rank")
+
+
+# -------------------------------------------- deterministic eval sampling
+
+_BOTTOMK_N = 10
+
+
+@register(
+    "pipe_bottomk_sample",
+    f"""WITH h AS (
+      SELECT source, doc_id,
+             CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM documents),
+    ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY hv, doc_id) AS rank
+      FROM h)
+    SELECT source, doc_id, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_BOTTOMK_N}""",
+)
+def pipe_bottomk_sample(spark, sf_dir):
+    """Bottom-k uniform sample per source (the deterministic eval-set
+    sampler: order docs by a content-independent md5 of their id, keep
+    the k smallest per stratum). Unlike fraction-based sampling
+    (pipe_stratified_sample) the output size is EXACTLY k per source,
+    and unlike rand() it is reproducible across runs, engines, and
+    partitionings — which is what makes held-out sets auditable.
+
+    Scale shape: rides the same group-limit path as pipe_domain_cap
+    (operators/curation.domain_top_n) — Catalyst prunes to ≤k rows per
+    source map-side, below the exchange."""
+    from marex_spark.operators.curation import domain_top_n
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "source",
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    return domain_top_n(
+        h, "source", [F.asc("hv"), F.col("doc_id")], _BOTTOMK_N
+    ).select("source", "doc_id", "rank")
