@@ -45,6 +45,21 @@ def get_spark(
         # The driver's events.parquet carries TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as long and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # One BLAS thread per Python worker: numpy's bundled OpenBLAS
+        # defaults to ncpu threads PER PROCESS, so 32 concurrent
+        # mapInArrow/applyInPandas tasks would spawn ~1000 BLAS
+        # threads. A same-box A/B on the 1M-vector semdedup row showed
+        # capped == uncapped within noise (34.2 vs 32.9 s under a
+        # co-tenant storm; the row's capture-to-capture swings are
+        # ambient IO weather, not thread contention), so this is
+        # hygiene, not a measured win: parallelism belongs to the task
+        # slots, and a kernel that suddenly goes matmul-heavy should
+        # not be able to oversubscribe the box. The driver process
+        # (collect-based fits, the stale-round resolver fast path) is
+        # unaffected and keeps multithreaded BLAS.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
