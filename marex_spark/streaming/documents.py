@@ -389,3 +389,39 @@ def bloom_decontaminate_stream(
     return mid.mapInArrow(
         _probe, schema=f"{id_col} {id_type}, n_shingles long, n_flagged long"
     )
+
+
+def theta_profile_stream(
+    stream_docs: DataFrame,
+    scale: int = 16,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Streaming theta-sketch vocabulary profile: per micro-batch,
+    emit the (group, h) SURVIVOR rows of the fixed-threshold distinct
+    sketch over the batch's n-gram shingles (operators/sketch.py —
+    the streaming form of the batch query ``sketch_theta_distinct``).
+
+    The sketch's mergeability is exactly what makes it streaming-
+    correct with ZERO stream state: survivor sets union, so appending
+    each micro-batch's survivors to a sink and running
+    ``theta_estimate`` over the accumulated table yields the SAME
+    estimate as one batch pass over everything seen. Duplicate
+    survivors (a shingle recurring within or across batches) collapse
+    in the merge's distinct, so the stream side needs NO
+    dropDuplicates — which on a stream would be an unbounded state
+    store, the exact anti-pattern this module exists to avoid. The
+    per-batch plan is a pure map pass: per-row array_distinct
+    shingling, hash, threshold filter. Sink growth is bounded by the
+    batch's survivor multiplicity (~1/scale of its shingle mass)."""
+    from marex_spark.operators.dedup import shingle_array
+    from marex_spark.operators.sketch import theta_hash, theta_threshold
+
+    t = theta_threshold(scale)
+    sh = stream_docs.select(
+        group_col,
+        F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
+    )
+    h = theta_hash(F.col("shingle"))
+    return sh.select(group_col, h.alias("h")).filter(F.col("h") < t)

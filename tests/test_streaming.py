@@ -566,3 +566,64 @@ def test_stream_bloom_decontaminate_matches_batch(doc_stream_env):
     assert sorted(map(tuple, packed_out.collect())) == sorted(
         map(tuple, out.collect())
     )
+
+
+def test_stream_theta_profile_merges_to_batch_estimate(spark):
+    """theta_profile_stream: accumulate per-micro-batch survivors
+    (several real micro-batches via maxFilesPerTrigger=1), fold them
+    with theta_estimate, and the result must EQUAL the one-shot batch
+    sketch over the full corpus — the mergeability property doing the
+    streaming work, with zero stream state (plan has no state store:
+    duplicates across batches collapse downstream)."""
+    import tempfile
+
+    from marex_spark.operators.sketch import theta_distinct, theta_estimate
+    from marex_spark.streaming.documents import theta_profile_stream
+
+    tmp = tempfile.mkdtemp(prefix="marex_theta_stream_")
+    docs = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), F.pmod("id", F.lit(3))).alias("source"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit("tok"), F.col("id") * 7 + j) for j in range(10)],
+        ).alias("text"),
+    )
+    src = f"{tmp}/docs"
+    # 6 files → 6 micro-batches under maxFilesPerTrigger=1
+    docs.repartition(6).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = theta_profile_stream(stream, scale=16, n=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("theta_surv")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt_theta")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches >= 6, n_batches
+
+    merged = theta_estimate(
+        spark.table("theta_surv"), ["source"], 16
+    ).collect()
+    # batch reference: identical shingle construction over the full set
+    from pyspark.sql import functions as FF
+
+    sh = docs.select(
+        "source",
+        FF.explode(
+            __import__(
+                "marex_spark.operators.dedup", fromlist=["shingle_array"]
+            ).shingle_array(FF.col("text"), 3)
+        ).alias("shingle"),
+    )
+    batch = theta_distinct(sh, ["source"], FF.col("shingle"), 16).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, batch))
