@@ -149,6 +149,29 @@ _PRIORITY = [
     "txt_bpe_train",
     "txt_gopher_rules",
     "txt_lr_auc",
+    # ---- r8 window plan (computed end-of-r7 from CORRECTNESS_r0{1..6}
+    # + this window; remainder by last-verified round after r7:
+    # 19× r4, 46× r5, 46× r6). The r8 window = ALL 19 r4 rows
+    # (ann_ivf_kmeans_recall, ann_ivf_seeded_topk, dedup_cross_source,
+    # emb_project_fixed, emb_quantize_int8, evt_funnel,
+    # evt_retention_cohorts, f4_haversine, mhw_episode_stats,
+    # mm_feature_extract, pipe_source_mix_temperature,
+    # pipe_stratified_sample, pipe_token_budget_mix,
+    # s4_region_overwrite, s5_stats_sidecar, txt_chunk_windows,
+    # txt_pii_redact, txt_quality_lr, txt_token_count_bpe)
+    # + any r8-new/engine-changed rows + 2 sentinels + the oldest r5
+    # rows to fill 50 (alphabetical r5 head: a10_spherical_centroid,
+    # a11_area_percentile, a14_global_stats, a2_shifting_climatology,
+    # a4_histogram_2d, a5_histogram_quantile, a6_exact_quantile,
+    # a7_doy_window_percentile, a9_object_size,
+    # ann_ivfpq_residual_topk, ann_ivfpq_topk, ann_pq_adc,
+    # ann_pq_adc_fast, emb_pca_power, emb_pca_project, f1_date_parts,
+    # f5_digitize, f8_pair_hash, j1_climatology_align,
+    # j5_temporal_selfjoin, j9_explode_scatter, mm_scene_cuts,
+    # p4_threshold_predicate, p6_semi_join, pipe_ccnet_buckets,
+    # s7_zarr_* ×3, sess_sessionize — prefer zarr/pq/pca rows if
+    # slots run short: they cover the most engine code per row).
+    # Remaining r5/r6 rows lead r9.
 ]
 
 
