@@ -1326,12 +1326,13 @@ def txt_bm25_search(spark, sf_dir):
     from marex_spark.functions.decimals import davg
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = float(docs.count())
     dl = F.size(F.split("text", " ")).cast("double")
     base = docs.select("doc_id", dl.alias("dl"))
-    avgdl = float(
-        base.agg(round6(davg("dl")).alias("v")).first()["v"]
-    )
+    # both index stats (N, avgdl) in ONE scan
+    stats = base.agg(
+        F.count("*").alias("n"), round6(davg("dl")).alias("v")
+    ).first()
+    n_docs, avgdl = float(stats["n"]), float(stats["v"])
     w = docs.select(
         "doc_id", dl.alias("dl"), F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term").isin(*_BM25_TERMS))
