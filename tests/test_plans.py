@@ -533,3 +533,32 @@ def test_lsh_banding_is_single_exchange(spark):
 
     bands = _lsh_bands(load_table(spark, SF, "documents"))
     assert exchange_count(bands) == 1
+
+
+def test_source_overlap_signature_agg_single_exchange(spark):
+    """sketch_source_overlap: the 64 signature minima come out of ONE
+    map-side-combined groupBy (no shingle distinct, no posexplode) and
+    the pair comparison joins the sources-sized signature table by
+    BROADCAST — the corpus is never joined against itself."""
+    from marex_spark.plans import broadcast_join_count, plan_string
+    from marex_spark.queries.dedup import sketch_source_overlap
+
+    out = sketch_source_overlap(spark, SF)
+    plan = plan_string(out)
+    assert broadcast_join_count(out) >= 1
+    assert "SortMergeJoin" not in plan
+    # corpus-side shuffles: the two signature aggregations (one per
+    # self-join branch pre-AQE; runtime exchange reuse dedupes them)
+    from marex_spark.plans import exchange_count
+
+    assert exchange_count(out) <= 2, plan[:2000]
+
+
+def test_bottomk_sample_rides_group_limit(spark):
+    """pipe_bottomk_sample must keep the filter-on-row_number shape
+    that fires InferWindowGroupLimit (map-side ≤k-per-source prune)."""
+    from marex_spark.plans import plan_string
+    from marex_spark.queries.text import pipe_bottomk_sample
+
+    plan = plan_string(pipe_bottomk_sample(spark, SF))
+    assert "WindowGroupLimit" in plan, plan[:2000]
