@@ -66,8 +66,9 @@ _PRIORITY = [
     # Tier 2 — rows whose engine changed THIS round (semdedup keep rule
     # restructured join-free / un-broadcast; Bloom m,k now derived from
     # the benchmark size) plus the round's new operators (the numpy
-    # within-cluster semdedup tier, BM25 search, the skew-proof
-    # per-domain cap, and the theta distinct sketch — never
+    # within-cluster semdedup tier, BM25 search, the group-limit
+    # per-domain cap, the theta distinct sketch, SimHash pairing, the
+    # source-overlap signatures, and the bottom-k sampler — never
     # driver-verified, so the policy puts them first):
     "dedup_semdedup",
     "decontam_bloom",
