@@ -79,6 +79,7 @@ _PRIORITY = [
     "dedup_simhash_pairs",
     "sketch_source_overlap",
     "pipe_bottomk_sample",
+    "ann_hard_negatives",
     # engine-changed late r7 (global top-k re-shaped from the
     # unpartitioned rank window to TakeOrderedAndProject + k-row rank;
     # trigram/bigram construction re-shaped from doc-partitioned LEAD
@@ -145,7 +146,10 @@ _PRIORITY = [
     # it joins the r8 remainder cohort.
     "s2_netcdf4_scan",
     "s3_checkpoint_roundtrip",
-    "trk_m8_overlap_threshold",
+    # trk_m8_overlap_threshold yielded to the new ann_hard_negatives
+    # (r4 driver-green AND ✓ in the r6 verdict's independent re-run;
+    # the enforce-overlap edge-case replays added this round cover the
+    # same operator) — r8 remainder cohort.
     "trk_m9u_split_merge",
     "txt_bpe_train",
     "txt_gopher_rules",

@@ -154,6 +154,86 @@ def ann_cosine_topk_fast(spark, sf_dir):
     )
 
 
+# --------------------------------------------- hard-negative mining
+
+_HN_K = 5
+
+
+@register(
+    "ann_hard_negatives",
+    f"""WITH q AS (
+          SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+          FROM embeddings WHERE vec_id < {_N_QUERY}),
+        c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS c_emb
+              FROM embeddings),
+        scored AS (
+          SELECT q.q_id, c.c_id,
+            FLOOR((
+              list_reduce(list_transform(list_zip(q.q_emb, c.c_emb),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                          (a, b) -> a + b)
+              / (sqrt(list_reduce(list_transform(q.q_emb,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                          (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(c.c_emb,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                          (a, b) -> a + b)))) * 1e6 + 0.5) / 1e6 AS cosine
+          FROM c JOIN q ON q.q_label <> c.c_label),
+        ranked AS (
+          SELECT q_id, c_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, c_id) AS rn
+          FROM scored)
+        SELECT q_id, c_id, cosine, CAST(rn AS INT) AS rn
+        FROM ranked WHERE rn <= {_HN_K}""",
+)
+def ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive/retrieval training (the
+    DPR/Contriever recipe): per query vector, the top-{_HN_K} most
+    cosine-similar vectors whose LABEL DIFFERS — the near-misses a
+    bi-encoder must learn to push away; random negatives are too easy
+    and same-label neighbours would be false negatives.
+
+    Scale shape: identical to ann_cosine_topk_fast — the query side
+    broadcasts (training batches are small next to the corpus), the
+    label-exclusion predicate rides the broadcast join condition so
+    same-label vectors never reach scoring, scoring is one zip_with/
+    aggregate pass over the candidate scan, and the per-query top-k
+    window group-limits map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    nrm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    scored = (
+        cand.join(F.broadcast(qs), F.col("q_label") != F.col("c_label"))
+        .withColumn(
+            "cosine",
+            round6(dot("q_emb", "c_emb") / (nrm("q_emb") * nrm("c_emb"))),
+        )
+        .select("q_id", "c_id", "cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("int")).filter(
+        F.col("rn") <= _HN_K
+    )
+
+
 @register(
     "ann_lsh_bucket",
     """SELECT label AS bucket, COUNT(*) AS n_vectors,
