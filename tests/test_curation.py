@@ -54,3 +54,39 @@ def test_cap_larger_than_domain_keeps_all(spark):
     order = [F.desc("score"), F.col("doc_id")]
     out = domain_top_n(df, "source", order, 10_000)
     assert out.count() == 300
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 4),      # domain
+            st.integers(0, 5),      # score (heavy ties)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n=st.integers(1, 7),
+    salts=st.sampled_from([1, 2, 8]),
+)
+def test_property_salted_equals_group_limit(spark, rows, n, salts):
+    """Any domain histogram, any tie structure, any cap, any salt
+    count: the salted two-phase fallback returns exactly the
+    group-limit window's rows."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"d{d}", s) for i, (d, s) in enumerate(rows)],
+        "doc_id long, source string, score long",
+    )
+    order = [F.desc("score"), F.col("doc_id")]
+    fast = domain_top_n(df, "source", order, n)
+    salted = domain_top_n_salted(
+        df, "source", order, n,
+        salt_col=F.pmod("doc_id", F.lit(salts)), n_salts=salts,
+    )
+    assert _rows(fast) == _rows(salted)
