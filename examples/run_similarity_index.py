@@ -56,7 +56,7 @@ def main() -> None:
     print("== PQ-ADC scoring (zero-exchange scan) + IVF-PQ top-k ==")
     from marex_spark.queries import QUERIES
 
-    for name in ("ann_pq_adc_fast", "ann_ivfpq_topk"):
+    for name in ("ann_pq_adc_fast", "ann_ivfpq_topk", "ann_hard_negatives"):
         out = QUERIES[name](spark, sf_dir)
         print(f"   {name}:")
         out.show(3, truncate=40)
