@@ -2,7 +2,8 @@
 entry on Spark and its oracle_sql() on DuckDB, compare row count,
 column names/types, and order-insensitive values.
 
-Usage: python tools/oracle_check.py [sf_dir] [name_filter ...]
+Usage: python tools/oracle_check.py [--exact] [sf_dir] [name_filter ...]
+(filters are substrings by default; --exact requires full-name matches)
 """
 
 from __future__ import annotations
@@ -38,8 +39,10 @@ def normalize(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    name_filter = sys.argv[2:]
+    args = [a for a in sys.argv[1:] if a != "--exact"]
+    exact = "--exact" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    name_filter = args[1:]
 
     import __spark_entry__ as entry_mod
 
@@ -68,7 +71,11 @@ def main():
     n_pass = n_fail = n_noracle = 0
     failures = []
     for name, fn in sorted(qs.items()):
-        if name_filter and not any(f in name for f in name_filter):
+        if name_filter and (
+            name not in name_filter
+            if exact
+            else not any(f in name for f in name_filter)
+        ):
             continue
         t0 = time.time()
         try:
