@@ -1,0 +1,243 @@
+"""SimHash fingerprinting + banded near-dup pair generation — the
+parameterised tier (the registered queries in queries/dedup.py pin
+constants).
+
+Reference shape: Manku, Jain & Das Sarma, "Detecting Near-Duplicates
+for Web Crawling" (WWW 2007) — the Google production setting is 64-bit
+fingerprints with a hamming-distance gate of 3 and candidate
+generation by exact match on fingerprint SLICES (their permuted-table
+scheme; here the equivalent pigeonhole band join). The r7 verdict
+flagged the previous 16-bit/4-bit-band geometry as quadratic at scale
+(every 4-bit band bucket goes corpus-hot); this module is the 64-bit
+rebuild.
+
+Determinism across engines: one md5 per word, split into two 32-bit
+halves parsed as integers — Spark ``conv(substr(md5(w),…),16,10)`` ==
+DuckDB ``CAST('0x'||substr(md5(w),…) AS BIGINT)`` — so fingerprints,
+band keys and hamming distances replay bit-for-bit in any md5-capable
+engine. Bit 63 makes the BIGINT fingerprint negative; band extraction
+therefore uses ``shiftright + AND-mask`` (sign-safe), never modulo.
+
+Scale shape:
+- Fingerprinting: tokenize → ONE md5 per word → ``bits`` map-side
+  combinable SUM aggregates in a single per-doc groupBy. One exchange,
+  whole-stage codegen throughout, no fan-out beyond the word explode.
+- Pair generation: per-band equi-join on 16-bit keys (65,536 values
+  per band × 4 bands). Buckets are only hot where the corpus really
+  contains mass near-duplicates; for those, ``star_cap`` switches the
+  bucket from clique expansion (O(d²) pairs) to hub→member star
+  expansion (O(d) pairs, hub = min id) — union-find canonicalisation
+  connects the identical component either way. The cap condition is
+  ``n <= cap OR a.id = hub``: since the hub is the bucket's minimum id
+  and the join already requires ``a.id < b.id``, star pairs are the
+  hub-anchored subset of the clique, so the capped output is always a
+  subset of the uncapped one.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MIN_LONG = -(1 << 63)
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    fp_name: str = "simhash",
+) -> DataFrame:
+    """``(id_col, fp_name)`` — one ``bits``-wide SimHash per document:
+    md5-derived word hashes vote ±1 per bit position (term frequency
+    weights the vote — the classic formulation), the sign of each
+    vote sets the bit. Bits unrolled as ``bits`` aggregate
+    expressions: one shuffle, map-side combinable, no fan-out."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in 1..64, got {bits}")
+    tok = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    m = F.md5("word")
+    wh = tok.select(
+        id_col,
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("lo"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("hi"),
+    )
+    votes = []
+    for b in range(bits):
+        src = F.col("lo") if b < 32 else F.col("hi")
+        bit = F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}"))
+    agg = wh.groupBy(id_col).agg(*votes)
+    terms = [
+        F.when(
+            F.col(f"s{b}") > 0,
+            F.lit(_MIN_LONG if b == 63 else (1 << b)),
+        ).otherwise(F.lit(0))
+        for b in range(bits)
+    ]
+    combine = reduce(lambda a, c: a + c, terms)
+    return agg.select(id_col, combine.cast("long").alias(fp_name))
+
+
+def simhash_fingerprints_sql(
+    source: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    fp_name: str = "simhash",
+) -> str:
+    """DuckDB replay of :func:`simhash_fingerprints` — generated from
+    the same geometry so query and oracle can never drift."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in 1..64, got {bits}")
+    votes = ", ".join(
+        "SUM(CASE WHEN (({src} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}".format(
+            src="lo" if b < 32 else "hi", sh=b % 32, b=b
+        )
+        for b in range(bits)
+    )
+    terms = [
+        "(CASE WHEN s{b} > 0 THEN {v} ELSE 0 END)".format(
+            b=b, v="(-9223372036854775807 - 1)" if b == 63 else (1 << b)
+        )
+        for b in range(bits)
+    ]
+    combine = " + ".join(terms)
+    return f"""SELECT {id_col}, CAST({combine} AS BIGINT) AS {fp_name} FROM (
+          SELECT {id_col}, {votes} FROM (
+            SELECT {id_col},
+                   CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS lo,
+                   CAST('0x' || substr(md5(word), 9, 8) AS BIGINT) AS hi
+            FROM (SELECT {id_col}, t.w AS word
+                  FROM (SELECT {id_col}, string_split({text_col}, ' ') AS ws
+                        FROM {source}), UNNEST(ws) AS t(w)))
+          GROUP BY {id_col})"""
+
+
+def _check_banding(bands: int, band_bits: int, max_hamming: int) -> None:
+    if bands * band_bits > 64:
+        raise ValueError(f"{bands} bands × {band_bits} bits exceeds 64")
+    if max_hamming >= bands:
+        # pigeonhole: a pair at hamming h differs in at most h bands, so
+        # it matches exactly on >= bands - h of them; completeness needs
+        # bands > max_hamming (Manku 2007 §3: 4 slices for hamming 3).
+        raise ValueError(
+            f"banding incomplete: max_hamming {max_hamming} needs "
+            f"> {max_hamming} bands, got {bands}"
+        )
+
+
+def simhash_band_pairs(
+    fps: DataFrame,
+    bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+    star_cap: int | None = None,
+    id_col: str = "doc_id",
+    fp_name: str = "simhash",
+) -> DataFrame:
+    """``(doc_a, doc_b, hamming)`` — all pairs at hamming distance ≤
+    ``max_hamming``, generated by the pigeonhole band join (complete
+    by construction when ``bands > max_hamming``) and verified with
+    one xor+bit_count per candidate. ``star_cap`` bounds hot-bucket
+    blowup: buckets above the cap emit only hub-anchored pairs (see
+    module docstring for why the capped output is a subset)."""
+    _check_banding(bands, band_bits, max_hamming)
+    mask = (1 << band_bits) - 1
+    banded = fps.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(fp_name).alias("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(fp_name), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    if star_cap is not None:
+        bsize = banded.groupBy("band", "key").agg(
+            F.count("*").alias("n"), F.min("doc_id").alias("hub")
+        )
+        joined = joined.join(
+            bsize.alias("s"),
+            (F.col("s.band") == F.col("a.band"))
+            & (F.col("s.key") == F.col("a.key")),
+        ).filter(
+            (F.col("s.n") <= star_cap) | (F.col("a.doc_id") == F.col("s.hub"))
+        )
+    cand = joined.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.fp").alias("ha"),
+        F.col("b.fp").alias("hb"),
+    ).distinct()
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_band_pairs_sql(
+    fp_cte: str,
+    bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+    star_cap: int | None = None,
+    id_col: str = "doc_id",
+    fp_name: str = "simhash",
+) -> str:
+    """DuckDB replay of :func:`simhash_band_pairs`. ``fp_cte`` is the
+    SQL producing ``(id_col, fp_name)`` (usually
+    :func:`simhash_fingerprints_sql` with matching geometry)."""
+    _check_banding(bands, band_bits, max_hamming)
+    mask = (1 << band_bits) - 1
+    cap_join, cap_where = "", ""
+    if star_cap is not None:
+        cap_join = (
+            "\n          JOIN bsize s ON s.band = a.band AND s.key = a.key"
+        )
+        cap_where = f"\n          WHERE s.n <= {star_cap} OR a.{id_col} = s.hub"
+    bsize_cte = (
+        f""",
+        bsize AS (
+          SELECT band, key, COUNT(*) AS n, MIN({id_col}) AS hub
+          FROM bands GROUP BY 1, 2)"""
+        if star_cap is not None
+        else ""
+    )
+    return f"""WITH sh AS ({fp_cte}),
+        bands AS (
+          SELECT {id_col}, {fp_name}, t.b AS band,
+                 ({fp_name} >> (t.b * {band_bits})) & {mask} AS key
+          FROM sh, UNNEST(generate_series(0, {bands - 1})) AS t(b)){bsize_cte},
+        cand AS (
+          SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+                 a.{fp_name} AS ha, b.{fp_name} AS hb
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.key = b.key
+                       AND a.{id_col} < b.{id_col}{cap_join}{cap_where})
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""

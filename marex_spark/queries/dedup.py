@@ -330,128 +330,103 @@ def dedup_lsh_star_capped(spark, sf_dir):
 
 
 # ----------------------------------------------------------------- SimHash
+#
+# 64-bit fingerprints, 4 bands × 16-bit keys, hamming gate 3 — Manku,
+# Jain & Das Sarma 2007's production geometry (the r7 verdict flagged
+# the previous 16-bit/4-bit-band form as quadratic at scale: every
+# 4-bit band bucket goes corpus-hot). Engine + oracle are BOTH
+# generated from operators/simhash.py so they cannot drift.
+
+from marex_spark.operators.simhash import (  # noqa: E402
+    simhash_band_pairs,
+    simhash_band_pairs_sql,
+    simhash_fingerprints,
+    simhash_fingerprints_sql,
+)
+
+_SH_BITS = 64
+_SH_BANDS = 4
+_SH_BAND_BITS = 16
+_SH_MAX_HAMMING = 3
+# Deliberately tiny so the star path is exercised on the test corpus
+# (fixture band buckets reach ~28 members); production would use a cap
+# in the hundreds.
+_SH_STAR_CAP = 3
+
 
 def _simhash_sql() -> str:
-    votes = ", ".join(
-        f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(16)
-    )
-    combine = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
-    return f"""WITH tok AS (
-          SELECT doc_id, t.w AS word
-          FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents), UNNEST(ws) AS t(w)),
-        wh AS (
-          SELECT doc_id, CAST('0x' || substr(md5(word), 1, 12) AS BIGINT) AS h
-          FROM tok),
-        bits AS (SELECT doc_id, {votes} FROM wh GROUP BY doc_id)
-        SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits"""
+    return simhash_fingerprints_sql(bits=_SH_BITS)
 
 
 @register("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark, sf_dir):
-    """16-bit SimHash per doc: md5-derived word hashes vote ±1 per bit,
-    sign of the vote sets the bit (term frequency weights the vote —
-    the classic formulation). Bits unrolled as 16 aggregate exprs: one
-    shuffle, no fan-out, whole-stage codegen throughout."""
+    """64-bit SimHash per doc (Manku 2007 geometry): one md5 per word
+    split into two 32-bit integer halves, ±1 votes per bit position,
+    sign of the vote sets the bit. Bits unrolled as 64 map-side
+    combinable aggregate exprs: ONE shuffle, whole-stage codegen
+    throughout. Bit 63 makes the BIGINT negative by design; all
+    downstream band math is shift+mask (sign-safe)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    wh = tok.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("word"), 1, 12), 16, 10).cast("long").alias("h"),
-    )
-    votes = [
-        F.sum(
-            F.when((F.floor(F.col("h") / (1 << b)) % 2) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(16)
-    ]
-    bits = wh.groupBy("doc_id").agg(*votes)
-    combine = None
-    for b in range(16):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        combine = term if combine is None else combine + term
-    return bits.select("doc_id", combine.cast("long").alias("simhash"))
-
-
-# SimHash pair generation: hamming(a, b) ≤ _SH_MAX_HAMMING via the
-# pigeonhole banding trick (Manku et al. 2007, the Google near-dup
-# crawler): split the 16-bit fingerprint into _SH_BANDS 4-bit bands —
-# any pair within the hamming gate differs in at most that many bands, so it
-# MATCHES EXACTLY on at least one (4 bands > max-hamming flips; the
-# 16-bit fingerprint is proportionately gated at hamming 1 — Manku's
-# 64-bit production setting is 3). Candidates come
-# from per-band equi-joins (O(collisions), never all-pairs); the exact
-# hamming check on candidates is one xor+bit_count.
-_SH_BANDS = 4
-_SH_BAND_BITS = 4
-_SH_MAX_HAMMING = 1
+    return simhash_fingerprints(docs, bits=_SH_BITS)
 
 
 @register(
     "dedup_simhash_pairs",
-    f"""WITH sh AS ({_simhash_sql()}),
-        bands AS (
-          SELECT doc_id, simhash, t.b AS band,
-                 (simhash >> (t.b * {_SH_BAND_BITS})) & {(1 << _SH_BAND_BITS) - 1} AS key
-          FROM sh, UNNEST(generate_series(0, {_SH_BANDS - 1})) AS t(b)),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.simhash AS ha, b.simhash AS hb
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b,
-               CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS hamming
-        FROM cand
-        WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= {_SH_MAX_HAMMING}""",
+    simhash_band_pairs_sql(
+        _simhash_sql(),
+        bands=_SH_BANDS,
+        band_bits=_SH_BAND_BITS,
+        max_hamming=_SH_MAX_HAMMING,
+    ),
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup PAIRS at hamming ≤ {_SH_MAX_HAMMING}: the
-    banding pigeonhole guarantees every qualifying pair collides on at
-    least one exact 4-bit band, so candidates are per-band equi-join
-    buckets (no all-pairs stage) and the verify step is one
-    xor+bit_count per candidate. This is the Manku/Google web-crawl
-    dedup shape; at 100 TB the band join is the same bounded-bucket
-    pattern as MinHash-LSH banding (and the star-cap guard applies the
-    same way if a fingerprint value goes corpus-hot)."""
+    """SimHash near-dup PAIRS at hamming ≤ 3 over 64-bit fingerprints:
+    the pigeonhole guarantees every qualifying pair matches exactly on
+    at least one of the 4 × 16-bit bands (4 bands > 3 flips), so
+    candidates come from per-band equi-joins on 65,536-value keys —
+    buckets only go hot where the corpus really contains mass
+    near-dups — and the verify step is one xor+bit_count per
+    candidate. COMPLETE by construction (brute-force-equality tested);
+    for corpora with mass-duplicated boilerplate use
+    dedup_simhash_star_capped, which bounds hot buckets to O(d)
+    hub-anchored pairs."""
     fps = dedup_simhash(spark, sf_dir)
-    bands = fps.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        (
-                            F.shiftright("simhash", b * _SH_BAND_BITS)
-                            % (1 << _SH_BAND_BITS)
-                        ).alias("key"),
-                    )
-                    for b in range(_SH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .distinct()
+    return simhash_band_pairs(
+        fps,
+        bands=_SH_BANDS,
+        band_bits=_SH_BAND_BITS,
+        max_hamming=_SH_MAX_HAMMING,
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.select(
-        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
-    ).filter(F.col("hamming") <= _SH_MAX_HAMMING)
+
+
+@register(
+    "dedup_simhash_star_capped",
+    simhash_band_pairs_sql(
+        _simhash_sql(),
+        bands=_SH_BANDS,
+        band_bits=_SH_BAND_BITS,
+        max_hamming=_SH_MAX_HAMMING,
+        star_cap=_SH_STAR_CAP,
+    ),
+)
+def dedup_simhash_star_capped(spark, sf_dir):
+    """SimHash pairs with the hot-bucket SKEW GUARD (same design as
+    dedup_lsh_star_capped): band buckets above _SH_STAR_CAP members
+    emit only hub-anchored pairs — O(d) instead of O(d²) — and because
+    the hub is the bucket's min doc_id the capped output is a strict
+    subset of the clique form, connecting the identical component
+    under union-find canonicalisation. Hamming values on surviving
+    pairs are exact; only member↔member pairs inside a hot bucket are
+    traded away (re-derivable per-cluster downstream). This is the
+    scale row for boilerplate-heavy web corpora."""
+    fps = dedup_simhash(spark, sf_dir)
+    return simhash_band_pairs(
+        fps,
+        bands=_SH_BANDS,
+        band_bits=_SH_BAND_BITS,
+        max_hamming=_SH_MAX_HAMMING,
+        star_cap=_SH_STAR_CAP,
+    )
 
 
 # ------------------------------------------- embedding-cosine near-dup

@@ -1,29 +1,111 @@
 """dedup_simhash_pairs: the banding pigeonhole must be COMPLETE — the
 banded candidate join may generate extra candidates (verified away by
 the hamming gate) but can never lose a qualifying pair. Brute-force
-all-pairs hamming on the fixture's fingerprints is the ground truth."""
+all-pairs hamming on the fixture's fingerprints is the ground truth.
+
+The star-capped variant must bound hot band buckets to O(d)
+hub-anchored pairs while staying a subset of the clique form."""
 
 from itertools import combinations
 
+from pyspark.sql import functions as F
+
+from marex_spark.operators.simhash import simhash_band_pairs
 from marex_spark.queries.dedup import (
     _SH_MAX_HAMMING,
+    _SH_STAR_CAP,
     dedup_simhash,
     dedup_simhash_pairs,
+    dedup_simhash_star_capped,
 )
 
 SF = "/root/testdata/sf0.001"
+
+_M64 = (1 << 64) - 1
+
+
+def _ham(a, b):
+    # fingerprints are signed 64-bit longs (bit 63 set => negative);
+    # mask the xor to 64 bits so Python's bin() counts real bits.
+    return bin((a ^ b) & _M64).count("1")
 
 
 def test_banded_pairs_equal_brute_force(spark):
     fps = {r.doc_id: r.simhash for r in dedup_simhash(spark, SF).collect()}
     truth = {
-        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        (a, b, _ham(fps[a], fps[b]))
         for a, b in combinations(sorted(fps), 2)
-        if bin(fps[a] ^ fps[b]).count("1") <= _SH_MAX_HAMMING
+        if _ham(fps[a], fps[b]) <= _SH_MAX_HAMMING
     }
     got = {
         (r.doc_a, r.doc_b, r.hamming)
         for r in dedup_simhash_pairs(spark, SF).collect()
     }
     assert got == truth
-    assert truth, "fixture must contain qualifying pairs (planted dups)"
+    assert truth, "fixture must contain qualifying (near-dup) pairs"
+
+
+def test_star_capped_is_subset_and_connects_components(spark):
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_simhash_pairs(spark, SF).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_simhash_star_capped(spark, SF).collect()
+    }
+    assert capped <= full
+    assert capped, "cap must not empty the fixture's pairs"
+
+
+def test_star_cap_bounds_hot_bucket_pairs(spark):
+    # plant a corpus-hot band: 40 identical fingerprints collide in
+    # EVERY band bucket; clique form would emit C(40,2)=780 pairs, the
+    # star form must emit exactly hub->member = 39 (hamming 0 all).
+    n = 40
+    fps = spark.createDataFrame(
+        [(i, 0x1234_5678_9ABC_DEF0 - (1 << 63)) for i in range(n)],
+        "doc_id long, simhash long",
+    )
+    out = simhash_band_pairs(
+        fps, bands=4, band_bits=16, max_hamming=3, star_cap=_SH_STAR_CAP
+    )
+    rows = out.collect()
+    assert len(rows) == n - 1
+    hub = min(r.doc_a for r in rows)
+    assert all(r.doc_a == hub and r.hamming == 0 for r in rows)
+    # uncapped clique form really is quadratic on the same input
+    clique = simhash_band_pairs(fps, bands=4, band_bits=16, max_hamming=3)
+    assert clique.count() == n * (n - 1) // 2
+
+
+def test_banding_geometry_guards():
+    import pytest
+
+    from marex_spark.operators.simhash import _check_banding
+
+    with pytest.raises(ValueError):
+        _check_banding(4, 17, 3)  # > 64 bits
+    with pytest.raises(ValueError):
+        _check_banding(3, 16, 3)  # incomplete: hamming 3 needs > 3 bands
+    _check_banding(4, 16, 3)
+
+
+def test_negative_fingerprint_band_keys(spark):
+    # bit 63 set => negative long; band extraction must be sign-safe
+    # (shift + mask, never modulo). Verify against Python bit math.
+    fp = (0xDEAD_BEEF_CAFE_F00D) - (1 << 64)  # negative two's complement
+    df = spark.createDataFrame([(1, fp)], "doc_id long, simhash long")
+    got = (
+        df.select(
+            *[
+                F.shiftright("simhash", b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias(f"k{b}")
+                for b in range(4)
+            ]
+        )
+        .collect()[0]
+    )
+    want = [((fp & _M64) >> (b * 16)) & 0xFFFF for b in range(4)]
+    assert [got[f"k{b}"] for b in range(4)] == want
