@@ -410,11 +410,15 @@ def ann_ivf_recall(spark, sf_dir):
         .select("q_id", "c_id")
     )
     lbl = emb.select("vec_id", "label")
-    lq = lbl.alias("lq")
+    # lq is filtered to the sampled query ids BEFORE the hint (tiny by
+    # construction; q_id < _N_QUERY already, so no semantic change);
+    # lc is corpus-sized, so NO hint — let AQE size it (r7-verdict
+    # Wrong #2 "related minor").
+    lq = lbl.filter(F.col("vec_id") < _N_QUERY).alias("lq")
     lc = lbl.alias("lc")
     ivf = (
         scored.join(F.broadcast(lq), F.col("lq.vec_id") == F.col("q_id"))
-        .join(F.broadcast(lc), F.col("lc.vec_id") == F.col("c_id"))
+        .join(lc, F.col("lc.vec_id") == F.col("c_id"))
         .filter(F.col("lq.label") == F.col("lc.label"))
         .select("q_id", "c_id", "cosine")
         .withColumn("rn", F.row_number().over(w))
@@ -495,32 +499,32 @@ def ann_ivf_seeded_topk(spark, sf_dir):
     to DuckDB."""
     emb = load_table(spark, sf_dir, "embeddings")
     allv = _exploded(emb, "vec_id")
-    norms = allv.groupBy("vec_id").agg(
-        F.sqrt(dsum(F.col("comp") * F.col("comp"))).alias("nrm")
-    )
     seeds = (
         allv.filter(F.col("vec_id") < _N_SEED)
         .select(F.col("vec_id").alias("cent_id"), "idx", F.col("comp").alias("scomp"))
     )
-    nv = norms.select(F.col("vec_id").alias("nvid"), F.col("nrm").alias("vnrm"))
-    ns = norms.select(
-        F.col("vec_id").alias("cent_id"), F.col("nrm").alias("snrm")
-    )
+    # r7-verdict Wrong #2 fix (the semdedup r7 pattern): both norms are
+    # sums of squares over the SAME exploded rows the dot product
+    # already scans, so carry them through the assignment aggregation —
+    # zero corpus-sized norm-table joins/broadcasts anywhere. The only
+    # broadcast left is the seeds table (K vectors, constant-sized).
     asn_dots = (
         allv.join(F.broadcast(seeds), "idx")
         .groupBy("vec_id", "cent_id")
-        .agg(dsum(F.col("comp") * F.col("scomp"), "dot"))
-    )
-    cosine_a = round6(F.col("dot") / (F.col("vnrm") * F.col("snrm")))
-    wa = W.partitionBy("vec_id").orderBy(cosine_a.desc(), F.col("cent_id"))
-    asn = (
-        asn_dots.join(nv, F.col("vec_id") == F.col("nvid"))
-        .join(F.broadcast(ns), "cent_id")
-        .select(
-            F.col("vec_id").alias("vid"),
-            F.col("cent_id"),
-            F.row_number().over(wa).alias("rn"),
+        .agg(
+            dsum(F.col("comp") * F.col("scomp"), "dot"),
+            dsum(F.col("comp") * F.col("comp"), "vn2"),
+            dsum(F.col("scomp") * F.col("scomp"), "sn2"),
         )
+    )
+    cosine_a = round6(
+        F.col("dot") / (F.sqrt(F.col("vn2")) * F.sqrt(F.col("sn2")))
+    )
+    wa = W.partitionBy("vec_id").orderBy(cosine_a.desc(), F.col("cent_id"))
+    asn = asn_dots.select(
+        F.col("vec_id").alias("vid"),
+        F.col("cent_id"),
+        F.row_number().over(wa).alias("rn"),
     )
     buckets = asn.filter(F.col("rn") == 1).select(
         F.col("vid").alias("c_id"), F.col("cent_id").alias("bucket")
@@ -535,20 +539,24 @@ def ann_ivf_seeded_topk(spark, sf_dir):
     )
     qv = allv.select(F.col("vec_id").alias("q_id"), "idx", F.col("comp").alias("qc"))
     cv = allv.select(F.col("vec_id").alias("c_id"), "idx", F.col("comp").alias("cc"))
+    # norms again in-flight: qn²/cn² are sums of squares over the same
+    # exploded rows as the dot — no corpus-sized norm broadcast.
     dots = (
         pairs.join(qv, "q_id")
         .join(cv, ["c_id", "idx"])
         .groupBy("q_id", "c_id")
-        .agg(dsum(F.col("qc") * F.col("cc"), "dot"))
+        .agg(
+            dsum(F.col("qc") * F.col("cc"), "dot"),
+            dsum(F.col("qc") * F.col("qc"), "qn2"),
+            dsum(F.col("cc") * F.col("cc"), "cn2"),
+        )
     )
-    nq = norms.select(F.col("vec_id").alias("q_id"), F.col("nrm").alias("qn"))
-    nc = norms.select(F.col("vec_id").alias("c_id"), F.col("nrm").alias("cn"))
-    cosine = round6(F.col("dot") / (F.col("qn") * F.col("cn")))
+    cosine = round6(
+        F.col("dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2")))
+    )
     w = W.partitionBy("q_id").orderBy(cosine.desc(), F.col("c_id"))
     return (
-        dots.join(F.broadcast(nq), "q_id")
-        .join(F.broadcast(nc), "c_id")
-        .select(
+        dots.select(
             "q_id",
             "c_id",
             cosine.alias("cosine"),

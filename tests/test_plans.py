@@ -562,3 +562,54 @@ def test_bottomk_sample_rides_group_limit(spark):
 
     plan = plan_string(pipe_bottomk_sample(spark, SF))
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_ivf_seeded_topk_no_corpus_broadcast(spark):
+    """r7-verdict Wrong #2: ann_ivf_seeded_topk must not broadcast any
+    corpus-sized table. Norms are carried through the dot-product
+    aggregations, so with auto-broadcast disabled the ONLY surviving
+    BroadcastExchanges are the forced seed-table hints — identified by
+    the pushed-down seed filter LessThan(vec_id, N_SEED) on every
+    broadcast-side scan. A corpus-sized broadcast would show up as a
+    BroadcastExchange whose scan lacks that filter."""
+    from marex_spark.plans import plan_string
+    from marex_spark.queries.similarity import _N_SEED, ann_ivf_seeded_topk
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = ann_ivf_seeded_topk(spark, SF)
+        plan = plan_string(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_bc = plan.count("BroadcastExchange")
+    n_seed_scans = plan.count(f"LessThan(vec_id,{_N_SEED})")
+    assert n_bc > 0, "seed broadcast hint must survive"
+    # seeds feed ONLY broadcast sides; equality means no other
+    # (corpus-sized) broadcast exists and no seed scan shuffles.
+    assert n_bc == n_seed_scans, plan[:3000]
+    # the corpus-side joins hash-shuffle on their keys
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_ivf_recall_no_corpus_label_broadcast(spark):
+    """ann_ivf_recall (the documented brute-force measurement row) must
+    still not HINT a corpus-sized broadcast: the only forced broadcast
+    is the query-filtered label table (LessThan(vec_id, N_QUERY))."""
+    from marex_spark.plans import plan_string
+    from marex_spark.queries.similarity import _N_QUERY, ann_ivf_recall
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = ann_ivf_recall(spark, SF)
+        plan = plan_string(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # exactly ONE forced broadcast (the filtered lq label table); the
+    # corpus-sized lc label join must shuffle.
+    assert plan.count("BroadcastHashJoin") == 1, plan[:3000]
+    assert plan.count(f"LessThan(vec_id,{_N_QUERY})") > 0
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
