@@ -47,6 +47,11 @@ def domain_top_n(
     exact pattern Catalyst's InferWindowGroupLimit rewrites into a
     map-side partial top-n, which is what makes this skew-proof (see
     module docstring). Do not split the filter from the window."""
+    if rank_name in df.columns:
+        raise ValueError(
+            f"rank_name {rank_name!r} already exists in the input; "
+            "pass a different rank_name instead of silently overwriting"
+        )
     w = Window.partitionBy(domain_col).orderBy(*order_by)
     return df.withColumn(
         rank_name, F.row_number().over(w).cast("int")
@@ -75,11 +80,17 @@ def domain_top_n_salted(
         # stable within a job and uniform enough to split a hot domain;
         # never changes WHICH rows win (phase 2 re-ranks per domain).
         salt_col = F.pmod(F.spark_partition_id(), F.lit(n_salts))
-    salted = df.withColumn("__salt", salt_col.cast("int"))
-    w1 = Window.partitionBy(domain_col, "__salt").orderBy(*order_by)
+    # collision-free temp names: never clobber caller columns
+    salt_name, r1_name = "__salt", "__r1"
+    while salt_name in df.columns:
+        salt_name += "_"
+    while r1_name in df.columns:
+        r1_name += "_"
+    salted = df.withColumn(salt_name, salt_col.cast("int"))
+    w1 = Window.partitionBy(domain_col, salt_name).orderBy(*order_by)
     cand = (
-        salted.withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= n)
-        .drop("__salt", "__r1")
+        salted.withColumn(r1_name, F.row_number().over(w1))
+        .filter(F.col(r1_name) <= n)
+        .drop(salt_name, r1_name)
     )
     return domain_top_n(cand, domain_col, order_by, n, rank_name=rank_name)

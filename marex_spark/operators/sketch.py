@@ -52,18 +52,24 @@ def theta_survivors(
     group_cols: list[str],
     item: Column,
     scale: int,
+    tag_scale: bool = False,
 ) -> DataFrame:
     """(group_cols…, h) survivor rows: hash ``item``, keep hashes under
     the threshold MAP-SIDE, then distinct. The exchange carries
     ~1/scale of the distinct mass. Survivor sets are the mergeable
-    representation — union any number of them and re-distinct."""
+    representation — union any number of them and re-distinct — but
+    ONLY across sets built with the SAME ``scale`` (the threshold
+    defines the sample; mixing keep-rates silently biases the
+    estimate). ``tag_scale=True`` appends the scale as a column so
+    :func:`theta_estimate` can reject a mixed-scale merge at run
+    time — use it whenever survivor sets are persisted and merged
+    later (the per-day/source incremental-profile shape)."""
     t = theta_threshold(scale)
     h = theta_hash(item)
-    return (
-        df.select(*group_cols, h.alias("h"))
-        .filter(F.col("h") < t)
-        .distinct()
-    )
+    cols = [*group_cols, h.alias("h")]
+    if tag_scale:
+        cols.append(F.lit(scale).cast("long").alias("scale"))
+    return df.select(*cols).filter(F.col("h") < t).distinct()
 
 
 def theta_estimate(
@@ -75,7 +81,27 @@ def theta_estimate(
 ) -> DataFrame:
     """Fold survivor rows (possibly a union of several sketches with
     arbitrary overlap — duplicates collapse in the distinct) into
-    ``(group_cols…, n_sample, est_distinct)``."""
+    ``(group_cols…, n_sample, est_distinct)``.
+
+    REQUIREMENT: every folded set must have been built with this same
+    ``scale`` — the estimate is ``survivors · scale``, so a set kept at
+    a different rate biases it with no arithmetic signal. Sets tagged
+    via ``theta_survivors(tag_scale=True)`` are verified row-by-row
+    here (a mismatch raises inside the job); untagged sets are the
+    caller's responsibility."""
+    if "scale" in survivors.columns:
+        ok = F.col("scale") == F.lit(scale)
+        survivors = survivors.filter(
+            F.when(ok, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("theta_estimate: survivor set built with scale "),
+                        F.col("scale").cast("string"),
+                        F.lit(f", estimate requested at scale {scale}"),
+                    )
+                )
+            )
+        ).drop("scale")
     return (
         survivors.distinct()
         .groupBy(*group_cols)

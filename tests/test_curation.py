@@ -90,3 +90,35 @@ def test_property_salted_equals_group_limit(spark, rows, n, salts):
         salt_col=F.pmod("doc_id", F.lit(salts)), n_salts=salts,
     )
     assert _rows(fast) == _rows(salted)
+
+
+def test_rank_name_collision_raises(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 5, 0)], "doc_id long, source string, score long, rank int"
+    )
+    with pytest.raises(ValueError, match="rank_name"):
+        domain_top_n(df, "source", [F.desc("score"), F.col("doc_id")], 2)
+    # a different rank_name works
+    out = domain_top_n(
+        df, "source", [F.desc("score"), F.col("doc_id")], 2, rank_name="r"
+    )
+    assert out.columns.count("r") == 1
+
+
+def test_salted_temp_names_avoid_caller_columns(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "a", i, 7, 8) for i in range(6)],
+        "doc_id long, source string, score long, __salt int, __r1 int",
+    )
+    out = domain_top_n_salted(
+        df, "source", [F.desc("score"), F.col("doc_id")], 3, n_salts=2
+    )
+    rows = out.orderBy("doc_id").collect()
+    assert len(rows) == 3
+    # caller's __salt/__r1 survive untouched
+    assert all(r["__salt"] == 7 and r["__r1"] == 8 for r in rows)

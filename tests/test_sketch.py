@@ -108,3 +108,25 @@ def test_source_overlap_estimates_planted_jaccard(spark):
     est = sketch_source_overlap(spark, d).first()
     true_j = 1.0 / 3.0
     assert abs(est["est_jaccard"] - true_j) < 0.2, est["est_jaccard"]
+
+
+def test_theta_estimate_rejects_mixed_scale_merge(spark):
+    """Survivor sets tagged with their scale must fail loudly when
+    folded at a different scale (ADVICE r7: a mixed-scale merge
+    silently biases the estimate)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from marex_spark.operators.sketch import theta_estimate, theta_survivors
+
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("item")
+    )
+    s16 = theta_survivors(df, ["g"], F.col("item"), 16, tag_scale=True)
+    s32 = theta_survivors(df, ["g"], F.col("item"), 32, tag_scale=True)
+    # same-scale tagged merge works and estimates sanely
+    est = theta_estimate(s16.unionByName(s16), ["g"], 16).first()
+    assert abs(est["est_distinct"] - 5000) / 5000 < 0.25
+    # mixed-scale merge raises inside the job
+    with pytest.raises(Exception, match="theta_estimate"):
+        theta_estimate(s16.unionByName(s32), ["g"], 16).collect()
