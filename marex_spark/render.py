@@ -149,8 +149,9 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def png_bytes(rgb: np.ndarray) -> bytes:
-    """(H, W, 3) uint8 → PNG file bytes."""
+def _scanline_payload(rgb: np.ndarray) -> tuple[bytes, int, int]:
+    """(H, W, 3) uint8 → (zlib'd filter-0 scanlines, w, h) — the body
+    shared by IDAT (plain PNG) and fdAT (APNG frames)."""
     a = np.ascontiguousarray(rgb, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) uint8, got {a.shape}")
@@ -159,12 +160,18 @@ def png_bytes(rgb: np.ndarray) -> bytes:
     raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
     raw[:, 0] = 0
     raw[:, 1:] = a.reshape(h, w * 3)
+    return zlib.compress(raw.tobytes(), 6), w, h
+
+
+def png_bytes(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → PNG file bytes."""
+    payload, w, h = _scanline_payload(rgb)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return b"".join(
         [
             b"\x89PNG\r\n\x1a\n",
             _chunk(b"IHDR", ihdr),
-            _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6)),
+            _chunk(b"IDAT", payload),
             _chunk(b"IEND", b""),
         ]
     )
@@ -204,6 +211,52 @@ def read_png(path_or_bytes) -> np.ndarray:
     if (raw[:, 0] != 0).any():
         raise ValueError("only filter-0 scanlines supported")
     return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+def apng_bytes(frames, fps: int = 10) -> bytes:
+    """List/iterator of (H, W, 3) uint8 arrays → ANIMATED PNG bytes
+    (APNG, RFC-pending PNG extension implemented by every browser) —
+    the stdlib stand-in for the reference's ffmpeg mp4 (plotX
+    base.py:408 ``animate``): one playable file, zero native deps.
+
+    Layout: IHDR, acTL(n_frames), then per frame an fcTL and the pixel
+    data — frame 0 as the canonical IDAT (so non-APNG decoders show it
+    as a still), later frames as fdAT with running sequence numbers."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("apng_bytes needs at least one frame")
+    payload0, w, h = _scanline_payload(frames[0])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    actl = struct.pack(">II", len(frames), 0)  # num_plays 0 = loop forever
+    out = [b"\x89PNG\r\n\x1a\n", _chunk(b"IHDR", ihdr), _chunk(b"acTL", actl)]
+    seq = 0
+
+    def fctl(seq_n: int) -> bytes:
+        # full-canvas frame, delay fps⁻¹ s, dispose 0 (none), blend 0
+        return _chunk(
+            b"fcTL",
+            struct.pack(">IIIIIHHBB", seq_n, w, h, 0, 0, 1, fps, 0, 0),
+        )
+
+    out.append(fctl(seq))
+    seq += 1
+    out.append(_chunk(b"IDAT", payload0))
+    for f in frames[1:]:
+        payload, fw, fh = _scanline_payload(f)
+        if (fw, fh) != (w, h):
+            raise ValueError(f"frame size {(fh, fw)} != canvas {(h, w)}")
+        out.append(fctl(seq))
+        seq += 1
+        out.append(_chunk(b"fdAT", struct.pack(">I", seq) + payload))
+        seq += 1
+    out.append(_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def write_apng(frames, path: str, fps: int = 10) -> str:
+    with open(path, "wb") as f:
+        f.write(apng_bytes(frames, fps=fps))
+    return path
 
 
 # ---------------------------------------------------------------------------
@@ -332,6 +385,31 @@ class GriddedPlotter:
                 rgb = upscale(rgb, scale)
             paths.append(write_png(rgb, os.path.join(out_dir, f"frame_{i:05d}.png")))
         return paths
+
+    def animate_apng(
+        self, path: str, fps: int = 10, clim=None, cmap="viridis",
+        issym=False, scale: int = 1, config=None,
+    ) -> str:
+        """All timesteps → ONE playable animated-PNG file — the
+        single-artifact equivalent of the reference's ffmpeg mp4
+        (plotX base.py:408), with the same fixed cross-frame colour
+        scale as :meth:`animate`."""
+        from marex_spark.viz import animation_frames
+
+        clim, cmap, issym, cperc = _resolve_plot_config(config, clim, cmap, issym)
+        if clim is None:
+            clim = self.clim_robust(
+                q=(cperc[0] / 100.0, cperc[1] / 100.0), issym=issym
+            )
+
+        def frames():
+            for _, g in animation_frames(
+                self.df, self.ny, self.nx, self.value_col, self.time_col
+            ):
+                rgb = render_field(g, clim=clim, cmap=cmap, issym=issym)
+                yield upscale(rgb, scale) if scale > 1 else rgb
+
+        return write_apng(frames(), path, fps=fps)
 
 
 def fill_holes_nearest(grid: np.ndarray, max_iter: int = 8) -> np.ndarray:

@@ -310,3 +310,64 @@ def test_single_plot_honours_config_cperc(spark, tmp_path):
     # and differs from the raw min/max scaling
     c = p.single_plot(0, f"{tmp_path}/c.png")
     assert open(a, "rb").read() != open(c, "rb").read()
+
+
+def test_apng_structure_and_first_frame_roundtrip():
+    """apng_bytes writes a spec-shaped animated PNG: acTL frame count,
+    one fcTL per frame, fdAT for frames 1.., shared sequence numbering
+    0..2n-2, and a canonical IDAT so non-APNG decoders (read_png
+    ignores ancillary chunks) render frame 0 as a still."""
+    import struct
+
+    import numpy as np
+
+    from marex_spark.render import apng_bytes, read_png
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 255, (6, 9, 3)).astype(np.uint8) for _ in range(3)]
+    buf = apng_bytes(frames, fps=5)
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+
+    chunks = []
+    pos = 8
+    while pos < len(buf):
+        (n,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        chunks.append((tag, buf[pos + 8 : pos + 8 + n]))
+        pos += 12 + n
+    tags = [t for t, _ in chunks]
+    assert tags[0] == b"IHDR" and tags[-1] == b"IEND"
+    (n_frames, n_plays) = struct.unpack(
+        ">II", dict(chunks)[b"acTL"]
+    )
+    assert (n_frames, n_plays) == (3, 0)
+    assert tags.count(b"fcTL") == 3
+    assert tags.count(b"fdAT") == 2
+    assert tags.count(b"IDAT") == 1
+    # shared sequence numbering across fcTL + fdAT, strictly 0..4
+    seqs = [
+        struct.unpack(">I", payload[:4])[0]
+        for tag, payload in chunks
+        if tag in (b"fcTL", b"fdAT")
+    ]
+    assert seqs == [0, 1, 2, 3, 4]
+    # fcTL geometry: full canvas, fps delay
+    fctl0 = next(p for t, p in chunks if t == b"fcTL")
+    _, w, h, x0, y0, dnum, dden = struct.unpack(">IIIIIHH", fctl0[:24])
+    assert (w, h, x0, y0, dnum, dden) == (9, 6, 0, 0, 1, 5)
+    # a plain-PNG decoder sees frame 0
+    assert (read_png(buf) == frames[0]).all()
+
+
+def test_apng_rejects_mismatched_frames():
+    import numpy as np
+    import pytest
+
+    from marex_spark.render import apng_bytes
+
+    a = np.zeros((4, 4, 3), dtype=np.uint8)
+    b = np.zeros((5, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="frame size"):
+        apng_bytes([a, b])
+    with pytest.raises(ValueError, match="at least one frame"):
+        apng_bytes([])
