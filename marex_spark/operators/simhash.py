@@ -84,6 +84,73 @@ def simhash_fingerprints(
     return agg.select(id_col, combine.cast("long").alias(fp_name))
 
 
+def simhash_fingerprints_map_only(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    fp_name: str = "simhash",
+) -> DataFrame:
+    """ZERO-EXCHANGE variant of :func:`simhash_fingerprints` — value-
+    identical output (equality-locked in tests), different plan shape:
+    instead of explode → groupBy (one corpus exchange carrying a row
+    per doc), the per-doc vote loop runs as array expressions inside
+    the row — ``transform`` hashes each word once, ``aggregate`` folds
+    ±1 votes into a ``bits``-wide counter array, and a final fold
+    packs the sign bits. The whole fingerprint is a pure map over the
+    scan: at 100 TB the fingerprinting stage shuffles NOTHING.
+
+    Trade-off: the vote fold is interpreted HigherOrderFunction
+    evaluation rather than codegen'd sum aggregates, so per-word CPU
+    is higher — measure both on your corpus (bench.py carries the
+    same-box comparison; see SCALE.md round 8)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in 1..64, got {bits}")
+    words = F.split(F.col(text_col), " ")
+    # one md5 per word, split into 32-bit halves (same hash as the
+    # groupBy form — fingerprints are bit-identical)
+    hashes = F.transform(
+        words,
+        lambda w: F.struct(
+            F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long").alias("lo"),
+            F.conv(F.substring(F.md5(w), 9, 8), 16, 10).cast("long").alias("hi"),
+        ),
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+
+    def vote(acc, h):
+        # bit b of the 64-bit word hash via exact double math (powers
+        # of two are exact doubles; halves are < 2^32): sign-safe and
+        # column-indexable, unlike shiftright's literal-only Python API
+        def bit_of(b):
+            src = F.when(b < 32, h["lo"]).otherwise(h["hi"])
+            sh = b % 32
+            return (
+                F.floor(src / F.pow(F.lit(2.0), sh.cast("double"))).cast("long")
+                % 2
+            )
+
+        return F.zip_with(acc, idx, lambda a, b: a + bit_of(b) * 2 - 1)
+
+    votes = F.aggregate(hashes, zeros, vote)
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            idx,
+            lambda v, b: F.when(
+                v > 0,
+                F.when(b == 63, F.lit(_MIN_LONG)).otherwise(
+                    F.pow(F.lit(2.0), b.cast("double")).cast("long")
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return df.select(id_col, packed.cast("long").alias(fp_name))
+
+
 def simhash_fingerprints_sql(
     source: str = "documents",
     text_col: str = "text",

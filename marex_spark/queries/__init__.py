@@ -36,147 +36,82 @@ import marex_spark.queries.detect_extra  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # ---- r7 window (50 = driver budget) ---------------------------------
-    # Computed from CORRECTNESS_r0{1..6}.json: after r6, 19 rows were
-    # last driver-verified in ROUND 3 and 39 in ROUND 4 (everything else
-    # is r5/r6). 58 candidates > 50 slots, so: all 19 r3 rows, 26 of the
-    # 39 r4 rows, the 2 engine-changed rows + 1 new operator from this
-    # round, and 2 sentinels (19+26+3+2 = 50). Tier 1 — the full r3
-    # cohort, led by the two rows that yielded their r6 slots to the
-    # then-new operators:
-    "txt_langid",
-    "ops_asof_join",
-    "ann_cosine_topk_fast",
-    "ann_ivf_recall",
-    "ann_ivf_topk",
-    "decontam_ngram",
-    "dedup_cluster_canonical",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
+    # ---- r8 window (50 = driver budget), computed by
+    # tools/next_window.py from CORRECTNESS_r0{1..7}.json and executed
+    # exactly as the r7 plan wrote it (all r4-stale rows + this round's
+    # new/engine-changed rows + 2 sentinels + the r5 alphabetical head,
+    # preferring zarr/pq/pca rows for engine coverage).
+    #
+    # Tier 1 — never driver-verified (new this round):
+    "dedup_simhash_star_capped",
+    # Tier 2 — engine changed THIS round: the 64-bit SimHash rebuild
+    # (both rows re-fixtured) and the IVF broadcast fixes:
     "dedup_simhash",
-    "mm_frame_sample",
-    "mm_media_meta",
-    "mm_resize_plan",
-    "ops_range_join",
-    "ops_rollup_hier",
-    "txt_fingerprint",
-    "txt_quality_score",
-    "txt_source_stats",
-    "txt_unigram_logprob",
-    # Tier 2 — rows whose engine changed THIS round (semdedup keep rule
-    # restructured join-free / un-broadcast; Bloom m,k now derived from
-    # the benchmark size) plus the round's new operators (the numpy
-    # within-cluster semdedup tier, BM25 search, the group-limit
-    # per-domain cap, the theta distinct sketch, SimHash pairing, the
-    # source-overlap signatures, and the bottom-k sampler — never
-    # driver-verified, so the policy puts them first):
-    "dedup_semdedup",
-    "decontam_bloom",
-    "dedup_semdedup_fast",
-    "txt_bm25_search",
-    "pipe_domain_cap",
-    "sketch_theta_distinct",
     "dedup_simhash_pairs",
-    "sketch_source_overlap",
-    "pipe_bottomk_sample",
-    "ann_hard_negatives",
-    # engine-changed late r7 (global top-k re-shaped from the
-    # unpartitioned rank window to TakeOrderedAndProject + k-row rank;
-    # trigram/bigram construction re-shaped from doc-partitioned LEAD
-    # windows to array-indexed explodes — no corpus shuffle before the
-    # aggregations):
-    "txt_tfidf_search",
-    "txt_repetition_ratio",
-    "txt_bigram_logprob",
-    # (pipe_dsir_resample below shares the array-bigram rewrite and is
-    # already in-window; pipe_ccnet_buckets consumes txt_bigram_logprob
-    # and was oracle-checked directly at sf0.01 this session.)
-    # (dedup_minhash_lsh's engine also changed late r7 — the one-
-    # exchange _lsh_bands — but its verification is subsumed by two
-    # in-window rows sharing the exact code path: dedup_cluster_
-    # canonical's oracle replays the full pair CTE as a strict
-    # superset, and dedup_lsh_star_capped shares _lsh_bands; the row
-    # itself was also oracle-checked directly at sf0.01 this session.)
-    # Tier 3 — green sentinels for regression cover:
+    "ann_ivf_recall",
+    # Tier 3 — sentinels for regression cover (strong, r6/r7-green,
+    # covering the scan-pushdown path and the tracking/event-graph
+    # component path):
     "s1_scan_pushdown",
-    "trk_m5_track_nomerge",
-    # Tier 4 — 26 of the 39 r4-era rows, breadth-first. The 13 deferred
-    # to r8 each have an in-window family sibling covering the same code
-    # path: ann_ivf_kmeans_recall + ann_ivf_seeded_topk (ann_ivf_kmeans_
-    # topk stays), dedup_cross_source (dedup_paragraphs), emb_project_
-    # fixed (emb_kmeans_assign/emb_quantize_int8), evt_retention_cohorts
-    # (evt_funnel), pipe_stratified_sample + pipe_token_budget_mix
-    # (pipe_corpus_curation/pipe_source_mix_temperature), s5_stats_
-    # sidecar (s3/s4), txt_bigram_logprob (txt_unigram_logprob),
-    # txt_chunk_windows + txt_quality_lr + txt_token_count_bpe
-    # (txt_repetition_ratio/txt_lr_auc/txt_bpe_train), and
-    # txt_repetition_ratio itself yielded its slot to the new
-    # dedup_semdedup_fast (txt_gopher_rules covers the quality-rule
-    # family). Three more yielded to this round's late new operators:
-    # txt_tfidf_search (txt_bm25_search shares the filtered-posting
-    # skeleton in the same file), txt_pii_redact (txt_gopher_rules,
-    # same regex-rule family), s4_region_overwrite (s3_checkpoint_
-    # roundtrip, same sources/io.py path). REMAINDER RULE: those 16 +
-    # the 46-row r5 cohort lead the r8 window.
-    "ann_ivf_kmeans_topk",
-    "dedup_lsh_star_capped",
-    "dedup_paragraphs",
-    "dedup_substring_spans",
-    "det_packed_unstructured",
-    "emb_kmeans_assign",
-    # emb_quantize_int8 (map-only; emb_kmeans_assign covers the emb
-    # family) and mm_feature_extract (mm_frame_sample/_media_meta/
-    # _resize_plan are all in-window from the same file) yielded their
-    # slots to the engine-changed txt_repetition_ratio and
-    # txt_bigram_logprob; evt_funnel (event-analytics family keeps
-    # sess-adjacent ops_asof_join/ops_range_join in Tier 1) yielded to
-    # the new dedup_simhash_pairs — all join the r8 remainder cohort.
-    # f4_haversine yielded to the new pipe_bottomk_sample (pure-function
-    # row: r4 driver-green AND ✓ in the r6 verdict's independent re-run;
-    # geometry unit tests cover the formula) — r8 remainder cohort.
-    "f6_interpolation",
-    # mhw_episode_stats yielded to the new sketch_source_overlap (its
-    # operator code runs under the bench's episode_stats_10x row and
-    # a dedicated unit suite) — r8 remainder cohort.
-    "pipe_corpus_curation",
-    "pipe_dsir_resample",
-    "pipe_sequence_packing",
-    # pipe_source_mix_temperature yielded its slot to the re-shaped
-    # txt_tfidf_search (pipe_corpus_curation covers the mix family) —
-    # it joins the r8 remainder cohort.
-    "s2_netcdf4_scan",
-    "s3_checkpoint_roundtrip",
-    # trk_m8_overlap_threshold yielded to the new ann_hard_negatives
-    # (r4 driver-green AND ✓ in the r6 verdict's independent re-run;
-    # the enforce-overlap edge-case replays added this round cover the
-    # same operator) — r8 remainder cohort.
-    "trk_m9u_split_merge",
-    "txt_bpe_train",
-    "txt_gopher_rules",
-    "txt_lr_auc",
-    # ---- r8 window plan (computed end-of-r7 from CORRECTNESS_r0{1..6}
-    # + this window; remainder by last-verified round after r7:
-    # 19× r4, 46× r5, 46× r6). The r8 window = ALL 19 r4 rows
-    # (ann_ivf_kmeans_recall, ann_ivf_seeded_topk, dedup_cross_source,
-    # emb_project_fixed, emb_quantize_int8, evt_funnel,
-    # evt_retention_cohorts, f4_haversine, mhw_episode_stats,
-    # mm_feature_extract, pipe_source_mix_temperature,
-    # pipe_stratified_sample, pipe_token_budget_mix,
-    # s4_region_overwrite, s5_stats_sidecar, txt_chunk_windows,
-    # txt_pii_redact, txt_quality_lr, txt_token_count_bpe)
-    # + any r8-new/engine-changed rows + 2 sentinels + the oldest r5
-    # rows to fill 50 (alphabetical r5 head: a10_spherical_centroid,
-    # a11_area_percentile, a14_global_stats, a2_shifting_climatology,
-    # a4_histogram_2d, a5_histogram_quantile, a6_exact_quantile,
-    # a7_doy_window_percentile, a9_object_size,
-    # ann_ivfpq_residual_topk, ann_ivfpq_topk, ann_pq_adc,
-    # ann_pq_adc_fast, emb_pca_power, emb_pca_project, f1_date_parts,
-    # f5_digitize, f8_pair_hash, j1_climatology_align,
-    # j5_temporal_selfjoin, j9_explode_scatter, mm_scene_cuts,
-    # p4_threshold_predicate, p6_semi_join, pipe_ccnet_buckets,
-    # s7_zarr_* ×3, sess_sessionize — prefer zarr/pq/pca rows if
-    # slots run short: they cover the most engine code per row).
-    # Remaining r5/r6 rows lead r9.
+    "trk_m7_connected_components",
+    # Tier 4 — the full 20-row r4-stale cohort (ann_ivf_seeded_topk is
+    # both r4-stale AND engine-changed this round):
+    "ann_ivf_kmeans_recall",
+    "ann_ivf_seeded_topk",
+    "dedup_cross_source",
+    "emb_project_fixed",
+    "emb_quantize_int8",
+    "evt_funnel",
+    "evt_retention_cohorts",
+    "f4_haversine",
+    "mhw_episode_stats",
+    "mm_feature_extract",
+    "pipe_source_mix_temperature",
+    "pipe_stratified_sample",
+    "pipe_token_budget_mix",
+    "s4_region_overwrite",
+    "s5_stats_sidecar",
+    "trk_m8_overlap_threshold",
+    "txt_chunk_windows",
+    "txt_pii_redact",
+    "txt_quality_lr",
+    "txt_token_count_bpe",
+    # Tier 5 — 24 of the r5 cohort, alphabetical head with the last
+    # three alphabetical slots (mm_scene_cuts, p4, p6) yielded to the
+    # three zarr round-trip rows per the written plan ("prefer
+    # zarr/pq/pca: most engine code per row"):
+    "a10_spherical_centroid",
+    "a11_area_percentile",
+    "a14_global_stats",
+    "a2_shifting_climatology",
+    "a4_histogram_2d",
+    "a5_histogram_quantile",
+    "a6_exact_quantile",
+    "a7_doy_window_percentile",
+    "a9_object_size",
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_adc",
+    "ann_pq_adc_fast",
+    "emb_pca_power",
+    "emb_pca_project",
+    "f1_date_parts",
+    "f5_digitize",
+    "f8_pair_hash",
+    "j1_climatology_align",
+    "j5_temporal_selfjoin",
+    "j9_explode_scatter",
+    "s7_zarr_roundtrip",
+    "s7_zarr_sharded_roundtrip",
+    "s7_zarr_v3_roundtrip",
+    # ---- r9 window plan (remainder rule): the r5 rows deferred here
+    # (mm_scene_cuts, p4_threshold_predicate, p6_semi_join,
+    # pipe_ccnet_buckets, sess_sessionize, so1_union_distinct,
+    # tpch_q1/q3/q5/q6, trk_extend_incremental, trk_extendu_incremental,
+    # trk_j9_merge_ledger, trk_j9u_merge_ledger, trk_m9_parallel,
+    # trk_m9_split_merge and the rest of the r5 cohort) lead r9,
+    # then the oldest r6 rows; recompute with tools/next_window.py
+    # once CORRECTNESS_r08.json lands.
 ]
 
 

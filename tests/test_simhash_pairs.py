@@ -109,3 +109,33 @@ def test_negative_fingerprint_band_keys(spark):
     )
     want = [((fp & _M64) >> (b * 16)) & 0xFFFF for b in range(4)]
     assert [got[f"k{b}"] for b in range(4)] == want
+
+
+def test_map_only_fingerprints_equal_groupby_form(spark):
+    """simhash_fingerprints_map_only (zero-exchange array-fold form)
+    must be bit-identical to the explode+groupBy form, including
+    negative fingerprints (bit 63) and empty/whitespace edge texts."""
+    from marex_spark.operators.simhash import (
+        simhash_fingerprints,
+        simhash_fingerprints_map_only,
+    )
+    from marex_spark.plans import exchange_count
+    from marex_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents").limit(200)
+    edge = spark.createDataFrame(
+        [(90001, ""), (90002, "x"), (90003, "a a a"), (90004, "  ")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    a = {r.doc_id: r.simhash for r in simhash_fingerprints(both).collect()}
+    b = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints_map_only(both).collect()
+    }
+    assert a == b
+    assert any(v < 0 for v in a.values()), "fixture should exercise bit 63"
+    # zero-exchange claim checked on a plain scan (the limit/union in
+    # the equality fixture adds its own exchange)
+    plain = load_table(spark, SF, "documents")
+    assert exchange_count(simhash_fingerprints_map_only(plain)) == 0
