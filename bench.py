@@ -712,6 +712,29 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
             lambda: _force(QUERIES["dedup_minhash_lsh"](spark, corpus1m_dir)),
         )
 
+    # SimHash near-dup pairs at 1M docs (r8: the 64-bit Manku geometry
+    # rebuild) — fingerprints via the one-exchange groupBy form (the
+    # measured winner; SCALE.md r8), banded 4×16-bit candidate join
+    # with a production-sized star cap. Recovers exactly the 10k
+    # planted dup pairs.
+    def _simhash_1m() -> int:
+        from marex_spark.operators.simhash import (
+            simhash_band_pairs,
+            simhash_fingerprints,
+        )
+
+        docs = spark.read.parquet(f"{corpus1m_dir}/documents.parquet")
+        n = simhash_band_pairs(
+            simhash_fingerprints(docs), star_cap=100
+        ).count()
+        if n == 0:
+            raise RuntimeError("simhash pairs produced 0 rows")
+        spark.catalog.clearCache()
+        return n
+
+    if corpus_ok["1m"]:
+        guarded("dedup_simhash_1m_docs", _simhash_1m)
+
     # SemDeDup at 500× the sf0.1 embeddings table: corpus-derived k
     # (1M/4096 = 245 clusters), BLAS mode (exact=False — the
     # production tier; the decimal-exact tier is what the oracle

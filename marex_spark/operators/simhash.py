@@ -100,10 +100,13 @@ def simhash_fingerprints_map_only(
     packs the sign bits. The whole fingerprint is a pure map over the
     scan: at 100 TB the fingerprinting stage shuffles NOTHING.
 
-    Trade-off: the vote fold is interpreted HigherOrderFunction
-    evaluation rather than codegen'd sum aggregates, so per-word CPU
-    is higher — measure both on your corpus (bench.py carries the
-    same-box comparison; see SCALE.md round 8)."""
+    Trade-off — MEASURED, not assumed (SCALE.md round 8, quiet box,
+    1M docs ~70 MB text): groupBy form 7.6 s, this form 143.9 s — the
+    interpreted HigherOrderFunction vote fold costs ~19× more CPU than
+    the one doc-keyed exchange it saves. The groupBy form is therefore
+    the default engine everywhere; use this one only when an exchange
+    is genuinely unaffordable (e.g. a map-only streaming gate, where
+    a shuffle is not just slow but impossible)."""
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in 1..64, got {bits}")
     words = F.split(F.col(text_col), " ")
