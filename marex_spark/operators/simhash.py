@@ -84,29 +84,13 @@ def simhash_fingerprints(
     return agg.select(id_col, combine.cast("long").alias(fp_name))
 
 
-def simhash_fingerprints_map_only(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    bits: int = 64,
-    fp_name: str = "simhash",
-) -> DataFrame:
-    """ZERO-EXCHANGE variant of :func:`simhash_fingerprints` — value-
-    identical output (equality-locked in tests), different plan shape:
-    instead of explode → groupBy (one corpus exchange carrying a row
-    per doc), the per-doc vote loop runs as array expressions inside
-    the row — ``transform`` hashes each word once, ``aggregate`` folds
-    ±1 votes into a ``bits``-wide counter array, and a final fold
-    packs the sign bits. The whole fingerprint is a pure map over the
-    scan: at 100 TB the fingerprinting stage shuffles NOTHING.
-
-    Trade-off — MEASURED, not assumed (SCALE.md round 8, quiet box,
-    1M docs ~70 MB text): groupBy form 7.6 s, this form 143.9 s — the
-    interpreted HigherOrderFunction vote fold costs ~19× more CPU than
-    the one doc-keyed exchange it saves. The groupBy form is therefore
-    the default engine everywhere; use this one only when an exchange
-    is genuinely unaffordable (e.g. a map-only streaming gate, where
-    a shuffle is not just slow but impossible)."""
+def simhash_column(text_col: str = "text", bits: int = 64):
+    """The SimHash fingerprint as ONE map-only column expression — no
+    groupBy, so it evaluates on a stream (where a per-doc aggregation
+    would be unbounded state) and adds zero exchanges in batch.
+    Value-identical to :func:`simhash_fingerprints` (equality-locked);
+    see :func:`simhash_fingerprints_map_only` for the measured CPU
+    trade-off that makes the groupBy form the batch default."""
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in 1..64, got {bits}")
     words = F.split(F.col(text_col), " ")
@@ -151,7 +135,36 @@ def simhash_fingerprints_map_only(
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    return df.select(id_col, packed.cast("long").alias(fp_name))
+    return packed.cast("long")
+
+
+def simhash_fingerprints_map_only(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    fp_name: str = "simhash",
+) -> DataFrame:
+    """ZERO-EXCHANGE variant of :func:`simhash_fingerprints` — value-
+    identical output (equality-locked in tests), different plan shape:
+    instead of explode → groupBy (one corpus exchange carrying a row
+    per doc), the per-doc vote loop runs as array expressions inside
+    the row (:func:`simhash_column`) — ``transform`` hashes each word
+    once, ``aggregate`` folds ±1 votes into a ``bits``-wide counter
+    array, and a final fold packs the sign bits. The whole fingerprint
+    is a pure map over the scan: at 100 TB the fingerprinting stage
+    shuffles NOTHING.
+
+    Trade-off — MEASURED, not assumed (SCALE.md round 8, quiet box,
+    1M docs ~70 MB text): groupBy form 7.6 s, this form 143.9 s — the
+    interpreted HigherOrderFunction vote fold costs ~19× more CPU than
+    the one doc-keyed exchange it saves. The groupBy form is therefore
+    the default engine everywhere; use this one only when an exchange
+    is genuinely unaffordable (e.g. a map-only streaming gate, where
+    a shuffle is not just slow but impossible)."""
+    return df.select(
+        id_col, simhash_column(text_col, bits).alias(fp_name)
+    )
 
 
 def simhash_fingerprints_sql(
@@ -202,24 +215,20 @@ def _check_banding(bands: int, band_bits: int, max_hamming: int) -> None:
         )
 
 
-def simhash_band_pairs(
+def simhash_bands(
     fps: DataFrame,
     bands: int = 4,
     band_bits: int = 16,
-    max_hamming: int = 3,
-    star_cap: int | None = None,
     id_col: str = "doc_id",
     fp_name: str = "simhash",
 ) -> DataFrame:
-    """``(doc_a, doc_b, hamming)`` — all pairs at hamming distance ≤
-    ``max_hamming``, generated by the pigeonhole band join (complete
-    by construction when ``bands > max_hamming``) and verified with
-    one xor+bit_count per candidate. ``star_cap`` bounds hot-bucket
-    blowup: buckets above the cap emit only hub-anchored pairs (see
-    module docstring for why the capped output is a subset)."""
-    _check_banding(bands, band_bits, max_hamming)
+    """``(doc_id, fp, band, key)`` — one row per fingerprint slice,
+    keys extracted sign-safely (shift + AND-mask; bit 63 makes the
+    BIGINT negative). This is both the pair-join input and the static
+    corpus INDEX layout the streaming gate probes (at 100 TB it lives
+    as a parquet table keyed by (band, key))."""
     mask = (1 << band_bits) - 1
-    banded = fps.select(
+    return fps.select(
         F.col(id_col).alias("doc_id"),
         F.col(fp_name).alias("fp"),
         F.explode(
@@ -238,6 +247,25 @@ def simhash_band_pairs(
     ).select(
         "doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
     )
+
+
+def simhash_band_pairs(
+    fps: DataFrame,
+    bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+    star_cap: int | None = None,
+    id_col: str = "doc_id",
+    fp_name: str = "simhash",
+) -> DataFrame:
+    """``(doc_a, doc_b, hamming)`` — all pairs at hamming distance ≤
+    ``max_hamming``, generated by the pigeonhole band join (complete
+    by construction when ``bands > max_hamming``) and verified with
+    one xor+bit_count per candidate. ``star_cap`` bounds hot-bucket
+    blowup: buckets above the cap emit only hub-anchored pairs (see
+    module docstring for why the capped output is a subset)."""
+    _check_banding(bands, band_bits, max_hamming)
+    banded = simhash_bands(fps, bands, band_bits, id_col, fp_name)
     a, b = banded.alias("a"), banded.alias("b")
     joined = a.join(
         b,

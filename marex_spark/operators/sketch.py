@@ -122,3 +122,76 @@ def theta_distinct(
     return theta_estimate(
         theta_survivors(df, group_cols, item, scale), group_cols, scale
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + pairwise overlap — parameterised tier (the
+# registered query ``sketch_source_overlap`` pins k=64 over 3-gram
+# shingles per source; queries/dedup.py).
+# ---------------------------------------------------------------------------
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1, the classic Carter-Wegman modulus
+
+
+def minhash_params(k: int, p: int = MINHASH_PRIME) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) coefficient lists for k permutations
+    ``(s*a + b) % p`` — fixed LCG-derived constants so every engine
+    (and the DuckDB oracle) replays the identical signature."""
+    a = [(1_103_515_245 * (h + 1) + 12_345) % p for h in range(k)]
+    b = [(22_695_477 * h + 1) % p for h in range(k)]
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    group_cols: list[str],
+    item: Column,
+    k: int,
+    p: int = MINHASH_PRIME,
+) -> DataFrame:
+    """``(group_cols…, m0..m{k-1})`` — one k-permutation MinHash
+    signature per group out of ONE map-side-combined groupBy (the k
+    minima as columns; no item distinct needed because ``min`` is
+    idempotent over duplicates). At 100 TB each corpus pays a single
+    pass; all downstream comparison runs on the groups-sized
+    signature table."""
+    a, b = minhash_params(k, p)
+    s = (theta_hash(item) % p).alias("s")
+    base = df.select(*group_cols, s)
+    return base.groupBy(*group_cols).agg(
+        *[
+            F.min((F.col("s") * a[h] + b[h]) % p).alias(f"m{h}")
+            for h in range(k)
+        ]
+    )
+
+
+def signature_overlap(
+    sig: DataFrame,
+    group_col: str,
+    k: int,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Pairwise ``(a, b, n_match, est_jaccard)`` over a signature
+    table: est_jaccard = matching-minima fraction (unbiased, stderr
+    ~ sqrt(J(1-J)/k)). The join is groups × groups on the SIGNATURE
+    table (k ints per group), never on items — broadcast by default
+    since group counts (sources, days, shards) are small."""
+    a, b = sig.alias("a"), sig.alias("b")
+    n_match = None
+    for h in range(k):
+        t = F.when(F.col(f"a.m{h}") == F.col(f"b.m{h}"), 1).otherwise(0)
+        n_match = t if n_match is None else n_match + t
+    right = F.broadcast(b) if broadcast_right else b
+    est = F.floor(
+        (F.col("n_match") / float(k)) * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    return (
+        a.join(right, F.col(f"a.{group_col}") < F.col(f"b.{group_col}"))
+        .select(
+            F.col(f"a.{group_col}").alias(f"{group_col}_a"),
+            F.col(f"b.{group_col}").alias(f"{group_col}_b"),
+            n_match.cast("long").alias("n_match"),
+        )
+        .withColumn("est_jaccard", est)
+    )

@@ -1018,6 +1018,11 @@ def sketch_source_overlap(spark, sf_dir):
     the pair comparison then runs on the sources-sized signature table
     (k ints per corpus). Auditing two 100 TB corpora for overlap costs
     one pass over each — no cross-corpus join ever touches shingles."""
+    from marex_spark.operators.sketch import (
+        minhash_signatures,
+        signature_overlap,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     idx = F.when(
@@ -1027,32 +1032,5 @@ def sketch_source_overlap(spark, sf_dir):
     sh = docs.select(
         "source", words.alias("w"), F.explode(idx).alias("i")
     ).select("source", F.concat_ws(" ", *parts).alias("shingle"))
-    si = sh.select(
-        "source",
-        (
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-            % _MH_P
-        ).alias("s"),
-    )
-    sig = si.groupBy("source").agg(
-        *[
-            F.min((F.col("s") * _SO_A[h] + _SO_B[h]) % _MH_P).alias(f"m{h}")
-            for h in range(_SO_K)
-        ]
-    )
-    a, b = sig.alias("a"), sig.alias("b")
-    n_match = None
-    for h in range(_SO_K):
-        t = F.when(F.col(f"a.m{h}") == F.col(f"b.m{h}"), 1).otherwise(0)
-        n_match = t if n_match is None else n_match + t
-    return (
-        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
-        .select(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-            n_match.cast("long").alias("n_match"),
-        )
-        .withColumn(
-            "est_jaccard", round6(F.col("n_match") / F.lit(float(_SO_K)))
-        )
-    )
+    sig = minhash_signatures(sh, ["source"], F.col("shingle"), _SO_K, p=_MH_P)
+    return signature_overlap(sig, "source", _SO_K)

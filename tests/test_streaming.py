@@ -627,3 +627,36 @@ def test_stream_theta_profile_merges_to_batch_estimate(spark):
     )
     batch = theta_distinct(sh, ["source"], FF.col("shingle"), 16).collect()
     assert sorted(map(tuple, merged)) == sorted(map(tuple, batch))
+
+
+def test_stream_simhash_gate_matches_brute_force(doc_stream_env):
+    """The streaming SimHash near-dup gate (map-only fingerprint +
+    stream-static band-index join) must flag EXACTLY the (stream doc,
+    corpus doc) pairs within the hamming gate — the banding pigeonhole
+    completeness carried over to the stream-vs-archive setting, with
+    zero stream state (drains in append mode)."""
+    from marex_spark.operators.simhash import simhash_fingerprints
+    from marex_spark.streaming.documents import simhash_near_dup_stream
+
+    spark, tmp, src, df = doc_stream_env
+    corpus = df.filter(F.col("doc_id") % 10 == 0)
+    fps_corpus = simhash_fingerprints(corpus).localCheckpoint()
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    hits = _drain(
+        simhash_near_dup_stream(stream, fps_corpus, broadcast_index=True),
+        spark,
+        tmp,
+        "simhash_gate_out",
+    )
+    got = {(r.doc_id, r.corpus_doc_id) for r in hits.collect()}
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(df).collect()}
+    c_ids = [r.doc_id for r in corpus.select("doc_id").collect()]
+    m64 = (1 << 64) - 1
+    want = {
+        (s, c)
+        for s in fps
+        for c in c_ids
+        if s != c and bin((fps[s] ^ fps[c]) & m64).count("1") <= 3
+    }
+    assert got == want
+    assert got, "identical k0-family texts must hit at hamming 0"
