@@ -44,6 +44,7 @@ _PRIORITY = [
     #
     # Tier 1 — never driver-verified (new this round):
     "dedup_simhash_star_capped",
+    "ann_srp_topk",
     # Tier 2 — engine changed THIS round: the 64-bit SimHash rebuild
     # (both rows re-fixtured) and the IVF broadcast fixes:
     "dedup_simhash",
@@ -100,7 +101,9 @@ _PRIORITY = [
     "f8_pair_hash",
     "j1_climatology_align",
     "j5_temporal_selfjoin",
-    "j9_explode_scatter",
+    # j9_explode_scatter yielded its slot to the new ann_srp_topk
+    # (trk_j9_merge_ledger shares the scatter operator; it joins the
+    # r9 remainder cohort) — window stays exactly 50.
     "s7_zarr_roundtrip",
     "s7_zarr_sharded_roundtrip",
     "s7_zarr_v3_roundtrip",

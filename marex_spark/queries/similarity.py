@@ -234,6 +234,152 @@ def ann_hard_negatives(spark, sf_dir):
     )
 
 
+# ------------------------- hyperplane LSH (SRP) ANN, Charikar 2002
+
+_SRP_BITS = 64
+_SRP_BANDS = 8
+_SRP_BAND_BITS = 8
+_SRP_MIN_LONG = -(1 << 63)
+
+_SRP_SQL = f"""WITH e AS (
+      SELECT vec_id, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+    planes AS (
+      SELECT j.j, i.idx,
+             ((CAST('0x' || substr(md5('srp:' || j.j || ':' || i.idx), 1, 15)
+                AS BIGINT) % 2001) - 1000) / 1000.0 AS w
+      FROM (SELECT UNNEST(generate_series(0, {_SRP_BITS - 1})) AS j) j,
+           (SELECT DISTINCT idx FROM e) i),
+    pdots AS (
+      SELECT e.vec_id, p.j, {dec_sql('e.comp * p.w')} AS dot
+      FROM e JOIN planes p USING (idx) GROUP BY 1, 2),
+    fps AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot >= 0 THEN
+               (CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+                     ELSE CAST(POW(2.0, j) AS BIGINT) END)
+               ELSE 0 END) AS BIGINT) AS srp
+      FROM pdots GROUP BY 1),
+    bands AS (
+      SELECT vec_id, t.b AS band,
+             (srp >> (t.b * {_SRP_BAND_BITS})) & {(1 << _SRP_BAND_BITS) - 1} AS key
+      FROM fps, UNNEST(generate_series(0, {_SRP_BANDS - 1})) AS t(b)),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      FROM bands q JOIN bands c ON q.band = c.band AND q.key = c.key
+      WHERE q.vec_id < {_N_QUERY} AND q.vec_id <> c.vec_id),
+    pd AS (
+      SELECT cand.q_id, cand.c_id,
+             {dec_sql('a.comp * b.comp')} AS dot,
+             {dec_sql('a.comp * a.comp')} AS qn2,
+             {dec_sql('b.comp * b.comp')} AS cn2
+      FROM cand
+      JOIN e a ON a.vec_id = cand.q_id
+      JOIN e b ON b.vec_id = cand.c_id AND b.idx = a.idx
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT q_id, c_id,
+             {round6_sql('dot / (sqrt(qn2) * sqrt(cn2))')} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY {round6_sql('dot / (sqrt(qn2) * sqrt(cn2))')} DESC,
+                        c_id) AS rn
+      FROM pd)
+    SELECT q_id, c_id, cosine, CAST(rn AS INT) AS rn
+    FROM scored WHERE rn <= {_TOP_K}"""
+
+
+@register("ann_srp_topk", _SRP_SQL)
+def ann_srp_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN (Charikar 2002 signed random projections):
+    each vector gets a 64-bit SRP fingerprint — bit j = sign of the
+    dot with a DETERMINISTIC md5-derived hyperplane, so every engine
+    replays the identical index — banded into 8 × 8-bit keys; queries
+    probe their key in each band, candidates are union-of-bands, and
+    only candidates pay the exact decimal-cosine rerank.
+
+    Scale shape: the plane table is bits × dims rows (4 KB here) and
+    broadcasts; fingerprinting is one corpus scan + two keyed
+    aggregations; serving touches ~3-5% of the corpus per query on
+    this fixture (banded equi-join — never all-pairs), with the
+    rerank's norms carried through the dot aggregation (no corpus
+    norm-table join, the r8 IVF rule). The band index is the SAME
+    (band, key) layout as SimHash banding — at 100 TB it persists as
+    one parquet table and serves batch and the streaming gate alike.
+    Unlike ann_ivf_*'s coarse quantizer this needs NO training pass;
+    unlike the label stand-in in ann_lsh_bucket the buckets here come
+    from real geometry."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = _exploded(emb, "vec_id")
+    d = len(emb.select("embedding").first()[0])
+    jj = spark.range(_SRP_BITS).select(F.col("id").cast("int").alias("j"))
+    ii = spark.range(d).select(F.col("id").cast("int").alias("idx"))
+    w = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit("srp"), F.col("j"), F.col("idx"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+        )
+        - 1000
+    ) / 1000.0
+    planes = jj.crossJoin(ii).select("j", "idx", w.alias("w"))
+    pdots = (
+        e.join(F.broadcast(planes), "idx")
+        .groupBy("vec_id", "j")
+        .agg(dsum(F.col("comp") * F.col("w"), "dot"))
+    )
+    bitval = F.when(F.col("j") == 63, F.lit(_SRP_MIN_LONG)).otherwise(
+        F.pow(F.lit(2.0), F.col("j").cast("double")).cast("long")
+    )
+    fps = pdots.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("dot") >= 0, bitval).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("srp")
+    )
+    from marex_spark.operators.simhash import simhash_bands
+
+    bands = simhash_bands(
+        fps, bands=_SRP_BANDS, band_bits=_SRP_BAND_BITS,
+        id_col="vec_id", fp_name="srp",
+    )
+    q = bands.filter(F.col("doc_id") < _N_QUERY).select(
+        F.col("doc_id").alias("q_id"), "band", "key"
+    )
+    c = bands.select(F.col("doc_id").alias("c_id"), "band", "key")
+    cand = (
+        q.join(c, ["band", "key"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    qv = e.select(F.col("vec_id").alias("q_id"), "idx", F.col("comp").alias("qc"))
+    cv = e.select(F.col("vec_id").alias("c_id"), "idx", F.col("comp").alias("cc"))
+    pd = (
+        cand.join(qv, "q_id")
+        .join(cv, ["c_id", "idx"])
+        .groupBy("q_id", "c_id")
+        .agg(
+            dsum(F.col("qc") * F.col("cc"), "dot"),
+            dsum(F.col("qc") * F.col("qc"), "qn2"),
+            dsum(F.col("cc") * F.col("cc"), "cn2"),
+        )
+    )
+    cosine = round6(F.col("dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2"))))
+    wn = W.partitionBy("q_id").orderBy(cosine.desc(), F.col("c_id"))
+    return pd.select(
+        "q_id",
+        "c_id",
+        cosine.alias("cosine"),
+        F.row_number().over(wn).cast("int").alias("rn"),
+    ).filter(F.col("rn") <= _TOP_K)
+
+
 @register(
     "ann_lsh_bucket",
     """SELECT label AS bucket, COUNT(*) AS n_vectors,
