@@ -135,7 +135,7 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
     # 3-8× while the CPU probe (pure whole-stage codegen, zero IO)
     # stays within ~1.2×. Canary time is NOT added to any query timing
     # or the headline total.
-    canary = holder["canary"] = {"io_sec": [], "cpu_sec": []}
+    canary = holder["canary"] = {"io_sec": [], "io_cold_sec": [], "cpu_sec": []}
     canary_state: dict = {}
 
     def _canary_io() -> None:
@@ -146,13 +146,60 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
         df.write.mode("overwrite").parquet(path)
         spark.read.parquet(path).selectExpr("sum(length(h))").collect()
 
+    def _canary_io_cold() -> None:
+        # O_DIRECT read of ~512 MB from the largest on-disk fixture:
+        # bypasses the page cache, so it senses DEVICE weather — the
+        # failure mode the write probe missed (r8: band_100x swung
+        # 165-422 s across passes while the buffered probe stayed
+        # flat; dirty pages flush asynchronously and never touch the
+        # saturated device inside the timed window).
+        import glob as _glob
+        import mmap
+        import os
+
+        budget = 512 << 20
+        chunk = 4 << 20
+        buf = mmap.mmap(-1, chunk)  # page-aligned, O_DIRECT-safe
+        files = []
+        for pat in (
+            f"{tmp}/marex_bench_band_100x/*.parquet",
+            f"{tmp}/marex_bench_corpus5m/documents.parquet/*.parquet",
+            f"{SF_DIR}/lineitem.parquet",
+        ):
+            files = sorted(_glob.glob(pat))
+            if files:
+                break
+        read = 0
+        for f in files:
+            if read >= budget:
+                break
+            try:
+                fd = os.open(f, os.O_RDONLY | os.O_DIRECT)
+            except OSError:
+                fd = os.open(f, os.O_RDONLY)
+            try:
+                while read < budget:
+                    try:
+                        n = os.readv(fd, [buf])
+                    except OSError:  # O_DIRECT tail-read EINVAL at EOF
+                        break
+                    if n <= 0:
+                        break
+                    read += n
+            finally:
+                os.close(fd)
+
     def _canary_cpu() -> None:
         spark.range(300_000_000).selectExpr(
             "sum(bit_count((id * 2654435761) ^ shiftright(id, 7))) AS s"
         ).collect()
 
     def _run_canaries() -> None:
-        for key, fn in (("io_sec", _canary_io), ("cpu_sec", _canary_cpu)):
+        for key, fn in (
+            ("io_sec", _canary_io),
+            ("io_cold_sec", _canary_io_cold),
+            ("cpu_sec", _canary_cpu),
+        ):
             try:
                 t0 = time.perf_counter()
                 fn()
