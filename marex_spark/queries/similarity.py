@@ -311,8 +311,11 @@ def ann_srp_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     e = _exploded(emb, "vec_id")
     d = len(emb.select("embedding").first()[0])
-    jj = spark.range(_SRP_BITS).select(F.col("id").cast("int").alias("j"))
-    ii = spark.range(d).select(F.col("id").cast("int").alias("idx"))
+    # one flat range, no cross join: (j, idx) unpacked from the id
+    base = spark.range(_SRP_BITS * d).select(
+        (F.col("id") / d).cast("int").alias("j"),
+        (F.col("id") % d).cast("int").alias("idx"),
+    )
     w = (
         (
             F.conv(
@@ -328,7 +331,7 @@ def ann_srp_topk(spark, sf_dir):
         )
         - 1000
     ) / 1000.0
-    planes = jj.crossJoin(ii).select("j", "idx", w.alias("w"))
+    planes = base.select("j", "idx", w.alias("w"))
     pdots = (
         e.join(F.broadcast(planes), "idx")
         .groupBy("vec_id", "j")

@@ -613,3 +613,30 @@ def test_ivf_recall_no_corpus_label_broadcast(spark):
     assert plan.count("BroadcastHashJoin") == 1, plan[:3000]
     assert plan.count(f"LessThan(vec_id,{_N_QUERY})") > 0
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_srp_topk_no_corpus_broadcast(spark):
+    """ann_srp_topk's only forced broadcasts are the bits×dims plane
+    table (deterministic literals, ~4k rows). Under disabled
+    auto-broadcast exactly the plane-side BroadcastHashJoins survive
+    (the fingerprint subtree is evaluated once per join side), every
+    corpus join shuffles, and no cartesian/nested-loop join appears
+    anywhere (the planes come from ONE flat range, not a cross)."""
+    from marex_spark.plans import plan_string
+    from marex_spark.queries.similarity import ann_srp_topk
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = ann_srp_topk(spark, SF)
+        plan = plan_string(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every broadcast build is a Range-derived plane table: equal
+    # counts of broadcast joins and Range scans means no parquet
+    # (corpus) relation is ever broadcast
+    assert plan.count("BroadcastHashJoin") == plan.count("Range ("), plan[:3000]
+    assert plan.count("BroadcastHashJoin") > 0
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
