@@ -45,6 +45,7 @@ _PRIORITY = [
     # Tier 1 — never driver-verified (new this round):
     "dedup_simhash_star_capped",
     "ann_srp_topk",
+    "ann_srp_recall",
     # Tier 2 — engine changed THIS round: the 64-bit SimHash rebuild
     # (both rows re-fixtured) and the IVF broadcast fixes:
     "dedup_simhash",
@@ -100,7 +101,10 @@ _PRIORITY = [
     "f5_digitize",
     "f8_pair_hash",
     "j1_climatology_align",
-    "j5_temporal_selfjoin",
+    # j5_temporal_selfjoin yielded its slot to the new ann_srp_recall
+    # (operators/overlap.py stays covered in-window by the r4-cohort
+    # trk_m8_overlap_threshold, which drives the same lead-window
+    # engine) — r9 remainder cohort.
     # j9_explode_scatter yielded its slot to the new ann_srp_topk
     # (trk_j9_merge_ledger shares the scatter operator; it joins the
     # r9 remainder cohort) — window stays exactly 50.

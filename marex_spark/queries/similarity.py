@@ -241,7 +241,9 @@ _SRP_BANDS = 8
 _SRP_BAND_BITS = 8
 _SRP_MIN_LONG = -(1 << 63)
 
-_SRP_SQL = f"""WITH e AS (
+# shared CTE block: everything from exploding the store to the SRP
+# candidate set — reused verbatim by ann_srp_topk and ann_srp_recall
+_SRP_CAND_CTES = f"""e AS (
       SELECT vec_id, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
       FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
     planes AS (
@@ -267,7 +269,9 @@ _SRP_SQL = f"""WITH e AS (
     cand AS (
       SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
       FROM bands q JOIN bands c ON q.band = c.band AND q.key = c.key
-      WHERE q.vec_id < {_N_QUERY} AND q.vec_id <> c.vec_id),
+      WHERE q.vec_id < {_N_QUERY} AND q.vec_id <> c.vec_id)"""
+
+_SRP_SQL = f"""WITH {_SRP_CAND_CTES},
     pd AS (
       SELECT cand.q_id, cand.c_id,
              {dec_sql('a.comp * b.comp')} AS dot,
@@ -310,6 +314,32 @@ def ann_srp_topk(spark, sf_dir):
     from real geometry."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = _exploded(emb, "vec_id")
+    cand = _srp_candidates(spark, emb, e)
+    qv = e.select(F.col("vec_id").alias("q_id"), "idx", F.col("comp").alias("qc"))
+    cv = e.select(F.col("vec_id").alias("c_id"), "idx", F.col("comp").alias("cc"))
+    pd = (
+        cand.join(qv, "q_id")
+        .join(cv, ["c_id", "idx"])
+        .groupBy("q_id", "c_id")
+        .agg(
+            dsum(F.col("qc") * F.col("cc"), "dot"),
+            dsum(F.col("qc") * F.col("qc"), "qn2"),
+            dsum(F.col("cc") * F.col("cc"), "cn2"),
+        )
+    )
+    cosine = round6(F.col("dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2"))))
+    wn = W.partitionBy("q_id").orderBy(cosine.desc(), F.col("c_id"))
+    return pd.select(
+        "q_id",
+        "c_id",
+        cosine.alias("cosine"),
+        F.row_number().over(wn).cast("int").alias("rn"),
+    ).filter(F.col("rn") <= _TOP_K)
+
+
+def _srp_candidates(spark, emb, e):
+    """(q_id, c_id) SRP band-collision candidates — the shared engine
+    of ann_srp_topk (serving) and ann_srp_recall (measurement)."""
     d = len(emb.select("embedding").first()[0])
     # one flat range, no cross join: (j, idx) unpacked from the id
     base = spark.range(_SRP_BITS * d).select(
@@ -355,32 +385,12 @@ def ann_srp_topk(spark, sf_dir):
         F.col("doc_id").alias("q_id"), "band", "key"
     )
     c = bands.select(F.col("doc_id").alias("c_id"), "band", "key")
-    cand = (
+    return (
         q.join(c, ["band", "key"])
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id")
         .distinct()
     )
-    qv = e.select(F.col("vec_id").alias("q_id"), "idx", F.col("comp").alias("qc"))
-    cv = e.select(F.col("vec_id").alias("c_id"), "idx", F.col("comp").alias("cc"))
-    pd = (
-        cand.join(qv, "q_id")
-        .join(cv, ["c_id", "idx"])
-        .groupBy("q_id", "c_id")
-        .agg(
-            dsum(F.col("qc") * F.col("cc"), "dot"),
-            dsum(F.col("qc") * F.col("qc"), "qn2"),
-            dsum(F.col("cc") * F.col("cc"), "cn2"),
-        )
-    )
-    cosine = round6(F.col("dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2"))))
-    wn = W.partitionBy("q_id").orderBy(cosine.desc(), F.col("c_id"))
-    return pd.select(
-        "q_id",
-        "c_id",
-        cosine.alias("cosine"),
-        F.row_number().over(wn).cast("int").alias("rn"),
-    ).filter(F.col("rn") <= _TOP_K)
 
 
 @register(
@@ -579,6 +589,94 @@ def ann_ivf_recall(spark, sf_dir):
         (brute.q_id == ivf.q_id) & (brute.c_id == ivf.ivf_c_id),
         "left",
     ).groupBy(brute.q_id).agg(F.count("ivf_c_id").alias("n_hit"))
+    return hits.select(
+        "q_id",
+        round6(F.col("n_hit") / float(_TOP_K)).alias("recall"),
+    )
+
+
+@register(
+    "ann_srp_recall",
+    f"""WITH {_EXACT_CTES},
+        {_SRP_CAND_CTES},
+        brute AS (
+          SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, c_id) AS rn
+            FROM scored) WHERE rn <= {_TOP_K}),
+        srp AS (
+          SELECT q_id, c_id FROM (
+            SELECT s.q_id, s.c_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.q_id
+                                      ORDER BY s.cosine DESC, s.c_id) AS rn
+            FROM scored s
+            JOIN cand ON cand.q_id = s.q_id AND cand.c_id = s.c_id)
+          WHERE rn <= {_TOP_K}),
+        hits AS (
+          SELECT b.q_id, COUNT(i.c_id) AS n_hit
+          FROM brute b LEFT JOIN srp i ON b.q_id = i.q_id AND b.c_id = i.c_id
+          GROUP BY 1)
+        SELECT q_id, {round6_sql(f'n_hit / CAST({_TOP_K} AS DOUBLE)')} AS recall
+        FROM hits""",
+)
+def ann_srp_recall(spark, sf_dir):
+    """Recall@{_TOP_K} of the SRP hyperplane-LSH index vs exact brute
+    force — the honest quality number for ann_srp_topk (every
+    approximate index ships with its measured recall or it ships
+    blind). Both rankings use the decimal-sum cosine, so the top-k
+    SETS are deterministic and hash-match SQL.
+
+    COST MODEL: like ann_ivf_recall, the ground truth is brute force
+    BY DEFINITION — this runs on the sampled query set to measure the
+    index, never to serve it.
+
+    READING THE NUMBER on this fixture: the synthetic embeddings are
+    near-orthogonal (closest pair ≈ hamming 13/64), so the "true"
+    top-{_TOP_K} sit near 90° and hyperplane LSH CORRECTLY declines to
+    bucket them — recall ~0.1 here is the index being honest about a
+    corpus with no near neighbours, exactly the signal this row exists
+    to surface before anyone serves SRP over such a corpus (on real
+    clustered embeddings, e.g. the 1M-vector planted-dup fixture,
+    collision probability 1-θ/π puts true neighbours in-bucket)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _exploded(emb.filter(F.col("vec_id") < _N_QUERY), "q_id")
+    c = _exploded(emb, "c_id")
+    dots = (
+        q.join(c, (q.idx == c.idx) & (F.col("q_id") != F.col("c_id")))
+        .groupBy("q_id", "c_id")
+        .agg(
+            dsum(q.comp * c.comp, "dot"),
+            dsum(q.comp * q.comp, "qn2"),
+            dsum(c.comp * c.comp, "cn2"),
+        )
+    )
+    scored = dots.select(
+        "q_id",
+        "c_id",
+        round6(
+            F.col("dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2")))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    brute = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "c_id")
+    )
+    e = _exploded(emb, "vec_id")
+    cand = _srp_candidates(spark, emb, e)
+    srp = (
+        scored.join(cand, ["q_id", "c_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", F.col("c_id").alias("srp_c_id"))
+    )
+    hits = brute.join(
+        srp,
+        (brute.q_id == srp.q_id) & (brute.c_id == srp.srp_c_id),
+        "left",
+    ).groupBy(brute.q_id).agg(F.count("srp_c_id").alias("n_hit"))
     return hits.select(
         "q_id",
         round6(F.col("n_hit") / float(_TOP_K)).alias("recall"),
