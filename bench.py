@@ -811,6 +811,40 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
     if emb_ok["ok"]:
         guarded("semdedup_1m_vectors", _semdedup_1m)
 
+    # SRP hyperplane-LSH index at 1M vectors (r8): numpy fast-tier
+    # fingerprints (bit-identical to the oracle-verified decimal tier,
+    # tests/test_embed.py), band table via the shared SimHash banding,
+    # 5-query probe producing the candidate set — the serving shape of
+    # the registered ann_srp_topk without its brute-force-scale rerank
+    # input (candidates only ever pay the rerank).
+    def _srp_1m() -> int:
+        from pyspark.sql import functions as Fx
+
+        from marex_spark.operators.embed import srp_fingerprints_fast
+        from marex_spark.operators.simhash import simhash_bands
+
+        emb = spark.read.parquet(f"{emb1m_dir}/embeddings.parquet")
+        fps = srp_fingerprints_fast(emb)
+        bands = simhash_bands(fps, bands=8, band_bits=8, id_col="vec_id", fp_name="srp")
+        q = bands.filter(Fx.col("doc_id") < 5).select(
+            Fx.col("doc_id").alias("q_id"), "band", "key"
+        )
+        c = bands.select(Fx.col("doc_id").alias("c_id"), "band", "key")
+        n = (
+            q.join(c, ["band", "key"])
+            .filter(Fx.col("q_id") != Fx.col("c_id"))
+            .select("q_id", "c_id")
+            .distinct()
+            .count()
+        )
+        if n == 0:
+            raise RuntimeError("srp probe produced 0 candidates")
+        spark.catalog.clearCache()
+        return n
+
+    if emb_ok["ok"]:
+        guarded("ann_srp_1m_vectors", _srp_1m)
+
     # per-domain cap at 5M docs under a REAL skew histogram (90% of the
     # corpus in one derived hot domain): domain_top_n (the registered
     # pipe_domain_cap's engine) rides Catalyst's InferWindowGroupLimit —

@@ -683,6 +683,72 @@ def pq_score_kernel(
     )
 
 
+def srp_planes(d: int, bits: int = 64, tag: str = "srp") -> np.ndarray:
+    """Deterministic md5-derived hyperplanes — the identical formula
+    the SQL oracle and DataFrame tier evaluate per cell
+    (((md5-int15 % 2001) - 1000)/1000), so every tier indexes with the
+    same geometry. bits × d doubles; built once per worker."""
+    import hashlib
+
+    W = np.empty((bits, d))
+    for j in range(bits):
+        for i in range(d):
+            h = int(
+                hashlib.md5(f"{tag}:{j}:{i}".encode()).hexdigest()[:15], 16
+            )
+            W[j, i] = (h % 2001 - 1000) / 1000.0
+    return W
+
+
+def srp_fingerprints_fast(
+    df: DataFrame,
+    bits: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fp_name: str = "srp",
+) -> DataFrame:
+    """Throughput tier of the SRP fingerprint (queries/similarity.py
+    ann_srp_topk computes the same bits via decimal-sum expressions for
+    oracle parity): ONE numpy matmul per Arrow batch — (n, d) @ (d,
+    bits) then sign-pack into int64. This is the tier that indexes a
+    1M+ vector corpus (bench row ann_srp_1m_vectors).
+
+    Parity note: bit j is sign(dot); float64 matmul and the exact
+    decimal sum can only disagree when |dot| sits inside float
+    rounding error (~1e-13·d) of zero — pinned bit-identical on the
+    test fixtures, and any real corpus hits that knife edge with
+    probability ~0."""
+    import pyarrow as pa
+
+    state: dict = {}
+
+    def _run(batches):
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            ids = tbl[id_col].to_numpy()
+            col = tbl[vec_col].combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            n = len(ids)
+            if n == 0:
+                continue
+            X = flat.reshape(n, -1)
+            W = state.get("W")
+            if W is None or W.shape[1] != X.shape[1]:
+                W = state["W"] = srp_planes(X.shape[1], bits)
+            B = (X @ W.T) >= 0  # (n, bits)
+            fp = np.zeros(n, dtype=np.uint64)
+            for j in range(bits):
+                fp |= B[:, j].astype(np.uint64) << np.uint64(j)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(fp.view(np.int64))],
+                names=[id_col, fp_name],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        _run, schema=f"{id_col} long, {fp_name} long"
+    )
+
+
 def semdedup(
     df: DataFrame,
     tau: float = 0.95,

@@ -337,9 +337,11 @@ def ann_srp_topk(spark, sf_dir):
     ).filter(F.col("rn") <= _TOP_K)
 
 
-def _srp_candidates(spark, emb, e):
-    """(q_id, c_id) SRP band-collision candidates — the shared engine
-    of ann_srp_topk (serving) and ann_srp_recall (measurement)."""
+def _srp_fingerprints_exact(spark, emb, e):
+    """(vec_id, srp) fingerprints via the decimal-sum expression path —
+    the oracle-parity tier. The throughput tier (numpy matmul per
+    Arrow batch, pinned bit-identical on the fixture) is
+    operators/embed.py srp_fingerprints_fast."""
     d = len(emb.select("embedding").first()[0])
     # one flat range, no cross join: (j, idx) unpacked from the id
     base = spark.range(_SRP_BITS * d).select(
@@ -370,13 +372,19 @@ def _srp_candidates(spark, emb, e):
     bitval = F.when(F.col("j") == 63, F.lit(_SRP_MIN_LONG)).otherwise(
         F.pow(F.lit(2.0), F.col("j").cast("double")).cast("long")
     )
-    fps = pdots.groupBy("vec_id").agg(
+    return pdots.groupBy("vec_id").agg(
         F.sum(F.when(F.col("dot") >= 0, bitval).otherwise(F.lit(0)))
         .cast("long")
         .alias("srp")
     )
+
+
+def _srp_candidates(spark, emb, e):
+    """(q_id, c_id) SRP band-collision candidates — the shared engine
+    of ann_srp_topk (serving) and ann_srp_recall (measurement)."""
     from marex_spark.operators.simhash import simhash_bands
 
+    fps = _srp_fingerprints_exact(spark, emb, e)
     bands = simhash_bands(
         fps, bands=_SRP_BANDS, band_bits=_SRP_BAND_BITS,
         id_col="vec_id", fp_name="srp",

@@ -440,3 +440,28 @@ class TestKMeansAssignKernel:
                 assert sorted([mode[i], mode[i + 1]]) == [False, True], i
         n_disagree = sum(1 for v in ka if ka[v] != kb[v])
         assert n_disagree <= 20, n_disagree  # ≥99% agreement
+
+
+def test_srp_fast_tier_bit_identical_to_exact(spark):
+    """srp_fingerprints_fast (numpy matmul per Arrow batch) must match
+    the decimal-sum expression tier bit for bit on the fixture — the
+    two tiers index with the same geometry, so a corpus indexed by the
+    fast tier serves the oracle-verified query rows unchanged."""
+    from marex_spark.operators.embed import srp_fingerprints_fast
+    from marex_spark.queries.similarity import (
+        _exploded,
+        _srp_fingerprints_exact,
+    )
+    from marex_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        r.vec_id: r.srp
+        for r in _srp_fingerprints_exact(
+            spark, emb, _exploded(emb, "vec_id")
+        ).collect()
+    }
+    fast = {r.vec_id: r.srp for r in srp_fingerprints_fast(emb).collect()}
+    assert fast == exact
+    assert len(fast) == 500
+    assert any(v < 0 for v in fast.values()), "bit 63 must be exercised"
