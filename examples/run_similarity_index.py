@@ -91,6 +91,32 @@ def main() -> None:
     merges = bpe_fit(words, n_merges=6)
     print("   learned merges:", " ".join(f"{l}+{r}" for l, r in merges))
 
+    print("== SRP hyperplane-LSH index (training-free, Charikar 2002) ==")
+    from marex_spark.operators.embed import srp_fingerprints_fast
+    from marex_spark.operators.simhash import simhash_bands
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fps = srp_fingerprints_fast(emb)  # numpy tier; md5-derived planes
+    bands = simhash_bands(fps, bands=8, band_bits=8,
+                          id_col="vec_id", fp_name="srp")
+    q = bands.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"), "band", "key"
+    )
+    c = bands.select(F.col("doc_id").alias("c_id"), "band", "key")
+    cand = (
+        q.join(c, ["band", "key"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    n_corpus = emb.count()
+    per_q = cand.groupBy("q_id").count().agg(F.avg("count")).first()[0]
+    print(
+        f"   probe touches ~{per_q:.0f}/{n_corpus} vectors per query "
+        f"({100 * per_q / n_corpus:.1f}% of the corpus; exact-cosine "
+        "rerank + measured recall live in ann_srp_topk / ann_srp_recall)"
+    )
+
 
 if __name__ == "__main__":
     main()
