@@ -139,3 +139,55 @@ def test_map_only_fingerprints_equal_groupby_form(spark):
     # the equality fixture adds its own exchange)
     plain = load_table(spark, SF, "documents")
     assert exchange_count(simhash_fingerprints_map_only(plain)) == 0
+
+
+def test_banding_completeness_property(spark):
+    """Property: over ARBITRARY 64-bit fingerprints (not just the
+    fixture's), the banded join finds exactly the brute-force pairs at
+    hamming <= 3 — including adversarial sets built by flipping <= 3
+    bits of a base pattern across band boundaries and around bit 63.
+    One Spark job over all generated sets (hypothesis would re-enter
+    Spark per example; deterministic construction covers the same
+    space)."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    doc = 0
+    for s in range(6):
+        base = rng.getrandbits(64)
+        members = [base]
+        # neighbours at hamming 1..3, biased to straddle band edges
+        for k in (1, 2, 3):
+            for _ in range(3):
+                bits = rng.sample(
+                    [0, 15, 16, 31, 32, 47, 48, 63]
+                    + [rng.randrange(64) for _ in range(4)],
+                    k,
+                )
+                v = base
+                for b in set(bits):
+                    v ^= 1 << b
+                members.append(v)
+        # plus pure-random strangers
+        members += [rng.getrandbits(64) for _ in range(6)]
+        for v in members:
+            signed = v - (1 << 64) if v >= (1 << 63) else v
+            rows.append((doc + s * 1000, signed))
+            doc += 1
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_band_pairs(
+            fps, bands=4, band_bits=16, max_hamming=3
+        ).collect()
+    }
+    unsigned = {d: (v & _M64) for d, v in ((r[0], r[1]) for r in rows)}
+    want = {
+        (a, b, _ham(unsigned[a], unsigned[b]))
+        for a, b in itertools.combinations(sorted(unsigned), 2)
+        if _ham(unsigned[a], unsigned[b]) <= 3
+    }
+    assert got == want
+    assert len(want) > 50, f"adversarial set too thin: {len(want)}"
