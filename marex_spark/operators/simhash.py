@@ -50,14 +50,32 @@ def simhash_fingerprints(
     id_col: str = "doc_id",
     bits: int = 64,
     fp_name: str = "simhash",
+    lane_bits: int = 16,
 ) -> DataFrame:
     """``(id_col, fp_name)`` — one ``bits``-wide SimHash per document:
     md5-derived word hashes vote ±1 per bit position (term frequency
     weights the vote — the classic formulation), the sign of each
-    vote sets the bit. Bits unrolled as ``bits`` aggregate
-    expressions: one shuffle, map-side combinable, no fan-out."""
+    vote sets the bit. One shuffle, map-side combinable, no fan-out.
+
+    Vote aggregation is LANE-PACKED (r8): instead of ``bits`` separate
+    ±1 SUM buffers, each aggregate packs ``64 // lane_bits`` per-bit
+    ones-counts into one long; the sign test replays as
+    ``2·ones_b > n_words`` (exactly the old ``Σ±1 > 0`` in integers,
+    so fingerprint VALUES are unchanged and every oracle/fixture
+    still holds — pinned by the map-only equality test and the
+    brute-force suite). Measured at 1M docs (SCALE.md r8): the
+    aggregation stage drops 5.2 → 1.7 s (3×, AT the md5 hash-only
+    floor); the whole operator 5.2-7.6 → 4.6-5.4 s — the remainder is
+    the doc-level combine plus the overflow guard below, whose
+    ``raise_error`` forces that final 1M-row stage out of codegen
+    (~1.5 s, the price of refusing to corrupt silently). A lane holds
+    counts up to ``2^lane_bits - 1`` words per document; documents
+    beyond that raise inside the job — raise ``lane_bits`` (32 → 2
+    lanes/agg) for monster documents."""
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in 1..64, got {bits}")
+    if lane_bits not in (8, 16, 32):
+        raise ValueError(f"lane_bits must be 8, 16 or 32, got {lane_bits}")
     tok = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
     )
@@ -67,19 +85,51 @@ def simhash_fingerprints(
         F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("lo"),
         F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("hi"),
     )
-    votes = []
-    for b in range(bits):
+
+    def bit_of(b):
         src = F.col("lo") if b < 32 else F.col("hi")
-        bit = F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
-        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}"))
-    agg = wh.groupBy(id_col).agg(*votes)
-    terms = [
-        F.when(
-            F.col(f"s{b}") > 0,
-            F.lit(_MIN_LONG if b == 63 else (1 << b)),
-        ).otherwise(F.lit(0))
-        for b in range(bits)
-    ]
+        return F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+
+    lanes_per_agg = 64 // lane_bits
+    n_aggs = (bits + lanes_per_agg - 1) // lanes_per_agg
+    aggs = []
+    for k in range(n_aggs):
+        expr = None
+        for lane in range(lanes_per_agg):
+            b = k * lanes_per_agg + lane
+            if b >= bits:
+                break
+            t = F.shiftleft(bit_of(b), lane_bits * lane)
+            expr = t if expr is None else expr + t
+        aggs.append(F.sum(expr).alias(f"p{k}"))
+    aggs.append(F.count("*").alias("__nw"))
+    agg = wh.groupBy(id_col).agg(*aggs)
+    lane_cap = (1 << lane_bits) - 1
+    agg = agg.filter(
+        F.when(F.col("__nw") <= lane_cap, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"simhash_fingerprints: document exceeds {lane_cap} "
+                        "words (lane overflow); re-run with larger "
+                        "lane_bits — doc "
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        )
+    )
+    mask = F.lit(lane_cap)
+    terms = []
+    for b in range(bits):
+        k, lane = divmod(b, lanes_per_agg)
+        ones = F.shiftright(F.col(f"p{k}"), lane_bits * lane).bitwiseAND(mask)
+        terms.append(
+            F.when(
+                ones * 2 > F.col("__nw"),
+                F.lit(_MIN_LONG if b == 63 else (1 << b)),
+            ).otherwise(F.lit(0))
+        )
     combine = reduce(lambda a, c: a + c, terms)
     return agg.select(id_col, combine.cast("long").alias(fp_name))
 

@@ -191,3 +191,29 @@ def test_banding_completeness_property(spark):
     }
     assert got == want
     assert len(want) > 50, f"adversarial set too thin: {len(want)}"
+
+
+def test_lane_overflow_raises_not_corrupts(spark):
+    """A document with more words than a vote lane can count must fail
+    loudly inside the job (silent lane overflow would corrupt the
+    fingerprint). Exercised at lane_bits=8 (cap 255 words)."""
+    import pytest
+
+    from marex_spark.operators.simhash import simhash_fingerprints
+
+    ok = spark.createDataFrame(
+        [(1, " ".join(["w"] * 255))], "doc_id long, text string"
+    )
+    assert simhash_fingerprints(ok, lane_bits=8).count() == 1
+    over = spark.createDataFrame(
+        [(2, " ".join(["w"] * 256))], "doc_id long, text string"
+    )
+    # two guards can fire: the top lane's packed sum trips Spark's
+    # ANSI ARITHMETIC_OVERFLOW mid-aggregation, and any doc that
+    # sneaks past (mid-lane bleed, non-ANSI sessions) hits the
+    # explicit post-agg raise_error. Either way: an exception,
+    # never a corrupted fingerprint.
+    with pytest.raises(Exception, match="lane overflow|ARITHMETIC_OVERFLOW"):
+        simhash_fingerprints(over, lane_bits=8).collect()
+    # same doc is fine at the default 16-bit lanes
+    assert simhash_fingerprints(over).count() == 1
