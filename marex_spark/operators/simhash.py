@@ -58,8 +58,10 @@ def simhash_fingerprints(
     vote sets the bit. One shuffle, map-side combinable, no fan-out.
 
     Vote aggregation is LANE-PACKED (r8): instead of ``bits`` separate
-    ±1 SUM buffers, each aggregate packs ``64 // lane_bits`` per-bit
-    ones-counts into one long; the sign test replays as
+    ±1 SUM buffers, each aggregate packs ``63 // lane_bits`` per-bit
+    ones-counts into one long (3 lanes for the default 16-bit lanes —
+    the packed sum stays ≤ 2^63 − 1 for every legal document, see the
+    in-code note); the sign test replays as
     ``2·ones_b > n_words`` (exactly the old ``Σ±1 > 0`` in integers,
     so fingerprint VALUES are unchanged and every oracle/fixture
     still holds — pinned by the map-only equality test and the
@@ -70,8 +72,8 @@ def simhash_fingerprints(
     ``raise_error`` forces that final 1M-row stage out of codegen
     (~1.5 s, the price of refusing to corrupt silently). A lane holds
     counts up to ``2^lane_bits - 1`` words per document; documents
-    beyond that raise inside the job — raise ``lane_bits`` (32 → 2
-    lanes/agg) for monster documents."""
+    beyond that raise inside the job with the doc id — raise
+    ``lane_bits`` (e.g. 32) for monster documents."""
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in 1..64, got {bits}")
     if lane_bits not in (8, 16, 32):
@@ -90,7 +92,15 @@ def simhash_fingerprints(
         src = F.col("lo") if b < 32 else F.col("hi")
         return F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
 
-    lanes_per_agg = 64 // lane_bits
+    # Pack at most floor(63 / lane_bits) lanes per aggregate: the SUM
+    # over a doc's words is then bounded by (2^lane_bits - 1) ·
+    # Σ_{i<L} 2^(i·lane_bits) = 2^(L·lane_bits) - 1 ≤ 2^63 - 1 for any
+    # doc within lane_cap — it can never trip Spark's ANSI
+    # ARITHMETIC_OVERFLOW before the friendly lane-overflow guard
+    # below gets to fire. (A 64//lane_bits packing put the top lane at
+    # bit 48 for 16-bit lanes, overflowing signed int64 from ~32,768
+    # words — half the documented 65,535-word envelope.)
+    lanes_per_agg = max(1, 63 // lane_bits)
     n_aggs = (bits + lanes_per_agg - 1) // lanes_per_agg
     aggs = []
     for k in range(n_aggs):
@@ -205,6 +215,12 @@ def simhash_fingerprints_map_only(
     is a pure map over the scan: at 100 TB the fingerprinting stage
     shuffles NOTHING.
 
+    NULL text: the groupBy form drops a NULL-text document entirely
+    (``explode(split(NULL))`` emits no rows — and the DuckDB oracle's
+    UNNEST agrees), so this form filters NULL text up front to stay
+    value-identical; without the filter the array fold would emit a
+    spurious ``(doc_id, NULL)`` fingerprint row.
+
     Trade-off — MEASURED, not assumed (SCALE.md round 8, quiet box,
     1M docs ~70 MB text): groupBy form 7.6 s, this form 143.9 s — the
     interpreted HigherOrderFunction vote fold costs ~19× more CPU than
@@ -212,7 +228,7 @@ def simhash_fingerprints_map_only(
     the default engine everywhere; use this one only when an exchange
     is genuinely unaffordable (e.g. a map-only streaming gate, where
     a shuffle is not just slow but impossible)."""
-    return df.select(
+    return df.filter(F.col(text_col).isNotNull()).select(
         id_col, simhash_column(text_col, bits).alias(fp_name)
     )
 

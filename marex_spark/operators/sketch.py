@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 
 _THETA_BITS = 60  # md5's first 15 hex chars
 
+# Reserved column name for the scale tag: collision-resistant so a
+# caller DataFrame that legitimately carries a 'scale' column (even as
+# a group col) is never misread as a tagged survivor set.
+THETA_SCALE_TAG = "__theta_scale"
+
 
 def theta_threshold(scale: int) -> int:
     """Survivor threshold for a 1/scale keep-rate. ``scale`` must be a
@@ -60,15 +65,19 @@ def theta_survivors(
     representation — union any number of them and re-distinct — but
     ONLY across sets built with the SAME ``scale`` (the threshold
     defines the sample; mixing keep-rates silently biases the
-    estimate). ``tag_scale=True`` appends the scale as a column so
+    estimate). ``tag_scale=True`` appends the scale as the reserved
+    column ``__theta_scale`` (:data:`THETA_SCALE_TAG` — NOT plain
+    'scale', which a caller's own schema could carry) so
     :func:`theta_estimate` can reject a mixed-scale merge at run
     time — use it whenever survivor sets are persisted and merged
     later (the per-day/source incremental-profile shape)."""
+    if THETA_SCALE_TAG in group_cols:
+        raise ValueError(f"{THETA_SCALE_TAG!r} is a reserved column name")
     t = theta_threshold(scale)
     h = theta_hash(item)
     cols = [*group_cols, h.alias("h")]
     if tag_scale:
-        cols.append(F.lit(scale).cast("long").alias("scale"))
+        cols.append(F.lit(scale).cast("long").alias(THETA_SCALE_TAG))
     return df.select(*cols).filter(F.col("h") < t).distinct()
 
 
@@ -87,21 +96,26 @@ def theta_estimate(
     ``scale`` — the estimate is ``survivors · scale``, so a set kept at
     a different rate biases it with no arithmetic signal. Sets tagged
     via ``theta_survivors(tag_scale=True)`` are verified row-by-row
-    here (a mismatch raises inside the job); untagged sets are the
-    caller's responsibility."""
-    if "scale" in survivors.columns:
-        ok = F.col("scale") == F.lit(scale)
+    here (a mismatch raises inside the job; the tag rides the reserved
+    ``__theta_scale`` column, so an unrelated 'scale' column in the
+    caller's schema — even one listed in ``group_cols`` — passes
+    through untouched); untagged sets are the caller's
+    responsibility."""
+    if THETA_SCALE_TAG in group_cols:
+        raise ValueError(f"{THETA_SCALE_TAG!r} is a reserved column name")
+    if THETA_SCALE_TAG in survivors.columns:
+        ok = F.col(THETA_SCALE_TAG) == F.lit(scale)
         survivors = survivors.filter(
             F.when(ok, F.lit(True)).otherwise(
                 F.raise_error(
                     F.concat(
                         F.lit("theta_estimate: survivor set built with scale "),
-                        F.col("scale").cast("string"),
+                        F.col(THETA_SCALE_TAG).cast("string"),
                         F.lit(f", estimate requested at scale {scale}"),
                     )
                 )
             )
-        ).drop("scale")
+        ).drop(THETA_SCALE_TAG)
     return (
         survivors.distinct()
         .groupBy(*group_cols)

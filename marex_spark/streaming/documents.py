@@ -465,7 +465,9 @@ def simhash_near_dup_stream(
     _check_banding(bands, band_bits, max_hamming)
     mask = (1 << band_bits) - 1
     fp = simhash_column(text_col)
-    sb = stream.select(
+    # NULL text folds to a NULL fingerprint in the map-only form; the
+    # batch groupBy form (and the oracle) drops such docs — match that.
+    sb = stream.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), fp.alias("_fp")
     ).select(
         id_col,

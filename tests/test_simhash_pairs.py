@@ -124,7 +124,8 @@ def test_map_only_fingerprints_equal_groupby_form(spark):
 
     docs = load_table(spark, SF, "documents").limit(200)
     edge = spark.createDataFrame(
-        [(90001, ""), (90002, "x"), (90003, "a a a"), (90004, "  ")],
+        [(90001, ""), (90002, "x"), (90003, "a a a"), (90004, "  "),
+         (90005, None)],
         "doc_id long, text string",
     )
     both = docs.select("doc_id", "text").unionByName(edge)
@@ -134,6 +135,7 @@ def test_map_only_fingerprints_equal_groupby_form(spark):
         for r in simhash_fingerprints_map_only(both).collect()
     }
     assert a == b
+    assert 90005 not in a, "NULL-text doc must be dropped by both forms"
     assert any(v < 0 for v in a.values()), "fixture should exercise bit 63"
     # zero-exchange claim checked on a plain scan (the limit/union in
     # the equality fixture adds its own exchange)
@@ -208,12 +210,29 @@ def test_lane_overflow_raises_not_corrupts(spark):
     over = spark.createDataFrame(
         [(2, " ".join(["w"] * 256))], "doc_id long, text string"
     )
-    # two guards can fire: the top lane's packed sum trips Spark's
-    # ANSI ARITHMETIC_OVERFLOW mid-aggregation, and any doc that
-    # sneaks past (mid-lane bleed, non-ANSI sessions) hits the
-    # explicit post-agg raise_error. Either way: an exception,
-    # never a corrupted fingerprint.
-    with pytest.raises(Exception, match="lane overflow|ARITHMETIC_OVERFLOW"):
+    # with <= floor(63/lane_bits) lanes per aggregate the packed sum
+    # can never trip Spark's ANSI ARITHMETIC_OVERFLOW first, so the
+    # friendly post-agg guard (with the doc id) always gets to fire
+    with pytest.raises(Exception, match="lane overflow"):
         simhash_fingerprints(over, lane_bits=8).collect()
     # same doc is fine at the default 16-bit lanes
     assert simhash_fingerprints(over).count() == 1
+
+
+def test_documented_word_envelope_no_ansi_overflow(spark):
+    """ADVICE r8 repro: with 64//lane_bits packing, a 40,000-repeated-
+    word document (well inside the documented 65,535-word cap for
+    16-bit lanes) aborted with a raw ANSI ARITHMETIC_OVERFLOW — the
+    top lane sat at bit 48 and the packed SUM crossed 2^63. The
+    63//lane_bits packing must take ANY document within the cap
+    cleanly, and the fingerprint must equal the term-frequency math
+    (all-same-word doc => fingerprint == the word's own bit pattern
+    under the sign rule, i.e. same as the 1-word doc)."""
+    from marex_spark.operators.simhash import simhash_fingerprints
+
+    big = spark.createDataFrame(
+        [(1, " ".join(["q"] * 40_000)), (2, "q")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(big).collect()}
+    assert fps[1] == fps[2]

@@ -130,3 +130,37 @@ def test_theta_estimate_rejects_mixed_scale_merge(spark):
     # mixed-scale merge raises inside the job
     with pytest.raises(Exception, match="theta_estimate"):
         theta_estimate(s16.unionByName(s32), ["g"], 16).collect()
+
+
+def test_theta_caller_scale_column_not_misread(spark):
+    """ADVICE r8: the scale tag rides the reserved __theta_scale
+    column, so a caller whose data legitimately carries a 'scale'
+    column — even as a GROUP column — must work: the column is never
+    compared against the sketch scale nor dropped."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from marex_spark.operators.sketch import (
+        THETA_SCALE_TAG,
+        theta_estimate,
+        theta_survivors,
+    )
+
+    df = spark.range(4000).select(
+        (F.col("id") % 2).alias("scale"),  # caller's own column
+        F.col("id").cast("string").alias("item"),
+    )
+    surv = theta_survivors(df, ["scale"], F.col("item"), 16, tag_scale=True)
+    est = {r["scale"]: r["est_distinct"]
+           for r in theta_estimate(surv, ["scale"], 16).collect()}
+    assert set(est) == {0, 1}
+    for v in est.values():
+        assert abs(v - 2000) / 2000 < 0.5
+    # untagged path groups by the caller's 'scale' column untouched too
+    est2 = theta_estimate(
+        theta_survivors(df, ["scale"], F.col("item"), 16), ["scale"], 16
+    ).collect()
+    assert {r["scale"] for r in est2} == {0, 1}
+    # the reserved name itself is refused as a group col
+    with pytest.raises(ValueError, match="reserved"):
+        theta_survivors(df, [THETA_SCALE_TAG], F.col("item"), 16)
