@@ -36,89 +36,82 @@ import marex_spark.queries.detect_extra  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # ---- r8 window (50 = driver budget), computed by
-    # tools/next_window.py from CORRECTNESS_r0{1..7}.json and executed
-    # exactly as the r7 plan wrote it (all r4-stale rows + this round's
-    # new/engine-changed rows + 2 sentinels + the r5 alphabetical head,
-    # preferring zarr/pq/pca rows for engine coverage).
+    # ---- r9 window (50 = driver budget), computed by
+    # tools/next_window.py from CORRECTNESS_r0{1..8}.json and executed
+    # exactly as the r8 plan wrote it (the full 24-row r5-stale cohort
+    # + this round's new/engine-changed rows + 2 sentinels + the
+    # oldest-r6 rows, alphabetical).
     #
-    # Tier 1 — never driver-verified (new this round):
+    # Tier 1 — never driver-verified (new this round: the SRP
+    # 16-bit-band geometry + the clustered-fixture recall rows):
+    "ann_srp16_topk",
+    "ann_srp_curve_clustered",
+    "ann_ivf_recall_clustered",
+    # Tier 2 — engine changed THIS round: the SimHash lane-repacking
+    # (values unchanged, aggregation buffers reshaped), the SRP
+    # candidate-machinery refactor behind ann_srp_topk/recall, and the
+    # theta scale-tag rename touching the sketch module:
+    "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_simhash_star_capped",
     "ann_srp_topk",
     "ann_srp_recall",
-    # Tier 2 — engine changed THIS round: the 64-bit SimHash rebuild
-    # (both rows re-fixtured) and the IVF broadcast fixes:
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "ann_ivf_recall",
-    # Tier 3 — sentinels for regression cover (strong, r6/r7-green,
-    # covering the scan-pushdown path and the tracking/event-graph
-    # component path):
+    "sketch_theta_distinct",
+    "sketch_source_overlap",
+    # Tier 3 — sentinels for regression cover (r8-green, covering the
+    # scan-pushdown path and the tracking/event-graph component path):
     "s1_scan_pushdown",
     "trk_m7_connected_components",
-    # Tier 4 — the full 20-row r4-stale cohort (ann_ivf_seeded_topk is
-    # both r4-stale AND engine-changed this round):
-    "ann_ivf_kmeans_recall",
-    "ann_ivf_seeded_topk",
-    "dedup_cross_source",
-    "emb_project_fixed",
-    "emb_quantize_int8",
-    "evt_funnel",
-    "evt_retention_cohorts",
-    "f4_haversine",
-    "mhw_episode_stats",
-    "mm_feature_extract",
-    "pipe_source_mix_temperature",
-    "pipe_stratified_sample",
-    "pipe_token_budget_mix",
-    "s4_region_overwrite",
-    "s5_stats_sidecar",
-    "trk_m8_overlap_threshold",
-    "txt_chunk_windows",
-    "txt_pii_redact",
-    "txt_quality_lr",
-    "txt_token_count_bpe",
-    # Tier 5 — 24 of the r5 cohort, alphabetical head with the last
-    # three alphabetical slots (mm_scene_cuts, p4, p6) yielded to the
-    # three zarr round-trip rows per the written plan ("prefer
-    # zarr/pq/pca: most engine code per row"):
-    "a10_spherical_centroid",
-    "a11_area_percentile",
-    "a14_global_stats",
-    "a2_shifting_climatology",
-    "a4_histogram_2d",
-    "a5_histogram_quantile",
-    "a6_exact_quantile",
-    "a7_doy_window_percentile",
-    "a9_object_size",
-    "ann_ivfpq_residual_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_adc",
-    "ann_pq_adc_fast",
-    "emb_pca_power",
-    "emb_pca_project",
-    "f1_date_parts",
-    "f5_digitize",
-    "f8_pair_hash",
-    "j1_climatology_align",
-    # j5_temporal_selfjoin yielded its slot to the new ann_srp_recall
-    # (operators/overlap.py stays covered in-window by the r4-cohort
-    # trk_m8_overlap_threshold, which drives the same lead-window
-    # engine) — r9 remainder cohort.
-    # j9_explode_scatter yielded its slot to the new ann_srp_topk
-    # (trk_j9_merge_ledger shares the scatter operator; it joins the
-    # r9 remainder cohort) — window stays exactly 50.
-    "s7_zarr_roundtrip",
-    "s7_zarr_sharded_roundtrip",
-    "s7_zarr_v3_roundtrip",
-    # ---- r9 window plan (remainder rule): the r5 rows deferred here
-    # (mm_scene_cuts, p4_threshold_predicate, p6_semi_join,
-    # pipe_ccnet_buckets, sess_sessionize, so1_union_distinct,
-    # tpch_q1/q3/q5/q6, trk_extend_incremental, trk_extendu_incremental,
-    # trk_j9_merge_ledger, trk_j9u_merge_ledger, trk_m9_parallel,
-    # trk_m9_split_merge and the rest of the r5 cohort) lead r9,
-    # then the oldest r6 rows; recompute with tools/next_window.py
-    # once CORRECTNESS_r08.json lands.
+    # Tier 4 — the full 24-row r5-stale cohort (the rows the r8 plan
+    # deferred; after this window no registry row is staler than r6):
+    "j5_temporal_selfjoin",
+    "j9_explode_scatter",
+    "mm_scene_cuts",
+    "p4_threshold_predicate",
+    "p6_semi_join",
+    "pipe_ccnet_buckets",
+    "sess_sessionize",
+    "so1_union_distinct",
+    "tpch_q1",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "trk_extend_incremental",
+    "trk_extendu_incremental",
+    "trk_j9_merge_ledger",
+    "trk_j9u_merge_ledger",
+    "trk_m9_parallel",
+    "trk_m9_split_merge",
+    "trk_m9u_parallel",
+    "w1_rolling_mean",
+    "w2_circular_doy_window",
+    "w6_cumsum_offset",
+    "w7_cdf_cumsum",
+    "wr_topk_per_group",
+    # Tier 5 — oldest r6 rows, alphabetical head (14 slots to 50):
+    "a12_max_count_distinct",
+    "a13_first_last_presence",
+    "a1_doy_climatology",
+    "a3_group_std",
+    "a8_conditional_sum",
+    "ann_cosine_topk",
+    "ann_lsh_bucket",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "det_packed_threshold",
+    "f2_harmonics",
+    "f3_linear_detrend",
+    "f7_conditional",
+    "f9_clip",
+    # ---- r10 window plan (remainder rule): the remaining r6 rows
+    # (j2_doy_threshold_join, j3_broadcast_threshold, j4_std_normalise,
+    # j6_property_lookup, j8_id_remap, m11_circular_centroid,
+    # p1_mask_filter, p2_finite_filter, p3_validation_audit,
+    # p5_time_slice, p6_anti_join, p7_positive_id_cleanup,
+    # p8_dtype_casts, s2_netcdf_scan, s6_catalog_scan, so2_except,
+    # so3_union_by_name, trk_m1..m6 and the rest) lead r10, then any
+    # rows new/engine-changed in r10; recompute with
+    # tools/next_window.py once CORRECTNESS_r09.json lands.
 ]
 
 
