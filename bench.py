@@ -28,6 +28,28 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Experiment knobs (the driver runs defaults):
+# SPARK_GRAFT_BENCH_ONLY="row1,row2" times only the named rows (fixtures
+# still materialize; for A/B experiments — the JSON total is partial).
+# SPARK_GRAFT_BENCH_CANARIES=0 disables the weather canaries (for the
+# canary-interaction A/B the r8 verdict asked for).
+ONLY = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
+CANARIES_ON = os.environ.get("SPARK_GRAFT_BENCH_CANARIES", "1") != "0"
+
+# Quiet floors for the canaries, measured on this box across r8's
+# captures (SCALE.md §Round 8: io_cold <1 s and cpu ≈0.315 s on a quiet
+# box). A pass whose canaries exceed these by the storm factors below is
+# STORM-HIT; a row whose every timed pass was storm-hit is flagged
+# weather_suspect in the JSON (r8 verdict #5: the bench adjudicates
+# weather row by row, mechanically). Env-overridable for other boxes.
+IO_COLD_QUIET_SEC = float(os.environ.get("SPARK_GRAFT_IO_QUIET", "1.0"))
+CPU_QUIET_SEC = float(os.environ.get("SPARK_GRAFT_CPU_QUIET", "0.35"))
+MEM_QUIET_SEC = float(os.environ.get("SPARK_GRAFT_MEM_QUIET", "0.10"))
+IO_STORM_FACTOR = 2.0
+CPU_STORM_FACTOR = 1.5
+MEM_STORM_FACTOR = 3.0
+MAX_WEATHER_RETRIES = 12  # bounded extra-pass budget for suspect rows
+
 HEADLINE = [
     "tpch_q1",
     "tpch_q5_local_supplier",
@@ -93,6 +115,13 @@ def main() -> None:
             # IO weather, not an engine regression. Quiet-floor history
             # lives in SCALE.md.
             out["canary"] = holder["canary"]
+        if holder.get("weather"):
+            # r8 verdict #5: per-row self-adjudication. storm_pass marks
+            # each pass vs the quiet floors; suspect lists rows whose
+            # EVERY timed pass was storm-hit (their min is weather-
+            # contaminated); retried lists suspect rows re-timed on a
+            # bounded post-suite quiet pass (min updated if better).
+            out["weather"] = holder["weather"]
         if errors:
             out["errors"] = errors
         print(json.dumps(out), flush=True)
@@ -135,7 +164,9 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
     # 3-8× while the CPU probe (pure whole-stage codegen, zero IO)
     # stays within ~1.2×. Canary time is NOT added to any query timing
     # or the headline total.
-    canary = holder["canary"] = {"io_sec": [], "io_cold_sec": [], "cpu_sec": []}
+    canary = holder["canary"] = {
+        "io_sec": [], "io_cold_sec": [], "cpu_sec": [], "mem_sec": [],
+    }
     canary_state: dict = {}
 
     def _canary_io() -> None:
@@ -194,11 +225,29 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
             "sum(bit_count((id * 2654435761) ^ shiftright(id, 7))) AS s"
         ).collect()
 
+    def _canary_mem() -> None:
+        # single-thread DRAM stream (r9): the r8 spatial-hobday watch
+        # item adjudicated to ambient MEMORY-BANDWIDTH bursts that the
+        # cache-resident cpu canary cannot sense (the 30 MB pooling
+        # tensors in _thr_hobday_spatial run at stream speed; measured
+        # same-box: 0.33 s/band warm-quiet vs 3.0 s under a burst with
+        # byte-identical code). ~256 MB summed once — quiet floor
+        # ~0.09 s on this box; a burst moves it 3-15x.
+        import numpy as np
+
+        a = canary_state.get("mem_buf")
+        if a is None:
+            a = canary_state["mem_buf"] = np.zeros(1 << 28, dtype=np.uint8)
+        float(a.sum())
+
     def _run_canaries() -> None:
+        if not CANARIES_ON:
+            return
         for key, fn in (
             ("io_sec", _canary_io),
             ("io_cold_sec", _canary_io_cold),
             ("cpu_sec", _canary_cpu),
+            ("mem_sec", _canary_mem),
         ):
             try:
                 t0 = time.perf_counter()
@@ -207,23 +256,84 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
             except Exception as e:  # a dead canary must not sink the bench
                 note(f"canary {key}: ERROR {type(e).__name__}: {e}")
 
+    def _storm_hit(idx: int) -> bool:
+        """Was canary sample ``idx`` storm-hit vs the quiet floors?"""
+        storm = False
+        for key, floor, factor in (
+            ("io_cold_sec", IO_COLD_QUIET_SEC, IO_STORM_FACTOR),
+            ("cpu_sec", CPU_QUIET_SEC, CPU_STORM_FACTOR),
+            ("mem_sec", MEM_QUIET_SEC, MEM_STORM_FACTOR),
+        ):
+            vals = canary[key]
+            if idx < len(vals):
+                storm |= vals[idx] > factor * floor
+        return storm
+
+    pass_of_min: dict[str, int] = {}
+
+    def _time_row(name, fn, pass_idx) -> None:
+        if name in errors:
+            return
+        try:
+            t0 = time.perf_counter()
+            fn()
+            dt = round(time.perf_counter() - t0, 3)
+            if dt < timings.get(name, float("inf")):
+                timings[name] = dt
+                pass_of_min[name] = pass_idx
+            note(f"pass{pass_idx + 1} {name}: {dt}s")
+        except Exception as e:
+            timings.pop(name, None)
+            errors[name] = f"{type(e).__name__}: {e}"
+            note(f"{name}: ERROR {type(e).__name__}")
+
     def _execute_plan() -> None:
+        rows = [(n, f) for n, f in plan if not ONLY or n in ONLY]
         for _pass in range(N_PASSES):
             _run_canaries()
-            for name, fn in plan:
-                if name in errors:
-                    continue
-                try:
-                    t0 = time.perf_counter()
-                    fn()
-                    dt = round(time.perf_counter() - t0, 3)
-                    if dt < timings.get(name, float("inf")):
-                        timings[name] = dt
-                    note(f"pass{_pass + 1} {name}: {dt}s")
-                except Exception as e:
-                    timings.pop(name, None)
-                    errors[name] = f"{type(e).__name__}: {e}"
-                    note(f"{name}: ERROR {type(e).__name__}")
+            for name, fn in rows:
+                _time_row(name, fn, _pass)
+        if not CANARIES_ON:
+            return
+        # ---- per-row weather adjudication (r8 verdict #5) ----------
+        storm_pass = [_storm_hit(p) for p in range(len(canary["cpu_sec"]))]
+        suspect = (
+            [n for n, _ in rows if n in timings] if all(storm_pass) else []
+        )
+        retried: list[str] = []
+        if suspect:
+            # every pass was storm-hit: give the worst-off rows ONE
+            # bounded extra pass behind a fresh canary sample; if that
+            # sample is quiet, its mins supersede and the flag clears.
+            _run_canaries()
+            retry_idx = len(canary["cpu_sec"]) - 1
+            storm_pass.append(_storm_hit(retry_idx))
+            if not storm_pass[-1]:
+                budget = set(suspect[:MAX_WEATHER_RETRIES])
+                for name, fn in rows:
+                    if name in budget:
+                        _time_row(name, fn, retry_idx)
+                        retried.append(name)
+                # re-timed rows clear; rows beyond the retry budget
+                # stay flagged
+                suspect = [n for n in suspect if n not in set(retried)]
+        else:
+            # capture had at least one quiet pass — a row is suspect
+            # only if its best time still came from a storm-hit pass
+            # (possible when a row errored/skipped on quiet passes).
+            suspect = [
+                n
+                for n, p in pass_of_min.items()
+                if p < len(storm_pass) and storm_pass[p]
+            ]
+        holder["weather"] = {
+            "storm_pass": storm_pass,
+            "io_quiet_floor": IO_COLD_QUIET_SEC,
+            "cpu_quiet_floor": CPU_QUIET_SEC,
+            "mem_quiet_floor": MEM_QUIET_SEC,
+            "suspect": sorted(suspect),
+            "retried": sorted(retried),
+        }
 
     # Warm the JVM, parquet footers, and Python UDF workers outside the
     # timed region, and land the packed-parquet bench datasets ONCE
