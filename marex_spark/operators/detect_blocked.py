@@ -941,10 +941,22 @@ def detect_extremes_blocked_packed(
             .filter((F.col("band") >= 0) & (F.col("band") < ny))
             .drop("_dy")
         )
-        return fanned.repartition(parallelism, "band").mapInArrow(
+        # RANGE partitioning, not hash: murmur3 over small consecutive
+        # ints is clumpy — measured 40 bands → max 4 per partition at 32
+        # partitions (and still 3 at 128), a 4-band straggler task that
+        # sets the stage makespan. repartitionByRange(ny, band) places
+        # exactly one band per partition (one extra sampling job, ~ms on
+        # the fan input); at production widths one band per task is the
+        # natural grain.
+        return fanned.repartitionByRange(ny, "band").mapInArrow(
             _run, schema=out_schema
         )
-    return packed.repartition(parallelism, "y").mapInArrow(_run, schema=out_schema)
+    # same clumpy-hash fix for the per-y bands: balanced contiguous
+    # ranges of y, parallelism-many partitions (each partition may hold
+    # several bands; the kernel loops unique y within the partition)
+    return packed.repartitionByRange(parallelism, "y").mapInArrow(
+        _run, schema=out_schema
+    )
 
 
 def pack_unstructured(
