@@ -681,7 +681,13 @@ def detect_extremes_blocked(
 
     time_type = series.schema[time_col].dataType.simpleString()
     out_schema = f"{time_col} {time_type}, y int, x int"
-    src = series if assume_band_partitioned else series.repartition(parallelism, "y")
+    # range, not hash: murmur3 clumps small consecutive y ints (see
+    # detect_extremes_blocked_packed) — balanced contiguous y ranges
+    src = (
+        series
+        if assume_band_partitioned
+        else series.repartitionByRange(parallelism, "y")
+    )
     return src.mapInArrow(_run, schema=out_schema)
 
 
@@ -757,7 +763,11 @@ def pack_gridded(
 
     time_type = series.schema[time_col].dataType.simpleString()
     out_schema = f"{time_col} {time_type}, y int, vals array<{val_type}>"
-    return series.repartition(parallelism, "y").mapInArrow(_run, schema=out_schema)
+    # range, not hash: see detect_extremes_blocked_packed (clumpy murmur3
+    # over small consecutive y ints starves the band shuffle)
+    return series.repartitionByRange(parallelism, "y").mapInArrow(
+        _run, schema=out_schema
+    )
 
 
 def detect_extremes_blocked_packed(

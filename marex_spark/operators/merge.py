@@ -1237,7 +1237,7 @@ def split_merge_events_chunked(
         )
         (
             labels.join(F.broadcast(ctab), time_col)
-            .repartition(n_chunks, "__chunk")
+            .repartitionByRange(n_chunks, "__chunk")
             .select(*cols, "__chunk")
             .write.partitionBy("__chunk")
             .mode("overwrite")
@@ -1774,13 +1774,18 @@ def split_merge_events_parallel(
                 ),
             ).withColumn("is_carry", F.lit(1))
             inp = inp.unionByName(cdf)
-        # explicit repartition by block: AQE would otherwise coalesce
-        # the small shuffle and serialise the per-block kernels.
+        # explicit RANGE repartition by block: AQE would otherwise
+        # coalesce the small shuffle and serialise the per-block
+        # kernels, and hash partitioning clumps small consecutive block
+        # ints (murmur3 put 4-of-40 keys in one partition on the detect
+        # path) — range boundaries give one block per partition, and
+        # RangePartitioning satisfies applyInPandas' clustering so no
+        # second exchange appears (plan-checked).
         # persist (not localCheckpoint): lineage does NOT grow across
         # rounds (each round derives from cells_b + small carries).
         n_part = max(len(stale), spark.sparkContext.defaultParallelism)
         fresh = (
-            inp.repartition(n_part, "block")
+            inp.repartitionByRange(n_part, "block")
             .groupBy("block")
             .applyInPandas(_block_kernel, schema=out_schema)
             .persist(StorageLevel.MEMORY_AND_DISK)

@@ -52,7 +52,7 @@ def synthetic_sst_gridded(
         # entirely (assume_band_partitioned=True).
         par = spark.sparkContext.defaultParallelism
         df = (
-            yy.repartition(par, "y")
+            yy.repartitionByRange(par, "y")
             .crossJoin(F.broadcast(t))
             .crossJoin(F.broadcast(xx))
         )
