@@ -117,6 +117,23 @@ def main() -> None:
         "rerank + measured recall live in ann_srp_topk / ann_srp_recall)"
     )
 
+    print("== SRP at the scale-safe geometry (r9): 4x16 bands + multi-probe ==")
+    # Same 64-bit fingerprints; 16-bit band keys make buckets ~n/65,536
+    # and the query side probes each key plus its 16 hamming-1
+    # neighbours — candidates drop ~20-30x vs the 8x8 slices at equal
+    # planted-neighbour recall (see ann_srp_curve_clustered).
+    from marex_spark.queries.similarity import _srp_candidates_from_fps
+
+    cand16 = _srp_candidates_from_fps(fps, 4, 16, probe_1bit=True, nq=5)
+    per_q16 = (
+        cand16.groupBy("q_id").count().agg(F.avg("count")).first() or [0.0]
+    )[0] or 0.0
+    print(
+        f"   multi-probe candidates: ~{per_q16:.0f}/{n_corpus} per query "
+        f"({100 * per_q16 / n_corpus:.2f}% of the corpus; serving row "
+        "ann_srp16_topk, operating curve ann_srp_curve_clustered)"
+    )
+
 
 if __name__ == "__main__":
     main()
