@@ -455,10 +455,11 @@ def test_srp_fast_tier_bit_identical_to_exact(spark):
     from marex_spark.sources.parquet import load_table
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    d = len(emb.select("embedding").first()[0])
     exact = {
         r.vec_id: r.srp
         for r in _srp_fingerprints_exact(
-            spark, emb, _exploded(emb, "vec_id")
+            spark, _exploded(emb, "vec_id"), d
         ).collect()
     }
     fast = {r.vec_id: r.srp for r in srp_fingerprints_fast(emb).collect()}
