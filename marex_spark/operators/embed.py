@@ -706,6 +706,7 @@ def srp_fingerprints_fast(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     fp_name: str = "srp",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Throughput tier of the SRP fingerprint (queries/similarity.py
     ann_srp_topk computes the same bits via decimal-sum expressions for
@@ -717,9 +718,18 @@ def srp_fingerprints_fast(
     decimal sum can only disagree when |dot| sits inside float
     rounding error (~1e-13·d) of zero — pinned bit-identical on the
     test fixtures, and any real corpus hits that knife edge with
-    probability ~0."""
+    probability ~0.
+
+    ``keep_cols`` passes extra columns through the Arrow batches
+    unchanged (e.g. the vector itself for a downstream exact rerank,
+    or a label) — the map stays a single stateless projection, which
+    is what makes it usable on a STREAM (streaming/embed.py
+    srp_probe_stream)."""
     import pyarrow as pa
 
+    keeps = [
+        c for c in (keep_cols or []) if c not in (id_col, fp_name)
+    ]
     state: dict = {}
 
     def _run(batches):
@@ -740,12 +750,17 @@ def srp_fingerprints_fast(
             for j in range(bits):
                 fp |= B[:, j].astype(np.uint64) << np.uint64(j)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(ids), pa.array(fp.view(np.int64))],
-                names=[id_col, fp_name],
+                [pa.array(ids), pa.array(fp.view(np.int64))]
+                + [tbl[c].combine_chunks() for c in keeps],
+                names=[id_col, fp_name, *keeps],
             )
 
-    return df.select(id_col, vec_col).mapInArrow(
-        _run, schema=f"{id_col} long, {fp_name} long"
+    sel = [id_col, vec_col] + [c for c in keeps if c != vec_col]
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keeps
+    )
+    return df.select(*sel).mapInArrow(
+        _run, schema=f"{id_col} long, {fp_name} long{keep_schema}"
     )
 
 

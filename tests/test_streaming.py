@@ -660,3 +660,54 @@ def test_stream_simhash_gate_matches_brute_force(doc_stream_env):
     }
     assert got == want
     assert got, "identical k0-family texts must hit at hamming 0"
+
+
+def test_stream_srp_probe_matches_batch(spark, tmp_path):
+    """The streaming SRP probe gate (stateless mapInArrow fingerprint +
+    map-only multi-probe band fan + stream-static index join + exact
+    cosine) must equal the SAME expression run over the batch frame,
+    and every planted exact copy must hit its corpus source in ALL
+    bands (identical vectors => identical fingerprints => every band
+    key matches exactly)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from marex_spark.operators.embed import srp_fingerprints_fast
+    from marex_spark.streaming.embed import srp_probe_stream
+
+    rng = np.random.default_rng(7)
+    corpus_rows = [
+        (int(i), [float(x) for x in rng.normal(size=16)]) for i in range(80)
+    ]
+    schema = "vec_id long, embedding array<float>"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    srows = [(1000 + i, corpus_rows[i][1]) for i in range(20)] + [
+        (2000 + i, [float(x) for x in rng.normal(size=16)]) for i in range(20)
+    ]
+    sdf = spark.createDataFrame(srows, schema)
+    src = f"{tmp_path}/svecs"
+    sdf.write.mode("overwrite").parquet(src)
+
+    fps = srp_fingerprints_fast(corpus).localCheckpoint()
+    stream = spark.readStream.schema(sdf.schema).parquet(src)
+    got_df = _drain(
+        srp_probe_stream(stream, corpus, fps, tau=0.99, broadcast_index=True),
+        spark,
+        str(tmp_path),
+        "srp_probe_out",
+    )
+    key = lambda r: (r.vec_id, r.corpus_vec_id, r.band, round(r.cosine, 9))  # noqa: E731
+    got = {key(r) for r in got_df.collect()}
+    want = {
+        key(r)
+        for r in srp_probe_stream(
+            sdf, corpus, fps, tau=0.99, broadcast_index=True
+        ).collect()
+    }
+    assert got == want
+    # every planted copy hits its source in all 4 bands
+    by_pair = {}
+    for s, c, b, _ in got:
+        by_pair.setdefault((s, c), set()).add(b)
+    for i in range(20):
+        assert by_pair.get((1000 + i, i)) == {0, 1, 2, 3}, (i, by_pair.get((1000 + i, i)))
