@@ -254,6 +254,9 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
                 fn()
                 canary[key].append(round(time.perf_counter() - t0, 3))
             except Exception as e:  # a dead canary must not sink the bench
+                # pad with None so pass indices stay aligned across the
+                # canary lists (storm grading skips missing samples)
+                canary[key].append(None)
                 note(f"canary {key}: ERROR {type(e).__name__}: {e}")
 
     def _storm_hit(idx: int) -> bool:
@@ -265,7 +268,7 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
             ("mem_sec", MEM_QUIET_SEC, MEM_STORM_FACTOR),
         ):
             vals = canary[key]
-            if idx < len(vals):
+            if idx < len(vals) and vals[idx] is not None:
                 storm |= vals[idx] > factor * floor
         return storm
 
