@@ -943,8 +943,12 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
             Fx.col("doc_id").alias("q_id"), "band", "key"
         )
         c = bands.select(Fx.col("doc_id").alias("c_id"), "band", "key")
+        # r9: broadcast the 40-row probe side (guide §3.1) — same hint
+        # as _srp_candidates_from_fps; kills the corpus band-table
+        # shuffle + sort feeding the old SortMergeJoin.
         n = (
-            q.join(c, ["band", "key"])
+            Fx.broadcast(q)
+            .join(c, ["band", "key"])
             .filter(Fx.col("q_id") != Fx.col("c_id"))
             .select("q_id", "c_id")
             .distinct()

@@ -415,8 +415,15 @@ def _srp_candidates_from_fps(fps, bands, band_bits, probe_1bit, nq):
         q = q.select(F.col("doc_id"), "band", F.explode(keys).alias("key"))
     q = q.select(F.col("doc_id").alias("q_id"), "band", "key")
     c = b.select(F.col("doc_id").alias("c_id"), "band", "key")
+    # r9 (guide §3.1): the probe side is bounded by nq × bands ×
+    # (band_bits + 1) rows at ANY corpus size (its scan carries the
+    # pushed vec_id < nq filter), so broadcast it — the corpus band
+    # table is probed map-side instead of hash-shuffled + sorted into
+    # a SortMergeJoin against ~40 rows (one full-corpus Exchange and
+    # two Sorts removed; measured on the 1M-vector bench rows).
     return (
-        q.join(c, ["band", "key"])
+        F.broadcast(q)
+        .join(c, ["band", "key"])
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id")
         .distinct()
@@ -1263,8 +1270,15 @@ def ann_ivf_seeded_topk(spark, sf_dir):
     probes = asn.filter(
         (F.col("rn") <= _N_PROBE) & (F.col("vid") < _N_QUERY)
     ).select(F.col("vid").alias("q_id"), F.col("cent_id").alias("bucket"))
+    # r9 (guide §3.1): probes is nq × nprobe rows at ANY corpus size
+    # (the vid < _N_QUERY filter pushes below the assignment window to
+    # the scan), so broadcast it — without the hint the size ESTIMATE
+    # of its full-corpus window subtree forces a SortMergeJoin that
+    # hash-shuffles every (c_id, bucket) assignment row against
+    # nq × nprobe probe rows.
     pairs = (
-        probes.join(buckets, "bucket")
+        F.broadcast(probes)
+        .join(buckets, "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id")
     )

@@ -587,9 +587,14 @@ def test_ivf_seeded_topk_no_corpus_broadcast(spark):
     n_bc = plan.count("BroadcastExchange")
     n_seed_scans = plan.count(f"LessThan(vec_id,{_N_SEED})")
     assert n_bc > 0, "seed broadcast hint must survive"
-    # seeds feed ONLY broadcast sides; equality means no other
-    # (corpus-sized) broadcast exists and no seed scan shuffles.
-    assert n_bc == n_seed_scans, plan[:3000]
+    # seeds feed ONLY broadcast sides, plus exactly ONE more hinted
+    # broadcast (r9): the probe side of the bucket join — nq × nprobe
+    # rows at any corpus size, its scan identified by the pushed
+    # query filter. No other (corpus-sized) broadcast exists.
+    from marex_spark.queries.similarity import _N_QUERY
+
+    assert plan.count(f"LessThan(vec_id,{_N_QUERY})") > 0, plan[:3000]
+    assert n_bc == n_seed_scans + 1, plan[:3000]
     # the corpus-side joins hash-shuffle on their keys
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
@@ -634,11 +639,12 @@ def test_srp_topk_no_corpus_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
-    # every broadcast build is a Range-derived plane table: equal
-    # counts of broadcast joins and Range scans means no parquet
-    # (corpus) relation is ever broadcast
-    assert plan.count("BroadcastHashJoin") == plan.count("Range ("), plan[:3000]
-    assert plan.count("BroadcastHashJoin") > 0
+    # broadcast builds are the Range-derived plane tables PLUS exactly
+    # one more (r9): the band-probe side — nq × bands rows at any
+    # corpus size (its scan carries the pushed vec_id < nq filter).
+    # The corpus band table itself is never broadcast.
+    assert plan.count("BroadcastHashJoin") == plan.count("Range (") + 1, plan[:3000]
+    assert plan.count("BroadcastHashJoin") > 1
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
@@ -660,8 +666,10 @@ def test_srp16_topk_no_corpus_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("BroadcastHashJoin") == plan.count("Range ("), plan[:3000]
-    assert plan.count("BroadcastHashJoin") > 0
+    # Range-derived plane tables + the one hinted band-probe build
+    # (r9, same shape as the 8×8 pin above)
+    assert plan.count("BroadcastHashJoin") == plan.count("Range (") + 1, plan[:3000]
+    assert plan.count("BroadcastHashJoin") > 1
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
@@ -684,6 +692,10 @@ def test_srp_curve_clustered_no_corpus_broadcast(spark):
     # the scalar singleton combines are the ONLY cartesians
     assert plan.count("CartesianProduct") == 4, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan
-    # every hash-broadcast build is a Range-derived plane table
-    assert plan.count("BroadcastHashJoin") == plan.count("Range ("), plan[:3000]
-    assert plan.count("BroadcastHashJoin") > 0
+    # Range-derived plane tables + the hinted band-probe builds (r9):
+    # each geometry's candidate subtree is referenced TWICE pre-AQE
+    # (the rerank join and the n_cand count; runtime exchange reuse
+    # dedupes), so 2 geometries × 2 references = 4 probe broadcasts —
+    # each nq × bands × (band_bits+1) rows max at any corpus size.
+    assert plan.count("BroadcastHashJoin") == plan.count("Range (") + 4, plan[:3000]
+    assert plan.count("BroadcastHashJoin") > 4
