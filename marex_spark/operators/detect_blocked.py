@@ -26,12 +26,46 @@ cluster, the same arithmetic the reference runs per dask chunk.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _band_shuffle(df: DataFrame, key: str, parallelism: int) -> DataFrame:
+    """The ONE exchange of the blocked detect path: place every row of a
+    band ``key`` in a single task, balanced across the cluster.
+
+    Modes (env ``MAREX_BAND_SHUFFLE``, a scale knob — the local default
+    is also the right cluster default):
+
+    - ``hash8`` (default): hash into ``8 × parallelism`` partitions.
+      murmur3 over a handful of consecutive band ints is clumpy at
+      ``parallelism`` partitions (measured r9: 40 bands → max 4/partition
+      at 32), but at 8× over-partitioning the max load drops to 1-2
+      bands and the scheduler bin-packs the surplus tasks, so the stage
+      makespan matches range partitioning WITHOUT its sampling pass —
+      ``repartitionByRange`` executes the child TWICE (once to sample
+      boundaries), which on a multi-GB packed scan doubles the scan
+      cost (guide §2.5: synthetic keys need many more distinct values
+      than partitions; over-partitioning is how a small key domain
+      gets them). Empty partitions cost one no-op task each.
+    - ``range``: exact contiguous balance, one extra sampling execution
+      of the child — right when the input is tiny or recomputation is
+      cheap relative to a straggler band.
+    - ``hash``: the r8 form (``parallelism`` partitions), kept for A/B.
+    """
+    mode = os.environ.get("MAREX_BAND_SHUFFLE", "hash8")
+    if mode == "range":
+        return df.repartitionByRange(parallelism, key)
+    if mode == "hash":
+        return df.repartition(parallelism, key)
+    if mode == "hash4":
+        return df.repartition(4 * parallelism, key)
+    return df.repartition(8 * parallelism, key)
 
 
 def _time_unit(ts_type) -> tuple[str, bool]:
@@ -681,12 +715,12 @@ def detect_extremes_blocked(
 
     time_type = series.schema[time_col].dataType.simpleString()
     out_schema = f"{time_col} {time_type}, y int, x int"
-    # range, not hash: murmur3 clumps small consecutive y ints (see
-    # detect_extremes_blocked_packed) — balanced contiguous y ranges
+    # balanced band placement without the range-sampling double-scan
+    # (see _band_shuffle)
     src = (
         series
         if assume_band_partitioned
-        else series.repartitionByRange(parallelism, "y")
+        else _band_shuffle(series, "y", parallelism)
     )
     return src.mapInArrow(_run, schema=out_schema)
 
@@ -763,9 +797,9 @@ def pack_gridded(
 
     time_type = series.schema[time_col].dataType.simpleString()
     out_schema = f"{time_col} {time_type}, y int, vals array<{val_type}>"
-    # range, not hash: see detect_extremes_blocked_packed (clumpy murmur3
-    # over small consecutive y ints starves the band shuffle)
-    return series.repartitionByRange(parallelism, "y").mapInArrow(
+    # balanced band placement without the range-sampling double-scan
+    # (see _band_shuffle)
+    return _band_shuffle(series, "y", parallelism).mapInArrow(
         _run, schema=out_schema
     )
 
@@ -951,20 +985,18 @@ def detect_extremes_blocked_packed(
             .filter((F.col("band") >= 0) & (F.col("band") < ny))
             .drop("_dy")
         )
-        # RANGE partitioning, not hash: murmur3 over small consecutive
-        # ints is clumpy — measured 40 bands → max 4 per partition at 32
-        # partitions (and still 3 at 128), a 4-band straggler task that
-        # sets the stage makespan. repartitionByRange(ny, band) places
-        # exactly one band per partition (one extra sampling job, ~ms on
-        # the fan input); at production widths one band per task is the
-        # natural grain.
-        return fanned.repartitionByRange(ny, "band").mapInArrow(
+        # one band per task is the natural grain here; over-partitioned
+        # hash (default) or range both achieve it — see _band_shuffle
+        # for the trade (range pays a sampling re-execution of the fan)
+        return _band_shuffle(fanned, "band", parallelism).mapInArrow(
             _run, schema=out_schema
         )
-    # same clumpy-hash fix for the per-y bands: balanced contiguous
-    # ranges of y, parallelism-many partitions (each partition may hold
-    # several bands; the kernel loops unique y within the partition)
-    return packed.repartitionByRange(parallelism, "y").mapInArrow(
+    # balanced band placement without the range-sampling double-scan —
+    # on this path the child is a multi-GB packed scan, where range
+    # partitioning's boundary-sampling pass re-executed the ENTIRE
+    # scan+decode before the real shuffle (see _band_shuffle; the
+    # kernel loops unique y within its partition either way)
+    return _band_shuffle(packed, "y", parallelism).mapInArrow(
         _run, schema=out_schema
     )
 

@@ -1144,14 +1144,16 @@ def pipe_dsir_resample(spark, sf_dir):
     )
     # ONE corpus pass: everything downstream (raw/target bucket models,
     # totals, per-doc weights) aggregates the per-(doc, bucket) count
-    # table — the three consumers share an identical subtree, so the
-    # (map-side-combined, bucket-count-sized) exchange is computed once
-    # and reused instead of re-running the bigram explode per model
+    # table. The three consumers prune DIFFERENT column sets out of it
+    # (wts drops lang, models drops doc_id from the output, tots keeps
+    # only the sums), so Catalyst's ReuseExchange never sees identical
+    # subtrees and the bigram explode + md5 ran three times (the r9
+    # before-plan shows 3 parquet scans). localCheckpoint materialises
+    # the count table once — corpus-linear but explode-free — and every
+    # model reads the checkpointed blocks instead of re-hashing bigrams.
     docb = bg.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
-    # both bucket models in ONE conditional aggregation over docb (a
-    # filtered target aggregate would push the lang predicate below the
-    # shared subtree and defeat exchange reuse — the corpus explode
-    # would run once per model)
+    docb = docb.localCheckpoint()
+    # both bucket models in ONE conditional aggregation over docb
     models = docb.groupBy("b").agg(
         F.sum("c").alias("c_r"),
         F.sum(
