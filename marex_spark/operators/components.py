@@ -42,6 +42,7 @@ def connected_components_driver(
     id_col: str = "obj_id",
     compact: bool = True,
     max_driver_pairs: int = 50_000_000,
+    include_singletons: bool = True,
 ) -> DataFrame:
     """(obj_id → event_id) mapping: union-find on the collected pair
     list; singletons map to themselves; event IDs compacted to 1..K by
@@ -56,10 +57,23 @@ def connected_components_driver(
     pathological field can blow it up — above ``max_driver_pairs`` the
     collect would OOM the driver, so this hands off to the distributed
     large-star/small-star solver (same mapping, compact=False
-    semantics: root = min member id)."""
+    semantics: root = min member id).
+
+    ``include_singletons=False`` (compact=False only) returns the
+    SPARSE mapping — only ids that appear in a pair — skipping the
+    full ``all_ids.distinct()`` pass over the cell table entirely; pair
+    that with :func:`remap_ids_sparse`, whose left-join + coalesce
+    reproduces the identity rows the dense mapping would carry. (The
+    over-budget fallback may return a superset — identity rows are
+    harmless to the coalesce.)"""
     import pandas as pd
     from pyspark.storagelevel import StorageLevel
 
+    if not include_singletons and compact:
+        raise ValueError(
+            "include_singletons=False requires compact=False "
+            "(dense_rank needs the full id set)"
+        )
     spark = pairs.sparkSession
     # persist across the size guard so the pair plan executes ONCE
     # (count for the guard, then either the Arrow collect or the
@@ -85,6 +99,8 @@ def connected_components_driver(
         }
     )
     map_df = spark.createDataFrame(map_pdf, schema=f"{id_col} long, root long")
+    if not include_singletons:
+        return map_df.select(id_col, F.col("root").alias("event_id"))
     full = (
         all_ids.select(id_col)
         .distinct()
@@ -198,3 +214,16 @@ def remap_ids(
     """J8: broadcast-join the (obj_id → event_id) table onto the cell
     field (track.py:2894-2926)."""
     return labels.join(F.broadcast(mapping), id_col)
+
+
+def remap_ids_sparse(
+    labels: DataFrame, mapping: DataFrame, id_col: str = "obj_id"
+) -> DataFrame:
+    """J8 for a SPARSE root mapping (singleton ids omitted): left
+    broadcast join + coalesce to the identity. Output rows and column
+    order are identical to ``remap_ids`` over the dense mapping — the
+    pairing saves the ``all_ids.distinct()`` cell-table pass that
+    builds the dense one."""
+    return labels.join(F.broadcast(mapping), id_col, "left").withColumn(
+        "event_id", F.coalesce("event_id", F.col(id_col))
+    )

@@ -438,16 +438,21 @@ _MESH_ADJ_BCAST_BYTES = 8 << 20
 # per-task materialisation bound (~40 bytes/cell in pandas → ~80 MB).
 TARGET_BLOCK_CELLS = 2_000_000
 
-# Stale re-resolution rounds (Jacobi rounds ≥ 1, typically a handful of
-# blocks) whose total cell count fits this budget run their block
-# kernels ON THE DRIVER instead of paying a full shuffle →
-# applyInPandas → persist → collect cycle per round (measured ~4-8 s
-# of fixed Spark overhead per round vs ~0.3 s/block of kernel). ~40
-# bytes/cell in pandas → 4M cells ≈ 160 MB, far below the serial-tier
-# ceiling, so the parallel tier's driver-memory story is unchanged; at
-# production block sizes a stale round exceeding the budget simply
-# stays distributed.
-PARALLEL_STALE_DRIVER_CELLS = 4_000_000
+# Stale re-resolution rounds (Jacobi rounds ≥ 1) whose total cell count
+# fits this budget run their block kernels ON THE DRIVER (Gauss-Seidel
+# in time order). DEFAULT 0 = always distributed: once the partitioned
+# cell cache + broadcast-carry form made a distributed stale round cost
+# ~2 s at sf0.1 (tools/ab_merge_stale.py), the driver path measured
+# STRICTLY worse at every probed size — its kernels run serially
+# (~1 s/block × 9 stale blocks) and its resolved blocks pay an Arrow
+# re-upload at stitch time (16.8 s vs 9.7 s whole-resolver minima), and
+# at sf0.01 the resolver converges with no stale round at all, so there
+# is no small-scale constituency either. The old cost model ("~4-8 s
+# of fixed Spark overhead per round vs ~0.3 s/block of kernel")
+# described the pre-cache per-round shuffle, which no longer exists.
+# Kept as an A/B knob; equality of both paths stays pinned in
+# tests/test_merge.py::test_parallel_stale_driver_path_equals_distributed.
+PARALLEL_STALE_DRIVER_CELLS = 0
 
 
 def _guard_serial_cells(n_cells: int, budget: int | None, what: str) -> None:
@@ -1393,14 +1398,15 @@ def split_merge_events_parallel(
     rounds, so ≤ #blocks rounds — in practice 2-3, because a block's
     resolution rarely changes its final two slices). Per round the
     driver holds only the carries and ledgers (small); the cells stay
-    distributed. Stale rounds (≥ 2) whose few stale blocks total ≤
-    ``PARALLEL_STALE_DRIVER_CELLS`` run the SAME block kernel on the
-    driver instead — one collect replaces a full shuffle → kernel →
-    persist → collect cycle, and processing the stale blocks in time
-    order propagates each new carry within the round (Gauss–Seidel),
-    typically converging one round earlier; convergence is still
-    certified by the same carry-fixpoint check, and oversized stale
-    rounds stay distributed. Block-local new ids live in disjoint namespaces
+    distributed. The cell set pays ONE range exchange total (cached
+    partitioned by block); carries ride a per-round broadcast, so
+    every round — including stale re-resolution rounds — is a bare
+    filter of that cache with zero further exchanges. (A driver-side
+    Gauss–Seidel stale path exists behind
+    ``PARALLEL_STALE_DRIVER_CELLS``, default 0/off — it measured
+    strictly slower once distributed rounds stopped paying a
+    per-round shuffle; see the constant's comment.)
+    Block-local new ids live in disjoint namespaces
     (``global_max + 1 + block·2^33``) and are renumbered afterwards in
     (block, creation-order) order — exactly the serial counter's time
     order — so output and ledger match ``split_merge_events`` exactly
@@ -1538,10 +1544,9 @@ def split_merge_events_parallel(
 
     coord_cols = ["y", "x"] if grid else ["cell", "lat", "lon"]
     coord_schema = "y long, x long" if grid else "cell long, lat double, lon double"
-    # NOT checkpointed: labels is already materialised (input checkpoint
-    # or label_components' own), so re-running the broadcast block-tag
-    # join per round is a cheap map-side scan — a localCheckpoint here
-    # paid a second full materialisation of the cell set per call.
+    # NOT checkpointed: this plan is executed exactly once, as the
+    # child of the single range exchange cached as `inp0` below —
+    # every resolution round reads that cache, never this join.
     cells_b = labels.select(time_col, *coord_cols, "obj_id").join(
         blocks_df, time_col
     )
@@ -1552,10 +1557,9 @@ def split_merge_events_parallel(
         f"{coord_schema}, obj_id long, parent long, overlap long"
     )
 
-    def _block_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        b = int(pdf["block"].iloc[0])
-        carry_pdf = pdf[pdf["is_carry"] == 1]
-        cells_pdf = pdf[pdf["is_carry"] == 0]
+    def _block_kernel_core(
+        b: int, cells_pdf: pd.DataFrame, carry_pdf: pd.DataFrame | None
+    ) -> pd.DataFrame:
         resolver = _Resolver(
             nx=nx,
             wrap_x=wrap_x,
@@ -1571,7 +1575,7 @@ def split_merge_events_parallel(
         )
         resolver.next_new_id = global_max + 1 + b * stride
         carry = []
-        if len(carry_pdf):
+        if carry_pdf is not None and len(carry_pdf):
             cslices, ctimes = resolver.build_slices(carry_pdf, time_col)
             carry = [(ctimes[i], cslices[i]) for i in range(len(ctimes))]
         slices, stimes = resolver.build_slices(cells_pdf, time_col)
@@ -1662,6 +1666,18 @@ def split_merge_events_parallel(
             }
         )
 
+    def _mk_round_kernel(carry_bc):
+        """Distributed-round kernel: cells arrive as the group rows,
+        the (small) carries ride a per-round broadcast keyed by block —
+        so the per-round input plan is a bare filter of the cached
+        partitioned cell set, with no carry union and no exchange."""
+
+        def _k(pdf: pd.DataFrame) -> pd.DataFrame:
+            b = int(pdf["block"].iloc[0])
+            return _block_kernel_core(b, pdf, carry_bc.value.get(b))
+
+        return _k
+
     key_cols = ["y", "x"] if grid else ["cell"]
 
     def _carry_key(pdf: pd.DataFrame):
@@ -1681,9 +1697,23 @@ def split_merge_events_parallel(
     # so at the fixpoint every block has been resolved against the true
     # chain (block 0 exact after round 1, block b after <= b+1 rounds).
     seed_cols = [time_col, *coord_cols, "obj_id", "block"]
+    # ONE range exchange for the whole resolution, persisted: every
+    # round's kernel input is a bare filter of this cached partitioned
+    # table (RangePartitioning(block) satisfies applyInPandas'
+    # clustering through a filter, so rounds >= 1 run with ZERO
+    # exchanges and no repeated boundary-sampling scan — the A/B that
+    # motivated this measured ~3-6.5 s of fixed cost per stale round
+    # in the shuffle-per-round form, tools/ab_merge_stale.py).
+    from pyspark.storagelevel import StorageLevel
+
+    n_part = max(n_blocks, spark.sparkContext.defaultParallelism)
+    inp0 = cells_b.repartitionByRange(n_part, "block").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if carry_times:
+        # first action: materialises the cache AND collects the seeds
         seed_pdf = (
-            cells_b.filter(F.col(time_col).isin(list(carry_times)))
+            inp0.filter(F.col(time_col).isin(list(carry_times)))
             .select(*seed_cols)
             .toPandas()
         )
@@ -1701,7 +1731,6 @@ def split_merge_events_parallel(
     rounds_cap = max_rounds or (n_blocks + 1)
     global LAST_PARALLEL_ROUNDS
     LAST_PARALLEL_ROUNDS = 0
-    from pyspark.storagelevel import StorageLevel
 
     def _same_carry(a, b):
         if a is None or b is None:
@@ -1711,7 +1740,7 @@ def split_merge_events_parallel(
     stale = list(range(n_blocks))
     _PARALLEL_STALE_LOG.clear()
     driver_latest: dict[int, pd.DataFrame] = {}
-    input_cols = [time_col, *coord_cols, "obj_id", "block", "is_carry"]
+    carry_bcs: list = []
     for rnd in range(rounds_cap):
         if not stale:
             break
@@ -1722,22 +1751,24 @@ def split_merge_events_parallel(
         ):
             # stale-round driver fast path: one collect job, then the
             # SAME block kernel runs locally per stale block — same
-            # inputs, same carries, byte-identical output frames
+            # inputs, same carries, byte-identical output frames.
+            # Gauss–Seidel in-order carry propagation can converge a
+            # round earlier, but the kernels run SERIALLY and the
+            # resolved blocks must be re-uploaded at stitch time, so
+            # this only pays for genuinely tiny stale sets (A/B:
+            # tools/ab_merge_stale.py — 9 stale blocks driver 16-20 s
+            # vs 6.9+6.4 s for two distributed rounds).
             stale_pdf = (
-                cells_b.filter(F.col("block").isin(stale))
-                .withColumn("is_carry", F.lit(0))
-                .select(*input_cols)
+                inp0.filter(F.col("block").isin(stale))
+                .select(*seed_cols)
                 .toPandas()
             )
             for b in stale:
-                pieces = [stale_pdf[stale_pdf["block"] == b]]
+                cells_pdf = stale_pdf[stale_pdf["block"] == b]
                 c = carry_in[b]
-                if c is not None and len(c):
-                    pieces.append(c.assign(block=b, is_carry=1)[input_cols])
-                pdf = pd.concat(pieces, ignore_index=True)
-                carry_used[b] = carry_in[b]
-                if len(pdf):
-                    out_pdf = _block_kernel(pdf)
+                carry_used[b] = c
+                if len(cells_pdf) or (c is not None and len(c)):
+                    out_pdf = _block_kernel_core(b, cells_pdf, c)
                     driver_latest[b] = out_pdf
                     latest.pop(b, None)
                     g = out_pdf[
@@ -1745,7 +1776,7 @@ def split_merge_events_parallel(
                         & out_pdf[time_col].isin(carry_times)
                     ][[time_col, *coord_cols, "obj_id"]]
                 else:  # block with no cells AND no carry (groupBy would
-                    g = pdf  # never have called the kernel either)
+                    g = cells_pdf  # never have called the kernel either)
                 if b + 1 < n_blocks and carry_times:
                     carry_in[b + 1] = g if len(g) else None
             stale = [
@@ -1757,37 +1788,18 @@ def split_merge_events_parallel(
             _PARALLEL_STALE_LOG.append(len(stale))
             _mark(f"round{rnd}_driver")
             continue
-        inp = cells_b.filter(F.col("block").isin(stale)).withColumn(
-            "is_carry", F.lit(0)
+        # distributed round: a bare filter of the cached partitioned
+        # cells (no exchange — RangePartitioning(block) survives the
+        # filter and satisfies the groupBy clustering, plan-checked in
+        # tests), carries ride a per-round broadcast.
+        inp = inp0 if rnd == 0 else inp0.filter(F.col("block").isin(stale))
+        carry_bc = spark.sparkContext.broadcast(
+            {b: carry_in[b] for b in stale if carry_in[b] is not None}
         )
-        carry_frames = [
-            carry_in[b].assign(block=b)
-            for b in stale
-            if carry_in[b] is not None and len(carry_in[b])
-        ]
-        if carry_frames:
-            cdf = spark.createDataFrame(
-                pd.concat(carry_frames, ignore_index=True)[seed_cols],
-                schema=(
-                    f"{time_col} {time_type}, {coord_schema}, "
-                    "obj_id long, block long"
-                ),
-            ).withColumn("is_carry", F.lit(1))
-            inp = inp.unionByName(cdf)
-        # explicit RANGE repartition by block: AQE would otherwise
-        # coalesce the small shuffle and serialise the per-block
-        # kernels, and hash partitioning clumps small consecutive block
-        # ints (murmur3 put 4-of-40 keys in one partition on the detect
-        # path) — range boundaries give one block per partition, and
-        # RangePartitioning satisfies applyInPandas' clustering so no
-        # second exchange appears (plan-checked).
-        # persist (not localCheckpoint): lineage does NOT grow across
-        # rounds (each round derives from cells_b + small carries).
-        n_part = max(len(stale), spark.sparkContext.defaultParallelism)
+        carry_bcs.append(carry_bc)
         fresh = (
-            inp.repartitionByRange(n_part, "block")
-            .groupBy("block")
-            .applyInPandas(_block_kernel, schema=out_schema)
+            inp.groupBy("block")
+            .applyInPandas(_mk_round_kernel(carry_bc), schema=out_schema)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         round_dfs.append(fresh)
@@ -1912,6 +1924,9 @@ def split_merge_events_parallel(
     _mark("final_checkpoint")
     for df in round_dfs:
         df.unpersist()
+    inp0.unpersist()
+    for bc in carry_bcs:
+        bc.unpersist()
     return cells_out, _ledger_df(spark, ledger, time_col, time_type)
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from marex_spark.operators.components import (
     connected_components_driver,
     remap_ids,
+    remap_ids_sparse,
 )
 from marex_spark.operators.label import label_components
 from marex_spark.operators.overlap import (
@@ -337,8 +338,16 @@ def track_events(
             areas = object_areas(labels, time_col=time_col)
             pairs = filter_overlap_fraction(pairs, areas, overlap_threshold)
 
-    mapping = connected_components_driver(pairs, labels, compact=compact_ids)
-    events = remap_ids(labels, mapping)
+    if compact_ids:
+        mapping = connected_components_driver(pairs, labels, compact=True)
+        events = remap_ids(labels, mapping)
+    else:
+        # root-id numbering: the sparse mapping + coalescing remap skip
+        # the all-ids distinct pass over the cell table (identical rows)
+        mapping = connected_components_driver(
+            pairs, labels, compact=False, include_singletons=False
+        )
+        events = remap_ids_sparse(labels, mapping)
 
     ts_stats = life = None
     if compute_stats and grid_y is not None and grid_x is not None:
@@ -485,8 +494,14 @@ def track_events_unstructured(
         areas = object_areas(labels, time_col=time_col)
         pairs = filter_overlap_fraction(pairs, areas, overlap_threshold)
 
-    mapping = connected_components_driver(pairs, labels, compact=compact_ids)
-    events = remap_ids(labels, mapping)
+    if compact_ids:
+        mapping = connected_components_driver(pairs, labels, compact=True)
+        events = remap_ids(labels, mapping)
+    else:
+        mapping = connected_components_driver(
+            pairs, labels, compact=False, include_singletons=False
+        )
+        events = remap_ids_sparse(labels, mapping)
 
     ts_stats = life = None
     if compute_stats and cell_geo is not None:

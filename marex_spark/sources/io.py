@@ -575,6 +575,7 @@ def rewind_track_run(
     from marex_spark.operators.components import (
         connected_components_driver,
         remap_ids,
+        remap_ids_sparse,
     )
     from marex_spark.operators.overlap import (
         filter_overlap_fraction,
@@ -644,9 +645,16 @@ def rewind_track_run(
         areas = object_areas(labels, time_col=tc)
         pairs = filter_overlap_fraction(pairs, areas, overlap_threshold)
     # same numbering as the archived run: dense 1..K when it used
-    # compact_ids, component roots otherwise
-    mapping = connected_components_driver(pairs, labels, compact=compact)
-    events = remap_ids(labels, mapping)
+    # compact_ids, component roots otherwise (sparse mapping +
+    # coalescing remap — skips the all-ids distinct pass)
+    if compact:
+        mapping = connected_components_driver(pairs, labels, compact=True)
+        events = remap_ids(labels, mapping)
+    else:
+        mapping = connected_components_driver(
+            pairs, labels, compact=False, include_singletons=False
+        )
+        events = remap_ids_sparse(labels, mapping)
 
     ts = life = None
     if dims_given:

@@ -101,3 +101,38 @@ def test_driver_cc_auto_fallback_matches(spark):
     assert set(compact_fb.values()) == {1, 2, 3}  # dense 1..K over 3 components
     assert compact_fb[1] == compact_fb[2] == compact_fb[3]
     assert compact_fb[10] == compact_fb[11] != compact_fb[20]
+
+
+def test_sparse_mapping_remap_equals_dense(spark):
+    """include_singletons=False + remap_ids_sparse must reproduce the
+    dense compact=False mapping's remap EXACTLY (rows, values, column
+    order) — it's the default link path of track_events, which skips
+    the all-ids distinct pass (r9 link-phase optimization)."""
+    from marex_spark.operators.components import remap_ids, remap_ids_sparse
+
+    pairs, ids = _graph(spark)
+    # a cell table: several rows per obj id, plus payload columns
+    cells = ids.crossJoin(spark.range(3).select(F.col("id").alias("t"))).select(
+        "t", "obj_id", (F.col("obj_id") * 10 + F.col("t")).alias("payload")
+    )
+    dense = connected_components_driver(pairs, ids, compact=False)
+    sparse = connected_components_driver(
+        pairs, ids, compact=False, include_singletons=False
+    )
+    # sparse mapping must not contain singleton 20
+    assert 20 not in {r.obj_id for r in sparse.collect()}
+    want = remap_ids(cells, dense)
+    got = remap_ids_sparse(cells, sparse)
+    assert got.columns == want.columns
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() == cells.count()
+
+
+def test_sparse_requires_non_compact(spark):
+    import pytest
+
+    pairs, ids = _graph(spark)
+    with pytest.raises(ValueError):
+        connected_components_driver(
+            pairs, ids, compact=True, include_singletons=False
+        )

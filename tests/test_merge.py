@@ -721,13 +721,15 @@ def test_parallel_stale_driver_path_equals_distributed(
     """The stale-round driver fast path (rounds >= 1 under
     PARALLEL_STALE_DRIVER_CELLS run the block kernel driver-side,
     Gauss-Seidel in time order) must be byte-identical to keeping
-    every stale round distributed (Jacobi). Fixture-sized runs always
-    take the driver path, so force the distributed path by zeroing the
-    budget and A/B the events AND the ledger."""
+    every stale round distributed (Jacobi). The default budget is 0
+    (always distributed — the measured-faster arm), so force the
+    driver path with a large budget for one arm and A/B the events
+    AND the ledger."""
     from marex_spark.operators import merge as M
     from marex_spark.operators.label import label_components
 
     labels = label_components(two_blob_field, nx=NX)
+    monkeypatch.setattr(M, "PARALLEL_STALE_DRIVER_CELLS", 4_000_000)
     drv, ledger_drv = M.split_merge_events_parallel(
         labels, nx=NX, block_steps=3, overlap_threshold=0.5
     )

@@ -37,7 +37,7 @@ def main() -> None:
     )
     from marex_spark.operators.components import (
         connected_components_driver,
-        remap_ids,
+        remap_ids_sparse,
     )
     from marex_spark.sources.synthetic import synthetic_sst_gridded
 
@@ -64,13 +64,27 @@ def main() -> None:
         )
         labels2.write.mode("overwrite").format("noop").save()
         phases.append(("split_merge_parallel", time.time() - t0))
+        from marex_spark.operators.merge import (
+            LAST_PARALLEL_ROUNDS,
+            LAST_PARALLEL_TIMINGS,
+            _PARALLEL_STALE_LOG,
+        )
+
+        print(
+            f"  resolver rounds={LAST_PARALLEL_ROUNDS} "
+            f"stale_log={_PARALLEL_STALE_LOG} sections:"
+        )
+        for k, v in LAST_PARALLEL_TIMINGS.items():
+            print(f"    {k:22s} {v:6.2f}s")
         t0 = time.time()
 
         pairs = overlap_pairs(labels2, keys=("y", "x"), time_col="time")
         areas = object_areas(labels2, time_col="time")
         pairs = filter_overlap_fraction(pairs, areas, 0.5)
-        mapping = connected_components_driver(pairs, labels2, compact=False)
-        events = remap_ids(labels2, mapping)
+        mapping = connected_components_driver(
+            pairs, labels2, compact=False, include_singletons=False
+        )
+        events = remap_ids_sparse(labels2, mapping)
         events.write.mode("overwrite").format("noop").save()
         phases.append(("link+remap+write", time.time() - t0))
 
