@@ -564,24 +564,33 @@ def decontam_ngram(spark, sf_dir):
     next to a 100 TB corpus); the training side pays one broadcast
     semi-probe + one agg — no shuffle of the corpus by shingle."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs, 5).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
+    # shingle each side AFTER its source filter: the join-then-filter
+    # form re-ran the full-corpus explode+distinct in every consumer
+    # subtree (bench, tot, hit — three corpus passes); now the
+    # benchmark explodes only its own docs and the training corpus
+    # explodes once.
     bench = (
-        sh.filter(F.col("source") == "src0").select("shingle").distinct()
+        _shingles(docs.filter(F.col("source") == "src0"), 5)
+        .select("shingle")
+        .distinct()
     )
-    tr = sh.filter(F.col("source") != "src0").select("doc_id", "shingle")
-    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n"))
-    hit = (
-        tr.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("nh"))
+    tr = _shingles(docs.filter(F.col("source") != "src0"), 5)
+    # ONE aggregation: the broadcast left-probe tags hits, count(_hit)
+    # counts non-nulls — fuses the old tot/hit aggregate pair and their
+    # sort-merge rejoin into a single pass (values identical: a doc
+    # with no hits gets nh=0, exactly the old coalesce(nh, 0)).
+    flagged = tr.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "shingle", "left"
     )
-    return tot.join(hit, "doc_id", "left").select(
-        "doc_id",
-        round6(
-            F.coalesce(F.col("nh"), F.lit(0)) / F.col("n").cast("double")
-        ).alias("contamination"),
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.count("_hit").alias("nh"))
+        .select(
+            "doc_id",
+            round6(F.col("nh") / F.col("n").cast("double")).alias(
+                "contamination"
+            ),
+        )
     )
 
 
