@@ -86,14 +86,21 @@ def shingle_array(text_col, n: int = 5):
     per-row (map-only, no shuffle) shingling; the exploded form equals
     queries/dedup._shingles' distinct table row-for-row."""
     ws = F.split(text_col, " ")
+    # Document-level short-doc guard instead of a per-shingle
+    # re-split filter: every shingle from a ≥n-word doc has exactly n
+    # words (words cannot contain the separator), so the old filter
+    # only ever dropped the single short-doc shingle — but charged
+    # every corpus shingle a split+size to find out. NULL text yields
+    # [] in both forms (greatest(NULL, 0) = 0 made the old sequence
+    # produce one NULL shingle, which the filter dropped).
     return F.array_distinct(
-        F.filter(
+        F.when(
+            F.size(ws) >= n,
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+                F.sequence(F.lit(0), F.size(ws) - n),
                 lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
             ),
-            lambda sh: F.size(F.split(sh, " ")) >= n,
-        )
+        ).otherwise(F.array().cast("array<string>"))
     )
 
 

@@ -8,7 +8,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -19,14 +18,10 @@ N_VECS = int(os.environ.get("SEMDEDUP_N", "1000000"))
 
 
 def main() -> None:
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("profile_semdedup")
-        .config("spark.sql.shuffle.partitions", "auto")
-        .config("spark.driver.memory", "48g")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("WARN")
+    from marex_spark.session import get_spark
+
+    spark = get_spark(app_name="profile_semdedup", cores=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
     if not os.path.isdir(EMB_DIR):
         from marex_spark.sources.synthetic import materialize_embedding_fixture
 
@@ -40,9 +35,14 @@ def main() -> None:
     for rep in range(reps):
         emb = spark.read.parquet(EMB_DIR)
         t = {}
+
+        def mark(name, t0):
+            t[name] = time.perf_counter() - t0
+            print(f"  {name}: {t[name]:.2f}s", flush=True)
+
         t0 = time.perf_counter()
         n = emb.count()
-        t["count"] = time.perf_counter() - t0
+        mark("count", t0)
         k = max(8, -(-n // 4096))
 
         t0 = time.perf_counter()
@@ -54,7 +54,7 @@ def main() -> None:
             .collect()
         )
         cents = [[float(x) for x in r["embedding"]] for r in seed_rows]
-        t["seed"] = time.perf_counter() - t0
+        mark("seed", t0)
 
         t0 = time.perf_counter()
         assigned = em.kmeans_assign_kernel(
@@ -74,19 +74,19 @@ def main() -> None:
             else cents[ci]
             for ci in range(len(cents))
         ]
-        t["fit_iter"] = time.perf_counter() - t0
+        mark("fit_iter", t0)
 
         # final assignment alone (forced via noop)
         t0 = time.perf_counter()
         asg = em.kmeans_assign_kernel(emb, cents, vec_col="embedding", exact=False)
         asg.write.format("noop").mode("overwrite").save()
-        t["assign_only"] = time.perf_counter() - t0
+        mark("assign_only", t0)
 
         # full kernel (assignment recomputed inside — lazy), minus above
         t0 = time.perf_counter()
         out = em.semdedup_kernel(emb, tau=0.95, k=k, n_iter=0, exact=False)
         out.write.format("noop").mode("overwrite").save()
-        t["n0_full"] = time.perf_counter() - t0
+        mark("n0_full", t0)
         # n_iter=0 skips the fit loop: count+seed+assign+kernel
         print(
             f"rep{rep}: "
