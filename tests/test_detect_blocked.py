@@ -605,3 +605,46 @@ def test_band_fixture_generator(spark, tmp_path):
     n = cells.count()
     assert n > 0
     assert n < 365 * 6 * 8 * 0.2  # ~5% extremes, loose bound
+
+
+@pytest.mark.parametrize("ma,me", [
+    ("detrend_harmonic", "global_extreme"),
+    ("fixed_baseline", "hobday_extreme"),
+    ("shifting_baseline", "hobday_extreme"),
+])
+def test_band_chunk_sweep_bit_identical(ma, me, monkeypatch):
+    """The x-chunked band sweep (cache-resident temporaries) must be
+    BIT-identical to one full-band pass — every stage of the kernel is
+    column-separable. Forces a tiny chunk budget so a small fixture
+    takes many chunks."""
+    import numpy as np
+
+    from marex_spark.operators import detect_blocked as db
+
+    rng = np.random.default_rng(11)
+    T, NX = 730, 40
+    t = np.arange(T)
+    m = (
+        10
+        + 3 * np.sin(2 * np.pi * t / 365.25)[:, None]
+        + rng.normal(0, 1.0, (T, NX))
+    )
+    m[rng.random((T, NX)) < 0.02] = np.nan
+    m = m.astype(np.float32).astype(np.float64)
+    ut = (
+        (np.datetime64("2000-01-01") + np.arange(T))
+        .astype("datetime64[D]")
+        .astype(np.int64)
+    )
+    doy0, years, days = db._time_parts(ut, "D", True, "UTC")
+    p = db._kernel_params(
+        method_anomaly=ma, method_extreme=me, method_percentile="histogram",
+        threshold_percentile=0.95, precision=0.01, max_anomaly=5.0,
+        window_year_baseline=5, smooth_days=21, window_days_hobday=11,
+        n_harmonics=2, detrend_orders=(1,), force_zero_mean=False,
+    )
+    full = db._band_extremes_chunk(m, doy0, years, days, p)
+    monkeypatch.setattr(db, "_BAND_CHUNK_BUDGET", 8 * T * 7)  # 7-col chunks
+    ext, thr = db._band_extremes(m, doy0, years, days, p)
+    assert np.array_equal(full[0], ext)
+    assert np.array_equal(full[1], thr, equal_nan=True)
