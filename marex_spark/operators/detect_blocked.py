@@ -586,13 +586,20 @@ def _band_extremes(
         thr_parts = []
         for c0 in range(0, NX, chunk):
             c1 = min(c0 + chunk, NX)
+            # per-chunk float64 promotion (float32→float64 is exact, so
+            # a float32 caller — the packed path keeps the scan dtype —
+            # computes bit-identically while the full-width band never
+            # materialises at 8 bytes/value)
             e, t = _band_extremes_chunk(
-                np.ascontiguousarray(m[:, c0:c1]), doy0, years, days, p
+                np.ascontiguousarray(m[:, c0:c1], dtype=np.float64),
+                doy0, years, days, p,
             )
             ext[:, c0:c1] = e
             thr_parts.append(t)
         return ext, np.concatenate(thr_parts, axis=-1)
-    return _band_extremes_chunk(m, doy0, years, days, p)
+    return _band_extremes_chunk(
+        np.ascontiguousarray(m, dtype=np.float64), doy0, years, days, p
+    )
 
 
 def _band_extremes_chunk(
@@ -957,9 +964,11 @@ def detect_extremes_blocked_packed(
                 details={"min": int(widths.min()), "max": int(widths.max())},
             )
         nx_w = int(widths[0]) if len(widths) else 0
-        flat = vcol.flatten().to_numpy(zero_copy_only=False).astype(
-            np.float64, copy=False
-        )
+        # keep the scan dtype (float32): the band sweep promotes per
+        # x-chunk (exact), so the whole multi-GB batch never pays a
+        # float64 copy and the per-band mask/order gathers move half
+        # the bytes
+        flat = vcol.flatten().to_numpy(zero_copy_only=False)
         mat_all = flat.reshape(len(y), nx_w)
         if p["spatial_window"]:
             bnd = tbl["band"].to_numpy()

@@ -648,3 +648,8 @@ def test_band_chunk_sweep_bit_identical(ma, me, monkeypatch):
     ext, thr = db._band_extremes(m, doy0, years, days, p)
     assert np.array_equal(full[0], ext)
     assert np.array_equal(full[1], thr, equal_nan=True)
+    # float32 input (the packed path keeps the scan dtype; promotion
+    # happens per chunk and float32→float64 is exact)
+    ext32, thr32 = db._band_extremes(m.astype(np.float32), doy0, years, days, p)
+    assert np.array_equal(full[0], ext32)
+    assert np.array_equal(full[1], thr32, equal_nan=True)
