@@ -1006,10 +1006,13 @@ def detect_extremes_blocked_packed(
                 )
             return
         for band in np.unique(y):
-            mask = y == band
-            order = np.argsort(ts[mask], kind="stable")
-            ut = ts[mask][order]
-            m = mat_all[mask][order]
+            rows = np.flatnonzero(y == band)
+            ts_b = ts[rows]
+            order = np.argsort(ts_b, kind="stable")
+            ut = ts_b[order]
+            # single fused gather (mask-then-order made two full-band
+            # copies of the matrix)
+            m = mat_all[rows[order]]
             doy0, years, days = _time_parts(ut, unit, is_date, session_tz)
             ext, thr = _band_extremes(m, doy0, years, days, p)
             if thresholds:
