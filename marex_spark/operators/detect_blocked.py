@@ -123,6 +123,15 @@ _N_DOY = 366  # circular doy modulus, fixed like the relational mod-366
 # slack); tests pin that the int32 fallback path is value-identical by
 # forcing this to 0
 _U16_BUDGET = 65000
+# widest x-chunk of the hobday threshold sweeps (values are chunk-width
+# invariant: per-column integer counts with an exact ±s halo); the cap
+# keeps the (366 × chunk+2s × bins) count tensors cache-sized. The old
+# 256 bounded FOOTPRINT only — under 32 concurrent band tasks each
+# chunk's ~180 MB of count tensors became pure DRAM traffic and the
+# kernel wave's makespan swung 3-22 s with ambient pressure; at 32 the
+# tensors stay near-cache-sized and the same wave holds ~0.9-1.9 s flat
+# (tools/ab_spatial_chunk_mp.py, checksums identical across widths)
+_THR_CHUNK_MAX = 32
 
 
 def _anomaly_fixed(
@@ -355,7 +364,7 @@ def _thr_hobday(
     nmax_doy = int(np.bincount(doy0, minlength=1).max()) if T else 0
     bound_doy = T + 2 * half * nmax_doy
     dtype = np.uint16 if 0 < bound_doy < _U16_BUDGET else np.int32
-    chunk = 256
+    chunk = _THR_CHUNK_MAX
     for x0 in range(0, NX, chunk):
         x1 = min(x0 + chunk, NX)
         xc = x1 - x0
@@ -441,12 +450,12 @@ def _thr_hobday_spatial(
     nmax_doy = int(np.bincount(doy0, minlength=1).max())
     bound_doy = (len(halo) * len(doy0) * 11) // 10  # padded-doy cumsum
     per_col = (2 * half + 1) * len(halo) * nmax_doy  # pooled, one column
-    chunk = 256
+    chunk = _THR_CHUNK_MAX
     dtype = np.int32
     if bound_doy < _U16_BUDGET and per_col > 0:
         fit = _U16_BUDGET // per_col - 2 * s  # widest chunk the x-cumsum fits
         if fit >= 32:
-            chunk = min(256, fit)
+            chunk = min(_THR_CHUNK_MAX, fit)
             dtype = np.uint16
     for x0 in range(0, nx, chunk):
         x1 = min(x0 + chunk, nx)
