@@ -653,3 +653,35 @@ def test_band_chunk_sweep_bit_identical(ma, me, monkeypatch):
     ext32, thr32 = db._band_extremes(m.astype(np.float32), doy0, years, days, p)
     assert np.array_equal(full[0], ext32)
     assert np.array_equal(full[1], thr32, equal_nan=True)
+
+
+def test_thr_chunk_width_invariant(monkeypatch):
+    """The hobday threshold sweeps' x-chunk cap (_THR_CHUNK_MAX, a pure
+    cache-residency knob) must not change values at ANY width: per-column
+    integer counts with an exact ±s halo. Pin spatial and non-spatial
+    kernels equal across extreme widths (3 — forcing many chunks and
+    halo-duplicated columns — vs wider than the fixture)."""
+    import numpy as np
+
+    from marex_spark.operators import detect_blocked as db
+
+    T, NX = 3 * 365, 16
+    rng = np.random.default_rng(7)
+    ts = np.arange(T, dtype=np.int64) * 86_400_000_000
+    doy0, _, _ = db._time_parts(ts, "us", False, "UTC")
+    anoms = {
+        y: np.where(
+            rng.random((T, NX)) < 0.05, np.nan, rng.normal(scale=1.1, size=(T, NX))
+        )
+        for y in range(5)
+    }
+    sp_args = (anoms, 2, doy0, 0.9, 11, 5, 0.01, 5.0, NX)
+    ns_args = (anoms[2], doy0, 0.95, False, 11, 0.01, 5.0)
+    monkeypatch.setattr(db, "_THR_CHUNK_MAX", 1024)
+    sp_wide = db._thr_hobday_spatial(*sp_args)
+    ns_wide = db._thr_hobday(*ns_args)
+    monkeypatch.setattr(db, "_THR_CHUNK_MAX", 3)
+    sp_narrow = db._thr_hobday_spatial(*sp_args)
+    ns_narrow = db._thr_hobday(*ns_args)
+    assert np.array_equal(sp_wide, sp_narrow, equal_nan=True)
+    assert np.array_equal(ns_wide, ns_narrow, equal_nan=True)
