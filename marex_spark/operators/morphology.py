@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 
 from marex_spark.functions.temporal import epoch_day
 
+# Sub-batch budget (bools) for the stacked dense-morphology kernel —
+# cache-residency sized; see the comment at its use in
+# morph_close_open_blocked and tools/ab_morph_batch_mp.py.
+_MORPH_BATCH_BOOLS = 2_000_000
+
 
 def disk_offsets(radius: int) -> list[tuple[int, int]]:
     """Disk structuring element: all (dy, dx) with dy²+dx² ≤ R²
@@ -229,9 +234,17 @@ def morph_close_open_blocked(
         # Stacked (T, ny, nx) kernel: the 4 morphology stages roll the
         # whole sub-batch of slices at once instead of per-timestep
         # (49 rolls/stage at R=4 — per-slice loops were pure overhead).
-        # Sub-batches bound peak memory to ~3×64 MB of bools at any
-        # grid size; slices remain fully independent.
-        per = max(1, 64_000_000 // (ny * nx))
+        # Sub-batch budget sized for CACHE RESIDENCY, not just peak
+        # memory: each roll pass re-touches the whole padded stack, so
+        # a 64 MB stack is pure DRAM traffic and 32 concurrent tasks
+        # thrash each other — at production dims (720×1440) the
+        # 32-way kernel wave measured 9.7-16.4 s/task at a 64 MB budget
+        # vs 1.8-2.6 s at 2 MB (~1 slice/stack there), identical
+        # outputs (tools/ab_morph_batch_mp.py). Slices stay batched
+        # where they are small (625/stack at the 40×80 bench grid), so
+        # the per-slice Python overhead this stacking removed does not
+        # return; slices remain fully independent.
+        per = max(1, _MORPH_BATCH_BOOLS // (ny * nx))
         for lo in range(0, len(ut), per):
             hi = min(lo + per, len(ut))
             sel = (t_inv >= lo) & (t_inv < hi)
