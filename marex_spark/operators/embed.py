@@ -342,12 +342,17 @@ def kmeans_fit(
             continue
         if not exact:
             # BLAS throughput mode (no oracle determinism contract):
-            # matmul-argmin assignment + plain float mean update
-            assigned = kmeans_assign_kernel(
-                df.select(vec_col), cents, vec_col=vec_col, exact=False
-            ).select("cent_id", F.posexplode(vec_col).alias("pos", "x"))
-            mean_agg = F.avg(F.col("x").cast("double")).alias("m")
-        elif k * len(cents[0]) > _ASSIGN_LITERAL_BUDGET:
+            # ONE fused Arrow pass — matmul-argmin assignment AND the
+            # per-centroid float sums in the same batch loop (the same
+            # shape as _pq_fit_kernel_iter). The old form re-crossed the
+            # Python boundary for assignment only, then posexploded the
+            # vectors into n·d JVM rows for an avg aggregate — at 1M×64
+            # that 64M-row explode+agg was 14.6 s/iteration vs ~2 s for
+            # the fused pass (tools/profile_semdedup.py, r10; guide
+            # §2.3 "aggregate before you shuffle", §4.2).
+            cents = _kmeans_fit_blas_iter(df, cents, vec_col)
+            continue
+        if k * len(cents[0]) > _ASSIGN_LITERAL_BUDGET:
             # large-k tier: assignment via the Arrow kernel (value-
             # identical), update aggregate unchanged
             assigned = kmeans_assign_kernel(
@@ -466,6 +471,70 @@ def pq_fit(
             for j in range(m)
         ]
     return books
+
+
+def _kmeans_fit_blas_iter(
+    df: DataFrame,
+    cents_in: list[list[float]],
+    vec_col: str,
+) -> list[list[float]]:
+    """One Lloyd iteration of :func:`kmeans_fit`'s BLAS mode as a single
+    fused Arrow pass: matmul-argmin assignment (identical math to
+    :func:`kmeans_assign_kernel` ``exact=False`` — ``|x|² − 2X·Cᵀ +
+    |C|²``, first argmin wins ties) and the per-centroid float64 sums
+    accumulate in the SAME batch loop; each task emits one (k × d)
+    partial-sum grid + counts, so the JVM never sees exploded vector
+    components. Empty clusters keep their previous centroid (same rule
+    as the expression-tier update). No oracle determinism contract on
+    this mode (float sum order differs from the old Spark avg by last-
+    ulp rounding only)."""
+    import pyarrow as pa
+
+    C = np.asarray(cents_in, dtype=np.float64)  # (k, d)
+    k, d = C.shape
+
+    def _run(batches):
+        import pyarrow.compute as pc
+
+        c2 = (C * C).sum(axis=1)
+        sums = np.zeros((k, d), dtype=np.float64)
+        cnts = np.zeros(k, dtype=np.int64)
+        seen = False
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            seen = True
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            col = tbl[vec_col].chunk(0)
+            flat = pc.list_flatten(col).to_numpy().astype(np.float64)
+            X = flat.reshape(batch.num_rows, -1)
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2
+            code = d2.argmin(axis=1)  # first min wins ties
+            np.add.at(sums, code, X)
+            cnts += np.bincount(code, minlength=k)
+        if not seen:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.arange(k, dtype=np.int32)),
+                pa.array(sums.tolist(), type=pa.list_(pa.float64())),
+                pa.array(cnts),
+            ],
+            names=["cent_id", "s", "n"],
+        )
+
+    rows = df.select(vec_col).mapInArrow(
+        _run, schema="cent_id int, s array<double>, n long"
+    ).collect()
+    tot_s = np.zeros((k, d), dtype=np.float64)
+    tot_n = np.zeros(k, dtype=np.int64)
+    for r in rows:
+        tot_s[r.cent_id] += np.asarray(r.s, dtype=np.float64)
+        tot_n[r.cent_id] += r.n
+    return [
+        (tot_s[c] / tot_n[c]).tolist() if tot_n[c] else cents_in[c]
+        for c in range(k)
+    ]
 
 
 def _pq_fit_kernel_iter(
@@ -907,8 +976,12 @@ def semdedup_kernel(
     it: the old 2^24 default produced 128 MB blocks that round-tripped
     DRAM between the matmul and the scan — measured 2× slower at 1M
     vectors (8.2 vs 4.3 s kernel min, decisions identical; a fully
-    vectorised keep rule was 4× slower again for the same reason, its
-    cos/dup mask temporaries being n² matrices).
+    vectorised keep rule over n² masks was 4× slower again for the
+    same reason). r10: the keep-rule scan is vectorised PER BLOCK
+    (masks the same size as the dots block, so still cache-resident) —
+    decisions identical, removes the per-row Python loop
+    (tools/ab_semdedup_inner.py v1s; the full-mask form stays
+    refuted).
 
     Scale shape: one shuffle by ``cent_id`` (bounded groups by
     construction — ``k`` derives from the corpus count), no pair
@@ -956,34 +1029,45 @@ def semdedup_kernel(
             else:
                 # BLAS blocks: (rows × d) @ (d × n_c), no n²·d cube
                 rows_per_block = max(1, pair_block_elems // max(1, n_c))
+            cols = np.arange(n_c)
             for a0 in range(0, n_c - 1, rows_per_block):
                 a1 = min(a0 + rows_per_block, n_c - 1)
-                # products for pairs (a, b) with a in [a0,a1), b > a
+                # products for pairs (a, b) with a in [a0,a1), b > a —
+                # columns start at a0 (triangle blocking: pairs with
+                # b < a0 are never consumed, so the flops halve)
                 if exact:
-                    prod = _micro(X[a0:a1, None, :] * X[None, :, :]).sum(axis=2)
+                    prod = _micro(
+                        X[a0:a1, None, :] * X[None, a0:, :]
+                    ).sum(axis=2)
                     dots = prod.astype(np.float64) / 1e6
                 else:
-                    dots = X[a0:a1] @ X.T
-                for ai in range(a0, a1):
-                    bs = np.arange(ai + 1, n_c)
-                    if len(bs) == 0:
-                        continue
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        cos = dots[ai - a0, bs] / (nrm[ai] * nrm[bs])
-                    # Spark/DuckDB order NaN above every value, so a
-                    # 0/0 cosine (zero-norm vector) satisfies >= tau
-                    # in the SQL tiers — replicate, don't diverge
-                    dup = (cos >= tau_f) | np.isnan(cos)
-                    if not dup.any():
-                        continue
-                    bdup = bs[dup]
+                    dots = X[a0:a1] @ X[a0:].T
+                sub = cols[a0:]
+                # vectorised keep-rule scan over the (cache-sized)
+                # block — the rule is order-independent (droppers may
+                # themselves be dropped; one pass, not iterative), so
+                # the per-pair drops union freely. The old per-row
+                # Python loop paid n_c interpreter iterations per
+                # cluster (~1M total at the 1M-vector row); the block
+                # masks are the same size as `dots`, so cache
+                # residency is unchanged. A/B: decisions identical,
+                # min 4.36 → 3.26 s and flatter under ambient
+                # pressure (8.4 → 4.3 s worst pass;
+                # tools/ab_semdedup_inner.py v0s vs v1s, r10). The
+                # FULL-mask form stays refuted (41-115 s at 2^24).
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / (nrm[a0:a1, None] * nrm[sub][None, :])
+                # Spark/DuckDB order NaN above every value, so a 0/0
+                # cosine (zero-norm vector) satisfies >= tau in the
+                # SQL tiers — replicate, don't diverge
+                dup = (cos >= tau_f) | np.isnan(cos)
+                dup &= sub[None, :] > cols[a0:a1][:, None]
+                if dup.any():
                     # keep rule, per pair (a<b): drop b when da >= db
                     # (ties keep the lower id's priority), else drop a
-                    da = d2[ai]
-                    drop_b = da >= d2[bdup]
-                    dropped[bdup[drop_b]] = True
-                    if (~drop_b).any():
-                        dropped[ai] = True
+                    drop_b = dup & (d2[a0:a1, None] >= d2[sub][None, :])
+                    dropped[a0:] |= drop_b.any(axis=0)
+                    dropped[a0:a1] |= (dup & ~drop_b).any(axis=1)
             keep = ~dropped
         return pd.DataFrame(
             {

@@ -75,7 +75,7 @@ def main() -> None:
             keep = ~dropped
         return pd.DataFrame({"vec_id": ids, "cent_id": pdf["cent_id"].to_numpy()[order], "keep": keep})
 
-    def _vec_core(pdf, triangle):
+    def _vec_core(pdf, triangle, block_elems=1 << 24):
         ids, order, d2 = _prep(pdf)
         X = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
         n_c = len(ids)
@@ -83,7 +83,7 @@ def main() -> None:
         if n_c > 1:
             nrm = np.sqrt((X * X).sum(axis=1))
             dropped = np.zeros(n_c, dtype=bool)
-            rows_per_block = max(1, (1 << 24) // max(1, n_c))
+            rows_per_block = max(1, block_elems // max(1, n_c))
             cols = np.arange(n_c)
             for a0 in range(0, n_c - 1, rows_per_block):
                 a1 = min(a0 + rows_per_block, n_c - 1)
@@ -116,6 +116,19 @@ def main() -> None:
     def _v0t(pdf):
         return _v0_base(pdf, 1 << 18)
 
+    # r10: cache-sized VECTORIZED arms — r9 refuted vectorization only
+    # at full-cluster mask sizes (128 MB dots blocks); a vectorized keep
+    # rule over the SAME 8 MB blocks as v0s removes the per-row Python
+    # loop (n_c iterations/cluster) without the DRAM-thrash temporaries.
+    def _v1s(pdf):
+        return _vec_core(pdf, triangle=True, block_elems=1 << 20)
+
+    def _v1m(pdf):
+        return _vec_core(pdf, triangle=True, block_elems=1 << 22)
+
+    def _v1full(pdf):
+        return _vec_core(pdf, triangle=True, block_elems=1 << 24)
+
     schema = "vec_id long, cent_id long, keep boolean"
 
     def run(fn, force=True):
@@ -128,10 +141,14 @@ def main() -> None:
     # equality check first (collect once per arm)
     r0 = run(_v0, force=False)
     r1 = run(_v0s, force=False)
-    r2 = run(_v0t, force=False)
-    print("v0s==v0:", r1 == r0, " v0t==v0:", r2 == r0, flush=True)
+    r2 = run(_v1s, force=False)
+    r3 = run(_v1m, force=False)
+    print(
+        "v0s==v0:", r1 == r0, " v1s==v0:", r2 == r0,
+        " v1m==v0:", r3 == r0, flush=True,
+    )
 
-    arms = [("v0", _v0), ("v0s", _v0s), ("v0t", _v0t)]
+    arms = [("v0s", _v0s), ("v1s", _v1s), ("v1m", _v1m), ("v1full", _v1full)]
     reps = int(os.environ.get("AB_REPS", "4"))
     res = {a: [] for a, _ in arms}
     for rep in range(reps):

@@ -57,23 +57,10 @@ def main() -> None:
         mark("seed", t0)
 
         t0 = time.perf_counter()
-        assigned = em.kmeans_assign_kernel(
-            emb.select("embedding"), cents, vec_col="embedding", exact=False
-        ).select("cent_id", F.posexplode("embedding").alias("pos", "x"))
-        upd = (
-            assigned.groupBy("cent_id", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .collect()
-        )
-        by_cent = {}
-        for r in upd:
-            by_cent.setdefault(r.cent_id, {})[r.pos] = float(r.m)
-        cents = [
-            [by_cent[ci][p] for p in range(len(cents[ci]))]
-            if ci in by_cent
-            else cents[ci]
-            for ci in range(len(cents))
-        ]
+        # the REAL BLAS fit iteration (r10: fused assign+sums Arrow
+        # pass — this used to be an inline copy of the old
+        # posexplode+avg form, which stopped matching the operator)
+        cents = em._kmeans_fit_blas_iter(emb, cents, "embedding")
         mark("fit_iter", t0)
 
         # final assignment alone (forced via noop)
