@@ -48,7 +48,10 @@ MEM_QUIET_SEC = float(os.environ.get("SPARK_GRAFT_MEM_QUIET", "0.10"))
 IO_STORM_FACTOR = 2.0
 CPU_STORM_FACTOR = 1.5
 MEM_STORM_FACTOR = 3.0
-MAX_WEATHER_RETRIES = 12  # bounded extra-pass budget for suspect rows
+# bounded extra-pass budget for suspect rows (r10: 12 → 16 — the r9
+# partial-storm capture flagged 14 rows, 2 past the old budget; the
+# retry is at most one extra suite pass either way)
+MAX_WEATHER_RETRIES = 16
 
 HEADLINE = [
     "tpch_q1",
@@ -300,14 +303,30 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
             return
         # ---- per-row weather adjudication (r8 verdict #5) ----------
         storm_pass = [_storm_hit(p) for p in range(len(canary["cpu_sec"]))]
-        suspect = (
-            [n for n, _ in rows if n in timings] if all(storm_pass) else []
-        )
+        if all(storm_pass):
+            # every pass was storm-hit: every timed row's min is
+            # weather-contaminated
+            suspect = [n for n, _ in rows if n in timings]
+        else:
+            # capture had at least one quiet pass — a row is suspect
+            # only if its best time still came from a storm-hit pass
+            # (a burst can straddle a single row even inside a pass
+            # whose canaries were quiet at the head; conversely a
+            # storm-graded pass inflates every row timed inside it).
+            suspect = [
+                n
+                for n, _ in rows
+                if n in pass_of_min
+                and pass_of_min[n] < len(storm_pass)
+                and storm_pass[pass_of_min[n]]
+            ]
         retried: list[str] = []
         if suspect:
-            # every pass was storm-hit: give the worst-off rows ONE
-            # bounded extra pass behind a fresh canary sample; if that
-            # sample is quiet, its mins supersede and the flag clears.
+            # bounded quiet retry — r9 verdict #3 extended this from the
+            # all-storm case to ANY capture with suspect rows: re-time
+            # them behind a fresh canary sample whenever that sample is
+            # quiet, so partial-storm captures ([T,T,F] with 14 suspects
+            # in r9) self-heal instead of carrying flagged minima.
             _run_canaries()
             retry_idx = len(canary["cpu_sec"]) - 1
             storm_pass.append(_storm_hit(retry_idx))
@@ -320,15 +339,6 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
                 # re-timed rows clear; rows beyond the retry budget
                 # stay flagged
                 suspect = [n for n in suspect if n not in set(retried)]
-        else:
-            # capture had at least one quiet pass — a row is suspect
-            # only if its best time still came from a storm-hit pass
-            # (possible when a row errored/skipped on quiet passes).
-            suspect = [
-                n
-                for n, p in pass_of_min.items()
-                if p < len(storm_pass) and storm_pass[p]
-            ]
         holder["weather"] = {
             "storm_pass": storm_pass,
             "io_quiet_floor": IO_COLD_QUIET_SEC,
