@@ -63,6 +63,9 @@ def _band_shuffle(df: DataFrame, key: str, parallelism: int) -> DataFrame:
       packed scan the sampling pass alone measured 70 s. Right only
       when the input is tiny or recomputation is trivially cheap.
     - ``hash``/``hash4``/``hash8``: fixed factors 1/4/8, kept for A/B.
+
+    ``MAREX_BAND_SHUFFLE_FACTOR=<1..8>`` pins the auto mode's factor
+    directly (deployment knob; also skips the size-estimate read).
     """
     mode = os.environ.get("MAREX_BAND_SHUFFLE", "auto")
     if mode == "range":
@@ -73,14 +76,35 @@ def _band_shuffle(df: DataFrame, key: str, parallelism: int) -> DataFrame:
         return df.repartition(4 * parallelism, key)
     if mode == "hash8":
         return df.repartition(8 * parallelism, key)
+    # explicit factor override first (documented scale knob): skips the
+    # size-estimate read entirely, so deployments pinned by it are
+    # immune to private-API drift AND skip its extra analysis pass
+    fenv = os.environ.get("MAREX_BAND_SHUFFLE_FACTOR")
+    if fenv:
+        return df.repartition(max(1, min(8, int(fenv))) * parallelism, key)
+    factor = _band_factor(_plan_size_estimate(df))
+    return df.repartition(factor * parallelism, key)
+
+
+def _plan_size_estimate(df) -> int:
+    """Optimizer size estimate of ``df``'s plan in bytes. No public
+    PySpark API exposes plan statistics, so this reads the JVM handle
+    directly; ANY failure (private-API drift across Spark versions, a
+    detached plan) falls back to a mid-scale default (2 GiB → factor 4)
+    rather than raising — pinned in tests/test_detect_blocked.py."""
     try:
-        est = int(
+        return int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-    except Exception:  # stats unavailable — fall back to the safe middle
-        est = 2 << 30
-    factor = max(1, min(8, est >> 29))
-    return df.repartition(factor * parallelism, key)
+    except Exception:  # stats unavailable — the safe middle
+        return 2 << 30
+
+
+def _band_factor(est_bytes: int) -> int:
+    """Over-partitioning factor from the input size estimate:
+    clamp(est_bytes / 512 MiB, 1, 8) — the r9-measured best arm at both
+    the 4.8 GB and ≤138 MB ends (see :func:`_band_shuffle`)."""
+    return max(1, min(8, est_bytes >> 29))
 
 
 def _time_unit(ts_type) -> tuple[str, bool]:
@@ -130,8 +154,12 @@ _U16_BUDGET = 65000
 # chunk's ~180 MB of count tensors became pure DRAM traffic and the
 # kernel wave's makespan swung 3-22 s with ambient pressure; at 32 the
 # tensors stay near-cache-sized and the same wave holds ~0.9-1.9 s flat
-# (tools/ab_spatial_chunk_mp.py, checksums identical across widths)
-_THR_CHUNK_MAX = 32
+# (tools/ab_spatial_chunk_mp.py, checksums identical across widths).
+# The 32 default assumes ~32 concurrent single-thread tasks sharing one
+# L3 (the measured host profile); hosts with fewer task slots or larger
+# caches can widen it via MAREX_THR_CHUNK_MAX (values are chunk-width
+# invariant — tests pin this — so any width is safe).
+_THR_CHUNK_MAX = int(os.environ.get("MAREX_THR_CHUNK_MAX", "32"))
 
 
 def _anomaly_fixed(
@@ -358,9 +386,10 @@ def _thr_hobday(
     # (the padded-doy cumsum: ≤ T + 2·half·max-samples-per-doy at any
     # (x, bin) cell) provably fits — these tensors are pure memory
     # bandwidth, so halving the bytes ≈ halves the threshold cost.
-    # x-chunked so the (366 × x × bins) histogram stays bounded
-    # (~95 MB per 256-column chunk at precision 0.01 in uint16)
-    # however wide the band is at real scale.
+    # x-chunked so the (366 × x × bins) histogram stays cache-sized
+    # (~12 MB per _THR_CHUNK_MAX=32-column chunk at precision 0.01 in
+    # uint16 — see the cap's definition comment) however wide the band
+    # is at real scale.
     nmax_doy = int(np.bincount(doy0, minlength=1).max()) if T else 0
     bound_doy = T + 2 * half * nmax_doy
     dtype = np.uint16 if 0 < bound_doy < _U16_BUDGET else np.int32

@@ -27,8 +27,15 @@ from marex_spark.functions.temporal import epoch_day
 
 # Sub-batch budget (bools) for the stacked dense-morphology kernel —
 # cache-residency sized; see the comment at its use in
-# morph_close_open_blocked and tools/ab_morph_batch_mp.py.
-_MORPH_BATCH_BOOLS = 2_000_000
+# morph_close_open_blocked and tools/ab_morph_batch_mp.py. The 2M
+# default assumes ~32 concurrent single-thread tasks sharing one L3
+# (the measured host profile); deployments with fewer task slots or
+# larger caches can raise it via MAREX_MORPH_BATCH_BOOLS.
+import os as _os
+
+_MORPH_BATCH_BOOLS = int(
+    _os.environ.get("MAREX_MORPH_BATCH_BOOLS", "2000000")
+)
 
 
 def disk_offsets(radius: int) -> list[tuple[int, int]]:
@@ -245,11 +252,18 @@ def morph_close_open_blocked(
         # the per-slice Python overhead this stacking removed does not
         # return; slices remain fully independent.
         per = max(1, _MORPH_BATCH_BOOLS // (ny * nx))
+        # rows sorted by slice index once, sub-batches sliced as
+        # contiguous ranges — at production dims per=1, so the old
+        # per-sub-batch boolean mask re-scanned every partition row
+        # once per TIMESTEP (O(T·n_rows) scatter prep)
+        order = np.argsort(t_inv, kind="stable")
+        t_srt, ys_srt, xs_srt = t_inv[order], ys[order], xs[order]
+        starts = np.searchsorted(t_srt, np.arange(len(ut) + 1))
         for lo in range(0, len(ut), per):
             hi = min(lo + per, len(ut))
-            sel = (t_inv >= lo) & (t_inv < hi)
+            r0, r1 = starts[lo], starts[hi]
             g = np.zeros((hi - lo, ny, nx), dtype=bool)
-            g[t_inv[sel] - lo, ys[sel], xs[sel]] = True
+            g[t_srt[r0:r1] - lo, ys_srt[r0:r1], xs_srt[r0:r1]] = True
             closed = _erode_np(_dilate_np(g, offsets, wrap_x), offsets, wrap_x)
             opened = _dilate_np(
                 _erode_np(closed, offsets, wrap_x), offsets, wrap_x

@@ -685,3 +685,26 @@ def test_thr_chunk_width_invariant(monkeypatch):
     ns_narrow = db._thr_hobday(*ns_args)
     assert np.array_equal(sp_wide, sp_narrow, equal_nan=True)
     assert np.array_equal(ns_wide, ns_narrow, equal_nan=True)
+
+
+def test_band_shuffle_estimate_fallback(monkeypatch, spark):
+    """_plan_size_estimate reads a private JVM handle (no public plan-
+    stats API); ANY drift must degrade to the 2 GiB mid-scale default
+    (factor 4), never raise. _band_factor pins the clamp ends too."""
+    from marex_spark.operators import detect_blocked as db
+
+    # an object with no _jdf at all = the worst possible API drift
+    assert db._plan_size_estimate(object()) == 2 << 30
+    assert db._band_factor(2 << 30) == 4
+    assert db._band_factor(0) == 1  # clamp floor (tiny inputs)
+    assert db._band_factor(1 << 40) == 8  # clamp ceiling
+    # the real handle still works on this Spark version
+    df = spark.range(100).withColumnRenamed("id", "y")
+    assert db._plan_size_estimate(df) > 0
+    # env override pins the factor without touching the estimate
+    monkeypatch.setenv("MAREX_BAND_SHUFFLE_FACTOR", "2")
+    monkeypatch.setattr(
+        db, "_plan_size_estimate", lambda _df: (_ for _ in ()).throw(AssertionError)
+    )
+    out = db._band_shuffle(df, "y", 8)
+    assert out.rdd.getNumPartitions() == 16
