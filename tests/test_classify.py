@@ -29,6 +29,7 @@ def planted(spark):
     return docs, feats, labels
 
 
+@pytest.mark.slow
 def test_learns_planted_separation(planted):
     docs, feats, labels = planted
     w = logreg_fit(feats, labels, dim=16, n_iter=20, lr=1.0)

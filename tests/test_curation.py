@@ -3,6 +3,7 @@ two-phase fallback must return EXACTLY the same rows on any domain
 histogram (the salt only changes where sorting happens, never which
 rows win), and the cap must actually bind on a hot domain."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from marex_spark.operators.curation import domain_top_n, domain_top_n_salted
@@ -73,6 +74,7 @@ from hypothesis import strategies as st
     n=st.integers(1, 7),
     salts=st.sampled_from([1, 2, 8]),
 )
+@pytest.mark.slow
 def test_property_salted_equals_group_limit(spark, rows, n, salts):
     """Any domain histogram, any tie structure, any cap, any salt
     count: the salted two-phase fallback returns exactly the

@@ -3,6 +3,7 @@ the connected components (canonicalisation answer) of the clique
 expansion — the property that lets the O(d) form replace the O(d²)
 form at scale."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from marex_spark.operators.components import connected_components_driver
@@ -118,6 +119,7 @@ class TestBloomGeometry:
             ).fetchone()
             assert (m, k) == (int(row[0]), int(row[1])), (n, (m, k), row)
 
+    @pytest.mark.slow
     def test_false_positive_rate_bounded(self, spark):
         """Probe 2000 shingles DISJOINT from a 500-shingle benchmark:
         with derived geometry the expected FP rate is <1%; assert the

@@ -339,6 +339,7 @@ class TestSemDeDup:
 
 
 class TestSemDeDupKernel:
+    @pytest.mark.slow
     def test_kernel_equals_expression_tier_on_fixture(self, spark):
         """The applyInPandas kernel must reproduce the exploded-join
         tier row-for-row on the real fixture (same micro-unit decimal
@@ -415,6 +416,7 @@ class TestKMeansAssignKernel:
         b = em.kmeans_fit(emb, k=4, n_iter=2)
         assert a == b
 
+    @pytest.mark.slow
     def test_blas_mode_finds_planted_dups(self, spark):
         """exact=False (float64 BLAS end to end) is the approximate
         production mode: the float k-means fit can block borderline

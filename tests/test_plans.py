@@ -7,6 +7,7 @@ the pre-AQE counts asserted here are upper bounds."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from marex_spark.operators.detect import preprocess_data
@@ -342,6 +343,7 @@ def test_pq_adc_scan_is_shuffle_free(spark):
     assert exchange_count(out) == 0, out._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.slow
 def test_ivfpq_scan_is_shuffle_free(spark):
     """IVF-PQ's scoring pass: coarse-bucket filter + ADC lookup are
     all literal expressions, so the candidate scan must stay one
@@ -408,6 +410,7 @@ def test_decontam_bloom_corpus_side_is_map_only(spark):
     assert exchange_count(out) == 1, exchange_count(out)
 
 
+@pytest.mark.slow
 def test_semdedup_pairs_blocked_by_cluster_no_corpus_broadcast(spark):
     """SemDeDup pair generation must stay blocked by the learned
     cluster key (no unblocked corpus pairing), and — r6 verdict

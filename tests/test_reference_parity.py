@@ -149,6 +149,7 @@ class TestPercentileFrequency:
         assert n > 10**6
         assert 0.04 <= freq <= 0.06, f"frequency {freq:.4f} outside [0.04, 0.06]"
 
+    @pytest.mark.slow
     def test_shifting_baseline_hobday_extreme(self, sst_long):
         from marex_spark.operators.detect import preprocess_data
 
@@ -231,6 +232,7 @@ def test_unstructured_merging_fixture_tracks(spark):
         assert -40.1 <= ((r.centroid_lon + 180) % 360) - 180 <= -38.9
 
 
+@pytest.mark.slow
 def test_advanced_merging_scenario_counts(spark):
     """Reference test_gridded_tracking.py:79-146 on the reference's own
     extremes_gridded.zarr: R_fill=4, T_fill=2, quartile 0.5, merging at
@@ -321,6 +323,7 @@ def test_advanced_merging_scenario_counts(spark):
         assert t_lo <= r.time <= t_hi
 
 
+@pytest.mark.slow
 def test_filtering_parameter_scenarios_counts(spark):
     """Reference test_gridded_tracking.py:205-261 on extremes_gridded:
     R_fill=2, T_fill=0, no merging, full fixture mask; quartile 0.0
@@ -396,6 +399,7 @@ def test_filtering_parameter_scenarios_counts(spark):
     assert results[0.8] <= results[0.0]
 
 
+@pytest.mark.slow
 def test_temporal_gap_filling_scenario_counts(spark):
     """Reference test_gridded_tracking.py:262-321 on extremes_gridded:
     R_fill=2, quartile 0.5, no merging, full fixture mask; T_fill=0 vs
@@ -464,6 +468,7 @@ def test_temporal_gap_filling_scenario_counts(spark):
     assert results[4] < results[0]
 
 
+@pytest.mark.slow
 def test_unstructured_merging_scenario_counts(spark):
     """Reference test_unstructured_tracking.py:163-260 on its own
     engineered mesh merging fixture, via the Tracker facade with the
@@ -628,6 +633,7 @@ def test_basic_tracking_scenario_counts(spark):
     assert abs(n_events - 24) <= 1, n_events
 
 
+@pytest.mark.slow
 def test_tracking_consistency_scenario_counts(spark):
     """Reference test_gridded_tracking.py:147-204: the advanced-merging
     configuration with CENTROID partitioning (nn_partitioning off —
@@ -655,6 +661,7 @@ def test_tracking_consistency_scenario_counts(spark):
     assert abs(merges.count() - 15) <= 2, merges.count()
 
 
+@pytest.mark.slow
 def test_unstructured_consistency_scenario_counts(spark):
     """Reference test_unstructured_tracking.py:262-353 on its standard
     mesh fixture: R_fill=3, quartile 0.5, T_fill=2, merging at the
@@ -722,6 +729,7 @@ def test_unstructured_consistency_scenario_counts(spark):
     n_events = res.events.select(F.countDistinct("event_id")).first()[0]
     assert abs(n_events - 3) <= 1, n_events
 
+@pytest.mark.slow
 def test_unstructured_filtering_and_gap_scenarios_counts(spark):
     """Reference test_unstructured_tracking.py:356-448 (filtering) and
     455-547 (temporal gap filling) on the standard mesh fixture, both
@@ -920,6 +928,7 @@ def test_radians_auto_detection_and_conversion(spark):
         )
 
 
+@pytest.mark.slow
 def test_complex_merging_scenario_completes(spark):
     """Reference test_complex_merging_scenario (edge_cases:257-278):
     aggressive merging — quartile 0.4, R_fill=8 (the largest radius

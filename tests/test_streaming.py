@@ -350,6 +350,7 @@ def test_stream_sessionize(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_partitioned_state_scoring_matches_broadcast(stream_env):
     """The 100 TB state path: doy-partitioned threshold state +
     per-batch partition pruning through foreachBatch must score
@@ -435,6 +436,7 @@ def test_stream_pq_scoring_matches_batch(spark, tmp_path):
     assert got == expect and len(got) == 60
 
 
+@pytest.mark.slow
 def test_stream_ivfpq_residual_scoring_matches_batch(spark, tmp_path):
     """The residual IVF-PQ gate is a pure map expression too: coarse
     assignment, residual transform, per-list LUT selection and the ADC
@@ -629,6 +631,7 @@ def test_stream_theta_profile_merges_to_batch_estimate(spark):
     assert sorted(map(tuple, merged)) == sorted(map(tuple, batch))
 
 
+@pytest.mark.slow
 def test_stream_simhash_gate_matches_brute_force(doc_stream_env):
     """The streaming SimHash near-dup gate (map-only fingerprint +
     stream-static band-index join) must flag EXACTLY the (stream doc,

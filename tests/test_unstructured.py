@@ -153,6 +153,7 @@ def test_unstructured_centroids_follow_path(spark, ring, two_blob_mesh):
         assert abs(r.centroid_lat) < 1e-6
 
 
+@pytest.mark.slow
 def test_label_kernel_matches_propagation(spark):
     """The kernel tier (per-slice induced-subgraph union-find) must
     produce identical global ids to the declarative min-label
