@@ -1401,7 +1401,13 @@ def split_merge_events_parallel(
     distributed. The cell set pays ONE range exchange total (cached
     partitioned by block); carries ride a per-round broadcast, so
     every round — including stale re-resolution rounds — is a bare
-    filter of that cache with zero further exchanges. (A driver-side
+    filter of that cache with zero further exchanges. Stale rounds
+    additionally emit ONLY each block's two carry slices (the sole
+    rows any later round consumes) instead of re-materialising whole
+    blocks through Arrow; the re-resolved blocks' full frames come
+    from one post-convergence final pass, re-run against the exact
+    carries they were last resolved with (deterministic kernel ⇒
+    byte-identical frames). (A driver-side
     Gauss–Seidel stale path exists behind
     ``PARALLEL_STALE_DRIVER_CELLS``, default 0/off — it measured
     strictly slower once distributed rounds stopped paying a
@@ -1558,7 +1564,10 @@ def split_merge_events_parallel(
     )
 
     def _block_kernel_core(
-        b: int, cells_pdf: pd.DataFrame, carry_pdf: pd.DataFrame | None
+        b: int,
+        cells_pdf: pd.DataFrame,
+        carry_pdf: pd.DataFrame | None,
+        carries_only: bool = False,
     ) -> pd.DataFrame:
         resolver = _Resolver(
             nx=nx,
@@ -1597,13 +1606,28 @@ def split_merge_events_parallel(
         frames = []
         if stimes:
             # ONE frame for all resolved cells (a frame per timestep
-            # plus a concat cost ~40% of the kernel at 300+ steps)
-            lens = [len(slices[i]["id"]) for i in range(len(stimes))]
-            tvals = np.repeat(np.asarray(stimes, dtype=object), lens)
+            # plus a concat cost ~40% of the kernel at 300+ steps).
+            # carries_only rounds (r10) emit JUST the block's last two
+            # post-resolution slices — the only rows any later round
+            # consumes — so intermediate rounds stop re-materialising
+            # whole blocks through Arrow (guide §2.3/§8: move the
+            # lightweight proxy between rounds, the heavy bytes once).
+            idxs = (
+                list(range(max(0, len(stimes) - 2), len(stimes)))
+                if carries_only
+                else list(range(len(stimes)))
+            )
+            lens = [len(slices[i]["id"]) for i in idxs]
+            tsel = [stimes[i] for i in idxs]
+            if time_type.startswith("timestamp"):
+                # datetime64 column, not object: Arrow-serialising an
+                # object column of pd.Timestamp goes element by element
+                # — at 1.75M cells it was most of the full-output pass
+                tvals = np.repeat(pd.DatetimeIndex(tsel).to_numpy(), lens)
+            else:
+                tvals = np.repeat(np.asarray(tsel, dtype=object), lens)
             cat = {
-                k: np.concatenate(
-                    [slices[i][k] for i in range(len(stimes))]
-                )
+                k: np.concatenate([slices[i][k] for i in idxs])
                 for k in (("c1", "c2", "id") if grid else ("key", "c1", "c2", "id"))
             }
             cells_cols = (
@@ -1627,7 +1651,7 @@ def split_merge_events_parallel(
                 )
             )
         led = resolver.ledger
-        for si in range(len(led.times)):
+        for si in range(0 if carries_only else len(led.times)):
             n_par = len(led.parent_ids[si])
             frames.append(
                 pd.DataFrame(
@@ -1666,15 +1690,19 @@ def split_merge_events_parallel(
             }
         )
 
-    def _mk_round_kernel(carry_bc):
+    def _mk_round_kernel(carry_bc, carries_only: bool = False):
         """Distributed-round kernel: cells arrive as the group rows,
         the (small) carries ride a per-round broadcast keyed by block —
         so the per-round input plan is a bare filter of the cached
-        partitioned cell set, with no carry union and no exchange."""
+        partitioned cell set, with no carry union and no exchange.
+        ``carries_only`` rounds return just the block's last two
+        post-resolution slices (see _block_kernel_core)."""
 
         def _k(pdf: pd.DataFrame) -> pd.DataFrame:
             b = int(pdf["block"].iloc[0])
-            return _block_kernel_core(b, pdf, carry_bc.value.get(b))
+            return _block_kernel_core(
+                b, pdf, carry_bc.value.get(b), carries_only=carries_only
+            )
 
         return _k
 
@@ -1740,6 +1768,9 @@ def split_merge_events_parallel(
     stale = list(range(n_blocks))
     _PARALLEL_STALE_LOG.clear()
     driver_latest: dict[int, pd.DataFrame] = {}
+    # blocks re-resolved in a carries-only distributed round: their full
+    # frames are re-materialised ONCE by the post-convergence final pass
+    ever_stale: set[int] = set()
     carry_bcs: list = []
     for rnd in range(rounds_cap):
         if not stale:
@@ -1771,6 +1802,7 @@ def split_merge_events_parallel(
                     out_pdf = _block_kernel_core(b, cells_pdf, c)
                     driver_latest[b] = out_pdf
                     latest.pop(b, None)
+                    ever_stale.discard(b)
                     g = out_pdf[
                         (out_pdf["kind"] == 0)
                         & out_pdf[time_col].isin(carry_times)
@@ -1797,20 +1829,41 @@ def split_merge_events_parallel(
             {b: carry_in[b] for b in stale if carry_in[b] is not None}
         )
         carry_bcs.append(carry_bc)
-        fresh = (
-            inp.groupBy("block")
-            .applyInPandas(_mk_round_kernel(carry_bc), schema=out_schema)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        round_dfs.append(fresh)
+        _mark(f"round{rnd}_bcast")
+        if rnd == 0:
+            fresh = (
+                inp.groupBy("block")
+                .applyInPandas(_mk_round_kernel(carry_bc), schema=out_schema)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            round_dfs.append(fresh)
+        else:
+            # stale rounds (r10): only the carries are ever consumed
+            # between rounds, so the kernel emits JUST each block's last
+            # two post-resolution slices — the round's one job collects
+            # them directly, with no full-output Arrow pass and no
+            # persist (the A/B that motivated this measured the full
+            # re-materialisation at ~1.5-2 s of each 2.5 s stale round
+            # at sf0.1; the re-resolved blocks' full frames come from
+            # the post-convergence final pass below, byte-identical
+            # because the kernel is deterministic in (cells, carry)).
+            ever_stale.update(stale)
+            fresh = inp.groupBy("block").applyInPandas(
+                _mk_round_kernel(carry_bc, carries_only=True),
+                schema=out_schema,
+            )
         for b in stale:
             carry_used[b] = carry_in[b]
-            latest[b] = rnd
+            if rnd == 0:
+                latest[b] = 0
+            else:
+                latest.pop(b, None)
             driver_latest.pop(b, None)
         if carry_times:
             co = fresh.filter(
                 (F.col("kind") == 0) & F.col(time_col).isin(list(carry_times))
             ).toPandas()
+            _mark(f"round{rnd}_job")
             for b in stale:
                 if b + 1 < n_blocks:
                     g = co[co["block"] == b][[time_col, *coord_cols, "obj_id"]]
@@ -1834,6 +1887,33 @@ def split_merge_events_parallel(
             details={"rounds": LAST_PARALLEL_ROUNDS, "n_blocks": n_blocks},
             suggestions=["raise max_rounds (defaults to #blocks + 1, which always converges)"],
         )
+
+    # post-convergence final pass: blocks whose full frames were never
+    # materialised (re-resolved in a carries-only stale round, not since
+    # driver-resolved) are re-resolved ONCE against the exact carry each
+    # was last resolved with (carry_used — the kernel is deterministic
+    # in (cells, carry), so the frames equal the ones the old per-round
+    # materialisation kept)
+    final_blocks = sorted(ever_stale)
+    if final_blocks:
+        final_bc = spark.sparkContext.broadcast(
+            {
+                b: carry_used[b]
+                for b in final_blocks
+                if carry_used[b] is not None
+            }
+        )
+        carry_bcs.append(final_bc)
+        ffresh = (
+            inp0.filter(F.col("block").isin(final_blocks))
+            .groupBy("block")
+            .applyInPandas(_mk_round_kernel(final_bc), schema=out_schema)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        round_dfs.append(ffresh)
+        for b in final_blocks:
+            latest[b] = len(round_dfs) - 1
+        _mark("final_pass_plan")
 
     # stitch the final output: every block's LATEST resolution —
     # distributed rounds from their persisted frames, driver-resolved

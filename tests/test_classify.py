@@ -41,6 +41,7 @@ def test_learns_planted_separation(planted):
     assert acc == 1.0
 
 
+@pytest.mark.slow
 def test_partition_invariant(planted):
     docs, feats, labels = planted
     a = logreg_fit(feats, labels, dim=16, n_iter=2)

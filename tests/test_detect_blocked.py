@@ -335,6 +335,7 @@ def test_detrend_orders_validation(spark):
         )
 
 
+@pytest.mark.slow
 def test_packed_spatial_hobday_matches_relational(spark):
     """W4 in the kernel: the y-halo fan + in-kernel 2-D pooling must
     equal the relational spatial hobday path cell-for-cell (reference

@@ -82,6 +82,7 @@ class TestTrackResultRoundTrip:
         assert back.timestep_stats is None  # not written, not invented
 
 
+@pytest.mark.slow
 def test_rewind_then_extend_equals_full(spark, tmp_path):
     """Late-data recovery cycle: rewind an archive to the last good
     timestep, extend forward with the corrected tail — the result must
@@ -172,6 +173,7 @@ def test_rewind_validation(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_rewind_splits_tail_only_merges(spark, tmp_path):
     """The review repro: two blobs merge ONLY in the (dropped) tail.
     Min-root event ids had already been unified retroactively, so a
@@ -227,6 +229,7 @@ class TestRewindProvenance:
         times = sorted(r[0] for r in ext.select("time").distinct().collect())
         return track_events(ext, nx=24, **kw), times
 
+    @pytest.mark.slow
     def test_stats_archive_requires_dims_or_optout(self, spark, tmp_path):
         from pyspark.sql import functions as F
 
@@ -255,6 +258,7 @@ class TestRewindProvenance:
         )
         assert os.path.isdir(f"{tmp_path}/o3/timestep_stats")
 
+    @pytest.mark.slow
     def test_compact_archive_rewinds_to_dense_ids(self, spark, tmp_path):
         from pyspark.sql import functions as F
 
@@ -311,6 +315,7 @@ class TestExtendProvenance:
             "y", "x", "extreme",
         )
 
+    @pytest.mark.slow
     def test_merge_archive_resumes_resolver_by_default(self, spark, tmp_path):
         from pyspark.sql import functions as F
 
@@ -349,6 +354,7 @@ class TestExtendProvenance:
         out_ledger = spark.read.parquet(f"{tmp_path}/me/merge_ledger")
         assert out_ledger.filter(F.col("time") <= F.lit(cut)).count() == n_ledger
 
+    @pytest.mark.slow
     def test_pre_provenance_archive_requires_compact_assertion(
         self, spark, tmp_path
     ):
@@ -385,6 +391,7 @@ class TestExtendProvenance:
         )
         assert res.events.count() > 0
 
+    @pytest.mark.slow
     def test_extend_stats_archive_requires_dims_or_optout(self, spark, tmp_path):
         import os
 
@@ -423,6 +430,7 @@ class TestExtendProvenance:
         assert os.path.isdir(f"{tmp_path}/s3/timestep_stats")
 
 
+@pytest.mark.slow
 def test_rewind_merge_mode_event_level(spark, tmp_path):
     """Merge-mode rewind pins EVENT-level equality with a stopped run
     (obj_id-level equality is not promised: the chunked resolver

@@ -257,6 +257,7 @@ def test_curation_pipeline_shuffle_bound(spark):
     assert exchange_count(out) <= 6, exchange_count(out)
 
 
+@pytest.mark.slow
 def test_threshold_state_scan_prunes_partitions(spark, tmp_path):
     """The streaming scale path's per-batch state read is a PRUNED
     partitioned scan: filtering on the batch's doys must reach the
@@ -333,6 +334,7 @@ def test_ccnet_buckets_no_global_sort(spark):
     assert "SinglePartition" not in plan, plan
 
 
+@pytest.mark.slow
 def test_pq_adc_scan_is_shuffle_free(spark):
     """PQ's reason to exist: codebooks and the query LUT are literals,
     so corpus encoding + ADC scoring must be ONE codegen scan — no
@@ -355,6 +357,7 @@ def test_ivfpq_scan_is_shuffle_free(spark):
     assert exchange_count(out) == 0
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_scan_is_shuffle_free(spark):
     """Residual IVF-PQ scoring: the residual transform (zip_with
     against an element_at over the literal centroid table), the coarse

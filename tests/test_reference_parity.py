@@ -135,6 +135,7 @@ class TestPercentileFrequency:
         ).first()
         return row.k / row.n, row.n
 
+    @pytest.mark.slow
     def test_detrend_harmonic_global_extreme(self, sst_long):
         from marex_spark.operators.detect import preprocess_data
 
@@ -952,6 +953,7 @@ def test_complex_merging_scenario_completes(spark):
     assert res.extras["merge_ledger"] is not None
 
 
+@pytest.mark.slow
 def test_merging_with_temporal_fill_completes(spark):
     """Reference test_merging_with_temporal_fill (edge_cases:280-297):
     quartile 0.4, R_fill=4, T_fill=2, overlap 0.2, FULL mask (no pole
@@ -972,6 +974,7 @@ def test_merging_with_temporal_fill_completes(spark):
     assert n_events > 0
 
 
+@pytest.mark.slow
 def test_unstructured_merging_q04_completes(spark):
     """Reference test_unstructured_tracking_with_merging
     (edge_cases:304-340): the standard mesh fixture at quartile 0.4,

@@ -8,6 +8,8 @@ hub-anchored pairs while staying a subset of the clique form."""
 
 from itertools import combinations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from marex_spark.operators.simhash import simhash_band_pairs
@@ -30,6 +32,7 @@ def _ham(a, b):
     return bin((a ^ b) & _M64).count("1")
 
 
+@pytest.mark.slow
 def test_banded_pairs_equal_brute_force(spark):
     fps = {r.doc_id: r.simhash for r in dedup_simhash(spark, SF).collect()}
     truth = {

@@ -331,6 +331,7 @@ class TestExtendTrackEvents:
         [(0.0, 8), (0.3, 8), (0.0, 2), (0.0, 11)],  # incl. tiny prior
         # and a single appended slice — the boundary-layout edge cases
     )
+    @pytest.mark.slow
     def test_matches_full_recompute(self, spark, theta, n_prior):
         from marex_spark.operators.track import extend_track_events
 

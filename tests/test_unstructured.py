@@ -227,6 +227,7 @@ def test_unstructured_extension_matches_full(spark, ring, two_blob_mesh):
     assert fa == fb
 
 
+@pytest.mark.slow
 def test_unstructured_merge_extension_idfree_parity(spark, ring, two_blob_mesh):
     """Mesh merge-mode extension: the sphere resolver resumes from the
     prior run's carry; id-free lifetime-stat multiset and ledger shape
