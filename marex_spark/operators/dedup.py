@@ -118,6 +118,11 @@ def bloom_fit(
             F.explode(shingle_array(F.col(text_col), n)).alias("shingle")
         )
         .distinct()
+        # materialise the (small) distinct shingle set ONCE: the count
+        # and the position pass below otherwise each re-scan and
+        # re-shingle the benchmark docs (guide §1.2 — two full passes
+        # for one small intermediate)
+        .localCheckpoint()
     )
     m, k = bloom_geometry(sh.count())
     h1, h2 = bloom_hash_cols(F.col("shingle"), m)
@@ -181,6 +186,7 @@ def bloom_decontaminate(
     n: int = 5,
     out_col: str = "contamination_bloom",
     max_literal_bits: int | None = None,
+    use_kernel: bool | None = None,
 ) -> DataFrame:
     """Per-document Bloom contamination over ``docs`` against the
     ``bench_docs`` benchmark: ``(id_col, n_shingles, n_flagged,
@@ -201,10 +207,30 @@ def bloom_decontaminate(
       vectorised mapInArrow gather checks all k bits per shingle.
 
     Both tiers are equality-pinned against each other in
-    tests/test_dedup_skew.py."""
+    tests/test_dedup_skew.py.
+
+    Default corpus path (``use_kernel``, env ``MAREX_BLOOM_KERNEL=0``
+    to disable): ONE ``mapInArrow`` pass — zero-copy shingle spans
+    over the Arrow text buffer, vectorised md5, packed-bitset probes
+    and per-doc counts all inside the kernel, so the plan has ZERO
+    exchanges and no exploded corpus rows. The JVM expression tiers
+    below remain the cross-checked reference (equality-pinned in
+    tests/test_dedup_skew.py): the phase decomposition
+    (tools/profile_decontam.py) measured their shingle construction
+    at ~15 s and the k-probe forall at ~5 s of the 5M-doc row's 30 s,
+    vs ~0.3 s for md5 itself — the strings were the cost, not the
+    hash (guide §4.2)."""
     if max_literal_bits is None:
         max_literal_bits = _BLOOM_MAX_LITERAL_BITS
+    if use_kernel is None:
+        import os
+
+        use_kernel = os.environ.get("MAREX_BLOOM_KERNEL", "1") != "0"
     bits, m, k = bloom_fit(bench_docs, text_col=text_col, n=n)
+    if use_kernel:
+        return _bloom_probe_kernel(
+            docs, bits, m, k, text_col, id_col, n, out_col
+        )
     shingles = shingle_array(F.col(text_col), n)
     h1, h2 = bloom_hash_cols(F.col("shingle"), m)
     # ONE md5 per shingle (K-M double hashing), materialised as plain
@@ -279,6 +305,87 @@ def bloom_decontaminate(
                 F.sum("flagged").alias("nh"),
             )
         )
+    return agg.select(
+        id_col,
+        F.col("n").cast("long").alias("n_shingles"),
+        F.col("nh").cast("long").alias("n_flagged"),
+        (F.col("nh") / F.col("n").cast("double")).alias(out_col),
+    )
+
+
+def _bloom_probe_kernel(
+    docs: DataFrame,
+    bits: bytes,
+    m: int,
+    k: int,
+    text_col: str,
+    id_col: str,
+    n: int,
+    out_col: str,
+) -> DataFrame:
+    """The default corpus probe: one ``mapInArrow`` over
+    ``(id_col, text_col)`` emitting per-doc ``(id, n, nh)`` directly —
+    shingles are (start, len) spans over the batch's own string
+    buffer (zero copies), dedup/md5/probe run vectorised, and the
+    aggregate never leaves the task, so the corpus pays NO exchange
+    at all (the JVM tiers pay one for the per-doc groupBy). Docs with
+    zero shingles are absent from the output, exactly like the
+    exploded form. Value-pinned against the JVM tiers in
+    tests/test_dedup_skew.py and by the oracle gate."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    from marex_spark.operators.md5np import (
+        dedup_spans,
+        halves60,
+        md5_words,
+        shingle_spans,
+        string_spans,
+    )
+
+    packed = np.packbits(
+        np.frombuffer(bits, dtype=np.uint8) == 0x31, bitorder="little"
+    )
+    bc = docs.sparkSession.sparkContext.broadcast(packed.tobytes())
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def _probe(batches) -> Iterator:
+        pb = np.frombuffer(bc.value, dtype=np.uint8)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            data, offsets, valid = string_spans(tbl[text_col])
+            row_idx, starts, lens = shingle_spans(data, offsets, valid, n)
+            w = md5_words(data, starts, lens)
+            keep = dedup_spans(data, row_idx, starts, lens, w)
+            ri = row_idx[keep]
+            h1, h2 = halves60(w[keep])
+            h1m = h1 % m
+            h2m = h2 % m
+            flag = np.ones(len(ri), dtype=bool)
+            for i in range(k):
+                p = (h1m + i * h2m) % m
+                flag &= ((pb[p >> 3] >> (p & 7).astype(np.uint8)) & 1) == 1
+            cnt = np.bincount(ri, minlength=batch.num_rows)
+            hit = np.bincount(ri[flag], minlength=batch.num_rows)
+            sel = np.flatnonzero(cnt > 0)
+            if not len(sel):
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl[id_col].chunk(0).take(pa.array(sel)),
+                    pa.array(cnt[sel].astype(np.int64)),
+                    pa.array(hit[sel].astype(np.int64)),
+                ],
+                names=[id_col, "n", "nh"],
+            )
+
+    agg = docs.select(id_col, text_col).mapInArrow(
+        _probe, schema=f"{id_col} {id_type}, n long, nh long"
+    )
     return agg.select(
         id_col,
         F.col("n").cast("long").alias("n_shingles"),

@@ -160,15 +160,18 @@ class TestBloomGeometry:
         assert n_fp / 2000 < 0.03, n_fp
 
 
-def test_decontam_bloom_fallback_join_matches_literal(spark, monkeypatch):
-    """Force the packed-bitset broadcast-kernel tier (literal budget →
-    0) and assert it produces exactly the literal path's rows — the
-    guarantee that the >8M-bit warning path is a plan change, not a
-    semantics change."""
+def test_decontam_bloom_all_tiers_agree(spark, monkeypatch):
+    """The default Arrow kernel (r10), the JVM literal tier and the
+    JVM packed-broadcast tier (literal budget → 0) must produce
+    exactly the same rows — the guarantee that every corpus path is a
+    plan change, not a semantics change."""
     import marex_spark.operators.dedup as od
     import marex_spark.queries.dedup as dq
 
+    kern = {tuple(r) for r in dq.decontam_bloom(spark, SF).collect()}
+    monkeypatch.setenv("MAREX_BLOOM_KERNEL", "0")
     lit = {tuple(r) for r in dq.decontam_bloom(spark, SF).collect()}
     monkeypatch.setattr(od, "_BLOOM_MAX_LITERAL_BITS", 0)
     fb = {tuple(r) for r in dq.decontam_bloom(spark, SF).collect()}
+    assert kern == lit
     assert lit == fb

@@ -388,29 +388,27 @@ def test_mesh_morphology_kernel_single_shuffle(spark):
 
 
 def test_decontam_bloom_corpus_side_is_map_only(spark):
-    """The Bloom bitset is a string LITERAL in the plan: the corpus
-    side probes it inside codegen — no join, broadcast or otherwise,
+    """The corpus side is ONE Arrow kernel pass (r10): the bitset
+    rides as a broadcast variable, shingling/md5/probe/per-doc counts
+    all happen inside mapInArrow — no join, broadcast or otherwise,
     between the training shingles and any benchmark-derived table,
-    and the benchmark/training split is a pushed-down source filter;
-    the bench side contributes nothing to the scored plan at all."""
-    from marex_spark.plans import plan_string
+    the benchmark/training split is a pushed-down source filter, and
+    the corpus pays ZERO exchanges (the old JVM literal tier paid one
+    for the per-doc groupBy; it remains the equality-pinned reference
+    behind use_kernel=False)."""
+    from marex_spark.plans import exchange_count, plan_string
     from marex_spark.queries.dedup import decontam_bloom
 
     out = decontam_bloom(spark, SF)
     plan = plan_string(out)
-    # the bitset travels as a literal and the benchmark/training split
-    # is a pushed-down source filter, so ZERO joins survive — any join
-    # would mean the benchmark set leaked back in as a table
+    # ZERO joins — any join would mean the benchmark set leaked back
+    # in as a table
     n_joins = plan.count("Join")
     assert n_joins == 0, plan[:2000]
     assert "CartesianProduct" not in plan
-    # per-doc aggregate is map-side combinable
-    assert "partial_count" in plan or "partial_sum" in plan
-    # per-row array_distinct shingling: the ONLY shuffle left is the
-    # per-doc aggregate (no corpus-wide shingle distinct)
-    from marex_spark.plans import exchange_count
-
-    assert exchange_count(out) == 1, exchange_count(out)
+    # one Arrow kernel, no corpus exchange at all
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan[:2000]
+    assert exchange_count(out) == 0, exchange_count(out)
 
 
 @pytest.mark.slow
