@@ -51,6 +51,7 @@ def simhash_fingerprints(
     bits: int = 64,
     fp_name: str = "simhash",
     lane_bits: int = 16,
+    use_kernel: bool | None = None,
 ) -> DataFrame:
     """``(id_col, fp_name)`` — one ``bits``-wide SimHash per document:
     md5-derived word hashes vote ±1 per bit position (term frequency
@@ -73,11 +74,27 @@ def simhash_fingerprints(
     (~1.5 s, the price of refusing to corrupt silently). A lane holds
     counts up to ``2^lane_bits - 1`` words per document; documents
     beyond that raise inside the job with the doc id — raise
-    ``lane_bits`` (e.g. 32) for monster documents."""
+    ``lane_bits`` (e.g. 32) for monster documents.
+
+    Default path (r10, ``use_kernel`` / env ``MAREX_SIMHASH_KERNEL=0``
+    to disable): ONE map-only Arrow kernel — token spans over the
+    batch's string buffer, vectorised md5, per-doc vote counts and
+    the sign pack all inside the task, so fingerprinting pays ZERO
+    exchanges and no word explode (the phase decomposition measured
+    the groupBy form's aggregate+guard+combine at ~4.2 s of the 1M-doc
+    row vs ~0.7 s for md5+conv). Values are bit-identical (equality-
+    pinned in tests; exact int counts, so no lane-overflow raise —
+    monster documents fingerprint correctly instead of raising)."""
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in 1..64, got {bits}")
     if lane_bits not in (8, 16, 32):
         raise ValueError(f"lane_bits must be 8, 16 or 32, got {lane_bits}")
+    if use_kernel is None:
+        import os
+
+        use_kernel = os.environ.get("MAREX_SIMHASH_KERNEL", "1") != "0"
+    if use_kernel:
+        return _simhash_kernel(df, text_col, id_col, bits, fp_name)
     tok = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
     )
@@ -142,6 +159,81 @@ def simhash_fingerprints(
         )
     combine = reduce(lambda a, c: a + c, terms)
     return agg.select(id_col, combine.cast("long").alias(fp_name))
+
+
+def _simhash_kernel(
+    df: DataFrame, text_col: str, id_col: str, bits: int, fp_name: str
+) -> DataFrame:
+    """Map-only Arrow fingerprint kernel: one ``mapInArrow`` over
+    ``(id_col, text_col)`` emitting ``(id, fp)`` — tokens are (start,
+    len) spans over the batch's own string buffer (split on single
+    space, empties kept, exactly like ``explode(split(...))``),
+    md5 runs vectorised, the ±1 votes become per-doc ones-counts via
+    one ``reduceat``, and the sign test replays ``2·ones > n_words``.
+    NULL-text docs are absent from the output, exactly like the
+    exploded form. Value-pinned against the groupBy form in
+    tests/test_simhash_pairs.py and by the oracle gate."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    from marex_spark.operators.md5np import (
+        halves32,
+        md5_words,
+        shingle_spans,
+        string_spans,
+    )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    nbits = bits
+
+    def _fp(batches) -> Iterator:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            data, offsets, valid = string_spans(tbl[text_col])
+            # n=1 "shingles" = the split tokens themselves (empties
+            # and trailing empties kept — split semantics)
+            row_idx, starts, lens = shingle_spans(data, offsets, valid, 1)
+            if not len(row_idx):
+                continue
+            w = md5_words(data, starts, lens)
+            # 64-bit word hash: bit b<32 from lo (hex chars 1-8), bit
+            # b>=32 from hi (chars 9-16) — h64 = (hi << 32) | lo
+            lo, hi = halves32(w)
+            h64 = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(
+                np.uint64
+            )
+            # docs appear as contiguous row_idx runs (row-major spans).
+            # Per-bit 1-D reduceat: the (ntok × 64) bit matrix with an
+            # axis-0 reduceat was 17× slower (strided reduction over a
+            # 40 MB temporary vs 64 cache-resident passes).
+            doc_ids, first = np.unique(row_idx, return_index=True)
+            ones = np.empty((len(first), nbits), dtype=np.int64)
+            for b in range(nbits):
+                bits_b = ((h64 >> np.uint64(b)) & np.uint64(1)).astype(
+                    np.int64
+                )
+                ones[:, b] = np.add.reduceat(bits_b, first)
+            nw = np.diff(np.append(first, len(row_idx)))
+            fp_bits = (2 * ones) > nw[:, None]
+            weights = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))
+            fp = (fp_bits.astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64
+            ).view(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl[id_col].chunk(0).take(pa.array(doc_ids)),
+                    pa.array(fp),
+                ],
+                names=[id_col, fp_name],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        _fp, schema=f"{id_col} {id_type}, {fp_name} long"
+    )
 
 
 def simhash_column(text_col: str = "text", bits: int = 64):
@@ -329,8 +421,17 @@ def simhash_band_pairs(
     by construction when ``bands > max_hamming``) and verified with
     one xor+bit_count per candidate. ``star_cap`` bounds hot-bucket
     blowup: buckets above the cap emit only hub-anchored pairs (see
-    module docstring for why the capped output is a subset)."""
+    module docstring for why the capped output is a subset).
+
+    The fingerprint input is ``localCheckpoint``-ed first (r10): the
+    plan references it two or three times (both join sides + the
+    bucket-size aggregate) and exchange reuse does NOT cover it — the
+    1M-doc row's plan showed 6 parquet scans, i.e. the fingerprint
+    computation ran once per reference. The checkpoint is one
+    (id, fp) row per doc — tiny next to the corpus at any scale —
+    and cut the row 9.8 → 6.4 s on its own."""
     _check_banding(bands, band_bits, max_hamming)
+    fps = fps.localCheckpoint()
     banded = simhash_bands(fps, bands, band_bits, id_col, fp_name)
     a, b = banded.alias("a"), banded.alias("b")
     joined = a.join(

@@ -146,6 +146,37 @@ def test_map_only_fingerprints_equal_groupby_form(spark):
     assert exchange_count(simhash_fingerprints_map_only(plain)) == 0
 
 
+def test_kernel_fingerprints_equal_groupby_form(spark):
+    """The Arrow fingerprint kernel (r10 default) must be
+    bit-identical to the explode+groupBy JVM form, including negative
+    fingerprints (bit 63), empty/whitespace edge texts and NULL-text
+    drops — and it must add ZERO exchanges."""
+    from marex_spark.operators.simhash import simhash_fingerprints
+    from marex_spark.plans import exchange_count
+    from marex_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents").limit(200)
+    edge = spark.createDataFrame(
+        [(90001, ""), (90002, "x"), (90003, "a a a"), (90004, "  "),
+         (90005, None), (90006, " lead"), (90007, "trail ")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    a = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(both, use_kernel=False).collect()
+    }
+    b = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(both, use_kernel=True).collect()
+    }
+    assert a == b
+    assert 90005 not in b, "NULL-text doc must be dropped by both forms"
+    assert any(v < 0 for v in b.values()), "fixture should exercise bit 63"
+    plain = load_table(spark, SF, "documents")
+    assert exchange_count(simhash_fingerprints(plain, use_kernel=True)) == 0
+
+
 def test_banding_completeness_property(spark):
     """Property: over ARBITRARY 64-bit fingerprints (not just the
     fixture's), the banded join finds exactly the brute-force pairs at
@@ -209,7 +240,9 @@ def test_lane_overflow_raises_not_corrupts(spark):
     ok = spark.createDataFrame(
         [(1, " ".join(["w"] * 255))], "doc_id long, text string"
     )
-    assert simhash_fingerprints(ok, lane_bits=8).count() == 1
+    assert (
+        simhash_fingerprints(ok, lane_bits=8, use_kernel=False).count() == 1
+    )
     over = spark.createDataFrame(
         [(2, " ".join(["w"] * 256))], "doc_id long, text string"
     )
@@ -217,9 +250,16 @@ def test_lane_overflow_raises_not_corrupts(spark):
     # can never trip Spark's ANSI ARITHMETIC_OVERFLOW first, so the
     # friendly post-agg guard (with the doc id) always gets to fire
     with pytest.raises(Exception, match="lane overflow"):
-        simhash_fingerprints(over, lane_bits=8).collect()
+        simhash_fingerprints(over, lane_bits=8, use_kernel=False).collect()
     # same doc is fine at the default 16-bit lanes
-    assert simhash_fingerprints(over).count() == 1
+    assert simhash_fingerprints(over, use_kernel=False).count() == 1
+    # the Arrow kernel (r10 default) has no lanes — exact int counts,
+    # so the same doc fingerprints correctly at any width and equals
+    # the wide-lane JVM form
+    assert (
+        simhash_fingerprints(over, use_kernel=True).collect()
+        == simhash_fingerprints(over, lane_bits=32, use_kernel=False).collect()
+    )
 
 
 def test_documented_word_envelope_no_ansi_overflow(spark):
