@@ -43,6 +43,12 @@ CANARIES_ON = os.environ.get("SPARK_GRAFT_BENCH_CANARIES", "1") != "0"
 # weather_suspect in the JSON (r8 verdict #5: the bench adjudicates
 # weather row by row, mechanically). Env-overridable for other boxes.
 IO_COLD_QUIET_SEC = float(os.environ.get("SPARK_GRAFT_IO_QUIET", "1.0"))
+# the buffered write+read probe (io_sec) senses WRITE-side pressure
+# (dirty-page throttling) that the O_DIRECT read probe misses — r10:
+# a capture showed io_sec at 12.7 s (quiet ~1.0-1.8) on a pass graded
+# quiet, while the scan+shuffle-bound band row swung 10 → 30 s; both
+# probes now gate the grading
+IO_WARM_QUIET_SEC = float(os.environ.get("SPARK_GRAFT_IO_WARM_QUIET", "1.8"))
 CPU_QUIET_SEC = float(os.environ.get("SPARK_GRAFT_CPU_QUIET", "0.35"))
 MEM_QUIET_SEC = float(os.environ.get("SPARK_GRAFT_MEM_QUIET", "0.10"))
 IO_STORM_FACTOR = 2.0
@@ -266,6 +272,7 @@ def _run_bench(sf, timings, errors, note, holder) -> None:
         """Was canary sample ``idx`` storm-hit vs the quiet floors?"""
         storm = False
         for key, floor, factor in (
+            ("io_sec", IO_WARM_QUIET_SEC, IO_STORM_FACTOR),
             ("io_cold_sec", IO_COLD_QUIET_SEC, IO_STORM_FACTOR),
             ("cpu_sec", CPU_QUIET_SEC, CPU_STORM_FACTOR),
             ("mem_sec", MEM_QUIET_SEC, MEM_STORM_FACTOR),
