@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 
-ARMS = [256, 32]
+ARMS = [int(a) for a in os.environ.get("AB_ARMS", "256,32").split(",")]
 
 
 def worker(args):
